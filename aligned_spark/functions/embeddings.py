@@ -1,0 +1,62 @@
+"""Embedding/vector column functions.
+
+All of these are pure higher-order-function compositions
+(``F.zip_with`` / ``F.aggregate`` / ``F.transform``) — they run inside
+whole-stage codegen with zero Python in the hot path, so they scale
+linearly with executors. The only Pandas-UDF here is the *fake* text
+embedder (the real model libs aren't in this container; the reference
+uses gensim/HF via ``WordVectoriser``, ``transformation.py:2179``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def array_dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def array_norm(a: Column) -> Column:
+    """L2 norm of an array<numeric> column."""
+    return F.sqrt(array_dot(a, a))
+
+
+def array_cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; null-safe via nullif on zero norms."""
+    denominator = F.nullif(array_norm(a) * array_norm(b), F.lit(0.0))
+    return array_dot(a, b) / denominator
+
+
+def fake_text_embedding(text: Column, size: int = 16) -> Column:
+    """Deterministic stand-in for a model text-embedder.
+
+    Hashes character 3-shingles of the text into ``size`` buckets and
+    L2-normalizes — a real (if crude) bag-of-shingles embedding that
+    is fully JVM-side. Swap for an Arrow-batched pandas UDF wrapping a
+    real model (sentence-transformers / API client) in production; the
+    column contract (string → array<float>) is identical.
+    """
+    lowered = F.lower(F.coalesce(text, F.lit("")))
+    n = F.length(lowered)
+    # character 3-shingles via a sequence of start offsets + substr
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    shingles = F.transform(idx, lambda i: lowered.substr(i, F.lit(3)))
+    buckets = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(size)))
+    counts = F.array(
+        *[
+            F.size(F.filter(buckets, lambda b, k=k: b == F.lit(k))).cast("double")
+            for k in range(size)
+        ]
+    )
+    norm = F.sqrt(
+        F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    safe_norm = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return F.transform(counts, lambda x: (x / safe_norm).cast("float"))

@@ -1,0 +1,150 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Everything here is built from ``pyspark.sql.functions`` primitives —
+regex, split, higher-order array functions — so the hot path stays in
+whole-stage codegen. These back the ``documents``-table operators in
+``aligned_spark.operators.text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram heuristic.
+# Deliberately short: language ID here is a cheap codegen-side
+# heuristic, not a model (fasttext & co. are not in this container).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "de", "es", "en", "un", "una", "por"],
+    "it": ["il", "la", "che", "di", "e", "un", "una", "per", "non", "sono"],
+    "pt": ["o", "a", "os", "que", "de", "um", "uma", "para", "com", "não"],
+    "nl": ["de", "het", "een", "van", "en", "is", "dat", "niet", "met", "zijn"],
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "be", "are", "this", "with", "as", "on"]
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols —
+# approximates a GPT-2-style pre-tokenizer split.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), r"[^a-zA-ZÀ-ÿ]+"),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID: score = count of language-marker words.
+
+    Returns the best-scoring language code, or 'und' when no marker
+    hits. Pure array ops — no UDF, no shuffle.
+    """
+    words = _words(text)
+    scored = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Token count by whitespace split."""
+    return F.size(
+        F.filter(
+            F.split(F.coalesce(text, F.lit("")), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+    )
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via a GPT-2-style pre-tokenizer regex."""
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(TOKEN_REGEX)),
+            lambda t: F.length(t) > 0,
+        )
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] document-quality heuristic.
+
+    Blends: mean-word-length sanity, alpha ratio, punctuation ratio,
+    stopword ratio — the C4/Gopher-style cheap filters a training-data
+    pipeline applies before expensive model scoring.
+    """
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+    words = _words(t)
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-zÀ-ÿ]", ""))
+    alpha_ratio = alpha_chars / n_chars
+
+    punct_chars = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()]", ""))
+    punct_ratio = punct_chars / n_chars
+    punct_component = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
+
+    mean_word_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / n_words
+    # plausible natural-language mean word length: 3..10
+    word_len_component = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n_words
+    )
+    stop_component = F.least(stop_ratio * 4.0, F.lit(1.0))
+
+    return (
+        alpha_ratio * 0.3
+        + punct_component * 0.2
+        + word_len_component * 0.3
+        + stop_component * 0.2
+    )
+
+
+def rolling_fingerprint(text: Column, width: int = 8) -> Column:
+    """Document fingerprint: min-of-rolling-hashes over word
+    ``width``-grams (a winnowing-style content signature). Two
+    documents sharing large text spans collide with high probability.
+    """
+    words = _words(text)
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n - (width - 1), F.lit(1)))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(words, i, width))
+    )
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.array_min(hashes)
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of lowercase character n-grams (for Jaccard / MinHash)."""
+    lowered = F.lower(F.coalesce(text, F.lit("")))
+    length = F.length(lowered)
+    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: lowered.substr(i, F.lit(n))))
+
+
+def word_shingles(text: Column, width: int = 3) -> Column:
+    """Array of distinct word ``width``-shingles."""
+    words = _words(text)
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n - (width - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, width)))
+    )

@@ -1,0 +1,333 @@
+"""Aggregation operators: plain group-by, rolling event-time windows,
+hopping windows, and PIT-windowed aggregation over fact timestamps.
+
+Reference surface (SURVEY.md §2.5): Sum/Mean/Min/Max/Count/
+CountDistinct/Std/Variance/Median/Percentile/ConcatString aggregation
+expressions (``aligned/schemas/transformation.py:2353-2630``) driven by
+``AggregateOver`` (``derivied_feature.py:92-108``) in three regimes
+(``aligned/local/job.py:78-166, 366-402``).
+
+Scale notes:
+- plain group-by → one shuffle with map-side partial aggregation
+  (free from Catalyst for all the sum/avg/count family).
+- rolling windows → ``Window.rangeBetween`` over the event-time long
+  value: one shuffle on the entity keys, one sort; state is bounded
+  by the window, Spark streams the frame.
+- hopping windows → ``F.window(ts, period, every)`` group-by — this is
+  the same shuffle as plain group-by, NOT a per-row window.
+- exact median/percentile use ``F.percentile`` (Spark 3.4+);
+  ``approx=True`` switches to ``percentile_approx`` which at 100 TB is
+  the right default for dashboards (single-pass sketch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aligned_spark.expr import Expr
+
+AggKind = Literal[
+    "sum",
+    "mean",
+    "min",
+    "max",
+    "count",
+    "count_distinct",
+    "std",
+    "variance",
+    "median",
+    "percentile",
+    "concat_string",
+    "first",
+    "last",
+    "collect_list",
+    "collect_set",
+]
+
+
+@dataclass
+class AggSpec:
+    """One aggregated output column."""
+
+    name: str
+    kind: AggKind
+    column: str | Expr | Column | None = None  # None only for count
+    percentile: float | None = None
+    separator: str = ""
+
+    def _source(self) -> Column:
+        if self.column is None:
+            return F.lit(1)
+        if isinstance(self.column, Column):
+            return self.column
+        if isinstance(self.column, Expr):
+            return self.column.to_spark()
+        return F.col(self.column)
+
+    def to_agg_column(self, approx: bool = False) -> Column:
+        c = self._source()
+        match self.kind:
+            case "sum":
+                out = F.sum(c)
+            case "mean":
+                out = F.avg(c)
+            case "min":
+                out = F.min(c)
+            case "max":
+                out = F.max(c)
+            case "count":
+                out = F.count(F.lit(1)) if self.column is None else F.count(c)
+            case "count_distinct":
+                out = (
+                    F.approx_count_distinct(c)
+                    if approx
+                    else F.countDistinct(c)
+                )
+            case "std":
+                out = F.stddev(c)
+            case "variance":
+                out = F.variance(c)
+            case "median":
+                out = (
+                    F.percentile_approx(c, 0.5)
+                    if approx
+                    else F.percentile(c, F.lit(0.5))
+                )
+            case "percentile":
+                q = self.percentile if self.percentile is not None else 0.5
+                out = (
+                    F.percentile_approx(c, q)
+                    if approx
+                    else F.percentile(c, F.lit(q))
+                )
+            case "concat_string":
+                out = F.concat_ws(self.separator, F.collect_list(c.cast("string")))
+            case "first":
+                out = F.first(c, ignorenulls=True)
+            case "last":
+                out = F.last(c, ignorenulls=True)
+            case "collect_list":
+                out = F.collect_list(c)
+            case "collect_set":
+                out = F.collect_set(c)
+            case _:
+                raise ValueError(f"unknown aggregation kind {self.kind!r}")
+        return out.alias(self.name)
+
+
+def group_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[AggSpec],
+    approx: bool = False,
+) -> DataFrame:
+    """Plain entity group-by (``aligned/local/job.py:78-95``)."""
+    cols = [a.to_agg_column(approx) for a in aggs]
+    if keys:
+        return df.groupBy(*keys).agg(*cols)
+    return df.agg(*cols)
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    window_seconds: float,
+    aggs: list[AggSpec],
+    approx: bool = False,
+) -> DataFrame:
+    """Per-row trailing window ``[ts - w, ts]`` within entity
+    (``local/job.py:97-120`` — Polars ``rolling``).
+
+    ``Window.rangeBetween`` over unix micros. ``count_distinct``,
+    ``median``/``percentile`` (exact) are not supported by Spark over
+    a moving frame; exact forms raise, approx percentile works.
+    """
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(ts)))
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
+    )
+    out = df
+    for a in aggs:
+        if a.kind == "count_distinct" and not approx:
+            # exact distinct over a moving frame: collect_set size
+            out = out.withColumn(a.name, F.size(F.array_distinct(F.collect_list(a._source()).over(w))))
+            continue
+        out = out.withColumn(a.name, a.to_agg_column(approx=approx).over(w))
+    return out
+
+
+def hopping_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    every_seconds: float,
+    period_seconds: float,
+    aggs: list[AggSpec],
+    offset_seconds: float = 0.0,
+    approx: bool = False,
+    stamp: Literal["end", "start"] = "end",
+) -> DataFrame:
+    """Discrete hopping windows stamped at window end
+    (``group_by_dynamic`` port, ``local/job.py:121-144``;
+    ``offset_interval`` shifts the stamp ``:143-144``)."""
+    win = F.window(
+        F.col(ts),
+        windowDuration=f"{period_seconds} seconds",
+        slideDuration=f"{every_seconds} seconds",
+    )
+    grouped = df.groupBy(*keys, win.alias("__w")).agg(
+        *[a.to_agg_column(approx) for a in aggs]
+    )
+    stamp_col = F.col("__w.end") if stamp == "end" else F.col("__w.start")
+    if offset_seconds:
+        stamp_col = F.timestamp_micros(
+            F.unix_micros(stamp_col) + int(offset_seconds * 1_000_000)
+        )
+    return grouped.withColumn(ts, stamp_col).drop("__w")
+
+
+def pit_window_aggregate(
+    facts: DataFrame,
+    features: DataFrame,
+    entities: list[str],
+    fact_ts: str,
+    feature_ts: str,
+    window_seconds: float | None,
+    aggs: list[AggSpec],
+    approx: bool = False,
+) -> DataFrame:
+    """Windowed aggregation *as of each fact row*
+    (``aggregate_over``, ``local/job.py:366-402``): for every fact row
+    aggregate feature rows in ``[fact_ts - w, fact_ts]`` per entity.
+
+    Implementation: union facts+features per entity, order by time,
+    and compute the aggregate over a trailing range window evaluated
+    AT the fact rows — one shuffle, no join explosion (same
+    sorted-merge shape as the PIT join; the join+filter+groupBy
+    formulation would materialize every (fact, feature-in-window)
+    pair).
+
+    Only associative aggs (sum/count/min/max/mean via sum+count) are
+    exact here; for others we fall back to the join formulation.
+    """
+    stream_ok = all(
+        a.kind in {"sum", "mean", "min", "max", "count"} for a in aggs
+    )
+    if not stream_ok:
+        return _pit_window_aggregate_join(
+            facts, features, entities, fact_ts, feature_ts, window_seconds, aggs, approx
+        )
+
+    fact_cols = facts.columns
+    value_cols = sorted(
+        {
+            a.column
+            for a in aggs
+            if isinstance(a.column, str)
+        }
+    )
+    feat = features
+    for k in entities:
+        ltype = facts.schema[k].dataType
+        if feat.schema[k].dataType != ltype:
+            feat = feat.withColumn(k, F.col(k).cast(ltype))
+
+    feature_side = feat.select(
+        *entities,
+        F.col(feature_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[
+            F.lit(None).cast(facts.schema[c].dataType).alias(f"__f_{c}")
+            for c in fact_cols
+        ],
+    )
+    fact_side = facts.select(
+        *entities,
+        F.col(fact_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(feat.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+        *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
+    )
+    unioned = feature_side.unionByName(fact_side)
+
+    base = W.partitionBy(*entities).orderBy(
+        F.unix_micros(F.col("__t")), F.col("__side").asc()
+    )
+    if window_seconds is None:
+        w = base.rangeBetween(W.unboundedPreceding, 0)
+    else:
+        w = base.rangeBetween(-int(window_seconds * 1_000_000), 0)
+
+    out = unioned
+    for a in aggs:
+        src = F.col(f"__v_{a.column}") if isinstance(a.column, str) else F.lit(1)
+        match a.kind:
+            case "sum":
+                out = out.withColumn(a.name, F.sum(src).over(w))
+            case "mean":
+                out = out.withColumn(a.name, F.avg(src).over(w))
+            case "min":
+                out = out.withColumn(a.name, F.min(src).over(w))
+            case "max":
+                out = out.withColumn(a.name, F.max(src).over(w))
+            case "count":
+                out = out.withColumn(a.name, F.count(src).over(w))
+    return out.filter(F.col("__side") == 1).select(
+        *[F.col(f"__f_{c}").alias(c) for c in fact_cols],
+        *[F.col(a.name) for a in aggs],
+    )
+
+
+def _pit_window_aggregate_join(
+    facts: DataFrame,
+    features: DataFrame,
+    entities: list[str],
+    fact_ts: str,
+    feature_ts: str,
+    window_seconds: float | None,
+    aggs: list[AggSpec],
+    approx: bool,
+) -> DataFrame:
+    """Join formulation: join features in-window per fact row, then
+    groupBy row_id — exact for every agg kind, candidate-set bounded
+    by the window length."""
+    fact_cols = facts.columns
+    f = facts.select(
+        F.monotonically_increasing_id().alias("__row_id"),
+        *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
+    )
+    feat = features.select(
+        *[F.col(k).alias(f"__k_{k}") for k in entities],
+        F.col(feature_ts).alias("__feat_ts"),
+        *[
+            F.col(c)
+            for c in features.columns
+            if c not in set(entities) | {feature_ts}
+        ],
+    )
+    cond = None
+    for k in entities:
+        c = F.col(f"__f_{k}") == F.col(f"__k_{k}")
+        cond = c if cond is None else cond & c
+    ts_ok = F.col("__feat_ts") <= F.col(f"__f_{fact_ts}")
+    if window_seconds is not None:
+        ts_ok = ts_ok & (
+            F.unix_micros(F.col(f"__f_{fact_ts}")) - F.unix_micros(F.col("__feat_ts"))
+            <= int(window_seconds * 1_000_000)
+        )
+    joined = f.join(feat, cond & ts_ok, "left")
+    agged = joined.groupBy("__row_id").agg(
+        *[F.first(F.col(f"__f_{c}")).alias(c) for c in fact_cols],
+        *[a.to_agg_column(approx) for a in aggs],
+    )
+    return agged.drop("__row_id")

@@ -1,0 +1,227 @@
+"""Core row/column operators — the ModificationJob surface of the
+reference (``aligned/retrieval_job.py``, SURVEY.md §2.2) as plain
+DataFrame → DataFrame functions.
+
+Everything is declarative Column algebra: Catalyst sees through every
+operator here (filters push to the scan, projections prune parquet
+columns, withColumns collapse into one projection), so stacking these
+does not cost extra passes at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aligned_spark.expr import Expr
+from aligned_spark.types import FeatureType
+
+
+def _as_column(predicate: Column | Expr | str) -> Column:
+    if isinstance(predicate, Column):
+        return predicate
+    if isinstance(predicate, Expr):
+        return predicate.to_spark()
+    if isinstance(predicate, str):
+        return F.expr(predicate)
+    raise TypeError(f"cannot treat {type(predicate)} as a filter predicate")
+
+
+def select_columns(df: DataFrame, columns: Iterable[str]) -> DataFrame:
+    """Project to selected columns (``SelectColumnsJob``,
+    ``retrieval_job.py:3150-3196``). Missing names are skipped, like
+    the reference's intersection semantics."""
+    present = [c for c in columns if c in df.columns]
+    return df.select(*present)
+
+
+def filter_rows(df: DataFrame, predicate: Column | Expr | str) -> DataFrame:
+    """Filter by Column / IR expression / SQL string (``FilteredJob``,
+    ``retrieval_job.py:1951-2053``). Successive calls AND-fold for free
+    in Catalyst."""
+    return df.filter(_as_column(predicate))
+
+
+def rename(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """Rename columns (``RenameJob``, ``retrieval_job.py:2077-2108``)."""
+    effective = {k: v for k, v in mapping.items() if k in df.columns and k != v}
+    return df.withColumnsRenamed(effective) if effective else df
+
+
+def drop_duplicate_entities(df: DataFrame, entities: list[str]) -> DataFrame:
+    """Distinct on entity columns (``DropDuplicateEntities``,
+    ``retrieval_job.py:2110-2129``)."""
+    return df.dropDuplicates(entities)
+
+
+def unique_rows(
+    df: DataFrame, keys: list[str], sort_key: str, descending: bool = True
+) -> DataFrame:
+    """Latest-row-wins per key (``UniqueRowsJob``,
+    ``retrieval_job.py:2437-2461``).
+
+    Deterministic ``row_number`` window — the reference's own Spark
+    sketch used ``sort().dropDuplicates()`` which is NOT deterministic
+    under Spark's partitioned execution (SURVEY §2.2 flags this).
+    """
+    order = F.col(sort_key).desc() if descending else F.col(sort_key).asc()
+    w = W.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def limit(df: DataFrame, n: int | None) -> DataFrame:
+    """Head N (``LimitJob``, ``retrieval_job.py:2056-2075``)."""
+    return df if n is None else df.limit(n)
+
+
+def ensure_types(df: DataFrame, schema: Mapping[str, FeatureType]) -> DataFrame:
+    """Cast every declared column to the contract dtype
+    (``EnsureTypesJob``, ``retrieval_job.py:2865-2955``).
+
+    String → array/embedding columns decode via ``from_json`` (the
+    reference json-decodes strings for list types); bool goes via
+    int-ish cast semantics Spark already handles natively.
+    """
+    casts: dict[str, Column] = {}
+    existing = dict(df.dtypes)
+    for name, ftype in schema.items():
+        if name not in existing:
+            continue
+        target = ftype.spark_type
+        current = df.schema[name].dataType
+        if current == target:
+            continue
+        if ftype.is_array and existing[name] == "string":
+            casts[name] = F.from_json(F.col(name), target)
+        else:
+            casts[name] = F.col(name).cast(target)
+    return df.withColumns(casts) if casts else df
+
+
+def fill_missing_columns(
+    df: DataFrame, defaults: Mapping[str, tuple[Any, FeatureType]]
+) -> DataFrame:
+    """Add absent optional/defaulted columns as typed literals
+    (``FillMissingColumnsJob``, ``retrieval_job.py:2487-2538``)."""
+    additions = {
+        name: F.lit(default).cast(ftype.spark_type)
+        for name, (default, ftype) in defaults.items()
+        if name not in df.columns
+    }
+    return df.withColumns(additions) if additions else df
+
+
+def validate_entities(df: DataFrame, entities: list[str]) -> DataFrame:
+    """Empty result when an entity column is missing
+    (``ValidateEntitiesJob``, ``retrieval_job.py:2464-2484``) — a
+    schema-only check, no job runs."""
+    if all(e in df.columns for e in entities):
+        return df
+    return df.sparkSession.createDataFrame([], df.schema)
+
+
+def derive(
+    df: DataFrame,
+    features: Mapping[str, Expr | Column],
+    intermediate: Iterable[str] = (),
+) -> DataFrame:
+    """Compute derived features in topological rounds
+    (``DerivedFeatureJob``, ``retrieval_job.py:2313-2434``; round order
+    ``retrieval_request.py:204-231``), then drop intermediates.
+
+    Rounds are resolved here from the reference graph: a feature whose
+    expression mentions another *derived* name waits for that name's
+    round. Each round is a single ``withColumns`` — Catalyst collapses
+    consecutive projections, so rounds are free at execution time.
+    """
+    available = set(df.columns)
+    pending = dict(features)
+    while pending:
+        round_exprs: dict[str, Column] = {}
+        for name, e in list(pending.items()):
+            refs = e.references() if isinstance(e, Expr) else set()
+            blocked = {r for r in refs if r in pending and r != name}
+            if not blocked:
+                round_exprs[name] = e.to_spark() if isinstance(e, Expr) else e
+                del pending[name]
+        if not round_exprs:
+            raise ValueError(
+                f"cyclic or unresolvable derived features: {sorted(pending)}"
+            )
+        df = df.withColumns(round_exprs)
+        available |= set(round_exprs)
+    drop = [c for c in intermediate if c in df.columns]
+    return df.drop(*drop) if drop else df
+
+
+def stack(
+    dfs: list[DataFrame],
+    source_column: str | None = None,
+    source_names: list[str] | None = None,
+) -> DataFrame:
+    """Union by name on the top frame's column set (``StackJob``,
+    ``retrieval_job.py:1748-1792``; provenance column
+    ``StackSourceColumn:1741``)."""
+    if not dfs:
+        raise ValueError("stack requires at least one frame")
+    tagged = []
+    for i, df in enumerate(dfs):
+        if source_column is not None:
+            name = source_names[i] if source_names else str(i)
+            df = df.withColumn(source_column, F.lit(name))
+        tagged.append(df)
+    out = tagged[0]
+    for df in tagged[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def with_loaded_at(df: DataFrame, column: str = "loaded_at") -> DataFrame:
+    """Append a load-timestamp column (``LoadedAtSource``,
+    ``batch_data_source.py:1289``; ``LoadedAtJob`` ``retrieval_job.py:2733``)."""
+    return df.withColumn(column, F.current_timestamp())
+
+
+def encode_dates(df: DataFrame, columns: list[str], fmt: str | None = None) -> DataFrame:
+    """Timestamp columns → formatted strings (``EncodeDatesJob:1622``)."""
+    exprs = {
+        c: F.date_format(F.col(c), fmt or "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        for c in columns
+        if c in df.columns
+    }
+    return df.withColumns(exprs) if exprs else df
+
+
+def decode_timestamps(
+    df: DataFrame, columns: Mapping[str, str | None]
+) -> DataFrame:
+    """Decode raw timestamp encodings to TimestampType
+    (reference ``local/job.py:169-214``): unix epoch ints (s/ms/us),
+    ISO strings, or already-timestamps; tz-naive treated as UTC
+    (session tz is pinned UTC)."""
+    exprs: dict[str, Column] = {}
+    for name, unit in columns.items():
+        if name not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[name]
+        c = F.col(name)
+        if dtype.startswith("timestamp"):
+            continue
+        if dtype in ("bigint", "int", "long", "double", "float"):
+            if unit in (None, "s"):
+                exprs[name] = F.timestamp_seconds(c)
+            elif unit == "ms":
+                exprs[name] = F.timestamp_millis(c.cast("long"))
+            elif unit in ("us", "micros"):
+                exprs[name] = F.timestamp_micros(c.cast("long"))
+            else:
+                raise ValueError(f"unknown timestamp unit {unit!r}")
+        else:
+            exprs[name] = F.to_timestamp(c)
+    return df.withColumns(exprs) if exprs else df

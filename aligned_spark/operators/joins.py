@@ -1,0 +1,305 @@
+"""Join operators: equi, as-of (backward), and point-in-time facts join.
+
+The point-in-time join is the reference's raison d'être
+(``FileFactualJob.file_transformations``, ``aligned/local/job.py:406-608``):
+for each *fact* row (entity keys + optional event timestamp), fetch
+each feature's value as of that timestamp, honoring an optional TTL.
+
+Spark has no native as-of join, so two strategies are provided:
+
+``strategy="union"`` (default — the 100 TB path)
+    Union facts and features on the entity key, sort by
+    ``(entity, ts, side)`` within a single shuffle, and propagate the
+    most recent feature row forward with
+    ``last(struct, ignorenulls=True)`` over a rows-window. Cost is one
+    shuffle + one sort, O(n log n), with NO join explosion no matter
+    how many fact and feature rows share an entity — the classic
+    sorted-merge formulation of as-of.
+
+``strategy="join"``
+    Left join on entities with the ``feature_ts <= fact_ts`` range
+    predicate, then ``row_number() over (partition by row_id order by
+    feature_ts desc) = 1``. Matches the reference's own Spark sketch
+    (``local/job.py:678-699``). Broadcast-friendly when the fact frame
+    is small, but O(facts_per_entity × features_per_entity) in the
+    worst case — use only with bounded lookback (TTL) or small facts.
+
+Feature-row atomicity: all feature columns travel in ONE struct, so
+the propagated values always come from the same physical row (naive
+per-column ``last(ignorenulls)`` would mix rows when some columns are
+null).
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi join with key-dtype coercion (``JoinJobs``,
+    ``retrieval_job.py:1862-1948``; dtype coercion ``:1896-1918``).
+
+    Keys are cast to a common type before joining (the reference casts
+    both sides to the declared dtype; we unify to the left's type so
+    int32/int64 key mismatches don't silently produce empty joins).
+    """
+    right_on = right_on or left_on
+    if len(left_on) != len(right_on):
+        raise ValueError("left_on and right_on must have equal length")
+    for lk, rk in zip(left_on, right_on):
+        ltype = left.schema[lk].dataType
+        rtype = right.schema[rk].dataType
+        if ltype != rtype:
+            right = right.withColumn(rk, F.col(rk).cast(ltype))
+    if broadcast_right:
+        right = F.broadcast(right)
+    if left_on == right_on:
+        return left.join(right, on=left_on, how=how)
+    cond = None
+    for lk, rk in zip(left_on, right_on):
+        c = left[lk] == right[rk]
+        cond = c if cond is None else (cond & c)
+    return left.join(right, on=cond, how=how)
+
+
+_ROW_ID = "__row_id"
+_SIDE = "__side"
+_PAYLOAD = "__feature_row"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_on: str | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "",
+    strategy: Literal["union", "join"] = "union",
+) -> DataFrame:
+    """Backward as-of join (``JoinAsofJob``, ``retrieval_job.py:1795-1859``;
+    ``JoinAsofDataSource``, ``batch_data_source.py:1017``).
+
+    For each left row: the latest right row with ``right.ts <=
+    left.ts`` matching ``by`` keys, optionally within
+    ``tolerance_seconds`` lookback. Right's non-key payload columns are
+    appended (with ``suffix`` on collisions).
+    """
+    right_on = right_on or on
+    payload_cols = [c for c in right.columns if c not in set(by) | {right_on}]
+    collision_suffix = suffix or "_right"
+    out_names = {
+        c: (c + collision_suffix if c in left.columns else c) for c in payload_cols
+    }
+    result = _asof_propagate(
+        facts=left,
+        features=right,
+        by=by,
+        fact_ts=on,
+        feature_ts=right_on,
+        payload_cols=payload_cols,
+        ttl_seconds=tolerance_seconds,
+        strategy=strategy,
+    )
+    for src, dst in out_names.items():
+        result = result.withColumnRenamed(f"__p_{src}", dst)
+    return result
+
+
+def pit_join(
+    facts: DataFrame,
+    features: DataFrame,
+    entities: list[str],
+    feature_ts: str | None,
+    fact_ts: str | None = None,
+    ttl_seconds: float | None = None,
+    feature_columns: list[str] | None = None,
+    strategy: Literal["union", "join"] = "union",
+) -> DataFrame:
+    """Point-in-time facts join (``FileFactualJob``,
+    ``aligned/local/job.py:406-608``).
+
+    For every fact row, append each requested feature column's value
+    from the latest feature row with ``feature_ts <= fact_ts`` (and
+    ``feature_ts >= fact_ts - ttl`` when a TTL is declared,
+    ``local/job.py:567-582``). Feature rows with a NULL timestamp are
+    valid fallbacks but lose to any timestamped match
+    (``local/job.py:576-581``). Without ``fact_ts`` (entity-only
+    facts) or without ``feature_ts`` the semantics degrade to
+    latest-row-per-entity / plain left join — same as the reference.
+    """
+    feature_columns = feature_columns or [
+        c for c in features.columns if c not in set(entities) | {feature_ts}
+    ]
+
+    if feature_ts is None or fact_ts is None:
+        feat = features
+        if feature_ts is not None:
+            # latest feature row per entity, deterministically
+            w = W.partitionBy(*entities).orderBy(
+                F.col(feature_ts).desc_nulls_last()
+            )
+            feat = (
+                feat.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        feat = feat.select(*entities, *feature_columns)
+        out = equi_join(facts, feat, entities, how="left")
+        return out
+
+    result = _asof_propagate(
+        facts=facts,
+        features=features,
+        by=entities,
+        fact_ts=fact_ts,
+        feature_ts=feature_ts,
+        payload_cols=feature_columns,
+        ttl_seconds=ttl_seconds,
+        strategy=strategy,
+    )
+    for c in feature_columns:
+        result = result.withColumnRenamed(f"__p_{c}", c)
+    return result
+
+
+def _asof_propagate(
+    facts: DataFrame,
+    features: DataFrame,
+    by: list[str],
+    fact_ts: str,
+    feature_ts: str,
+    payload_cols: list[str],
+    ttl_seconds: float | None,
+    strategy: str,
+) -> DataFrame:
+    """Shared engine for as-of/PIT. Output = all fact columns +
+    ``__p_<payload>`` columns for the matched feature row."""
+    if strategy == "join":
+        return _asof_via_join(
+            facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds
+        )
+    return _asof_via_union(
+        facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds
+    )
+
+
+def _asof_via_union(
+    facts: DataFrame,
+    features: DataFrame,
+    by: list[str],
+    fact_ts: str,
+    feature_ts: str,
+    payload_cols: list[str],
+    ttl_seconds: float | None,
+) -> DataFrame:
+    fact_cols = facts.columns
+
+    # carry the feature row as one struct (row atomicity) incl. its ts
+    payload = F.struct(
+        F.col(feature_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    # coerce entity key types to the fact side so the union lines up
+    feat = features
+    for k in by:
+        ltype = facts.schema[k].dataType
+        if feat.schema[k].dataType != ltype:
+            feat = feat.withColumn(k, F.col(k).cast(ltype))
+
+    feature_side = feat.select(
+        *by,
+        F.col(feature_ts).alias("__t"),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(f"__f_{c}") for c in fact_cols],
+    )
+    fact_side = facts.select(
+        *by,
+        F.col(fact_ts).alias("__t"),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(feature_side.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
+    )
+    unioned = feature_side.unionByName(fact_side)
+
+    # nulls_first: NULL-ts feature rows become the "earliest" state, so
+    # they match facts predating all timestamped rows and lose to any
+    # later timestamped row — the reference's null-passes rule.
+    w = (
+        W.partitionBy(*by)
+        .orderBy(F.col("__t").asc_nulls_first(), F.col(_SIDE).asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    propagated = unioned.withColumn("__picked", F.last(_PAYLOAD, ignorenulls=True).over(w))
+
+    out = propagated.filter(F.col(_SIDE) == 1)
+    picked = F.col("__picked")
+    if ttl_seconds is not None:
+        picked_ts = picked.getField("__ts")
+        in_ttl = picked_ts.isNull() | (
+            F.unix_micros(F.col("__t")) - F.unix_micros(picked_ts)
+            <= int(ttl_seconds * 1_000_000)
+        )
+        picked = F.when(in_ttl, picked)
+    return out.select(
+        *[F.col(f"__f_{c}").alias(c) for c in fact_cols],
+        *[picked.getField(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+
+
+def _asof_via_join(
+    facts: DataFrame,
+    features: DataFrame,
+    by: list[str],
+    fact_ts: str,
+    feature_ts: str,
+    payload_cols: list[str],
+    ttl_seconds: float | None,
+) -> DataFrame:
+    fact_cols = facts.columns
+    f = facts.withColumn(_ROW_ID, F.monotonically_increasing_id())
+    feat = features.select(
+        *[F.col(k).alias(f"__k_{k}") for k in by],
+        F.col(feature_ts).alias("__feat_ts"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    for k in by:
+        ltype = facts.schema[k].dataType
+        if feat.schema[f"__k_{k}"].dataType != ltype:
+            feat = feat.withColumn(f"__k_{k}", F.col(f"__k_{k}").cast(ltype))
+
+    key_cond = None
+    for k in by:
+        c = f[k] == feat[f"__k_{k}"]
+        key_cond = c if key_cond is None else (key_cond & c)
+    ts_ok = F.col("__feat_ts").isNull() | (F.col("__feat_ts") <= f[fact_ts])
+    if ttl_seconds is not None:
+        # bounded lookback keeps the range-join candidate set small
+        ts_ok = ts_ok & (
+            F.col("__feat_ts").isNull()
+            | (
+                F.unix_micros(f[fact_ts]) - F.unix_micros(F.col("__feat_ts"))
+                <= int(ttl_seconds * 1_000_000)
+            )
+        )
+    joined = f.join(feat, key_cond & ts_ok, "left")
+    w = W.partitionBy(_ROW_ID).orderBy(F.col("__feat_ts").desc_nulls_last())
+    deduped = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return deduped.select(
+        *[F.col(c) for c in fact_cols],
+        *[F.col(f"__p_{c}") for c in payload_cols],
+    )

@@ -1,0 +1,69 @@
+"""Catalog-table and raw-SQL sources (reference Databricks Unity
+Catalog connectors: ``UCTableSource`` ``aligned/sources/databricks.py:908``,
+``UCSqlSource`` ``databricks.py:453`` — already near-1:1 Spark)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aligned_spark.sources.base import WritableSource, BatchSource
+
+
+@dataclass
+class TableSource(WritableSource):
+    """A table registered in the Spark catalog (Hive metastore / Unity
+    Catalog / temp view)."""
+
+    identifier: str
+
+    def job_group_key(self) -> str:
+        return f"table:{self.identifier}"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.identifier)
+
+    def insert(self, df: DataFrame) -> None:
+        df.write.mode("append").saveAsTable(self.identifier)
+
+    def upsert(self, df: DataFrame, keys: list[str]) -> None:
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(self.identifier):
+            self.insert(df)
+            return
+        current = spark.table(self.identifier)
+        kept = current.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+        kept.unionByName(df, allowMissingColumns=True).write.mode(
+            "overwrite"
+        ).saveAsTable(self.identifier)
+
+    def overwrite(self, df: DataFrame, predicate=None) -> None:
+        if predicate is not None:
+            spark = df.sparkSession
+            current = spark.table(self.identifier).filter(~predicate)
+            df = current.unionByName(df, allowMissingColumns=True)
+        df.write.mode("overwrite").saveAsTable(self.identifier)
+
+    def freshness(self, spark: SparkSession, event_timestamp: str):
+        # SELECT MAX(ts) (reference `databricks.py:1009-1022`)
+        row = (
+            spark.table(self.identifier)
+            .agg(F.max(event_timestamp).alias("m"))
+            .collect()[0]
+        )
+        return row["m"]
+
+
+@dataclass
+class SqlSource(BatchSource):
+    """An arbitrary SQL query as a source."""
+
+    query: str
+
+    def job_group_key(self) -> str:
+        return f"sql:{hash(self.query)}"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.sql(self.query)

@@ -1,0 +1,118 @@
+"""Source combinators (reference ``aligned/data_source/batch_data_source.py``):
+``FilteredDataSource:793``, ``JoinAsofDataSource:1017``,
+``StackSource:1150``, ``LoadedAtSource:1289``, ``TransformSource:515``,
+``CustomMethodDataSource:577``."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aligned_spark.sources.base import BatchSource
+
+
+@dataclass
+class FilteredSource(BatchSource):
+    """Predicate applied at the scan — Catalyst pushes it into the
+    file/JDBC reader."""
+
+    source: BatchSource
+    predicate: Any  # Column | Expr | SQL string
+
+    def job_group_key(self) -> str:
+        return f"filtered:{self.source.job_group_key()}"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from aligned_spark.operators.core import filter_rows
+
+        return filter_rows(self.source.read(spark), self.predicate)
+
+
+@dataclass
+class JoinAsofSource(BatchSource):
+    """As-of join two sources at scan time."""
+
+    left: BatchSource
+    right: BatchSource
+    left_on: str
+    right_on: str
+    by: list[str] = field(default_factory=list)
+
+    def job_group_key(self) -> str:
+        return f"asof:{self.left.job_group_key()}:{self.right.job_group_key()}"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from aligned_spark.operators.joins import asof_join
+
+        return asof_join(
+            self.left.read(spark),
+            self.right.read(spark),
+            on=self.left_on,
+            right_on=self.right_on,
+            by=self.by,
+        )
+
+
+@dataclass
+class StackedSource(BatchSource):
+    """Union of sources with optional provenance column."""
+
+    sources: list[BatchSource]
+    source_column: str | None = None
+    source_names: list[str] | None = None
+
+    def job_group_key(self) -> str:
+        return "stack:" + ",".join(s.job_group_key() for s in self.sources)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from aligned_spark.operators.core import stack
+
+        return stack(
+            [s.read(spark) for s in self.sources],
+            self.source_column,
+            self.source_names,
+        )
+
+
+@dataclass
+class LoadedAtSource(BatchSource):
+    source: BatchSource
+    column: str = "loaded_at"
+
+    def job_group_key(self) -> str:
+        return f"loaded_at:{self.source.job_group_key()}"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.source.read(spark).withColumn(self.column, F.current_timestamp())
+
+
+@dataclass
+class TransformSource(BatchSource):
+    """Post-read DataFrame → DataFrame lambda (``TransformSource:515``)."""
+
+    source: BatchSource
+    fn: Callable[[DataFrame], DataFrame]
+
+    def job_group_key(self) -> str:
+        return f"transform:{self.source.job_group_key()}"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.fn(self.source.read(spark))
+
+
+@dataclass
+class CustomMethodSource(BatchSource):
+    """User function returning a DataFrame
+    (``CustomMethodDataSource:577`` — without the dill serialization;
+    contracts holding one of these are process-local)."""
+
+    all_data_fn: Callable[[SparkSession], DataFrame]
+
+    def job_group_key(self) -> str:
+        return f"custom:{id(self.all_data_fn)}"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.all_data_fn(spark)

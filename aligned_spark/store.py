@@ -1,0 +1,313 @@
+"""ContractStore — the session-scoped catalog and query facade.
+
+Reference: ``ContractStore`` (``aligned/feature_store.py:148``) with
+``features_for`` (§3.1 — the point-in-time pipeline), ``execute_sql``
+(§3.3), ``freshness_for``, write paths, and ``dummy_store``.
+
+``features_for`` plan shape (one Catalyst plan end-to-end):
+
+    facts → per-view [scan(needed) → cast → pre-agg derived
+          → PIT join / PIT-window agg] → entity-join combine
+          → post-agg derived
+
+The PIT machinery is the sorted-merge union formulation
+(``operators/joins.py``) — one shuffle per view keyed on entities, no
+join explosion at 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aligned_spark import expr as E
+from aligned_spark.contracts import (
+    CompiledFeatureView,
+    CompiledModel,
+    FeatureViewWrapper,
+    ModelContractWrapper,
+)
+from aligned_spark.operators import core as ops
+from aligned_spark.operators.aggregate import group_aggregate, pit_window_aggregate
+from aligned_spark.operators.joins import equi_join, pit_join
+from aligned_spark.plans.view_query import FeatureViewQuery, compute_view
+from aligned_spark.requests import RetrievalRequest
+from aligned_spark.types import FeatureReference
+
+
+class ContractStore:
+    def __init__(self, spark: SparkSession | None = None):
+        if spark is None:
+            from aligned_spark.session import get_spark
+
+            spark = SparkSession.getActiveSession() or get_spark()
+        self.spark = spark
+        self.views: dict[str, CompiledFeatureView] = {}
+        self.models: dict[str, CompiledModel] = {}
+
+    # -- registration ------------------------------------------------------
+    def add_view(self, view: FeatureViewWrapper) -> None:
+        self.views[view.name] = view.compiled
+
+    def add_compiled_view(self, view: CompiledFeatureView) -> None:
+        self.views[view.name] = view
+
+    def add_model(self, model: ModelContractWrapper) -> None:
+        self.models[model.name] = model.compiled
+        if model.compiled.output_view is not None:
+            self.views[model.compiled.output_view.name] = model.compiled.output_view
+
+    def feature_view(self, name: str) -> FeatureViewQuery:
+        return FeatureViewQuery(self.views[name], self.spark)
+
+    # -- entity frames -------------------------------------------------------
+    def _entities_df(self, entities: Any) -> DataFrame:
+        if isinstance(entities, DataFrame):
+            return entities
+        if isinstance(entities, Mapping):
+            rows = [
+                dict(zip(entities.keys(), vals)) for vals in zip(*entities.values())
+            ]
+            return self.spark.createDataFrame(rows)
+        if isinstance(entities, list):
+            return self.spark.createDataFrame(entities)
+        try:
+            import pandas as pd
+
+            if isinstance(entities, pd.DataFrame):
+                return self.spark.createDataFrame(entities)
+        except ImportError:
+            pass
+        raise TypeError(f"cannot build an entity frame from {type(entities)}")
+
+    # -- the flagship: point-in-time feature retrieval ------------------------
+    def features_for(
+        self,
+        entities: Any,
+        features: Iterable[str],
+        event_timestamp_column: str | None = None,
+    ) -> DataFrame:
+        """Entry point A (§3.1): point-in-time-correct features for a
+        fact frame.
+
+        ``features``: ``"view:feature"`` refs or ``"view:*"`` for all.
+        ``event_timestamp_column``: fact-timestamp column in the entity
+        frame; defaults to ``"event_timestamp"`` when present.
+        """
+        facts = self._entities_df(entities)
+        if event_timestamp_column is None and "event_timestamp" in facts.columns:
+            event_timestamp_column = "event_timestamp"
+
+        # parse + group refs per view
+        per_view: dict[str, set[str]] = {}
+        for ref_str in features:
+            ref = FeatureReference.parse(ref_str)
+            view = self.views.get(ref.location.name)
+            if view is None:
+                raise KeyError(f"unknown view {ref.location.name!r}")
+            if ref.name == "*":
+                per_view.setdefault(view.name, set()).update(
+                    view.all_feature_names()
+                )
+            else:
+                per_view.setdefault(view.name, set()).add(ref.name)
+
+        out = facts
+        for view_name, wanted in per_view.items():
+            view = self.views[view_name]
+            # prune: requested columns already present on the fact frame
+            # (`feature_store.py:703-728`)
+            missing = {n for n in wanted if n not in out.columns}
+            if not missing:
+                continue
+            out = self._join_view_features(out, view, missing, event_timestamp_column)
+        return out
+
+    def _join_view_features(
+        self,
+        facts: DataFrame,
+        view: CompiledFeatureView,
+        wanted: set[str],
+        fact_ts: str | None,
+    ) -> DataFrame:
+        request = RetrievalRequest.from_view(view).with_features(wanted)
+        entities = view.entities
+        feature_ts = view.event_timestamp.name if view.event_timestamp else None
+        ttl = view.event_timestamp.ttl_seconds if view.event_timestamp else None
+
+        agg_names = {a.name for a in view.aggregations}
+        aggs_wanted = request.needed_aggregations()
+
+        # split derived: post-agg features reference aggregated outputs
+        derived = request.needed_derived()
+        derived_post = {
+            n: e for n, e in derived.items() if e.references() & agg_names
+        }
+        derived_pre = {n: e for n, e in derived.items() if n not in derived_post}
+
+        plain_wanted = {
+            n
+            for n in wanted
+            if n not in agg_names and n not in derived_post
+        }
+
+        # the scanned + pre-derived feature frame (no aggregation yet)
+        feature_frame = compute_view(
+            view,
+            self.spark,
+            features=(
+                plain_wanted
+                | set(derived_pre)
+                | {
+                    r
+                    for a in aggs_wanted
+                    if isinstance(a.spec.column, E.Expr)
+                    for r in a.spec.column.references()
+                }
+            )
+            or None,
+            skip_aggregations=True,
+        )
+
+        out = facts
+        if plain_wanted:
+            cols = [c for c in plain_wanted if c in feature_frame.columns]
+            out = pit_join(
+                out,
+                feature_frame,
+                entities=entities,
+                feature_ts=feature_ts,
+                fact_ts=fact_ts,
+                ttl_seconds=ttl,
+                feature_columns=cols,
+            )
+
+        if aggs_wanted:
+            windowed = [a for a in aggs_wanted if a.window.window_seconds is not None]
+            unwindowed = [a for a in aggs_wanted if a.window.window_seconds is None]
+            if unwindowed:
+                agged = group_aggregate(
+                    feature_frame, entities, [a.spec for a in unwindowed]
+                )
+                out = equi_join(out, agged, entities, how="left")
+            if windowed:
+                if feature_ts is None or fact_ts is None:
+                    raise ValueError(
+                        f"windowed aggregations on {view.name!r} need event "
+                        "timestamps on both the view and the fact frame"
+                    )
+                by_window: dict[float, list] = {}
+                for a in windowed:
+                    by_window.setdefault(a.window.window_seconds, []).append(a)
+                for window_seconds, group in by_window.items():
+                    out = pit_window_aggregate(
+                        out,
+                        feature_frame,
+                        entities=entities,
+                        fact_ts=fact_ts,
+                        feature_ts=feature_ts,
+                        window_seconds=window_seconds,
+                        aggs=[a.spec for a in group],
+                    )
+
+        if derived_post:
+            out = ops.derive(out, derived_post)
+        return out
+
+    # -- SQL entry point (§3.3) ---------------------------------------------
+    def execute_sql(self, query: str) -> DataFrame:
+        """Register every contract as a temp view and run Spark SQL —
+        Catalyst replaces the reference's sqlglot analysis + Polars SQL
+        engine; full SQL (joins, windows, subqueries) comes free."""
+        self.register_views()
+        return self.spark.sql(query)
+
+    def register_views(self) -> None:
+        for name, view in self.views.items():
+            compute_view(view, self.spark).createOrReplaceTempView(name)
+
+    # -- ops / metadata -------------------------------------------------------
+    def freshness_for(self, view_name: str) -> dt.datetime | None:
+        view = self.views[view_name]
+        if view.event_timestamp is None:
+            return None
+        return view.source.freshness(self.spark, view.event_timestamp.name)
+
+    def insert_into(self, view_name: str, data: Any) -> None:
+        view = self.views[view_name]
+        view.source.insert(self._entities_df(data))
+
+    def upsert_into(self, view_name: str, data: Any) -> None:
+        view = self.views[view_name]
+        view.source.upsert(self._entities_df(data), view.entities)
+
+    def overwrite(self, view_name: str, data: Any, predicate: Any = None) -> None:
+        view = self.views[view_name]
+        view.source.overwrite(self._entities_df(data), predicate)
+
+    def materialize(self, view_name: str) -> None:
+        """Compute the full view and write it to its materialized
+        source (``FeatureViewWrapper.materialize_all``,
+        ``feature_view.py:497-506``)."""
+        view = self.views[view_name]
+        if view.materialized_source is None:
+            raise ValueError(f"view {view_name!r} has no materialized source")
+        df = compute_view(view, self.spark)
+        view.materialized_source.overwrite(df)
+
+    def drop_invalid(self, view_name: str, df: DataFrame | None = None) -> DataFrame:
+        from aligned_spark.constraints import drop_invalid as _drop
+
+        view = self.views[view_name]
+        frame = df if df is not None else compute_view(view, self.spark)
+        return _drop(frame, view.constraints)
+
+    def return_invalid(self, view_name: str, df: DataFrame | None = None) -> DataFrame:
+        from aligned_spark.constraints import return_invalid as _ret
+
+        view = self.views[view_name]
+        frame = df if df is not None else compute_view(view, self.spark)
+        return _ret(frame, view.constraints)
+
+    def dummy_store(self, rows: int = 1000, seed: int = 42) -> "ContractStore":
+        """Swap every source for constraint-driven random data
+        (``feature_store.py:300-330``) — the test-fixture generator."""
+        import copy as _copy
+
+        from aligned_spark.sources.random_source import RandomSource
+
+        out = ContractStore(self.spark)
+        for name, view in self.views.items():
+            clone = _copy.copy(view)
+            clone.source = RandomSource(view=view, rows=rows, seed=seed)
+            clone.materialized_source = None
+            out.views[name] = clone
+        out.models = dict(self.models)
+        return out
+
+    # -- model inference (§3.4) ---------------------------------------------
+    def predict_over(self, model_name: str, entities: Any) -> DataFrame:
+        """Batch inference: input features via ``features_for``, then
+        the model's predictor as an Arrow-batched pandas UDF."""
+        model = self.models[model_name]
+        refs = [r.identifier() for r in model.input_references]
+        inputs = self.features_for(entities, refs)
+        if model.predictor is None:
+            return inputs
+        import pandas as pd
+
+        feature_cols = [r.name for r in model.input_references]
+        predictor = model.predictor
+
+        @F.pandas_udf("double")
+        def _predict(*cols: pd.Series) -> pd.Series:
+            pdf = pd.concat(cols, axis=1)
+            pdf.columns = feature_cols
+            return pd.Series(predictor(pdf))
+
+        return inputs.withColumn(
+            f"{model_name}_prediction", _predict(*[F.col(c) for c in feature_cols])
+        )
