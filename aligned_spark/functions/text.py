@@ -70,7 +70,8 @@ def token_count(text: Column) -> Column:
     """BPE-ish token count via a GPT-2-style pre-tokenizer regex."""
     return F.size(
         F.filter(
-            F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(TOKEN_REGEX)),
+            # idx=0 → whole-match group; TOKEN_REGEX has no capture group
+            F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(TOKEN_REGEX), 0),
             lambda t: F.length(t) > 0,
         )
     )

@@ -69,6 +69,13 @@ class AggSpec:
         return F.col(self.column)
 
     def to_agg_column(self, approx: bool = False) -> Column:
+        return self.to_raw_agg(approx).alias(self.name)
+
+    def to_raw_agg(self, approx: bool = False) -> Column:
+        """The aggregate expression WITHOUT the output alias — usable
+        both as a groupBy agg (then ``.alias``) and as a window
+        function (``.over(w)``; Spark rejects ``.over`` on an aliased
+        column)."""
         c = self._source()
         match self.kind:
             case "sum":
@@ -116,7 +123,7 @@ class AggSpec:
                 out = F.collect_set(c)
             case _:
                 raise ValueError(f"unknown aggregation kind {self.kind!r}")
-        return out.alias(self.name)
+        return out
 
 
 def group_aggregate(
@@ -158,7 +165,7 @@ def rolling_aggregate(
             # exact distinct over a moving frame: collect_set size
             out = out.withColumn(a.name, F.size(F.array_distinct(F.collect_list(a._source()).over(w))))
             continue
-        out = out.withColumn(a.name, a.to_agg_column(approx=approx).over(w))
+        out = out.withColumn(a.name, a.to_raw_agg(approx=approx).over(w))
     return out
 
 
@@ -225,24 +232,23 @@ def pit_window_aggregate(
         )
 
     fact_cols = facts.columns
-    value_cols = sorted(
-        {
-            a.column
-            for a in aggs
-            if isinstance(a.column, str)
-        }
-    )
     feat = features
     for k in entities:
         ltype = facts.schema[k].dataType
         if feat.schema[k].dataType != ltype:
             feat = feat.withColumn(k, F.col(k).cast(ltype))
 
+    # Materialize every agg's source expression on the feature side as
+    # __v_<aggname> (handles str, Expr and Column specs uniformly; for
+    # count-with-no-column, lit(1) marks "a feature row exists" so the
+    # windowed count never counts co-partitioned fact rows — their
+    # __v_ columns are NULL and Spark's count/sum/avg/min/max all skip
+    # NULLs).
     feature_side = feat.select(
         *entities,
         F.col(feature_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[a._source().alias(f"__v_{a.name}") for a in aggs],
         *[
             F.lit(None).cast(facts.schema[c].dataType).alias(f"__f_{c}")
             for c in fact_cols
@@ -253,16 +259,20 @@ def pit_window_aggregate(
         F.col(fact_ts).alias("__t"),
         F.lit(1).alias("__side"),
         *[
-            F.lit(None).cast(feat.schema[c].dataType).alias(f"__v_{c}")
-            for c in value_cols
+            F.lit(None)
+            .cast(feature_side.schema[f"__v_{a.name}"].dataType)
+            .alias(f"__v_{a.name}")
+            for a in aggs
         ],
         *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
     )
     unioned = feature_side.unionByName(fact_side)
 
-    base = W.partitionBy(*entities).orderBy(
-        F.unix_micros(F.col("__t")), F.col("__side").asc()
-    )
+    # Single orderBy expression: Spark RANGE frames reject multi-column
+    # ordering. The frame includes every tie of the current micros
+    # value, which is exactly the `feature_ts <= fact_ts` bound — a
+    # feature row stamped at the fact's own timestamp is in-window.
+    base = W.partitionBy(*entities).orderBy(F.unix_micros(F.col("__t")))
     if window_seconds is None:
         w = base.rangeBetween(W.unboundedPreceding, 0)
     else:
@@ -270,7 +280,7 @@ def pit_window_aggregate(
 
     out = unioned
     for a in aggs:
-        src = F.col(f"__v_{a.column}") if isinstance(a.column, str) else F.lit(1)
+        src = F.col(f"__v_{a.name}")
         match a.kind:
             case "sum":
                 out = out.withColumn(a.name, F.sum(src).over(w))
@@ -326,8 +336,16 @@ def _pit_window_aggregate_join(
             <= int(window_seconds * 1_000_000)
         )
     joined = f.join(feat, cond & ts_ok, "left")
+
+    def agg_col(a: AggSpec) -> Column:
+        if a.kind == "count" and a.column is None:
+            # count matched feature rows only: a no-match left-join row
+            # has NULL __feat_ts and must count as zero
+            return F.count(F.col("__feat_ts")).alias(a.name)
+        return a.to_agg_column(approx)
+
     agged = joined.groupBy("__row_id").agg(
         *[F.first(F.col(f"__f_{c}")).alias(c) for c in fact_cols],
-        *[a.to_agg_column(approx) for a in aggs],
+        *[agg_col(a) for a in aggs],
     )
     return agged.drop("__row_id")

@@ -50,16 +50,27 @@ def equi_join(
     ``retrieval_job.py:1862-1948``; dtype coercion ``:1896-1918``).
 
     Keys are cast to a common type before joining (the reference casts
-    both sides to the declared dtype; we unify to the left's type so
-    int32/int64 key mismatches don't silently produce empty joins).
+    both sides to the declared dtype). Numeric keys widen to the wider
+    side — casting an int64 key down to the other side's int32 would
+    silently truncate and fabricate matches.
     """
     right_on = right_on or left_on
     if len(left_on) != len(right_on):
         raise ValueError("left_on and right_on must have equal length")
+    num_order = ["tinyint", "smallint", "int", "bigint", "float", "double"]
     for lk, rk in zip(left_on, right_on):
         ltype = left.schema[lk].dataType
         rtype = right.schema[rk].dataType
-        if ltype != rtype:
+        if ltype == rtype:
+            continue
+        ls, rs = ltype.simpleString(), rtype.simpleString()
+        if ls in num_order and rs in num_order:
+            wide = num_order[max(num_order.index(ls), num_order.index(rs))]
+            if ls != wide:
+                left = left.withColumn(lk, F.col(lk).cast(wide))
+            if rs != wide:
+                right = right.withColumn(rk, F.col(rk).cast(wide))
+        else:
             right = right.withColumn(rk, F.col(rk).cast(ltype))
     if broadcast_right:
         right = F.broadcast(right)

@@ -5,18 +5,32 @@ Reference: ``TrainTestJob`` ``retrieval_job.py:145``,
 categorical target (``aligned/split_strategy.py``), event-time-ordered
 when an event timestamp is present.
 
-Spark formulation: a single ``percent_rank`` window per strata —
-ordered by event time when given (temporal split: oldest → train),
-otherwise by a deterministic per-row hash (stable pseudo-random
-split, reproducible across runs and partitionings — unlike
-``df.randomSplit`` which depends on partition layout). One shuffle,
-no driver-side sampling.
+Spark formulation, by case:
+
+- **random (no target, no timestamp)** — a deterministic per-row
+  hash mapped to [0,1) is the split coordinate directly:
+  ``pmod(xxhash64(cols, seed), 2^20) / 2^20``. No window, no sort, no
+  shuffle — embarrassingly parallel, the only formulation that holds
+  at 100 TB. (A global ``percent_rank`` window would funnel every row
+  through ONE task.) Fractions are exact in expectation, ±O(1/√n)
+  realized — the same contract as ``df.randomSplit``, but stable
+  across runs and partition layouts.
+- **stratified / temporal** — ``percent_rank`` over
+  ``Window.partitionBy(strata)`` ordered by event time (temporal:
+  oldest → train) or the hash (stratified random). Exact fractions
+  per stratum; parallelism = #strata, so strata must be
+  low-cardinality categories (they are: class labels). The
+  unstratified-temporal case keeps the global window — a total
+  time-order is inherently a global sort; callers at scale should
+  stratify or pre-bucket by coarse time range.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+_HASH_BUCKETS = 1 << 20
 
 
 def _ranked(
@@ -25,6 +39,13 @@ def _ranked(
     event_timestamp: str | None,
     seed: int,
 ) -> DataFrame:
+    if event_timestamp is None and target is None:
+        # scale path: hash coordinate, no window/sort
+        h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        coord = F.pmod(h, F.lit(_HASH_BUCKETS)).cast("double") / F.lit(
+            float(_HASH_BUCKETS)
+        )
+        return df.withColumn("__pr", coord)
     if event_timestamp is not None:
         order: Column = F.col(event_timestamp).asc()
     else:

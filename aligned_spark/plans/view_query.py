@@ -62,7 +62,17 @@ def compute_view(
         df = source.read(spark)
         wanted = request.features_to_include or set(view.all_feature_names())
         if wanted <= set(df.columns):
-            out = df.select(*request.entities, *sorted(wanted))
+            # entities may already be inside `wanted` — dedupe
+            keep = list(dict.fromkeys(list(request.entities) + sorted(wanted)))
+            out = df.select(*keep)
+            if between is not None:
+                if view.event_timestamp is None:
+                    raise ValueError(f"view {view.name!r} has no event timestamp")
+                start, end = between
+                ts = view.event_timestamp.name
+                out = out.filter(
+                    (F.col(ts) >= F.lit(start)) & (F.col(ts) <= F.lit(end))
+                )
             return out.limit(limit) if limit else out
         source = view.source
 
@@ -151,18 +161,43 @@ def _apply_aggregations(df: DataFrame, view: CompiledFeatureView, aggregations) 
             out = rolling_aggregate(
                 out, keys, ts, window_seconds, [a.spec for a in group]
             )
-    for a in hopping:
+    if hopping:
         if ts is None:
             raise ValueError("hopping aggregation requires an event timestamp")
-        out = hopping_aggregate(
-            out,
-            keys,
-            ts,
-            every_seconds=a.window.every_seconds,
-            period_seconds=a.window.window_seconds,
-            aggs=[a.spec],
-            offset_seconds=a.window.offset_seconds or 0.0,
-        )
+        if rolling:
+            raise ValueError(
+                "mixing rolling and hopping aggregations in one view is "
+                "not supported; split into two views"
+            )
+        # group specs by identical window geometry: each group is ONE
+        # groupBy over the base frame; distinct geometries are joined
+        # back on (keys, stamp) — sequential application would feed an
+        # already-grouped frame into the next groupBy
+        groups: dict[tuple[float, float, float], list] = {}
+        for a in hopping:
+            key = (
+                a.window.window_seconds,
+                a.window.every_seconds,
+                a.window.offset_seconds or 0.0,
+            )
+            groups.setdefault(key, []).append(a)
+        result: DataFrame | None = None
+        for (period, every, offset), group in groups.items():
+            g = hopping_aggregate(
+                out,
+                keys,
+                ts,
+                every_seconds=every,
+                period_seconds=period,
+                aggs=[a.spec for a in group],
+                offset_seconds=offset,
+            )
+            result = (
+                g
+                if result is None
+                else result.join(g, on=keys + [ts], how="full_outer")
+            )
+        out = result
     return out
 
 

@@ -48,6 +48,11 @@ def get_spark(
         # row can't kill a 100 TB job. ANSI-sensitive spots also use
         # try_* explicitly so the engine is correct under either setting.
         .config("spark.sql.ansi.enabled", "false")
+        # pandas/pyarrow writers emit TIMESTAMP(NANOS) parquet, which
+        # Spark otherwise refuses to scan (PARQUET_TYPE_ILLEGAL). Read
+        # them as long nanos; sources.file.read_parquet casts back to
+        # timestamp (micros, truncating — matches DuckDB/most engines).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
         .config("spark.ui.enabled", "false")

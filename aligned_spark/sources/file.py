@@ -25,6 +25,47 @@ from pyspark.sql import functions as F
 from aligned_spark.sources.base import WritableSource
 
 
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — read the footer of
+    one file driver-side (cheap: metadata only, no data scan)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(path):
+        candidates = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not candidates:
+            return []
+        p = os.path.join(path, candidates[0])
+    try:
+        schema = pq.read_schema(p)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan robust to TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type and refuses NANOS parquet
+    columns outright unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is set (it is, in :func:`aligned_spark.session.get_spark`). Those
+    columns arrive as long nanos; we cast back to a proper timestamp
+    truncated to micros (integer ``div`` — a double roundtrip would
+    lose sub-µs precision), which is exactly what DuckDB/Polars do
+    when reading the same files."""
+    df = spark.read.parquet(path)
+    for c in _nano_timestamp_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
 @dataclass
 class _FileSource(WritableSource):
     path: str
@@ -87,6 +128,12 @@ class _FileSource(WritableSource):
 @dataclass
 class ParquetSource(_FileSource):
     format: str = "parquet"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        df = read_parquet(spark, self.path)
+        if self.mapping_keys:
+            df = df.withColumnsRenamed(self.mapping_keys)
+        return df
 
 
 @dataclass
