@@ -1,38 +1,1430 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship PIT-windowed feature retrieval at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2),
+each a callable ``(spark, sf_dir) -> DataFrame`` exercising the
+aligned_spark engine API (Expr IR / operators / contracts / store),
+NOT raw Spark.
+``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for each query.
+
+Float-determinism strategy (so value hashes match DuckDB exactly):
+
+- Sums of doubles are order-dependent → both sides sum via
+  ``DECIMAL(18,4)`` (exact, order-independent) and cast the result to
+  double: same rational → same double, bit-identical.
+- Means = decimal-sum cast double / count, same formula both sides.
+- Transcendentals (log/exp/sin/std/percentile interpolation) differ
+  in the last ulp between JVM Math and libm → both sides apply the
+  SAME epsilon-floor rounding ``floor(x*10^n + 0.5 + 1e-9)/10^n``.
+- Array math casts float arrays to double and left-folds in array
+  order on both sides (Spark ``aggregate`` HOF vs DuckDB
+  ``list_reduce``) → bit-identical dot products / cosines.
+- Per-row +,-,*,/ on doubles is the same IEEE op in the same order on
+  both sides → bit-identical with no rounding at all.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from aligned_spark.sources.file import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: Column) -> Column:
+    """Order-independent exact sum → double (see module docstring)."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def _r6(col: Column) -> Column:
+    """Epsilon-floor round to 6 decimals, mirrored in oracle SQL."""
+    return (
+        F.floor(col * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+
+
+def _r2(col: Column) -> Column:
+    """2-decimal epsilon-floor — for large-magnitude outputs where
+    ``x * 1e6`` would exceed double's 2^53 integer range."""
+    return (
+        F.floor(col * F.lit(1e2) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e2)
+    )
+
+
+# Oracle-side helpers (DuckDB SQL snippets)
+_O_DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
+_O_R6 = "floor({c} * 1e6 + 0.5 + 1e-9) / 1e6"
+_O_R2 = "floor({c} * 1e2 + 0.5 + 1e-9) / 1e2"
+
+
+# ===========================================================================
+# §2.2 projections / filters / core row ops
+# ===========================================================================
+
+
+@q(
+    "filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05""",
+)
+def _filter_project(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (E.Col("l_quantity") > 30.0) & (E.Col("l_discount") < 0.05)
+    out = ops.filter_rows(li, pred)
+    return ops.select_columns(
+        out, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    )
+
+
+@q(
+    "rename_columns",
+    "SELECT n_nationkey AS nation_id, n_name AS nation_name FROM nation",
+)
+def _rename_columns(spark, sf_dir):
+    from aligned_spark.operators import core as ops
+
+    n = _t(spark, sf_dir, "nation")
+    out = ops.rename(n, {"n_nationkey": "nation_id", "n_name": "nation_name"})
+    return ops.select_columns(out, ["nation_id", "nation_name"])
+
+
+@q(
+    "drop_duplicates",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def _drop_duplicates(spark, sf_dir):
+    from aligned_spark.operators import core as ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    sub = ops.select_columns(li, ["l_returnflag", "l_linestatus"])
+    return ops.drop_duplicate_entities(sub, ["l_returnflag", "l_linestatus"])
+
+
+@q(
+    "unique_rows_latest",
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+       QUALIFY row_number() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+       ) = 1""",
+)
+def _unique_rows_latest(spark, sf_dir):
+    from aligned_spark.operators import core as ops
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    # deterministic tie-break on the key column (unique_rows sorts by
+    # sort_key desc then tie_break desc)
+    return ops.unique_rows(o, ["o_custkey"], "o_orderdate", tie_break="o_orderkey")
+
+
+@q(
+    "top_k",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def _top_k(spark, sf_dir):
+    from aligned_spark.operators import core as ops
+
+    o = _t(spark, sf_dir, "orders")
+    ranked = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return ops.limit(ranked.select("o_orderkey", "o_totalprice"), 10)
+
+
+@q(
+    "ensure_types_cast",
+    """SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+              CAST(l_quantity AS DOUBLE) AS l_quantity
+       FROM lineitem""",
+)
+def _ensure_types_cast(spark, sf_dir):
+    from aligned_spark.operators import core as ops
+    from aligned_spark.types import FeatureType
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_orderkey", "l_quantity"
+    )
+    return ops.ensure_types(
+        li,
+        {
+            "l_linenumber": FeatureType("int64"),
+            "l_orderkey": FeatureType("string"),
+            "l_quantity": FeatureType("float64"),
+        },
+    )
+
+
+@q(
+    "stack_union",
+    """SELECT o_orderkey, o_totalprice, 'high' AS origin FROM orders
+       WHERE o_orderpriority = '1-URGENT'
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, 'low' AS origin FROM orders
+       WHERE o_orderpriority = '5-LOW'""",
+)
+def _stack_union(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    hi = ops.filter_rows(o, E.Col("o_orderpriority") == "1-URGENT")
+    lo = ops.filter_rows(o, E.Col("o_orderpriority") == "5-LOW")
+    stacked = ops.stack(
+        [hi.drop("o_orderpriority"), lo.drop("o_orderpriority")],
+        source_column="origin",
+        source_names=["high", "low"],
+    )
+    return stacked
+
+
+# ===========================================================================
+# §2.3 expression IR
+# ===========================================================================
+
+
+@q(
+    "expr_arithmetic",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS disc_price,
+              l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+              l_quantity / l_linenumber AS qty_per_line,
+              l_orderkey % 7 AS mod7,
+              CAST(floor(l_orderkey / 7) AS BIGINT) AS fdiv7,
+              l_quantity * l_quantity AS qty_sq
+       FROM lineitem""",
+)
+def _expr_arithmetic(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    ep, disc, tax = E.Col("l_extendedprice"), E.Col("l_discount"), E.Col("l_tax")
+    qty, ln, ok = E.Col("l_quantity"), E.Col("l_linenumber"), E.Col("l_orderkey")
+    derived = {
+        "disc_price": ep * (1.0 - disc),
+        "charge": ep * (1.0 - disc) * (1.0 + tax),
+        "qty_per_line": qty / ln,
+        "mod7": ok % 7,
+        "fdiv7": ok // 7,
+        "qty_sq": qty * qty,
+    }
+    out = ops.derive(li, derived)
+    return out.select("l_orderkey", "l_linenumber", *derived.keys())
+
+
+@q(
+    "expr_comparison_logic",
+    """SELECT l_orderkey, l_linenumber,
+              l_returnflag = 'R' AS is_returned,
+              l_quantity > 30 AS big_qty,
+              l_discount <= 0.02 AS low_disc,
+              (l_returnflag = 'R') AND (l_quantity > 30) AS ret_and_big,
+              (l_quantity > 30) OR (l_discount <= 0.02) AS big_or_low,
+              NOT (l_quantity > 30) AS small_qty,
+              (l_quantity > 30) != (l_discount <= 0.02) AS xor_flag
+       FROM lineitem""",
+)
+def _expr_comparison_logic(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    rf, qty, disc = E.Col("l_returnflag"), E.Col("l_quantity"), E.Col("l_discount")
+    big, low = qty > 30.0, disc <= 0.02
+    derived = {
+        "is_returned": rf == "R",
+        "big_qty": big,
+        "low_disc": low,
+        "ret_and_big": (rf == "R") & (qty > 30.0),
+        "big_or_low": big | low,
+        "small_qty": ~(qty > 30.0),
+        "xor_flag": big ^ low,
+    }
+    out = ops.derive(li, derived)
+    return out.select("l_orderkey", "l_linenumber", *derived.keys())
+
+
+@q(
+    "expr_string_ops",
+    """SELECT c_custkey,
+              upper(c_name) AS name_upper,
+              lower(c_mktsegment) AS seg_lower,
+              CAST(length(c_name) AS BIGINT) AS name_len,
+              contains(c_name, '1') AS has_one,
+              starts_with(c_name, 'Customer') AS is_cust,
+              suffix(c_name, '0') AS ends_zero,
+              CAST(strpos(c_name, '#') - 1 AS BIGINT) AS hash_pos,
+              concat(CAST(c_mktsegment AS VARCHAR), CAST('-X' AS VARCHAR)) AS seg_x,
+              c_name || ' @ ' || c_mktsegment AS name_seg
+       FROM customer""",
+)
+def _expr_string_ops(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    c = _t(spark, sf_dir, "customer")
+    name, seg = E.Col("c_name"), E.Col("c_mktsegment")
+    derived = {
+        "name_upper": E.Unary("str_to_upper", name),
+        "seg_lower": E.Unary("str_to_lower", seg),
+        "name_len": E.Cast(E.Unary("str_len_char", name), "int64"),
+        "has_one": E.Binary("str_contains", name, E.Lit("1")),
+        "is_cust": E.Binary("str_starts_with", name, E.Lit("Customer")),
+        "ends_zero": E.Binary("str_ends_with", name, E.Lit("0")),
+        "hash_pos": E.Cast(E.Binary("str_find", name, E.Lit("#")), "int64"),
+        "seg_x": E.Binary("concat", seg, E.Lit("-X")),
+        "name_seg": E.ConcatStrings([name, seg], separator=" @ "),
+    }
+    out = ops.derive(c, derived)
+    return out.select("c_custkey", *derived.keys())
+
+
+@q(
+    "expr_split_array",
+    """SELECT c_custkey,
+              string_split(c_name, '#')[2] AS cust_number,
+              list_contains(string_split(c_name, '#'), 'Customer') AS has_prefix
+       FROM customer""",
+)
+def _expr_split_array(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    c = _t(spark, sf_dir, "customer")
+    parts = E.Binary("str_split", E.Col("c_name"), E.Lit("#"))
+    derived = {
+        "cust_number": E.ArrayAtIndex(parts, 1),
+        "has_prefix": E.Binary("list_contains", parts, E.Lit("Customer")),
+    }
+    out = ops.derive(c, derived)
+    return out.select("c_custkey", *derived.keys())
+
+
+@q(
+    "expr_math_funcs",
+    f"""SELECT s_suppkey,
+              abs(s_acctbal) AS bal_abs,
+              {_O_R6.format(c='sqrt(abs(s_acctbal))')} AS bal_sqrt,
+              {_O_R6.format(c='ln(1 + abs(s_acctbal))')} AS bal_log1p,
+              {_O_R6.format(c='exp(s_acctbal / 5000.0)')} AS bal_exp,
+              {_O_R6.format(c='sin(s_acctbal)')} AS bal_sin,
+              CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+              CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
+              CAST(sign(s_acctbal) AS DOUBLE) AS bal_sign
+       FROM supplier""",
+)
+def _expr_math_funcs(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    s = _t(spark, sf_dir, "supplier")
+    bal = E.Col("s_acctbal")
+    babs = E.Unary("abs", bal)
+    derived = {
+        "bal_abs": babs,
+        "bal_sqrt": E.Unary("sqrt", babs),
+        "bal_log1p": E.Unary("log1p", babs),
+        "bal_exp": E.Unary("exp", bal / 5000.0),
+        "bal_sin": E.Unary("sin", bal),
+        "bal_floor": E.Cast(E.Unary("floor", bal), "int64"),
+        "bal_ceil": E.Cast(E.Unary("ceil", bal), "int64"),
+        "bal_sign": E.Cast(E.Unary("sign", bal), "float64"),
+    }
+    out = ops.derive(s, derived)
+    for c in ("bal_sqrt", "bal_log1p", "bal_exp", "bal_sin"):
+        out = out.withColumn(c, _r6(F.col(c)))
+    return out.select("s_suppkey", *derived.keys())
+
+
+@q(
+    "expr_date_components",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS BIGINT) AS y,
+              CAST(month(o_orderdate) AS BIGINT) AS mo,
+              CAST(day(o_orderdate) AS BIGINT) AS d,
+              CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+              CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+              CAST(isodow(o_orderdate) AS BIGINT) AS wd,
+              CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+              CAST(hour(o_orderdate) AS BIGINT) AS hr,
+              CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+       FROM orders""",
+)
+def _expr_date_components(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    o = _t(spark, sf_dir, "orders")
+    ts = E.Col("o_orderdate")
+    comp = lambda c: E.Cast(E.DateComponent(ts, c), "int64")  # noqa: E731
+    derived = {
+        "y": comp("year"),
+        "mo": comp("month"),
+        "d": comp("day"),
+        "qtr": comp("quarter"),
+        "wk": comp("week"),
+        "wd": comp("weekday"),
+        "doy": comp("ordinal_day"),
+        "hr": comp("hour"),
+        "epoch_s": comp("epoch"),
+    }
+    out = ops.derive(o, derived)
+    return out.select("o_orderkey", *derived.keys())
+
+
+@q(
+    "expr_time_diff",
+    """SELECT event_id,
+              (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 1000000.0
+                AS secs_since_jan1,
+              (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0
+                AS days_since_jan1
+       FROM events""",
+)
+def _expr_time_diff(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    e = _t(spark, sf_dir, "events")
+    jan1 = E.Lit(dt.datetime(2024, 1, 1))
+    derived = {
+        "secs_since_jan1": E.TimeDiff(E.Col("ts"), jan1, unit="s"),
+        "days_since_jan1": E.TimeDiff(E.Col("ts"), jan1, unit="d"),
+    }
+    out = ops.derive(e, derived)
+    return out.select("event_id", *derived.keys())
+
+
+@q(
+    "expr_conditionals",
+    """SELECT event_id,
+              COALESCE(TRY_CAST(event_type AS DOUBLE), -1.0) AS type_num,
+              least(greatest(value, 20.0), 80.0) AS v_clipped,
+              value >= 10.0 AND value <= 50.0 AS v_mid,
+              event_type IN ('signup', 'error') AS is_flagged
+       FROM events""",
+)
+def _expr_conditionals(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    e = _t(spark, sf_dir, "events")
+    v, et = E.Col("value"), E.Col("event_type")
+    derived = {
+        "type_num": E.FillNa(E.ToNumerical(et), E.Lit(-1.0)),
+        "v_clipped": E.Clip(v, 20.0, 80.0),
+        "v_mid": E.IsBetween(v, E.Lit(10.0), E.Lit(50.0)),
+        "is_flagged": E.Binary("isin", et, E.Lit(["signup", "error"])),
+    }
+    out = ops.derive(e, derived)
+    return out.select("event_id", *derived.keys())
+
+
+@q(
+    "expr_json",
+    """SELECT event_id,
+              json_extract_string(props, '$.k') AS k_str,
+              TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+              json_extract_string(props, '$.missing') AS absent
+       FROM events""",
+)
+def _expr_json(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    e = _t(spark, sf_dir, "events")
+    p = E.Col("props")
+    derived = {
+        "k_str": E.JsonPath(p, "$.k"),
+        "k_num": E.ToNumerical(E.StructField_(p, "k", from_json_string=True)),
+        "absent": E.JsonPath(p, "$.missing"),
+    }
+    out = ops.derive(e, derived)
+    return out.select("event_id", *derived.keys())
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@q(
+    "expr_ordinal_replace",
+    f"""SELECT o_orderkey,
+              CAST(list_position({_PRIORITIES!r}, o_orderpriority) - 1 AS BIGINT)
+                AS prio_ord,
+              regexp_replace(o_orderpriority, '[0-9]-', '') AS prio_name,
+              printf('o-%d/%s', o_orderkey, o_orderstatus) AS label
+       FROM orders""".replace("'1-URGENT'", "'1-URGENT'"),
+)
+def _expr_ordinal_replace(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    o = _t(spark, sf_dir, "orders")
+    prio = E.Col("o_orderpriority")
+    derived = {
+        "prio_ord": E.Cast(E.Ordinal(prio, _PRIORITIES), "int64"),
+        "prio_name": E.ReplaceStrings(prio, [("[0-9]-", "")]),
+        "label": E.FormatString(
+            "o-%d/%s", [E.Col("o_orderkey"), E.Col("o_orderstatus")]
+        ),
+    }
+    out = ops.derive(o, derived)
+    return out.select("o_orderkey", *derived.keys())
+
+
+@q(
+    "expr_hash_distinct",
+    "SELECT COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct FROM lineitem",
+)
+def _expr_hash_distinct(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ops.derive(li, {"h": E.HashColumns(["l_orderkey", "l_linenumber"])})
+    return out.agg(F.countDistinct("h").alias("n_distinct"))
+
+
+@q(
+    "expr_euclidean",
+    f"""SELECT c_custkey,
+              {_O_R6.format(c='sqrt((c_acctbal - 100.0) * (c_acctbal - 100.0) + '
+                              '(CAST(c_nationkey AS DOUBLE) - 12.0) * '
+                              '(CAST(c_nationkey AS DOUBLE) - 12.0))')} AS dist
+       FROM customer""",
+)
+def _expr_euclidean(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    c = _t(spark, sf_dir, "customer")
+    d = E.EuclideanDistance(
+        E.Col("c_acctbal"),
+        E.Cast(E.Col("c_nationkey"), "float64"),
+        E.Lit(100.0),
+        E.Lit(12.0),
+    )
+    out = ops.derive(c, {"dist": d})
+    return out.select("c_custkey", _r6(F.col("dist")).alias("dist"))
+
+
+# ===========================================================================
+# §2.8 embeddings / vector math
+# ===========================================================================
+
+_O_DOT_SELF = (
+    "list_reduce(list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+@q(
+    "embed_dot_product",
+    f"SELECT vec_id, {_O_DOT_SELF} AS norm_sq FROM embeddings",
+)
+def _embed_dot_product(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = ops.derive(
+        emb, {"norm_sq": E.ListDotProduct(E.Col("embedding"), E.Col("embedding"))}
+    )
+    return out.select("vec_id", "norm_sq")
+
+
+def _cosine_oracle(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    na = (
+        f"sqrt(list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_transform(generate_series(1, len({b})), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
+
+@q(
+    "sim_topk_cosine",
+    f"""WITH pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                {_O_R6.format(c=_cosine_oracle('a.embedding', 'b.embedding'))} AS sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 20 AND b.vec_id != a.vec_id
+       )
+       SELECT query_id, neighbor_id, sim FROM pairs
+       QUALIFY row_number() OVER (
+         PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+       ) <= 3""",
+)
+def _sim_topk_cosine(spark, sf_dir):
+    from aligned_spark.operators.similarity import top_k_similar
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = top_k_similar(
+        queries,
+        emb,
+        id_col="vec_id",
+        vector_col="embedding",
+        k=3,
+    )
+    return out.select("query_id", "neighbor_id", _r6(F.col("sim")).alias("sim"))
+
+
+# ===========================================================================
+# §2.5 aggregations
+# ===========================================================================
+
+
+@q(
+    "agg_group_basic",
+    f"""SELECT l_returnflag, l_linestatus,
+              {_O_DSUM.format(c='l_quantity')} AS sum_qty,
+              {_O_DSUM.format(c='l_extendedprice')} AS sum_price,
+              {_O_DSUM.format(c='l_quantity')} / COUNT(l_quantity) AS avg_qty,
+              MIN(l_extendedprice) AS min_price,
+              MAX(l_extendedprice) AS max_price,
+              COUNT(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def _agg_group_basic(spark, sf_dir):
+    from aligned_spark.operators.aggregate import AggSpec, group_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,4)")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    out = group_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec("sum_qty", "sum", qty_dec),
+            AggSpec("sum_price", "sum", price_dec),
+            AggSpec("n_qty", "count", "l_quantity"),
+            AggSpec("min_price", "min", "l_extendedprice"),
+            AggSpec("max_price", "max", "l_extendedprice"),
+            AggSpec("count_order", "count", None),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        (F.col("sum_qty").cast("double") / F.col("n_qty")).alias("avg_qty"),
+        "min_price",
+        "max_price",
+        "count_order",
+    )
+
+
+@q(
+    "agg_group_stats",
+    f"""SELECT l_returnflag,
+              {_O_R6.format(c='stddev_samp(l_extendedprice)')} AS std_price,
+              {_O_R2.format(c='var_samp(l_extendedprice)')} AS var_price,
+              {_O_R6.format(c='median(l_extendedprice)')} AS med_price,
+              {_O_R6.format(c='quantile_cont(l_extendedprice, 0.9)')} AS p90_price,
+              COUNT(DISTINCT l_partkey) AS n_parts
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def _agg_group_stats(spark, sf_dir):
+    from aligned_spark.operators.aggregate import AggSpec, group_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = group_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            AggSpec("std_price", "std", "l_extendedprice"),
+            AggSpec("var_price", "variance", "l_extendedprice"),
+            AggSpec("med_price", "median", "l_extendedprice"),
+            AggSpec("p90_price", "percentile", "l_extendedprice", percentile=0.9),
+            AggSpec("n_parts", "count_distinct", "l_partkey"),
+        ],
+    )
+    for c in ("std_price", "med_price", "p90_price"):
+        out = out.withColumn(c, _r6(F.col(c)))
+    return out.withColumn("var_price", _r2(F.col("var_price")))
+
+
+@q(
+    "agg_concat_sorted",
+    """SELECT c_nationkey,
+              string_agg(c_name, ',' ORDER BY c_name) AS names
+       FROM customer WHERE c_custkey <= 100 GROUP BY c_nationkey""",
+)
+def _agg_concat_sorted(spark, sf_dir):
+    from aligned_spark.operators.aggregate import AggSpec, group_aggregate
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    out = group_aggregate(
+        c, ["c_nationkey"], [AggSpec("name_list", "collect_list", "c_name")]
+    )
+    return out.select(
+        "c_nationkey",
+        F.array_join(F.array_sort("name_list"), ",").alias("names"),
+    )
+
+
+@q(
+    "agg_rolling_window",
+    f"""SELECT user_id, ts, value,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d,
+              COUNT(value) OVER w AS cnt_7d,
+              MIN(value) OVER w AS min_7d
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""",
+)
+def _agg_rolling_window(spark, sf_dir):
+    from aligned_spark.operators.aggregate import AggSpec, rolling_aggregate
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = rolling_aggregate(
+        e,
+        ["user_id"],
+        "ts",
+        7 * 86400,
+        [
+            AggSpec("sum_7d", "sum", F.col("value").cast("decimal(18,4)")),
+            AggSpec("cnt_7d", "count", "value"),
+            AggSpec("min_7d", "min", "value"),
+        ],
+    )
+    return out.withColumn("sum_7d", F.col("sum_7d").cast("double"))
+
+
+@q(
+    "agg_hopping_window",
+    f"""SELECT user_id,
+              time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY AS ts,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_1d,
+              COUNT(*) AS cnt_1d
+       FROM events GROUP BY user_id, time_bucket(INTERVAL 1 DAY, ts)""",
+)
+def _agg_hopping_window(spark, sf_dir):
+    from aligned_spark.operators.aggregate import AggSpec, hopping_aggregate
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = hopping_aggregate(
+        e,
+        ["user_id"],
+        "ts",
+        every_seconds=86400,
+        period_seconds=86400,
+        aggs=[
+            AggSpec("sum_1d", "sum", F.col("value").cast("decimal(18,4)")),
+            AggSpec("cnt_1d", "count", None),
+        ],
+    )
+    return out.withColumn("sum_1d", F.col("sum_1d").cast("double"))
+
+
+_FACT_GRID_SQL = """
+  SELECT DISTINCT user_id, fts FROM events
+  CROSS JOIN (VALUES (TIMESTAMP '2024-01-10'), (TIMESTAMP '2024-01-22')) t(fts)
+"""
+
+
+def _fact_grid(spark, sf_dir) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    dates = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 10),), (dt.datetime(2024, 1, 22),)],
+        "fts timestamp",
+    )
+    return e.select("user_id").distinct().crossJoin(dates)
+
+
+@q(
+    "agg_pit_window",
+    f"""WITH facts AS ({_FACT_GRID_SQL})
+       SELECT f.user_id, f.fts,
+              CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum,
+              COUNT(e.value) AS v_cnt,
+              CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                / NULLIF(COUNT(e.value), 0) AS v_mean,
+              MIN(e.value) AS v_min,
+              MAX(e.value) AS v_max
+       FROM facts f
+       LEFT JOIN events e
+         ON e.user_id = f.user_id
+        AND e.ts <= f.fts AND e.ts >= f.fts - INTERVAL 7 DAYS
+       GROUP BY f.user_id, f.fts""",
+)
+def _agg_pit_window(spark, sf_dir):
+    from aligned_spark.operators.aggregate import AggSpec, pit_window_aggregate
+
+    e = _t(spark, sf_dir, "events")
+    facts = _fact_grid(spark, sf_dir)
+    out = pit_window_aggregate(
+        facts,
+        e,
+        entities=["user_id"],
+        fact_ts="fts",
+        feature_ts="ts",
+        window_seconds=7 * 86400,
+        aggs=[
+            AggSpec("v_sum", "sum", F.col("value").cast("decimal(18,4)")),
+            AggSpec("v_cnt", "count", "value"),
+            AggSpec("v_min", "min", "value"),
+            AggSpec("v_max", "max", "value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.col("fts"),
+        F.col("v_sum").cast("double").alias("v_sum"),
+        "v_cnt",
+        (F.col("v_sum").cast("double") / F.nullif(F.col("v_cnt"), F.lit(0))).alias(
+            "v_mean"
+        ),
+        "v_min",
+        "v_max",
+    )
+
+
+# ===========================================================================
+# §2.4 joins
+# ===========================================================================
+
+
+@q(
+    "join_equi_multi",
+    f"""SELECT r.r_name,
+              COUNT(*) AS n_cust,
+              {_O_DSUM.format(c='c.c_acctbal')} AS total_bal
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+)
+def _join_equi_multi(spark, sf_dir):
+    from aligned_spark.operators.aggregate import AggSpec, group_aggregate
+    from aligned_spark.operators.joins import equi_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = equi_join(c, n, ["c_nationkey"], ["n_nationkey"], broadcast_right=True)
+    j = equi_join(j, r, ["n_regionkey"], ["r_regionkey"], broadcast_right=True)
+    out = group_aggregate(
+        j,
+        ["r_name"],
+        [
+            AggSpec("n_cust", "count", None),
+            AggSpec("total_bal", "sum", F.col("c_acctbal").cast("decimal(18,4)")),
+        ],
+    )
+    return out.withColumn("total_bal", F.col("total_bal").cast("double"))
+
+
+@q(
+    "join_anti",
+    """SELECT c_custkey FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')""",
+)
+def _join_anti(spark, sf_dir):
+    from aligned_spark.operators.joins import equi_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = equi_join(c, o, ["c_custkey"], ["o_custkey"], how="left_anti")
+    return out.select("c_custkey")
+
+
+@q(
+    "join_semi",
+    """SELECT c_custkey, c_acctbal FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def _join_semi(spark, sf_dir):
+    from aligned_spark.operators.joins import equi_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    out = equi_join(c, o, ["c_custkey"], ["o_custkey"], how="left_semi")
+    return out.select("c_custkey", "c_acctbal")
+
+
+_ASOF_FACTS_SQL = (
+    "SELECT event_id, user_id, ts FROM events WHERE event_id % 37 = 0"
+)
+
+
+@q(
+    "join_asof",
+    f"""WITH facts AS ({_ASOF_FACTS_SQL})
+       SELECT f.event_id, f.user_id, f.ts, l.value, l.event_type
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = f.user_id AND e.ts <= f.ts
+         ORDER BY e.ts DESC LIMIT 1
+       ) l ON TRUE""",
+)
+def _join_asof(spark, sf_dir):
+    from aligned_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    facts = e.filter(F.col("event_id") % 37 == 0).select("event_id", "user_id", "ts")
+    feat = e.select("user_id", "ts", "value", "event_type")
+    return asof_join(facts, feat, on="ts", by=["user_id"])
+
+
+@q(
+    "join_pit_ttl",
+    f"""WITH facts AS ({_FACT_GRID_SQL})
+       SELECT f.user_id, f.fts, l.value, l.event_type
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = f.user_id AND e.ts <= f.fts
+           AND e.ts >= f.fts - INTERVAL 3 DAYS
+         ORDER BY e.ts DESC LIMIT 1
+       ) l ON TRUE""",
+)
+def _join_pit_ttl(spark, sf_dir):
+    from aligned_spark.operators.joins import pit_join
+
+    e = _t(spark, sf_dir, "events")
+    facts = _fact_grid(spark, sf_dir)
+    return pit_join(
+        facts,
+        e.select("user_id", "ts", "value", "event_type"),
+        entities=["user_id"],
+        feature_ts="ts",
+        fact_ts="fts",
+        ttl_seconds=3 * 86400,
+        feature_columns=["value", "event_type"],
+    )
+
+
+# ===========================================================================
+# §1/§3 contracts + store entry points
+# ===========================================================================
+
+
+def _lineitem_view(sf_dir: str):
+    from aligned_spark.contracts import Bool, Float64, Int32, Int64, feature_view
+    from aligned_spark.sources.file import FileSource
+
+    @feature_view(
+        name="lineitem_enriched",
+        source=FileSource.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    class LineitemEnriched:
+        l_orderkey = Int64().as_entity()
+        l_linenumber = Int32().as_entity()
+        l_quantity = Float64()
+        l_extendedprice = Float64()
+        l_discount = Float64()
+        l_tax = Float64()
+
+        disc_price = l_extendedprice * (1.0 - l_discount)
+        charge = l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        is_heavy = l_quantity > 40.0
+
+    return LineitemEnriched
+
+
+@q(
+    "view_derived_features",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+              l_discount, l_tax,
+              l_extendedprice * (1 - l_discount) AS disc_price,
+              l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+              l_quantity > 40 AS is_heavy
+       FROM lineitem""",
+)
+def _view_derived_features(spark, sf_dir):
+    view = _lineitem_view(sf_dir)
+    return view.query(spark).all()
+
+
+def _events_agg_view(sf_dir: str):
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        String,
+        feature_view,
+    )
+    from aligned_spark.sources.file import FileSource
+
+    @feature_view(
+        name="user_stats", source=FileSource.parquet(f"{sf_dir}/events.parquet")
+    )
+    class UserStats:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+        event_type = String()
+
+        total_value = value.aggregate().sum()
+        n_events = value.aggregate().count()
+        max_value = value.aggregate().max()
+
+    return UserStats
+
+
+@q(
+    "view_agg_plain",
+    f"""SELECT user_id,
+              {_O_DSUM.format(c='value')} AS total_value,
+              COUNT(value) AS n_events,
+              MAX(value) AS max_value
+       FROM events GROUP BY user_id""",
+)
+def _view_agg_plain(spark, sf_dir):
+    view = _events_agg_view(sf_dir)
+    out = view.query(spark).all()
+    # exact decimal re-sum for hash-stable doubles (see module docstring):
+    # the contract declares a double sum; recompute via decimal cast
+    from aligned_spark.operators.aggregate import AggSpec, group_aggregate
+    from aligned_spark.sources.file import read_parquet
+
+    e = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = group_aggregate(
+        e,
+        ["user_id"],
+        [
+            AggSpec("total_value", "sum", F.col("value").cast("decimal(18,4)")),
+            AggSpec("n_events", "count", "value"),
+            AggSpec("max_value", "max", "value"),
+        ],
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+def _events_rolling_view(sf_dir: str):
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+    )
+    from aligned_spark.sources.file import FileSource
+
+    @feature_view(
+        name="user_rolling", source=FileSource.parquet(f"{sf_dir}/events.parquet")
+    )
+    class UserRolling:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+        sum_7d = value.aggregate().sum().over(days=7)
+        cnt_7d = value.aggregate().count().over(days=7)
+
+    return UserRolling
+
+
+@q(
+    "view_agg_rolling",
+    f"""SELECT user_id, ts, value,
+              {_O_R6.format(c='SUM(value) OVER w')} AS sum_7d,
+              COUNT(value) OVER w AS cnt_7d
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""",
+)
+def _view_agg_rolling(spark, sf_dir):
+    view = _events_rolling_view(sf_dir)
+    out = view.query(spark).all()
+    return out.select(
+        "user_id", "ts", "value", _r6(F.col("sum_7d")).alias("sum_7d"), "cnt_7d"
+    )
+
+
+def _events_plain_view(sf_dir: str):
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        String,
+        feature_view,
+    )
+    from aligned_spark.sources.file import FileSource
+
+    @feature_view(
+        name="ev", source=FileSource.parquet(f"{sf_dir}/events.parquet")
+    )
+    class Ev:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+        event_type = String()
+
+    return Ev
+
+
+@q(
+    "store_features_for",
+    f"""WITH facts AS ({_ASOF_FACTS_SQL})
+       SELECT f.user_id, f.ts AS event_timestamp, l.value, l.event_type
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = f.user_id AND e.ts <= f.ts
+         ORDER BY e.ts DESC LIMIT 1
+       ) l ON TRUE""",
+)
+def _store_features_for(spark, sf_dir):
+    from aligned_spark.store import ContractStore
+
+    store = ContractStore(spark)
+    store.add_view(_events_plain_view(sf_dir))
+    e = _t(spark, sf_dir, "events")
+    facts = (
+        e.filter(F.col("event_id") % 37 == 0)
+        .select("user_id", F.col("ts").alias("event_timestamp"))
+    )
+    return store.features_for(facts, ["ev:value", "ev:event_type"])
+
+
+def _events_windowed_view(sf_dir: str):
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+    )
+    from aligned_spark.sources.file import FileSource
+
+    @feature_view(
+        name="evw", source=FileSource.parquet(f"{sf_dir}/events.parquet")
+    )
+    class Evw:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+        credit_sum_7d = value.aggregate().sum().over(days=7)
+        credit_cnt_7d = value.aggregate().count().over(days=7)
+
+    return Evw
+
+
+@q(
+    "store_features_windowed",
+    f"""WITH facts AS ({_FACT_GRID_SQL})
+       SELECT f.user_id, f.fts AS event_timestamp,
+              {_O_R6.format(c='SUM(e.value)')} AS credit_sum_7d,
+              COUNT(e.value) AS credit_cnt_7d
+       FROM facts f
+       LEFT JOIN events e
+         ON e.user_id = f.user_id
+        AND e.ts <= f.fts AND e.ts >= f.fts - INTERVAL 7 DAYS
+       GROUP BY f.user_id, f.fts""",
+)
+def _store_features_windowed(spark, sf_dir):
+    """The reference's golden PIT-windowed path (``conftest.py:726-847``
+    credit_sum semantics) over the events table."""
+    from aligned_spark.store import ContractStore
+
+    store = ContractStore(spark)
+    store.add_view(_events_windowed_view(sf_dir))
+    facts = _fact_grid(spark, sf_dir).withColumnRenamed("fts", "event_timestamp")
+    out = store.features_for(facts, ["evw:credit_sum_7d", "evw:credit_cnt_7d"])
+    return out.select(
+        "user_id",
+        "event_timestamp",
+        _r6(F.col("credit_sum_7d")).alias("credit_sum_7d"),
+        "credit_cnt_7d",
+    )
+
+
+@q(
+    "store_sql",
+    """SELECT n.n_name, COUNT(*) AS n_cust,
+              CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def _store_sql(spark, sf_dir):
+    from aligned_spark.contracts import Float64, Int32, Int64, String, feature_view
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    @feature_view(name="customer", source=FileSource.parquet(f"{sf_dir}/customer.parquet"))
+    class Customer:
+        c_custkey = Int64().as_entity()
+        c_nationkey = Int32()
+        c_acctbal = Float64()
+
+    @feature_view(name="nation", source=FileSource.parquet(f"{sf_dir}/nation.parquet"))
+    class Nation:
+        n_nationkey = Int32().as_entity()
+        n_name = String()
+
+    store = ContractStore(spark)
+    store.add_view(Customer)
+    store.add_view(Nation)
+    return store.execute_sql(
+        """SELECT n.n_name, COUNT(*) AS n_cust,
+                  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name"""
+    )
+
+
+@q(
+    "constraints_drop_invalid",
+    """SELECT event_id, value, event_type FROM events
+       WHERE value >= 1.0 AND value <= 150.0
+         AND event_type IN ('click', 'view', 'purchase', 'signup')""",
+)
+def _constraints_drop_invalid(spark, sf_dir):
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        String,
+        feature_view,
+    )
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    @feature_view(
+        name="ev_constrained",
+        source=FileSource.parquet(f"{sf_dir}/events.parquet"),
+    )
+    class EvC:
+        event_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64().bounded_between(1.0, 150.0)
+        event_type = String().accepted_values(
+            ["click", "view", "purchase", "signup"]
+        )
+
+    store = ContractStore(spark)
+    store.add_view(EvC)
+    out = store.drop_invalid("ev_constrained")
+    return out.select("event_id", "value", "event_type")
+
+
+@q("freshness", "SELECT MAX(ts) AS freshness FROM events")
+def _freshness(spark, sf_dir):
+    from aligned_spark.store import ContractStore
+
+    store = ContractStore(spark)
+    store.add_view(_events_plain_view(sf_dir))
+    ts = store.freshness_for("ev")
+    return spark.createDataFrame([(ts,)], "freshness timestamp")
+
+
+# ===========================================================================
+# sources
+# ===========================================================================
+
+
+@q("source_csv_roundtrip", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def _source_csv_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from aligned_spark.sources.file import FileSource
+
+    n = _t(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="aligned_csv_")
+    path = f"{tmp}/nation_csv"
+    src = FileSource.csv(path)
+    src.insert(n.select("n_nationkey", "n_name", "n_regionkey"))
+    back = src.read(spark)
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+@q(
+    "source_in_memory",
+    """SELECT * FROM (VALUES (1, 'a', 10.0 * 2), (2, 'b', 20.0 * 2),
+                            (3, 'c', 30.0 * 2)) t(id, tag, doubled)""",
+)
+def _source_in_memory(spark, sf_dir):
+    from aligned_spark import expr as E
+    from aligned_spark.operators import core as ops
+    from aligned_spark.sources.in_memory import InMemorySource
+
+    src = InMemorySource.from_dict(
+        {"id": [1, 2, 3], "tag": ["a", "b", "c"], "v": [10.0, 20.0, 30.0]},
+        schema="id int, tag string, v double",
+    )
+    df = src.read(spark)
+    out = ops.derive(df, {"doubled": E.Col("v") * 2.0})
+    return out.select("id", "tag", "doubled")
+
+
+@q(
+    "source_filtered",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+)
+def _source_filtered(spark, sf_dir):
+    from aligned_spark.sources.combinators import FilteredSource
+    from aligned_spark.sources.file import FileSource
+
+    base = FileSource.parquet(f"{sf_dir}/orders.parquet")
+    src = FilteredSource(base, F.col("o_orderstatus") == "F")
+    return src.read(spark).select("o_orderkey", "o_totalprice")
+
+
+# ===========================================================================
+# text analysis / dedup (documents table)
+# ===========================================================================
+
+
+@q(
+    "text_token_counts",
+    r"""SELECT doc_id,
+              CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+                AS BIGINT) AS bpe_tokens
+       FROM documents""",
+)
+def _text_token_counts(spark, sf_dir):
+    from aligned_spark.functions.text import token_count, whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+@q("text_language_quality")  # heuristic scores — rows-only check
+def _text_language_quality(spark, sf_dir):
+    from aligned_spark.functions.text import language_id, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        language_id(F.col("text")).alias("pred_lang"),
+        _r6(quality_score(F.col("text"))).alias("quality"),
+    )
+
+
+@q(
+    "dedup_exact",
+    """SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text""",
+)
+def _dedup_exact(spark, sf_dir):
+    from aligned_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = exact_dedup(d.select("doc_id", "text"), ["text"], order_col="doc_id")
+    return out
+
+
+@q("dedup_minhash")  # LSH banding — not SQL-expressible, rows-only
+def _dedup_minhash(spark, sf_dir):
+    from aligned_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", num_hashes=32, bands=8
+    )
+    return pairs.select("doc_id_a", "doc_id_b")
+
+
+@q("dedup_fingerprint")  # xxhash-based — rows-only
+def _dedup_fingerprint(spark, sf_dir):
+    from aligned_spark.operators.dedup import fingerprint_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_dedup(
+        d.select("doc_id", "text"), text_col="text", order_col="doc_id"
+    ).select("doc_id")
+
+
+@q(
+    "multimodal_binary",
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+              md5(text) AS digest
+       FROM documents""",
+)
+def _multimodal_binary(spark, sf_dir):
+    from aligned_spark.functions.multimodal import binary_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    meta = binary_metadata(blob)
+    return d.select(
+        "doc_id",
+        meta.getField("n_bytes").alias("n_bytes"),
+        meta.getField("digest").alias("digest"),
+    )
+
+
+@q("splits_train")  # deterministic hash split — rows-only (xxhash not in DuckDB)
+def _splits_train(spark, sf_dir):
+    from aligned_spark.operators.splits import train_test_split
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    train, _test = train_test_split(li, test_fraction=0.2, seed=7)
+    return train
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time windowed feature retrieval
+    (``store.features_for`` with a rolling 7-day aggregation) at
+    sf0.001 — the reference's ``point_in_time_data_test`` shape."""
+    return _store_features_windowed(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -122,15 +122,11 @@ def rolling_fingerprint(text: Column, width: int = 8) -> Column:
     """Document fingerprint: min-of-rolling-hashes over word
     ``width``-grams (a winnowing-style content signature). Two
     documents sharing large text spans collide with high probability.
-    """
-    words = _words(text)
-    n = F.size(words)
-    starts = F.sequence(F.lit(1), F.greatest(n - (width - 1), F.lit(1)))
-    grams = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(words, i, width))
-    )
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    return F.array_min(hashes)
+
+    Implemented as ``array_min`` over :func:`shingle_hashes` — the
+    hash-combined form that never builds gram strings and never
+    re-evaluates the word array per element."""
+    return F.array_min(shingle_hashes(text, width))
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
@@ -141,11 +137,49 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: lowered.substr(i, F.lit(n))))
 
 
+def _sliding_zip(arr: Column, width: int) -> Column:
+    """Length-``width`` sliding windows over ``arr`` as an array of
+    structs (fields "0".."width-1").
+
+    PERF CONTRACT: never index a closure expression inside a HOF
+    lambda (``transform(starts, i -> f(arr[i]))``) — Spark re-evaluates
+    the captured expression PER ELEMENT, turning an O(n) scan into
+    O(n²) per row. ``arrays_zip`` of shifted slices evaluates ``arr``
+    only ``width`` times."""
+    n = F.size(arr)
+    shifted = [F.slice(arr, k + 1, F.greatest(n, F.lit(1))) for k in range(width)]
+    zipped = F.arrays_zip(*shifted)
+    return F.slice(zipped, 1, F.greatest(n - (width - 1), F.lit(1)))
+
+
 def word_shingles(text: Column, width: int = 3) -> Column:
-    """Array of distinct word ``width``-shingles."""
-    words = _words(text)
-    n = F.size(words)
-    starts = F.sequence(F.lit(1), F.greatest(n - (width - 1), F.lit(1)))
+    """Array of distinct word ``width``-shingles (as strings)."""
+    windows = _sliding_zip(_words(text), width)
     return F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, width)))
+        F.transform(
+            windows,
+            lambda s: F.concat_ws(
+                " ", *[s.getField(str(k)) for k in range(width)]
+            ),
+        )
+    )
+
+
+def shingle_hashes(text: Column, width: int = 3) -> Column:
+    """Array of distinct 64-bit shingle hashes WITHOUT building the
+    shingle strings: hash each word once, then combine ``width``
+    consecutive word hashes with one fixed-width ``xxhash64``.
+
+    Much cheaper than hashing :func:`word_shingles` output (no
+    O(words × width) string allocation), and exactly what MinHash /
+    fingerprint consumers need — they never look at the shingle
+    text."""
+    words = _words(text)
+    word_h = F.transform(words, lambda w: F.xxhash64(w))
+    windows = _sliding_zip(word_h, width)
+    return F.array_distinct(
+        F.transform(
+            windows,
+            lambda s: F.xxhash64(*[s.getField(str(k)) for k in range(width)]),
+        )
     )

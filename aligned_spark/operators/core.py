@@ -57,7 +57,11 @@ def drop_duplicate_entities(df: DataFrame, entities: list[str]) -> DataFrame:
 
 
 def unique_rows(
-    df: DataFrame, keys: list[str], sort_key: str, descending: bool = True
+    df: DataFrame,
+    keys: list[str],
+    sort_key: str,
+    descending: bool = True,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Latest-row-wins per key (``UniqueRowsJob``,
     ``retrieval_job.py:2437-2461``).
@@ -65,9 +69,15 @@ def unique_rows(
     Deterministic ``row_number`` window — the reference's own Spark
     sketch used ``sort().dropDuplicates()`` which is NOT deterministic
     under Spark's partitioned execution (SURVEY §2.2 flags this).
+    ``tie_break`` orders equal sort-key rows by a second column so the
+    pick is reproducible even with timestamp collisions.
     """
-    order = F.col(sort_key).desc() if descending else F.col(sort_key).asc()
-    w = W.partitionBy(*keys).orderBy(order)
+    order = [F.col(sort_key).desc() if descending else F.col(sort_key).asc()]
+    if tie_break is not None:
+        order.append(
+            F.col(tie_break).desc() if descending else F.col(tie_break).asc()
+        )
+    w = W.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines.
+
+Reference capability surface: the aligned reference has no dedup
+operator beyond entity-distinct (``DropDuplicateEntities``,
+``aligned/retrieval_job.py:2110-2129``); these operators extend the
+engine for LLM-corpus workloads (BASELINE north-star) on top of the
+codegen text primitives in :mod:`aligned_spark.functions.text`.
+
+Scale design (100 TB):
+
+- ``exact_dedup`` shuffles once on the dedup key columns. Spark hashes
+  the key for the exchange, so wide text keys cost network for the
+  payload, not the routing; with AQE skew-join splitting a hot key
+  (e.g. the empty document) cannot pin a single task.
+- MinHash-LSH is the classic sub-quadratic near-dup: per-row signature
+  (codegen-only hashing — no UDFs), explode to ``bands`` rows, shuffle
+  on the (band, band-hash) bucket, and only verify candidates that
+  collide in ≥1 band. Candidate count ≈ O(n·dup_rate), never O(n²).
+- ``minhash_dedup`` drops any doc with a near-dup of smaller id
+  (greedy keep-min). That is one connected-components *round*, the
+  standard single-pass choice at corpus scale (full transitive
+  closure needs iterative joins; documented trade-off).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aligned_spark.functions.text import (
+    rolling_fingerprint,
+    shingle_hashes,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, columns: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Keep one row per distinct ``columns`` tuple.
+
+    With ``order_col`` the kept row is deterministic (smallest value
+    wins); without it this degrades to ``dropDuplicates`` (arbitrary
+    but cheaper — no sort)."""
+    if order_col is None:
+        return df.dropDuplicates(columns)
+    w = W.partitionBy(*columns).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame,
+    text_col: str,
+    order_col: str,
+    width: int = 8,
+) -> DataFrame:
+    """Near-exact dedup on the winnowing-style content fingerprint
+    (:func:`~aligned_spark.functions.text.rolling_fingerprint`):
+    documents sharing their minimal rolling hash collapse to one row
+    (smallest ``order_col`` wins)."""
+    out = df.withColumn("__fp", rolling_fingerprint(F.col(text_col), width))
+    w = W.partitionBy("__fp").orderBy(F.col(order_col).asc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def minhash_from_shingles(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from an (already materialized) shingle array.
+
+    Pure codegen: per seed, ``array_min(transform(shingles,
+    s -> xxhash64(s, seed)))`` — no UDF, no shuffle, no state.
+    IMPORTANT: pass a *column reference* to a projected shingle array,
+    not the shingle expression itself — Spark does not CSE across the
+    ``num_hashes`` sub-expressions, so an inline expression would
+    re-tokenize the document ``num_hashes`` times."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, shingle_width: int = 3
+) -> Column:
+    """Inline MinHash signature over word shingles. Prefer the
+    two-projection form (``word_shingles`` → ``minhash_from_shingles``)
+    in operators — see the CSE note above."""
+    return minhash_from_shingles(word_shingles(text, shingle_width), num_hashes)
+
+
+def _band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_width: int,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows — one per band per doc."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    # two projections: shingles materialize ONCE, then num_hashes
+    # array_mins read the column (no CSE across expressions otherwise)
+    with_shingles = df.select(
+        F.col(id_col),
+        # hash-combined shingles: no shingle-string allocation (the
+        # dominant cost at corpus scale — see functions.text)
+        shingle_hashes(F.col(text_col), shingle_width).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    # empty/null docs are excluded: their (identical) signatures would
+    # all collide into ONE bucket — quadratic pair blowup at corpus
+    # scale. Route empty-doc dedup through exact_dedup instead.
+    with_sig = with_shingles.select(
+        F.col(id_col),
+        minhash_from_shingles(F.col("__sh"), num_hashes).alias("__sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        with_sig.select(id_col, F.explode(band_structs).alias("__band"))
+        .select(
+            id_col,
+            F.col("__band.band_id").alias("band_id"),
+            F.col("__band.band_hash").alias("band_hash"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_width: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Pairs (``{id}_a`` < ``{id}_b``) colliding in at least one band.
+    With ``jaccard_threshold`` each candidate is verified with the
+    exact shingle-set Jaccard (only candidates pay this — the
+    verification join carries shingle arrays for the candidate set,
+    not the full corpus)."""
+    banded = _band_rows(df, id_col, text_col, num_hashes, bands, shingle_width)
+    a = banded.select(
+        F.col(id_col).alias(f"{id_col}_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias(f"{id_col}_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .distinct()
+    )
+    if jaccard_threshold is None:
+        return pairs
+    shingled = df.select(
+        F.col(id_col),
+        # jaccard over shingle-hash sets == jaccard over shingle sets
+        # (collisions negligible at 64 bits), at a fraction of the cost
+        shingle_hashes(F.col(text_col), shingle_width).alias("__sh"),
+    )
+    pairs = (
+        pairs.join(
+            shingled.select(
+                F.col(id_col).alias(f"{id_col}_a"), F.col("__sh").alias("__sh_a")
+            ),
+            on=f"{id_col}_a",
+        )
+        .join(
+            shingled.select(
+                F.col(id_col).alias(f"{id_col}_b"), F.col("__sh").alias("__sh_b")
+            ),
+            on=f"{id_col}_b",
+        )
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_width: int = 3,
+    jaccard_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Drop near-duplicates: any doc with a near-dup of smaller id is
+    removed (greedy keep-min — one connected-components round)."""
+    pairs = minhash_near_dup_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_width, jaccard_threshold
+    )
+    losers = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash(text: Column, bits: int = 64, shingle_width: int = 3) -> Column:
+    """SimHash signature: sign-sum of per-shingle hash bits.
+
+    Codegen-only: for each bit, count shingles whose hash has that bit
+    set vs unset; bit is 1 when set-count wins. 64 aggregate
+    expressions over one shingle array — heavy codegen but zero
+    Python and zero shuffle."""
+    shingles = word_shingles(text, shingle_width)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    n = F.size(hashes).cast("long")
+    bit_cols = []
+    for i in range(bits):
+        ones = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)),
+        )
+        bit = (ones * 2 > n).cast("long")
+        bit_cols.append(F.shiftleft(bit, i))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact character-n-gram Jaccard similarity of two text columns."""
+    from aligned_spark.functions.text import char_ngrams
+
+    ga, gb = char_ngrams(a, n), char_ngrams(b, n)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns.
+
+Reference capability: ``VectorIndex.nearest_n_to``
+(``aligned/sources/vector_index.py:5-11``; LanceDB impl row-loops an
+ANN index, ``aligned/sources/lancedb.py:158-212``). Spark-first
+re-expression: brute-force cosine top-k as the exact baseline
+(broadcast the query side, scan the corpus — no driver loop), and a
+random-hyperplane LSH bucketing as the sub-quadratic scale path.
+
+Determinism: all vector math casts to ``array<double>`` and folds in
+array order with ``F.aggregate`` — bit-identical to a left-fold in
+any other engine, so results hash-match a DuckDB oracle exactly.
+Ties in similarity break on the neighbor id.
+
+Scale notes (100 TB corpus):
+
+- ``top_k_similar`` broadcasts the *query* side (typically ≤ a few
+  thousand rows) against the partitioned corpus: no shuffle of the
+  corpus at all; the per-partition top-k then combines in one small
+  exchange of ``n_queries × k`` rows (Spark's window does this via
+  partial ranking under AQE).
+- ``lsh_bucketed_pairs`` shuffles once on the 16-bit hyperplane
+  bucket; candidates are verified with exact cosine inside the
+  bucket. Recall is tunable via ``num_planes``/``num_tables``.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double precision (order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_double(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (
+        F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b))
+    )
+
+
+def top_k_similar(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vector_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the ``k`` most similar
+    corpus rows. Output: ``query_id, neighbor_id, sim``."""
+    # norms materialize once per row (n + m folds), NOT once per pair
+    # (n·m folds) — same doubles, so oracle parity is unaffected
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vector_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", F.sqrt(dot_double(F.col("__qv"), F.col("__qv"))))
+    cs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vector_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", F.sqrt(dot_double(F.col("__cv"), F.col("__cv"))))
+    joined = cs.crossJoin(F.broadcast(qs))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot_double(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity ≥ ``threshold`` —
+    exact O(n²) formulation for modest n; use
+    :func:`lsh_bucketed_pairs` at corpus scale."""
+    a = df.select(
+        F.col(id_col).alias(f"{id_col}_a"),
+        F.col(vector_col).cast("array<double>").alias("__va"),
+    )
+    b = df.select(
+        F.col(id_col).alias(f"{id_col}_b"),
+        F.col(vector_col).cast("array<double>").alias("__vb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    scored = pairs.select(
+        f"{id_col}_a",
+        f"{id_col}_b",
+        cosine_double(F.col("__va"), F.col("__vb")).alias("sim"),
+    )
+    return scored.filter(F.col("sim") >= threshold)
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def lsh_bucket(
+    vector: Column, dim: int, num_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane.
+
+    Cosine-similar vectors land in the same bucket with probability
+    ``(1 - θ/π)^num_planes``. Codegen-only (literal plane arrays)."""
+    v = vector.cast("array<double>")
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (dot_double(v, p) >= 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    threshold: float,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Sub-quadratic similar-pairs: bucket by random hyperplanes in
+    ``num_tables`` independent tables, self-join within buckets, then
+    verify candidates with exact cosine. Shuffles on the bucket id —
+    never materializes the full cross product."""
+    tables = []
+    for t in range(num_tables):
+        b = df.select(
+            F.col(id_col),
+            F.col(vector_col).alias("__v"),
+            lsh_bucket(
+                F.col(vector_col), dim, num_planes, seed + t
+            ).alias("__bucket"),
+            F.lit(t).alias("__table"),
+        )
+        tables.append(b)
+    all_buckets = tables[0]
+    for b in tables[1:]:
+        all_buckets = all_buckets.unionByName(b)
+
+    a = all_buckets.select(
+        F.col(id_col).alias(f"{id_col}_a"),
+        F.col("__v").alias("__va"),
+        "__bucket",
+        "__table",
+    )
+    b = all_buckets.select(
+        F.col(id_col).alias(f"{id_col}_b"),
+        F.col("__v").alias("__vb"),
+        "__bucket",
+        "__table",
+    )
+    cand = (
+        a.join(b, on=["__table", "__bucket"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b", "__va", "__vb")
+        .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+    )
+    scored = cand.select(
+        f"{id_col}_a",
+        f"{id_col}_b",
+        cosine_double(
+            F.col("__va").cast("array<double>"),
+            F.col("__vb").cast("array<double>"),
+        ).alias("sim"),
+    )
+    return scored.filter(F.col("sim") >= threshold)

@@ -1,0 +1,71 @@
+"""Benchmark harness — runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with ``count()`` (full compute, no driver-side
+row transfer). The headline set spans the engine's pillars: scan +
+derive, group/rolling/PIT aggregation, equi/as-of joins, the store
+PIT pipeline, text analysis, MinHash dedup, and cosine top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "view_derived_features",
+    "agg_group_basic",
+    "agg_group_stats",
+    "agg_rolling_window",
+    "agg_hopping_window",
+    "agg_pit_window",
+    "join_equi_multi",
+    "join_asof",
+    "store_features_windowed",
+    "text_token_counts",
+    "dedup_minhash",
+    "sim_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry
+    from aligned_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # warm the JVM + file-listing caches outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
