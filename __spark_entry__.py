@@ -1176,6 +1176,57 @@ def _store_features_windowed(spark, sf_dir):
 
 
 @q(
+    "store_load_feature",
+    """SELECT e.event_id, e.user_id, e.value, c.c_acctbal AS cust_balance
+       FROM events e
+       LEFT JOIN customer c ON c.c_custkey = e.user_id
+       WHERE e.event_id % 11 = 0""",
+)
+def _store_load_feature(spark, sf_dir):
+    """Cross-contract lookup: an events view declares a feature loaded
+    from the customer view (``LoadFeature``,
+    ``transformation.py:3028-3081``)."""
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+        load_feature,
+    )
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    @feature_view(
+        name="customer_bal",
+        source=FileSource.parquet(f"{sf_dir}/customer.parquet"),
+    )
+    class CustomerBal:
+        c_custkey = Int64().as_entity()
+        c_acctbal = Float64()
+
+    @feature_view(
+        name="ev_xc", source=FileSource.parquet(f"{sf_dir}/events.parquet")
+    )
+    class EvXC:
+        event_id = Int64().as_entity()
+        ts = EventTimestamp()
+        user_id = Int64()
+        value = Float64()
+
+        cust_balance = load_feature(
+            "customer_bal:c_acctbal", {"user_id": "c_custkey"}
+        )
+
+    store = ContractStore(spark)
+    store.add_view(CustomerBal)
+    store.add_view(EvXC)
+    out = store.feature_view("ev_xc").all()
+    return out.filter(F.col("event_id") % 11 == 0).select(
+        "event_id", "user_id", "value", "cust_balance"
+    )
+
+
+@q(
     "store_sql",
     """SELECT n.n_name, COUNT(*) AS n_cust,
               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal

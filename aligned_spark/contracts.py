@@ -970,6 +970,26 @@ def _compile_view(
     )
 
 
+def load_feature(
+    ref: str,
+    entity_mapping: dict[str, str],
+    dtype: FeatureType | None = None,
+) -> FeatureFactory:
+    """Cross-contract feature (reference ``for_entities``
+    ``feature_factory.py:813`` → ``LoadFeature``
+    ``transformation.py:3028-3081``): declare a feature fetched from
+    another view, joining on ``entity_mapping`` (this view's column →
+    target view's entity). List-typed keys explode/join/re-collect."""
+    loc, _, feat = ref.partition(":")
+    if not feat:
+        raise ValueError(f"load_feature ref must be 'view:feature', got {ref!r}")
+    out = _FACTORY_FOR_TYPE(dtype or FeatureType("float64"))
+    out.transformation = E.LoadFeatureRef(
+        view=loc, feature=feat, entity_mapping=dict(entity_mapping)
+    )
+    return out
+
+
 def feature_view(
     name: str | None = None,
     source: Any = None,

@@ -863,8 +863,19 @@ class Multi(Expr):
 
     def to_spark(self) -> Column:
         raise NotImplementedError(
-            "Multi must be expanded by the planner into withColumn rounds"
+            "Multi must be expanded by the planner into withColumn rounds "
+            "(operators.core.derive does this)"
         )
+
+    def references(self) -> set[str]:
+        """Source columns = union of step references minus the
+        intermediate aliases the steps themselves define (the base
+        implementation misses tuple-wrapped Exprs entirely)."""
+        aliases = {alias for alias, _ in self.steps}
+        out: set[str] = set()
+        for _, e in self.steps:
+            out |= e.references()
+        return out - aliases
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -875,6 +886,34 @@ class Multi(Expr):
     @classmethod
     def _from_dict(cls, data: dict[str, Any]) -> "Multi":
         return cls(steps=[(alias, _decode(e)) for alias, e in data["steps"]])
+
+
+@register
+@dataclass(eq=False)
+class LoadFeatureRef(Expr):
+    """Cross-contract lookup (``LoadFeature:3028-3081``; factory
+    ``for_entities`` ``feature_factory.py:813``): fetch ``feature``
+    from ``view`` using current columns as that view's entities.
+
+    Plan-level: requires the store catalog and a join, so
+    ``to_spark`` raises; ``ContractStore`` resolves it (explode for
+    list keys → left join → ordered re-aggregation).
+    """
+
+    kind: ClassVar[str] = "load_feature"
+    view: str = ""
+    feature: str = ""
+    #: fact-frame column → target-view entity column
+    entity_mapping: dict = field(default_factory=dict)
+
+    def to_spark(self) -> Column:
+        raise NotImplementedError(
+            "LoadFeatureRef must be resolved by ContractStore "
+            "(it joins against another view)"
+        )
+
+    def references(self) -> set[str]:
+        return set(self.entity_mapping.keys())
 
 
 @register

@@ -150,6 +150,27 @@ def derive(
     round. Each round is a single ``withColumns`` — Catalyst collapses
     consecutive projections, so rounds are free at execution time.
     """
+    from aligned_spark.expr import Multi
+
+    # expand Multi transformations: each step becomes a derived column
+    # (intermediates dropped afterwards), the last step takes the
+    # feature's own name (`MultiTransformation:3194`, hidden-feature
+    # compilation `feature_view.py:906-933`)
+    expanded: dict[str, Expr | Column] = {}
+    multi_intermediates: list[str] = []
+    for name, e in features.items():
+        if isinstance(e, Multi):
+            if not e.steps:
+                raise ValueError(f"Multi feature {name!r} has no steps")
+            for alias, step_expr in e.steps[:-1]:
+                expanded[alias] = step_expr
+                multi_intermediates.append(alias)
+            expanded[name] = e.steps[-1][1]
+        else:
+            expanded[name] = e
+    features = expanded
+    intermediate = list(intermediate) + multi_intermediates
+
     available = set(df.columns)
     pending = dict(features)
     while pending:
@@ -168,6 +189,56 @@ def derive(
         available |= set(round_exprs)
     drop = [c for c in intermediate if c in df.columns]
     return df.drop(*drop) if drop else df
+
+
+def apply_pandas(
+    df: DataFrame,
+    fn,
+    output_schema,
+) -> DataFrame:
+    """DataFrame-level pandas escape hatch
+    (``PandasLambdaTransformation:1327`` /
+    ``PandasFunctionTransformation:1267``) executed via Arrow-batched
+    ``mapInPandas`` — whole batches cross the JVM↔Python boundary,
+    never rows.
+
+    ``fn``: ``pd.DataFrame -> pd.DataFrame`` (must produce columns
+    matching ``output_schema``). The declared schema keeps Catalyst
+    planning downstream operators normally."""
+
+    def _run(batches):
+        for pdf in batches:
+            yield fn(pdf)
+
+    return df.mapInPandas(_run, schema=output_schema)
+
+
+def apply_pandas_column(
+    df: DataFrame,
+    fn,
+    output_col: str,
+    output_type: "FeatureType | str",
+) -> DataFrame:
+    """Append ONE pandas-computed column (``PandasTransform`` holder,
+    ``@transform_pandas`` decorator surface): ``fn`` gets the full
+    batch as a pandas DataFrame and returns a Series."""
+    from pyspark.sql.types import StructField, StructType
+
+    from aligned_spark.types import FeatureType as FT
+
+    ftype = FT(output_type) if isinstance(output_type, str) else output_type
+    spark_t = ftype.spark_type
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(output_col, spark_t, True)]
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[output_col] = fn(pdf)
+            yield pdf
+
+    return df.mapInPandas(_run, schema=out_schema)
 
 
 def stack(

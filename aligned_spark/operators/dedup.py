@@ -80,11 +80,16 @@ def minhash_from_shingles(shingles: Column, num_hashes: int = 32) -> Column:
     not the shingle expression itself — Spark does not CSE across the
     ``num_hashes`` sub-expressions, so an inline expression would
     re-tokenize the document ``num_hashes`` times."""
+
+    def _hasher(seed: int):
+        # closure factory, NOT `lambda s, i=i`: a two-parameter lambda
+        # is bound by PySpark's HOF layer as (element, array_index),
+        # silently replacing the seed with the position
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingles, _hasher(i)))
             for i in range(num_hashes)
         ]
     )
@@ -236,16 +241,20 @@ def simhash(text: Column, bits: int = 64, shingle_width: int = 3) -> Column:
     set vs unset; bit is 1 when set-count wins. 64 aggregate
     expressions over one shingle array — heavy codegen but zero
     Python and zero shuffle."""
-    shingles = word_shingles(text, shingle_width)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    n = F.size(hashes).cast("long")
+    shingles = shingle_hashes(text, shingle_width)
+    n = F.size(shingles).cast("long")
+
+    def _ones_counter(bit_idx: int):
+        # closure factory: a default-arg lambda (i=i) would have arity
+        # 3 and PySpark's HOF binder would misread it as (acc, x, idx)
+        return lambda acc, h: acc + F.shiftrightunsigned(h, bit_idx).bitwiseAND(
+            F.lit(1)
+        )
+
     bit_cols = []
     for i in range(bits):
         ones = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)),
+            shingles, F.lit(0).cast("long"), _ones_counter(i)
         )
         bit = (ones * 2 > n).cast("long")
         bit_cols.append(F.shiftleft(bit, i))

@@ -49,8 +49,13 @@ def compute_view(
     limit: int | None = None,
     between: tuple[dt.datetime, dt.datetime] | None = None,
     skip_aggregations: bool = False,
+    store: "Any" = None,
 ) -> DataFrame:
-    """Scan the view's source and compute requested features."""
+    """Scan the view's source and compute requested features.
+
+    ``store``: a ContractStore, required only when the view declares
+    cross-contract ``LoadFeatureRef`` features (they join other
+    views)."""
     request = RetrievalRequest.from_view(view)
     if features:
         request = request.with_features(features)
@@ -99,7 +104,24 @@ def compute_view(
 
     derived = request.needed_derived()
     if derived:
-        df = ops.derive(df, derived)
+        from aligned_spark.expr import LoadFeatureRef
+
+        cross = {
+            n: e for n, e in derived.items() if isinstance(e, LoadFeatureRef)
+        }
+        local = {n: e for n, e in derived.items() if n not in cross}
+        if local:
+            df = ops.derive(df, local)
+        if cross:
+            if store is None:
+                raise ValueError(
+                    f"view {view.name!r} has cross-contract features "
+                    f"{sorted(cross)} — query it through a ContractStore"
+                )
+            for n, e in cross.items():
+                df = store.load_feature(
+                    df, e.view, e.feature, e.entity_mapping, output_col=n
+                )
 
     aggregations = request.needed_aggregations()
     if aggregations and not agg_present and not skip_aggregations:
@@ -204,9 +226,15 @@ def _apply_aggregations(df: DataFrame, view: CompiledFeatureView, aggregations) 
 class FeatureViewQuery:
     """``view.query()`` handle (reference ``FeatureViewStore``)."""
 
-    def __init__(self, view: CompiledFeatureView, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        view: CompiledFeatureView,
+        spark: SparkSession | None = None,
+        store: Any = None,
+    ):
         self.view = view
         self.spark = _session(spark)
+        self.store = store
         self._features: set[str] | None = None
         self._filter: Any = None
 
@@ -219,13 +247,21 @@ class FeatureViewQuery:
         return self
 
     def all(self, limit: int | None = None) -> DataFrame:
-        df = compute_view(self.view, self.spark, self._features, limit=None)
+        df = compute_view(
+            self.view, self.spark, self._features, limit=None, store=self.store
+        )
         if self._filter is not None:
             df = ops.filter_rows(df, self._filter)
         return df.limit(limit) if limit else df
 
     def between_dates(self, start: dt.datetime, end: dt.datetime) -> DataFrame:
-        df = compute_view(self.view, self.spark, self._features, between=(start, end))
+        df = compute_view(
+            self.view,
+            self.spark,
+            self._features,
+            between=(start, end),
+            store=self.store,
+        )
         if self._filter is not None:
             df = ops.filter_rows(df, self._filter)
         return df

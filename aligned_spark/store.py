@@ -61,7 +61,7 @@ class ContractStore:
             self.views[model.compiled.output_view.name] = model.compiled.output_view
 
     def feature_view(self, name: str) -> FeatureViewQuery:
-        return FeatureViewQuery(self.views[name], self.spark)
+        return FeatureViewQuery(self.views[name], self.spark, store=self)
 
     # -- entity frames -------------------------------------------------------
     def _entities_df(self, entities: Any) -> DataFrame:
@@ -170,6 +170,7 @@ class ContractStore:
             )
             or None,
             skip_aggregations=True,
+            store=self,
         )
 
         out = facts
@@ -217,6 +218,90 @@ class ContractStore:
             out = ops.derive(out, derived_post)
         return out
 
+    # -- cross-contract lookup (`LoadFeature`, transformation.py:3028-3081) --
+    def load_feature(
+        self,
+        df: DataFrame,
+        view_name: str,
+        feature_name: str,
+        entity_mapping: Mapping[str, str] | None = None,
+        output_col: str | None = None,
+    ) -> DataFrame:
+        """Append ``view_name:feature_name`` to ``df`` using
+        ``entity_mapping`` (df column → view entity) as the join keys.
+
+        List-typed keys follow the reference's explode→join→ordered
+        re-aggregation (``transformation.py:3063-3070``): the output
+        is an array aligned with the input key array. Views with an
+        event timestamp contribute their latest row per entity."""
+        from pyspark.sql.types import ArrayType
+
+        view = self.views[view_name]
+        out_name = output_col or feature_name
+        feat = compute_view(
+            view, self.spark, features={feature_name}, store=self
+        )
+        if view.event_timestamp is not None:
+            feat = ops.unique_rows(
+                feat, view.entities, view.event_timestamp.name
+            )
+        feat = feat.select(
+            *view.entities, F.col(feature_name).alias(out_name)
+        )
+        mapping = dict(entity_mapping or {e: e for e in view.entities})
+
+        if len(mapping) == 1:
+            (fact_col, ent), = mapping.items()
+            if isinstance(df.schema[fact_col].dataType, ArrayType):
+                return self._load_feature_exploded(
+                    df, feat, fact_col, ent, out_name
+                )
+
+        joined = equi_join(
+            df,
+            feat,
+            left_on=list(mapping.keys()),
+            right_on=list(mapping.values()),
+            how="left",
+        )
+        extra = [
+            ent
+            for fact_col, ent in mapping.items()
+            if ent != fact_col and ent in joined.columns
+        ]
+        return joined.drop(*extra) if extra else joined
+
+    def _load_feature_exploded(
+        self,
+        df: DataFrame,
+        feat: DataFrame,
+        key_col: str,
+        ent: str,
+        out_name: str,
+    ) -> DataFrame:
+        """List-key path: posexplode the key array, join each element,
+        re-collect in the original element order."""
+        fact_cols = df.columns
+        exploded = df.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).select(
+            "*", F.posexplode_outer(F.col(key_col)).alias("__pos", "__key")
+        )
+        joined = equi_join(
+            exploded, feat, left_on=["__key"], right_on=[ent], how="left"
+        )
+        ordered_vals = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col(out_name)))
+            ),
+            lambda s: s.getField(out_name),
+        )
+        agged = joined.groupBy("__rid").agg(
+            *[F.first(F.col(c)).alias(c) for c in fact_cols],
+            ordered_vals.alias(out_name),
+        )
+        return agged.drop("__rid")
+
     # -- SQL entry point (§3.3) ---------------------------------------------
     def execute_sql(self, query: str) -> DataFrame:
         """Register every contract as a temp view and run Spark SQL —
@@ -227,7 +312,7 @@ class ContractStore:
 
     def register_views(self) -> None:
         for name, view in self.views.items():
-            compute_view(view, self.spark).createOrReplaceTempView(name)
+            compute_view(view, self.spark, store=self).createOrReplaceTempView(name)
 
     # -- ops / metadata -------------------------------------------------------
     def freshness_for(self, view_name: str) -> dt.datetime | None:
@@ -255,21 +340,21 @@ class ContractStore:
         view = self.views[view_name]
         if view.materialized_source is None:
             raise ValueError(f"view {view_name!r} has no materialized source")
-        df = compute_view(view, self.spark)
+        df = compute_view(view, self.spark, store=self)
         view.materialized_source.overwrite(df)
 
     def drop_invalid(self, view_name: str, df: DataFrame | None = None) -> DataFrame:
         from aligned_spark.constraints import drop_invalid as _drop
 
         view = self.views[view_name]
-        frame = df if df is not None else compute_view(view, self.spark)
+        frame = df if df is not None else compute_view(view, self.spark, store=self)
         return _drop(frame, view.constraints)
 
     def return_invalid(self, view_name: str, df: DataFrame | None = None) -> DataFrame:
         from aligned_spark.constraints import return_invalid as _ret
 
         view = self.views[view_name]
-        frame = df if df is not None else compute_view(view, self.spark)
+        frame = df if df is not None else compute_view(view, self.spark, store=self)
         return _ret(frame, view.constraints)
 
     def dummy_store(self, rows: int = 1000, seed: int = 42) -> "ContractStore":

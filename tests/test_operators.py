@@ -1,0 +1,321 @@
+"""Operator- and store-level tests, including the reference's golden
+point-in-time fixture (``/root/reference/conftest.py:726-847``) ported
+to this engine's contract DSL."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aligned_spark import expr as E
+from aligned_spark.contracts import (
+    Bool,
+    EventTimestamp,
+    Float64,
+    Int32,
+    Int64,
+    String,
+    feature_view,
+    load_feature,
+)
+from aligned_spark.operators import core as ops
+from aligned_spark.sources.in_memory import InMemorySource
+from aligned_spark.store import ContractStore
+
+T1 = dt.datetime(2020, 4, 26, 18, 1, 4, 746575)
+T2 = dt.datetime(2020, 4, 27, 18, 1, 4, 746575)
+
+
+@pytest.fixture()
+def pit_store(spark):
+    """The reference golden: credit_history (+agg view) and loan."""
+    ssns = ["19530219_5179", "19520816_8737", "19860413_2537"]
+    credit = InMemorySource.from_dict(
+        {
+            "dob_ssn": ssns * 2,
+            "event_timestamp": [T1] * 3 + [T2] * 3,
+            "credit_card_due": [8419, 2944, 833, 5936, 1575, 6263],
+            "student_loan_due": [22328, 2515, 33000, 48955, 9501, 35510],
+            "bankruptcies": [0, 0, 0, 0, 0, 0],
+        },
+        schema=(
+            "dob_ssn string, event_timestamp timestamp, "
+            "credit_card_due long, student_loan_due long, bankruptcies int"
+        ),
+    )
+    loan = InMemorySource.from_dict(
+        {
+            "loan_id": [10000, 10001, 10002] * 2,
+            "event_timestamp": [T1] * 3 + [T2] * 3,
+            "loan_status": [True, False, True, True, True, True],
+            "personal_income": [59000, 9600, 9600, 65500, 54400, 9900],
+            "loan_amount": [35000, 1000, 5500, 35000, 35000, 2500],
+        },
+        schema=(
+            "loan_id int, event_timestamp timestamp, loan_status boolean, "
+            "personal_income long, loan_amount long"
+        ),
+    )
+
+    @feature_view(name="credit_history", source=credit)
+    class CreditHistory:
+        dob_ssn = String().as_entity()
+        event_timestamp = EventTimestamp()
+        credit_card_due = Int64()
+        student_loan_due = Int64()
+
+        due_sum = credit_card_due + student_loan_due
+
+        bankruptcies = Int32()
+
+    @feature_view(name="credit_history_agg", source=credit)
+    class CreditHistoryAggregate:
+        dob_ssn = String().as_entity()
+        event_timestamp = EventTimestamp()
+        credit_card_due = Int64()
+
+        credit_sum = credit_card_due.aggregate().sum().over(days=7)
+
+    @feature_view(name="loan", source=loan)
+    class Loan:
+        loan_id = Int32().as_entity()
+        event_timestamp = EventTimestamp()
+        loan_status = Bool()
+        personal_income = Int64()
+        loan_amount = Int64()
+
+    store = ContractStore(spark)
+    store.add_view(CreditHistory)
+    store.add_view(CreditHistoryAggregate)
+    store.add_view(Loan)
+    return store
+
+
+def test_pit_golden(spark, pit_store):
+    """Reference ``point_in_time_data_test`` expected output,
+    reproduced value-for-value."""
+    entities = spark.createDataFrame(
+        [
+            ("19530219_5179", 10000, T1),
+            ("19520816_8737", 10001, T1),
+            ("19860413_2537", 10002, T2),
+        ],
+        "dob_ssn string, loan_id int, event_timestamp timestamp",
+    )
+    out = pit_store.features_for(
+        entities,
+        [
+            "credit_history:credit_card_due",
+            "credit_history:student_loan_due",
+            "credit_history:due_sum",
+            "credit_history_agg:credit_sum",
+            "loan:personal_income",
+        ],
+    )
+    rows = {r.dob_ssn: r for r in out.collect()}
+    assert len(rows) == 3
+
+    r1 = rows["19530219_5179"]
+    assert (r1.credit_card_due, r1.student_loan_due) == (8419, 22328)
+    assert r1.due_sum == 8419 + 22328
+    assert r1.credit_sum == 8419  # only the T1 row is in the 1-week window
+    assert r1.personal_income == 59000
+
+    r2 = rows["19520816_8737"]
+    assert (r2.credit_card_due, r2.due_sum) == (2944, 2944 + 2515)
+    assert r2.credit_sum == 2944
+    assert r2.personal_income == 9600
+
+    r3 = rows["19860413_2537"]  # fact at T2: both rows in window
+    assert (r3.credit_card_due, r3.student_loan_due) == (6263, 35510)
+    assert r3.due_sum == 6263 + 35510
+    assert r3.credit_sum == 833 + 6263
+    assert r3.personal_income == 9900
+
+
+def test_multi_expansion(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id int, v double")
+    multi = E.Multi(
+        steps=[
+            ("__tmp", E.Col("v") * 10.0),
+            ("out", E.Col("__tmp") + 1.0),
+        ]
+    )
+    assert multi.references() == {"v"}
+    out = ops.derive(df, {"final": multi})
+    rows = {r.id: r.final for r in out.collect()}
+    assert rows == {1: 21.0, 2: 31.0}
+    assert "__tmp" not in out.columns
+
+
+def test_apply_pandas(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id int, v double")
+
+    out = ops.apply_pandas_column(
+        df, lambda pdf: pdf["v"] * 2 + pdf["id"], "w", "float64"
+    )
+    rows = {r.id: r.w for r in out.collect()}
+    assert rows == {1: 5.0, 2: 8.0}
+
+    def frame_fn(pdf):
+        pdf = pdf.copy()
+        pdf["v"] = pdf["v"] ** 2
+        return pdf
+
+    out2 = ops.apply_pandas(df, frame_fn, "id int, v double")
+    assert {r.id: r.v for r in out2.collect()} == {1: 4.0, 2: 9.0}
+
+
+def test_load_feature_list_key(spark):
+    """The explode→join→ordered-re-collect path for array keys
+    (reference ``transformation.py:3063-3070``)."""
+
+    prices = InMemorySource.from_dict(
+        {"sku": [1, 2, 3], "price": [10.0, 20.0, 30.0]},
+        schema="sku long, price double",
+    )
+
+    @feature_view(name="prices", source=prices)
+    class Prices:
+        sku = Int64().as_entity()
+        price = Float64()
+
+    store = ContractStore(spark)
+    store.add_view(Prices)
+
+    basket = spark.createDataFrame(
+        [(1, [3, 1]), (2, [2, 99])], "basket_id long, skus array<long>"
+    )
+    out = store.load_feature(
+        basket, "prices", "price", {"skus": "sku"}, output_col="prices_list"
+    )
+    rows = {r.basket_id: r.prices_list for r in out.collect()}
+    assert rows[1] == [30.0, 10.0]  # order follows the key array
+    assert rows[2] == [20.0, None]  # missing key → null slot
+
+
+def test_load_feature_in_view(spark, pit_store):
+    """A view declaring a cross-contract feature resolves it through
+    the store."""
+    facts = InMemorySource.from_dict(
+        {"loan_id": [10000, 10001], "note": ["a", "b"]},
+        schema="loan_id int, note string",
+    )
+
+    @feature_view(name="loan_notes", source=facts)
+    class LoanNotes:
+        loan_id = Int32().as_entity()
+        note = String()
+        income = load_feature(
+            "loan:personal_income", {"loan_id": "loan_id"}
+        )
+
+    pit_store.add_view(LoanNotes)
+    out = pit_store.feature_view("loan_notes").all()
+    rows = {r.loan_id: r.income for r in out.collect()}
+    # loan has an event timestamp → latest row per entity wins
+    assert rows == {10000: 65500, 10001: 54400}
+
+
+def test_dedup_and_jaccard(spark):
+    from aligned_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+        ngram_jaccard,
+        simhash,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = text_a + " tail"
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_b), (4, "entirely different words here")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(docs, ["text"], order_col="doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
+    )
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide
+    assert not any({a, b} == {1, 4} or {a, b} == {2, 4} for a, b in got)
+
+    j = docs.filter(F.col("doc_id") == 1).select(
+        ngram_jaccard(F.lit(text_a), F.lit(text_a)).alias("same"),
+        ngram_jaccard(F.lit(text_a), F.lit("zzz")).alias("diff"),
+    ).collect()[0]
+    assert j.same == 1.0 and j.diff < 0.2
+
+    s = docs.select(simhash(F.col("text")).alias("h")).collect()
+    assert len({r.h for r in s}) >= 2  # identical texts share a simhash
+    h = {r.doc_id: None for r in docs.collect()}
+    del h
+
+
+def test_top_k_similar(spark):
+    from aligned_spark.operators.similarity import similar_pairs, top_k_similar
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.99, 0.14]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    top = top_k_similar(emb, emb, "vec_id", "embedding", k=1)
+    best = {r.query_id: r.neighbor_id for r in top.collect()}
+    assert best[1] == 2 and best[2] == 1
+
+    pairs = similar_pairs(emb, "vec_id", "embedding", threshold=0.9)
+    assert {(r.vec_id_a, r.vec_id_b) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_split_fractions(spark):
+    from aligned_spark.operators.splits import (
+        train_test_split,
+        train_test_validate_split,
+    )
+
+    df = spark.range(10_000).withColumn(
+        "cls", (F.col("id") % 4).cast("string")
+    )
+    train, test = train_test_split(df, 0.25, seed=1)
+    n_tr, n_te = train.count(), test.count()
+    assert n_tr + n_te == 10_000
+    assert abs(n_te / 10_000 - 0.25) < 0.02
+
+    tr, te, va = train_test_validate_split(
+        df, 0.2, 0.1, target="cls", seed=1
+    )
+    assert tr.count() + te.count() + va.count() == 10_000
+    # stratified: exact per-class fractions from percent_rank
+    per_cls = {
+        r.cls: r["count"] for r in te.groupBy("cls").count().collect()
+    }
+    for cls in ("0", "1", "2", "3"):
+        assert abs(per_cls[cls] - 500) <= 5
+
+
+def test_media_features(spark):
+    from aligned_spark.functions.multimodal import (
+        binary_metadata,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"abc")), (3, None)],
+        "id long, blob binary",
+    )
+    out = extract_media_features(df, "blob", "feat", size=4)
+    rows = {r.id: r.feat for r in out.collect()}
+    assert rows[1] == rows[2]  # deterministic: same bytes → same vector
+    assert rows[3] is None
+    assert len(rows[1]) == 4
+
+    meta = df.select("id", binary_metadata(F.col("blob")).alias("m")).collect()
+    m = {r.id: r.m for r in meta}
+    assert m[1].n_bytes == 3 and len(m[1].digest) == 32
