@@ -1,2 +1,20 @@
 """Structured Streaming port of the reference's micro-batch stream
-worker (SURVEY.md §2.9)."""
+worker (SURVEY.md §2.9): ``readStream`` → contract pipeline →
+watermarked windowed aggregation → ``foreachBatch`` upsert."""
+
+from aligned_spark.streaming.sources import KafkaStreamSource, RateStreamSource
+from aligned_spark.streaming.worker import (
+    StreamWorker,
+    stream_aggregate,
+    stream_job,
+    stream_source_df,
+)
+
+__all__ = [
+    "KafkaStreamSource",
+    "RateStreamSource",
+    "StreamWorker",
+    "stream_aggregate",
+    "stream_job",
+    "stream_source_df",
+]

@@ -1,0 +1,104 @@
+"""Structured Streaming worker tests (SURVEY §2.9 port) using the
+rate source — asserts the derive pipeline and the watermarked windowed
+aggregation produce correct per-window counts."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from aligned_spark.contracts import (
+    EventTimestamp,
+    Float64,
+    Int64,
+    feature_view,
+)
+from aligned_spark.sources.in_memory import InMemorySource
+from aligned_spark.store import ContractStore
+from aligned_spark.streaming import RateStreamSource, StreamWorker, stream_job
+
+
+def _rate_view():
+    """10 users; value = rate value; 10s event-time windows."""
+
+    def shape(df):
+        return df.select(
+            (F.col("value") % 10).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    stream = RateStreamSource(rows_per_second=200, row_fn=shape)
+
+    @feature_view(
+        name="rate_stats",
+        source=InMemorySource.from_dict(
+            {"user_id": [], "ts": [], "value": []},
+            schema="user_id long, ts timestamp, value double",
+        ),
+        stream_source=stream,
+    )
+    class RateStats:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+        doubled = value * 2.0
+
+        total = value.aggregate().sum().over(seconds=10)
+        n = value.aggregate().count().over(seconds=10)
+
+    return RateStats
+
+
+def test_stream_job_pipeline(spark):
+    """stream_job applies the contract pipeline to a static frame the
+    same way it would to micro-batches."""
+    view = _rate_view().compiled
+    df = spark.createDataFrame(
+        [(1, None, 2.5)], "user_id long, ts timestamp, value double"
+    )
+    out = stream_job(df, view)
+    row = out.collect()[0]
+    assert row.doubled == 5.0
+
+
+def test_stream_worker_windowed_counts(spark):
+    wrapper = _rate_view()
+    store = ContractStore(spark)
+    store.add_view(wrapper)
+
+    batches: list = []
+
+    def collect_sink(batch_df, batch_id):
+        batches.append(batch_df.collect())
+
+    ckpt = tempfile.mkdtemp(prefix="aligned_stream_ckpt_")
+    worker = StreamWorker(
+        store, "rate_stats", checkpoint_dir=ckpt,
+        trigger={"processingTime": "1 seconds"},
+    )
+    query = worker.start(sink=collect_sink)
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            rows = [r for batch in batches for r in batch]
+            if len(rows) >= 5:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+
+    rows = [r for batch in batches for r in batch]
+    assert rows, "stream produced no aggregated rows"
+    by_key = {}
+    for r in rows:
+        by_key[(r.user_id, r.ts)] = r  # later batches overwrite (update mode)
+    for r in by_key.values():
+        assert set(r.asDict()) == {"user_id", "ts", "total", "n"}
+        assert r.n >= 1
+        # rate source: value ≡ user_id (mod 10) → total is a sum of
+        # values congruent to user_id
+        assert r.total % 10 == (r.user_id * r.n) % 10
