@@ -1261,6 +1261,78 @@ def _store_sql(spark, sf_dir):
 
 
 @q(
+    "custom_agg_pandas",
+    """SELECT user_id,
+              COUNT(*) AS n,
+              SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       FROM events GROUP BY user_id""",
+)
+def _custom_agg_pandas(spark, sf_dir):
+    """Custom UDAF escape hatch (applyInPandas). Exact-integer sums so
+    the pandas-side result hash-matches SQL regardless of float
+    summation order."""
+    from aligned_spark.operators.aggregate import custom_aggregate
+
+    e = _t(spark, sf_dir, "events")
+
+    def agg(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "total_cents": [
+                    int((pdf["value"] * 100).round().astype("int64").sum())
+                ],
+            }
+        )
+
+    return custom_aggregate(
+        e.select("user_id", "value"),
+        ["user_id"],
+        agg,
+        "user_id long, n long, total_cents long",
+    )
+
+
+@q(
+    "model_predict_over",
+    f"""WITH facts AS ({_ASOF_FACTS_SQL})
+       SELECT f.user_id, f.ts AS event_timestamp, l.value,
+              l.value * 2.0 + 1.0 AS churn_prediction
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value FROM events e
+         WHERE e.user_id = f.user_id AND e.ts <= f.ts
+         ORDER BY e.ts DESC LIMIT 1
+       ) l ON TRUE""",
+)
+def _model_predict_over(spark, sf_dir):
+    """Entry point D (§3.4): features_for → exposed-model pandas UDF."""
+    from aligned_spark.contracts import model_contract
+    from aligned_spark.models import CodePredictor
+    from aligned_spark.store import ContractStore
+
+    @model_contract(
+        name="churn",
+        input_features=["ev:value"],
+        predictor=CodePredictor(lambda pdf: pdf["value"] * 2.0 + 1.0),
+    )
+    class Churn:
+        pass
+
+    store = ContractStore(spark)
+    store.add_view(_events_plain_view(sf_dir))
+    store.add_model(Churn)
+    e = _t(spark, sf_dir, "events")
+    facts = e.filter(F.col("event_id") % 37 == 0).select(
+        "user_id", F.col("ts").alias("event_timestamp")
+    )
+    return store.predict_over("churn", facts)
+
+
+@q(
     "constraints_drop_invalid",
     """SELECT event_id, value, event_type FROM events
        WHERE value >= 1.0 AND value <= 150.0

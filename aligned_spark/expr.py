@@ -606,11 +606,20 @@ class MapArgMax(Expr):
     """
 
     kind: ClassVar[str] = "map_arg_max"
-    column_mappings: list = field(default_factory=list)  # [(col_name, label), ...]
+    #: {col_name: label} or [(col_name, label), ...] (the reference's
+    #: ``column_mappings`` is a dict; a bare 2-char string would
+    #: otherwise unpack silently into two bogus names)
+    column_mappings: Any = field(default_factory=list)
+
+    def _pairs(self) -> list:
+        if isinstance(self.column_mappings, dict):
+            return list(self.column_mappings.items())
+        return list(self.column_mappings)
 
     def to_spark(self) -> Column:
-        if len(self.column_mappings) == 1:
-            col_name, label = self.column_mappings[0]
+        pairs = self._pairs()
+        if len(pairs) == 1:
+            col_name, label = pairs[0]
             return F.when(F.col(col_name) > 0.5, F.lit(label)).otherwise(F.lit(None))
         structs = [
             F.struct(
@@ -618,12 +627,12 @@ class MapArgMax(Expr):
                 F.lit(i).alias("i"),
                 F.lit(label).alias("label"),
             )
-            for i, (col_name, label) in enumerate(self.column_mappings)
+            for i, (col_name, label) in enumerate(pairs)
         ]
         return F.array_max(F.array(*structs)).getField("label")
 
     def references(self) -> set[str]:
-        return {c for c, _ in self.column_mappings}
+        return {c for c, _ in self._pairs()}
 
 
 @register

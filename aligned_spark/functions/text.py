@@ -2,8 +2,9 @@
 
 Everything here is built from ``pyspark.sql.functions`` primitives —
 regex, split, higher-order array functions — so the hot path stays in
-whole-stage codegen. These back the ``documents``-table operators in
-``aligned_spark.operators.text``.
+whole-stage codegen. These back the corpus operators in
+``aligned_spark.operators.dedup`` and
+``aligned_spark.operators.similarity``.
 """
 
 from __future__ import annotations

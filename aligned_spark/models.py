@@ -1,0 +1,155 @@
+"""Exposed-model layer: batch inference over Spark DataFrames.
+
+Reference: ``ExposedModel`` (``aligned/exposed_model/interface.py:134-148``)
+with mlflow (``exposed_model/mlflow.py``), partitioned routing
+(``exposed_model/partitioned.py``) and shadow deployments
+(``interface.py:148``). Spark-first: every predictor runs as an
+Arrow-batched pandas UDF (or ``mlflow.pyfunc.spark_udf``), so
+inference is data-parallel across executors with no driver loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ExposedModel:
+    """A model that can predict over a DataFrame's feature columns."""
+
+    def prediction_column(
+        self, df: DataFrame, feature_cols: list[str]
+    ) -> Column:
+        raise NotImplementedError
+
+    def predict(
+        self,
+        df: DataFrame,
+        feature_cols: list[str],
+        output_col: str = "prediction",
+    ) -> DataFrame:
+        return df.withColumn(
+            output_col, self.prediction_column(df, feature_cols)
+        )
+
+
+@dataclass
+class CodePredictor(ExposedModel):
+    """In-process python predictor (``DillPredictor:251`` /
+    ``CodePredictor:298``): ``fn(pandas.DataFrame) -> Series``,
+    executed as an Arrow-batched pandas UDF."""
+
+    fn: Callable
+    output_dtype: str = "double"
+
+    def prediction_column(self, df, feature_cols):
+        import pandas as pd
+
+        fn = self.fn
+        cols = list(feature_cols)
+
+        # no type hints: Spark's hint-based pandas_udf inference
+        # rejects *args signatures; the legacy (fn, returnType) form
+        # handles varargs fine
+        def _predict(*series):
+            pdf = pd.concat(series, axis=1)
+            pdf.columns = cols
+            return pd.Series(fn(pdf))
+
+        udf = F.pandas_udf(_predict, self.output_dtype)
+        return udf(*[F.col(c) for c in cols])
+
+
+@dataclass
+class MLFlowModel(ExposedModel):
+    """``mlflow.pyfunc.spark_udf`` wrapper (``exposed_model/mlflow.py``).
+
+    mlflow is not installed in this container; construction is cheap
+    and the import error surfaces only on use, with a clear message."""
+
+    model_uri: str
+    output_dtype: str = "double"
+
+    def prediction_column(self, df, feature_cols):
+        try:
+            import mlflow  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "mlflow is not installed; MLFlowModel needs the mlflow "
+                "package (pip install mlflow) on driver and executors"
+            ) from exc
+        from mlflow.pyfunc import spark_udf  # pragma: no cover
+
+        udf = spark_udf(
+            df.sparkSession, self.model_uri, result_type=self.output_dtype
+        )
+        return udf(*[F.col(c) for c in feature_cols])
+
+
+@dataclass
+class PartitionedModel(ExposedModel):
+    """Route rows to different models by a partition column
+    (``exposed_model/partitioned.py``): one ``when/otherwise`` chain
+    over the per-model prediction expressions — a single pass, no
+    per-model filtering or union, every branch Arrow-batched."""
+
+    partition_col: str
+    models: dict = field(default_factory=dict)  # value -> ExposedModel
+    default: ExposedModel | None = None
+
+    def prediction_column(self, df, feature_cols):
+        expr: Column | None = None
+        for value, model in self.models.items():
+            pred = model.prediction_column(df, feature_cols)
+            cond = F.col(self.partition_col) == F.lit(value)
+            expr = (
+                F.when(cond, pred)
+                if expr is None
+                else expr.when(cond, pred)
+            )
+        if expr is None:
+            raise ValueError("PartitionedModel has no models")
+        if self.default is not None:
+            return expr.otherwise(
+                self.default.prediction_column(df, feature_cols)
+            )
+        return expr
+
+
+@dataclass
+class ShadowModel(ExposedModel):
+    """Shadow deployment (``interface.py:148``): the primary model's
+    prediction is returned; the shadow's lands in a side column for
+    offline comparison."""
+
+    primary: ExposedModel
+    shadow: ExposedModel
+    shadow_col: str = "shadow_prediction"
+
+    def prediction_column(self, df, feature_cols):
+        return self.primary.prediction_column(df, feature_cols)
+
+    def predict(
+        self,
+        df: DataFrame,
+        feature_cols: list[str],
+        output_col: str = "prediction",
+    ) -> DataFrame:
+        out = df.withColumn(
+            output_col, self.primary.prediction_column(df, feature_cols)
+        )
+        return out.withColumn(
+            self.shadow_col, self.shadow.prediction_column(out, feature_cols)
+        )
+
+
+def as_exposed_model(obj: Any) -> ExposedModel:
+    """Coerce a bare callable into a CodePredictor."""
+    if isinstance(obj, ExposedModel):
+        return obj
+    if callable(obj):
+        return CodePredictor(obj)
+    raise TypeError(f"cannot expose {type(obj)} as a model")

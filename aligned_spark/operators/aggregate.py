@@ -126,6 +126,24 @@ class AggSpec:
         return out
 
 
+def custom_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    fn,
+    output_schema,
+) -> DataFrame:
+    """Custom aggregation escape hatch
+    (``polars_aggregation_using_features``,
+    ``aligned/compiler/feature_factory.py:731-757``): ``fn`` receives
+    each group as a pandas DataFrame and returns a (usually 1-row)
+    pandas DataFrame matching ``output_schema``.
+
+    ``applyInPandas``: one shuffle on the keys, Arrow-batched group
+    delivery. The whole group must fit in executor memory — for
+    unbounded groups prefer composing built-in aggregates."""
+    return df.groupBy(*keys).applyInPandas(fn, schema=output_schema)
+
+
 def group_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -376,23 +376,17 @@ class ContractStore:
     # -- model inference (§3.4) ---------------------------------------------
     def predict_over(self, model_name: str, entities: Any) -> DataFrame:
         """Batch inference: input features via ``features_for``, then
-        the model's predictor as an Arrow-batched pandas UDF."""
+        the model's exposed predictor (code / mlflow / partitioned /
+        shadow — all Arrow-batched, see :mod:`aligned_spark.models`)."""
+        from aligned_spark.models import as_exposed_model
+
         model = self.models[model_name]
         refs = [r.identifier() for r in model.input_references]
         inputs = self.features_for(entities, refs)
         if model.predictor is None:
             return inputs
-        import pandas as pd
-
+        exposed = as_exposed_model(model.predictor)
         feature_cols = [r.name for r in model.input_references]
-        predictor = model.predictor
-
-        @F.pandas_udf("double")
-        def _predict(*cols: pd.Series) -> pd.Series:
-            pdf = pd.concat(cols, axis=1)
-            pdf.columns = feature_cols
-            return pd.Series(predictor(pdf))
-
-        return inputs.withColumn(
-            f"{model_name}_prediction", _predict(*[F.col(c) for c in feature_cols])
+        return exposed.predict(
+            inputs, feature_cols, output_col=f"{model_name}_prediction"
         )
