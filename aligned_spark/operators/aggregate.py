@@ -172,19 +172,22 @@ def rolling_aggregate(
     ``median``/``percentile`` (exact) are not supported by Spark over
     a moving frame; exact forms raise, approx percentile works.
     """
+    # materialize the order key ONCE: identical window specs fuse into
+    # a single Window operator with ONE sort; a fresh unix_micros(...)
+    # per agg would plan one Sort+Window pair per aggregation
+    out = df.withColumn("__ord", F.unix_micros(F.col(ts)))
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts)))
+        .orderBy(F.col("__ord"))
         .rangeBetween(-int(window_seconds * 1_000_000), 0)
     )
-    out = df
     for a in aggs:
         if a.kind == "count_distinct" and not approx:
             # exact distinct over a moving frame: collect_set size
             out = out.withColumn(a.name, F.size(F.array_distinct(F.collect_list(a._source()).over(w))))
             continue
         out = out.withColumn(a.name, a.to_raw_agg(approx=approx).over(w))
-    return out
+    return out.drop("__ord")
 
 
 def hopping_aggregate(
@@ -290,7 +293,9 @@ def pit_window_aggregate(
     # ordering. The frame includes every tie of the current micros
     # value, which is exactly the `feature_ts <= fact_ts` bound — a
     # feature row stamped at the fact's own timestamp is in-window.
-    base = W.partitionBy(*entities).orderBy(F.unix_micros(F.col("__t")))
+    # Materialized once so every agg shares ONE Window operator/sort.
+    unioned = unioned.withColumn("__ord", F.unix_micros(F.col("__t")))
+    base = W.partitionBy(*entities).orderBy(F.col("__ord"))
     if window_seconds is None:
         w = base.rangeBetween(W.unboundedPreceding, 0)
     else:

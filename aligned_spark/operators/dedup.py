@@ -170,8 +170,16 @@ def minhash_near_dup_pairs(
     With ``jaccard_threshold`` each candidate is verified with the
     exact shingle-set Jaccard (only candidates pay this — the
     verification join carries shingle arrays for the candidate set,
-    not the full corpus)."""
+    not the full corpus).
+
+    The banded frame is persisted (MEMORY_AND_DISK): both sides of
+    the self-join read it, and without persistence Spark would run
+    the tokenize+hash pass twice. At corpus scale the banded frame is
+    tiny relative to the corpus (id + 2 longs × bands)."""
+    from pyspark.storagelevel import StorageLevel
+
     banded = _band_rows(df, id_col, text_col, num_hashes, bands, shingle_width)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(
         F.col(id_col).alias(f"{id_col}_a"), "band_id", "band_hash"
     )
