@@ -1534,6 +1534,266 @@ def _splits_train(spark, sf_dir):
 
 
 # ===========================================================================
+# round-2 widening: view paths, hopping offset, text/similarity extras
+# ===========================================================================
+
+
+@q(
+    "view_between_dates",
+    """SELECT user_id, ts, value, event_type FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'""",
+)
+def _view_between_dates(spark, sf_dir):
+    view = _events_plain_view(sf_dir)
+    out = view.query(spark).between_dates(
+        dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    )
+    return out.select("user_id", "ts", "value", "event_type")
+
+
+@q(
+    "view_unique_entities",
+    """SELECT user_id, ts, value, event_type FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1""",
+)
+def _view_unique_entities(spark, sf_dir):
+    view = _events_plain_view(sf_dir)
+    out = view.query(spark).unique_entities()
+    return out.select("user_id", "ts", "value", "event_type")
+
+
+@q(
+    "view_materialized_fast_path",
+    """SELECT user_id, ts, value FROM events
+       WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-25'""",
+)
+def _view_materialized_fast_path(spark, sf_dir):
+    """materialize() then serve between_dates from the materialized
+    parquet (the fast path + its between filter)."""
+    import tempfile
+
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+    )
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    tmp = tempfile.mkdtemp(prefix="aligned_mat_")
+
+    @feature_view(
+        name="ev_mat",
+        source=FileSource.parquet(f"{sf_dir}/events.parquet"),
+        materialized_source=FileSource.parquet(f"{tmp}/ev_mat.parquet"),
+    )
+    class EvMat:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+    store = ContractStore(spark)
+    store.add_view(EvMat)
+    store.materialize("ev_mat")
+    out = store.feature_view("ev_mat").between_dates(
+        dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 25)
+    )
+    return out.select("user_id", "ts", "value")
+
+
+@q(
+    "agg_hopping_offset",
+    """SELECT user_id,
+              time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY
+                + INTERVAL 1 HOUR AS ts,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_1d
+       FROM events GROUP BY user_id, time_bucket(INTERVAL 1 DAY, ts)""",
+)
+def _agg_hopping_offset(spark, sf_dir):
+    from aligned_spark.operators.aggregate import AggSpec, hopping_aggregate
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = hopping_aggregate(
+        e,
+        ["user_id"],
+        "ts",
+        every_seconds=86400,
+        period_seconds=86400,
+        aggs=[AggSpec("sum_1d", "sum", F.col("value").cast("decimal(18,4)"))],
+        offset_seconds=3600,
+    )
+    return out.withColumn("sum_1d", F.col("sum_1d").cast("double"))
+
+
+_O_NGRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(length(lower({c})) - 2, 1)), "
+    "i -> substring(lower({c}), i, 3)))"
+)
+
+
+@q(
+    "text_ngram_jaccard",
+    f"""SELECT a.doc_id,
+              {_O_R6.format(c=f'''(
+                 len(list_intersect({_O_NGRAMS.format(c='a.text')},
+                                    {_O_NGRAMS.format(c='b.text')}))
+                 / CAST(len({_O_NGRAMS.format(c='a.text')})
+                        + len({_O_NGRAMS.format(c='b.text')})
+                        - len(list_intersect({_O_NGRAMS.format(c='a.text')},
+                                             {_O_NGRAMS.format(c='b.text')}))
+                   AS DOUBLE))''')} AS jac
+       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       WHERE a.doc_id < 100""",
+)
+def _text_ngram_jaccard(spark, sf_dir):
+    from aligned_spark.operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id"), F.col("text").alias("__ta")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__tb"))
+    joined = a.join(b, on="doc_id")
+    return joined.select(
+        "doc_id",
+        _r6(ngram_jaccard(F.col("__ta"), F.col("__tb"), 3)).alias("jac"),
+    )
+
+
+@q("dedup_simhash")  # xxhash-based signature — rows-only
+def _dedup_simhash(spark, sf_dir):
+    from aligned_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", simhash(F.col("text")).alias("sig"))
+
+
+@q("sim_lsh_pairs")  # random hyperplanes — rows-only
+def _sim_lsh_pairs(spark, sf_dir):
+    from aligned_spark.operators.similarity import lsh_bucketed_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    # this synthetic table's max pairwise cosine is ~0.51: few planes
+    # (higher bucket recall), moderate threshold
+    pairs = lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", dim=dim, threshold=0.35,
+        num_planes=6, num_tables=4,
+    )
+    return pairs.select("vec_id_a", "vec_id_b")
+
+
+@q("embed_fake_text")  # hash-based fake embedding — rows-only
+def _embed_fake_text(spark, sf_dir):
+    from aligned_spark.functions.embeddings import (
+        array_norm,
+        fake_text_embedding,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    emb = fake_text_embedding(F.col("text"), 16)
+    return d.select(
+        "doc_id", F.size(emb).alias("dim"), array_norm(emb).alias("norm")
+    )
+
+
+@q(
+    "encode_dates",
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+       FROM events WHERE event_id < 1000""",
+)
+def _encode_dates(spark, sf_dir):
+    from aligned_spark.operators import core as ops
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    out = ops.encode_dates(
+        e.select("event_id", "ts"), ["ts"], fmt="yyyy-MM-dd HH:mm:ss"
+    )
+    return out
+
+
+@q(
+    "combine_two_views",
+    f"""WITH facts AS ({_FACT_GRID_SQL})
+       SELECT f.user_id, f.fts AS event_timestamp,
+              l.value, l.event_type,
+              {_O_R6.format(c='w.credit_sum_7d')} AS credit_sum_7d
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = f.user_id AND e.ts <= f.fts
+         ORDER BY e.ts DESC LIMIT 1
+       ) l ON TRUE
+       LEFT JOIN (
+         SELECT f2.user_id, f2.fts, SUM(e.value) AS credit_sum_7d
+         FROM facts f2
+         LEFT JOIN events e ON e.user_id = f2.user_id
+           AND e.ts <= f2.fts AND e.ts >= f2.fts - INTERVAL 7 DAYS
+         GROUP BY f2.user_id, f2.fts
+       ) w ON w.user_id = f.user_id AND w.fts = f.fts""",
+)
+def _combine_two_views(spark, sf_dir):
+    """features_for spanning two views in one request (the
+    CombineFactual path: PIT join + PIT-window agg + entity combine)."""
+    from aligned_spark.store import ContractStore
+
+    store = ContractStore(spark)
+    store.add_view(_events_plain_view(sf_dir))
+    store.add_view(_events_windowed_view(sf_dir))
+    facts = _fact_grid(spark, sf_dir).withColumnRenamed("fts", "event_timestamp")
+    out = store.features_for(
+        facts, ["ev:value", "ev:event_type", "evw:credit_sum_7d"]
+    )
+    return out.select(
+        "user_id",
+        "event_timestamp",
+        "value",
+        "event_type",
+        _r6(F.col("credit_sum_7d")).alias("credit_sum_7d"),
+    )
+
+
+@q(
+    "splits_temporal",
+    """SELECT event_id, user_id, ts FROM events
+       QUALIFY percent_rank() OVER (ORDER BY ts) < 0.8""",
+)
+def _splits_temporal(spark, sf_dir):
+    from aligned_spark.operators.splits import train_test_split
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    train, _test = train_test_split(e, 0.2, event_timestamp="ts")
+    return train
+
+
+@q(
+    "source_partitioned_parquet",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def _source_partitioned_parquet(spark, sf_dir):
+    import tempfile
+
+    from aligned_spark.sources.file import FileSource
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="aligned_part_")
+    src = FileSource.partitioned_parquet(
+        f"{tmp}/orders_part", partition_keys=["o_orderstatus"]
+    )
+    src.insert(o)
+    back = src.read(spark)
+    return back.select(
+        "o_orderkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 

@@ -43,18 +43,33 @@ def fake_text_embedding(text: Column, size: int = 16) -> Column:
     real model (sentence-transformers / API client) in production; the
     column contract (string → array<float>) is identical.
     """
+    from aligned_spark.functions.text import _sliding_zip
+
     lowered = F.lower(F.coalesce(text, F.lit("")))
-    n = F.length(lowered)
-    # character 3-shingles via a sequence of start offsets + substr
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
-    shingles = F.transform(idx, lambda i: lowered.substr(i, F.lit(3)))
-    buckets = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(size)))
-    counts = F.array(
-        *[
-            F.size(F.filter(buckets, lambda b, k=k: b == F.lit(k))).cast("double")
-            for k in range(size)
-        ]
+    # char array once; sliding windows via arrays_zip (a substr inside
+    # a transform lambda would re-evaluate `lowered` per element, and
+    # one filter per bucket would re-run the whole pipeline per bucket
+    # — the two HOF traps documented in PERF.md)
+    chars = F.filter(F.split(lowered, ""), lambda c: F.length(c) > 0)
+    windows = _sliding_zip(chars, 3)
+    buckets = F.transform(
+        windows,
+        lambda s: F.pmod(
+            F.xxhash64(s.getField("0"), s.getField("1"), s.getField("2")),
+            F.lit(size),
+        ),
     )
+    # single pass: fold the bucket stream into a count vector
+    init = F.array_repeat(F.lit(0.0), size)
+
+    def bump(acc, b):
+        return F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(i.cast("long") == b, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+
+    counts = F.aggregate(buckets, init, bump)
     norm = F.sqrt(
         F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
     )

@@ -61,10 +61,19 @@ def compute_view(
         request = request.with_features(features)
 
     source = view.materialized_source or view.source
+    df = None
     if view.materialized_source is not None:
         # materialization reuse (`feature_view.py:806`): if every
-        # requested column already exists there, serve it directly
-        df = source.read(spark)
+        # requested column already exists there, serve it directly.
+        # A missing/not-yet-written materialization falls back to the
+        # base source (also how `store.materialize` computes the frame
+        # it is about to write).
+        try:
+            df = source.read(spark)
+        except Exception:
+            df = None
+            source = view.source
+    if view.materialized_source is not None and df is not None:
         wanted = request.features_to_include or set(view.all_feature_names())
         if wanted <= set(df.columns):
             # entities may already be inside `wanted` — dedupe

@@ -340,7 +340,13 @@ class ContractStore:
         view = self.views[view_name]
         if view.materialized_source is None:
             raise ValueError(f"view {view_name!r} has no materialized source")
-        df = compute_view(view, self.spark, store=self)
+        import copy as _copy
+
+        # compute from the BASE source — serving the stale
+        # materialization here would make refresh a no-op
+        base_view = _copy.copy(view)
+        base_view.materialized_source = None
+        df = compute_view(base_view, self.spark, store=self)
         view.materialized_source.overwrite(df)
 
     def drop_invalid(self, view_name: str, df: DataFrame | None = None) -> DataFrame:
