@@ -1,0 +1,116 @@
+"""Contract checks, lineage, and dataset registry tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+from aligned_spark.checks import (
+    check_all,
+    check_model_features,
+    check_view_schema,
+    lineage,
+)
+from aligned_spark.contracts import (
+    Float64,
+    Int64,
+    String,
+    feature_view,
+    load_feature,
+    model_contract,
+)
+from aligned_spark.datasets import DatasetStore
+from aligned_spark.sources.in_memory import InMemorySource
+from aligned_spark.store import ContractStore
+
+
+def _store(spark):
+    src = InMemorySource.from_dict(
+        {"uid": [1, 2], "x": [1.0, 2.0], "label": ["a", "b"]},
+        schema="uid long, x double, label string",
+    )
+
+    @feature_view(name="base", source=src)
+    class Base:
+        uid = Int64().as_entity()
+        x = Float64()
+        label = String()
+
+    @feature_view(name="downstream", source=src)
+    class Downstream:
+        uid = Int64().as_entity()
+        x = Float64()
+        borrowed = load_feature("base:x", {"uid": "uid"})
+
+    @model_contract(name="m_ok", input_features=["base:x"])
+    class MOk:
+        pass
+
+    @model_contract(name="m_bad", input_features=["base:nope", "ghost:x"])
+    class MBad:
+        pass
+
+    store = ContractStore(spark)
+    store.add_view(Base)
+    store.add_view(Downstream)
+    store.add_model(MOk)
+    store.add_model(MBad)
+    return store
+
+
+def test_model_feature_checks(spark):
+    store = _store(spark)
+    assert check_model_features(store, "m_ok").is_ok
+    bad = check_model_features(store, "m_bad")
+    assert not bad.is_ok
+    assert set(bad.missing_features) == {"base:nope", "ghost:x"}
+    assert "missing features" in bad.as_markdown()
+
+
+def test_view_schema_check(spark):
+    store = _store(spark)
+    assert check_view_schema(store, "base").is_ok
+
+    # a contract declaring a column the source lacks → drift
+    src = InMemorySource.from_dict({"uid": [1]}, schema="uid long")
+
+    @feature_view(name="drifty", source=src)
+    class Drifty:
+        uid = Int64().as_entity()
+        absent = Float64()
+
+    store.add_view(Drifty)
+    drift = check_view_schema(store, "drifty")
+    assert drift.missing_columns == ["absent"]
+    report = check_all(store)
+    assert "drifty" in report and "m_bad" in report
+
+
+def test_lineage(spark):
+    store = _store(spark)
+    deps = lineage(store)
+    assert "view:base" in deps["model:m_ok"]
+    assert "view:base" in deps["view:downstream"]  # via LoadFeatureRef
+
+
+def test_dataset_registry(spark):
+    tmp = tempfile.mkdtemp(prefix="aligned_ds_")
+    registry = DatasetStore(f"{tmp}/registry.json")
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).withColumn("y", F.lit(1.0))
+    meta = registry.store_train_test(
+        "exp1", tmp, df, test_fraction=0.2, seed=3
+    )
+    assert meta.train.row_count + meta.test.row_count == 1000
+    assert abs(meta.test.row_count - 200) < 40
+
+    listed = {m.id for m in registry.list_datasets()}
+    assert listed == {"exp1/train", "exp1/test"}
+
+    back = registry.load(spark, "exp1/train")
+    assert back.count() == meta.train.row_count
+
+    # idempotent re-register
+    meta2 = registry.store_train_test("exp1", tmp, df, test_fraction=0.2, seed=3)
+    assert meta2.train.row_count == meta.train.row_count
+    assert len(registry.list_datasets()) == 2
