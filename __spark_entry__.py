@@ -1793,6 +1793,62 @@ def _source_partitioned_parquet(spark, sf_dir):
     )
 
 
+@q(
+    "vector_index_nearest",
+    f"""WITH pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                {_cosine_oracle('a.embedding', 'b.embedding')} AS raw_sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 10
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id, raw_sim,
+                row_number() OVER (
+                  PARTITION BY query_id ORDER BY raw_sim DESC, neighbor_id
+                ) AS rk
+         FROM pairs
+       )
+       SELECT query_id, neighbor_id,
+              {_O_R6.format(c='raw_sim')} AS sim
+       FROM ranked WHERE rk <= 5""",
+)
+def _vector_index_nearest(spark, sf_dir):
+    """Persisted vector index (write-time LSH bucketing) queried on the
+    exact path — ground truth vs the brute-force oracle."""
+    import tempfile
+
+    from aligned_spark.sources.vector_index import VectorIndexSource
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    tmp = tempfile.mkdtemp(prefix="aligned_vix_")
+    vix = VectorIndexSource(
+        path=f"{tmp}/index", id_col="vec_id", vector_col="embedding", dim=dim
+    )
+    vix.overwrite(emb.select("vec_id", "embedding"))
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    out = vix.nearest_n(queries, n=5, exact=True)
+    return out.select("query_id", "neighbor_id", _r6(F.col("sim")).alias("sim"))
+
+
+@q("vector_index_lsh")  # bucket-pruned path — recall depends on planes
+def _vector_index_lsh(spark, sf_dir):
+    import tempfile
+
+    from aligned_spark.sources.vector_index import VectorIndexSource
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    tmp = tempfile.mkdtemp(prefix="aligned_vixl_")
+    vix = VectorIndexSource(
+        path=f"{tmp}/index", id_col="vec_id", vector_col="embedding",
+        dim=dim, num_planes=6, num_tables=4,
+    )
+    vix.overwrite(emb.select("vec_id", "embedding"))
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    return vix.nearest_n(queries, n=5, exact=False)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

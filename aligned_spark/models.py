@@ -146,6 +146,39 @@ class ShadowModel(ExposedModel):
         )
 
 
+@dataclass
+class ApiModel(ExposedModel):
+    """API-backed generate/embed predictor (reference ollama/openai
+    exposed models, ``exposed_model/ollama.py:29,262``,
+    ``exposed_model/openai.py:207,322``).
+
+    The transport is injectable: ``client(prompts: list[str]) ->
+    list[...]`` is called once per Arrow batch inside a pandas UDF —
+    batched, rate-limitable, executor-parallel; never one HTTP call
+    per row. No client configured → a deterministic fake so pipelines
+    are testable offline (this container has no network)."""
+
+    prompt_col: str = "prompt"
+    client: Callable | None = None
+    output_dtype: str = "string"
+
+    def prediction_column(self, df, feature_cols):
+        import pandas as pd
+
+        client = self.client
+
+        def _fake(prompts):
+            return [f"echo:{p[:32]}" for p in prompts]
+
+        call = client if client is not None else _fake
+
+        def _predict(series):
+            return pd.Series(call(series.astype(str).tolist()))
+
+        udf = F.pandas_udf(_predict, self.output_dtype)
+        return udf(F.col(feature_cols[0]))
+
+
 def as_exposed_model(obj: Any) -> ExposedModel:
     """Coerce a bare callable into a CodePredictor."""
     if isinstance(obj, ExposedModel):

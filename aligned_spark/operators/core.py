@@ -263,6 +263,37 @@ def stack(
     return out
 
 
+def cached(df: DataFrame) -> DataFrame:
+    """In-memory(+disk) cache (``InMemoryCacheJob``,
+    ``retrieval_job.py:1683``)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def file_cached(df: DataFrame, source, spark=None) -> DataFrame:
+    """Parquet spill-cache (``FileCachedJob``,
+    ``retrieval_job.py:2775``): read the checkpoint if it exists, else
+    compute, write, and read back — cutting the upstream lineage for
+    downstream plans."""
+    spark = spark or df.sparkSession
+    try:
+        return source.read(spark)
+    except Exception:
+        source.overwrite(df)
+        return source.read(spark)
+
+
+def logged(df: DataFrame, log_fn=print, label: str = "") -> DataFrame:
+    """Diagnostics pass-through (``LogJob``, ``retrieval_job.py:2193``):
+    logs the schema and the optimized plan WITHOUT triggering a job —
+    a count here would add a full extra action at 100 TB."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    log_fn(f"[{label}] schema: {df.schema.simpleString()}")
+    log_fn(f"[{label}] plan:\n{plan}")
+    return df
+
+
 def with_loaded_at(df: DataFrame, column: str = "loaded_at") -> DataFrame:
     """Append a load-timestamp column (``LoadedAtSource``,
     ``batch_data_source.py:1289``; ``LoadedAtJob`` ``retrieval_job.py:2733``)."""

@@ -1,0 +1,91 @@
+"""Vector index source tests: update (write-time bucketing),
+nearest_n exact vs LSH recall, HttpCsvSource with injected transport,
+ApiModel batch plumbing."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from aligned_spark.models import ApiModel
+from aligned_spark.sources.http import HttpCsvSource
+from aligned_spark.sources.vector_index import VectorIndexSource
+
+
+def _unit(deg: float) -> list[float]:
+    import math
+
+    return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+
+def test_vector_index_roundtrip(spark):
+    tmp = tempfile.mkdtemp(prefix="aligned_vix_")
+    vix = VectorIndexSource(
+        path=f"{tmp}/index", id_col="vid", vector_col="vec", dim=2,
+        num_planes=4, num_tables=2,
+    )
+    base = spark.createDataFrame(
+        [(i, _unit(i * 10.0)) for i in range(18)],
+        "vid long, vec array<double>",
+    )
+    vix.overwrite(base)
+
+    # update path: upsert a changed row + a new row
+    vix.update(
+        spark.createDataFrame(
+            [(0, _unit(5.0)), (99, _unit(7.0))], "vid long, vec array<double>"
+        )
+    )
+    stored = vix.read(spark)
+    assert stored.count() == 19
+    assert {c for c in stored.columns if c.startswith("__bucket_")} == {
+        "__bucket_0",
+        "__bucket_1",
+    }
+
+    queries = spark.createDataFrame(
+        [(1000, _unit(6.0))], "vid long, vec array<double>"
+    )
+    exact = vix.nearest_n(queries, n=3, exact=True)
+    rows = exact.orderBy(F.desc("sim"), "neighbor_id").collect()
+    # 5° and 7° are both 1° away from the 6° query (cosine tie →
+    # neighbor_id ascending), then vid=1 at 10°
+    assert [r.neighbor_id for r in rows] == [0, 99, 1]
+
+    # LSH path: candidates pruned by bucket; nearest angle must survive
+    approx = vix.nearest_n(queries, n=3, exact=False)
+    got = {r.neighbor_id for r in approx.collect()}
+    assert 99 in got
+
+
+def test_http_csv_injected_transport(spark):
+    src = HttpCsvSource(
+        url="https://example.invalid/data.csv",
+        fetch=lambda url: b"a,b\n1,x\n2,y\n",
+    )
+    df = src.read(spark)
+    assert {tuple(r) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_api_model_batched(spark):
+    calls: list[int] = []
+
+    def client(prompts):
+        calls.append(len(prompts))
+        return [p.upper() for p in prompts]
+
+    df = spark.createDataFrame(
+        [("hello",), ("world",)], "prompt string"
+    ).coalesce(1)
+    m = ApiModel(client=client)
+    out = m.predict(df, ["prompt"], output_col="completion")
+    got = {r.prompt: r.completion for r in out.collect()}
+    assert got == {"hello": "HELLO", "world": "WORLD"}
+
+    # offline default: deterministic fake, no network
+    fake = ApiModel().predict(df, ["prompt"], output_col="completion")
+    assert {r.completion for r in fake.collect()} == {
+        "echo:hello",
+        "echo:world",
+    }
