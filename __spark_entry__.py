@@ -1794,6 +1794,54 @@ def _source_partitioned_parquet(spark, sf_dir):
 
 
 @q(
+    "setop_intersect_except",
+    """SELECT c_mktsegment, COUNT(*) AS n FROM (
+         SELECT c_mktsegment FROM customer WHERE c_acctbal > 0
+         INTERSECT
+         SELECT c_mktsegment FROM customer WHERE c_nationkey < 10
+       ) GROUP BY c_mktsegment
+       UNION ALL
+       SELECT 'EXCEPT_ROWS' AS c_mktsegment,
+              (SELECT COUNT(*) FROM (
+                 SELECT c_custkey FROM customer
+                 EXCEPT ALL
+                 SELECT c_custkey FROM customer WHERE c_acctbal > 0
+              )) AS n""",
+)
+def _setop_intersect_except(spark, sf_dir):
+    from aligned_spark.operators import core as ops
+
+    c = _t(spark, sf_dir, "customer")
+    inter = ops.intersect(
+        c.filter(F.col("c_acctbal") > 0).select("c_mktsegment"),
+        c.filter(F.col("c_nationkey") < 10).select("c_mktsegment"),
+    )
+    part1 = inter.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    diff = ops.except_all(
+        c.select("c_custkey"),
+        c.filter(F.col("c_acctbal") > 0).select("c_custkey"),
+    )
+    part2 = diff.agg(
+        F.lit("EXCEPT_ROWS").alias("c_mktsegment"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return part1.unionByName(part2)
+
+
+@q("dummy_store_random")  # constraint-driven synthetic rows — rows-only
+def _dummy_store_random(spark, sf_dir):
+    """dummy_store swaps every source for constraint-driven random
+    data (``feature_store.py:300-330``) — the test fixture generator."""
+    from aligned_spark.store import ContractStore
+
+    store = ContractStore(spark)
+    store.add_view(_events_windowed_view(sf_dir))
+    dummy = store.dummy_store(rows=500, seed=7)
+    out = dummy.feature_view("evw").all()
+    return out.select("user_id", "ts", "value", "sum_7d" if "sum_7d" in out.columns else "credit_sum_7d")
+
+
+@q(
     "vector_index_nearest",
     f"""WITH pairs AS (
          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -263,6 +263,18 @@ def stack(
     return out
 
 
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set intersection (absent in the reference — SURVEY §2.6 notes
+    Spark gives it free; exposed for API completeness)."""
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset difference (``exceptAll``) — bag semantics, keeps
+    duplicate multiplicity."""
+    return a.exceptAll(b)
+
+
 def cached(df: DataFrame) -> DataFrame:
     """In-memory(+disk) cache (``InMemoryCacheJob``,
     ``retrieval_job.py:1683``)."""
