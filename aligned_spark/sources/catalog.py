@@ -35,15 +35,21 @@ class TableSource(WritableSource):
             return
         current = spark.table(self.identifier)
         kept = current.join(df.select(*keys).distinct(), on=keys, how="left_anti")
-        kept.unionByName(df, allowMissingColumns=True).write.mode(
-            "overwrite"
-        ).saveAsTable(self.identifier)
+        merged = kept.unionByName(df, allowMissingColumns=True)
+        # Spark refuses to overwrite a table its own plan reads
+        # (UNSUPPORTED_OVERWRITE); checkpoint cuts the lineage. On a
+        # real lakehouse use Delta/Iceberg MERGE instead — this
+        # read-modify-write is the plain-catalog fallback.
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            self.identifier
+        )
 
     def overwrite(self, df: DataFrame, predicate=None) -> None:
-        if predicate is not None:
-            spark = df.sparkSession
+        spark = df.sparkSession
+        if predicate is not None and spark.catalog.tableExists(self.identifier):
             current = spark.table(self.identifier).filter(~predicate)
             df = current.unionByName(df, allowMissingColumns=True)
+            df = df.localCheckpoint(eager=True)
         df.write.mode("overwrite").saveAsTable(self.identifier)
 
     def freshness(self, spark: SparkSession, event_timestamp: str):
