@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 from aligned_spark.sources.base import WritableSource
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Runtime-settable session confs the engine's semantics assume —
+    safe to re-apply on sessions not built by ``get_spark``."""
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # conf locked down (e.g. shared cluster) — proceed
+
+
 def _nano_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — read the footer of
     one file driver-side (cheap: metadata only, no data scan)."""
@@ -59,7 +73,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     columns arrive as long nanos; we cast back to a proper timestamp
     truncated to micros (integer ``div`` — a double roundtrip would
     lose sub-µs precision), which is exactly what DuckDB/Polars do
-    when reading the same files."""
+    when reading the same files.
+
+    The confs are (re)asserted here at runtime: callers may hand us a
+    session built without :func:`aligned_spark.session.get_spark`
+    (e.g. an external harness). NANOS scans hard-fail without the
+    legacy conf; UTC + non-ANSI are this engine's documented semantics
+    (SURVEY §1.2: tz-naive-UTC timestamps, invalid cast → null)."""
+    ensure_engine_confs(spark)
     df = spark.read.parquet(path)
     for c in _nano_timestamp_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
