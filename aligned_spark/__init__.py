@@ -22,16 +22,17 @@ Public surface (see SURVEY.md for the reference parity map):
 
 from aligned_spark.session import get_spark, stop_spark
 from aligned_spark.types import FeatureType
-from aligned_spark.contracts import feature_view, model_contract
+from aligned_spark.contracts import feature_view, load_feature, model_contract
 from aligned_spark.store import ContractStore
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "get_spark",
     "stop_spark",
     "FeatureType",
     "feature_view",
+    "load_feature",
     "model_contract",
     "ContractStore",
 ]
