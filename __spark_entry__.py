@@ -73,10 +73,12 @@ def _r2(col: Column) -> Column:
     )
 
 
-# Oracle-side helpers (DuckDB SQL snippets)
+# Oracle-side helpers (DuckDB SQL snippets). The interpolated
+# expression is parenthesized — `{c} * 1e6` would otherwise bind only
+# the last term of a composite `a + b + c` expression.
 _O_DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
-_O_R6 = "floor({c} * 1e6 + 0.5 + 1e-9) / 1e6"
-_O_R2 = "floor({c} * 1e2 + 0.5 + 1e-9) / 1e2"
+_O_R6 = "floor(({c}) * 1e6 + 0.5 + 1e-9) / 1e6"
+_O_R2 = "floor(({c}) * 1e2 + 0.5 + 1e-9) / 1e2"
 
 
 # ===========================================================================
@@ -1468,6 +1470,60 @@ def _text_language_quality(spark, sf_dir):
         language_id(F.col("text")).alias("pred_lang"),
         _r6(quality_score(F.col("text"))).alias("quality"),
     )
+
+
+def _quality_oracle() -> str:
+    from aligned_spark.functions.text import _EN_STOPWORDS
+
+    stop = "[" + ", ".join(f"'{s}'" for s in _EN_STOPWORDS) + "]"
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+               coalesce(text, '') AS t,
+               CAST(greatest(length(coalesce(text, '')), 1) AS DOUBLE) AS n_chars,
+               list_filter(
+                 string_split_regex(lower(coalesce(text, '')), '[^a-zA-ZÀ-ÿ]+'),
+                 x -> length(x) > 0
+               ) AS words
+        FROM documents
+      ), parts AS (
+        SELECT doc_id,
+          length(regexp_replace(t, '[^A-Za-zÀ-ÿ]', '', 'g')) / n_chars
+            AS alpha_ratio,
+          1.0 - least(
+            length(regexp_replace(t, '[^.,;:!?''"()]', '', 'g')) / n_chars * 5.0,
+            1.0) AS punct_component,
+          CASE WHEN
+              coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                / CAST(greatest(len(words), 1) AS DOUBLE)
+              BETWEEN 3.0 AND 10.0
+            THEN 1.0 ELSE 0.0 END AS word_len_component,
+          least(
+            len(list_filter(words, w -> list_contains({stop}, w)))
+              / CAST(greatest(len(words), 1) AS DOUBLE) * 4.0,
+            1.0) AS stop_component
+        FROM base
+      )
+      SELECT doc_id,
+             {_O_R6.format(c=('alpha_ratio * 0.3 + punct_component * 0.2 '
+                              '+ word_len_component * 0.3 '
+                              '+ stop_component * 0.2'))} AS quality
+      FROM parts"""
+
+
+@q("text_quality_score", None)
+def _text_quality_score(spark, sf_dir):
+    """quality_score with a full DuckDB mirror of the formula — every
+    component computed with the same double ops in the same order."""
+    from aligned_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", _r6(quality_score(F.col("text"))).alias("quality")
+    )
+
+
+_ORACLES["text_quality_score"] = _quality_oracle()
 
 
 @q(
