@@ -79,7 +79,15 @@ def minhash_from_shingles(shingles: Column, num_hashes: int = 32) -> Column:
     IMPORTANT: pass a *column reference* to a projected shingle array,
     not the shingle expression itself — Spark does not CSE across the
     ``num_hashes`` sub-expressions, so an inline expression would
-    re-tokenize the document ``num_hashes`` times."""
+    re-tokenize the document ``num_hashes`` times.
+
+    DO NOT rewrite the seed loop as a nested higher-order function
+    (``transform(sequence(...), seed -> array_min(transform(...)))``):
+    measured at sf0.1 it evaluates ~30× slower — a nested lambda
+    referencing an outer lambda variable drops the whole subtree to
+    per-element interpreted eval. For corpus-scale dedup prefer
+    ``impl="arrow"`` on the operators below, which sidesteps HOF
+    evaluation entirely."""
 
     def _hasher(seed: int):
         # closure factory, NOT `lambda s, i=i`: a two-parameter lambda
@@ -111,26 +119,49 @@ def _band_rows(
     num_hashes: int,
     bands: int,
     shingle_width: int,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """(id, band_id, band_hash) rows — one per band per doc."""
+    """(id, band_id, band_hash) rows — one per band per doc.
+
+    ``impl="arrow"`` (default) computes signatures in one vectorized
+    Arrow kernel (~10× the interpreted-HOF path at corpus scale, and
+    the Python stage is a barrier the optimizer cannot inline into the
+    Generate below — the codegen path pays a structural 2× there).
+    ``impl="codegen"`` keeps the pure-JVM xxhash64 path: zero Python
+    runtime, bit-stable against the scalar text functions."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    # two projections: shingles materialize ONCE, then num_hashes
-    # array_mins read the column (no CSE across expressions otherwise)
-    with_shingles = df.select(
-        F.col(id_col),
-        # hash-combined shingles: no shingle-string allocation (the
-        # dominant cost at corpus scale — see functions.text)
-        shingle_hashes(F.col(text_col), shingle_width).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    # empty/null docs are excluded: their (identical) signatures would
-    # all collide into ONE bucket — quadratic pair blowup at corpus
-    # scale. Route empty-doc dedup through exact_dedup instead.
-    with_sig = with_shingles.select(
-        F.col(id_col),
-        minhash_from_shingles(F.col("__sh"), num_hashes).alias("__sig"),
-    )
+    if impl == "arrow":
+        from aligned_spark.functions.text_arrow import (
+            minhash_signature_arrow,
+        )
+
+        with_sig = df.select(
+            F.col(id_col),
+            minhash_signature_arrow(
+                F.col(text_col), num_hashes, shingle_width
+            ).alias("__sig"),
+        ).filter(F.size("__sig") > 0)
+    elif impl == "codegen":
+        # two projections: shingles materialize ONCE, then num_hashes
+        # array_mins read the column (no CSE across expressions
+        # otherwise)
+        with_shingles = df.select(
+            F.col(id_col),
+            # hash-combined shingles: no shingle-string allocation
+            shingle_hashes(F.col(text_col), shingle_width).alias("__sh"),
+        ).filter(F.size("__sh") > 0)
+        with_sig = with_shingles.select(
+            F.col(id_col),
+            minhash_from_shingles(F.col("__sh"), num_hashes).alias("__sig"),
+        )
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+    # empty/short docs are excluded in both paths: their (identical)
+    # signatures would all collide into ONE bucket — quadratic pair
+    # blowup at corpus scale. Route empty-doc dedup through
+    # exact_dedup instead.
     band_structs = F.array(
         *[
             F.struct(
@@ -163,6 +194,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_width: int = 3,
     jaccard_threshold: float | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -178,7 +210,9 @@ def minhash_near_dup_pairs(
     tiny relative to the corpus (id + 2 longs × bands)."""
     from pyspark.storagelevel import StorageLevel
 
-    banded = _band_rows(df, id_col, text_col, num_hashes, bands, shingle_width)
+    banded = _band_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_width, impl
+    )
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(
         F.col(id_col).alias(f"{id_col}_a"), "band_id", "band_hash"
@@ -194,11 +228,17 @@ def minhash_near_dup_pairs(
     )
     if jaccard_threshold is None:
         return pairs
+    if impl == "arrow":
+        from aligned_spark.functions.text_arrow import shingle_hashes_arrow
+
+        sh_col = shingle_hashes_arrow(F.col(text_col), shingle_width)
+    else:
+        sh_col = shingle_hashes(F.col(text_col), shingle_width)
     shingled = df.select(
         F.col(id_col),
         # jaccard over shingle-hash sets == jaccard over shingle sets
         # (collisions negligible at 64 bits), at a fraction of the cost
-        shingle_hashes(F.col(text_col), shingle_width).alias("__sh"),
+        sh_col.alias("__sh"),
     )
     pairs = (
         pairs.join(
@@ -232,11 +272,19 @@ def minhash_dedup(
     bands: int = 8,
     shingle_width: int = 3,
     jaccard_threshold: float | None = 0.8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Drop near-duplicates: any doc with a near-dup of smaller id is
     removed (greedy keep-min — one connected-components round)."""
     pairs = minhash_near_dup_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_width, jaccard_threshold
+        df,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_width,
+        jaccard_threshold,
+        impl,
     )
     losers = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
