@@ -1718,12 +1718,16 @@ def _text_ngram_jaccard(spark, sf_dir):
     )
 
 
-@q("dedup_simhash")  # xxhash-based signature — rows-only
+@q("dedup_simhash")  # hash-based signature — rows-only
 def _dedup_simhash(spark, sf_dir):
-    from aligned_spark.operators.dedup import simhash
+    # Arrow kernel: the codegen `operators.dedup.simhash` builds 65
+    # aggregate expressions that each inline the tokenization (no CSE
+    # across expressions) — measured ~8 s for 500 docs. Same Hamming
+    # locality semantics, ~100× cheaper.
+    from aligned_spark.functions.text_arrow import simhash_arrow
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id", simhash(F.col("text")).alias("sig"))
+    return d.select("doc_id", simhash_arrow(F.col("text")).alias("sig"))
 
 
 @q("sim_lsh_pairs")  # random hyperplanes — rows-only

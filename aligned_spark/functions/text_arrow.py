@@ -144,6 +144,44 @@ def minhash_signature_lists(
     return pd.Series(out, index=texts.index, dtype=object)
 
 
+def simhash_lists(
+    texts: pd.Series, bits: int = 64, width: int = 3
+) -> pd.Series:
+    """SimHash (majority vote over shingle-hash bits) per document,
+    as int64; documents with no shingles get 0. Fully vectorized:
+    unpack window-hash bits to an (n_windows × 64) matrix, segment-sum
+    with ``np.add.reduceat``, majority-compare, repack."""
+    if bits != 64:
+        raise ValueError("arrow simhash supports bits=64 only")
+    counts, flat = _flat_token_hashes(texts)
+    starts, wcounts, windows = _window_hashes(counts, flat, width)
+    out = np.zeros(len(counts), dtype=np.int64)
+    nonempty = wcounts > 0
+    if windows.size and nonempty.any():
+        u8 = windows.view(np.uint8).reshape(-1, 8)
+        bit_m = np.unpackbits(u8, axis=1, bitorder="little")
+        seg = starts[nonempty]
+        sums = np.add.reduceat(bit_m.astype(np.int64), seg, axis=0)
+        maj = (2 * sums > wcounts[nonempty, None]).astype(np.uint8)
+        packed = np.packbits(maj, axis=1, bitorder="little")
+        out[nonempty] = np.ascontiguousarray(packed).view(np.uint64)[
+            :, 0
+        ].view(np.int64)
+    return pd.Series(out, index=texts.index)
+
+
+def simhash_arrow(text: Column, bits: int = 64, width: int = 3) -> Column:
+    """Arrow-batched SimHash column (hash family differs from the
+    codegen :func:`aligned_spark.operators.dedup.simhash`; Hamming
+    locality semantics are the same)."""
+
+    def _kernel(s: pd.Series) -> pd.Series:
+        return simhash_lists(s, bits, width)
+
+    udf = F.pandas_udf(_kernel, LongType())
+    return udf(text)
+
+
 def shingle_hashes_arrow(text: Column, width: int = 3) -> Column:
     """Arrow-batched equivalent of
     :func:`aligned_spark.functions.text.shingle_hashes` (different hash

@@ -75,6 +75,26 @@ def test_pair_sets_agree_across_impls(spark):
     assert all(4 not in p for p in arrow | codegen)
 
 
+def test_simhash_arrow_hamming_locality():
+    from aligned_spark.functions.text_arrow import simhash_lists
+
+    s = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely unrelated text about other things entirely",
+            "",
+        ]
+    )
+    h = [int(x) & 0xFFFFFFFFFFFFFFFF for x in simhash_lists(s)]
+    assert h[0] == h[1]  # identical docs
+    near = bin(h[0] ^ h[2]).count("1")
+    far = bin(h[0] ^ h[3]).count("1")
+    assert near < far
+    assert h[4] == 0  # empty doc sentinel
+
+
 def test_unknown_impl_raises(spark):
     from aligned_spark.operators.dedup import _band_rows
 
