@@ -1578,6 +1578,29 @@ def _multimodal_binary(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_image_pipeline",
+    """SELECT doc_id, 8 AS h, 8 AS w, 3 AS c
+       FROM documents WHERE doc_id < 100""",
+)
+def _multimodal_image_pipeline(spark, sf_dir):
+    """bytes → decode (deterministic fake codec; no PIL here) →
+    grayscale, as Arrow-batched column ops. The oracle pins the
+    plumbing (row count + declared tensor shape); the fake-codec
+    values themselves are pinned by tests/test_images.py."""
+    from aligned_spark.functions.images import decode_image, grayscale_image
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tensor = decode_image(F.col("text").cast("binary"))
+    gray = grayscale_image(tensor)
+    return d.select(
+        "doc_id",
+        F.size(gray).alias("h"),
+        F.size(F.element_at(gray, 1)).alias("w"),
+        F.size(F.element_at(tensor, 1).getItem(0)).alias("c"),
+    )
+
+
 @q("splits_train")  # deterministic hash split — rows-only (xxhash not in DuckDB)
 def _splits_train(spark, sf_dir):
     from aligned_spark.operators.splits import train_test_split

@@ -458,6 +458,13 @@ class String(FeatureFactory):
         out.transformation = E.WordVectorise(self._ref(), size)
         return out
 
+    def as_image_url(self) -> "ImageUrl":
+        """Re-type this string as an image URL
+        (``feature_factory.py:2163``)."""
+        out = ImageUrl()
+        out.transformation = E.Copy(self._ref())
+        return out
+
     def aggregate(self) -> "AggregationFactory":
         return AggregationFactory(self)
 
@@ -520,6 +527,46 @@ class Json(String):
 
 class Binary(FeatureFactory):
     dtype = FeatureType("binary")
+
+
+class ImageUrl(String):
+    """A string column holding an image URL/path
+    (``feature_factory.py:2441``)."""
+
+    def load_image(self) -> "Image":
+        out = Image()
+        out.transformation = E.LoadImage(self._ref())
+        return out
+
+    def load_bytes(self) -> "Binary":
+        out = Binary()
+        out.transformation = E.LoadImageBytes(self._ref())
+        return out
+
+    def presigned_url(
+        self, bucket: str, max_age_seconds: int = 30
+    ) -> "String":
+        out = String()
+        out.transformation = E.PresignedAwsUrlExpr(
+            self._ref(), bucket, max_age_seconds
+        )
+        return out
+
+
+class Image(FeatureFactory):
+    """A decoded H×W×C image tensor (``feature_factory.py:2469``)."""
+
+    dtype = FeatureType.array(
+        FeatureType.array(FeatureType.array(FeatureType("float64")))
+    )
+
+    def to_grayscale(self) -> "Image":
+        out = Image()
+        out.dtype = FeatureType.array(
+            FeatureType.array(FeatureType("float64"))
+        )
+        out.transformation = E.GrayscaleImage(self._ref())
+        return out
 
 
 class Date(FeatureFactory):

@@ -946,6 +946,74 @@ class WordVectorise(Expr):
         return fake_text_embedding(self.expr.to_spark(), self.size)
 
 
+@register
+@dataclass(eq=False)
+class LoadImageBytes(Expr):
+    """URL/path → binary, fetched executor-side
+    (``LoadImageUrlBytes:2201``; the reference collects URLs to the
+    driver — here the fetch is an Arrow-batched column op)."""
+
+    kind: ClassVar[str] = "load_image_bytes"
+    expr: Expr
+
+    def to_spark(self) -> Column:
+        from aligned_spark.functions.images import load_image_bytes
+
+        return load_image_bytes(self.expr.to_spark())
+
+
+@register
+@dataclass(eq=False)
+class LoadImage(Expr):
+    """URL/path → decoded H×W×C tensor (``LoadImageUrl:2228``).
+    Codec: PIL if importable, else a deterministic fake — see
+    :mod:`aligned_spark.functions.images`."""
+
+    kind: ClassVar[str] = "load_image"
+    expr: Expr
+
+    def to_spark(self) -> Column:
+        from aligned_spark.functions.images import (
+            decode_image,
+            load_image_bytes,
+        )
+
+        return decode_image(load_image_bytes(self.expr.to_spark()))
+
+
+@register
+@dataclass(eq=False)
+class GrayscaleImage(Expr):
+    """H×W×C tensor → H×W channel mean (``GrayscaleImage:2259``)."""
+
+    kind: ClassVar[str] = "grayscale_image"
+    expr: Expr
+
+    def to_spark(self) -> Column:
+        from aligned_spark.functions.images import grayscale_image
+
+        return grayscale_image(self.expr.to_spark())
+
+
+@register
+@dataclass(eq=False)
+class PresignedAwsUrlExpr(Expr):
+    """S3 key → presigned GET URL (``PresignedAwsUrl:2671``). Needs
+    boto3 or an injected signer at execution time."""
+
+    kind: ClassVar[str] = "presigned_aws_url"
+    expr: Expr
+    bucket: str = ""
+    max_age_seconds: int = 30
+
+    def to_spark(self) -> Column:
+        from aligned_spark.functions.images import presigned_aws_url
+
+        return presigned_aws_url(
+            self.expr.to_spark(), self.bucket, self.max_age_seconds
+        )
+
+
 class PandasTransform:
     """DataFrame-level pandas function escape hatch
     (``PandasLambdaTransformation:1327`` / ``PandasFunctionTransformation:1267``).
@@ -995,6 +1063,10 @@ __all__ = [
     "CosineSimilarity",
     "Multi",
     "WordVectorise",
+    "LoadImageBytes",
+    "LoadImage",
+    "GrayscaleImage",
+    "PresignedAwsUrlExpr",
     "PandasTransform",
     "expr_from_dict",
 ]

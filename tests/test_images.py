@@ -1,0 +1,106 @@
+"""Image ops: fetch / decode / grayscale / presign plumbing.
+
+Reference parity: ``aligned/schemas/transformation.py:2201-2283``
+(LoadImageUrlBytes / LoadImageUrl / GrayscaleImage) and ``:2671``
+(PresignedAwsUrl). No image codecs in this container — decode runs
+through the deterministic fake unless a decoder is injected.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aligned_spark.functions.images import (
+    decode_image,
+    grayscale_image,
+    load_image_bytes,
+    presigned_aws_url,
+)
+
+
+def test_load_image_bytes_injected_fetcher(spark):
+    blobs = {"img/a.png": b"aaa-bytes", "img/b.png": b"bbb-bytes"}
+    df = spark.createDataFrame(
+        [("img/a.png",), ("img/b.png",), (None,)], "url string"
+    )
+    out = df.select(
+        "url", load_image_bytes(F.col("url"), blobs.get).alias("data")
+    ).collect()
+    got = {r.url: bytes(r.data) if r.data is not None else None for r in out}
+    assert got == {"img/a.png": b"aaa-bytes", "img/b.png": b"bbb-bytes", None: None}
+
+
+def test_load_image_bytes_local_file(spark, tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"\x01\x02\x03")
+    df = spark.createDataFrame([(str(p),)], "url string")
+    r = df.select(load_image_bytes(F.col("url")).alias("d")).first()
+    assert bytes(r.d) == b"\x01\x02\x03"
+
+
+def test_decode_and_grayscale_known_tensor(spark):
+    def decoder(data: bytes) -> np.ndarray:
+        # 1×2×3 tensor derived from the first byte
+        v = float(data[0])
+        return np.array([[[v, v + 3.0, v + 6.0], [0.0, 1.0, 2.0]]])
+
+    df = spark.createDataFrame([(b"\x09",)], "blob binary")
+    out = df.select(
+        grayscale_image(decode_image(F.col("blob"), decoder)).alias("g")
+    ).first()
+    # channel means: (9+12+15)/3 = 12, (0+1+2)/3 = 1
+    assert out.g == [[12.0, 1.0]]
+
+
+def test_fake_decode_deterministic(spark):
+    df = spark.createDataFrame([(b"same",), (b"same",), (b"diff",)], "blob binary")
+    rows = df.select(decode_image(F.col("blob")).alias("t")).collect()
+    assert rows[0].t == rows[1].t
+    assert rows[0].t != rows[2].t
+    arr = np.asarray(rows[0].t)
+    assert arr.shape == (8, 8, 3)
+    assert 0.0 <= arr.min() and arr.max() <= 1.0
+
+
+def test_presigned_url_injected_signer(spark):
+    df = spark.createDataFrame([("k1",), (None,)], "key string")
+    out = df.select(
+        presigned_aws_url(
+            F.col("key"), "bkt", 60, signer=lambda k: f"https://bkt/{k}?sig=x"
+        ).alias("u")
+    ).collect()
+    assert out[0].u == "https://bkt/k1?sig=x" and out[1].u is None
+
+
+def test_image_contract_view(spark, tmp_path):
+    from aligned_spark.contracts import EventTimestamp, ImageUrl, Int64, feature_view
+    from aligned_spark.sources.in_memory import InMemorySource
+
+    p1 = tmp_path / "a.img"
+    p1.write_bytes(b"image-a")
+    p2 = tmp_path / "b.img"
+    p2.write_bytes(b"image-b")
+    src = InMemorySource.from_dict(
+        {"img_id": [1, 2], "url": [str(p1), str(p2)]},
+        schema="img_id long, url string",
+    )
+
+    @feature_view(name="images", source=src)
+    class Images:
+        img_id = Int64().as_entity()
+        url = ImageUrl()
+
+        raw = url.load_bytes()
+        tensor = url.load_image()
+        gray = tensor.to_grayscale()
+
+    from aligned_spark.store import ContractStore
+
+    store = ContractStore(spark)
+    store.add_view(Images)
+    out = {r.img_id: r for r in store.feature_view("images").all().collect()}
+    assert bytes(out[1].raw) == b"image-a"
+    assert np.asarray(out[1].tensor).shape == (8, 8, 3)
+    assert np.asarray(out[2].gray).shape == (8, 8)
+    # grayscale really is the channel mean of the decoded tensor
+    t = np.asarray(out[2].tensor)
+    assert np.allclose(np.asarray(out[2].gray), t.mean(axis=2))
