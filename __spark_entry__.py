@@ -1962,6 +1962,54 @@ def _vector_index_nearest(spark, sf_dir):
     return out.select("query_id", "neighbor_id", _r6(F.col("sim")).alias("sim"))
 
 
+@q(
+    "vector_index_ivf",
+    f"""WITH pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                {_cosine_oracle('a.embedding', 'b.embedding')} AS raw_sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id, raw_sim,
+                row_number() OVER (
+                  PARTITION BY query_id ORDER BY raw_sim DESC, neighbor_id
+                ) AS rk
+         FROM pairs
+       )
+       SELECT query_id, neighbor_id,
+              {_O_R6.format(c='raw_sim')} AS sim
+       FROM ranked WHERE rk <= 5""",
+)
+def _vector_index_ivf(spark, sf_dir):
+    """IVF (KMeans coarse quantizer) with every cluster probed —
+    degrades to exact brute force, so the full machinery (assignment,
+    probe ranking, within-cluster scoring, top-k merge) hash-matches
+    the brute-force oracle. The pruned scale path is
+    `vector_index_ivf_probe`."""
+    from aligned_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    out = ivf_topk(
+        q_side, emb, "vec_id", "embedding",
+        k=5, num_centroids=8, nprobe=8, seed=42,
+    )
+    return out.select("query_id", "neighbor_id", _r6(F.col("sim")).alias("sim"))
+
+
+@q("vector_index_ivf_probe")  # pruned probing — approximate, rows-only
+def _vector_index_ivf_probe(spark, sf_dir):
+    from aligned_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    return ivf_topk(
+        q_side, emb, "vec_id", "embedding",
+        k=5, num_centroids=8, nprobe=3, seed=42,
+    )
+
+
 @q("vector_index_lsh")  # bucket-pruned path — recall depends on planes
 def _vector_index_lsh(spark, sf_dir):
     import tempfile

@@ -114,6 +114,123 @@ def similar_pairs(
     return scored.filter(F.col("sim") >= threshold)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    vector_col: str,
+    num_centroids: int = 64,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> "tuple[DataFrame, list[list[float]]]":
+    """IVF coarse quantizer: KMeans centroids + per-row cluster
+    assignment.
+
+    Returns (corpus with an ``__ivf_cluster`` column, centroid list).
+    At scale the assigned corpus is what you materialize (partitioned
+    by cluster); the centroid table is tiny and lives wherever the
+    query planner runs. Spark ML's distributed KMeans does the
+    training pass — no vectors ever collect to the driver except the
+    ``num_centroids`` centers themselves."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn(
+        "__fv", array_to_vector(F.col(vector_col).cast("array<double>"))
+    )
+    km = KMeans(
+        k=num_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__fv",
+        predictionCol="__ivf_cluster",
+    )
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__fv")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vector_col: str,
+    k: int = 10,
+    num_centroids: int = 64,
+    nprobe: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+    assigned: DataFrame | None = None,
+    centers: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroids
+    per query, exact cosine only within probed clusters.
+
+    With ``nprobe == num_centroids`` this degrades to exact brute
+    force (every cluster probed) — which is how the driver oracle
+    pins the machinery. Scale shape: the probe table is
+    ``n_queries × nprobe`` small rows broadcast against the corpus
+    pre-partitioned by ``__ivf_cluster``; only probed partitions are
+    scanned (cluster-key join prunes under AQE), so cost is
+    ``nprobe / num_centroids`` of the brute-force scan.
+
+    Pass ``assigned``/``centers`` (from :func:`ivf_assign`) to reuse a
+    materialized index across queries."""
+    if assigned is None or centers is None:
+        assigned, centers = ivf_assign(
+            corpus, vector_col, num_centroids, seed
+        )
+    spark = queries.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "__ivf_cluster int, __cent array<double>",
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vector_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", F.sqrt(dot_double(F.col("__qv"), F.col("__qv"))))
+    # nprobe nearest centroids per query — centroid table is tiny,
+    # broadcast; ranking window partitions by query
+    probe_scored = qs.crossJoin(F.broadcast(centers_df)).select(
+        "query_id",
+        "__qv",
+        "__qn",
+        "__ivf_cluster",
+        cosine_double(F.col("__qv"), F.col("__cent")).alias("__csim"),
+    )
+    pw = W.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("__ivf_cluster").asc()
+    )
+    probes = (
+        probe_scored.withColumn("__pk", F.row_number().over(pw))
+        .filter(F.col("__pk") <= nprobe)
+        .select("query_id", "__qv", "__qn", "__ivf_cluster")
+    )
+    cs = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vector_col).cast("array<double>").alias("__cv"),
+        "__ivf_cluster",
+    ).withColumn("__cn", F.sqrt(dot_double(F.col("__cv"), F.col("__cv"))))
+    joined = cs.join(F.broadcast(probes), on="__ivf_cluster")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot_double(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [

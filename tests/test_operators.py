@@ -274,6 +274,51 @@ def test_top_k_similar(spark):
     assert {(r.vec_id_a, r.vec_id_b) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_ivf_topk(spark):
+    """nprobe == num_centroids must equal brute force exactly; pruned
+    probing keeps self-cluster recall."""
+    import random
+
+    from aligned_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        top_k_similar,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in top_k_similar(q, emb, "vec_id", "embedding", k=3).collect()
+    }
+    assigned, centers = ivf_assign(emb, "embedding", num_centroids=4, seed=1)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            q, emb, "vec_id", "embedding", k=3, num_centroids=4, nprobe=4,
+            assigned=assigned, centers=centers,
+        ).collect()
+    }
+    assert full == exact
+    pruned = ivf_topk(
+        q, emb, "vec_id", "embedding", k=3, num_centroids=4, nprobe=2,
+        assigned=assigned, centers=centers,
+    ).collect()
+    # every query still returns k rows, and hits are a subset check
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in pruned)
+    assert all(v == 3 for v in per_q.values())
+    recall = len({(r.query_id, r.neighbor_id) for r in pruned} & exact) / len(
+        exact
+    )
+    assert recall >= 0.3
+
+
 def test_split_fractions(spark):
     from aligned_spark.operators.splits import (
         train_test_split,
