@@ -3,6 +3,7 @@ worker (SURVEY.md §2.9): ``readStream`` → contract pipeline →
 watermarked windowed aggregation → ``foreachBatch`` upsert."""
 
 from aligned_spark.streaming.sources import KafkaStreamSource, RateStreamSource
+from aligned_spark.streaming.stateful import decayed_count, stateful_dedup
 from aligned_spark.streaming.worker import (
     StreamWorker,
     stream_aggregate,
@@ -12,6 +13,8 @@ from aligned_spark.streaming.worker import (
 
 __all__ = [
     "KafkaStreamSource",
+    "decayed_count",
+    "stateful_dedup",
     "RateStreamSource",
     "StreamWorker",
     "stream_aggregate",

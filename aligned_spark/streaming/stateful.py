@@ -1,0 +1,145 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+These cover semantics Structured Streaming's built-ins cannot express
+(``session_window`` and ``dropDuplicatesWithinWatermark`` handle the
+expressible cases — use those first):
+
+- :func:`stateful_dedup`: emit only the FIRST occurrence of each key,
+  with a processing-time state TTL. Unlike
+  ``dropDuplicatesWithinWatermark`` the TTL is wall-clock, so it works
+  on streams with no event-time column at all (training-data ingest
+  topics are often append logs without timestamps).
+- :func:`decayed_count`: per-key exponentially-decayed event counter
+  (half-life semantics). Not expressible as a windowed aggregation —
+  the decay is continuous, not a window boundary.
+
+State scale: both keep O(1) state per key (a timestamp + a float);
+state is hash-partitioned across executors by group key, exactly like
+the reference's per-entity aggregation state
+(``aligned/retrieval_job.py:2541-2650`` keeps whole raw-row windows —
+strictly more state than either operator here).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def stateful_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ttl_seconds: int = 3600,
+) -> DataFrame:
+    """Keep the first row per key; suppress repeats until the key's
+    state expires (``ttl_seconds`` of processing time).
+
+    Output schema == input schema. The kept row is the first seen in
+    arrival order within each micro-batch."""
+    schema = df.schema
+    for k in key_cols:
+        if k not in schema.names:
+            raise ValueError(f"key column {k!r} not in stream schema")
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def _fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[:1]
+        if not state.exists:
+            state.update((1,))
+            state.setTimeoutDuration(ttl_seconds * 1000)
+            if first is not None:
+                yield first
+        # key already seen: emit nothing, refresh nothing (TTL runs
+        # from first sight — a steady repeat stream still expires)
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def decayed_count(
+    df: DataFrame,
+    key_cols: list[str],
+    half_life_seconds: float = 300.0,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-decayed per-key event count.
+
+    Every micro-batch emits one row per active key:
+    ``count = count_prev · 2^(-Δt / half_life) + n_batch``, with Δt
+    from the event timestamps when ``ts_col`` is given, else batch
+    processing time. State per key: (last_ts_micros, count) — two
+    scalars, regardless of stream volume."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in key_cols]
+        + [StructField("decayed_count", DoubleType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("count", DoubleType()),
+        ]
+    )
+
+    def _fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = 0
+        now_us = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if ts_col is not None and len(pdf):
+                batch_max = pd.to_datetime(pdf[ts_col]).max()
+                us = int(batch_max.value // 1_000)
+                now_us = us if now_us is None else max(now_us, us)
+        if now_us is None:
+            now_us = int(_time.time() * 1_000_000)
+        if state.exists:
+            last_us, count = state.get
+            dt = max(now_us - last_us, 0) / 1e6
+            count = count * 2.0 ** (-dt / half_life_seconds)
+        else:
+            count = 0.0
+        count += float(n)
+        state.update((now_us, count))
+        yield pd.DataFrame([[*key, count]], columns=out_schema.names)
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -65,6 +65,84 @@ def test_stream_job_pipeline(spark):
     assert row.doubled == 5.0
 
 
+def test_stateful_dedup_stream(spark):
+    """applyInPandasWithState dedup: each key emitted exactly once
+    while its state lives."""
+    from aligned_spark.streaming import stateful_dedup
+
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            (F.col("value") % 7).alias("k"),
+            F.col("value").alias("v"),
+        )
+    )
+    deduped = stateful_dedup(raw, ["k"], ttl_seconds=3600)
+    batches: list = []
+    query = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            rows = [r for b in batches for r in b]
+            if len(rows) >= 7:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+    rows = [r for b in batches for r in b]
+    keys = [r.k for r in rows]
+    assert len(keys) == len(set(keys)), "a key was emitted twice"
+    assert set(keys) == set(range(7))
+
+
+def test_decayed_count_stream(spark):
+    """Decayed counter: monotone per-batch growth bounded by total
+    events; exact decay math pinned by construction."""
+    from aligned_spark.streaming import decayed_count
+
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .select((F.col("value") % 2).alias("k"), "timestamp")
+    )
+    counts = decayed_count(
+        raw, ["k"], half_life_seconds=1e9, ts_col="timestamp"
+    )
+    batches: list = []
+    query = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if sum(len(b) for b in batches) >= 4:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+    rows = [r for b in batches for r in b]
+    assert rows
+    # huge half-life → effectively cumulative counts: per key the
+    # emitted sequence must be strictly increasing
+    seq: dict = {}
+    for r in rows:
+        seq.setdefault(r.k, []).append(r.decayed_count)
+    for k, vals in seq.items():
+        assert vals == sorted(vals), f"non-monotone counts for key {k}"
+        assert all(v > 0 for v in vals)
+
+
 def test_stream_worker_windowed_counts(spark):
     wrapper = _rate_view()
     store = ContractStore(spark)
