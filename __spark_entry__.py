@@ -1460,7 +1460,36 @@ def _text_token_counts(spark, sf_dir):
     )
 
 
-@q("text_language_quality")  # heuristic scores — rows-only check
+def _language_oracle() -> str:
+    """Full DuckDB mirror of ``language_id``: per-language marker-word
+    counts, best picked by (score, lang) struct max — DuckDB's
+    ``list_max`` and Spark's ``array_max`` share the lexicographic
+    tie rule (verified: equal scores → higher lang string wins)."""
+    from aligned_spark.functions.text import _LANG_MARKERS
+
+    structs = ", ".join(
+        "{'score': len(list_filter(words, w -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + "], w))), 'lang': '" + lang + "'}"
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+               list_filter(
+                 string_split_regex(lower(coalesce(text, '')), '[^a-zA-ZÀ-ÿ]+'),
+                 x -> length(x) > 0
+               ) AS words
+        FROM documents
+      ), best AS (
+        SELECT doc_id, list_max([{structs}]) AS b FROM base
+      )
+      SELECT doc_id,
+             CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang
+      FROM best"""
+
+
+@q("text_language_quality", None)
 def _text_language_quality(spark, sf_dir):
     from aligned_spark.functions.text import language_id, quality_score
 
@@ -1524,6 +1553,9 @@ def _text_quality_score(spark, sf_dir):
 
 
 _ORACLES["text_quality_score"] = _quality_oracle()
+_ORACLES["text_language_quality"] = f"""
+  SELECT a.doc_id, a.pred_lang, b.quality
+  FROM ({_language_oracle()}) a JOIN ({_quality_oracle()}) b USING (doc_id)"""
 
 
 @q(

@@ -1,0 +1,125 @@
+"""Physical-plan regression tests.
+
+Pins the scale properties PERF.md claims (reference has no analogue —
+its Polars engine has no distributed plan to audit): filter pushdown,
+column pruning, broadcast joins, single fused Window per rolling
+aggregation, and no global sort in unstratified splits. A regression
+in any of these is invisible to row-level asserts but catastrophic at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "lineitem.parquet")
+    (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("l_orderkey"),
+            (F.col("id") % 7).alias("l_suppkey"),
+            (F.col("id") % 100).cast("double").alias("l_quantity"),
+            (F.col("id") % 3).cast("string").alias("l_returnflag"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    df = lineitem.filter(F.col("l_suppkey") == 3).select("l_orderkey")
+    plan = plan_text(df)
+    assert "PushedFilters: [" in plan
+    assert "l_suppkey" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity")
+    plan = plan_text(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, lineitem):
+    dim = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(7)], "l_suppkey long, s_name string"
+    )
+    from aligned_spark.operators.joins import equi_join
+
+    out = equi_join(lineitem, dim, left_on=["l_suppkey"])
+    plan = plan_text(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_agg_single_fused_window(lineitem):
+    """One Sort + one Window regardless of how many aggs share the
+    frame (PERF.md pitfall #1)."""
+    from aligned_spark.operators.aggregate import AggSpec, rolling_aggregate
+
+    out = rolling_aggregate(
+        lineitem,
+        keys=["l_suppkey"],
+        ts="ts",
+        window_seconds=3600,
+        aggs=[
+            AggSpec("q_sum", "sum", "l_quantity"),
+            AggSpec("q_mean", "mean", "l_quantity"),
+            AggSpec("q_n", "count", "l_quantity"),
+            AggSpec("q_min", "min", "l_quantity"),
+        ],
+    )
+    plan = plan_text(out, "simple")
+    assert plan.count("Window") == 1, plan
+    # windows are partitioned — no global single-partition funnel
+    assert "SinglePartition" not in plan
+
+
+def test_unstratified_split_has_no_sort_or_window(lineitem):
+    from aligned_spark.operators.splits import train_test_split
+
+    train, _ = train_test_split(lineitem, test_fraction=0.25, seed=3)
+    plan = plan_text(train, "simple")
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "Exchange" not in plan  # embarrassingly parallel
+
+
+def test_pit_window_agg_one_shuffle_no_join(spark, lineitem):
+    """The union-path PIT windowed agg: no join explosion — zero Join
+    nodes, exactly one exchange on the entity key (plus AQE nodes)."""
+    from aligned_spark.operators.aggregate import AggSpec, pit_window_aggregate
+
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (3, "2024-01-01 00:40:00")],
+        "l_suppkey long, fact_ts string",
+    ).select("l_suppkey", F.col("fact_ts").cast("timestamp"))
+    out = pit_window_aggregate(
+        facts,
+        lineitem.select("l_suppkey", "ts", "l_quantity"),
+        entities=["l_suppkey"],
+        fact_ts="fact_ts",
+        feature_ts="ts",
+        window_seconds=3600,
+        aggs=[AggSpec("q_sum", "sum", "l_quantity")],
+    )
+    plan = plan_text(out, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
