@@ -78,11 +78,48 @@ def top_k_similar(
             / (F.col("__qn") * F.col("__cn"))
         ).alias("sim"),
     )
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k per ``query_id`` in two stages.
+
+    A single ranking window would shuffle the WHOLE scored frame
+    (|corpus| × |queries| rows) onto ``query_id`` partitions — the
+    scale killer of the naive formulation. (A groupBy +
+    ``collect_list`` "partial top-k" does NOT fix it: collect_list's
+    partial state carries every row through the shuffle anyway.)
+
+    1. narrow pre-reduction: ``mapInPandas`` keeps each Arrow batch's
+       top-k per query — no shuffle, vectorized sort, emits at most
+       ``k × #queries`` rows per batch;
+    2. global ranking window over the tiny survivor set.
+
+    A batch's discarded row can never be in the global top-k (the
+    batch kept ``k`` rows that beat it), so results — and oracle
+    hashes — are identical to the one-window formulation. Ties break
+    (sim desc, neighbor_id asc) in both stages. (Only NaN sims order
+    differently: pandas sorts them last where a Spark desc window
+    sorts them first — unreachable unless a vector has zero norm.)"""
+    schema = scored.schema
+
+    def _partial(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["sim", "neighbor_id"], ascending=[False, True]
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    partial = scored.mapInPandas(_partial, schema=schema)
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
+        partial.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
@@ -221,14 +258,7 @@ def ivf_topk(
             / (F.col("__qn") * F.col("__cn"))
         ).alias("sim"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:

@@ -102,6 +102,24 @@ def test_unstratified_split_has_no_sort_or_window(lineitem):
     assert "Exchange" not in plan  # embarrassingly parallel
 
 
+def test_topk_has_narrow_prereduction(spark):
+    """top_k_similar must pre-reduce per partition (MapInPandas)
+    before the ranking window — without it the window shuffles the
+    full |corpus| × |queries| scored frame."""
+    from aligned_spark.operators.similarity import top_k_similar
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = top_k_similar(emb.limit(5), emb, "vec_id", "embedding", k=3)
+    plan = plan_text(out, "simple")
+    assert "MapInPandas" in plan, plan
+    # corpus side joins via broadcast of the query side — corpus
+    # never shuffles before scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_pit_window_agg_one_shuffle_no_join(spark, lineitem):
     """The union-path PIT windowed agg: no join explosion — zero Join
     nodes, exactly one exchange on the entity key (plus AQE nodes)."""
