@@ -144,6 +144,38 @@ def minhash_signature_lists(
     return pd.Series(out, index=texts.index, dtype=object)
 
 
+def rolling_fingerprint_values(
+    texts: pd.Series, width: int = 8
+) -> pd.Series:
+    """Winnowing-style content fingerprint: min of the sliding-window
+    combined hashes (None for docs with < ``width`` tokens)."""
+    counts, flat = _flat_token_hashes(texts)
+    starts, wcounts, windows = _window_hashes(counts, flat, width)
+    signed = windows.view(np.int64)
+    out: list[int | None] = [None] * len(counts)
+    nonempty = wcounts > 0
+    if signed.size and nonempty.any():
+        seg = starts[nonempty]
+        mins = np.minimum.reduceat(signed, seg)
+        it = iter(mins.tolist())
+        for i in range(len(counts)):
+            if nonempty[i]:
+                out[i] = next(it)
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+def rolling_fingerprint_arrow(text: Column, width: int = 8) -> Column:
+    """Arrow-batched equivalent of
+    :func:`aligned_spark.functions.text.rolling_fingerprint`
+    (different hash family)."""
+
+    def _kernel(s: pd.Series) -> pd.Series:
+        return rolling_fingerprint_values(s, width)
+
+    udf = F.pandas_udf(_kernel, LongType())
+    return udf(text)
+
+
 def simhash_lists(
     texts: pd.Series, bits: int = 64, width: int = 3
 ) -> pd.Series:

@@ -57,16 +57,30 @@ def fingerprint_dedup(
     text_col: str,
     order_col: str,
     width: int = 8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-exact dedup on the winnowing-style content fingerprint
     (:func:`~aligned_spark.functions.text.rolling_fingerprint`):
     documents sharing their minimal rolling hash collapse to one row
-    (smallest ``order_col`` wins)."""
-    out = df.withColumn("__fp", rolling_fingerprint(F.col(text_col), width))
+    (smallest ``order_col`` wins). ``impl`` as in :func:`_band_rows`
+    — "arrow" (vectorized kernel, default) or "codegen"."""
+    if impl == "arrow":
+        from aligned_spark.functions.text_arrow import (
+            rolling_fingerprint_arrow,
+        )
+
+        fp = rolling_fingerprint_arrow(F.col(text_col), width)
+    elif impl == "codegen":
+        fp = rolling_fingerprint(F.col(text_col), width)
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+    out = df.withColumn("__fp", fp)
     w = W.partitionBy("__fp").orderBy(F.col(order_col).asc())
     return (
         out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        # docs too short to fingerprint (null __fp) are never merged —
+        # they'd otherwise all collapse into the null group
+        .filter((F.col("__rn") == 1) | F.col("__fp").isNull())
         .drop("__rn", "__fp")
     )
 

@@ -75,6 +75,31 @@ def test_pair_sets_agree_across_impls(spark):
     assert all(4 not in p for p in arrow | codegen)
 
 
+def test_fingerprint_arrow_and_dedup(spark):
+    from aligned_spark.functions.text_arrow import rolling_fingerprint_values
+    from aligned_spark.operators.dedup import fingerprint_dedup
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    s = pd.Series([body, body, "tiny", None])
+    fp = rolling_fingerprint_values(s, 8)
+    assert fp[0] == fp[1] and fp[0] is not None
+    assert fp[2] is None and fp[3] is None
+
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, "short one"), (4, "short two")],
+        "doc_id long, text string",
+    )
+    for impl in ("arrow", "codegen"):
+        kept = sorted(
+            r.doc_id
+            for r in fingerprint_dedup(
+                docs, "text", "doc_id", width=8, impl=impl
+            ).collect()
+        )
+        # identical docs merge; un-fingerprintable short docs both stay
+        assert kept == [1, 3, 4], (impl, kept)
+
+
 def test_simhash_arrow_hamming_locality():
     from aligned_spark.functions.text_arrow import simhash_lists
 
