@@ -1759,7 +1759,10 @@ _O_NGRAMS = (
        WHERE a.doc_id < 100""",
 )
 def _text_ngram_jaccard(spark, sf_dir):
-    from aligned_spark.operators.dedup import ngram_jaccard
+    # Arrow kernel — bit-identical values to the codegen
+    # operators.dedup.ngram_jaccard (exact string sets, no hashing),
+    # minus its per-position re-evaluation of the lowered text
+    from aligned_spark.functions.text_arrow import ngram_jaccard_arrow
 
     d = _t(spark, sf_dir, "documents")
     a = d.filter(F.col("doc_id") < 100).select(
@@ -1769,7 +1772,7 @@ def _text_ngram_jaccard(spark, sf_dir):
     joined = a.join(b, on="doc_id")
     return joined.select(
         "doc_id",
-        _r6(ngram_jaccard(F.col("__ta"), F.col("__tb"), 3)).alias("jac"),
+        _r6(ngram_jaccard_arrow(F.col("__ta"), F.col("__tb"), 3)).alias("jac"),
     )
 
 

@@ -75,6 +75,28 @@ def test_pair_sets_agree_across_impls(spark):
     assert all(4 not in p for p in arrow | codegen)
 
 
+def test_ngram_jaccard_arrow_bit_parity(spark):
+    """Arrow and codegen n-gram Jaccard must agree bit-for-bit —
+    both compute exact set Jaccard over the same string n-grams."""
+    from aligned_spark.functions.text_arrow import ngram_jaccard_arrow
+    from aligned_spark.operators.dedup import ngram_jaccard
+
+    rows = [
+        (1, "The quick brown fox", "the quick brown fox"),
+        (2, "hello world", "world hello"),
+        (3, "ab", "ab"),
+        (4, "", "xyz"),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    out = df.select(
+        ngram_jaccard(F.col("a"), F.col("b"), 3).alias("cg"),
+        ngram_jaccard_arrow(F.col("a"), F.col("b"), 3).alias("ar"),
+    ).collect()
+    for r in out:
+        assert r.cg == r.ar, (r.cg, r.ar)
+
+
 def test_fingerprint_arrow_and_dedup(spark):
     from aligned_spark.functions.text_arrow import rolling_fingerprint_values
     from aligned_spark.operators.dedup import fingerprint_dedup
