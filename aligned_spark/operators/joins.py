@@ -83,6 +83,40 @@ def equi_join(
     return left.join(right, on=cond, how=how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi join: spread each hot left key over
+    ``salt`` shuffle partitions.
+
+    The left side gets a uniform random salt in ``[0, salt)``; the
+    right side is replicated ``salt`` times (one row per salt value)
+    so every (key, salt) bucket still finds its match. Results are
+    identical to a plain join; shuffle pressure for a hot key drops
+    by ``salt×`` at the cost of a ``salt×`` blow-up of the RIGHT side
+    — use when the right side is the smaller (dimension) input but
+    too big to broadcast outright, and AQE's skew handling (enabled
+    in our session defaults) hasn't already solved it.
+
+    Supported ``how``: inner / left / left_outer (the replicated side
+    must be the lookup side — a right/full join would duplicate
+    unmatched right rows per salt)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    lsalt = left.withColumn(
+        "__salt", (F.rand(seed=0) * salt).cast("int")
+    )
+    rrep = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = lsalt.join(rrep, on=on + ["__salt"], how=how)
+    return out.drop("__salt")
+
+
 _ROW_ID = "__row_id"
 _SIDE = "__side"
 _PAYLOAD = "__feature_row"

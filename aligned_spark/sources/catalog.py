@@ -63,6 +63,55 @@ class TableSource(WritableSource):
 
 
 @dataclass
+class BucketedTableSource(TableSource):
+    """A catalog table bucketed (and sorted) on join/aggregation keys.
+
+    Bucketing is the 100-TB co-location primitive: two tables bucketed
+    on the same keys with the same bucket count join WITHOUT any
+    Exchange — the shuffle happened once at write time and is
+    amortized over every subsequent join/aggregation. Verified by
+    ``tests/test_plan_properties.py::test_bucketed_join_has_no_exchange``.
+
+    The reference has no analogue (single-node Polars); this maps its
+    "partitioned source" intent onto Spark's physical layout control.
+    """
+
+    bucket_cols: list[str] | None = None
+    num_buckets: int = 32
+    sort_cols: list[str] | None = None
+
+    def _writer(self, df: DataFrame, mode: str):
+        cols = self.bucket_cols or []
+        if not cols:
+            raise ValueError("BucketedTableSource needs bucket_cols")
+        w = df.write.mode(mode).bucketBy(self.num_buckets, *cols)
+        return w.sortBy(*(self.sort_cols or cols))
+
+    def insert(self, df: DataFrame) -> None:
+        self._writer(df, "append").saveAsTable(self.identifier)
+
+    def overwrite(self, df: DataFrame, predicate=None) -> None:
+        spark = df.sparkSession
+        if predicate is not None and spark.catalog.tableExists(self.identifier):
+            current = spark.table(self.identifier).filter(~predicate)
+            df = current.unionByName(df, allowMissingColumns=True)
+            df = df.localCheckpoint(eager=True)
+        self._writer(df, "overwrite").saveAsTable(self.identifier)
+
+    def upsert(self, df: DataFrame, keys: list[str]) -> None:
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(self.identifier):
+            self.insert(df)
+            return
+        current = spark.table(self.identifier)
+        kept = current.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(df, allowMissingColumns=True)
+        self._writer(
+            merged.localCheckpoint(eager=True), "overwrite"
+        ).saveAsTable(self.identifier)
+
+
+@dataclass
 class SqlSource(BatchSource):
     """An arbitrary SQL query as a source."""
 

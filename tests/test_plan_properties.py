@@ -120,6 +120,61 @@ def test_topk_has_narrow_prereduction(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the same key join with zero Exchange —
+    the write-time shuffle is amortized across every later join."""
+    from aligned_spark.sources.catalog import BucketedTableSource
+
+    a = BucketedTableSource(
+        identifier="bkt_orders", bucket_cols=["o_custkey"], num_buckets=8
+    )
+    b = BucketedTableSource(
+        identifier="bkt_cust", bucket_cols=["o_custkey"], num_buckets=8
+    )
+    a.overwrite(
+        spark.range(1000).select(
+            F.col("id").alias("o_orderkey"), (F.col("id") % 100).alias("o_custkey")
+        )
+    )
+    b.overwrite(
+        spark.range(100).select(
+            F.col("id").alias("o_custkey"), F.lit("n").alias("c_name")
+        )
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.read(spark).join(b.read(spark), on="o_custkey")
+        plan = plan_text(joined, "simple")
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_cust")
+
+
+def test_salted_join_matches_plain_join(spark, lineitem):
+    from aligned_spark.operators.joins import salted_join
+
+    dim = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(7)], "l_suppkey long, s_name string"
+    )
+    plain = lineitem.join(dim, on="l_suppkey").select("l_orderkey", "s_name")
+    salted = salted_join(lineitem, dim, on=["l_suppkey"], salt=8).select(
+        "l_orderkey", "s_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left join keeps unmatched left rows exactly once
+    dim_partial = dim.filter(F.col("l_suppkey") < 3)
+    lj = salted_join(
+        lineitem, dim_partial, on=["l_suppkey"], how="left", salt=4
+    )
+    assert lj.count() == lineitem.count()
+
+
 def test_pit_window_agg_one_shuffle_no_join(spark, lineitem):
     """The union-path PIT windowed agg: no join explosion — zero Join
     nodes, exactly one exchange on the entity key (plus AQE nodes)."""
