@@ -876,6 +876,52 @@ def _join_anti(spark, sf_dir):
 
 
 @q(
+    "join_salted",
+    """SELECT o_orderkey, n_name
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey""",
+)
+def _join_salted(spark, sf_dir):
+    """Skew-salted join must produce exactly the plain-join result —
+    the oracle IS the unsalted SQL."""
+    from aligned_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    oc = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), on=["o_custkey"],
+        salt=8,
+    )
+    out = salted_join(
+        oc, n.withColumnRenamed("n_nationkey", "c_nationkey"),
+        on=["c_nationkey"], salt=4,
+    )
+    return out.select("o_orderkey", "n_name")
+
+
+@q(
+    "dedup_embedding",
+    f"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+              {_O_R6.format(c=_cosine_oracle('a.embedding', 'b.embedding'))} AS sim
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < b.vec_id AND b.vec_id < 200
+         AND {_cosine_oracle('a.embedding', 'b.embedding')} >= 0.3""",
+)
+def _dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact path) — the
+    training-data 'semantic dedup' primitive, oracle-verified."""
+    from aligned_spark.operators.similarity import similar_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = similar_pairs(emb, "vec_id", "embedding", threshold=0.3)
+    return pairs.select(
+        "vec_id_a", "vec_id_b", _r6(F.col("sim")).alias("sim")
+    )
+
+
+@q(
     "join_semi",
     """SELECT c_custkey, c_acctbal FROM customer
        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
