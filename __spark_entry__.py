@@ -1834,6 +1834,18 @@ def _dedup_simhash(spark, sf_dir):
     return d.select("doc_id", simhash_arrow(F.col("text")).alias("sig"))
 
 
+@q("dedup_simhash_pairs")  # hash-family dependent — rows-only
+def _dedup_simhash_pairs(spark, sf_dir):
+    """Hamming near-dup pairs with exact pigeonhole banding (one
+    16-bit chunk must match at max_hamming=3) — the Google-crawl
+    simhash dedup shape, bucket join + bit_count verify, no cross
+    product."""
+    from aligned_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
 @q("sim_lsh_pairs")  # random hyperplanes — rows-only
 def _sim_lsh_pairs(spark, sf_dir):
     from aligned_spark.operators.similarity import lsh_bucketed_pairs

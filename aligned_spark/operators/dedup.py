@@ -334,6 +334,91 @@ def simhash(text: Column, bits: int = 64, shingle_width: int = 3) -> Column:
     return out
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_width: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance (the
+    classic Google-crawl dedup shape).
+
+    Pigeonhole banding: a 64-bit simhash splits into
+    ``max_hamming + 1`` chunks — two signatures within
+    ``max_hamming`` bits MUST agree exactly on at least one chunk, so
+    the self-join runs on (chunk_id, chunk_value) buckets, never the
+    corpus cross product. Candidates verify with
+    ``bit_count(xor) <= max_hamming`` — all codegen. Output:
+    ``{id}_a < {id}_b, hamming``.
+
+    Banding guarantees 100% recall at ``max_hamming`` (pigeonhole is
+    exact, not probabilistic like MinHash-LSH)."""
+    from pyspark.storagelevel import StorageLevel
+
+    n_chunks = max_hamming + 1
+    # chunk boundaries must PARTITION all 64 bits (pigeonhole breaks
+    # if any bit is uncovered); distribute the remainder
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    if impl == "arrow":
+        from aligned_spark.functions.text_arrow import simhash_arrow
+
+        sig_col = simhash_arrow(F.col(text_col), 64, shingle_width)
+    elif impl == "codegen":
+        sig_col = simhash(F.col(text_col), 64, shingle_width)
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+    # sig==0 ⇒ un-shingleable doc: excluded (they'd form one
+    # quadratic bucket; route through exact_dedup)
+    sigs = (
+        df.select(F.col(id_col), sig_col.alias("__sig"))
+        .filter(F.col("__sig") != 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    chunks = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.shiftrightunsigned(F.col("__sig"), offsets[c])
+            .bitwiseAND(F.lit((1 << widths[c]) - 1))
+            .alias("chunk_val"),
+        )
+        for c in range(n_chunks)
+    ]
+    banded = sigs.select(
+        id_col, "__sig", F.explode(F.array(*chunks)).alias("__c")
+    ).select(
+        id_col,
+        "__sig",
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_val").alias("chunk_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias(f"{id_col}_a"),
+        F.col("__sig").alias("__sig_a"),
+        "chunk_id",
+        "chunk_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias(f"{id_col}_b"),
+        F.col("__sig").alias("__sig_b"),
+        "chunk_id",
+        "chunk_val",
+    )
+    ham = F.bit_count(
+        F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))
+    ).alias("hamming")
+    return (
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+    )
+
+
 def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     """Exact character-n-gram Jaccard similarity of two text columns."""
     from aligned_spark.functions.text import char_ngrams

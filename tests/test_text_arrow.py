@@ -142,6 +142,60 @@ def test_simhash_arrow_hamming_locality():
     assert h[4] == 0  # empty doc sentinel
 
 
+def test_simhash_near_dup_pairs(spark):
+    from aligned_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew strong potions under the ancient oak tree"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base.replace("potions", "elixirs")),
+            (4, "completely unrelated content about spaceships and "
+                "galaxies drifting through endless cosmic night skies"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for impl in ("arrow", "codegen"):
+        pairs = {
+            (r.doc_id_a, r.doc_id_b): r.hamming
+            for r in simhash_near_dup_pairs(
+                docs, "doc_id", "text", max_hamming=6, impl=impl
+            ).collect()
+        }
+        assert pairs.get((1, 2)) == 0, (impl, pairs)  # identical
+        assert all(4 not in p and 5 not in p for p in pairs), (impl, pairs)
+    # pigeonhole recall: a brute-force check at max_hamming=6 finds
+    # no pair the banded join missed
+    from aligned_spark.functions.text_arrow import simhash_lists
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    sigs = {
+        i: int(v) & 0xFFFFFFFFFFFFFFFF
+        for i, v in zip(
+            texts, simhash_lists(pd.Series(list(texts.values())))
+        )
+        if int(v) != 0
+    }
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    }
+    banded = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=6, impl="arrow"
+        ).collect()
+    }
+    assert banded == brute
+
+
 def test_unknown_impl_raises(spark):
     from aligned_spark.operators.dedup import _band_rows
 
