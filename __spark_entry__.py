@@ -1604,6 +1604,45 @@ _ORACLES["text_language_quality"] = f"""
   FROM ({_language_oracle()}) a JOIN ({_quality_oracle()}) b USING (doc_id)"""
 
 
+@q("corpus_filter", None)
+def _corpus_filter(spark, sf_dir):
+    """The composed C4/Gopher-style pre-training filter: English,
+    quality above threshold, token count in bounds — the full
+    pipeline in one query, every component mirrored in the oracle."""
+    from aligned_spark.functions.text import (
+        language_id,
+        quality_score,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        language_id(F.col("text")).alias("pred_lang"),
+        _r6(quality_score(F.col("text"))).alias("quality"),
+        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+    )
+    return scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & F.col("ws_tokens").between(10, 5000)
+    )
+
+
+_ORACLES["corpus_filter"] = f"""
+  WITH lang AS ({_language_oracle()}),
+       qual AS ({_quality_oracle()}),
+       toks AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> len(x) > 0)) AS BIGINT) AS ws_tokens
+         FROM documents)
+  SELECT doc_id, pred_lang, quality, ws_tokens
+  FROM lang JOIN qual USING (doc_id) JOIN toks USING (doc_id)
+  WHERE pred_lang = 'en' AND quality >= 0.5
+    AND ws_tokens BETWEEN 10 AND 5000"""
+
+
 @q(
     "dedup_exact",
     """SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text""",
