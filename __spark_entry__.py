@@ -1873,6 +1873,17 @@ def _dedup_simhash(spark, sf_dir):
     return d.select("doc_id", simhash_arrow(F.col("text")).alias("sig"))
 
 
+@q("sim_topk_matmul")  # float-sum order differs from fold — rows-only
+def _sim_topk_matmul(spark, sf_dir):
+    """BLAS-matmul exact top-k (the throughput path; ~100× the
+    per-pair fold at scale, same pair sets — see test)."""
+    from aligned_spark.operators.similarity import top_k_similar_matmul
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    return top_k_similar_matmul(q_side, emb, "vec_id", "embedding", k=5)
+
+
 @q("dedup_simhash_pairs")  # hash-family dependent — rows-only
 def _dedup_simhash_pairs(spark, sf_dir):
     """Hamming near-dup pairs with exact pigeonhole banding (one

@@ -125,6 +125,91 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def top_k_similar_matmul(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vector_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Matmul-vectorized exact cosine top-k — the throughput path.
+
+    :func:`top_k_similar` scores each pair with an interpreted HOF
+    fold (~0.1 ms/pair at dim 64 — measured); this variant broadcasts
+    the normalized query matrix and scores whole Arrow batches with
+    one BLAS matmul (corpus_batch × queriesᵀ), then keeps the per-batch
+    top-k per query and merges through the same tiny global window.
+    ~100× per-pair throughput; sims can differ from the fold path in
+    the last float bits (pairwise vs left-fold summation), which is
+    why the fold path remains the oracle-pinned default.
+
+    Corpus never shuffles; driver holds only the query matrix
+    (n_queries × dim — the same data `broadcast()` would ship)."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vector_col).collect()
+    if not q_rows:
+        return top_k_similar(
+            queries, corpus, id_col, vector_col, k, exclude_self
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0] = 1.0
+    qmn = qm / qn[:, None]
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qmn))
+
+    out_schema = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+        )
+        .schema.add("query_id", queries.schema[id_col].dataType)
+        .add("sim", "double")
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        ids_b, qmat = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            cn[cn == 0] = 1.0
+            sims = (cm / cn[:, None]) @ qmat.T  # (batch × n_queries)
+            nids = pdf[id_col].to_numpy()
+            if exclude_self:
+                eq = nids[:, None] == ids_b[None, :]
+                sims = np.where(eq, -np.inf, sims)
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk × n_q)
+            rows = {
+                "neighbor_id": nids[top.ravel(order="F")],
+                "query_id": np.repeat(ids_b, kk),
+                "sim": np.take_along_axis(sims, top, axis=0).ravel(
+                    order="F"
+                ),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["sim"] > -np.inf]
+
+    partial = corpus.select(id_col, vector_col).mapInPandas(
+        _score, schema=out_schema
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
 def similar_pairs(
     df: DataFrame,
     id_col: str,

@@ -274,6 +274,38 @@ def test_top_k_similar(spark):
     assert {(r.vec_id_a, r.vec_id_b) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_topk_matmul_matches_fold(spark):
+    import random
+
+    from aligned_spark.operators.similarity import (
+        top_k_similar,
+        top_k_similar_matmul,
+    )
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    q = emb.filter(F.col("vec_id") < 12)
+    fold = {
+        (r.query_id, r.neighbor_id)
+        for r in top_k_similar(q, emb, "vec_id", "embedding", k=5).collect()
+    }
+    mm = {
+        (r.query_id, r.neighbor_id)
+        for r in top_k_similar_matmul(
+            q, emb, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert fold == mm
+    # empty query side falls through without error
+    none = top_k_similar_matmul(
+        q.filter(F.col("vec_id") < 0), emb, "vec_id", "embedding", k=5
+    )
+    assert none.count() == 0
+
+
 def test_ivf_topk(spark):
     """nprobe == num_centroids must equal brute force exactly; pruned
     probing keeps self-cluster recall."""
