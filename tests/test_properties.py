@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the PIT core.
+
+The reference pins PIT semantics with one hand-computed fixture
+(``conftest.py:726-847``, ported in test_operators). These properties
+check the same semantics against a Python brute force over RANDOM
+entity/timestamp layouts — duplicate timestamps, empty entities,
+facts before any feature, TTL edges — the shapes a fixture never
+covers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=sec)
+
+
+feature_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # entity
+        st.integers(0, 100),        # ts offset seconds (dups allowed)
+        st.integers(-50, 50),       # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+fact_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feats=feature_rows, facts=fact_rows, ttl=st.sampled_from([None, 30]))
+def test_pit_join_matches_brute_force(spark, feats, facts, ttl):
+    from aligned_spark.operators.joins import pit_join
+
+    # deterministic winner under ts ties: keep ONE row per (entity, ts)
+    dedup = {}
+    for e, t, v in feats:
+        dedup[(e, t)] = v
+    feats = [(e, t, v) for (e, t), v in dedup.items()]
+
+    fdf = spark.createDataFrame(
+        [(e, _ts(t), v) for e, t, v in feats] or [(None, None, None)],
+        "entity long, ts timestamp, value long",
+    )
+    if not feats:
+        fdf = fdf.filter("entity IS NOT NULL")
+    qdf = spark.createDataFrame(
+        [(i, e, _ts(t)) for i, (e, t) in enumerate(facts)],
+        "row_id long, entity long, event_timestamp timestamp",
+    )
+    out = pit_join(
+        qdf,
+        fdf,
+        entities=["entity"],
+        feature_ts="ts",
+        fact_ts="event_timestamp",
+        ttl_seconds=ttl,
+        feature_columns=["value"],
+    )
+    got = {r.row_id: r.value for r in out.collect()}
+
+    for i, (e, t) in enumerate(facts):
+        cands = [
+            (ft, v)
+            for fe, ft, v in feats
+            if fe == e
+            and ft <= t
+            and (ttl is None or ft >= t - ttl)
+        ]
+        expected = max(cands)[1] if cands else None
+        assert got.get(i) == expected, (i, e, t, cands, got.get(i))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feats=feature_rows, window=st.sampled_from([10, 40]))
+def test_rolling_sum_matches_brute_force(spark, feats, window):
+    from aligned_spark.operators.aggregate import AggSpec, rolling_aggregate
+
+    if not feats:
+        return
+    df = spark.createDataFrame(
+        [(e, _ts(t), v) for e, t, v in feats],
+        "entity long, ts timestamp, value long",
+    )
+    out = rolling_aggregate(
+        df,
+        keys=["entity"],
+        ts="ts",
+        window_seconds=window,
+        aggs=[AggSpec("s", "sum", "value")],
+    )
+    got = [(r.entity, r.ts, r.s) for r in out.collect()]
+    # one output row per input row; value = sum over [ts-w, ts]
+    assert len(got) == len(feats)
+    for e, t_out, s in got:
+        t = int((t_out - BASE).total_seconds())
+        expected = sum(
+            v for fe, ft, v in feats if fe == e and t - window <= ft <= t
+        )
+        assert s == expected, (e, t, s, expected)
