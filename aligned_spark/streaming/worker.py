@@ -118,20 +118,35 @@ def stream_aggregate(
 @dataclass
 class StreamWorker:
     """Drives one view's stream into its sink
-    (``StreamWorker.start``, ``worker.py:150-169``)."""
+    (``StreamWorker.start``, ``worker.py:150-169``).
+
+    ``dedup_keys`` inserts a stateful first-occurrence filter
+    (:func:`aligned_spark.streaming.stateful.stateful_dedup`) between
+    the contract pipeline and the aggregation — the standard guard
+    against at-least-once upstream delivery double-counting windowed
+    aggregates."""
 
     store: Any
     view_name: str
     checkpoint_dir: str | None = None
     trigger: dict = field(default_factory=lambda: {"processingTime": "10 seconds"})
+    dedup_keys: list[str] | None = None
+    dedup_ttl_seconds: int = 3600
 
     def query(self, sink: Callable[[DataFrame, int], None] | None = None):
         """Build (without awaiting) the streaming query: readStream →
-        pipeline → [windowed agg] → foreachBatch upsert."""
+        pipeline → [stateful dedup] → [windowed agg] → foreachBatch
+        upsert."""
         view = self.store.views[self.view_name]
         spark = self.store.spark
         raw = stream_source_df(spark, view)
         piped = stream_job(raw, view)
+        if self.dedup_keys:
+            from aligned_spark.streaming.stateful import stateful_dedup
+
+            piped = stateful_dedup(
+                piped, self.dedup_keys, self.dedup_ttl_seconds
+            )
         if any(a.window.window_seconds for a in view.aggregations):
             piped = stream_aggregate(piped, view)
 
