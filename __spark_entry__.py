@@ -1873,15 +1873,38 @@ def _dedup_simhash(spark, sf_dir):
     return d.select("doc_id", simhash_arrow(F.col("text")).alias("sig"))
 
 
-@q("sim_topk_matmul")  # float-sum order differs from fold — rows-only
+@q(
+    "sim_topk_matmul",
+    f"""WITH pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                {_cosine_oracle('a.embedding', 'b.embedding')} AS raw_sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id, raw_sim,
+                row_number() OVER (
+                  PARTITION BY query_id ORDER BY raw_sim DESC, neighbor_id
+                ) AS rk
+         FROM pairs
+       )
+       SELECT query_id, neighbor_id,
+              {_O_R6.format(c='raw_sim')} AS sim
+       FROM ranked WHERE rk <= 5""",
+)
 def _sim_topk_matmul(spark, sf_dir):
     """BLAS-matmul exact top-k (the throughput path; ~100× the
-    per-pair fold at scale, same pair sets — see test)."""
+    per-pair fold at scale). Matmul's pairwise summation differs from
+    the oracle's left fold only below the 1e-6 rounding grain — the
+    oracle hash-matches on this fixed dataset."""
     from aligned_spark.operators.similarity import top_k_similar_matmul
 
     emb = _t(spark, sf_dir, "embeddings")
     q_side = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
-    return top_k_similar_matmul(q_side, emb, "vec_id", "embedding", k=5)
+    out = top_k_similar_matmul(q_side, emb, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("sim")).alias("sim")
+    )
 
 
 @q("dedup_simhash_pairs")  # hash-family dependent — rows-only
