@@ -1907,6 +1907,43 @@ def _sim_topk_matmul(spark, sf_dir):
     )
 
 
+@q(
+    "graph_connected_components",
+    """SELECT doc_id AS node,
+              CAST((doc_id // 5) * 5 AS BIGINT) AS label
+       FROM documents""",
+)
+def _graph_connected_components(spark, sf_dir):
+    """Min-label propagation over a deterministic chain graph
+    (doc 0-1-2-3-4, 5-6-…): the oracle knows each component's min is
+    5·⌊id/5⌋. Chains of length 5 force ≥3 propagation rounds, so the
+    iteration + convergence logic is what's being pinned."""
+    from aligned_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        d.filter(F.col("doc_id") % 5 != 4)
+        .select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + 1).alias("b"),
+        )
+        # keep only edges whose endpoint exists (robust to a corpus
+        # whose max id doesn't end a block)
+        .join(
+            d.select(F.col("doc_id").alias("b")), on="b", how="left_semi"
+        )
+    )
+    comps = connected_components(edges, "a", "b")
+    # nodes with no edge at all are their own component
+    return (
+        d.select(F.col("doc_id").alias("node"))
+        .join(comps, on="node", how="left")
+        .select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+    )
+
+
 @q("dedup_simhash_pairs")  # hash-family dependent — rows-only
 def _dedup_simhash_pairs(spark, sf_dir):
     """Hamming near-dup pairs with exact pigeonhole banding (one

@@ -287,9 +287,13 @@ def minhash_dedup(
     shingle_width: int = 3,
     jaccard_threshold: float | None = 0.8,
     impl: str = "arrow",
+    transitive: bool = False,
 ) -> DataFrame:
-    """Drop near-duplicates: any doc with a near-dup of smaller id is
-    removed (greedy keep-min — one connected-components round)."""
+    """Drop near-duplicates. Default: any doc with a near-dup of
+    smaller id is removed (greedy keep-min — one round). With
+    ``transitive=True`` full connected components run first, so
+    chained duplicates (A~B, B~C without an A~C collision) collapse
+    to ONE survivor per component instead of two."""
     pairs = minhash_near_dup_pairs(
         df,
         id_col,
@@ -300,8 +304,83 @@ def minhash_dedup(
         jaccard_threshold,
         impl,
     )
-    losers = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    if transitive:
+        comps = connected_components(pairs, f"{id_col}_a", f"{id_col}_b")
+        losers = (
+            comps.filter(F.col("node") != F.col("label"))
+            .select(F.col("node").alias(id_col))
+            .distinct()
+        )
+    else:
+        losers = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns ``(node, label)`` where ``label`` is the smallest node id
+    in the component. Converges in O(graph diameter) rounds — each
+    round one shuffle join + group-min; ``localCheckpoint`` cuts the
+    exploding iterative lineage (without it round N's plan contains
+    all prior rounds). This is the transitive-closure step a greedy
+    pair dedup misses: A~B, B~C ⇒ {A,B,C} one group even when A~C
+    never collided.
+
+    Near-dup graphs are sparse with tiny diameters (dup clusters are
+    near-cliques), so rounds ≈ 2-4 in practice; ``max_iter`` bounds
+    pathological chains."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nl")
+                ),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("mn"))
+            .select(F.col("a").alias("node"), "mn")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("mn"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def simhash(text: Column, bits: int = 64, shingle_width: int = 3) -> Column:

@@ -196,6 +196,47 @@ def test_simhash_near_dup_pairs(spark):
     assert banded == brute
 
 
+def test_connected_components_and_transitive_dedup(spark):
+    from aligned_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "a long, b long"
+    )
+    comps = {
+        r.node: r.label
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+    # transitive near-dup: A~B and B~C chained through an edit; the
+    # greedy pass already removes both here, the transitive pass must
+    # agree AND collapse via components
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew strong potions under the ancient oak tree"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, base + " extra words"),
+            (4, "entirely different text about starlight and maps"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in minhash_dedup(
+            docs, "doc_id", "text", bands=16, jaccard_threshold=0.5,
+            transitive=True,
+        ).collect()
+    )
+    assert kept == [1, 4]
+
+
 def test_unknown_impl_raises(spark):
     from aligned_spark.operators.dedup import _band_rows
 
