@@ -1956,7 +1956,53 @@ def _dedup_simhash_pairs(spark, sf_dir):
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
 
 
-@q("sim_lsh_pairs")  # random hyperplanes — rows-only
+def _lsh_oracle(
+    threshold: float = 0.35,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Full DuckDB mirror of ``lsh_bucketed_pairs``: the hyperplanes
+    are DETERMINISTIC literals (seeded Gaussian), so the oracle embeds
+    the exact same plane values, replicates the sign-bit bucketing per
+    table, and verifies candidates with the same left-fold cosine —
+    bit-identical bucket ids and pair sets."""
+    from aligned_spark.operators.similarity import _hyperplanes
+
+    tables_sql = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + t)
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            dot = (
+                f"list_reduce(list_transform(generate_series(1, {dim}), "
+                f"j -> CAST(embedding[j] AS DOUBLE) * ({lit})[j]), "
+                f"(x, y) -> x + y)"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        bucket = " + ".join(bits)
+        tables_sql.append(
+            f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM embeddings"
+        )
+    buckets = " UNION ALL ".join(tables_sql)
+    return f"""
+      WITH buckets AS ({buckets}),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM buckets a
+        JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+      )
+      SELECT vec_id_a, vec_id_b
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = vec_id_a
+      JOIN embeddings eb ON eb.vec_id = vec_id_b
+      WHERE {_cosine_oracle('ea.embedding', 'eb.embedding')} >= {threshold}"""
+
+
+@q("sim_lsh_pairs", None)
 def _sim_lsh_pairs(spark, sf_dir):
     from aligned_spark.operators.similarity import lsh_bucketed_pairs
 
@@ -1969,6 +2015,11 @@ def _sim_lsh_pairs(spark, sf_dir):
         num_planes=6, num_tables=4,
     )
     return pairs.select("vec_id_a", "vec_id_b")
+
+
+# the embeddings table is dim-64 at every SF the driver checks; the
+# oracle embeds the same seeded hyperplane literals
+_ORACLES["sim_lsh_pairs"] = _lsh_oracle(dim=64)
 
 
 @q("embed_fake_text")  # hash-based fake embedding — rows-only
@@ -2213,7 +2264,59 @@ def _vector_index_ivf_probe(spark, sf_dir):
     )
 
 
-@q("vector_index_lsh")  # bucket-pruned path — recall depends on planes
+def _vector_lsh_oracle(
+    num_planes: int = 6, num_tables: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """Mirror of the bucket-pruned ``nearest_n``: same seeded plane
+    literals → same bucket codes → same candidate set; exact cosine
+    rank over candidates (self included, ties by neighbor id)."""
+    from aligned_spark.operators.similarity import _hyperplanes
+
+    def bucket_union(src_filter: str) -> str:
+        parts = []
+        for t in range(num_tables):
+            planes = _hyperplanes(dim, num_planes, seed + t)
+            bits = []
+            for i, plane in enumerate(planes):
+                lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+                dot = (
+                    f"list_reduce(list_transform(generate_series(1, {dim}), "
+                    f"j -> CAST(embedding[j] AS DOUBLE) * ({lit})[j]), "
+                    f"(x, y) -> x + y)"
+                )
+                bits.append(
+                    f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)"
+                )
+            parts.append(
+                f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bucket "
+                f"FROM embeddings {src_filter}"
+            )
+        return " UNION ALL ".join(parts)
+
+    return f"""
+      WITH cb AS ({bucket_union('')}),
+      qb AS ({bucket_union('WHERE vec_id < 10')}),
+      cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               {_cosine_oracle('ea.embedding', 'eb.embedding')} AS raw_sim,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_cosine_oracle('ea.embedding', 'eb.embedding')}
+                   DESC, neighbor_id
+               ) AS rk
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = query_id
+        JOIN embeddings eb ON eb.vec_id = neighbor_id
+      )
+      SELECT query_id, neighbor_id, {_O_R6.format(c='raw_sim')} AS sim
+      FROM ranked WHERE rk <= 5"""
+
+
+@q("vector_index_lsh", None)
 def _vector_index_lsh(spark, sf_dir):
     import tempfile
 
@@ -2228,7 +2331,13 @@ def _vector_index_lsh(spark, sf_dir):
     )
     vix.overwrite(emb.select("vec_id", "embedding"))
     queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
-    return vix.nearest_n(queries, n=5, exact=False)
+    out = vix.nearest_n(queries, n=5, exact=False)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("sim")).alias("sim")
+    )
+
+
+_ORACLES["vector_index_lsh"] = _vector_lsh_oracle()
 
 
 # ===========================================================================
