@@ -124,3 +124,83 @@ class VectorIndexSource:
             .filter(F.col("__rk") <= n)
             .drop("__rk")
         )
+
+
+@dataclass
+class IvfIndexSource:
+    """Parquet-backed IVF index: KMeans coarse quantizer trained at
+    WRITE time, corpus stored partitioned by cluster.
+
+    The write pays one clustering pass + one shuffle; every query
+    then probes ``nprobe`` of ``num_centroids`` cluster partitions —
+    partition pruning at the file level, so a probe reads
+    ``nprobe / num_centroids`` of the corpus bytes. Centroids persist
+    beside the data (a ``num_centroids × dim`` parquet — trivially
+    small). Reference role: the LanceDB IVF index
+    (``aligned/sources/lancedb.py:158-212``), minus the driver-side
+    row loop."""
+
+    path: str
+    id_col: str = "id"
+    vector_col: str = "embedding"
+    num_centroids: int = 64
+    seed: int = 42
+    max_iter: int = 10
+
+    def _data_path(self) -> str:
+        return f"{self.path}/data"
+
+    def _centroid_path(self) -> str:
+        return f"{self.path}/centroids"
+
+    def overwrite(self, df: DataFrame) -> None:
+        from aligned_spark.operators.similarity import ivf_assign
+
+        assigned, centers = ivf_assign(
+            df, self.vector_col, self.num_centroids, self.seed, self.max_iter
+        )
+        (
+            assigned.repartition(F.col("__ivf_cluster"))
+            .write.mode("overwrite")
+            .partitionBy("__ivf_cluster")
+            .parquet(self._data_path())
+        )
+        spark = df.sparkSession
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            "__ivf_cluster int, __cent array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(self._centroid_path())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._data_path())
+
+    def centroids(self, spark: SparkSession) -> "list[list[float]]":
+        rows = (
+            spark.read.parquet(self._centroid_path())
+            .orderBy("__ivf_cluster")
+            .collect()
+        )
+        return [list(r["__cent"]) for r in rows]
+
+    def nearest_n(
+        self, queries: DataFrame, n: int = 10, nprobe: int = 8
+    ) -> DataFrame:
+        """Probe the stored index. ``nprobe == num_centroids`` is
+        exact; smaller prunes cluster partitions (the cluster-key
+        filter reaches the parquet scan as partition pruning)."""
+        from aligned_spark.operators.similarity import ivf_topk
+
+        spark = queries.sparkSession
+        assigned = self.read(spark)
+        return ivf_topk(
+            queries,
+            assigned,
+            self.id_col,
+            self.vector_col,
+            k=n,
+            num_centroids=self.num_centroids,
+            nprobe=nprobe,
+            seed=self.seed,
+            assigned=assigned,
+            centers=self.centroids(spark),
+        )

@@ -19,6 +19,37 @@ def _unit(deg: float) -> list[float]:
     return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
 
 
+def test_ivf_index_source_roundtrip(spark, tmp_path):
+    import random
+
+    from aligned_spark.operators.similarity import top_k_similar
+    from aligned_spark.sources.vector_index import IvfIndexSource
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf = IvfIndexSource(
+        path=str(tmp_path / "ivf"), id_col="vec_id",
+        vector_col="embedding", num_centroids=4, seed=3,
+    )
+    ivf.overwrite(emb)
+    assert len(ivf.centroids(spark)) == 4
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in top_k_similar(q, emb, "vec_id", "embedding", k=3).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf.nearest_n(q, n=3, nprobe=4).collect()
+    }
+    assert full == exact
+    pruned = ivf.nearest_n(q, n=3, nprobe=2)
+    assert pruned.count() == 15  # 5 queries × k — probing still fills k
+
+
 def test_vector_index_roundtrip(spark):
     tmp = tempfile.mkdtemp(prefix="aligned_vix_")
     vix = VectorIndexSource(
