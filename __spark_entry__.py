@@ -1608,19 +1608,22 @@ _ORACLES["text_language_quality"] = f"""
 def _corpus_filter(spark, sf_dir):
     """The composed C4/Gopher-style pre-training filter: English,
     quality above threshold, token count in bounds — the full
-    pipeline in one query, every component mirrored in the oracle."""
-    from aligned_spark.functions.text import (
-        language_id,
-        quality_score,
-        whitespace_token_count,
-    )
+    pipeline in one query, every component mirrored in the oracle.
+
+    Uses the bit-parity Arrow scoring kernel: the codegen chains are
+    re-inlined into the pushed-down Filter (one full HOF re-eval per
+    referenced column — measured 4.5 s warm at sf0.1 vs 0.3 s here);
+    the Python stage is a pushdown barrier, so scores compute once."""
+    from aligned_spark.functions.text_arrow import corpus_scores_arrow
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
+        "doc_id", corpus_scores_arrow(F.col("text")).alias("__s")
+    ).select(
         "doc_id",
-        language_id(F.col("text")).alias("pred_lang"),
-        _r6(quality_score(F.col("text"))).alias("quality"),
-        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        F.col("__s.pred_lang").alias("pred_lang"),
+        _r6(F.col("__s.quality")).alias("quality"),
+        F.col("__s.ws_tokens").alias("ws_tokens"),
     )
     return scored.filter(
         (F.col("pred_lang") == "en")

@@ -39,6 +39,10 @@ HEADLINE = [
     "text_token_counts",
     "dedup_minhash",
     "sim_topk_cosine",
+    # round-2 additions: the training-data pillar paths
+    "corpus_filter",
+    "dedup_simhash_pairs",
+    "sim_topk_matmul",
 ]
 
 

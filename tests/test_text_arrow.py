@@ -75,6 +75,39 @@ def test_pair_sets_agree_across_impls(spark):
     assert all(4 not in p for p in arrow | codegen)
 
 
+def test_corpus_scores_bit_parity(spark):
+    """The Arrow scoring kernel replays the codegen formulas scalar
+    op for scalar op — values must be IDENTICAL doubles."""
+    from aligned_spark.functions.text import (
+        language_id,
+        quality_score,
+        whitespace_token_count,
+    )
+    from aligned_spark.functions.text_arrow import corpus_scores_arrow
+
+    rows = [
+        (1, "The quick brown fox, and the lazy dog! It was for sure."),
+        (2, "der hund und die katze sind nicht mit auf der couch"),
+        (3, ""),
+        (4, None),
+        (5, "x" * 300),
+        (6, "a b   c\t\nd  e"),
+        (7, "?!?!?! ... ,,,, (((())))"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = df.select(
+        "i",
+        language_id(F.col("t")).alias("l"),
+        quality_score(F.col("t")).alias("q"),
+        whitespace_token_count(F.col("t")).cast("long").alias("w"),
+        corpus_scores_arrow(F.col("t")).alias("s"),
+    ).collect()
+    for r in got:
+        assert r.l == r.s.pred_lang, r
+        assert r.q == r.s.quality, r
+        assert r.w == r.s.ws_tokens, r
+
+
 def test_ngram_jaccard_arrow_bit_parity(spark):
     """Arrow and codegen n-gram Jaccard must agree bit-for-bit —
     both compute exact set Jaccard over the same string n-grams."""
