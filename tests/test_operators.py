@@ -274,6 +274,32 @@ def test_top_k_similar(spark):
     assert {(r.vec_id_a, r.vec_id_b) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_cache_and_diagnostic_jobs(spark, tmp_path):
+    from aligned_spark.operators.core import cached, file_cached, logged
+    from aligned_spark.sources.file import ParquetSource
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+
+    c = cached(df)
+    assert c.storageLevel.useMemory and c.count() == 100
+    c.unpersist()
+
+    src = ParquetSource(path=str(tmp_path / "spill.parquet"))
+    first = file_cached(df, src, spark)
+    assert first.count() == 100
+    # second call must READ the checkpoint, not recompute: feed a
+    # poisoned frame — if it recomputed, the count would differ
+    poisoned = spark.range(5).withColumn("v", F.col("id"))
+    again = file_cached(poisoned, src, spark)
+    assert again.count() == 100
+
+    lines: list[str] = []
+    out = logged(df, log_fn=lines.append, label="t")
+    assert out is df  # pass-through, no action triggered
+    assert any("schema:" in ln for ln in lines)
+    assert any("plan:" in ln for ln in lines)
+
+
 def test_topk_matmul_matches_fold(spark):
     import random
 
