@@ -1658,8 +1658,66 @@ def _dedup_exact(spark, sf_dir):
     return out
 
 
-@q("dedup_minhash")  # LSH banding — not SQL-expressible, rows-only
+def _poly_doc_cte(width: int, where: str = "") -> str:
+    """Shared CTE prefix: word hashes then ``width``-word shingle
+    hashes of ``documents.text`` in the SQL-mirrorable poly family."""
+    from aligned_spark.functions import text_poly as tp
+
+    return (
+        f"WITH wh AS (SELECT doc_id, {tp.sql_word_hashes('text')} AS wh"
+        f" FROM documents {where}),\n"
+        f"sh AS (SELECT doc_id, {tp.sql_window_hashes('wh', width)} AS sh"
+        f" FROM wh)"
+    )
+
+
+def _poly_minhash_pairs_oracle(
+    num_hashes: int = 32, bands: int = 8, width: int = 3
+) -> str:
+    """Full DuckDB mirror of poly-family MinHash-LSH banding: same
+    word/shingle folds, same seeded permutation literals, same
+    per-band signature-slice fold — bit-identical band hashes, so the
+    candidate pair set matches exactly (cf. the LSH hyperplane-literal
+    oracle)."""
+    from aligned_spark.functions import text_poly as tp
+
+    rpb = num_hashes // bands
+    return f"""
+    {_poly_doc_cte(width)},
+    sig AS MATERIALIZED (SELECT doc_id, {tp.sql_minhash_sig('sh', num_hashes)} AS sig
+            FROM sh WHERE len(sh) > 0),
+    bnd AS MATERIALIZED (
+      SELECT doc_id, band_id,
+             {tp.sql_band_hash('sig', 'band_id', rpb)} AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band_id)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bnd a JOIN bnd b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@q("dedup_minhash", _poly_minhash_pairs_oracle())
 def _dedup_minhash(spark, sf_dir):
+    """MinHash-LSH candidate pairs, poly hash family: the ENTIRE
+    pipeline (tokenize → shingle folds → 32 seeded permutations →
+    8-band signature folds → bucket self-join) is value-verified
+    against an independent DuckDB replay. The corpus-scale default is
+    ``impl="arrow"`` (same banding code, SipHash kernel) — benched as
+    ``dedup_minhash_arrow``."""
+    from aligned_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+        impl="poly",
+    )
+    return pairs.select("doc_id_a", "doc_id_b")
+
+
+@q("dedup_minhash_arrow")  # production SipHash kernel — rows-only (benched)
+def _dedup_minhash_arrow(spark, sf_dir):
     from aligned_spark.operators.dedup import minhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -1669,13 +1727,29 @@ def _dedup_minhash(spark, sf_dir):
     return pairs.select("doc_id_a", "doc_id_b")
 
 
-@q("dedup_fingerprint")  # xxhash-based — rows-only
+def _poly_fingerprint_oracle(width: int = 8) -> str:
+    return f"""
+    {_poly_doc_cte(width)},
+    fp AS (SELECT doc_id, list_min(sh) AS fp FROM sh),
+    r AS (SELECT doc_id, fp,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM fp)
+    SELECT doc_id FROM r WHERE rn = 1 OR fp IS NULL
+    """
+
+
+@q("dedup_fingerprint", _poly_fingerprint_oracle())
 def _dedup_fingerprint(spark, sf_dir):
+    """Winnowing-fingerprint dedup, poly family: min-shingle-hash
+    collapse with keep-smallest-id, un-fingerprintable docs kept —
+    the whole pipeline replayed in SQL. Corpus-scale default is the
+    SipHash Arrow kernel (`rolling_fingerprint_arrow`, pytest-pinned)."""
     from aligned_spark.operators.dedup import fingerprint_dedup
 
     d = _t(spark, sf_dir, "documents")
     return fingerprint_dedup(
-        d.select("doc_id", "text"), text_col="text", order_col="doc_id"
+        d.select("doc_id", "text"), text_col="text", order_col="doc_id",
+        impl="poly",
     ).select("doc_id")
 
 
@@ -1721,14 +1795,35 @@ def _multimodal_image_pipeline(spark, sf_dir):
     )
 
 
-@q("splits_train")  # deterministic hash split — rows-only (xxhash not in DuckDB)
+@q(
+    "splits_train",
+    # exact replay of the keyed multiplicative-hash coordinate:
+    # h = ((h + col) mod 2^30) * 2654435761 mod 2^30 per key column,
+    # seed 7; train keeps coord/2^30 < 0.8 (all arithmetic exact)
+    """WITH h AS (
+         SELECT l_orderkey, l_linenumber, l_quantity,
+                ((((7 + l_orderkey) % 1073741824) * 2654435761 % 1073741824
+                   + l_linenumber) % 1073741824) * 2654435761 % 1073741824
+                  AS hh
+         FROM lineitem
+       )
+       SELECT l_orderkey, l_linenumber, l_quantity FROM h
+       WHERE CAST(hh AS DOUBLE) / 1073741824 < 0.8""",
+)
 def _splits_train(spark, sf_dir):
+    """Keyed deterministic split (multiplicative hash of the line
+    key): the 80% train side, value-verified against a SQL replay of
+    the hash. The whole-row xxhash64 split path is covered by
+    `splits_temporal` + pytest."""
     from aligned_spark.operators.splits import train_test_split
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    train, _test = train_test_split(li, test_fraction=0.2, seed=7)
+    train, _test = train_test_split(
+        li, test_fraction=0.2, seed=7,
+        key_cols=["l_orderkey", "l_linenumber"],
+    )
     return train
 
 
@@ -1864,16 +1959,25 @@ def _text_ngram_jaccard(spark, sf_dir):
     )
 
 
-@q("dedup_simhash")  # hash-based signature — rows-only
+def _poly_simhash_oracle(width: int = 3) -> str:
+    from aligned_spark.functions import text_poly as tp
+
+    return f"""
+    {_poly_doc_cte(width, "WHERE doc_id < 200")}
+    SELECT doc_id, {tp.sql_simhash('sh')} AS sig FROM sh
+    """
+
+
+@q("dedup_simhash", _poly_simhash_oracle())
 def _dedup_simhash(spark, sf_dir):
-    # Arrow kernel: the codegen `operators.dedup.simhash` builds 65
-    # aggregate expressions that each inline the tokenization (no CSE
-    # across expressions) — measured ~8 s for 500 docs. Same Hamming
-    # locality semantics, ~100× cheaper.
-    from aligned_spark.functions.text_arrow import simhash_arrow
+    """61-bit poly SimHash signatures, value-verified: the oracle
+    recomputes every majority-vote bit in SQL. The corpus-scale
+    64-bit SipHash kernel (`simhash_arrow`) backs the benched pair
+    query `dedup_simhash_pairs_arrow`."""
+    from aligned_spark.functions.text_poly import poly_simhash_arrow
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id", simhash_arrow(F.col("text")).alias("sig"))
+    return d.select("doc_id", poly_simhash_arrow(F.col("text"), 3).alias("sig"))
 
 
 @q(
@@ -1947,12 +2051,59 @@ def _graph_connected_components(spark, sf_dir):
     )
 
 
-@q("dedup_simhash_pairs")  # hash-family dependent — rows-only
+def _poly_simhash_pairs_oracle(max_hamming: int = 3, width: int = 3) -> str:
+    """Pigeonhole-banded Hamming pairs, fully replayed in SQL: the
+    chunk boundaries below are computed with the SAME divmod as
+    ``simhash_near_dup_pairs``, so bucket contents match exactly;
+    candidates verify with ``bit_count(xor)``."""
+    from aligned_spark.functions import text_poly as tp
+
+    bits = tp.SIMHASH_BITS
+    n_chunks = max_hamming + 1
+    base, rem = divmod(bits, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    values = ", ".join(
+        f"({c}, {offsets[c]}, {(1 << widths[c]) - 1})"
+        for c in range(n_chunks)
+    )
+    return f"""
+    {_poly_doc_cte(width)},
+    sg AS MATERIALIZED (SELECT doc_id, {tp.sql_simhash('sh')} AS sig FROM sh),
+    nz AS (SELECT doc_id, sig FROM sg WHERE sig <> 0),
+    ch AS (
+      SELECT doc_id, sig, c.chunk_id, (sig >> c.off) & c.mask AS chunk_val
+      FROM nz CROSS JOIN (VALUES {values}) c(chunk_id, off, mask)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM ch a JOIN ch b
+      ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+@q("dedup_simhash_pairs", _poly_simhash_pairs_oracle())
 def _dedup_simhash_pairs(spark, sf_dir):
     """Hamming near-dup pairs with exact pigeonhole banding (one
-    16-bit chunk must match at max_hamming=3) — the Google-crawl
-    simhash dedup shape, bucket join + bit_count verify, no cross
-    product."""
+    chunk must match at max_hamming=3) — the Google-crawl simhash
+    dedup shape, bucket join + bit_count verify, no cross product.
+    Poly family here (oracle-verified end-to-end); the 64-bit SipHash
+    production path is benched as `dedup_simhash_pairs_arrow`."""
+    from aligned_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3, impl="poly"
+    )
+    return out.select(
+        "doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@q("dedup_simhash_pairs_arrow")  # production SipHash kernel — rows-only (benched)
+def _dedup_simhash_pairs_arrow(spark, sf_dir):
     from aligned_spark.operators.dedup import simhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -2025,17 +2176,55 @@ def _sim_lsh_pairs(spark, sf_dir):
 _ORACLES["sim_lsh_pairs"] = _lsh_oracle(dim=64)
 
 
-@q("embed_fake_text")  # hash-based fake embedding — rows-only
-def _embed_fake_text(spark, sf_dir):
-    from aligned_spark.functions.embeddings import (
-        array_norm,
-        fake_text_embedding,
+def _embed_fake_oracle(size: int = 16) -> str:
+    from aligned_spark.functions import text_poly as tp
+
+    counts = ", ".join(
+        f"len(list_filter(bk, x -> x = {b}))" for b in range(size)
     )
+    return f"""
+    WITH ch AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(coalesce(text, '')), ''),
+                            c -> CAST(ord(c) AS HUGEINT)) AS cp
+      FROM documents WHERE doc_id < 100
+    ),
+    w AS (SELECT doc_id, {tp.sql_trigram_buckets('cp', size)} AS bk FROM ch),
+    cnt AS MATERIALIZED (
+      SELECT doc_id, [{counts}] AS counts, len(bk) AS n_windows FROM w
+    )
+    SELECT doc_id, CAST({size} AS BIGINT) AS dim,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(list_max(counts) AS BIGINT) AS top_count,
+           CAST(list_position(counts, list_max(counts)) - 1 AS BIGINT)
+             AS top_bucket
+    FROM cnt
+    """
+
+
+@q("embed_fake_text", _embed_fake_oracle())
+def _embed_fake_text(spark, sf_dir):
+    """Bag-of-char-trigram fake embedding, poly family: the integer
+    bucket-count core (dimension, window count, modal bucket and its
+    count) is value-verified against a full SQL replay of the
+    hash-and-bucket pipeline. L2-normalizing `counts` yields the
+    string → array<float> embedding contract (the production
+    xxhash64 variant is `functions.embeddings.fake_text_embedding`,
+    exercised by `vector_index_*` tests)."""
+    from aligned_spark.functions.text_poly import poly_trigram_counts_arrow
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    emb = fake_text_embedding(F.col("text"), 16)
-    return d.select(
-        "doc_id", F.size(emb).alias("dim"), array_norm(emb).alias("norm")
+    counts = poly_trigram_counts_arrow(F.col("text"), 16)
+    c = d.select("doc_id", counts.alias("__cnt"))
+    top = F.array_max("__cnt")
+    return c.select(
+        "doc_id",
+        F.size("__cnt").cast("long").alias("dim"),
+        F.aggregate(
+            "__cnt", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_windows"),
+        top.cast("long").alias("top_count"),
+        (F.array_position("__cnt", top) - 1).cast("long").alias("top_bucket"),
     )
 
 

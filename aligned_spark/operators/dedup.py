@@ -72,6 +72,10 @@ def fingerprint_dedup(
         fp = rolling_fingerprint_arrow(F.col(text_col), width)
     elif impl == "codegen":
         fp = rolling_fingerprint(F.col(text_col), width)
+    elif impl == "poly":
+        from aligned_spark.functions.text_poly import poly_fingerprint_arrow
+
+        fp = poly_fingerprint_arrow(F.col(text_col), width)
     else:
         raise ValueError(f"unknown impl: {impl!r}")
     out = df.withColumn("__fp", fp)
@@ -142,10 +146,25 @@ def _band_rows(
     the Python stage is a barrier the optimizer cannot inline into the
     Generate below — the codegen path pays a structural 2× there).
     ``impl="codegen"`` keeps the pure-JVM xxhash64 path: zero Python
-    runtime, bit-stable against the scalar text functions."""
+    runtime, bit-stable against the scalar text functions.
+    ``impl="poly"`` uses the SQL-mirrorable polynomial family
+    (:mod:`aligned_spark.functions.text_poly`) — the oracle-verified
+    correctness path; banding semantics are identical."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    if impl == "poly":
+        from aligned_spark.functions.text_poly import poly_band_hashes_arrow
+
+        wb = df.select(
+            F.col(id_col),
+            poly_band_hashes_arrow(
+                F.col(text_col), num_hashes, bands, shingle_width
+            ).alias("__bh"),
+        ).filter(F.size("__bh") > 0)
+        return wb.select(
+            id_col, F.posexplode("__bh").alias("band_id", "band_hash")
+        )
     if impl == "arrow":
         from aligned_spark.functions.text_arrow import (
             minhash_signature_arrow,
@@ -246,6 +265,12 @@ def minhash_near_dup_pairs(
         from aligned_spark.functions.text_arrow import shingle_hashes_arrow
 
         sh_col = shingle_hashes_arrow(F.col(text_col), shingle_width)
+    elif impl == "poly":
+        from aligned_spark.functions.text_poly import (
+            poly_shingle_hashes_arrow,
+        )
+
+        sh_col = poly_shingle_hashes_arrow(F.col(text_col), shingle_width)
     else:
         sh_col = shingle_hashes(F.col(text_col), shingle_width)
     shingled = df.select(
@@ -436,20 +461,30 @@ def simhash_near_dup_pairs(
     exact, not probabilistic like MinHash-LSH)."""
     from pyspark.storagelevel import StorageLevel
 
-    n_chunks = max_hamming + 1
-    # chunk boundaries must PARTITION all 64 bits (pigeonhole breaks
-    # if any bit is uncovered); distribute the remainder
-    base, rem = divmod(64, n_chunks)
-    widths = [base + 1] * rem + [base] * (n_chunks - rem)
-    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     if impl == "arrow":
         from aligned_spark.functions.text_arrow import simhash_arrow
 
+        sig_bits = 64
         sig_col = simhash_arrow(F.col(text_col), 64, shingle_width)
     elif impl == "codegen":
+        sig_bits = 64
         sig_col = simhash(F.col(text_col), 64, shingle_width)
+    elif impl == "poly":
+        from aligned_spark.functions.text_poly import (
+            SIMHASH_BITS,
+            poly_simhash_arrow,
+        )
+
+        sig_bits = SIMHASH_BITS
+        sig_col = poly_simhash_arrow(F.col(text_col), shingle_width)
     else:
         raise ValueError(f"unknown impl: {impl!r}")
+    n_chunks = max_hamming + 1
+    # chunk boundaries must PARTITION all sig bits (pigeonhole breaks
+    # if any bit is uncovered); distribute the remainder
+    base, rem = divmod(sig_bits, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     # sig==0 ⇒ un-shingleable doc: excluded (they'd form one
     # quadratic bucket; route through exact_dedup)
     sigs = (

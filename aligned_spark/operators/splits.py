@@ -32,13 +32,39 @@ from pyspark.sql import functions as F
 
 _HASH_BUCKETS = 1 << 20
 
+# Knuth multiplicative constant (odd, ≈ 2^31.3) and a power-of-two
+# bucket count small enough that bucket * constant stays < 2^62 —
+# every step is exact int64 arithmetic, replayable in ANSI SQL.
+_MULT_A = 2654435761
+_MULT_BUCKETS = 1 << 30
+
 
 def _ranked(
     df: DataFrame,
     target: str | None,
     event_timestamp: str | None,
     seed: int,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
+    if key_cols is not None and event_timestamp is None and target is None:
+        # Keyed multiplicative-hash coordinate: h starts at the seed,
+        # then per key column h = ((h + col) mod 2^30) · A mod 2^30.
+        # Same scale contract as the xxhash64 path (stateless, no
+        # shuffle), with two extra properties: the assignment is
+        # stable under schema additions (whole-row hashing is not),
+        # and the formula is exactly mirrorable in SQL (the driver's
+        # DuckDB oracle replays it bit-for-bit).
+        h = F.lit(seed).cast("long")
+        for c in key_cols:
+            h = F.pmod(
+                F.pmod(h + F.col(c).cast("long"), F.lit(_MULT_BUCKETS))
+                * F.lit(_MULT_A),
+                F.lit(_MULT_BUCKETS),
+            )
+        # coord and the fraction boundaries are exact doubles (2^30
+        # divides exactly), so the comparison is deterministic
+        coord = h.cast("double") / F.lit(float(_MULT_BUCKETS))
+        return df.withColumn("__pr", coord)
     if event_timestamp is None and target is None:
         # scale path: hash coordinate, no window/sort
         h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
@@ -61,10 +87,14 @@ def train_test_split(
     target: str | None = None,
     event_timestamp: str | None = None,
     seed: int = 42,
+    key_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(train, test). Stratified per ``target`` when given; temporal
-    (oldest rows → train) when ``event_timestamp`` is given."""
-    ranked = _ranked(df, target, event_timestamp, seed)
+    (oldest rows → train) when ``event_timestamp`` is given. With
+    ``key_cols`` the coordinate is a multiplicative hash of exactly
+    those (numeric) columns — stable under schema changes and
+    SQL-mirrorable."""
+    ranked = _ranked(df, target, event_timestamp, seed, key_cols)
     boundary = 1.0 - test_fraction
     train = ranked.filter(F.col("__pr") < boundary).drop("__pr")
     test = ranked.filter(F.col("__pr") >= boundary).drop("__pr")
@@ -78,9 +108,10 @@ def train_test_validate_split(
     target: str | None = None,
     event_timestamp: str | None = None,
     seed: int = 42,
+    key_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(train, test, validate) — fractions of the whole frame."""
-    ranked = _ranked(df, target, event_timestamp, seed)
+    ranked = _ranked(df, target, event_timestamp, seed, key_cols)
     b1 = 1.0 - test_fraction - validate_fraction
     b2 = 1.0 - validate_fraction
     train = ranked.filter(F.col("__pr") < b1).drop("__pr")

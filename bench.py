@@ -37,11 +37,11 @@ HEADLINE = [
     "join_asof",
     "store_features_windowed",
     "text_token_counts",
-    "dedup_minhash",
+    "dedup_minhash_arrow",
     "sim_topk_cosine",
     # round-2 additions: the training-data pillar paths
     "corpus_filter",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_arrow",
     "sim_topk_matmul",
 ]
 
