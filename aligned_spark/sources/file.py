@@ -21,6 +21,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aligned_spark.sources.base import WritableSource
 
@@ -83,7 +84,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(path)
     for c in _nano_timestamp_columns(path):
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        # footer inspection reads ONE file; a directory can mix
+        # pandas-written (NANOS -> long) and Spark-written (micros ->
+        # timestamp) parts, so only cast when the scan actually
+        # surfaced the column as long nanos
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+            )
     return df
 
 
