@@ -189,6 +189,22 @@ class PartitionedParquetSource(_FileSource):
             self.path
         )
 
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite: replace ONLY the hive
+        partitions present in ``df``, leaving every other partition's
+        files untouched. This is the 100 TB incremental-refresh write
+        path — a day's re-materialization rewrites that day's
+        partitions, not the table (contrast :meth:`overwrite`, whose
+        predicate form re-stages everything). ``df`` must contain ALL
+        rows for each partition it touches (partition replacement is
+        whole-partition)."""
+        (
+            df.write.partitionBy(*self.partition_keys)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(self.path)
+        )
+
 
 @dataclass
 class CsvSource(_FileSource):

@@ -349,6 +349,60 @@ class ContractStore:
         df = compute_view(base_view, self.spark, store=self)
         view.materialized_source.overwrite(df)
 
+    def materialize_incremental(
+        self,
+        view_name: str,
+        since: dt.datetime | None = None,
+    ) -> None:
+        """Refresh only what changed since the last materialization.
+
+        ``since`` defaults to the materialized table's own freshness
+        (max event timestamp). Rows newer than the boundary are
+        recomputed from the base source; the write path is chosen by
+        capability:
+
+        - partitioned sources take **dynamic partition overwrite** —
+          affected partitions are located with a broadcast semi-join
+          (no driver-side loop) and replaced wholesale, so a daily
+          refresh of a 100 TB table rewrites one day's files;
+        - anything else upserts on (entities, event timestamp).
+
+        Windowed/aggregated views should pass an explicit ``since``
+        with the window length subtracted — the boundary filter is
+        applied to the *computed* frame, and an aggregate over a
+        window straddling the boundary needs that lookback to be
+        recomputed correctly."""
+        view = self.views[view_name]
+        ms = view.materialized_source
+        if ms is None:
+            raise ValueError(f"view {view_name!r} has no materialized source")
+        if view.event_timestamp is None:
+            raise ValueError(
+                "incremental materialization needs an event timestamp"
+            )
+        ts_col = view.event_timestamp.name
+        if since is None:
+            try:
+                since = ms.freshness(self.spark, ts_col)
+            except Exception:
+                since = None
+        if since is None:
+            # nothing materialized yet — fall back to a full build
+            return self.materialize(view_name)
+        import copy as _copy
+
+        base_view = _copy.copy(view)
+        base_view.materialized_source = None
+        df = compute_view(base_view, self.spark, store=self)
+        new_rows = df.filter(F.col(ts_col) > F.lit(since))
+        pkeys = getattr(ms, "partition_keys", None)
+        if pkeys and hasattr(ms, "overwrite_partitions"):
+            affected = new_rows.select(*pkeys).distinct()
+            full = df.join(F.broadcast(affected), on=pkeys, how="left_semi")
+            ms.overwrite_partitions(full)
+        else:
+            ms.upsert(new_rows, view.entities + [ts_col])
+
     def drop_invalid(self, view_name: str, df: DataFrame | None = None) -> DataFrame:
         from aligned_spark.constraints import drop_invalid as _drop
 

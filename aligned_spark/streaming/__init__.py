@@ -2,7 +2,11 @@
 worker (SURVEY.md §2.9): ``readStream`` → contract pipeline →
 watermarked windowed aggregation → ``foreachBatch`` upsert."""
 
-from aligned_spark.streaming.sources import KafkaStreamSource, RateStreamSource
+from aligned_spark.streaming.sources import (
+    FileStreamSource,
+    KafkaStreamSource,
+    RateStreamSource,
+)
 from aligned_spark.streaming.stateful import decayed_count, stateful_dedup
 from aligned_spark.streaming.worker import (
     StreamWorker,
@@ -12,6 +16,7 @@ from aligned_spark.streaming.worker import (
 )
 
 __all__ = [
+    "FileStreamSource",
     "KafkaStreamSource",
     "decayed_count",
     "stateful_dedup",

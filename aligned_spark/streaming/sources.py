@@ -50,6 +50,49 @@ class KafkaStreamSource:
 
 
 @dataclass
+class FileStreamSource:
+    """Directory-watching file stream (``spark.readStream.format(
+    "parquet"/"csv"/"json")``) — the auto-loader-style ingestion
+    pattern: producers drop files into a path, the stream picks up
+    new ones exactly once (checkpointed file index).
+
+    This is the scale-honest landing-zone source: at 100 TB/day the
+    directory is date-partitioned object storage, ``maxFilesPerTrigger``
+    bounds each micro-batch, and the same downstream
+    ``stream_aggregate`` / ``StreamWorker`` pipeline applies
+    unchanged. Fills the role of the reference's file-watching
+    ``StreamWorker`` sources for non-Kafka deployments
+    (``aligned/worker.py:150-242``)."""
+
+    path: str
+    format: str = "parquet"
+    schema_ddl: str = ""  # required by Spark for file streams
+    options: dict[str, str] = field(default_factory=dict)
+    max_files_per_trigger: int | None = None
+    mapping_keys: dict[str, str] = field(default_factory=dict)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        if not self.schema_ddl:
+            raise ValueError(
+                "FileStreamSource needs schema_ddl (file streams "
+                "cannot infer schema)"
+            )
+        reader = (
+            spark.readStream.format(self.format)
+            .schema(self.schema_ddl)
+            .options(**self.options)
+        )
+        if self.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
+        df = reader.load(self.path)
+        for old, new in self.mapping_keys.items():
+            df = df.withColumnRenamed(old, new)
+        return df
+
+
+@dataclass
 class RateStreamSource:
     """Deterministic synthetic stream over the built-in rate source —
     the test stand-in for Kafka (same role as the reference's in-memory

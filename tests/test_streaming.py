@@ -4,6 +4,7 @@ aggregation produce correct per-window counts."""
 
 from __future__ import annotations
 
+import datetime as dt
 import tempfile
 import time
 
@@ -180,3 +181,70 @@ def test_stream_worker_windowed_counts(spark):
         # rate source: value ≡ user_id (mod 10) → total is a sum of
         # values congruent to user_id
         assert r.total % 10 == (r.user_id * r.n) % 10
+
+
+def test_file_stream_source_e2e(spark, tmp_path):
+    """Directory-watching file source end-to-end: two availableNow
+    runs over the SAME checkpoint — the second run must process ONLY
+    the newly dropped file (exactly-once file index) and update the
+    windowed aggregate state recovered from the checkpoint."""
+    from aligned_spark.streaming import FileStreamSource, StreamWorker
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    drop([(1, dt.datetime(2024, 1, 1, 0, 0, 2), 2.0),
+          (1, dt.datetime(2024, 1, 1, 0, 0, 4), 3.0),
+          (2, dt.datetime(2024, 1, 1, 0, 0, 6), 10.0)])
+
+    stream = FileStreamSource(path=inbox, schema_ddl=schema)
+
+    @feature_view(
+        name="file_stats",
+        source=InMemorySource.from_dict(
+            {"user_id": [], "ts": [], "value": []}, schema=schema
+        ),
+        stream_source=stream,
+    )
+    class FileStats:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+        total = value.aggregate().sum().over(seconds=10)
+        n = value.aggregate().count().over(seconds=10)
+
+    store = ContractStore(spark)
+    store.add_view(FileStats)
+
+    batches: list = []
+    worker = StreamWorker(
+        store, "file_stats", checkpoint_dir=ckpt,
+        trigger={"availableNow": True},
+    )
+    q = worker.start(sink=lambda df, _id: batches.append(df.collect()))
+    q.awaitTermination(120)
+
+    first = {(r.user_id): (r.total, r.n)
+             for b in batches for r in b}
+    assert first[1] == (5.0, 2)
+    assert first[2] == (10.0, 1)
+
+    # second drop: same 10s window, new data — state must carry over
+    drop([(1, dt.datetime(2024, 1, 1, 0, 0, 8), 4.0)])
+    batches2: list = []
+    q2 = worker.query(
+        sink=lambda df, _id: batches2.append(df.collect())
+    ).start()
+    q2.awaitTermination(120)
+
+    rows2 = [r for b in batches2 for r in b]
+    # only the updated key re-emits; its totals include run-1 state
+    assert {r.user_id for r in rows2} == {1}
+    assert {(r.total, r.n) for r in rows2} == {(9.0, 3)}
