@@ -1275,6 +1275,69 @@ def _store_load_feature(spark, sf_dir):
 
 
 @q(
+    "store_lineage",
+    """SELECT * FROM (VALUES
+         ('model:m_ln',         'view:customer_ln'),
+         ('view:customer_ln',   'source:parquet:<sf>/customer.parquet'),
+         ('view:ev_ln',         'source:parquet:<sf>/events.parquet'),
+         ('view:ev_ln',         'view:customer_ln')
+       ) t(node, dep)""",
+)
+def _store_lineage(spark, sf_dir):
+    """Dependency graph of a declared contract set (physical source
+    groups, cross-contract LoadFeature edges, model input views —
+    ``checks.py:lineage``; reference ``depends_on``
+    ``batch_data_source.py:316-317``). Lineage of a declared contract
+    is fully deterministic, so the oracle is the literal edge set."""
+    from aligned_spark.checks import lineage
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+        load_feature,
+        model_contract,
+    )
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    @feature_view(
+        name="customer_ln",
+        source=FileSource.parquet(f"{sf_dir}/customer.parquet"),
+    )
+    class CustomerLn:
+        c_custkey = Int64().as_entity()
+        c_acctbal = Float64()
+
+    @feature_view(
+        name="ev_ln", source=FileSource.parquet(f"{sf_dir}/events.parquet")
+    )
+    class EvLn:
+        event_id = Int64().as_entity()
+        ts = EventTimestamp()
+        user_id = Int64()
+
+        cust_balance = load_feature(
+            "customer_ln:c_acctbal", {"user_id": "c_custkey"}
+        )
+
+    @model_contract(name="m_ln", input_features=["customer_ln:c_acctbal"])
+    class MLn:
+        pass
+
+    store = ContractStore(spark)
+    store.add_view(CustomerLn)
+    store.add_view(EvLn)
+    store.add_model(MLn)
+    edges = [
+        (node, dep.replace(sf_dir, "<sf>"))
+        for node, deps in lineage(store).items()
+        for dep in deps
+    ]
+    return spark.createDataFrame(edges, "node string, dep string")
+
+
+@q(
     "store_sql",
     """SELECT n.n_name, COUNT(*) AS n_cust,
               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal

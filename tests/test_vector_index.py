@@ -120,3 +120,51 @@ def test_api_model_batched(spark):
         "echo:hello",
         "echo:world",
     }
+
+
+def test_ivf_probe_recall_curve(spark):
+    """Honest accuracy measurement for the approximate path on the
+    real embeddings table (near-uniform vectors — the IVF worst
+    case): recall must (a) be exact at nprobe == num_centroids,
+    (b) grow monotonically with nprobe, and (c) beat the
+    uniform-probing baseline nprobe/num_centroids at every setting —
+    i.e. the quantizer routes queries to the RIGHT clusters, it is
+    not a random partition. Guards probe routing and centroid
+    assignment against silent regressions."""
+    from aligned_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        top_k_similar,
+    )
+    from aligned_spark.sources.file import read_parquet
+
+    emb = read_parquet(
+        spark, "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 20)
+
+    exact = top_k_similar(qs, emb, "vec_id", "embedding", k=5)
+    truth: dict = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assigned, centers = ivf_assign(emb, "embedding", num_centroids=16, seed=42)
+
+    def recall(nprobe: int) -> float:
+        out = ivf_topk(
+            qs, emb, "vec_id", "embedding", k=5, num_centroids=16,
+            nprobe=nprobe, assigned=assigned, centers=centers,
+        )
+        got: dict = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ) / len(truth)
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    assert r16 == 1.0, f"full probe must be exact, got {r16:.3f}"
+    assert r4 <= r8 <= r16, f"non-monotone recall {r4:.2f}/{r8:.2f}/{r16:.2f}"
+    assert r4 > 4 / 16 and r8 > 8 / 16, (
+        f"recall no better than random probing: {r4:.2f}@4, {r8:.2f}@8"
+    )
