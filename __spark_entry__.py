@@ -1790,6 +1790,81 @@ def _dedup_minhash_arrow(spark, sf_dir):
     return pairs.select("doc_id_a", "doc_id_b")
 
 
+@q(
+    "events_sessionize",
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 3600000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ),
+       sess AS (
+         SELECT user_id, ts,
+                SUM(is_new) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING
+                ) AS session_id
+         FROM marked
+       )
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              min(ts) AS session_start, max(ts) AS session_end,
+              COUNT(*) AS n_events,
+              CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+                / 1000000 AS duration_s
+       FROM sess GROUP BY user_id, session_id""",
+)
+def _events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (1h gap) + per-session rollup over the
+    events table. One fused Sort+Window per entity partition, no
+    global sort; tie-safe (tied timestamps land in one session under
+    any secondary order, so the rollup is deterministic and the SQL
+    replay matches exactly)."""
+    from aligned_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return session_stats(ev, ["user_id"], "ts", gap_seconds=3600)
+
+
+def _decontaminate_oracle(width: int = 8, split: int = 450) -> str:
+    """Docs >= ``split`` act as the benchmark set; the oracle replays
+    the shingle folds and the any-overlap rule in SQL."""
+    return f"""
+    {_poly_doc_cte(width)},
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+              WHERE doc_id >= {split}),
+    hits AS (
+      SELECT DISTINCT p.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh
+            WHERE doc_id < {split}) p
+      JOIN bench USING (s)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id < {split} AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
+@q("text_decontaminate", _decontaminate_oracle())
+def _text_decontaminate(spark, sf_dir):
+    """Train-set decontamination (LLM-hygiene n-gram overlap rule):
+    corpus docs sharing any 8-word shingle with the benchmark slice
+    are dropped. Broadcast semi-join shape — the corpus side never
+    shuffles; oracle-verified end-to-end via the poly hash family
+    (production kernel: `impl="arrow"`)."""
+    from aligned_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 450)
+    bench = d.filter(F.col("doc_id") >= 450)
+    clean = decontaminate(
+        corpus, bench, "doc_id", "text", "text",
+        shingle_width=8, impl="poly",
+    )
+    return clean.select("doc_id")
+
+
 def _poly_fingerprint_oracle(width: int = 8) -> str:
     return f"""
     {_poly_doc_cte(width)},

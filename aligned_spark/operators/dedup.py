@@ -533,6 +533,65 @@ def simhash_near_dup_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    corpus_text: str,
+    benchmark_text: str,
+    shingle_width: int = 8,
+    impl: str = "arrow",
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Train-set decontamination: drop corpus docs sharing ANY
+    ``shingle_width``-word shingle with the benchmark set (the
+    standard n-gram-overlap contamination rule for LLM training-data
+    hygiene; ``keep_contaminated=True`` returns the flagged docs for
+    audit instead).
+
+    Spark shape: shingle-hash both sides, explode the corpus side to
+    (id, shingle) pairs, semi-join against the DISTINCT benchmark
+    shingle set to get contaminated ids, anti-join the corpus on id.
+    The benchmark side is tiny relative to the corpus (eval suites
+    are MBs against TBs), so it broadcasts and the corpus-side scan
+    stays embarrassingly parallel at 100 TB — the only shuffle is the
+    id-distinct on the (small) contaminated set. ``impl``: "arrow"
+    (SipHash kernel, production), "poly" (SQL-mirrorable — the
+    oracle-verified path), "codegen" (xxhash64)."""
+    if impl == "arrow":
+        from aligned_spark.functions.text_arrow import shingle_hashes_arrow
+
+        def sh(c):
+            return shingle_hashes_arrow(c, shingle_width)
+    elif impl == "poly":
+        from aligned_spark.functions.text_poly import (
+            poly_shingle_hashes_arrow,
+        )
+
+        def sh(c):
+            return poly_shingle_hashes_arrow(c, shingle_width)
+    elif impl == "codegen":
+
+        def sh(c):
+            return shingle_hashes(c, shingle_width)
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    bench_shingles = benchmark.select(
+        F.explode(sh(F.col(benchmark_text))).alias("__sh")
+    ).distinct()
+    pairs = corpus.select(
+        F.col(id_col), F.explode(sh(F.col(corpus_text))).alias("__sh")
+    )
+    hit_ids = (
+        pairs.join(F.broadcast(bench_shingles), on="__sh", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    how = "left_semi" if keep_contaminated else "left_anti"
+    return corpus.join(hit_ids, on=id_col, how=how)
+
+
 def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     """Exact character-n-gram Jaccard similarity of two text columns."""
     from aligned_spark.functions.text import char_ngrams

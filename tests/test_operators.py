@@ -422,3 +422,46 @@ def test_media_features(spark):
     meta = df.select("id", binary_metadata(F.col("blob")).alias("m")).collect()
     m = {r.id: r.m for r in meta}
     assert m[1].n_bytes == 3 and len(m[1].digest) == 32
+
+
+def test_sessionize(spark):
+    """Hand-computed sessions: gaps > 100s split; ties share a
+    session; per-user numbering restarts."""
+    import datetime as dt
+
+    from aligned_spark.operators.sessions import session_stats, sessionize
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, t(0)), (1, t(30)), (1, t(31)),      # session 1
+        (1, t(200)), (1, t(200)),               # session 2 (tie)
+        (2, t(0)),                              # user 2 session 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, ["user_id"], "ts", gap_seconds=100)
+    got = sorted(
+        (r.user_id, r.ts, r.session_id) for r in out.collect()
+    )
+    assert got == sorted([
+        (1, t(0), 1), (1, t(30), 1), (1, t(31), 1),
+        (1, t(200), 2), (1, t(200), 2),
+        (2, t(0), 1),
+    ])
+
+    stats = session_stats(df, ["user_id"], "ts", gap_seconds=100)
+    by = {(r.user_id, r.session_id): (r.n_events, r.duration_s)
+          for r in stats.collect()}
+    assert by == {
+        (1, 1): (3, 31.0),
+        (1, 2): (2, 0.0),
+        (2, 1): (1, 0.0),
+    }
+
+    # lag + running sum share ONE shuffle and ONE sort (two Window
+    # nodes are inherent: the frames differ)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+    assert final.count("Exchange") == 1
+    assert final.count("Sort [") == 1

@@ -145,3 +145,33 @@ def test_poly_simhash_pairs_pigeonhole(spark):
     out = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3, impl="poly")
     got = {(r.doc_id_a, r.doc_id_b) for r in out.collect()}
     assert got == expect
+
+
+def test_decontaminate(spark):
+    """Planted 3-shingle overlap: doc 0 shares a 3-gram with the
+    benchmark, doc 1 does not; too-short docs are never flagged."""
+    from aligned_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the secret benchmark passage is hidden here today"),
+            (1, "completely unrelated text with different words"),
+            (2, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we know the secret benchmark passage appears")],
+        "doc_id long, text string",
+    )
+    for impl in ("poly", "arrow"):
+        clean = decontaminate(
+            corpus, bench, "doc_id", "text", "text",
+            shingle_width=3, impl=impl,
+        )
+        assert {r.doc_id for r in clean.collect()} == {1, 2}, impl
+        flagged = decontaminate(
+            corpus, bench, "doc_id", "text", "text",
+            shingle_width=3, impl=impl, keep_contaminated=True,
+        )
+        assert {r.doc_id for r in flagged.collect()} == {0}, impl
