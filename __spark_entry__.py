@@ -1791,6 +1791,66 @@ def _dedup_minhash_arrow(spark, sf_dir):
 
 
 @q(
+    "text_line_dup_ratio",
+    """SELECT doc_id,
+              CASE WHEN n > 0 THEN (n - d) / CAST(n AS DOUBLE) ELSE 0.0 END
+                AS dup_ratio
+       FROM (
+         SELECT doc_id,
+                len(list_filter(lines, x -> len(x) > 0)) AS n,
+                len(list_distinct(list_filter(lines, x -> len(x) > 0))) AS d
+         FROM (
+           SELECT doc_id,
+                  string_split(concat(text, chr(10), text, chr(10),
+                                      substr(text, 1, 50)), chr(10)) AS lines
+           FROM documents
+         )
+       )""",
+)
+def _text_line_dup_ratio(spark, sf_dir):
+    """Gopher-style repetition signal. The corpus is single-line, so
+    the query constructs a 3-line column (text, text again, a 50-char
+    prefix): docs <= 50 chars score 2/3, longer docs 1/3 — real
+    distinct-counting with per-doc variance, exact integer/double
+    arithmetic on both sides."""
+    from aligned_spark.functions.text import line_dup_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    three_lines = F.concat_ws(
+        "\n", F.col("text"), F.col("text"), F.substring("text", 1, 50)
+    )
+    return d.select(
+        "doc_id", line_dup_ratio(three_lines).alias("dup_ratio")
+    )
+
+
+@q(
+    "corpus_weighted_sample",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                CAST(((7 + doc_id) % 1073741824) * 2654435761
+                     % 1073741824 AS DOUBLE) / 1073741824 AS coord,
+                CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                            WHEN 'src2' THEN 0.25 ELSE 0.1 END AS w
+         FROM documents
+       ) WHERE coord < w""",
+)
+def _corpus_weighted_sample(spark, sf_dir):
+    """Training-mixture construction: per-source sampling weights
+    applied via the stable multiplicative-hash coordinate — a pure
+    filter (no shuffle, no state), reproducible across runs and
+    partition layouts, and exactly replayed by the oracle."""
+    from aligned_spark.operators.sampling import weighted_source_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return weighted_source_sample(
+        d, ["doc_id"], "source",
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.1, seed=7,
+    )
+
+
+@q(
     "events_sessionize",
     """WITH marked AS (
          SELECT user_id, ts,

@@ -119,6 +119,23 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def line_dup_ratio(text: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line — the Gopher-style "repetition removal" signal (boilerplate,
+    scraped nav bars, degenerate generations). 0.0 for docs with no
+    non-empty lines. Pure codegen: split + distinct-count, exact
+    integer arithmetic, so the value is engine-independent."""
+    lines = F.filter(
+        F.split(F.coalesce(text, F.lit("")), "\n"),
+        lambda l: F.length(l) > 0,
+    )
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    return F.when(
+        n > 0, (n - d).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def rolling_fingerprint(text: Column, width: int = 8) -> Column:
     """Document fingerprint: min-of-rolling-hashes over word
     ``width``-grams (a winnowing-style content signature). Two

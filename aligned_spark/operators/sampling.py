@@ -1,0 +1,64 @@
+"""Deterministic corpus sampling — training-mixture construction.
+
+A 100 TB pretraining corpus is never used whole: each source/domain
+gets a mixture weight ("2 epochs of wiki, 30% of crawl"). Doing that
+with ``df.sample`` is non-reproducible across runs and partition
+layouts; the operators here hash a stable row key into [0, 1) with the
+same multiplicative-hash coordinate the keyed train/test split uses
+(``operators/splits.py``), so the sample is stable under re-runs,
+repartitioning, AND schema additions — and exactly replayable in SQL
+(the driver oracle does).
+
+The reference has no sampling operator (``aligned``'s only sampling
+is the random dummy store); this extends the training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aligned_spark.operators.splits import _MULT_A, _MULT_BUCKETS
+
+
+def hash_coordinate(key_cols: list[str], seed: int = 0) -> Column:
+    """Stable [0, 1) coordinate from integer key columns — exact
+    int64 arithmetic (h = ((h + col) mod 2^30) · A mod 2^30), exact
+    double division (2^30 divides exactly)."""
+    h = F.lit(seed).cast("long")
+    for c in key_cols:
+        h = F.pmod(
+            F.pmod(h + F.col(c).cast("long"), F.lit(_MULT_BUCKETS))
+            * F.lit(_MULT_A),
+            F.lit(_MULT_BUCKETS),
+        )
+    return h.cast("double") / F.lit(float(_MULT_BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash. Stateless and
+    shuffle-free (a filter over the scan), reproducible everywhere."""
+    return df.filter(hash_coordinate(key_cols, seed) < F.lit(fraction))
+
+
+def weighted_source_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-source mixture sampling: keep a row when its key hash falls
+    under its source's weight. Sources absent from ``weights`` keep
+    ``default_weight`` (0 = drop). Still a pure filter — no shuffle,
+    no state; weights are plan literals so Catalyst folds the CASE."""
+    thr: Column = F.lit(float(default_weight))
+    for src, w in sorted(weights.items()):
+        thr = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(thr)
+    return df.filter(hash_coordinate(key_cols, seed) < thr)

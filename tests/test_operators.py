@@ -465,3 +465,49 @@ def test_sessionize(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes both
     assert final.count("Exchange") == 1
     assert final.count("Sort [") == 1
+
+
+def test_line_dup_ratio_and_sampling(spark):
+    from aligned_spark.functions.text import line_dup_ratio
+    from aligned_spark.operators.sampling import (
+        deterministic_sample,
+        weighted_source_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a\nb\na\n\nc\na"),  # 5 non-empty lines, 3 distinct
+            (1, "x\ny"),             # no dups
+            (2, ""),                 # no lines
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.r
+        for r in docs.select(
+            "doc_id", line_dup_ratio(F.col("text")).alias("r")
+        ).collect()
+    }
+    assert got == {0: 2 / 5, 1: 0.0, 2: 0.0, 3: 0.0}
+
+    df = spark.range(10000).withColumn(
+        "source",
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b"),
+    )
+    s1 = deterministic_sample(df, ["id"], 0.3, seed=5)
+    s2 = deterministic_sample(df, ["id"], 0.3, seed=5)
+    ids1 = {r.id for r in s1.collect()}
+    assert ids1 == {r.id for r in s2.collect()}, "not reproducible"
+    assert abs(len(ids1) - 3000) < 300
+
+    w = weighted_source_sample(
+        df, ["id"], "source", {"a": 1.0}, default_weight=0.0, seed=5
+    )
+    rows = w.collect()
+    assert all(r.source == "a" for r in rows)
+    assert len(rows) == 5000  # weight 1.0 keeps every 'a' row
+
+    # a filter over the scan: no shuffle anywhere
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
