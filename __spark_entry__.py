@@ -1851,6 +1851,42 @@ def _corpus_weighted_sample(spark, sf_dir):
 
 
 @q(
+    "corpus_pack",
+    r"""WITH t AS (
+         SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> len(x) > 0)) AS BIGINT) AS tokens
+         FROM documents
+       )
+       SELECT doc_id, source, tokens,
+              CAST(floor((SUM(tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - tokens) / 512.0)
+                AS BIGINT) AS pack_id
+       FROM t""",
+)
+def _corpus_pack(spark, sf_dir):
+    """Sequence packing for pretraining: documents join fixed
+    512-token packs in doc_id order within each source shard —
+    streaming first-fit as ONE window cumsum (no state, no UDF;
+    parallelism = #sources). Budget is a power of two so the
+    pack-index division is exact in both engines."""
+    from aligned_spark.functions.text import whitespace_token_count
+    from aligned_spark.operators.sampling import pack_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).cast("long").alias("tokens"),
+    )
+    out = pack_documents(
+        d, keys=["source"], order_col="doc_id",
+        token_col="tokens", budget=512,
+    )
+    return out.select("doc_id", "source", "tokens", "pack_id")
+
+
+@q(
     "events_sessionize",
     """WITH marked AS (
          SELECT user_id, ts,

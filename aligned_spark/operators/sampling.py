@@ -15,7 +15,7 @@ is the random dummy store); this extends the training-data surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from aligned_spark.operators.splits import _MULT_A, _MULT_BUCKETS
@@ -44,6 +44,39 @@ def deterministic_sample(
     """Keep ~``fraction`` of rows, chosen by key hash. Stateless and
     shuffle-free (a filter over the scan), reproducible everywhere."""
     return df.filter(hash_coordinate(key_cols, seed) < F.lit(fraction))
+
+
+def pack_documents(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    token_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing
+    for pretraining): in deterministic ``order_col`` order within each
+    ``keys`` partition, a document joins the current pack while the
+    running token total stays under ``budget`` — i.e. streaming
+    first-fit in a stable order, the standard scalable approximation
+    of bin packing (optimal packing is NP-hard and inherently
+    sequential).
+
+    ``pack_id = floor((running_total − tokens) / budget)``: one window
+    cumsum, no state, no UDF; parallelism = #keys (pack within
+    source/shard — exactly how corpus packing shards at 100 TB).
+    Documents larger than the budget get a pack to themselves (the
+    cumsum jump skips intermediate ids, it never merges neighbors)."""
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        pack_col,
+        F.floor((running - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )
 
 
 def weighted_source_sample(

@@ -511,3 +511,29 @@ def test_line_dup_ratio_and_sampling(spark):
     # a filter over the scan: no shuffle anywhere
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_documents(spark):
+    """First-fit packing semantics: budget boundary starts a new
+    pack; an oversized doc gets its own pack id without merging
+    neighbors; per-key numbering independent."""
+    from aligned_spark.operators.sampling import pack_documents
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 100), ("a", 3, 100),  # pack 0 (300)
+        ("a", 4, 150),   # 450 -> still pack 0? (300 before) yes
+        ("a", 5, 200),   # before=450 -> pack 1
+        ("a", 6, 900),   # before=650 -> pack 2 (oversized)
+        ("a", 7, 10),    # before=1550 -> pack 3
+        ("b", 1, 500),   # own partition, pack 0
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tokens long")
+    out = pack_documents(df, ["source"], "doc_id", "tokens", budget=500)
+    got = {(r.source, r.doc_id): r.pack_id for r in out.collect()}
+    assert got == {
+        ("a", 1): 0, ("a", 2): 0, ("a", 3): 0, ("a", 4): 0,
+        ("a", 5): 0,  # before=450 < 500 -> floor(450/500)=0
+        ("a", 6): 1,  # before=650 -> floor=1
+        ("a", 7): 3,  # before=1550 -> floor=3 (oversized doc skipped id 2)
+        ("b", 1): 0,
+    }
