@@ -1850,6 +1850,40 @@ def _corpus_weighted_sample(spark, sf_dir):
     )
 
 
+def _quantile_filter_oracle(keep_top: float = 0.3) -> str:
+    return f"""
+    WITH q AS ({_quality_oracle()}),
+    j AS (SELECT d.doc_id, d.source, q.quality
+          FROM documents d JOIN q USING (doc_id)),
+    r AS (SELECT doc_id, source, quality,
+                 percent_rank() OVER (
+                   PARTITION BY source ORDER BY quality DESC, doc_id
+                 ) AS pr
+          FROM j)
+    SELECT doc_id, source, quality FROM r WHERE pr <= {keep_top}
+    """
+
+
+@q("corpus_quantile_filter", _quantile_filter_oracle())
+def _corpus_quantile_filter(spark, sf_dir):
+    """Relative quality filtering: keep the top 30% of each source by
+    quality score (how a quality model is applied without per-domain
+    absolute thresholds). Ranks run over the r6-rounded score with a
+    doc_id tie-break, so the cut is deterministic and the SQL replay
+    ranks identically. Parallelism = #sources."""
+    from aligned_spark.functions.text import quality_score
+    from aligned_spark.operators.sampling import filter_by_quantile
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source",
+        _r6(quality_score(F.col("text"))).alias("quality"),
+    )
+    return filter_by_quantile(
+        scored, ["source"], "quality", keep_top=0.3, tie_cols=["doc_id"]
+    )
+
+
 @q(
     "corpus_pack",
     r"""WITH t AS (

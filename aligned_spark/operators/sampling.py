@@ -79,6 +79,34 @@ def pack_documents(
     )
 
 
+def filter_by_quantile(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    keep_top: float,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the best ``keep_top`` fraction of rows per ``keys`` group
+    by ``score_col`` (relative quality filtering — "keep the top 30%
+    of each source by quality score", the standard way to apply a
+    quality model without hand-picking absolute thresholds per
+    domain).
+
+    ``percent_rank`` over (keys | score desc, tie_cols): exact rank
+    arithmetic, deterministic given a tie-break, so the cut is
+    reproducible and SQL-replayable. Parallelism = #groups; at 100 TB
+    group by source/domain (low cardinality), never by a unique key."""
+    order = [F.col(score_col).desc()] + [
+        F.col(c).asc() for c in (tie_cols or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= keep_top)
+        .drop("__pr")
+    )
+
+
 def weighted_source_sample(
     df: DataFrame,
     key_cols: list[str],

@@ -537,3 +537,15 @@ def test_pack_documents(spark):
         ("a", 7): 3,  # before=1550 -> floor=3 (oversized doc skipped id 2)
         ("b", 1): 0,
     }
+
+
+def test_filter_by_quantile(spark):
+    from aligned_spark.operators.sampling import filter_by_quantile
+
+    rows = [("a", i, float(i)) for i in range(10)] + [("b", 0, 5.0)]
+    df = spark.createDataFrame(rows, "src string, id long, score double")
+    # keep_top 0.3 on percent_rank (rank-1)/(n-1): scores 9,8,7 for
+    # group a (pr 0, 1/9, 2/9 <= 0.3); singleton group pr=0 kept
+    out = filter_by_quantile(df, ["src"], "score", 0.3, tie_cols=["id"])
+    got = {(r.src, r.id) for r in out.collect()}
+    assert got == {("a", 9), ("a", 8), ("a", 7), ("b", 0)}
