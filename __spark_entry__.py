@@ -1885,6 +1885,62 @@ def _corpus_quantile_filter(spark, sf_dir):
 
 
 @q(
+    "text_top_ngram",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-zA-ZÀ-ÿ]+'),
+               x -> length(x) > 0
+             ) AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+                                   i -> words[i] || ' ' || words[i + 1])) AS gram
+      FROM base WHERE len(words) >= 2
+    ), c AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           {_O_R6.format(c='CAST(max(cnt) AS DOUBLE) / sum(cnt)')}
+             AS top_ngram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def _text_top_ngram(spark, sf_dir):
+    """Gopher repetition rule: fraction of a doc's bigram occurrences
+    taken by the most frequent bigram. Two keyed shuffles, both with
+    map-side partial aggregation; docs with <2 words are excluded on
+    both sides."""
+    from aligned_spark.operators.quality import top_ngram_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    out = top_ngram_fraction(d, ["doc_id"], "text", n=2)
+    return out.select(
+        "doc_id", _r6(F.col("top_ngram_frac")).alias("top_ngram_frac")
+    )
+
+
+@q("dedup_semantic", None)
+def _dedup_semantic(spark, sf_dir):
+    """SemDeDup over the embeddings table: LSH-bucketed candidate
+    pairs (same seeded hyperplanes the sim_lsh_pairs oracle replays),
+    transitive closure, keep the min-id representative per component.
+    The oracle recomputes the identical pair graph in SQL and runs
+    min-label reachability as a recursive CTE."""
+    from aligned_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    out = semantic_dedup(
+        emb, "vec_id", "embedding", dim=dim, threshold=0.35,
+        num_planes=6, num_tables=4,
+    )
+    return out.select("vec_id")
+
+
+@q(
     "corpus_pack",
     r"""WITH t AS (
          SELECT doc_id, source,
@@ -2442,6 +2498,33 @@ def _sim_lsh_pairs(spark, sf_dir):
 # the embeddings table is dim-64 at every SF the driver checks; the
 # oracle embeds the same seeded hyperplane literals
 _ORACLES["sim_lsh_pairs"] = _lsh_oracle(dim=64)
+
+
+def _semantic_dedup_oracle(dim: int = 64) -> str:
+    """Pair graph identical to ``_lsh_oracle``; component labels via
+    min-label reachability as a recursive CTE (UNION dedups states, so
+    the fixpoint is the set of (node, reachable-node) pairs; min per
+    node = the component representative semantic_dedup keeps)."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_lsh_oracle(dim=dim)}),
+    sym AS MATERIALIZED (
+      SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
+      UNION ALL
+      SELECT vec_id_b AS a, vec_id_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym) n(a)
+      UNION
+      SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+    SELECT e.vec_id
+    FROM embeddings e LEFT JOIN lab ON lab.node = e.vec_id
+    WHERE lab.node IS NULL OR lab.label = e.vec_id
+    """
+
+
+_ORACLES["dedup_semantic"] = _semantic_dedup_oracle()
 
 
 def _embed_fake_oracle(size: int = 16) -> str:

@@ -408,6 +408,58 @@ def connected_components(
     return labels
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    threshold: float,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    seed: int = 42,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    drop every document whose embedding is cosine-similar (≥
+    ``threshold``) — directly or transitively — to a lower-id document.
+
+    Three stages, each the scale-safe shape:
+
+    1. candidate pairs via random-hyperplane LSH buckets
+       (:func:`~aligned_spark.operators.similarity.lsh_bucketed_pairs`)
+       — shuffles (id, bucket) rows, verifies exact cosine only within
+       buckets, never a cross product. ``num_planes=0`` degrades to
+       exact all-pairs (useful for tests / small frames).
+    2. connected components over the sparse near-dup graph
+       (:func:`connected_components`) — full transitive closure, so
+       A~B, B~C collapses {A,B,C} even when A~C never collided.
+    3. anti-join the non-representative ids back out. The drop list is
+       ~dup_rate × corpus, typically small → broadcast anti-join.
+
+    The SemDeDup recipe (Abbas et al. 2023) clusters with k-means;
+    hyperplane buckets serve the same role here but are deterministic
+    given ``seed``, which keeps the whole operator replayable."""
+    from aligned_spark.operators.similarity import lsh_bucketed_pairs
+
+    pairs = lsh_bucketed_pairs(
+        df,
+        id_col,
+        vector_col,
+        dim=dim,
+        threshold=threshold,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        seed=seed,
+    )
+    comps = connected_components(
+        pairs, f"{id_col}_a", f"{id_col}_b", max_iter=max_iter
+    )
+    drop = comps.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def simhash(text: Column, bits: int = 64, shingle_width: int = 3) -> Column:
     """SimHash signature: sign-sum of per-shingle hash bits.
 

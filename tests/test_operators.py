@@ -539,6 +539,41 @@ def test_pack_documents(spark):
     }
 
 
+def test_top_ngram_fraction(spark):
+    from aligned_spark.operators.quality import top_ngram_fraction
+
+    rows = [
+        (1, "the cat the cat the dog"),  # bigrams: 2+2+1 -> top 2/5
+        (2, "a b"),                      # single bigram -> 1.0
+        (3, "word"),                     # < 2 words -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.top_ngram_frac
+           for r in top_ngram_fraction(df, ["doc_id"], "text").collect()}
+    assert out == {1: 0.4, 2: 1.0}
+
+
+def test_semantic_dedup(spark):
+    import math
+    from aligned_spark.operators.dedup import semantic_dedup
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # 0° ~ 5° ~ 10° form a chain at threshold cos(6°)=0.9945 —
+    # cos(0°,10°)=0.985 is below it, so only transitive closure
+    # collapses all three; 90° is a singleton.
+    rows = [(0, at(0.0)), (1, at(5.0)), (2, at(10.0)), (3, at(90.0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # num_planes=0 -> one bucket -> exact all-pairs verify
+    out = semantic_dedup(
+        df, "vec_id", "embedding", dim=2, threshold=0.9945, num_planes=0,
+        num_tables=1,
+    )
+    assert {r.vec_id for r in out.collect()} == {0, 3}
+
+
 def test_filter_by_quantile(spark):
     from aligned_spark.operators.sampling import filter_by_quantile
 
