@@ -1885,6 +1885,63 @@ def _corpus_quantile_filter(spark, sf_dir):
 
 
 @q(
+    "dedup_lines",
+    """
+    WITH c AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(w) / 8.0) AS BIGINT) - 1))
+               AS pos,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(w) / 8.0) AS BIGINT) - 1),
+               i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')))
+               AS line
+      FROM c
+    ), k AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines WHERE line <> ''
+    ), r AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.text, '') AS text
+    FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+    """,
+)
+def _dedup_lines(spark, sf_dir):
+    """C4-style cross-corpus line dedup. The synthetic corpus has no
+    newlines, so the query first reshapes each doc into 8-word lines
+    (deterministic, mirrored in the oracle), then removes every line
+    occurrence except its first (doc_id, pos) across the whole corpus
+    and reassembles the documents. The word-array projection is
+    referenced twice (size + transform), which keeps CollapseProject
+    from inlining the split into the HOF lambda."""
+    from aligned_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    n_chunks = (
+        F.ceil(F.size("__w") / F.lit(8.0)).cast("long") - 1
+    )
+    chunked = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_chunks),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__w"), (i * 8 + 1).cast("int"), 8)
+                ),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(chunked, "doc_id", "text")
+
+
+@q(
     "text_top_ngram",
     f"""
     WITH base AS (

@@ -408,6 +408,53 @@ def connected_components(
     return labels
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-corpus line-level exact dedup (the C4 recipe: a line that
+    occurs anywhere else in the corpus survives only at its first
+    occurrence): posexplode lines, keep the occurrence with the
+    smallest ``(id, position)`` per distinct line, reassemble each
+    document from its surviving lines in original order.
+
+    Boilerplate killers like nav bars / cookie banners / license
+    headers disappear from every doc but the first one that used them;
+    empty lines are dropped. Documents whose every line was a dup
+    survive with empty text (so the row set is stable for joins).
+
+    One shuffle keyed on the line text (skew note: a corpus-dominating
+    boilerplate line is one hot key — AQE skew handling applies), one
+    shuffle back on the id to reassemble. ``collect_list`` state per
+    doc is bounded by the doc's own line count."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "__pos", "__line"
+        ),
+    ).filter(F.length("__line") > 0)
+    w = W.partitionBy("__line").orderBy(id_col, "__pos")
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s.getField("__line"),
+            ),
+        ).alias(text_col)
+    )
+    return df.select(id_col).join(rebuilt, on=id_col, how="left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

@@ -553,6 +553,25 @@ def test_top_ngram_fraction(spark):
     assert out == {1: 0.4, 2: 1.0}
 
 
+def test_line_dedup(spark):
+    from aligned_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "cookie banner\nunique one\ncookie banner"),  # self-dup line
+        (2, "cookie banner\nunique two"),                 # cross-doc dup
+        (3, "cookie banner"),                             # all lines dup
+        (4, "fresh\n\nlast"),                             # empty line dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out == {
+        1: "cookie banner\nunique one",
+        2: "unique two",
+        3: "",
+        4: "fresh\nlast",
+    }
+
+
 def test_semantic_dedup(spark):
     import math
     from aligned_spark.operators.dedup import semantic_dedup
