@@ -1885,6 +1885,49 @@ def _corpus_quantile_filter(spark, sf_dir):
 
 
 @q(
+    "stream_interval_join_batch",
+    """
+    SELECT l.user_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id,
+           l.ts AS click_ts,
+           r.ts AS purchase_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def _stream_interval_join_batch(spark, sf_dir):
+    """Funnel join (click → purchase within 30 min per user) through
+    ``stream_interval_join`` — the SAME operator that runs the
+    watermarked stream-stream join; on static frames ``withWatermark``
+    is a no-op, so this oracle pins the join predicate + projection
+    that the live-stream e2e test exercises with state."""
+    from aligned_spark.streaming import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = stream_interval_join(
+        left, right, ["user_id"], "click_ts", "purchase_ts",
+        lower_bound_seconds=0, upper_bound_seconds=1800,
+    )
+    return out.select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
+@q(
     "dedup_lines",
     """
     WITH c AS (

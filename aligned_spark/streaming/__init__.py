@@ -7,6 +7,7 @@ from aligned_spark.streaming.sources import (
     KafkaStreamSource,
     RateStreamSource,
 )
+from aligned_spark.streaming.joins import stream_interval_join
 from aligned_spark.streaming.stateful import decayed_count, stateful_dedup
 from aligned_spark.streaming.worker import (
     StreamWorker,
@@ -23,6 +24,7 @@ __all__ = [
     "RateStreamSource",
     "StreamWorker",
     "stream_aggregate",
+    "stream_interval_join",
     "stream_job",
     "stream_source_df",
 ]

@@ -322,3 +322,78 @@ def test_stream_batch_agg_parity(spark, tmp_path):
         for r in b:  # later updates supersede earlier ones
             got[(r.user_id, r.ts)] = (round(r.total, 6), r.n)
     assert got == expect
+
+
+def test_stream_interval_join_semantics(spark):
+    """Interval-join predicate pinned on static frames (withWatermark
+    is a no-op in batch, so this is exactly the streaming condition)."""
+    from aligned_spark.streaming import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(1, s(0)), (2, s(0))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, s(2), 10.0), (1, s(10), 99.0), (2, s(-1), 20.0)],
+        "k long, rts timestamp, payload double",
+    )
+    inner = stream_interval_join(
+        left, right, ["k"], "lts", "rts",
+        lower_bound_seconds=0, upper_bound_seconds=5,
+    )
+    assert [(r.k, r.payload) for r in inner.collect()] == [(1, 10.0)]
+
+    outer = stream_interval_join(
+        left, right, ["k"], "lts", "rts",
+        lower_bound_seconds=0, upper_bound_seconds=5, how="left_outer",
+    )
+    got = {(r.k, r.payload) for r in outer.collect()}
+    assert got == {(1, 10.0), (2, None)}
+
+
+def test_stream_interval_join_e2e(spark):
+    """Live stream-stream self-join on the rate source: every key's
+    +1s-shifted copy lands inside the [0, 5s] interval, so each key
+    matches exactly once with payload = 10·k."""
+    from aligned_spark.streaming import stream_interval_join
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+    )
+    left = rate.select(F.col("value").alias("k"), F.col("timestamp").alias("lts"))
+    right = rate.select(
+        F.col("value").alias("k"),
+        (F.col("timestamp") + F.expr("INTERVAL 1 SECOND")).alias("rts"),
+        (F.col("value") * 10).alias("payload"),
+    )
+    joined = stream_interval_join(
+        left, right, ["k"], "lts", "rts",
+        lower_bound_seconds=0, upper_bound_seconds=5,
+    )
+    batches: list = []
+    query = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if sum(len(b) for b in batches) >= 20:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+    rows = [r for b in batches for r in b]
+    assert len(rows) >= 20, "stream-stream join produced too few rows"
+    keys = [r.k for r in rows]
+    assert len(keys) == len(set(keys)), "a key matched more than once"
+    assert all(r.payload == r.k * 10 for r in rows)
+    assert all((r.rts - r.lts).total_seconds() == 1.0 for r in rows)
