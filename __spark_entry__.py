@@ -1885,6 +1885,35 @@ def _corpus_quantile_filter(spark, sf_dir):
 
 
 @q(
+    "join_range_binned",
+    """
+    SELECT c.c_custkey,
+           n.n_nationkey AS band_key,
+           c.c_acctbal
+    FROM customer c JOIN nation n
+      ON c.c_acctbal >= n.n_nationkey * 400.0
+     AND c.c_acctbal <= n.n_nationkey * 400.0 + 399.0
+    """,
+)
+def _join_range_binned(spark, sf_dir):
+    """Numeric range join via bin bucketing: account balances against
+    25 price bands derived from nation keys. The oracle states the
+    plain inequality join; the operator answers it with an equi-join
+    on bin ids (one hash shuffle) instead of the nested-loop plan
+    Spark would pick for the raw predicate."""
+    from aligned_spark.operators.joins import range_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bands = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_key"),
+        (F.col("n_nationkey") * 400.0).alias("__lo"),
+        (F.col("n_nationkey") * 400.0 + 399.0).alias("__hi"),
+    )
+    out = range_join(c, bands, "c_acctbal", "__lo", "__hi", bin_width=400.0)
+    return out.select("c_custkey", "band_key", "c_acctbal")
+
+
+@q(
     "stream_interval_join_batch",
     """
     SELECT l.user_id,

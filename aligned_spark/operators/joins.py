@@ -83,6 +83,53 @@ def equi_join(
     return left.join(right, on=cond, how=how)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Inner point-in-interval join (``lo <= point <= hi``, plus
+    optional equality keys) rewritten as an equi-join on bin ids.
+
+    Spark plans a bare inequality join as a broadcast nested loop (or
+    an equality join with a post-filter that still materializes every
+    same-key pair) — O(|points| × |intervals|) at the limit. The
+    standard fix, which Catalyst does not do itself: bucket the number
+    line into ``bin_width``-wide bins, tag each point with its single
+    bin, explode each interval into every bin it covers, hash-join on
+    (keys, bin), and re-check the exact predicate. Each matching pair
+    meets in exactly one bin (the point's), so no dedup is needed.
+
+    Cost: one hash shuffle on (keys, bin) + |interval| ×
+    (span/bin_width) exploded rows. Pick ``bin_width`` near the median
+    interval span: much smaller explodes the interval side; much
+    larger degrades toward per-bin cross products. Skewed bins (a hot
+    region of the number line) fall under AQE skew handling like any
+    hot hash key."""
+    on = on or []
+    b = F.lit(float(bin_width))
+    pts = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / b).cast("long")
+    )
+    ivs = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b).cast("long"),
+                F.floor(F.col(hi_col) / b).cast("long"),
+            )
+        ),
+    )
+    joined = pts.join(ivs, on=on + ["__bin"], how="inner").filter(
+        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+    )
+    return joined.drop("__bin")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

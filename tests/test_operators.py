@@ -553,6 +553,30 @@ def test_top_ngram_fraction(spark):
     assert out == {1: 0.4, 2: 1.0}
 
 
+def test_range_join(spark):
+    from aligned_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.5), (2, 10.4), (3, -3.2), (4, 99.0)], "pid long, x double"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 5.0), (11, 4.0, 12.0), (12, -5.0, -1.0)],
+        "iid long, lo double, hi double",
+    )
+    # overlapping intervals: 0.5 -> iid 10 only; 10.4 -> 11; -3.2 -> 12
+    # (negative floor binning); 99.0 -> nothing
+    out = range_join(pts, ivs, "x", "lo", "hi", bin_width=3.0)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == {(1, 10), (2, 11), (3, 12)}
+    # a point inside two overlapping intervals matches both, once each
+    pts2 = spark.createDataFrame([(5, 4.5)], "pid long, x double")
+    got2 = sorted(
+        r.iid
+        for r in range_join(pts2, ivs, "x", "lo", "hi", bin_width=3.0).collect()
+    )
+    assert got2 == [10, 11]
+
+
 def test_line_dedup(spark):
     from aligned_spark.operators.dedup import line_dedup
 
