@@ -1885,6 +1885,28 @@ def _corpus_quantile_filter(spark, sf_dir):
 
 
 @q(
+    "profile_histogram",
+    """
+    SELECT l_returnflag,
+           floor(l_extendedprice / 5000.0) * 5000.0 AS bin_lo,
+           count(*) AS bin_count
+    FROM lineitem
+    GROUP BY l_returnflag, bin_lo
+    """,
+)
+def _profile_histogram(spark, sf_dir):
+    """Fixed-width price histogram per return flag — the dataset-QC
+    profiling shape (one floor-division group-by with map-side
+    partials; shuffle carries #groups × #occupied-bins rows)."""
+    from aligned_spark.operators.quality import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(
+        li, "l_extendedprice", bin_width=5000.0, keys=["l_returnflag"]
+    )
+
+
+@q(
     "join_range_binned",
     """
     SELECT c.c_custkey,

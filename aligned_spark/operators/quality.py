@@ -26,6 +26,32 @@ from pyspark.sql import functions as F
 from aligned_spark.functions.text import _sliding_zip, _words
 
 
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` (optionally per ``keys``
+    group): rows ``(keys..., bin_lo, bin_count)`` where ``bin_lo`` is
+    the inclusive lower edge of the bin containing the value. Nulls
+    are excluded.
+
+    The profiling primitive for corpus/dataset QC (token-length
+    distributions, score distributions) as one floor-division +
+    group-by: map-side partial aggregation means each executor ships
+    at most (#groups × #occupied-bins) rows to the shuffle, regardless
+    of input size."""
+    keys = keys or []
+    b = F.lit(float(bin_width))
+    bin_lo = (F.floor(F.col(value_col) / b) * b).alias("bin_lo")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bin_lo)
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
 def top_ngram_fraction(
     df: DataFrame,
     id_cols: list[str],

@@ -627,3 +627,13 @@ def test_filter_by_quantile(spark):
     out = filter_by_quantile(df, ["src"], "score", 0.3, tie_cols=["id"])
     got = {(r.src, r.id) for r in out.collect()}
     assert got == {("a", 9), ("a", 8), ("a", 7), ("b", 0)}
+
+
+def test_histogram(spark):
+    from aligned_spark.operators.quality import histogram
+
+    rows = [("a", 0.5), ("a", 1.5), ("a", 1.7), ("b", -0.5), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r.g, r.bin_lo): r.bin_count
+           for r in histogram(df, "v", 1.0, keys=["g"]).collect()}
+    assert out == {("a", 0.0): 1, ("a", 1.0): 2, ("b", -1.0): 1}
