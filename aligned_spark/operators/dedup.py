@@ -360,13 +360,20 @@ def connected_components(
     Near-dup graphs are sparse with tiny diameters (dup clusters are
     near-cliques), so rounds ≈ 2-4 in practice; ``max_iter`` bounds
     pathological chains."""
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # evaluate the (possibly expensive) edge pipeline exactly once —
+    # nodes, sym, and every iteration all read this checkpoint instead
+    # of re-running whatever produced the pairs (e.g. an LSH verify)
+    fwd = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.withColumn("label", F.col("node"))
-    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    labels = (
+        fwd.select(F.col("a").alias("node"))
+        .unionByName(fwd.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     sym = (
         fwd.unionByName(
             fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -386,6 +393,9 @@ def connected_components(
             .agg(F.min("nl").alias("mn"))
             .select(F.col("a").alias("node"), "mn")
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a scan of this tiny frame, not an
+        # extra per-round shuffle join against the old labels
         new_labels = (
             labels.join(nbr_min, on="node", how="left")
             .select(
@@ -393,16 +403,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("mn"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("__old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("__old")
+        ).count()
+        labels = new_labels.drop("__old")
         if changed == 0:
             break
     return labels
@@ -465,6 +473,7 @@ def semantic_dedup(
     num_tables: int = 4,
     seed: int = 42,
     max_iter: int = 25,
+    impl: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     drop every document whose embedding is cosine-similar (≥
@@ -497,6 +506,7 @@ def semantic_dedup(
         num_planes=num_planes,
         num_tables=num_tables,
         seed=seed,
+        impl=impl,
     )
     comps = connected_components(
         pairs, f"{id_col}_a", f"{id_col}_b", max_iter=max_iter

@@ -168,3 +168,33 @@ def test_ivf_probe_recall_curve(spark):
     assert r4 > 4 / 16 and r8 > 8 / 16, (
         f"recall no better than random probing: {r4:.2f}@4, {r8:.2f}@8"
     )
+
+
+def test_lsh_pair_verify_bit_parity(spark):
+    """The Arrow pair-cosine verify must be BIT-identical to the
+    codegen fold: same per-dim accumulation order, so the whole pair
+    set and every sim value match exactly on awkward float32 data."""
+    import random
+
+    from aligned_spark.operators.similarity import lsh_bucketed_pairs
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=16, threshold=0.2, num_planes=3, num_tables=2)
+    a = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in lsh_bucketed_pairs(
+            df, "vec_id", "embedding", impl="arrow", **kw
+        ).collect()
+    }
+    b = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in lsh_bucketed_pairs(
+            df, "vec_id", "embedding", impl="codegen", **kw
+        ).collect()
+    }
+    assert a.keys() == b.keys() and len(a) > 50
+    assert all(a[k] == b[k] for k in a), "sim values diverged bitwise"
