@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with ``count()`` (full compute, no driver-side
-row transfer). The headline set spans the engine's pillars: scan +
-derive, group/rolling/PIT aggregation, equi/as-of joins, the store
-PIT pipeline, text analysis, MinHash dedup, and cosine top-k.
+Each query is forced with a full-row ``xxhash64(struct(*))`` checksum
+(full compute of every output column, no driver-side row transfer).
+The headline set spans the engine's pillars: scan + derive,
+group/rolling/PIT aggregation, equi/as-of/range joins, the store PIT
+pipeline, text analysis, MinHash/SimHash/line/semantic dedup, cosine
+top-k, sessionization, and sequence packing.
 
 Methodology: steady-state (JMH-style). Every query first runs once
 UNTIMED at the target SF to absorb single-JVM JIT/codegen compilation
@@ -43,7 +45,24 @@ HEADLINE = [
     "corpus_filter",
     "dedup_simhash_pairs_arrow",
     "sim_topk_matmul",
+    # late round-2 additions: sessionization, packing, line dedup,
+    # semantic dedup, binned range join
+    "events_sessionize",
+    "corpus_pack",
+    "dedup_lines",
+    "dedup_semantic",
+    "join_range_binned",
 ]
+
+
+def _force(df) -> None:
+    """Force full computation of every output column.
+
+    NOT ``count()``: ColumnPruning happily drops unused aggregate
+    expressions under a count (a ``collect_list`` reassembly would
+    never run), silently benching a cheaper query than the user gets.
+    A full-row hash makes every column load-bearing."""
+    df.selectExpr("sum(xxhash64(struct(*)))").collect()
 
 
 def main() -> None:
@@ -59,7 +78,7 @@ def main() -> None:
     # re-executes all real compute
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in HEADLINE:
-        qs[name](spark, sf_dir).count()
+        _force(qs[name](spark, sf_dir))
     spark.catalog.clearCache()
 
     # min of two timed runs: Python-worker churn between Arrow-stage
@@ -72,7 +91,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            _force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
