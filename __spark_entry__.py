@@ -3035,6 +3035,167 @@ _ORACLES["vector_index_lsh"] = _vector_lsh_oracle()
 
 
 # ===========================================================================
+# PII redaction / exact-k sampling / distributed PCA
+# ===========================================================================
+
+
+def _pii_inject(spark_side: bool):
+    """The synthetic-PII injection expression, in both dialects.
+
+    The documents corpus is clean synthetic prose, so the query
+    manufactures deterministic PII per row (email, card, SSN, phone,
+    IP, all keyed off ``doc_id``) and the oracle rebuilds the exact
+    same raw string before replaying the redaction chain — the regex
+    rules therefore do real work on every row."""
+    parts = [
+        ("expr", "substring(text, 1, 40)"),
+        ("lit", " u"),
+        ("num", "doc_id"),
+        ("lit", "@ex"),
+        ("num", "doc_id % 5"),
+        ("lit", ".org card 4111 1111 1111 "),
+        ("pad4", "doc_id % 10000"),
+        ("lit", " ssn 987-65-"),
+        ("pad4", "(doc_id * 3) % 10000"),
+        ("lit", " tel 555-"),
+        ("pad3", "doc_id % 1000"),
+        ("lit", "-"),
+        ("pad4", "(doc_id * 7) % 10000"),
+        ("lit", " ip 10."),
+        ("num", "doc_id % 256"),
+        ("lit", ".0."),
+        ("num", "doc_id % 100"),
+    ]
+    frags = []
+    for kind, v in parts:
+        if kind == "lit":
+            frags.append("'" + v + "'" if not spark_side else f"'{v}'")
+        elif kind == "expr":
+            frags.append(v)
+        elif kind == "num":
+            frags.append(f"CAST({v} AS STRING)" if spark_side
+                         else f"CAST({v} AS VARCHAR)")
+        else:
+            n = 3 if kind == "pad3" else 4
+            inner = (f"CAST({v} AS STRING)" if spark_side
+                     else f"CAST({v} AS VARCHAR)")
+            frags.append(f"lpad({inner}, {n}, '0')")
+    return " || ".join(frags) if not spark_side else (
+        "concat(" + ", ".join(frags) + ")"
+    )
+
+
+def _redact_oracle() -> str:
+    from aligned_spark.operators.redact import DEFAULT_RULES
+
+    raw = _pii_inject(spark_side=False)
+    scrub = "raw"
+    counts = []
+    for r in DEFAULT_RULES:
+        counts.append(
+            f"CAST(len(regexp_extract_all({scrub}, '{r.pattern}')) AS INT)"
+            f" AS n_{r.name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{r.pattern}', '{r.replacement}', 'g')"
+    return (
+        f"WITH t AS (SELECT doc_id, {raw} AS raw FROM documents)\n"
+        f"SELECT doc_id, {scrub} AS text, "
+        + ", ".join(counts)
+        + " FROM t"
+    )
+
+
+@q("corpus_redact_pii", _redact_oracle())
+def _corpus_redact_pii(spark, sf_dir):
+    """Regex PII scrub with per-rule audit counts — a pure codegen
+    projection (scan-speed at 100 TB; no shuffle, no Python). The
+    oracle replays the injected raw text and the exact rule chain
+    with RE2 'g' replaces (rules are written in the Java-regex ∩ RE2
+    common subset)."""
+    from aligned_spark.operators.redact import redact_corpus
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _pii_inject(spark_side=True) + " AS text"
+    )
+    return redact_corpus(d, "text")
+
+
+@q(
+    "corpus_sample_k",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY CAST(((5 + doc_id) % 1073741824) * 2654435761
+                           % 1073741824 AS DOUBLE) / 1073741824, doc_id
+                ) AS rn
+         FROM documents
+       ) WHERE rn <= 100""",
+)
+def _corpus_sample_k(spark, sf_dir):
+    """Exactly-k-per-group deterministic sample. The operator's
+    two-phase plan (broadcast per-group thresholds → shuffle-free
+    coordinate pre-filter → rank survivors only → exactness rescue)
+    must equal the naive full rank the oracle runs."""
+    from aligned_spark.operators.sampling import sample_exact_k
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_exact_k(d, "source", ["doc_id"], k=100, seed=5)
+
+
+@q(
+    "embed_pca_stats",
+    f"""SELECT t.i AS dim_idx,
+              {_O_R6.format(c='avg(embedding[t.i])')} AS mean_r6,
+              {_O_R6.format(c='var_samp(embedding[t.i])')} AS var_r6
+       FROM embeddings, range(1, 65) t(i) GROUP BY t.i""",
+)
+def _embed_pca_stats(spark, sf_dir):
+    """Oracle check of distributed PCA's stage 1: the mapInPandas
+    moment partials (n, Σx, Σxxᵀ) combined on the driver must
+    reproduce per-dimension mean and sample variance exactly (the
+    eigendecomposition itself is pinned by pytest parity vs numpy —
+    not SQL-expressible)."""
+    from aligned_spark.operators.decompose import moments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    n, mean, cov = moments(emb, "embedding", dim)
+    var = cov.diagonal()
+    rows = [
+        (i + 1, float(mean[i]), float(var[i])) for i in range(dim)
+    ]
+    out = spark.createDataFrame(
+        rows, "dim_idx long, mean double, var double"
+    )
+    return out.select(
+        "dim_idx",
+        _r6(F.col("mean")).alias("mean_r6"),
+        _r6(F.col("var")).alias("var_r6"),
+    )
+
+
+@q("embed_pca_project", None)
+def _embed_pca_project(spark, sf_dir):
+    """Rows-only: PCA projection of the embeddings to 4 dims (sign
+    convention makes it deterministic; value parity vs numpy is
+    pytest-pinned in tests/test_corpus_ops.py)."""
+    from aligned_spark.operators.decompose import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    m = pca_fit(emb, "embedding", dim=dim, k=4)
+    out = pca_project(emb, m, "embedding", out_col="pca")
+    return out.select(
+        "vec_id",
+        *[
+            _r6(F.element_at("pca", i + 1)).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 

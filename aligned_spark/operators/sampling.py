@@ -123,3 +123,71 @@ def weighted_source_sample(
     for src, w in sorted(weights.items()):
         thr = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(thr)
     return df.filter(hash_coordinate(key_cols, seed) < thr)
+
+
+def sample_exact_k(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    k: int,
+    seed: int = 0,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Exactly ``min(k, group_size)`` rows per group, chosen as the k
+    smallest stable hash coordinates — a deterministic, re-runnable
+    reservoir sample ("give me 100k docs per domain").
+
+    Scale path (the naive plan — rank every row with a window — sorts
+    the full 100 TB corpus inside each group partition):
+
+    1. per-group counts via map-side-partial ``groupBy().count()``
+       (result rows = #groups, tiny);
+    2. broadcast an acceptance threshold ``oversample·k/n`` per group
+       and PRE-FILTER on the hash coordinate: a shuffle-free scan
+       filter that keeps ~``oversample·k`` rows per group;
+    3. rank only the survivors (window input is ~groups·oversample·k
+       rows, not the corpus);
+    4. EXACTNESS RESCUE: a group that (with probability
+       ≈ exp(-k·oversample²/8), i.e. never for real k) kept fewer
+       than min(k, n) survivors is re-ranked without the pre-filter,
+       so the result is exact regardless of luck.
+
+    The output is identical to the naive full rank: the k smallest
+    ``(coordinate, key_cols)`` per group — which is what the SQL
+    oracle replays."""
+    coord = hash_coordinate(key_cols, seed)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    thr = F.when(
+        F.col("__n") <= F.lit(float(oversample * k)), F.lit(2.0)
+    ).otherwise(F.lit(float(oversample * k)) / F.col("__n"))
+    pre = (
+        df.withColumn("__coord", coord)
+        .join(
+            F.broadcast(counts.select(group_col, thr.alias("__thr"))),
+            on=group_col,
+        )
+        .filter(F.col("__coord") < F.col("__thr"))
+    )
+    w = W.partitionBy(group_col).orderBy("__coord", *key_cols)
+    kept = (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__thr")
+    )
+    # groups where the pre-filter under-delivered (kept < min(k, n))
+    short = (
+        kept.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__kept"))
+        .join(counts, on=group_col)
+        .filter(F.col("__kept") < F.least(F.lit(k), F.col("__n")))
+        .select(group_col)
+    )
+    rescue = (
+        df.join(F.broadcast(short), on=group_col, how="left_semi")
+        .withColumn("__coord", coord)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    ok = kept.join(F.broadcast(short), on=group_col, how="left_anti")
+    return ok.unionByName(rescue).drop("__coord")

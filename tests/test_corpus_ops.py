@@ -1,0 +1,144 @@
+"""PII redaction, exact-k sampling, and distributed PCA."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_redact_corpus_rules(spark):
+    from aligned_spark.operators.redact import redact_corpus
+
+    rows = [
+        (0, "mail me at bob.smith+x@corp.example.com today"),
+        (1, "card 1234 5678 9012 3456 and ssn 123-45-6789"),
+        (2, "call 555-867-5309 or visit 10.0.42.7 now"),
+        (3, "clean text with numbers 123 456 7890123 intact"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in redact_corpus(df, "text").collect()
+    }
+    assert out[0].text == "mail me at <EMAIL> today"
+    assert out[0].n_email == 1
+    assert out[1].text == "card <CREDIT_CARD> and ssn <SSN>"
+    assert out[1].n_credit_card == 1 and out[1].n_ssn == 1
+    # the card must be eaten whole by the card rule, not split into
+    # phone-sized bites; the phone rule then matches nothing
+    assert out[1].n_phone == 0
+    assert out[2].text == "call <PHONE> or visit <IP> now"
+    assert out[2].n_phone == 1 and out[2].n_ipv4 == 1
+    # 7-digit runs / spaced triples are NOT PII; text passes through
+    assert out[3].text == rows[3][1]
+    assert sum(
+        out[3][c] for c in out[3].asDict() if c.startswith("n_")
+    ) == 0
+
+
+def test_sample_exact_k_matches_full_rank(spark):
+    """The two-phase (prefilter + rescue) plan must equal the naive
+    full window rank: k smallest (coord, key) per group."""
+    from aligned_spark.operators.sampling import (
+        hash_coordinate,
+        sample_exact_k,
+    )
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(2000)] + [(9999, "tiny")],
+        "row_id long, grp string",
+    )
+    got = sample_exact_k(df, "grp", ["row_id"], k=7, seed=3)
+    naive = (
+        df.withColumn("__c", hash_coordinate(["row_id"], 3))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("grp").orderBy("__c", "row_id")
+            ),
+        )
+        .filter(F.col("__rn") <= 7)
+    )
+    assert {(r.grp, r.row_id) for r in got.collect()} == {
+        (r.grp, r.row_id) for r in naive.collect()
+    }
+    # the singleton group keeps its one row (min(k, n) semantics)
+    assert [r.row_id for r in got.filter("grp = 'tiny'").collect()] == [9999]
+
+
+def test_sample_exact_k_rescue_path(spark):
+    """With a pathological oversample the prefilter under-delivers
+    and the rescue must restore exactness."""
+    from aligned_spark.operators.sampling import (
+        hash_coordinate,
+        sample_exact_k,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(5000)], "row_id long, grp string"
+    )
+    got = sample_exact_k(df, "grp", ["row_id"], k=50, seed=1,
+                         oversample=0.2)
+    assert got.count() == 50
+    # still the k smallest coordinates overall
+    coords = (
+        df.withColumn("__c", hash_coordinate(["row_id"], 1))
+        .orderBy("__c", "row_id")
+        .limit(50)
+        .collect()
+    )
+    assert {r.row_id for r in got.collect()} == {r.row_id for r in coords}
+
+
+@pytest.fixture(scope="module")
+def xy():
+    rng = np.random.default_rng(11)
+    # anisotropic gaussian so the spectrum is distinct
+    scales = np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.3, 0.2, 0.1])
+    x = rng.normal(size=(600, 8)) * scales + rng.normal(size=8)
+    return x
+
+
+def test_pca_fit_matches_numpy(spark, xy):
+    from aligned_spark.operators.decompose import pca_fit
+
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(xy)],
+        "vec_id long, v array<double>",
+    ).repartition(7)
+    m = pca_fit(df, "v", dim=8, k=4)
+
+    cov = np.cov(xy, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    top = np.argsort(vals)[::-1][:4]
+    assert m.n == 600
+    assert np.allclose(m.explained_variance, vals[top], rtol=1e-8)
+    assert np.allclose(m.mean, xy.mean(axis=0), rtol=0, atol=1e-9)
+    # same subspace: |cos| of each component pair ≈ 1
+    for i, j in enumerate(top):
+        c = abs(float(m.components[i] @ vecs[:, j]))
+        assert c > 1.0 - 1e-9, (i, c)
+        # sign convention: largest-|coeff| entry is positive
+        assert m.components[i][np.abs(m.components[i]).argmax()] > 0
+
+
+def test_pca_project_parity(spark, xy):
+    from aligned_spark.operators.decompose import pca_fit, pca_project
+
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(xy)],
+        "vec_id long, v array<double>",
+    ).repartition(5)
+    m = pca_fit(df, "v", dim=8, k=3)
+    got = {
+        r.vec_id: np.array(r.pca)
+        for r in pca_project(df, m, "v").collect()
+    }
+    want = (xy - m.mean) @ m.components.T
+    for i in range(len(xy)):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+    # projected variance per axis == explained variance (n-1 norm)
+    p = np.stack([got[i] for i in range(len(xy))])
+    assert np.allclose(p.var(axis=0, ddof=1), m.explained_variance,
+                       rtol=1e-8)
