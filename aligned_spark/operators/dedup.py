@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aligned_spark.functions.text import (
     rolling_fingerprint,
@@ -346,6 +347,7 @@ def connected_components(
     src: str,
     dst: str,
     max_iter: int = 25,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -359,7 +361,17 @@ def connected_components(
 
     Near-dup graphs are sparse with tiny diameters (dup clusters are
     near-cliques), so rounds ≈ 2-4 in practice; ``max_iter`` bounds
-    pathological chains."""
+    pathological chains.
+
+    Adaptive execution: a near-dup pair graph is orders of magnitude
+    smaller than the corpus that produced it (it holds only colliding
+    ids, not documents), so when the materialized edge count is at
+    most ``driver_threshold`` the closure runs as a driver-side
+    union-find over just the id pairs — O(E·α) with ONE job instead
+    of ~4 jobs × diameter rounds. Bigger graphs take the distributed
+    min-label loop. Both paths return the identical (node, min-id
+    label) frame; ``driver_threshold=0`` forces the distributed path.
+    """
     # evaluate the (possibly expensive) edge pipeline exactly once —
     # nodes, sym, and every iteration all read this checkpoint instead
     # of re-running whatever produced the pairs (e.g. an LSH verify)
@@ -367,6 +379,37 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .localCheckpoint(eager=True)
     )
+    if fwd.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in fwd.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # smaller id stays root → roots are component minima
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        node_t = fwd.schema["a"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("node", node_t, False),
+                T.StructField("label", node_t, False),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(n, find(n)) for n in parent], out_schema
+        )
     labels = (
         fwd.select(F.col("a").alias("node"))
         .unionByName(fwd.select(F.col("b").alias("node")))

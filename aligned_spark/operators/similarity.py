@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -379,6 +380,41 @@ def _pair_cosine_arrow(df: DataFrame, va: str, vb: str) -> Column:
     return fn(F.col(va).cast("array<double>"), F.col(vb).cast("array<double>"))
 
 
+def _lsh_buckets_arrow(
+    vector_col: str, dim: int, num_planes: int, num_tables: int, seed: int
+) -> Column:
+    """Every table's bucket id in ONE Arrow pass — bit-identical to
+    :func:`lsh_bucket` (the per-dimension accumulation runs in array
+    order, replaying the codegen fold's exact IEEE sequence, so the
+    SQL oracles that embed the plane literals still match). The
+    interpreted HOF fold costs ~0.4 ms per dot; this is numpy passes
+    over the whole batch (~1000× per-row), and doing all tables in
+    one kernel means ONE Python stage instead of ``num_tables``."""
+    import numpy as np
+    import pandas as pd
+
+    all_planes = [
+        _hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)
+    ]
+
+    def _bk(col):
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+        n = len(col)
+        out = np.zeros((n, num_tables), dtype=np.int64)
+        for t, planes in enumerate(all_planes):
+            for i, plane in enumerate(planes):
+                dot = np.zeros(n)
+                for d in range(dim):
+                    dot = dot + x[:, d] * plane[d]
+                out[:, t] |= (dot >= 0).astype(np.int64) << i
+        return pd.Series(list(out))
+
+    fn = F.pandas_udf(_bk, "array<long>")
+    return fn(F.col(vector_col).cast("array<double>"))
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [
@@ -424,21 +460,43 @@ def lsh_bucketed_pairs(
     :func:`_pair_cosine_arrow`) at ~100× the throughput, which matters
     because candidates ≈ Σ bucket² can be orders of magnitude larger
     than the true pair set. ``"codegen"`` keeps everything JVM-side
-    (no Python workers) for environments where that's preferable."""
-    tables = []
-    for t in range(num_tables):
-        b = df.select(
+    (no Python workers) for environments where that's preferable.
+
+    Plan shape: a low-partition input (one parquet file) would pin
+    the bucket computation to one core, so small inputs are spread to
+    the default parallelism first; the banded frame is persisted so
+    the self-join's two sides don't each recompute the bucket ids
+    (a self-join re-evaluates its subtree per side)."""
+    spread = df
+    if df.rdd.getNumPartitions() < (
+        par := df.sparkSession.sparkContext.defaultParallelism
+    ):
+        spread = df.repartition(par)
+    if impl == "arrow":
+        bks = _lsh_buckets_arrow(
+            vector_col, dim, num_planes, num_tables, seed
+        )
+        all_buckets = spread.select(
             F.col(id_col),
             F.col(vector_col).alias("__v"),
-            lsh_bucket(
-                F.col(vector_col), dim, num_planes, seed + t
-            ).alias("__bucket"),
-            F.lit(t).alias("__table"),
+            F.posexplode(bks).alias("__table", "__bucket"),
         )
-        tables.append(b)
-    all_buckets = tables[0]
-    for b in tables[1:]:
-        all_buckets = all_buckets.unionByName(b)
+    else:
+        tables = []
+        for t in range(num_tables):
+            b = spread.select(
+                F.col(id_col),
+                F.col(vector_col).alias("__v"),
+                lsh_bucket(
+                    F.col(vector_col), dim, num_planes, seed + t
+                ).alias("__bucket"),
+                F.lit(t).alias("__table"),
+            )
+            tables.append(b)
+        all_buckets = tables[0]
+        for b in tables[1:]:
+            all_buckets = all_buckets.unionByName(b)
+    all_buckets = all_buckets.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = all_buckets.select(
         F.col(id_col).alias(f"{id_col}_a"),

@@ -243,6 +243,15 @@ def test_connected_components_and_transitive_dedup(spark):
         for r in connected_components(edges, "a", "b").collect()
     }
     assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+    # the distributed min-label loop (forced via driver_threshold=0)
+    # must agree with the driver union-find exactly
+    dist = {
+        r.node: r.label
+        for r in connected_components(
+            edges, "a", "b", driver_threshold=0
+        ).collect()
+    }
+    assert dist == comps
 
     # transitive near-dup: A~B and B~C chained through an edit; the
     # greedy pass already removes both here, the transitive pass must
