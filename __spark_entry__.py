@@ -1375,7 +1375,7 @@ def _store_sql(spark, sf_dir):
     "custom_agg_pandas",
     """SELECT user_id,
               COUNT(*) AS n,
-              SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
        FROM events GROUP BY user_id""",
 )
 def _custom_agg_pandas(spark, sf_dir):

@@ -24,7 +24,7 @@ and results wouldn't be reproducible across BLAS builds.
 
 No SQL oracle can replay an eigendecomposition; correctness is pinned
 by pytest parity against numpy on collected data
-(``tests/test_pca.py``) and the driver's ``embed_pca_stats`` query
+(``tests/test_corpus_ops.py``) and the driver's ``embed_pca_stats`` query
 oracle-verifies stage 1's moment accumulation (mean/variance per
 dimension) exactly.
 """

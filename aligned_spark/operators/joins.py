@@ -66,6 +66,12 @@ def equi_join(
         ls, rs = ltype.simpleString(), rtype.simpleString()
         if ls in num_order and rs in num_order:
             wide = num_order[max(num_order.index(ls), num_order.index(rs))]
+            # An integral × float pair must widen to double, not float:
+            # float's 24-bit mantissa collapses int64 keys >= 2^24
+            # (16777217 == 16777216.0f) and fabricates matches.
+            integral = num_order[:4]
+            if wide == "float" and (ls in integral or rs in integral):
+                wide = "double"
             if ls != wide:
                 left = left.withColumn(lk, F.col(lk).cast(wide))
             if rs != wide:

@@ -86,6 +86,7 @@ def decayed_count(
     key_cols: list[str],
     half_life_seconds: float = 300.0,
     ts_col: str | None = None,
+    state_ttl_seconds: float | None = 3600.0,
 ) -> DataFrame:
     """Exponentially-decayed per-key event count.
 
@@ -93,7 +94,13 @@ def decayed_count(
     ``count = count_prev · 2^(-Δt / half_life) + n_batch``, with Δt
     from the event timestamps when ``ts_col`` is given, else batch
     processing time. State per key: (last_ts_micros, count) — two
-    scalars, regardless of stream volume."""
+    scalars, regardless of stream volume.
+
+    ``state_ttl_seconds`` bounds state on high-cardinality key
+    streams: a key idle that long is re-examined on a processing-time
+    timeout and dropped once its decayed count is negligible (< 1e-6),
+    matching :func:`stateful_dedup`'s bounded-state design. ``None``
+    keeps state forever (the pre-TTL behavior)."""
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in key_cols]
         + [StructField("decayed_count", DoubleType())]
@@ -111,7 +118,16 @@ def decayed_count(
         import time as _time
 
         if state.hasTimedOut:
-            state.remove()
+            # Idle key: decay by wall-clock since last event; drop the
+            # state once negligible, else keep it and re-arm the TTL.
+            last_us, count = state.get
+            dt = max(int(_time.time() * 1_000_000) - last_us, 0) / 1e6
+            count = count * 2.0 ** (-dt / half_life_seconds)
+            if count < 1e-6:
+                state.remove()
+            else:
+                state.update((last_us, count))
+                state.setTimeoutDuration(int(state_ttl_seconds * 1000))
             return
         n = 0
         now_us = None
@@ -131,8 +147,15 @@ def decayed_count(
             count = 0.0
         count += float(n)
         state.update((now_us, count))
+        if state_ttl_seconds is not None:
+            state.setTimeoutDuration(int(state_ttl_seconds * 1000))
         yield pd.DataFrame([[*key, count]], columns=out_schema.names)
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_seconds is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         df.groupBy(*key_cols)
         .applyInPandasWithState(
@@ -140,6 +163,6 @@ def decayed_count(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

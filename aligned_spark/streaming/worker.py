@@ -109,6 +109,16 @@ def stream_aggregate(
         )
     if len(outs) == 1:
         return outs[0]
+    if any(getattr(o, "isStreaming", False) for o in outs):
+        # Structured Streaming rejects joins between aggregated
+        # streams — mirror view_query.py's rolling+hopping guard
+        # instead of failing at query start.
+        raise ValueError(
+            "streaming views support a single window geometry; "
+            f"view declares {len(outs)} distinct (window, slide) "
+            "geometries — split into one streaming view per geometry "
+            "or materialize via the batch path"
+        )
     out = outs[0]
     for other in outs[1:]:
         out = out.join(other, on=view.entities + [ts], how="outer")

@@ -637,3 +637,17 @@ def test_histogram(spark):
     out = {(r.g, r.bin_lo): r.bin_count
            for r in histogram(df, "v", 1.0, keys=["g"]).collect()}
     assert out == {("a", 0.0): 1, ("a", 1.0): 2, ("b", -1.0): 1}
+
+
+def test_equi_join_int_float_widens_to_double(spark):
+    """ADVICE r2: a bigint × float key pair must be compared in
+    double — float's 24-bit mantissa collapses int64 keys >= 2^24
+    (16777217 == 16777216.0f) and fabricates matches."""
+    from aligned_spark.operators.joins import equi_join
+
+    left = spark.createDataFrame([(16777216,), (16777217,)], "k bigint")
+    right = spark.createDataFrame([(16777216.0,)], "k float")
+    out = equi_join(left, right, left_on=["k"])
+    assert [r.k for r in out.collect()] == [16777216]
+    # the key column itself must be double, not float
+    assert out.schema["k"].dataType.simpleString() == "double"

@@ -397,3 +397,37 @@ def test_stream_interval_join_e2e(spark):
     assert len(keys) == len(set(keys)), "a key matched more than once"
     assert all(r.payload == r.k * 10 for r in rows)
     assert all((r.rts - r.lts).total_seconds() == 1.0 for r in rows)
+
+
+def test_stream_aggregate_multi_geometry_raises(spark):
+    """ADVICE r2: Structured Streaming rejects joins on aggregated
+    streams, so a view declaring two window geometries must fail with
+    a clear error at plan time, not at query start."""
+    import pytest
+
+    from aligned_spark.streaming.worker import stream_aggregate
+
+    @feature_view(
+        name="two_geoms",
+        source=InMemorySource.from_dict(
+            {"user_id": [], "ts": [], "value": []},
+            schema="user_id long, ts timestamp, value double",
+        ),
+    )
+    class TwoGeoms:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+        s10 = value.aggregate().sum().over(seconds=10)
+        s20 = value.aggregate().sum().over(seconds=20)
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 10).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    with pytest.raises(ValueError, match="single window geometry"):
+        stream_aggregate(sdf, TwoGeoms.compiled)
