@@ -31,6 +31,11 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     safe to re-apply on sessions not built by ``get_spark``."""
     for key, value in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) otherwise
+        # infers TIMESTAMP_NTZ, which unix_micros()/window() reject;
+        # with a pinned-UTC session the LTZ reading is value-identical
+        # and matches DuckDB's naive-timestamp view of the same files
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
     ):
@@ -92,6 +97,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(`{c}` div 1000)")
             )
+    # inferTimestampNTZ=false is asserted above, but the conf is
+    # ignored on sessions whose reader was already resolved (or locked
+    # down); engine semantics are tz-naive-UTC on TIMESTAMP, so fold
+    # any NTZ survivor into the pinned-UTC session type explicitly
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz}
+        )
     return df
 
 
