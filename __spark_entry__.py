@@ -961,6 +961,35 @@ def _join_asof(spark, sf_dir):
 
 
 @q(
+    "join_asof_bucketed",
+    f"""WITH facts AS ({_ASOF_FACTS_SQL})
+       SELECT f.event_id, f.user_id, f.ts, l.value, l.event_type
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = f.user_id AND e.ts <= f.ts
+         ORDER BY e.ts DESC LIMIT 1
+       ) l ON TRUE""",
+)
+def _join_asof_bucketed(spark, sf_dir):
+    """Skew-safe as-of: the time-bucketed segmented scan
+    (``bucket_seconds``) must produce exactly the plain as-of result
+    — same oracle as ``join_asof``. A hot entity's history spreads
+    over ``history/bucket`` tasks instead of one sort partition
+    (``operators/joins.py:_bucketed_propagate``)."""
+    from aligned_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    facts = e.filter(F.col("event_id") % 37 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    feat = e.select("user_id", "ts", "value", "event_type")
+    return asof_join(
+        facts, feat, on="ts", by=["user_id"], bucket_seconds=86400
+    )
+
+
+@q(
     "join_pit_ttl",
     f"""WITH facts AS ({_FACT_GRID_SQL})
        SELECT f.user_id, f.fts, l.value, l.event_type
@@ -1975,6 +2004,67 @@ def _stream_interval_join_batch(spark, sf_dir):
     )
     return out.select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
+@q(
+    "stream_late_data",
+    f"""WITH t AS (
+         SELECT event_id, ts, event_type, value,
+                epoch_us(ts) + (event_id * 2654435761 % 172800) * 1000000
+                  AS arr
+         FROM events
+       ), b AS (
+         SELECT *, CAST(floor(arr / 3600000000) AS BIGINT) AS batch FROM t
+       ), per AS (
+         SELECT batch, MAX(ts) AS bmax FROM b GROUP BY batch
+       ), wm AS (
+         SELECT batch,
+                MAX(bmax) OVER (ORDER BY batch
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - INTERVAL 1 DAY AS w
+         FROM per
+       ), kept AS (
+         SELECT b.* FROM b JOIN wm USING (batch)
+         WHERE wm.w IS NULL OR b.ts >= wm.w
+       )
+       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+              event_type,
+              COUNT(*) AS n_events,
+              {_O_DSUM.format(c="value")} AS total_value
+       FROM kept GROUP BY 1, 2""",
+)
+def _stream_late_data(spark, sf_dir):
+    """Watermark late-data semantics, batch-replayed
+    (``drop_late_events`` — the rule Structured Streaming applies via
+    ``withWatermark``; reference prune-by-age
+    ``aligned/retrieval_job.py:2566-2597``). Arrival order is the
+    event time plus a deterministic 0-2 day hash jitter (events
+    arrive out of order), micro-batches are hourly arrival slices,
+    and the watermark delay is 1 day — ~44% of rows arrive later
+    than the watermark and must be dropped before the daily
+    aggregate. The live-stream counterpart (real ``withWatermark``
+    state, checkpoint-recovered watermark) is pinned by
+    ``tests/test_streaming.py::test_watermark_drop_parity``."""
+    from aligned_spark.streaming import drop_late_events
+
+    ev = _t(spark, sf_dir, "events")
+    arr = F.unix_micros(F.col("ts")) + (
+        F.col("event_id") * F.lit(2654435761) % F.lit(172800)
+    ) * F.lit(1_000_000)
+    kept = drop_late_events(
+        ev.withColumn("__arr", arr),
+        "ts",
+        delay_seconds=86400,
+        arrival_col="__arr",
+        batch_size=3_600_000_000,
+    )
+    return kept.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("total_value"),
     )
 
 
@@ -3262,6 +3352,9 @@ _PRIORITY: list[str] = [
     "source_partitioned_parquet",
     # --- round-2 hash-fail, oracle fixed this round ---
     "custom_agg_pandas",
+    # --- new this round ---
+    "stream_late_data",
+    "join_asof_bucketed",
 ]
 
 

@@ -184,6 +184,7 @@ def asof_join(
     tolerance_seconds: float | None = None,
     suffix: str = "",
     strategy: Literal["union", "join"] = "union",
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join (``JoinAsofJob``, ``retrieval_job.py:1795-1859``;
     ``JoinAsofDataSource``, ``batch_data_source.py:1017``).
@@ -208,6 +209,7 @@ def asof_join(
         payload_cols=payload_cols,
         ttl_seconds=tolerance_seconds,
         strategy=strategy,
+        bucket_seconds=bucket_seconds,
     )
     for src, dst in out_names.items():
         result = result.withColumnRenamed(f"__p_{src}", dst)
@@ -223,6 +225,7 @@ def pit_join(
     ttl_seconds: float | None = None,
     feature_columns: list[str] | None = None,
     strategy: Literal["union", "join"] = "union",
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Point-in-time facts join (``FileFactualJob``,
     ``aligned/local/job.py:406-608``).
@@ -265,6 +268,7 @@ def pit_join(
         payload_cols=feature_columns,
         ttl_seconds=ttl_seconds,
         strategy=strategy,
+        bucket_seconds=bucket_seconds,
     )
     for c in feature_columns:
         result = result.withColumnRenamed(f"__p_{c}", c)
@@ -280,15 +284,21 @@ def _asof_propagate(
     payload_cols: list[str],
     ttl_seconds: float | None,
     strategy: str,
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Shared engine for as-of/PIT. Output = all fact columns +
     ``__p_<payload>`` columns for the matched feature row."""
     if strategy == "join":
+        if bucket_seconds is not None:
+            raise ValueError(
+                "bucket_seconds applies to strategy='union' only"
+            )
         return _asof_via_join(
             facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds
         )
     return _asof_via_union(
-        facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds
+        facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds,
+        bucket_seconds=bucket_seconds,
     )
 
 
@@ -300,6 +310,7 @@ def _asof_via_union(
     feature_ts: str,
     payload_cols: list[str],
     ttl_seconds: float | None,
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     fact_cols = facts.columns
 
@@ -334,12 +345,20 @@ def _asof_via_union(
     # nulls_first: NULL-ts feature rows become the "earliest" state, so
     # they match facts predating all timestamped rows and lose to any
     # later timestamped row — the reference's null-passes rule.
-    w = (
-        W.partitionBy(*by)
-        .orderBy(F.col("__t").asc_nulls_first(), F.col(_SIDE).asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    propagated = unioned.withColumn("__picked", F.last(_PAYLOAD, ignorenulls=True).over(w))
+    order = [F.col("__t").asc_nulls_first(), F.col(_SIDE).asc()]
+    if bucket_seconds is None:
+        w = (
+            W.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        propagated = unioned.withColumn(
+            "__picked", F.last(_PAYLOAD, ignorenulls=True).over(w)
+        )
+    else:
+        propagated = _bucketed_propagate(
+            unioned, by, order, int(bucket_seconds * 1_000_000)
+        )
 
     out = propagated.filter(F.col(_SIDE) == 1)
     picked = F.col("__picked")
@@ -353,6 +372,81 @@ def _asof_via_union(
     return out.select(
         *[F.col(f"__f_{c}").alias(c) for c in fact_cols],
         *[picked.getField(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+
+
+def _bucketed_propagate(
+    unioned: DataFrame,
+    by: list[str],
+    order: list[Column],
+    bucket_micros: int,
+) -> DataFrame:
+    """Skew-safe as-of propagation: a segmented scan over time buckets.
+
+    The plain union path partitions by entity alone — one hot entity
+    (a bot user with 10^8 events) lands its entire history in a single
+    task's sort. Random salting, the equi-join fix, is unsound here:
+    ordered propagation needs every earlier feature row visible.
+    The sound decomposition is by TIME:
+
+    1. assign ``__bucket = floor(ts / bucket)`` and run the normal
+       last-ignorenulls propagation within ``(entity, bucket)``
+       partitions — the hot entity now spreads across
+       ``history / bucket_seconds`` tasks;
+    2. reduce each ``(entity, bucket)`` to its end-of-bucket state
+       (one struct) and running-forward that state over bucket order
+       per entity — a second Window over ``#buckets`` rows per
+       entity, thousands of times smaller than the row-level frame;
+    3. left-join the carry-in state back on ``(entity, bucket)`` —
+       co-partitioned with step 1's shuffle — and coalesce:
+       within-bucket match wins, else the carry-in.
+
+    NULL-ts rows (the reference's null-passes feature rows, or
+    null-ts facts) fall in the NULL bucket, which sorts first — they
+    stay the "earliest" state exactly as in the unbucketed path.
+    """
+    unioned = unioned.withColumn(
+        "__bucket",
+        F.floor(F.unix_micros(F.col("__t")) / F.lit(bucket_micros)),
+    )
+    wl = (
+        W.partitionBy(*by, "__bucket")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = unioned.withColumn(
+        "__picked_local", F.last(_PAYLOAD, ignorenulls=True).over(wl)
+    )
+    # end-of-bucket state: the locally-propagated value on the
+    # bucket's last row in scan order (max_by on the order key)
+    state = local.groupBy(*by, "__bucket").agg(
+        F.max_by(
+            "__picked_local", F.struct(F.col("__t"), F.col(_SIDE))
+        ).alias("__state_end")
+    )
+    wc = (
+        W.partitionBy(*by)
+        .orderBy(F.col("__bucket").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = state.withColumn(
+        "__carry_in", F.last("__state_end", ignorenulls=True).over(wc)
+    ).select(
+        *[F.col(k).alias(f"__c_{k}") for k in by],
+        F.col("__bucket").alias("__c_bucket"),
+        "__carry_in",
+    )
+    cond = F.col("__bucket").eqNullSafe(F.col("__c_bucket"))
+    for k in by:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__c_{k}"))
+    joined = local.join(carry, cond, "left")
+    return joined.withColumn(
+        "__picked", F.coalesce(F.col("__picked_local"), F.col("__carry_in"))
+    ).drop(
+        "__picked_local",
+        "__carry_in",
+        "__c_bucket",
+        *[f"__c_{k}" for k in by],
     )
 
 

@@ -8,6 +8,7 @@ from aligned_spark.streaming.sources import (
     RateStreamSource,
 )
 from aligned_spark.streaming.joins import stream_interval_join
+from aligned_spark.streaming.late import drop_late_events
 from aligned_spark.streaming.stateful import decayed_count, stateful_dedup
 from aligned_spark.streaming.worker import (
     StreamWorker,
@@ -20,6 +21,7 @@ __all__ = [
     "FileStreamSource",
     "KafkaStreamSource",
     "decayed_count",
+    "drop_late_events",
     "stateful_dedup",
     "RateStreamSource",
     "StreamWorker",

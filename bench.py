@@ -81,15 +81,18 @@ def main() -> None:
         _force(qs[name](spark, sf_dir))
     spark.catalog.clearCache()
 
-    # min of two timed runs: Python-worker churn between Arrow-stage
-    # queries adds seconds of one-off variance; the min is the
-    # steady-state number. clearCache between runs keeps every run's
-    # compute honest (operator-internal persists rebuild each time).
+    # min of three timed runs: Python-worker churn between Arrow-stage
+    # queries and transient box contention (the driver benches while
+    # other round machinery runs) add seconds of one-off variance; the
+    # min is the steady-state number (r2 driver recorded 7.2/11.7 s for
+    # queries that run 1.2/1.8 s warm on the same box). clearCache
+    # between runs keeps every run's compute honest (operator-internal
+    # persists rebuild each time).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)

@@ -651,3 +651,91 @@ def test_equi_join_int_float_widens_to_double(spark):
     assert [r.k for r in out.collect()] == [16777216]
     # the key column itself must be double, not float
     assert out.schema["k"].dataType.simpleString() == "double"
+
+
+def test_asof_bucketed_matches_plain(spark):
+    """Time-bucketed segmented-scan as-of must be value-identical to
+    the single-partition-per-entity propagation, including NULL-ts
+    feature rows (null-passes rule) and TTL expiry across buckets."""
+    import datetime as dt
+
+    from aligned_spark.operators.joins import asof_join, pit_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    feat_rows = [
+        # user 1: null-ts fallback + history crossing bucket edges
+        (1, None, 1.0), (1, at(5), 2.0), (1, at(95), 3.0),
+        (1, at(205), 4.0),
+        # user 2: only a null-ts row
+        (2, None, 10.0),
+        # user 3: nothing before the facts
+        (3, at(500), 20.0),
+    ]
+    fact_rows = [
+        (1, at(0)), (1, at(50), ), (1, at(100)), (1, at(300)),
+        (2, at(100)), (3, at(100)), (4, at(100)),
+    ]
+    feat = spark.createDataFrame(
+        feat_rows, "user_id long, ts timestamp, value double"
+    )
+    facts = spark.createDataFrame(
+        fact_rows, "user_id long, ts timestamp"
+    )
+    for ttl in (None, 120.0):
+        plain = asof_join(
+            facts, feat, on="ts", by=["user_id"],
+            tolerance_seconds=ttl,
+        )
+        buck = asof_join(
+            facts, feat, on="ts", by=["user_id"],
+            tolerance_seconds=ttl, bucket_seconds=100.0,
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, buck.collect())
+        ), f"ttl={ttl}"
+    # pit path with explicit fact_ts column name
+    fa = facts.withColumnRenamed("ts", "fts")
+    p = pit_join(fa, feat, entities=["user_id"], feature_ts="ts",
+                 fact_ts="fts", feature_columns=["value"])
+    b = pit_join(fa, feat, entities=["user_id"], feature_ts="ts",
+                 fact_ts="fts", feature_columns=["value"],
+                 bucket_seconds=100.0)
+    assert sorted(map(tuple, p.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_drop_late_events_rule(spark):
+    """Watermark replay: a row is dropped iff older than
+    max(ts of earlier batches) - delay; first batch always kept."""
+    import datetime as dt
+
+    from aligned_spark.streaming import drop_late_events
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # batch 0 (arrival 0-9): establishes max ts = 100
+        (0, at(100), "a"),
+        (1, at(5), "b"),      # same batch — kept regardless
+        # batch 1 (arrival 10-19): wm = 100 - 20 = 80
+        (10, at(79), "late"),   # < 80 → dropped
+        (11, at(80), "edge"),   # == wm → kept (Spark drops strictly older)
+        (12, at(300), "ok"),    # advances max to 300
+        # batch 2: wm = 300 - 20 = 280
+        (20, at(279), "late2"),  # dropped
+        (21, at(285), "ok2"),
+    ]
+    df = spark.createDataFrame(rows, "arr long, ts timestamp, tag string")
+    kept = {
+        r.tag
+        for r in drop_late_events(
+            df, "ts", delay_seconds=20, arrival_col="arr", batch_size=10
+        ).collect()
+    }
+    assert kept == {"a", "b", "edge", "ok", "ok2"}

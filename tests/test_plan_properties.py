@@ -196,3 +196,24 @@ def test_pit_window_agg_one_shuffle_no_join(spark, lineitem):
     plan = plan_text(out, "simple")
     assert "Join" not in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_bucketed_asof_partitions_by_bucket(spark):
+    """The segmented-scan as-of must shuffle on (entity, __bucket) —
+    the skew fix is visible as the bucket column in the exchange."""
+    import datetime as dt
+
+    from aligned_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    feat = spark.createDataFrame(
+        [(1, t0, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    facts = spark.createDataFrame([(1, t0)], "user_id long, ts timestamp")
+    out = asof_join(
+        facts, feat, on="ts", by=["user_id"], bucket_seconds=3600
+    )
+    plan = plan_text(out)
+    assert "__bucket" in plan
+    import re
+    assert re.search(r"hashpartitioning\([^)]*__bucket", plan)

@@ -431,3 +431,89 @@ def test_stream_aggregate_multi_geometry_raises(spark):
     )
     with pytest.raises(ValueError, match="single window geometry"):
         stream_aggregate(sdf, TwoGeoms.compiled)
+
+
+def test_watermark_drop_parity(spark, tmp_path):
+    """REAL watermark state vs the batch replay rule: two availableNow
+    runs over one checkpoint. Run 1 establishes watermark = max_ts -
+    delay (persisted in the commit log); run 2 drops its late row.
+    ``drop_late_events`` with batch = file index must keep exactly the
+    rows the live stream aggregated."""
+    from aligned_spark.streaming import FileStreamSource, drop_late_events
+    from aligned_spark.streaming.worker import stream_aggregate
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    @feature_view(
+        name="wm_parity",
+        source=InMemorySource.from_dict(
+            {"user_id": [], "ts": [], "value": []}, schema=schema
+        ),
+        stream_source=FileStreamSource(path=inbox, schema_ddl=schema),
+    )
+    class WmParity:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+        total = value.aggregate().sum().over(seconds=10)
+        n = value.aggregate().count().over(seconds=10)
+
+    view = WmParity.compiled
+    delay = 20.0
+
+    def run_stream():
+        raw = view.stream_source.read_stream(spark)
+        agged = stream_aggregate(raw, view, allowed_lateness_seconds=delay)
+        batches: list = []
+        q = (
+            agged.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: batches.append(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r for b in batches for r in b]
+
+    # run 1: windows [0,10) and [100,110); watermark after = 105-20=85
+    batch1 = [(1, at(5), 2.0), (1, at(105), 3.0)]
+    drop(batch1)
+    run_stream()
+
+    # run 2: one late row (ts=8 < 85 — silently dropped) and one
+    # on-time row (ts=107 >= 85)
+    batch2 = [(1, at(8), 100.0), (1, at(107), 4.0)]
+    drop(batch2)
+    rows2 = run_stream()
+
+    # the late row's window [0,10) must NOT re-emit; [100,110) must,
+    # with the on-time row folded into recovered state (3+4)
+    emitted = {(r.user_id, r.ts): (r.total, r.n) for r in rows2}
+    assert (1, at(110)) in emitted
+    assert emitted[(1, at(110))] == (7.0, 2)
+    assert (1, at(10)) not in emitted
+
+    # replay: batch index as arrival order reproduces the live kept-set
+    all_rows = [(i, *r) for i, batch in enumerate([batch1, batch2])
+                for r in batch]
+    replay = spark.createDataFrame(
+        all_rows, "arr long, user_id long, ts timestamp, value double"
+    )
+    kept = drop_late_events(
+        replay, "ts", delay_seconds=delay, arrival_col="arr", batch_size=1
+    )
+    got = sorted((r.user_id, r.ts, r.value) for r in kept.collect())
+    assert got == sorted(
+        [(1, at(5), 2.0), (1, at(105), 3.0), (1, at(107), 4.0)]
+    )
