@@ -3285,6 +3285,87 @@ def _embed_pca_project(spark, sf_dir):
     )
 
 
+_TOK_SQL = """
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+           AS tok
+  FROM documents
+"""
+
+
+@q(
+    "text_bm25",
+    f"""WITH toks AS ({_TOK_SQL}),
+       tk AS (SELECT * FROM toks WHERE tok <> ''),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+       st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT SUM(dl) FROM dl) AS sumdl),
+       qt AS (SELECT * FROM tk WHERE tok IN ('spark', 'query', 'fast')),
+       dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt
+                 GROUP BY tok),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt
+              GROUP BY doc_id, tok),
+       per AS (
+         SELECT tf.doc_id,
+                {_O_R6.format(c="ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))")}
+                  AS idf,
+                tf.tf, dl.dl,
+                CAST(st.sumdl AS DOUBLE) / st.n AS avgdl
+         FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+         CROSS JOIN st
+       ),
+       sc AS (
+         SELECT doc_id,
+                {_O_R6.format(c="idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))")}
+                  AS s
+         FROM per
+       ),
+       agg AS (
+         SELECT doc_id,
+                CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         FROM sc GROUP BY doc_id
+       )
+       SELECT d.doc_id, coalesce(agg.bm25, 0.0) AS bm25
+       FROM documents d LEFT JOIN agg USING (doc_id)""",
+)
+def _text_bm25(spark, sf_dir):
+    """BM25 retrieval scores for a fixed query over the corpus
+    (``operators/text_rank.py`` — tokenize→explode→term stats→join
+    back, no UDFs; term-statistics frames are vocabulary-sized)."""
+    from aligned_spark.operators.text_rank import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, "doc_id", "text", ["spark", "query", "fast"]
+    )
+
+
+@q(
+    "text_perplexity",
+    f"""WITH toks AS ({_TOK_SQL}),
+       tk AS (SELECT * FROM toks WHERE tok <> ''),
+       vocab AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+       tot AS (SELECT SUM(c) AS t FROM vocab),
+       s AS (
+         SELECT tk.doc_id,
+                {_O_R6.format(c="-ln(CAST(vocab.c AS DOUBLE) / CAST(tot.t AS DOUBLE))")}
+                  AS s
+         FROM tk JOIN vocab USING (tok) CROSS JOIN tot
+       )
+       SELECT doc_id, COUNT(*) AS n_tokens,
+              {_O_R6.format(c="CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")}
+                AS avg_neg_logp
+       FROM s GROUP BY doc_id""",
+)
+def _text_perplexity(spark, sf_dir):
+    """Mean per-token surprise under the corpus's own unigram LM —
+    the scalable perplexity-filter signal (CCNet-style) for corpus QC
+    (``operators/text_rank.py:unigram_surprise``)."""
+    from aligned_spark.operators.text_rank import unigram_surprise
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_surprise(docs, "doc_id", "text")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3355,6 +3436,8 @@ _PRIORITY: list[str] = [
     # --- new this round ---
     "stream_late_data",
     "join_asof_bucketed",
+    "text_bm25",
+    "text_perplexity",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Corpus-statistics text scoring: BM25 retrieval scores and
+unigram-LM surprise (the CCNet/Gopher-style "perplexity filter").
+
+No reference counterpart — the reference has no ranking or LM-scoring
+operators; these belong to the training-data-pipeline pillar this
+engine adds (SURVEY.md §6). Both are pure DataFrame composition:
+tokenize → explode → aggregate → join term statistics back — no UDFs,
+fully whole-stage-codegen.
+
+Scale shape: token explode is a flatMap (no shuffle); term statistics
+(document frequency, unigram counts) aggregate map-side to one row per
+TERM — vocabulary-sized, millions of rows at web scale, not corpus-
+sized — and join back on the term key (Spark broadcasts when small,
+AQE picks shuffle-hash above that). Per-document reductions shuffle on
+doc_id once.
+
+Float determinism (driver hash vs DuckDB): every transcendental
+(ln) is epsilon-floor-rounded to 6 decimals the moment it is computed;
+subsequent *,/ are identical-order IEEE ops; per-document sums go
+through DECIMAL(18,6) so addition order cannot matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+
+def _r6(col: Column) -> Column:
+    """Epsilon-floor round to 6 decimals (bit-identical both engines)."""
+    return (
+        F.floor(col * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+
+
+def _dsum6(col: Column) -> Column:
+    """Order-independent exact sum of 6-decimal values → double."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs: lowercase, split on non-alphanumerics."""
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), TOKEN_RE)
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score of every document against a fixed query term set.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck
+    Jones, the Lucene variant], tf saturation with ``k1`` and length
+    normalization ``b`` against the corpus mean length. Documents
+    matching no query term score 0. Output: (id, bm25) for every
+    input document.
+    """
+    toks = tokenize(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    # two corpus scalars (N, avgdl) — 1-row frame, broadcast into the
+    # per-term join; division order identical on the oracle side
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("__n")
+    )
+    stats = dl.select(F.sum("__dl").alias("__sumdl")).crossJoin(
+        F.broadcast(n_docs)
+    )
+    q = [t.lower() for t in query_terms]
+    qtoks = toks.filter(F.col("token").isin(q))
+    dfreq = qtoks.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    tf = qtoks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = _r6(
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        )
+    )
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    score_t = _r6(
+        idf
+        * (F.col("__tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(
+        _dsum6(score_t).alias("bm25")
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
+    )
+
+
+def unigram_surprise(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own unigram language model — the scalable stand-in for a
+    KenLM-style perplexity filter: high surprise = unusual token
+    distribution (boilerplate, gibberish, wrong language).
+
+    p(t) = count(t) / total_tokens over the WHOLE corpus (the model
+    is the corpus itself, so no smoothing is needed — every scored
+    token was counted). Output: (id, n_tokens, avg_neg_logp) for
+    every document with at least one token.
+    """
+    toks = tokenize(docs, id_col, text_col)
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.select(F.sum("__c").alias("__total"))
+    surprise = _r6(
+        -F.log(
+            F.col("__c").cast("double") / F.col("__total").cast("double")
+        )
+    )
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            _dsum6(surprise).alias("__s"),
+        )
+        .withColumn(
+            "avg_neg_logp",
+            _r6(F.col("__s") / F.col("n_tokens")),
+        )
+        .drop("__s")
+    )
+    return scored

@@ -52,6 +52,12 @@ HEADLINE = [
     "dedup_lines",
     "dedup_semantic",
     "join_range_binned",
+    # round-3 additions: watermark replay, skew-safe as-of, corpus
+    # ranking/LM scoring
+    "stream_late_data",
+    "join_asof_bucketed",
+    "text_bm25",
+    "text_perplexity",
 ]
 
 

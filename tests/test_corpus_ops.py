@@ -142,3 +142,31 @@ def test_pca_project_parity(spark, xy):
     p = np.stack([got[i] for i in range(len(xy))])
     assert np.allclose(p.var(axis=0, ddof=1), m.explained_variance,
                        rtol=1e-8)
+
+
+def test_bm25_and_surprise_ranking(spark):
+    from aligned_spark.operators.text_rank import (
+        bm25_scores,
+        unigram_surprise,
+    )
+
+    rows = [
+        (0, "spark spark spark query"),      # heavy on query terms
+        (1, "spark is one word here today"), # one hit, longer doc
+        (2, "nothing relevant at all okay"), # no hits
+        (3, "rare unique singleton tokens"),  # improbable unigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bm = {r.doc_id: r.bm25 for r in
+          bm25_scores(docs, "doc_id", "text", ["spark", "query"]).collect()}
+    assert set(bm) == {0, 1, 2, 3}
+    assert bm[2] == 0.0
+    assert bm[0] > bm[1] > 0.0
+
+    su = {r.doc_id: (r.n_tokens, r.avg_neg_logp) for r in
+          unigram_surprise(docs, "doc_id", "text").collect()}
+    # every token in doc 3 occurs once in the corpus -> max surprise
+    assert su[3][1] == max(v[1] for v in su.values())
+    # 'spark' appears 4x so doc 0 is the most predictable
+    assert su[0][1] == min(v[1] for v in su.values())
+    assert su[0][0] == 4
