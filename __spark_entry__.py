@@ -3366,6 +3366,60 @@ def _text_perplexity(spark, sf_dir):
     return unigram_surprise(docs, "doc_id", "text")
 
 
+@q(
+    "text_inverted_index",
+    f"""WITH toks AS ({_TOK_SQL}),
+       tk AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> '')
+       SELECT tok AS token, COUNT(*) AS doc_freq,
+              list(doc_id ORDER BY doc_id) AS postings
+       FROM tk GROUP BY tok""",
+)
+def _text_inverted_index(spark, sf_dir):
+    """Inverted index: token → (doc_freq, sorted posting list)
+    (``operators/text_rank.py:inverted_index``; sharded variant is
+    the same plan + one shard key, see docstring)."""
+    from aligned_spark.operators.text_rank import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text")
+
+
+@q(
+    "corpus_normalize_scores",
+    """WITH st AS (
+         SELECT source, COUNT(*) AS n,
+                CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(27,6)))
+                     AS DOUBLE) AS s,
+                CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+                     AS DECIMAL(27,6))) AS DOUBLE) AS s2
+         FROM documents GROUP BY source
+       ), m AS (
+         SELECT source,
+                s / n AS mean,
+                CASE WHEN s2 / n - (s / n) * (s / n) > 0.0
+                     THEN sqrt(s2 / n - (s / n) * (s / n))
+                     ELSE 0.0 END AS std
+         FROM st
+       )
+       SELECT d.doc_id, d.source, d.n_chars,
+              CASE WHEN m.std > 0.0
+                   THEN floor(((CAST(d.n_chars AS DOUBLE) - m.mean) / m.std)
+                              * 1e6 + 0.5 + 1e-9) / 1e6
+                   ELSE 0.0 END AS z
+       FROM documents d JOIN m USING (source)""",
+)
+def _corpus_normalize_scores(spark, sf_dir):
+    """Per-source z-score normalization of document length — the
+    cross-source score calibration step of a mixture pipeline
+    (``operators/quality.py:normalize_scores``)."""
+    from aligned_spark.operators.quality import normalize_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return normalize_scores(docs, ["source"], "n_chars")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3438,6 +3492,8 @@ _PRIORITY: list[str] = [
     "join_asof_bucketed",
     "text_bm25",
     "text_perplexity",
+    "text_inverted_index",
+    "corpus_normalize_scores",
 ]
 
 

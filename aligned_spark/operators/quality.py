@@ -80,3 +80,47 @@ def top_ngram_fraction(
     return cnt.groupBy(*id_cols).agg(
         (F.max("__c").cast("double") / F.sum("__c")).alias("top_ngram_frac")
     )
+
+
+def normalize_scores(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score normalization of a numeric column (population
+    moments): ``z = (v - mean) / stddev``, 0.0 in degenerate groups
+    (single value / zero variance).
+
+    The normalization every mixture pipeline needs before comparing
+    quality/reward scores ACROSS sources whose scorers have different
+    scales. One map-side-combinable aggregate to one row per group,
+    broadcast back — no window over the data, no global sort.
+
+    Moments accumulate in DECIMAL (exact, order-independent) and the
+    final arithmetic is fixed-order IEEE, so results are reproducible
+    across partitionings and engines; ``sqrt`` is correctly rounded
+    per IEEE-754 and therefore deterministic too.
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v.cast("decimal(27,6)")).cast("double").alias("__s"),
+        F.sum((v * v).cast("decimal(27,6)")).cast("double").alias("__s2"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    stats = stats.withColumn("__mean", mean).withColumn(
+        "__std", F.sqrt(F.when(var > 0.0, var).otherwise(F.lit(0.0)))
+    )
+    out = df.join(F.broadcast(stats), keys)
+    z = F.when(
+        F.col("__std") > 0.0, (v - F.col("__mean")) / F.col("__std")
+    ).otherwise(F.lit(0.0))
+    r6 = (
+        F.floor(z * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+    return out.withColumn(out_col, r6).drop(
+        "__n", "__s", "__s2", "__mean", "__std"
+    )

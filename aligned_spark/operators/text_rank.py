@@ -120,6 +120,26 @@ def bm25_scores(
     )
 
 
+def inverted_index(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Build an inverted index: one row per token with its document
+    frequency and the sorted posting list of document ids.
+
+    Scale note: posting-list size follows token frequency — at web
+    scale the head tokens ("the") would concentrate gigabyte postings
+    on single reducers. The deployment answer is posting SHARDS
+    (``(token, shard, postings)`` with shard = doc_id bucket), which
+    is this same plan plus one more group key; the unsharded form
+    here is the oracle-checkable core.
+    """
+    pairs = tokenize(docs, id_col, text_col).distinct()
+    return pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+    )
+
+
 def unigram_surprise(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

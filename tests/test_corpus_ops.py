@@ -170,3 +170,25 @@ def test_bm25_and_surprise_ranking(spark):
     # 'spark' appears 4x so doc 0 is the most predictable
     assert su[0][1] == min(v[1] for v in su.values())
     assert su[0][0] == 4
+
+
+def test_inverted_index_and_zscore(spark):
+    from aligned_spark.operators.quality import normalize_scores
+    from aligned_spark.operators.text_rank import inverted_index
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, "c")],
+        "doc_id long, text string",
+    )
+    idx = {r.token: (r.doc_freq, r.postings)
+           for r in inverted_index(docs, "doc_id", "text").collect()}
+    assert idx == {"a": (1, [0]), "b": (2, [0, 1]), "c": (2, [1, 2])}
+
+    df = spark.createDataFrame(
+        [("s1", 1.0), ("s1", 3.0), ("s2", 7.0)],
+        "src string, v double",
+    )
+    z = {(r.src, r.v): r.z
+         for r in normalize_scores(df, ["src"], "v").collect()}
+    assert z[("s1", 1.0)] == -1.0 and z[("s1", 3.0)] == 1.0
+    assert z[("s2", 7.0)] == 0.0  # degenerate group
