@@ -3420,6 +3420,140 @@ def _corpus_normalize_scores(spark, sf_dir):
     return normalize_scores(docs, ["source"], "n_chars")
 
 
+def _profile_col_sql(c: str) -> str:
+    return f"""SELECT '{c}' AS column,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+       FROM orders"""
+
+
+@q(
+    "profile_table_stats",
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    ),
+)
+def _profile_table_stats(spark, sf_dir):
+    """ANALYZE-style column profile in ONE aggregation pass
+    (``operators/quality.py:profile_table``). Profiled columns are
+    int/string/date — types whose string rendering is
+    dialect-identical; float rendering is not, and is excluded from
+    the oracle on purpose."""
+    from aligned_spark.operators.quality import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+    )
+
+
+@q(
+    "events_session_window",
+    f"""WITH o AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 21600 SECOND
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), s AS (
+         SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o
+       )
+       SELECT user_id,
+              MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 21600 SECOND AS session_end,
+              COUNT(*) AS n_events,
+              {_O_DSUM.format(c="value")} AS total_value
+       FROM s GROUP BY user_id, sid""",
+)
+def _events_session_window(spark, sf_dir):
+    """Native session windows (``streaming/sessions.py`` —
+    ``F.session_window``; the SAME call runs incrementally on a
+    stream, pinned by ``test_stream_session_aggregate_e2e``). Oracle
+    replays the gap rule with window functions; 6h gap splits each
+    user's month of events into real sessions."""
+    from aligned_spark.operators.aggregate import AggSpec
+    from aligned_spark.streaming import session_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_aggregate(
+        ev,
+        keys=["user_id"],
+        ts="ts",
+        gap_seconds=21600,
+        aggs=[
+            AggSpec("n_events", "count", None),
+            AggSpec(
+                "total_value",
+                "sum",
+                F.col("value").cast("decimal(18,4)"),
+            ),
+        ],
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+def _incremental_dedup_oracle(
+    num_hashes: int = 32, bands: int = 8, width: int = 3
+) -> str:
+    from aligned_spark.functions import text_poly as tp
+
+    rpb = num_hashes // bands
+    return f"""
+    {_poly_doc_cte(width)},
+    sig AS MATERIALIZED (SELECT doc_id,
+            {tp.sql_minhash_sig('sh', num_hashes)} AS sig
+            FROM sh WHERE len(sh) > 0),
+    bnd AS MATERIALIZED (
+      SELECT doc_id, band_id,
+             {tp.sql_band_hash('sig', 'band_id', rpb)} AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band_id)
+    ),
+    dup AS (
+      SELECT DISTINCT n.doc_id
+      FROM bnd n JOIN bnd h
+        ON n.band_id = h.band_id AND n.band_hash = h.band_hash
+      WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+    """
+
+
+@q("dedup_incremental", _incremental_dedup_oracle())
+def _dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (``sources/dedup_index.py``): history
+    = even doc_ids indexed once as banded signatures, batch = odd
+    doc_ids anti-joined against the persisted index — today's batch
+    never re-bands history. Poly hash family so the oracle replays
+    the exact band buckets."""
+    import tempfile
+
+    from aligned_spark.sources.dedup_index import DedupIndexSource
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="aligned_dix_")
+    dix = DedupIndexSource(
+        path=f"{tmp}/index", impl="poly"
+    )
+    dix.overwrite(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dix.filter_new(batch).select("doc_id")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

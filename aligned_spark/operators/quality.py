@@ -124,3 +124,48 @@ def normalize_scores(
     return out.withColumn(out_col, r6).drop(
         "__n", "__s", "__s2", "__mean", "__std"
     )
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """ANALYZE-style column profile: one output row per column with
+    null count, exact distinct count, and min/max (rendered as
+    strings so heterogeneous columns stack into one frame).
+
+    One aggregation pass computes every column's statistics
+    simultaneously (a single map-side-combinable job over the data —
+    NOT one job per column), then the 1×(4·k) result row is unpivoted
+    driver-side into k rows. Exact ``count_distinct`` over many
+    columns is the expensive honest version; swap
+    ``approx_count_distinct`` in via ``exact=False`` downstream if a
+    sketch suffices at 100 TB.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__n_{c}"),
+            F.count_distinct(col).alias(f"__d_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__n_{c}").alias("n_nulls"),
+                        F.col(f"__d_{c}").alias("n_distinct"),
+                        F.col(f"__mn_{c}").alias("min_value"),
+                        F.col(f"__mx_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")

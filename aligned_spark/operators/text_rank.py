@@ -140,6 +140,31 @@ def inverted_index(
     )
 
 
+def inverted_index_sharded(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Sharded inverted index: ``(token, shard)`` → sorted postings,
+    shard = doc_id bucket. The web-scale form of
+    :func:`inverted_index` — a head token's postings spread over
+    ``num_shards`` reducers instead of one; readers union the shards
+    of a token (order across shards is by construction doc_id-range
+    disjoint only if ids are range-bucketed; hash shards trade that
+    for balance)."""
+    pairs = tokenize(docs, id_col, text_col).distinct()
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
+    return (
+        pairs.withColumn("shard", shard)
+        .groupBy("token", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+        )
+    )
+
+
 def unigram_surprise(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

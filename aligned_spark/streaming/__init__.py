@@ -9,6 +9,7 @@ from aligned_spark.streaming.sources import (
 )
 from aligned_spark.streaming.joins import stream_interval_join
 from aligned_spark.streaming.late import drop_late_events
+from aligned_spark.streaming.sessions import session_aggregate
 from aligned_spark.streaming.stateful import decayed_count, stateful_dedup
 from aligned_spark.streaming.worker import (
     StreamWorker,
@@ -22,6 +23,7 @@ __all__ = [
     "KafkaStreamSource",
     "decayed_count",
     "drop_late_events",
+    "session_aggregate",
     "stateful_dedup",
     "RateStreamSource",
     "StreamWorker",

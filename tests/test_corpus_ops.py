@@ -192,3 +192,76 @@ def test_inverted_index_and_zscore(spark):
          for r in normalize_scores(df, ["src"], "v").collect()}
     assert z[("s1", 1.0)] == -1.0 and z[("s1", 3.0)] == 1.0
     assert z[("s2", 7.0)] == 0.0  # degenerate group
+
+
+def test_sharded_inverted_index_reassembles(spark):
+    """Union of a token's shards == the unsharded posting list."""
+    from aligned_spark.operators.text_rank import (
+        inverted_index,
+        inverted_index_sharded,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = {r.token: r.postings
+            for r in inverted_index(docs, "doc_id", "text").collect()}
+    sharded = inverted_index_sharded(docs, "doc_id", "text", num_shards=4)
+    merged: dict = {}
+    for r in sharded.collect():
+        merged.setdefault(r.token, []).extend(r.postings)
+    assert {t: sorted(p) for t, p in merged.items()} == flat
+    # head token w0 (in every non-empty doc) actually spreads
+    n_shards_w0 = sharded.filter("token = 'w0'").count()
+    assert n_shards_w0 > 1
+
+
+def test_profile_table(spark):
+    from aligned_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "k long, s string"
+    )
+    out = {r.column: (r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+           for r in profile_table(df).collect()}
+    assert out["k"] == (0, 2, "1", "2")
+    assert out["s"] == (1, 2, "a", "c")
+
+
+def test_dedup_index_incremental_ingest(spark, tmp_path):
+    """Batch 2 near-dups of batch-1 SURVIVORS are dropped — the index
+    grows with each ingest without rewriting history."""
+    from aligned_spark.sources.dedup_index import DedupIndexSource
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    variant = base.replace("tonight", "today")  # near-dup of base
+    other = ("completely different words about spark shuffles and "
+             "partition pruning with adaptive query execution plans")
+
+    dix = DedupIndexSource(path=str(tmp_path / "ix"), impl="codegen")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    s1 = dix.ingest(b1)
+    assert {r.doc_id for r in s1.collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(3, variant), (4, "entirely novel content nothing shared "
+                           "with any earlier document in this index "
+                           "about databases and oceans")],
+        "doc_id long, text string",
+    )
+    s2 = dix.ingest(b2)
+    assert {r.doc_id for r in s2.collect()} == {4}
+
+    # batch 3: near-dup of a REJECTED doc's original still matches
+    # history (1 survives there), novel text keyed off batch-2 survivor
+    b3 = spark.createDataFrame(
+        [(5, base + " extra"), (6, "entirely novel content nothing "
+                                   "shared with any earlier document "
+                                   "in this index about databases and "
+                                   "oceans")],
+        "doc_id long, text string",
+    )
+    s3 = dix.ingest(b3)
+    assert {r.doc_id for r in s3.collect()} == set()

@@ -517,3 +517,64 @@ def test_watermark_drop_parity(spark, tmp_path):
     assert got == sorted(
         [(1, at(5), 2.0), (1, at(105), 3.0), (1, at(107), 4.0)]
     )
+
+
+def test_stream_session_aggregate_e2e(spark, tmp_path):
+    """Native session windows on a LIVE stream: append mode emits a
+    session only once the watermark proves it closed; an open session
+    survives in the state store and finalizes in a later run over the
+    same checkpoint when the watermark passes it."""
+    from aligned_spark.operators.aggregate import AggSpec
+    from aligned_spark.streaming import FileStreamSource, session_aggregate
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    src = FileStreamSource(path=inbox, schema_ddl=schema)
+
+    def run():
+        agged = session_aggregate(
+            src.read_stream(spark),
+            keys=["user_id"],
+            ts="ts",
+            gap_seconds=30,
+            aggs=[AggSpec("n", "count", None),
+                  AggSpec("total", "sum", "value")],
+            watermark_seconds=60,
+        )
+        batches: list = []
+        q = (
+            agged.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: batches.append(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r for b in batches for r in b]
+
+    # session A: events at 0s and 10s (extent [0, 40)); session B
+    # opens at 1000s. Final watermark = 1000 - 60 = 940 > 40 → only
+    # A emits; B stays open in state.
+    drop([(1, at(0), 1.0), (1, at(10), 2.0), (1, at(1000), 5.0)])
+    rows1 = run()
+    assert [(r.user_id, r.session_start, r.session_end, r.n, r.total)
+            for r in rows1] == [(1, at(0), at(40), 2, 3.0)]
+
+    # run 2: an event at 1020s MERGES into open session B (extent
+    # becomes [1000, 1050)); the 2000s event pushes the watermark to
+    # 1940 which closes B. B must emit ONCE with both events.
+    drop([(1, at(1020), 7.0), (1, at(2000), 9.0)])
+    rows2 = run()
+    assert [(r.user_id, r.session_start, r.session_end, r.n, r.total)
+            for r in rows2] == [(1, at(1000), at(1050), 2, 12.0)]
