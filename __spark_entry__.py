@@ -3554,6 +3554,122 @@ def _dedup_incremental(spark, sf_dir):
     return dix.filter_new(batch).select("doc_id")
 
 
+def _tpch_store(spark, sf_dir):
+    """lineitem/orders/customer contracts for the SQL entry point."""
+    from aligned_spark.contracts import (
+        Float64,
+        Int32,
+        Int64,
+        String,
+        Timestamp,
+        feature_view,
+    )
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    @feature_view(
+        name="lineitem",
+        source=FileSource.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    class Lineitem:
+        l_orderkey = Int64().as_entity()
+        l_linenumber = Int32().as_entity()
+        l_quantity = Float64()
+        l_extendedprice = Float64()
+        l_discount = Float64()
+        l_tax = Float64()
+        l_returnflag = String()
+        l_linestatus = String()
+        l_shipdate = Timestamp()
+
+    @feature_view(
+        name="orders", source=FileSource.parquet(f"{sf_dir}/orders.parquet")
+    )
+    class Orders:
+        o_orderkey = Int64().as_entity()
+        o_custkey = Int64()
+        o_totalprice = Float64()
+        o_orderdate = Timestamp()
+
+    @feature_view(
+        name="customer",
+        source=FileSource.parquet(f"{sf_dir}/customer.parquet"),
+    )
+    class Customer:
+        c_custkey = Int64().as_entity()
+        c_mktsegment = String()
+
+    store = ContractStore(spark)
+    store.add_view(Lineitem)
+    store.add_view(Orders)
+    store.add_view(Customer)
+    return store
+
+
+_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+_TPCH_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24.0
+"""
+
+_TPCH_Q3 = """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@q("tpch_q1", _TPCH_Q1)
+def _tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary) through the SQL entry point
+    (§3.3 `execute_sql`) — the oracle runs the IDENTICAL text in
+    DuckDB; decimal sums make the aggregation order-independent."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q1)
+
+
+@q("tpch_q6", _TPCH_Q6)
+def _tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change) via `execute_sql`."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q6)
+
+
+@q("tpch_q3", _TPCH_Q3)
+def _tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority, 3-way join + top-10) via
+    `execute_sql`."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q3)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

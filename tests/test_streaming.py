@@ -578,3 +578,49 @@ def test_stream_session_aggregate_e2e(spark, tmp_path):
     rows2 = run()
     assert [(r.user_id, r.session_start, r.session_end, r.n, r.total)
             for r in rows2] == [(1, at(1000), at(1050), 2, 12.0)]
+
+
+def test_stream_dedup_ingest(spark, tmp_path):
+    """Streaming ingest with cross-batch near-dup filtering: each
+    micro-batch flows through DedupIndexSource.ingest inside
+    foreachBatch — batch 2's near-dup of a batch-1 survivor is
+    dropped by the PERSISTED index, not in-memory state."""
+    from aligned_spark.sources.dedup_index import DedupIndexSource
+    from aligned_spark.streaming import FileStreamSource
+
+    inbox = str(tmp_path / "inbox")
+    schema = "doc_id long, text string"
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    other = ("completely different words about spark shuffles and "
+             "partition pruning with adaptive query execution plans")
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    dix = DedupIndexSource(path=str(tmp_path / "ix"), impl="codegen")
+    kept: list = []
+
+    def sink(df, _id):
+        kept.extend(dix.ingest(df).collect())
+
+    src = FileStreamSource(path=inbox, schema_ddl=schema)
+
+    def run():
+        q = (
+            src.read_stream(spark)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop([(1, base), (2, other)])
+    run()
+    drop([(3, base.replace("tonight", "today")), (4, "novel words "
+          "entirely about oceans tides and the moon pulling water")])
+    run()
+    assert {r.doc_id for r in kept} == {1, 2, 4}
