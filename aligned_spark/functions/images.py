@@ -128,6 +128,45 @@ def grayscale_image(image: Column) -> Column:
     return F.pandas_udf(_kernel, _TENSOR2)(image)
 
 
+def resize_image(
+    image: Column, height: int, width: int
+) -> Column:
+    """H×W×C tensor → ``height×width``×C via nearest-neighbor index
+    sampling — pure numpy (PIL-free), deterministic, and the exact
+    batch shape a real Lanczos/bilinear kernel would slot into (swap
+    the index-sampling line for ``PIL.Image.resize`` when PIL is
+    present; the Spark-side contract is identical).
+
+    CAVEAT (environment, not semantics): this container's pyarrow
+    segfaults the Python worker on NULL or EMPTY rows of depth-3
+    array columns — through ANY pandas UDF, including identity
+    (verified by bisection; depth ≤2 is fine). Filter
+    ``tensor IS NOT NULL AND size(tensor) > 0`` before tensor-input
+    UDFs, or chain directly off ``decode_image`` in the same plan."""
+
+    def _kernel(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            # Arrow hands nested arrays over as object ndarrays of
+            # ndarrays — stack them into one dense tensor first
+            arr = np.asarray(
+                [np.stack([np.asarray(c) for c in row]) for row in t],
+                dtype=np.float64,
+            )
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            h, w = arr.shape[:2]
+            ri = (np.arange(height) * h) // height
+            ci = (np.arange(width) * w) // width
+            out.append(arr[np.ix_(ri, ci)].tolist())
+        return pd.Series(out, index=s.index, dtype=object)
+
+    return F.pandas_udf(_kernel, _TENSOR3)(image)
+
+
 def presigned_aws_url(
     key: Column,
     bucket: str,

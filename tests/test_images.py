@@ -104,3 +104,32 @@ def test_image_contract_view(spark, tmp_path):
     # grayscale really is the channel mean of the decoded tensor
     t = np.asarray(out[2].tensor)
     assert np.allclose(np.asarray(out[2].gray), t.mean(axis=2))
+
+
+def test_resize_image_nearest(spark):
+    """Non-null tensors only: the container's pyarrow segfaults on
+    null/empty rows of depth-3 arrays through ANY pandas UDF (even
+    identity) — see the resize_image docstring caveat."""
+    from aligned_spark.functions.images import resize_image
+
+    t = [[[float(r * 10 + c)] * 3 for c in range(4)] for r in range(4)]
+    t2 = [[[7.0] * 3 for _ in range(3)] for _ in range(5)]
+    df = spark.createDataFrame(
+        [(1, t), (2, t2)],
+        "img_id long, tensor array<array<array<double>>>",
+    )
+    out = {r.img_id: r.small for r in df.withColumn(
+        "small", resize_image(F.col("tensor"), 2, 2)
+    ).collect()}
+    small = np.asarray(out[1])
+    assert small.shape == (2, 2, 3)
+    # nearest-neighbor picks rows/cols 0 and 2
+    assert small[:, :, 0].tolist() == [[0.0, 2.0], [20.0, 22.0]]
+    assert np.asarray(out[2]).shape == (2, 2, 3)
+    # resize chains off decode in one plan (the supported pattern)
+    from aligned_spark.functions.images import decode_image
+    bdf = spark.createDataFrame([(b"xy",)], "blob binary")
+    r = bdf.select(
+        resize_image(decode_image(F.col("blob")), 4, 4).alias("t")
+    ).first()
+    assert np.asarray(r.t).shape == (4, 4, 3)
