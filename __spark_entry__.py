@@ -3533,6 +3533,24 @@ def _incremental_dedup_oracle(
     """
 
 
+@q("dedup_incremental_arrow")  # production SipHash kernel — rows-only (benched)
+def _dedup_incremental_arrow(spark, sf_dir):
+    """Perf twin of ``dedup_incremental`` on the vectorized Arrow
+    SipHash family (the corpus-scale path; same banding code, hash
+    family swapped — cf. ``dedup_minhash_arrow``)."""
+    import tempfile
+
+    from aligned_spark.sources.dedup_index import DedupIndexSource
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="aligned_dixa_")
+    dix = DedupIndexSource(path=f"{tmp}/index", impl="arrow")
+    dix.overwrite(docs.filter(F.col("doc_id") % 2 == 0))
+    return dix.filter_new(
+        docs.filter(F.col("doc_id") % 2 == 1)
+    ).select("doc_id")
+
+
 @q("dedup_incremental", _incremental_dedup_oracle())
 def _dedup_incremental(spark, sf_dir):
     """Incremental ingest dedup (``sources/dedup_index.py``): history

@@ -58,6 +58,10 @@ HEADLINE = [
     "join_asof_bucketed",
     "text_bm25",
     "text_perplexity",
+    "dedup_incremental_arrow",
+    "events_session_window",
+    "tpch_q1",
+    "tpch_q3",
 ]
 
 
