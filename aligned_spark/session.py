@@ -53,6 +53,10 @@ def get_spark(
         # them as long nanos; sources.file.read_parquet casts back to
         # timestamp (micros, truncating — matches DuckDB/most engines).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet otherwise
+        # infers TIMESTAMP_NTZ (rejected by unix_micros/window);
+        # with the pinned-UTC session the LTZ reading is identical
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
         .config("spark.ui.enabled", "false")

@@ -217,3 +217,17 @@ def test_bucketed_asof_partitions_by_bucket(spark):
     assert "__bucket" in plan
     import re
     assert re.search(r"hashpartitioning\([^)]*__bucket", plan)
+
+
+def test_bm25_stays_jvm_side(spark):
+    """Ranking ops must plan with zero Python evaluation and
+    broadcast term-statistics joins (vocabulary-sized frames)."""
+    from aligned_spark.operators.text_rank import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(0, "spark query"), (1, "other words")],
+        "doc_id long, text string",
+    )
+    plan = plan_text(bm25_scores(docs, "doc_id", "text", ["spark"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan

@@ -117,3 +117,88 @@ def test_rolling_sum_matches_brute_force(spark, feats, window):
             v for fe, ft, v in feats if fe == e and t - window <= ft <= t
         )
         assert s == expected, (e, t, s, expected)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    feats=feature_rows,
+    facts=fact_rows,
+    ttl=st.sampled_from([None, 30]),
+    bucket=st.sampled_from([7, 50, 1000]),
+)
+def test_bucketed_asof_matches_plain_property(spark, feats, facts, ttl, bucket):
+    """Segmented-scan as-of ≡ plain as-of on random layouts: dup
+    timestamps, empty entities, facts before any feature, TTL edges,
+    bucket widths from smaller-than-gaps to wider-than-history."""
+    from aligned_spark.operators.joins import pit_join
+
+    feat_df = spark.createDataFrame(
+        [(e, _ts(t), float(v)) for e, t, v in feats],
+        "user_id long, ts timestamp, value double",
+    )
+    fact_df = spark.createDataFrame(
+        [(e, _ts(t)) for e, t in facts],
+        "user_id long, fts timestamp",
+    )
+    kw = dict(
+        entities=["user_id"], feature_ts="ts", fact_ts="fts",
+        ttl_seconds=ttl, feature_columns=["value"],
+    )
+    plain = sorted(map(tuple, pit_join(fact_df, feat_df, **kw).collect()))
+    buck = sorted(map(tuple, pit_join(
+        fact_df, feat_df, bucket_seconds=float(bucket), **kw
+    ).collect()))
+    assert plain == buck
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 500)),  # (arrival, ts)
+        min_size=1, max_size=40, unique_by=lambda r: r[0],
+    ),
+    delay=st.sampled_from([0, 25, 100]),
+    batch=st.sampled_from([1, 7, 16]),
+)
+def test_drop_late_events_matches_reference(spark, rows, delay, batch):
+    """drop_late_events ≡ a sequential replay of Spark's watermark
+    rule in plain Python."""
+    from aligned_spark.streaming import drop_late_events
+
+    df = spark.createDataFrame(
+        [(a, _ts(t)) for a, t in rows], "arr long, ts timestamp"
+    )
+    got = sorted(
+        (r.arr, r.ts)
+        for r in drop_late_events(
+            df, "ts", delay_seconds=delay, arrival_col="arr",
+            batch_size=batch,
+        ).collect()
+    )
+
+    # reference: walk batches in arrival order, watermark = running
+    # max of COMPLETED batches minus delay
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for a, t in rows:
+        batches[a // batch].append((a, _ts(t)))
+    wm = None
+    running_max = None
+    kept = []
+    for b in sorted(batches):
+        for a, t in batches[b]:
+            if wm is None or t >= wm:
+                kept.append((a, t))
+        bmax = max(t for _, t in batches[b])
+        running_max = bmax if running_max is None else max(running_max, bmax)
+        wm = running_max - dt.timedelta(seconds=delay)
+    assert got == sorted(kept)
