@@ -55,6 +55,34 @@ class ContractStore:
     def add_compiled_view(self, view: CompiledFeatureView) -> None:
         self.views[view.name] = view
 
+    # -- registry persistence (reference: JSON contract store) -----------
+    def to_json(self) -> str:
+        """Serialize every registered view to the JSON catalog format
+        (``aligned_spark.serde``) — check it into git, diff it in CI,
+        ship it between processes like the reference's contract repo."""
+        import json
+
+        from aligned_spark.serde import view_to_dict
+
+        return json.dumps(
+            {"views": [view_to_dict(v) for v in self.views.values()]},
+            indent=2,
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(
+        cls, blob: str, spark: SparkSession | None = None
+    ) -> "ContractStore":
+        import json
+
+        from aligned_spark.serde import view_from_dict
+
+        store = cls(spark)
+        for data in json.loads(blob)["views"]:
+            store.add_compiled_view(view_from_dict(data))
+        return store
+
     def add_model(self, model: ModelContractWrapper) -> None:
         self.models[model.name] = model.compiled
         if model.compiled.output_view is not None:
