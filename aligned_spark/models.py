@@ -90,6 +90,54 @@ class MLFlowModel(ExposedModel):
 
 
 @dataclass
+class SparkMLModel(ExposedModel):
+    """A fitted ``pyspark.ml`` Transformer served through the model
+    contract — scoring stays ENTIRELY JVM-side (no Python workers in
+    the inference path), the natural 100 TB batch-inference shape.
+
+    ``predict`` assembles the contract's feature columns into the
+    vector the estimator was fit on and runs ``model.transform``;
+    frame-level, so it overrides :meth:`predict` rather than
+    :meth:`prediction_column` (MLlib has no column-expression form).
+    Reference role: the mlflow pyfunc path (``exposed_model/
+    mlflow.py``) with the model registry replaced by Spark's own
+    persistable ML pipeline (``model.save``/``load`` work on any
+    DFS path)."""
+
+    model: Any  # fitted pyspark.ml Transformer
+    features_col: str = "__features"
+    prediction_output: str = "prediction"
+
+    def prediction_column(self, df, feature_cols):
+        raise TypeError(
+            "SparkMLModel scores frame-level (model.transform); "
+            "use predict()"
+        )
+
+    def predict(self, df, feature_cols, output_col="prediction"):
+        from pyspark.ml.feature import VectorAssembler
+
+        model = self.model
+        if hasattr(model, "setFeaturesCol"):
+            model = model.copy()
+            model.setFeaturesCol(self.features_col)
+        assembled = VectorAssembler(
+            inputCols=list(feature_cols),
+            outputCol=self.features_col,
+            handleInvalid="keep",
+        ).transform(df)
+        out = model.transform(assembled)
+        drop = {
+            self.features_col,
+            "rawPrediction",
+            "probability",
+            self.prediction_output,
+        } & set(out.columns)
+        out = out.withColumn(output_col, F.col(self.prediction_output))
+        return out.drop(*(drop - {output_col}))
+
+
+@dataclass
 class PartitionedModel(ExposedModel):
     """Route rows to different models by a partition column
     (``exposed_model/partitioned.py``): one ``when/otherwise`` chain

@@ -67,3 +67,44 @@ def test_mlflow_model_clear_error(frame):
         pass
     with pytest.raises(ImportError, match="mlflow"):
         m.predict(frame, ["x"]).collect()
+
+
+def test_sparkml_model_quality_classifier(spark):
+    """A fitted pyspark.ml LogisticRegression served through
+    SparkMLModel: trained on text-quality features, scored fully
+    JVM-side (no Python workers in the inference plan)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from aligned_spark.models import SparkMLModel
+
+    # weak labels: long docs with low punct ratio are "good"
+    train = spark.createDataFrame(
+        [(float(n), float(p), 1.0 if n > 50 and p < 0.2 else 0.0)
+         for n in (10, 30, 60, 90, 120) for p in (0.05, 0.15, 0.4)],
+        "n_tokens double, punct_ratio double, label double",
+    )
+    assembled = VectorAssembler(
+        inputCols=["n_tokens", "punct_ratio"], outputCol="__features"
+    ).transform(train)
+    lr = LogisticRegression(
+        featuresCol="__features", labelCol="label"
+    ).fit(assembled)
+
+    m = SparkMLModel(model=lr)
+    score = spark.createDataFrame(
+        [(1, 100.0, 0.1), (2, 15.0, 0.5)],
+        "doc_id long, n_tokens double, punct_ratio double",
+    )
+    out = m.predict(score, ["n_tokens", "punct_ratio"], output_col="good")
+    rows = {r.doc_id: r.good for r in out.collect()}
+    assert rows == {1: 1.0, 2: 0.0}
+    # vector/intermediate columns are cleaned up
+    assert set(out.columns) == {"doc_id", "n_tokens", "punct_ratio", "good"}
+    # inference plan is JVM-only
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "EvalPython" not in plan
