@@ -3688,6 +3688,54 @@ def _tpch_q3(spark, sf_dir):
     return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q3)
 
 
+@q(
+    "text_dup_ngram_chars",
+    f"""
+    WITH base AS (
+      SELECT doc_id, length(coalesce(text, '')) AS len,
+             list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-zA-ZÀ-ÿ]+'),
+               x -> length(x) > 0
+             ) AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len,
+             unnest(list_transform(generate_series(1, len(words) - 4),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                    || ' ' || words[i+3] || ' ' || words[i+4])) AS gram
+      FROM base WHERE len(words) >= 5
+    ), c AS (
+      SELECT doc_id, len, gram, COUNT(*) AS cnt
+      FROM g GROUP BY doc_id, len, gram
+    ), d AS (
+      SELECT doc_id, len,
+             SUM(CASE WHEN cnt > 1 THEN length(gram) * cnt ELSE 0 END)
+               AS dup
+      FROM c GROUP BY doc_id, len
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.len = 0 THEN 0.0 ELSE
+             {_O_R6.format(c='CAST(coalesce(d.dup, 0) AS DOUBLE) / b.len')}
+           END AS dup_ngram_char_frac
+    FROM (SELECT doc_id, length(coalesce(text, '')) AS len
+          FROM documents) b
+    LEFT JOIN d USING (doc_id)
+    """,
+)
+def _text_dup_ngram_chars(spark, sf_dir):
+    """Gopher's duplicated-n-gram character fraction (n=5): chars
+    covered by 5-grams occurring more than once / doc length
+    (``operators/quality.py:dup_ngram_char_fraction``; sum-based
+    Dolma/RedPajama variant, deviation documented there)."""
+    from aligned_spark.operators.quality import dup_ngram_char_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    out = dup_ngram_char_fraction(d, ["doc_id"], "text", n=5)
+    return out.select(
+        "doc_id", _r6(F.col("dup_ngram_char_frac")).alias("dup_ngram_char_frac")
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -82,6 +82,56 @@ def top_ngram_fraction(
     )
 
 
+def dup_ngram_char_fraction(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Gopher's second repetition family (Rae et al. 2021 drop docs
+    where characters in duplicated 5..10-grams exceed 10-15%): the
+    fraction of the document's characters covered by word ``n``-grams
+    that occur more than once.
+
+    Uses the common sum-based approximation (Dolma/RedPajama style):
+    ``sum(len(gram) · count  for grams with count > 1) / len(text)``
+    — overlapping occurrences are not de-overlapped (the exact rule
+    needs a sequential per-doc sweep; the sum form is the one
+    production pipelines ship and is SQL-replayable). Documents with
+    fewer than ``n`` words report 0.0.
+    """
+    words = _words(F.col(text_col))
+    windows = _sliding_zip(words, n)
+    grams = F.transform(
+        windows,
+        lambda s: F.concat_ws(" ", *[s.getField(str(k)) for k in range(n)]),
+    )
+    ex = df.select(
+        *id_cols,
+        F.length(F.col(text_col)).alias("__len"),
+        F.explode_outer(grams).alias("__g"),
+    )
+    cnt = ex.groupBy(*id_cols, "__len", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    dup_chars = F.sum(
+        F.when(
+            (F.col("__c") > 1) & F.col("__g").isNotNull(),
+            F.length("__g") * F.col("__c"),
+        ).otherwise(F.lit(0))
+    )
+    agged = cnt.groupBy(*id_cols, "__len").agg(
+        dup_chars.alias("__d")
+    )
+    return agged.select(
+        *id_cols,
+        F.when(F.col("__len") > 0,
+               F.col("__d").cast("double") / F.col("__len"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_char_frac"),
+    )
+
+
 def normalize_scores(
     df: DataFrame,
     keys: list[str],

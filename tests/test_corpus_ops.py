@@ -265,3 +265,20 @@ def test_dedup_index_incremental_ingest(spark, tmp_path):
     )
     s3 = dix.ingest(b3)
     assert {r.doc_id for r in s3.collect()} == set()
+
+
+def test_dup_ngram_char_fraction(spark):
+    from aligned_spark.operators.quality import dup_ngram_char_fraction
+
+    rep = " ".join(["a b c d e"] * 3)          # every 5-gram repeats
+    uniq = "one two three four five six seven"  # all 5-grams unique
+    short = "too short"                         # < 5 words -> 0.0
+    df = spark.createDataFrame(
+        [(0, rep), (1, uniq), (2, short)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.dup_ngram_char_frac
+           for r in dup_ngram_char_fraction(df, ["doc_id"], "text").collect()}
+    assert out[1] == 0.0 and out[2] == 0.0
+    # 'a b c d e' sliding 5-grams over 15 words: 11 windows; the
+    # repeated ones cover > half the text's characters
+    assert out[0] > 0.5
