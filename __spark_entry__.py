@@ -3736,6 +3736,40 @@ def _text_dup_ngram_chars(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_domain_filter",
+    """WITH d AS (
+         SELECT doc_id,
+                'https://user@www.site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.com:8080/page/' || CAST(doc_id AS VARCHAR) AS url
+         FROM documents
+       )
+       SELECT doc_id, url FROM d
+       WHERE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             NOT IN ('site0.com', 'site3.com')""",
+)
+def _corpus_domain_filter(spark, sf_dir):
+    """C4-style domain blocklist filter: URLs synthesized per doc
+    (scheme + userinfo + www + port + path so the regex does real
+    work), domains extracted codegen-side, blocklist broadcast
+    anti-joined (``operators/quality.py:filter_by_domain``). The
+    oracle replays the domain logic arithmetically."""
+    from aligned_spark.operators.quality import filter_by_domain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://user@www.site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com:8080/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    tagged = docs.withColumn("url", url)
+    bl = spark.createDataFrame(
+        [("site0.com",), ("site3.com",)], "domain string"
+    )
+    return filter_by_domain(tagged, "url", bl)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

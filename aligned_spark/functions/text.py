@@ -207,3 +207,16 @@ def shingle_hashes(text: Column, width: int = 3) -> Column:
             lambda s: F.xxhash64(*[s.getField(str(k)) for k in range(width)]),
         )
     )
+
+
+def extract_domain(url: Column) -> Column:
+    """Registrable host of a URL, lowercased: scheme/userinfo/port/
+    path stripped, a leading ``www.`` removed. Pure
+    ``regexp_extract`` — codegen, no UDF. Returns '' for strings with
+    no recognizable host."""
+    host = F.regexp_extract(
+        F.lower(F.coalesce(url, F.lit(""))),
+        r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@\s]+@)?([a-z0-9.-]+)",
+        1,
+    )
+    return F.regexp_replace(host, r"^www\.", "")

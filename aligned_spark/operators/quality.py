@@ -219,3 +219,32 @@ def profile_table(
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+def filter_by_domain(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    blocklist_col: str = "domain",
+    keep: bool = False,
+) -> DataFrame:
+    """C4-style provenance filter: drop (or with ``keep=True``,
+    retain only) rows whose URL's registrable domain appears in a
+    blocklist/allowlist table.
+
+    The domain extraction is codegen (``functions.text.
+    extract_domain``); the membership test is a broadcast left-semi/
+    anti join — the corpus never shuffles, the list does (and a
+    web-scale list beyond the broadcast threshold degrades to a
+    shuffle join on the domain key via AQE, still corpus-
+    shuffle-free on the build side only)."""
+    from aligned_spark.functions.text import extract_domain
+
+    tagged = df.withColumn("__domain", extract_domain(F.col(url_col)))
+    bl = blocklist.select(
+        F.lower(F.col(blocklist_col)).alias("__domain")
+    ).distinct()
+    how = "leftsemi" if keep else "left_anti"
+    return tagged.join(F.broadcast(bl), on="__domain", how=how).drop(
+        "__domain"
+    )

@@ -282,3 +282,31 @@ def test_dup_ngram_char_fraction(spark):
     # 'a b c d e' sliding 5-grams over 15 words: 11 windows; the
     # repeated ones cover > half the text's characters
     assert out[0] > 0.5
+
+
+def test_domain_extract_and_filter(spark):
+    from aligned_spark.functions.text import extract_domain
+    from aligned_spark.operators.quality import filter_by_domain
+
+    rows = [
+        (1, "https://www.Example.COM/path?q=1"),
+        (2, "http://user:pw@sub.blocked.org:8080/x"),
+        (3, "no-scheme.net/page"),
+        (4, "not a url at all !!"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    doms = {r.id: r.d for r in df.select(
+        "id", extract_domain(F.col("url")).alias("d")).collect()}
+    assert doms[1] == "example.com"
+    assert doms[2] == "sub.blocked.org"
+    assert doms[3] == "no-scheme.net"
+    assert doms[5] == ""
+
+    bl = spark.createDataFrame(
+        [("sub.blocked.org",), ("example.com",)], "domain string"
+    )
+    kept = {r.id for r in filter_by_domain(df, "url", bl).collect()}
+    assert kept == {3, 4, 5}
+    only = {r.id for r in filter_by_domain(df, "url", bl, keep=True).collect()}
+    assert only == {1, 2}
