@@ -990,6 +990,61 @@ def _join_asof_bucketed(spark, sf_dir):
 
 
 @q(
+    "join_asof_forward",
+    f"""WITH facts AS ({_ASOF_FACTS_SQL})
+       SELECT f.event_id, f.user_id, f.ts, l.value, l.event_type
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = f.user_id AND e.ts >= f.ts
+         ORDER BY e.ts ASC LIMIT 1
+       ) l ON TRUE""",
+)
+def _join_asof_forward(spark, sf_dir):
+    """Forward as-of (pandas ``merge_asof direction='forward'``; the
+    reference is backward-only): first feature row AT or AFTER each
+    fact — same union sorted-merge engine, mirrored scan."""
+    from aligned_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    facts = e.filter(F.col("event_id") % 37 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    feat = e.select("user_id", "ts", "value", "event_type")
+    return asof_join(
+        facts, feat, on="ts", by=["user_id"], direction="forward"
+    )
+
+
+@q(
+    "join_asof_nearest",
+    f"""WITH facts AS ({_ASOF_FACTS_SQL})
+       SELECT f.event_id, f.user_id, f.ts, l.value, l.event_type
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = f.user_id
+         ORDER BY abs(epoch_us(e.ts) - epoch_us(f.ts)) ASC,
+                  (e.ts > f.ts) ASC
+         LIMIT 1
+       ) l ON TRUE""",
+)
+def _join_asof_nearest(spark, sf_dir):
+    """Nearest as-of (``merge_asof direction='nearest'``, ties →
+    backward): closest feature row in either time direction."""
+    from aligned_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    facts = e.filter(F.col("event_id") % 37 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    feat = e.select("user_id", "ts", "value", "event_type")
+    return asof_join(
+        facts, feat, on="ts", by=["user_id"], direction="nearest"
+    )
+
+
+@q(
     "join_pit_ttl",
     f"""WITH facts AS ({_FACT_GRID_SQL})
        SELECT f.user_id, f.fts, l.value, l.event_type
@@ -3768,6 +3823,46 @@ def _corpus_domain_filter(spark, sf_dir):
         [("site0.com",), ("site3.com",)], "domain string"
     )
     return filter_by_domain(tagged, "url", bl)
+
+
+@q(
+    "text_bigram_surprise",
+    f"""WITH base AS (
+         SELECT doc_id,
+                list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '') AS w
+         FROM documents
+       ), bg AS (
+         SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1])) AS b
+         FROM base WHERE len(w) >= 2
+       ), cbg AS (
+         SELECT b, COUNT(*) AS cbg FROM bg GROUP BY b
+       ), cprev AS (
+         SELECT string_split(b, ' ')[1] AS prev, COUNT(*) AS cprev
+         FROM bg GROUP BY 1
+       ), s AS (
+         SELECT bg.doc_id,
+                {_O_R6.format(c="-ln(CAST(cbg.cbg AS DOUBLE) / CAST(cprev.cprev AS DOUBLE))")}
+                  AS s
+         FROM bg JOIN cbg USING (b)
+         JOIN cprev ON string_split(bg.b, ' ')[1] = cprev.prev
+       )
+       SELECT doc_id, COUNT(*) AS n_bigrams,
+              {_O_R6.format(c="CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")}
+                AS avg_neg_logp2
+       FROM s GROUP BY doc_id""",
+)
+def _text_bigram_surprise(spark, sf_dir):
+    """Bigram-LM surprise (``operators/text_rank.py:bigram_surprise``)
+    — the KenLM-adjacent perplexity-filter signal: mean
+    ``-log p(w_i | w_{i-1})`` under the corpus's own bigram model."""
+    from aligned_spark.operators.text_rank import bigram_surprise
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_surprise(docs, "doc_id", "text")
 
 
 # ===========================================================================

@@ -185,6 +185,7 @@ def asof_join(
     suffix: str = "",
     strategy: Literal["union", "join"] = "union",
     bucket_seconds: float | None = None,
+    direction: Literal["backward", "forward", "nearest"] = "backward",
 ) -> DataFrame:
     """Backward as-of join (``JoinAsofJob``, ``retrieval_job.py:1795-1859``;
     ``JoinAsofDataSource``, ``batch_data_source.py:1017``).
@@ -210,6 +211,7 @@ def asof_join(
         ttl_seconds=tolerance_seconds,
         strategy=strategy,
         bucket_seconds=bucket_seconds,
+        direction=direction,
     )
     for src, dst in out_names.items():
         result = result.withColumnRenamed(f"__p_{src}", dst)
@@ -285,20 +287,32 @@ def _asof_propagate(
     ttl_seconds: float | None,
     strategy: str,
     bucket_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Shared engine for as-of/PIT. Output = all fact columns +
     ``__p_<payload>`` columns for the matched feature row."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     if strategy == "join":
         if bucket_seconds is not None:
             raise ValueError(
                 "bucket_seconds applies to strategy='union' only"
             )
+        if direction != "backward":
+            raise ValueError(
+                "forward/nearest as-of need strategy='union'"
+            )
         return _asof_via_join(
             facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds
+        )
+    if direction != "backward" and bucket_seconds is not None:
+        raise ValueError(
+            "bucket_seconds currently supports direction='backward'"
         )
     return _asof_via_union(
         facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds,
         bucket_seconds=bucket_seconds,
+        direction=direction,
     )
 
 
@@ -311,6 +325,7 @@ def _asof_via_union(
     payload_cols: list[str],
     ttl_seconds: float | None,
     bucket_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     fact_cols = facts.columns
 
@@ -346,29 +361,69 @@ def _asof_via_union(
     # they match facts predating all timestamped rows and lose to any
     # later timestamped row — the reference's null-passes rule.
     order = [F.col("__t").asc_nulls_first(), F.col(_SIDE).asc()]
-    if bucket_seconds is None:
-        w = (
+    propagated = unioned
+    if direction in ("backward", "nearest"):
+        if bucket_seconds is None:
+            w = (
+                W.partitionBy(*by)
+                .orderBy(*order)
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            propagated = propagated.withColumn(
+                "__picked", F.last(_PAYLOAD, ignorenulls=True).over(w)
+            )
+        else:
+            propagated = _bucketed_propagate(
+                propagated, by, order, int(bucket_seconds * 1_000_000)
+            )
+    if direction in ("forward", "nearest"):
+        # mirror scan: first feature at or after the fact. Ties put
+        # the fact BEFORE same-ts features (side desc) so an
+        # exactly-at-ts feature matches; NULL-ts features sort last —
+        # the forward fallback when nothing follows.
+        wf = (
             W.partitionBy(*by)
-            .orderBy(*order)
-            .rowsBetween(W.unboundedPreceding, 0)
+            .orderBy(F.col("__t").asc_nulls_last(), F.col(_SIDE).desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
         )
-        propagated = unioned.withColumn(
-            "__picked", F.last(_PAYLOAD, ignorenulls=True).over(w)
-        )
-    else:
-        propagated = _bucketed_propagate(
-            unioned, by, order, int(bucket_seconds * 1_000_000)
+        propagated = propagated.withColumn(
+            "__picked_fwd", F.first(_PAYLOAD, ignorenulls=True).over(wf)
         )
 
     out = propagated.filter(F.col(_SIDE) == 1)
-    picked = F.col("__picked")
-    if ttl_seconds is not None:
-        picked_ts = picked.getField("__ts")
-        in_ttl = picked_ts.isNull() | (
-            F.unix_micros(F.col("__t")) - F.unix_micros(picked_ts)
-            <= int(ttl_seconds * 1_000_000)
+
+    def ttl_gate(col: Column, forward: bool) -> Column:
+        if ttl_seconds is None:
+            return col
+        pts = col.getField("__ts")
+        diff = (
+            F.unix_micros(pts) - F.unix_micros(F.col("__t"))
+            if forward
+            else F.unix_micros(F.col("__t")) - F.unix_micros(pts)
         )
-        picked = F.when(in_ttl, picked)
+        in_ttl = pts.isNull() | (diff <= int(ttl_seconds * 1_000_000))
+        return F.when(in_ttl, col)
+
+    if direction == "backward":
+        picked = ttl_gate(F.col("__picked"), forward=False)
+    elif direction == "forward":
+        picked = ttl_gate(F.col("__picked_fwd"), forward=True)
+    else:
+        b = ttl_gate(F.col("__picked"), forward=False)
+        f = ttl_gate(F.col("__picked_fwd"), forward=True)
+        big = F.lit(1 << 62)
+        bd = F.coalesce(
+            F.unix_micros(F.col("__t")) - F.unix_micros(b.getField("__ts")),
+            big,
+        )
+        fd = F.coalesce(
+            F.unix_micros(f.getField("__ts")) - F.unix_micros(F.col("__t")),
+            big,
+        )
+        # ties (and null-ts fallbacks on both sides) resolve backward
+        picked = F.when(b.isNotNull() & f.isNotNull(), F.when(bd <= fd, b).otherwise(f)).otherwise(
+            F.coalesce(b, f)
+        )
     return out.select(
         *[F.col(f"__f_{c}").alias(c) for c in fact_cols],
         *[picked.getField(c).alias(f"__p_{c}") for c in payload_cols],

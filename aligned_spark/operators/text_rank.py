@@ -165,6 +165,72 @@ def inverted_index_sharded(
     )
 
 
+def bigram_surprise(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Mean negative log conditional probability under the corpus's
+    own bigram LM: ``-mean log p(w_i | w_{i-1})`` with
+    ``p(w|prev) = count(prev, w) / count_as_prev(prev)``.
+
+    One step closer to a KenLM perplexity filter than
+    :func:`unigram_surprise` — repetitive/templated text scores
+    near 0 (its transitions are always seen), shuffled or
+    wrong-language text scores high. The first token of each doc has
+    no predecessor and is skipped (documents with < 2 tokens are
+    absent from the output).
+
+    Scale shape: bigram explode (flatMap), bigram-count and
+    prev-count tables are vocabulary²-bounded but corpus-Zipf small,
+    joined back on the bigram key; one final per-doc reduction.
+    """
+    toks = docs.select(
+        id_col,
+        F.explode(
+            _bigrams(F.lower(F.col(text_col)))
+        ).alias("__bg"),
+    )
+    bg_counts = toks.groupBy("__bg").agg(
+        F.count(F.lit(1)).alias("__cbg")
+    )
+    prev_counts = toks.select(
+        F.split_part(F.col("__bg"), F.lit(" "), F.lit(1)).alias("__prev")
+    ).groupBy("__prev").agg(F.count(F.lit(1)).alias("__cprev"))
+    surprise = _r6(
+        -F.log(
+            F.col("__cbg").cast("double") / F.col("__cprev").cast("double")
+        )
+    )
+    return (
+        toks.join(bg_counts, "__bg")
+        .withColumn(
+            "__prev", F.split_part(F.col("__bg"), F.lit(" "), F.lit(1))
+        )
+        .join(prev_counts, "__prev")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            _dsum6(surprise).alias("__s"),
+        )
+        .withColumn(
+            "avg_neg_logp2", _r6(F.col("__s") / F.col("n_bigrams"))
+        )
+        .drop("__s")
+    )
+
+
+def _bigrams(text: Column) -> Column:
+    """Adjacent word pairs 'a b' over the standard tokenization."""
+    words = F.filter(
+        F.split(text, TOKEN_RE), lambda w: w != F.lit("")
+    )
+    n = F.size(words)
+    firsts = F.slice(words, 1, F.greatest(n - 1, F.lit(0)))
+    seconds = F.slice(words, 2, F.greatest(n - 1, F.lit(0)))
+    return F.zip_with(
+        firsts, seconds, lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
 def unigram_surprise(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -739,3 +739,53 @@ def test_drop_late_events_rule(spark):
         ).collect()
     }
     assert kept == {"a", "b", "edge", "ok", "ok2"}
+
+
+def test_asof_directions(spark):
+    """forward / nearest semantics: exact-ts tie matches both ways,
+    forward misses facts after the last feature, nearest resolves
+    ties backward, TTL gates each direction, null-ts rows stay the
+    last-resort fallback."""
+    import datetime as dt
+
+    from aligned_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    feat = spark.createDataFrame(
+        [(1, at(100), 1.0), (1, at(200), 2.0), (2, None, 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, at(100)),   # exact tie -> 1.0 in every direction
+         (11, 1, at(140)),   # back 1.0 (40s) vs fwd 2.0 (60s) -> nearest 1.0
+         (12, 1, at(160)),   # back 1.0 (60s) vs fwd 2.0 (40s) -> nearest 2.0
+         (13, 1, at(250)),   # after last feature -> forward null
+         (14, 2, at(50))],   # only a null-ts fallback row
+        "event_id long, user_id long, ts timestamp",
+    )
+
+    def run(**kw):
+        return {
+            r.event_id: r.value
+            for r in asof_join(
+                facts, feat, on="ts", by=["user_id"], **kw
+            ).collect()
+        }
+
+    fwd = run(direction="forward")
+    assert fwd[10] == 1.0 and fwd[11] == 2.0 and fwd[12] == 2.0
+    assert fwd[13] is None or fwd[13] == 9.0  # no later row for user 1
+    assert fwd[13] is None
+    assert fwd[14] == 9.0  # null-ts fallback serves forward too
+
+    near = run(direction="nearest")
+    assert near == {10: 1.0, 11: 1.0, 12: 2.0, 13: 2.0, 14: 9.0}
+
+    # TTL: 30s cuts the 40s forward gap at event 12
+    near_ttl = run(direction="nearest", tolerance_seconds=30)
+    assert near_ttl[11] is None and near_ttl[12] is None
+    assert near_ttl[10] == 1.0
