@@ -3865,6 +3865,39 @@ def _text_bigram_surprise(spark, sf_dir):
     return bigram_surprise(docs, "doc_id", "text")
 
 
+@q(
+    "agg_rollup_cube",
+    f"""SELECT event_type,
+              CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+              COUNT(*) AS n,
+              {_O_DSUM.format(c="value")} AS total,
+              CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN date_trunc('week', ts) IS NULL THEN 1 ELSE 0 END
+                AS grouping_level
+       FROM events
+       GROUP BY ROLLUP (event_type, date_trunc('week', ts))""",
+)
+def _agg_rollup_cube(spark, sf_dir):
+    """Multi-level OLAP aggregation: ROLLUP over (event_type, week)
+    — per-cell, per-type subtotal, and grand-total rows in ONE pass
+    (Spark expands grouping sets map-side; no per-level re-scan).
+    ``grouping_level`` distinguishes subtotal rows from genuine NULL
+    keys, mirrored via CASE in the oracle."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "week", F.date_trunc("week", F.col("ts"))
+    )
+    out = ev.rollup("event_type", "week").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("total"),
+        (F.grouping("event_type") + F.grouping("week")).alias(
+            "grouping_level"
+        ),
+    )
+    return out.select(
+        "event_type", "week", "n", "total", "grouping_level"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -624,3 +624,40 @@ def test_stream_dedup_ingest(spark, tmp_path):
           "entirely about oceans tides and the moon pulling water")])
     run()
     assert {r.doc_id for r in kept} == {1, 2, 4}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Native bounded-state streaming dedup
+    (dropDuplicatesWithinWatermark) alongside the custom
+    stateful_dedup: a re-sent event inside the watermark window is
+    suppressed; state for expired keys is droppable by the engine."""
+    from aligned_spark.streaming import FileStreamSource
+
+    inbox = str(tmp_path / "inbox")
+    schema = "event_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    drop([(1, at(0), 1.0), (1, at(2), 1.0),     # dup id inside window
+          (2, at(5), 2.0)])
+    src = FileStreamSource(path=inbox, schema_ddl=schema)
+    raw = src.read_stream(spark).withWatermark("ts", "60 seconds")
+    deduped = raw.dropDuplicatesWithinWatermark(["event_id"])
+    batches: list = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted((r.event_id, r.ts) for b in batches for r in b)
+    assert rows == [(1, at(0)), (2, at(5))]
