@@ -3898,6 +3898,77 @@ def _agg_rollup_cube(spark, sf_dir):
     )
 
 
+@q(
+    "events_resample",
+    f"""WITH b AS (
+         SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+         FROM events GROUP BY user_id
+       ), g AS (
+         SELECT user_id,
+                unnest(generate_series(
+                  to_timestamp(ceil(epoch_us(lo) / 86400000000.0)
+                               * 86400)::TIMESTAMP,
+                  hi, INTERVAL 1 DAY)) AS ts
+         FROM b
+         WHERE to_timestamp(ceil(epoch_us(lo) / 86400000000.0)
+                            * 86400)::TIMESTAMP <= hi
+       )
+       SELECT g.user_id, g.ts, l.value, l.event_type
+       FROM g
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = g.user_id AND e.ts <= g.ts
+         ORDER BY e.ts DESC LIMIT 1
+       ) l ON TRUE""",
+)
+def _events_resample(spark, sf_dir):
+    """Regular-grid resampling with forward fill
+    (``operators/core.py:resample``): one daily tick per user from
+    the first aligned tick through the last event, values carried
+    from the latest event at or before each tick."""
+    from aligned_spark.operators.core import resample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_type"
+    )
+    return resample(ev, ["user_id"], "ts", 86400.0)
+
+
+@q(
+    "events_pivot",
+    f"""SELECT user_id,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
+              COUNT(*) FILTER (WHERE event_type = 'view') AS view_n,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+              {_O_DSUM.format(c="CASE WHEN event_type = 'purchase' THEN value END")}
+                AS purchase_total
+       FROM events GROUP BY user_id""",
+)
+def _events_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user counts by event type + purchase
+    revenue, via Spark's native pivot with an EXPLICIT value list —
+    at 100 TB never let pivot infer values (that is an extra
+    distinct scan and a nondeterministic column set)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("click_n"),
+            F.coalesce("view", F.lit(0)).alias("view_n"),
+            F.coalesce("purchase", F.lit(0)).alias("purchase_n"),
+        )
+    )
+    totals = ev.groupBy("user_id").agg(
+        _dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("purchase_total")
+    )
+    return counts.join(totals, "user_id")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -349,3 +349,60 @@ def decode_timestamps(
         else:
             exprs[name] = F.to_timestamp(c)
     return df.withColumns(exprs) if exprs else df
+
+
+def resample(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    step_seconds: float,
+    fill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Regularize an event series: one row per ``step_seconds`` tick
+    per key, from each key's first step-aligned tick through its last
+    event, with ``fill_cols`` forward-filled from the latest event at
+    or before the tick.
+
+    The feature-store resampling primitive (training frames want a
+    regular grid, events arrive irregularly). Shapes: the grid is a
+    per-key ``sequence`` explode (flatMap — no shuffle, ~span/step
+    rows per key); filling reuses the union sorted-merge as-of
+    (:func:`aligned_spark.operators.joins.asof_join`), one shuffle +
+    one sort on the key."""
+    from pyspark.sql import functions as F
+
+    from aligned_spark.operators.joins import asof_join
+
+    step_us = int(step_seconds * 1_000_000)
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts).alias("__lo"), F.max(ts).alias("__hi")
+    )
+    aligned_lo = F.timestamp_micros(
+        F.ceil(F.unix_micros(F.col("__lo")) / F.lit(step_us)).cast("long")
+        * F.lit(step_us)
+    )
+    # a key whose whole span precedes its first aligned tick has no
+    # grid rows; filtering avoids sequence(start > stop) errors
+    grid = (
+        bounds.withColumn("__start", aligned_lo)
+        .filter(F.col("__start") <= F.col("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.col("__start"),
+                    F.col("__hi"),
+                    F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+                )
+            ).alias(ts),
+        )
+    )
+    fill_cols = fill_cols or [
+        c for c in df.columns if c not in set(keys) | {ts}
+    ]
+    return asof_join(
+        grid,
+        df.select(*keys, ts, *fill_cols),
+        on=ts,
+        by=keys,
+    )

@@ -789,3 +789,31 @@ def test_asof_directions(spark):
     near_ttl = run(direction="nearest", tolerance_seconds=30)
     assert near_ttl[11] is None and near_ttl[12] is None
     assert near_ttl[10] == 1.0
+
+
+def test_resample_forward_fill(spark):
+    import datetime as dt
+
+    from aligned_spark.operators.core import resample
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, at(5), 10.0),    # first tick at 10s
+        (1, at(12), 20.0),
+        (1, at(35), 30.0),   # ticks 10,20,30: fill 10,20,20; hi=35
+        (2, at(7), 5.0),     # span [7,7] < first tick 10 -> no rows
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = sorted(
+        (r.k, r.ts, r.v)
+        for r in resample(df, ["k"], "ts", 10.0).collect()
+    )
+    assert out == [
+        (1, at(10), 10.0),
+        (1, at(20), 20.0),
+        (1, at(30), 20.0),
+    ]
