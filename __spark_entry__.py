@@ -3969,6 +3969,60 @@ def _events_pivot(spark, sf_dir):
     return counts.join(totals, "user_id")
 
 
+@q(
+    "corpus_pipeline_e2e",
+    r"""WITH t AS (
+         SELECT doc_id, source, lang, text,
+                CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> len(x) > 0)) AS BIGINT) AS tokens
+         FROM documents
+       ), f AS (
+         SELECT * FROM t WHERE lang = 'en' AND tokens BETWEEN 30 AND 500
+       ), dd AS (
+         SELECT doc_id, source, tokens FROM (
+           SELECT *, row_number() OVER (PARTITION BY text
+                       ORDER BY doc_id) AS rn
+           FROM f) WHERE rn = 1
+       )
+       SELECT doc_id, source, tokens,
+              CAST(floor((SUM(tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - tokens) / 512.0)
+                AS BIGINT) AS pack_id
+       FROM dd""",
+)
+def _corpus_pipeline_e2e(spark, sf_dir):
+    """Dolma-style pipeline COMPOSED end-to-end in one DAG:
+    language/length filter → exact dedup (keep-first) → 512-token
+    sequence packing. One oracle replays all three stages — the
+    composability proof that single-operator queries can't give.
+    Catalyst fuses the filter into the scan and the whole chain runs
+    with two shuffles (dedup partition, pack window)."""
+    from aligned_spark.functions.text import whitespace_token_count
+    from aligned_spark.operators.dedup import exact_dedup
+    from aligned_spark.operators.sampling import pack_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        whitespace_token_count(F.col("text")).cast("long").alias("tokens"),
+    )
+    f = d.filter(
+        (F.col("lang") == "en") & F.col("tokens").between(30, 500)
+    )
+    dd = exact_dedup(f, ["text"], order_col="doc_id")
+    out = pack_documents(
+        dd.select("doc_id", "source", "tokens"),
+        keys=["source"],
+        order_col="doc_id",
+        token_col="tokens",
+        budget=512,
+    )
+    return out.select("doc_id", "source", "tokens", "pack_id")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
