@@ -108,3 +108,68 @@ def test_sparkml_model_quality_classifier(spark):
         )
     )
     assert "EvalPython" not in plan
+
+
+def test_prediction_view_feeds_features_for(spark, tmp_path):
+    """Model chaining (reference model-contract output views): model
+    A's predictions materialize into its output view, and
+    features_for serves them like any other feature view."""
+    import datetime as dt
+
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+        model_contract,
+    )
+    from pyspark.sql import functions as F
+
+    from aligned_spark.models import CodePredictor
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    t0 = dt.datetime(2024, 1, 10)
+    base = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, t0, 2.0), (2, t0, 3.0)], "user_id long, ts timestamp, x double"
+    ).write.parquet(base)
+
+    @feature_view(name="base", source=FileSource.parquet(base))
+    class Base:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        x = Float64()
+
+    @model_contract(
+        name="scorer",
+        input_features=["base:x"],
+        output_source=FileSource.parquet(str(tmp_path / "preds")),
+        predictor=CodePredictor(lambda pdf: pdf["x"] * 100),
+    )
+    class Scorer:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        scorer_prediction = Float64()
+
+    store = ContractStore(spark)
+    store.add_view(Base)
+    store.add_model(Scorer)
+
+    ents = spark.createDataFrame(
+        [(1, t0), (2, t0)], "user_id long, event_timestamp timestamp"
+    )
+    preds = store.predict_over("scorer", ents).withColumn(
+        "ts", F.col("event_timestamp")
+    )
+    store.insert_into(
+        "scorer_predictions",
+        preds.select("user_id", "ts", "scorer_prediction"),
+    )
+
+    # downstream consumer reads predictions as ordinary features
+    out = store.features_for(
+        ents, ["scorer_predictions:scorer_prediction"]
+    )
+    got = {r.user_id: r.scorer_prediction for r in out.collect()}
+    assert got == {1: 200.0, 2: 300.0}
