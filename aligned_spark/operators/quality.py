@@ -196,7 +196,11 @@ def profile_table(
     for c in cols:
         col = F.col(c)
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"__n_{c}"),
+            # coalesce: SUM over zero rows is NULL, but "no rows" means
+            # zero nulls, not unknown
+            F.coalesce(
+                F.sum(col.isNull().cast("long")), F.lit(0)
+            ).alias(f"__n_{c}"),
             F.count_distinct(col).alias(f"__d_{c}"),
             F.min(col).cast("string").alias(f"__mn_{c}"),
             F.max(col).cast("string").alias(f"__mx_{c}"),

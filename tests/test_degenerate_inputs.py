@@ -1,0 +1,128 @@
+"""Degenerate-input robustness: empty frames, all-empty text, and
+single-row inputs through the main operator families. At 100 TB a
+daily partition CAN be empty (holiday, outage backfill) — operators
+must return empty/identity results, not throw."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_aggregates_on_empty(spark):
+    from aligned_spark.operators.aggregate import (
+        AggSpec,
+        group_aggregate,
+        hopping_aggregate,
+        rolling_aggregate,
+    )
+
+    ev = _empty_events(spark)
+    aggs = [AggSpec("s", "sum", "value"), AggSpec("n", "count", None)]
+    assert group_aggregate(ev, ["user_id"], aggs).count() == 0
+    assert rolling_aggregate(
+        ev, keys=["user_id"], ts="ts", window_seconds=60, aggs=aggs
+    ).count() == 0
+    assert hopping_aggregate(
+        ev, keys=["user_id"], ts="ts", every_seconds=60,
+        period_seconds=60, aggs=aggs,
+    ).count() == 0
+
+
+def test_joins_on_empty_sides(spark):
+    from aligned_spark.operators.joins import asof_join, pit_join
+
+    ev = _empty_events(spark)
+    facts = spark.createDataFrame(
+        [(1, T0)], "user_id long, ts timestamp"
+    )
+    # empty features: every fact row survives with null payload
+    out = asof_join(facts, ev, on="ts", by=["user_id"]).collect()
+    assert len(out) == 1 and out[0].value is None
+    # empty facts: empty result
+    assert asof_join(
+        facts.limit(0), ev, on="ts", by=["user_id"]
+    ).count() == 0
+    # bucketed path, both empty
+    assert pit_join(
+        facts.limit(0).withColumnRenamed("ts", "fts"), ev,
+        entities=["user_id"], feature_ts="ts", fact_ts="fts",
+        bucket_seconds=60.0,
+    ).count() == 0
+
+
+def test_dedup_and_text_on_empty(spark):
+    from aligned_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup,
+        simhash_near_dup_pairs,
+    )
+    from aligned_spark.operators.quality import (
+        dup_ngram_char_fraction,
+        top_ngram_fraction,
+    )
+    from aligned_spark.operators.text_rank import (
+        bm25_scores,
+        inverted_index,
+        unigram_surprise,
+    )
+
+    d = _empty_docs(spark)
+    assert exact_dedup(d, ["text"], order_col="doc_id").count() == 0
+    assert minhash_dedup(d, "doc_id", "text").count() == 0
+    assert simhash_near_dup_pairs(d, "doc_id", "text").count() == 0
+    assert inverted_index(d, "doc_id", "text").count() == 0
+    assert unigram_surprise(d, "doc_id", "text").count() == 0
+    assert bm25_scores(d, "doc_id", "text", ["x"]).count() == 0
+    assert top_ngram_fraction(d, ["doc_id"], "text").count() == 0
+    assert dup_ngram_char_fraction(d, ["doc_id"], "text").count() == 0
+
+    # all-empty text: no shingles anywhere — no pairs, no crash
+    d2 = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    assert minhash_dedup(d2, "doc_id", "text").count() == 3  # kept as-is
+    assert simhash_near_dup_pairs(d2, "doc_id", "text").count() == 0
+
+
+def test_sampling_sessions_resample_on_empty(spark):
+    from aligned_spark.operators.core import resample
+    from aligned_spark.operators.quality import (
+        histogram,
+        normalize_scores,
+        profile_table,
+    )
+    from aligned_spark.operators.sampling import pack_documents
+    from aligned_spark.operators.sessions import sessionize
+    from aligned_spark.streaming import drop_late_events
+
+    ev = _empty_events(spark)
+    assert sessionize(ev, ["user_id"], "ts", 60).count() == 0
+    assert resample(ev, ["user_id"], "ts", 60.0).count() == 0
+    assert drop_late_events(
+        ev.withColumn("arr", F.lit(0)), "ts", 60, "arr"
+    ).count() == 0
+    assert histogram(ev, "value", 1.0, keys=["user_id"]).count() == 0
+    assert normalize_scores(ev, ["user_id"], "value").count() == 0
+    d = spark.createDataFrame([], "doc_id long, src string, tokens long")
+    assert pack_documents(
+        d, keys=["src"], order_col="doc_id", token_col="tokens",
+        budget=512,
+    ).count() == 0
+    # profile on empty frame: one row per column, zero counts
+    prof = {r.column: (r.n_nulls, r.n_distinct)
+            for r in profile_table(ev).collect()}
+    assert prof["user_id"] == (0, 0)
