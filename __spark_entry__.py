@@ -4023,6 +4023,28 @@ def _corpus_pipeline_e2e(spark, sf_dir):
     return out.select("doc_id", "source", "tokens", "pack_id")
 
 
+@q(
+    "agg_cube",
+    f"""SELECT event_type,
+              user_id % 10 AS user_bucket,
+              COUNT(*) AS n,
+              {_O_DSUM.format(c="value")} AS total
+       FROM events
+       GROUP BY CUBE (event_type, user_id % 10)""",
+)
+def _agg_cube(spark, sf_dir):
+    """CUBE grouping sets: all four aggregation levels of
+    (event_type, user bucket) in one Expand pass — the ROLLUP
+    sibling with the cross-marginals."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("total"),
+    ).select("event_type", "user_bucket", "n", "total")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
