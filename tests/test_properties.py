@@ -202,3 +202,68 @@ def test_drop_late_events_matches_reference(spark, rows, delay, batch):
         running_max = bmax if running_max is None else max(running_max, bmax)
         wm = running_max - dt.timedelta(seconds=delay)
     assert got == sorted(kept)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    feats=feature_rows,
+    facts=fact_rows,
+    ttl=st.sampled_from([None, 30]),
+    direction=st.sampled_from(["forward", "nearest"]),
+)
+def test_asof_directions_match_brute_force(spark, feats, facts, ttl, direction):
+    """forward/nearest as-of vs a Python brute force over random
+    layouts — dup timestamps, facts outside the feature range, TTL
+    cuts, ties resolved backward for nearest."""
+    from aligned_spark.operators.joins import asof_join
+
+    feat_df = spark.createDataFrame(
+        [(e, _ts(t), float(v)) for e, t, v in feats],
+        "user_id long, ts timestamp, value double",
+    )
+    fact_df = spark.createDataFrame(
+        [(i, e, _ts(t)) for i, (e, t) in enumerate(facts)],
+        "fid long, user_id long, ts timestamp",
+    )
+    got = {
+        r.fid: r.value
+        for r in asof_join(
+            fact_df, feat_df, on="ts", by=["user_id"],
+            tolerance_seconds=ttl, direction=direction,
+        ).collect()
+    }
+
+    def brute(e, t):
+        # all arithmetic in integer second offsets
+        cand = [(ft, float(v)) for fe, ft, v in feats if fe == e]
+        if direction == "forward":
+            ok = [(ft, v) for ft, v in cand
+                  if ft >= t and (ttl is None or ft - t <= ttl)]
+            if not ok:
+                return None
+            m = min(ft for ft, _ in ok)
+            # duplicate-ts features make the pick ambiguous — accept
+            # any value at the winning timestamp
+            return {v for ft, v in ok if ft == m}
+        back = [(t - ft, v) for ft, v in cand
+                if ft <= t and (ttl is None or t - ft <= ttl)]
+        fwd = [(ft - t, v) for ft, v in cand
+               if ft >= t and (ttl is None or ft - t <= ttl)]
+        bd = min((d for d, _ in back), default=None)
+        fd = min((d for d, _ in fwd), default=None)
+        if bd is None and fd is None:
+            return None
+        if fd is None or (bd is not None and bd <= fd):
+            return {v for d, v in back if d == bd}
+        return {v for d, v in fwd if d == fd}
+
+    for i, (e, t) in enumerate(facts):
+        want = brute(e, t)
+        if want is None:
+            assert got[i] is None, (i, got[i])
+        else:
+            assert got[i] in want, (i, got[i], want)
