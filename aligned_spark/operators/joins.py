@@ -305,10 +305,6 @@ def _asof_propagate(
         return _asof_via_join(
             facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds
         )
-    if direction != "backward" and bucket_seconds is not None:
-        raise ValueError(
-            "bucket_seconds currently supports direction='backward'"
-        )
     return _asof_via_union(
         facts, features, by, fact_ts, feature_ts, payload_cols, ttl_seconds,
         bucket_seconds=bucket_seconds,
@@ -381,14 +377,22 @@ def _asof_via_union(
         # the fact BEFORE same-ts features (side desc) so an
         # exactly-at-ts feature matches; NULL-ts features sort last —
         # the forward fallback when nothing follows.
-        wf = (
-            W.partitionBy(*by)
-            .orderBy(F.col("__t").asc_nulls_last(), F.col(_SIDE).desc())
-            .rowsBetween(W.currentRow, W.unboundedFollowing)
-        )
-        propagated = propagated.withColumn(
-            "__picked_fwd", F.first(_PAYLOAD, ignorenulls=True).over(wf)
-        )
+        if bucket_seconds is None:
+            wf = (
+                W.partitionBy(*by)
+                .orderBy(
+                    F.col("__t").asc_nulls_last(), F.col(_SIDE).desc()
+                )
+                .rowsBetween(W.currentRow, W.unboundedFollowing)
+            )
+            propagated = propagated.withColumn(
+                "__picked_fwd",
+                F.first(_PAYLOAD, ignorenulls=True).over(wf),
+            )
+        else:
+            propagated = _bucketed_propagate_fwd(
+                propagated, by, int(bucket_seconds * 1_000_000)
+            )
 
     out = propagated.filter(F.col(_SIDE) == 1)
 
@@ -502,6 +506,70 @@ def _bucketed_propagate(
         "__carry_in",
         "__c_bucket",
         *[f"__c_{k}" for k in by],
+    )
+
+
+def _bucketed_propagate_fwd(
+    unioned: DataFrame,
+    by: list[str],
+    bucket_micros: int,
+) -> DataFrame:
+    """Forward mirror of :func:`_bucketed_propagate`: within-bucket
+    first-ignorenulls over following rows, carry-in = the first
+    non-null bucket-START state among strictly LATER buckets. NULL-ts
+    rows land in the NULL bucket, ordered last, so they stay the
+    when-nothing-follows fallback exactly as in the unbucketed
+    forward scan."""
+    if "__bucket" not in unioned.columns:
+        unioned = unioned.withColumn(
+            "__bucket",
+            F.floor(F.unix_micros(F.col("__t")) / F.lit(bucket_micros)),
+        )
+    order = [F.col("__t").asc_nulls_last(), F.col(_SIDE).desc()]
+    wl = (
+        W.partitionBy(*by, "__bucket")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    local = unioned.withColumn(
+        "__pl_fwd", F.first(_PAYLOAD, ignorenulls=True).over(wl)
+    )
+    # bucket-START state: the locally-propagated value on the first
+    # row in forward scan order (min_by key mirrors the window order;
+    # NULL __t maps to +inf so it sorts last, matching nulls_last)
+    okey = F.struct(
+        F.coalesce(F.unix_micros(F.col("__t")), F.lit(1 << 62)).alias(
+            "t"
+        ),
+        (-F.col(_SIDE)).alias("s"),
+    )
+    state = local.groupBy(*by, "__bucket").agg(
+        F.min_by("__pl_fwd", okey).alias("__state_start")
+    )
+    wc = (
+        W.partitionBy(*by)
+        .orderBy(F.col("__bucket").asc_nulls_last())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    carry = state.withColumn(
+        "__carry_fwd",
+        F.first("__state_start", ignorenulls=True).over(wc),
+    ).select(
+        *[F.col(k).alias(f"__cf_{k}") for k in by],
+        F.col("__bucket").alias("__cf_bucket"),
+        "__carry_fwd",
+    )
+    cond = F.col("__bucket").eqNullSafe(F.col("__cf_bucket"))
+    for k in by:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__cf_{k}"))
+    joined = local.join(carry, cond, "left")
+    return joined.withColumn(
+        "__picked_fwd", F.coalesce(F.col("__pl_fwd"), F.col("__carry_fwd"))
+    ).drop(
+        "__pl_fwd",
+        "__carry_fwd",
+        "__cf_bucket",
+        *[f"__cf_{k}" for k in by],
     )
 
 

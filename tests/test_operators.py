@@ -817,3 +817,40 @@ def test_resample_forward_fill(spark):
         (1, at(20), 20.0),
         (1, at(30), 20.0),
     ]
+
+
+def test_asof_directions_bucketed(spark):
+    """Deterministic bucketed forward/nearest: same fixtures as
+    test_asof_directions, every direction identical with and without
+    bucket_seconds (including cross-bucket carry and null-ts
+    fallback)."""
+    import datetime as dt
+
+    from aligned_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    feat = spark.createDataFrame(
+        [(1, at(100), 1.0), (1, at(200), 2.0), (2, None, 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, at(100)), (11, 1, at(140)), (12, 1, at(160)),
+         (13, 1, at(250)), (14, 2, at(50))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    for direction in ("forward", "nearest", "backward"):
+        for ttl in (None, 30.0):
+            plain = sorted(map(tuple, asof_join(
+                facts, feat, on="ts", by=["user_id"],
+                direction=direction, tolerance_seconds=ttl,
+            ).collect()))
+            buck = sorted(map(tuple, asof_join(
+                facts, feat, on="ts", by=["user_id"],
+                direction=direction, tolerance_seconds=ttl,
+                bucket_seconds=60.0,
+            ).collect()))
+            assert plain == buck, (direction, ttl)

@@ -214,8 +214,11 @@ def test_drop_late_events_matches_reference(spark, rows, delay, batch):
     facts=fact_rows,
     ttl=st.sampled_from([None, 30]),
     direction=st.sampled_from(["forward", "nearest"]),
+    bucket=st.sampled_from([None, 7.0, 1000.0]),
 )
-def test_asof_directions_match_brute_force(spark, feats, facts, ttl, direction):
+def test_asof_directions_match_brute_force(
+    spark, feats, facts, ttl, direction, bucket
+):
     """forward/nearest as-of vs a Python brute force over random
     layouts — dup timestamps, facts outside the feature range, TTL
     cuts, ties resolved backward for nearest."""
@@ -234,6 +237,7 @@ def test_asof_directions_match_brute_force(spark, feats, facts, ttl, direction):
         for r in asof_join(
             fact_df, feat_df, on="ts", by=["user_id"],
             tolerance_seconds=ttl, direction=direction,
+            bucket_seconds=bucket,
         ).collect()
     }
 
