@@ -3795,7 +3795,9 @@ def _text_dup_ngram_chars(spark, sf_dir):
     "corpus_domain_filter",
     """WITH d AS (
          SELECT doc_id,
-                'https://user@www.site' || CAST(doc_id % 7 AS VARCHAR)
+                'https://user@www.'
+                  || CASE WHEN doc_id % 3 = 0 THEN 'forum.' ELSE '' END
+                  || 'site' || CAST(doc_id % 7 AS VARCHAR)
                   || '.com:8080/page/' || CAST(doc_id AS VARCHAR) AS url
          FROM documents
        )
@@ -3806,14 +3808,22 @@ def _text_dup_ngram_chars(spark, sf_dir):
 def _corpus_domain_filter(spark, sf_dir):
     """C4-style domain blocklist filter: URLs synthesized per doc
     (scheme + userinfo + www + port + path so the regex does real
-    work), domains extracted codegen-side, blocklist broadcast
+    work; every third doc gets a ``forum.`` subdomain so the
+    registrable-domain suffix match is exercised, not just host
+    equality), domains extracted codegen-side, blocklist broadcast
     anti-joined (``operators/quality.py:filter_by_domain``). The
-    oracle replays the domain logic arithmetically."""
+    oracle replays the domain logic arithmetically — a subdomain of
+    a blocked site is blocked too, so the oracle predicate depends
+    only on the siteN part."""
     from aligned_spark.operators.quality import filter_by_domain
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     url = F.concat(
-        F.lit("https://user@www.site"),
+        F.lit("https://user@www."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("forum.")).otherwise(
+            F.lit("")
+        ),
+        F.lit("site"),
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".com:8080/page/"),
         F.col("doc_id").cast("string"),

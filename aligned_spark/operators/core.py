@@ -383,6 +383,11 @@ def resample(
     )
     # a key whose whole span precedes its first aligned tick has no
     # grid rows; filtering avoids sequence(start > stop) errors
+    # Grid generated in integer micros (not INTERVAL seconds): fractional
+    # steps would otherwise truncate — 0.5 s became INTERVAL 0 (error) and
+    # 1.5 s produced ticks misaligned with the advertised step.
+    if step_us <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
     grid = (
         bounds.withColumn("__start", aligned_lo)
         .filter(F.col("__start") <= F.col("__hi"))
@@ -390,11 +395,14 @@ def resample(
             *keys,
             F.explode(
                 F.sequence(
-                    F.col("__start"),
-                    F.col("__hi"),
-                    F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+                    F.unix_micros(F.col("__start")),
+                    F.unix_micros(F.col("__hi")),
+                    F.lit(step_us),
                 )
-            ).alias(ts),
+            ).alias("__tick_us"),
+        )
+        .select(
+            *keys, F.timestamp_micros(F.col("__tick_us")).alias(ts)
         )
     )
     fill_cols = fill_cols or [

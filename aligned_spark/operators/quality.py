@@ -153,8 +153,11 @@ def normalize_scores(
     per IEEE-754 and therefore deterministic too.
     """
     v = F.col(value_col).cast("double")
+    # __n counts non-null values (F.count(v), not count(*)) so the moments
+    # match the null-skipping sums; null-key rows are excluded from both
+    # the stats and the output (documented: the inner join drops them).
     stats = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.count(v).alias("__n"),
         F.sum(v.cast("decimal(27,6)")).cast("double").alias("__s"),
         F.sum((v * v).cast("decimal(27,6)")).cast("double").alias("__s2"),
     )
@@ -231,24 +234,32 @@ def filter_by_domain(
     blocklist: DataFrame,
     blocklist_col: str = "domain",
     keep: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """C4-style provenance filter: drop (or with ``keep=True``,
-    retain only) rows whose URL's registrable domain appears in a
-    blocklist/allowlist table.
+    retain only) rows whose URL's host is, or is a subdomain of, a
+    blocklist/allowlist entry — a list entry ``example.com`` blocks
+    ``forum.example.com`` too (registrable-domain blocking). Pass
+    ``exact=True`` for strict host equality instead.
 
     The domain extraction is codegen (``functions.text.
-    extract_domain``); the membership test is a broadcast left-semi/
-    anti join — the corpus never shuffles, the list does (and a
-    web-scale list beyond the broadcast threshold degrades to a
-    shuffle join on the domain key via AQE, still corpus-
-    shuffle-free on the build side only)."""
+    extract_domain``). Suffix matching is a broadcast left-semi/anti
+    join on ``host == d OR host LIKE '%.'||d`` — a broadcast
+    nested-loop probe, O(|list|) string compares per row, the right
+    trade for curated blocklists (10³–10⁵ entries). ``exact=True``
+    keeps the O(1) broadcast hash join; for web-scale lists,
+    pre-normalize URLs to registrable domains and use that path."""
     from aligned_spark.functions.text import extract_domain
 
     tagged = df.withColumn("__domain", extract_domain(F.col(url_col)))
     bl = blocklist.select(
-        F.lower(F.col(blocklist_col)).alias("__domain")
+        F.lower(F.col(blocklist_col)).alias("__bl")
     ).distinct()
     how = "leftsemi" if keep else "left_anti"
-    return tagged.join(F.broadcast(bl), on="__domain", how=how).drop(
-        "__domain"
-    )
+    if exact:
+        cond = F.col("__domain") == F.col("__bl")
+    else:
+        cond = (F.col("__domain") == F.col("__bl")) | F.col(
+            "__domain"
+        ).endswith(F.concat(F.lit("."), F.col("__bl")))
+    return tagged.join(F.broadcast(bl), on=cond, how=how).drop("__domain")

@@ -66,10 +66,50 @@ def _source_to_dict(src: Any) -> dict[str, Any] | None:
     }
 
 
+# Deserialization allowlist: only dataclasses defined in these modules can
+# be instantiated from a JSON catalog. Mirrors the reference's factory
+# registry (``aligned/schemas/feature_view.py`` —
+# ``BatchDataSourceFactory.supported_data_sources`` keyed by type name)
+# rather than dynamic import, so a catalog shipped between repos/processes
+# can never name an arbitrary callable (e.g. ``subprocess.Popen``).
+_SOURCE_MODULES = (
+    "aligned_spark.sources.file",
+    "aligned_spark.sources.catalog",
+    "aligned_spark.sources.combinators",
+    "aligned_spark.sources.delta",
+    "aligned_spark.sources.iceberg",
+    "aligned_spark.sources.jdbc",
+    "aligned_spark.sources.http",
+    "aligned_spark.sources.random_source",
+    "aligned_spark.sources.vector_index",
+    "aligned_spark.sources.dedup_index",
+)
+
+
+def _source_registry() -> dict[tuple[str, str], type]:
+    reg: dict[tuple[str, str], type] = {}
+    for mod_name in _SOURCE_MODULES:
+        mod = importlib.import_module(mod_name)
+        for obj in vars(mod).values():
+            if (
+                isinstance(obj, type)
+                and dataclasses.is_dataclass(obj)
+                and obj.__module__ == mod_name
+            ):
+                reg[(mod_name, obj.__qualname__)] = obj
+    return reg
+
+
 def _source_from_dict(data: dict[str, Any] | None) -> Any:
     if data is None:
         return None
-    cls = getattr(importlib.import_module(data["module"]), data["cls"])
+    cls = _source_registry().get((data["module"], data["cls"]))
+    if cls is None:
+        raise ValueError(
+            f"unknown source type {data['module']}.{data['cls']} — "
+            "only registered aligned_spark source dataclasses can be "
+            "deserialized from a catalog"
+        )
     return cls(**data["fields"])
 
 

@@ -121,12 +121,16 @@ def decayed_count(
             # Idle key: decay by wall-clock since last event; drop the
             # state once negligible, else keep it and re-arm the TTL.
             last_us, count = state.get
-            dt = max(int(_time.time() * 1_000_000) - last_us, 0) / 1e6
+            now_us = int(_time.time() * 1_000_000)
+            dt = max(now_us - last_us, 0) / 1e6
             count = count * 2.0 ** (-dt / half_life_seconds)
             if count < 1e-6:
                 state.remove()
             else:
-                state.update((last_us, count))
+                # Store the decay reference time, not the old last_us —
+                # otherwise the same idle interval is decayed again at the
+                # next timeout/event (compounding under-count).
+                state.update((now_us, count))
                 state.setTimeoutDuration(int(state_ttl_seconds * 1000))
             return
         n = 0

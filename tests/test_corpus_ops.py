@@ -310,3 +310,38 @@ def test_domain_extract_and_filter(spark):
     assert kept == {3, 4, 5}
     only = {r.id for r in filter_by_domain(df, "url", bl, keep=True).collect()}
     assert only == {1, 2}
+
+
+def test_domain_filter_suffix_vs_exact(spark):
+    """A blocklist entry blocks its subdomains (registrable-domain
+    semantics); ``exact=True`` restores strict host equality."""
+    from aligned_spark.operators.quality import filter_by_domain
+
+    rows = [
+        (1, "https://example.com/a"),
+        (2, "https://forum.example.com/b"),
+        (3, "https://notexample.com/c"),      # no dot boundary: kept
+        (4, "https://deep.sub.example.com/d"),
+        (5, "https://example.com.evil.net/e"),  # prefix, not suffix
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept = {r.id for r in filter_by_domain(df, "url", bl).collect()}
+    assert kept == {3, 5}
+    kept_exact = {
+        r.id for r in filter_by_domain(df, "url", bl, exact=True).collect()
+    }
+    assert kept_exact == {2, 3, 4, 5}
+
+
+def test_normalize_scores_null_values_excluded(spark):
+    """NULL values don't inflate __n: moments use the non-null count,
+    so z of the non-null rows matches the null-free computation."""
+    from aligned_spark.operators.quality import normalize_scores
+
+    df = spark.createDataFrame(
+        [("s1", 1.0), ("s1", 3.0), ("s1", None), ("s1", None)],
+        "src string, v double",
+    )
+    z = {r.v: r.z for r in normalize_scores(df, ["src"], "v").collect()}
+    assert z[1.0] == -1.0 and z[3.0] == 1.0

@@ -819,6 +819,38 @@ def test_resample_forward_fill(spark):
     ]
 
 
+def test_resample_fractional_step(spark):
+    """Sub-second / fractional steps: the grid is generated in integer
+    micros, so 0.5 s and 1.5 s steps align exactly (previously the
+    INTERVAL truncated to whole seconds — 0.5 errored, 1.5 drifted)."""
+    import datetime as dt
+
+    import pytest
+
+    from aligned_spark.operators.core import resample
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [(1, at(0.0), 1.0), (1, at(2.0), 2.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    half = sorted(
+        (r.ts, r.v) for r in resample(df, ["k"], "ts", 0.5).collect()
+    )
+    assert half == [
+        (at(0.0), 1.0), (at(0.5), 1.0), (at(1.0), 1.0),
+        (at(1.5), 1.0), (at(2.0), 2.0),
+    ]
+    sesq = sorted(
+        (r.ts, r.v) for r in resample(df, ["k"], "ts", 1.5).collect()
+    )
+    assert sesq == [(at(0.0), 1.0), (at(1.5), 1.0)]
+    with pytest.raises(ValueError, match="positive"):
+        resample(df, ["k"], "ts", 0.0)
+
+
 def test_asof_directions_bucketed(spark):
     """Deterministic bucketed forward/nearest: same fixtures as
     test_asof_directions, every direction identical with and without

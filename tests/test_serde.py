@@ -97,3 +97,30 @@ def test_store_registry_roundtrip(spark):
         facts, ["ev_serde:doubled", "ev_serde:total_7d"]
     )
     assert out.count() == 1
+
+
+def test_source_deserialization_rejects_unknown_callable():
+    """The source registry is an allowlist (mirrors the reference's
+    BatchDataSourceFactory.supported_data_sources): a catalog naming
+    an arbitrary module/class — the classic subprocess.Popen gadget —
+    is rejected, never imported or instantiated."""
+    import pytest
+
+    from aligned_spark.serde import _source_from_dict
+
+    for payload in (
+        {"module": "subprocess", "cls": "Popen",
+         "fields": {"args": ["true"]}},
+        {"module": "os", "cls": "system", "fields": {}},
+        {"module": "aligned_spark.serde", "cls": "view_from_dict",
+         "fields": {}},
+    ):
+        with pytest.raises(ValueError, match="unknown source type"):
+            _source_from_dict(payload)
+
+    # a genuine registered source still round-trips
+    from aligned_spark.serde import _source_to_dict
+    from aligned_spark.sources.file import FileSource
+
+    src = FileSource.parquet("/tmp/x.parquet")
+    assert _source_from_dict(_source_to_dict(src)) == src
