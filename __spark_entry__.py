@@ -3426,17 +3426,29 @@ def _text_perplexity(spark, sf_dir):
     f"""WITH toks AS ({_TOK_SQL}),
        tk AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> '')
        SELECT tok AS token, COUNT(*) AS doc_freq,
-              list(doc_id ORDER BY doc_id) AS postings
+              string_agg(CAST(doc_id AS VARCHAR), ','
+                         ORDER BY doc_id) AS postings
        FROM tk GROUP BY tok""",
 )
 def _text_inverted_index(spark, sf_dir):
     """Inverted index: token → (doc_freq, sorted posting list)
     (``operators/text_rank.py:inverted_index``; sharded variant is
-    the same plan + one shard key, see docstring)."""
+    the same plan + one shard key, see docstring). The array-typed
+    ``postings`` is rendered as a comma-joined string here because
+    the driver's canonicalizer sorts columns with pandas and cannot
+    sort list cells ("unhashable type: 'list'", CORRECTNESS_r03);
+    the operator itself still returns the real array."""
     from aligned_spark.operators.text_rank import inverted_index
 
     docs = _t(spark, sf_dir, "documents")
-    return inverted_index(docs, "doc_id", "text")
+    out = inverted_index(docs, "doc_id", "text")
+    return out.select(
+        "token",
+        "doc_freq",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings"
+        ),
+    )
 
 
 @q(
