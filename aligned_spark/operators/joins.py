@@ -37,6 +37,55 @@ from typing import Literal
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+_NUM_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def _common_key_type(ltype, rtype) -> str | None:
+    """Common join-key type (reference coercion semantics,
+    ``aligned/retrieval_job.py:1896-1918``, with lossless widening):
+    numeric pairs widen to the wider side, and an integral × float
+    pair promotes to DOUBLE — float's 24-bit mantissa collapses int
+    keys >= 2^24 (16777217 == 16777216.0f) and fabricates matches.
+    Returns the target ``simpleString``, or None for non-numeric
+    pairs (caller casts right to left, as the reference does)."""
+    ls, rs = ltype.simpleString(), rtype.simpleString()
+    if ls not in _NUM_ORDER or rs not in _NUM_ORDER:
+        return None
+    wide = _NUM_ORDER[max(_NUM_ORDER.index(ls), _NUM_ORDER.index(rs))]
+    integral = _NUM_ORDER[:4]
+    if wide == "float" and (ls in integral or rs in integral):
+        wide = "double"
+    return wide
+
+
+def _widened_key_casts(
+    facts: DataFrame, features: DataFrame, by: list[str]
+) -> tuple[dict[str, str], DataFrame]:
+    """Key coercion for the as-of/PIT paths: returns ``(fact_casts,
+    features)`` where ``fact_casts`` maps fact key columns to the
+    common widened type (applied at select time so the fact OUTPUT
+    columns keep their original types) and ``features`` has its keys
+    cast to the same type. Narrowing the feature side to the fact
+    type — the pre-round-4 behavior — silently truncated bigint
+    feature keys against int/float fact keys and fabricated
+    matches, the same defect ``equi_join`` fixed in round 3."""
+    fact_casts: dict[str, str] = {}
+    feat = features
+    for k in by:
+        ltype = facts.schema[k].dataType
+        rtype = feat.schema[k].dataType
+        if ltype == rtype:
+            continue
+        wide = _common_key_type(ltype, rtype)
+        if wide is None:
+            feat = feat.withColumn(k, F.col(k).cast(ltype))
+            continue
+        if ltype.simpleString() != wide:
+            fact_casts[k] = wide
+        if rtype.simpleString() != wide:
+            feat = feat.withColumn(k, F.col(k).cast(wide))
+    return fact_casts, feat
+
 
 def equi_join(
     left: DataFrame,
@@ -57,27 +106,19 @@ def equi_join(
     right_on = right_on or left_on
     if len(left_on) != len(right_on):
         raise ValueError("left_on and right_on must have equal length")
-    num_order = ["tinyint", "smallint", "int", "bigint", "float", "double"]
     for lk, rk in zip(left_on, right_on):
         ltype = left.schema[lk].dataType
         rtype = right.schema[rk].dataType
         if ltype == rtype:
             continue
-        ls, rs = ltype.simpleString(), rtype.simpleString()
-        if ls in num_order and rs in num_order:
-            wide = num_order[max(num_order.index(ls), num_order.index(rs))]
-            # An integral × float pair must widen to double, not float:
-            # float's 24-bit mantissa collapses int64 keys >= 2^24
-            # (16777217 == 16777216.0f) and fabricates matches.
-            integral = num_order[:4]
-            if wide == "float" and (ls in integral or rs in integral):
-                wide = "double"
-            if ls != wide:
-                left = left.withColumn(lk, F.col(lk).cast(wide))
-            if rs != wide:
-                right = right.withColumn(rk, F.col(rk).cast(wide))
-        else:
+        wide = _common_key_type(ltype, rtype)
+        if wide is None:
             right = right.withColumn(rk, F.col(rk).cast(ltype))
+            continue
+        if ltype.simpleString() != wide:
+            left = left.withColumn(lk, F.col(lk).cast(wide))
+        if rtype.simpleString() != wide:
+            right = right.withColumn(rk, F.col(rk).cast(wide))
     if broadcast_right:
         right = F.broadcast(right)
     if left_on == right_on:
@@ -330,12 +371,13 @@ def _asof_via_union(
         F.col(feature_ts).alias("__ts"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    # coerce entity key types to the fact side so the union lines up
-    feat = features
-    for k in by:
-        ltype = facts.schema[k].dataType
-        if feat.schema[k].dataType != ltype:
-            feat = feat.withColumn(k, F.col(k).cast(ltype))
+    # coerce entity key types to a common WIDENED type so the union
+    # lines up losslessly; fact output columns (__f_) keep originals
+    fact_casts, feat = _widened_key_casts(facts, features, by)
+
+    def fact_key(k: str) -> Column:
+        c = F.col(k)
+        return c.cast(fact_casts[k]) if k in fact_casts else c
 
     feature_side = feat.select(
         *by,
@@ -345,7 +387,7 @@ def _asof_via_union(
         *[F.lit(None).cast(facts.schema[c].dataType).alias(f"__f_{c}") for c in fact_cols],
     )
     fact_side = facts.select(
-        *by,
+        *[fact_key(k).alias(k) for k in by],
         F.col(fact_ts).alias("__t"),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(feature_side.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
@@ -589,14 +631,22 @@ def _asof_via_join(
         F.col(feature_ts).alias("__feat_ts"),
         *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
     )
-    for k in by:
-        ltype = facts.schema[k].dataType
-        if feat.schema[f"__k_{k}"].dataType != ltype:
-            feat = feat.withColumn(f"__k_{k}", F.col(f"__k_{k}").cast(ltype))
-
     key_cond = None
     for k in by:
-        c = f[k] == feat[f"__k_{k}"]
+        ltype = facts.schema[k].dataType
+        rtype = feat.schema[f"__k_{k}"].dataType
+        lc, rc = f[k], feat[f"__k_{k}"]
+        if ltype != rtype:
+            wide = _common_key_type(ltype, rtype)
+            if wide is None:
+                rc = rc.cast(ltype)
+            else:
+                # widen IN the condition — output keeps originals
+                if ltype.simpleString() != wide:
+                    lc = lc.cast(wide)
+                if rtype.simpleString() != wide:
+                    rc = rc.cast(wide)
+        c = lc == rc
         key_cond = c if key_cond is None else (key_cond & c)
     ts_ok = F.col("__feat_ts").isNull() | (F.col("__feat_ts") <= f[fact_ts])
     if ttl_seconds is not None:

@@ -653,6 +653,56 @@ def test_equi_join_int_float_widens_to_double(spark):
     assert out.schema["k"].dataType.simpleString() == "double"
 
 
+@pytest.mark.parametrize("strategy", ["union", "join"])
+def test_asof_pit_key_widening(spark, strategy):
+    """ADVICE r3 item 4: the as-of/PIT key coercion used to narrow the
+    FEATURE key to the fact side's type — a float fact key × bigint
+    feature key collapsed 16777217 onto 16777216 and fabricated a
+    match. Both union and join strategies must widen to double; fact
+    output columns keep their declared types."""
+    import datetime as dt
+
+    from aligned_spark.operators.joins import asof_join, pit_join
+
+    t0 = dt.datetime(2024, 1, 10)
+    facts = spark.createDataFrame(
+        [(16777216.0, t0), (16777217.0, t0)], "k float, ts timestamp"
+    )
+    feats = spark.createDataFrame(
+        [
+            (16777216, t0 - dt.timedelta(days=1), 1.0),
+            (16777217, t0 - dt.timedelta(days=1), 2.0),
+        ],
+        "k bigint, fts timestamp, v double",
+    )
+    out = {
+        r.k: r.v
+        for r in pit_join(
+            facts, feats, ["k"], "fts", "ts", strategy=strategy
+        ).collect()
+    }
+    # float facts can't represent 16777217 — both fact rows ARE
+    # 16777216.0, so both must match feature key 16777216 only
+    assert out == {16777216.0: 1.0}
+
+    # and the mirror case: bigint facts × float features must NOT
+    # give the 16777217 fact a fabricated match
+    facts2 = spark.createDataFrame(
+        [(16777216, t0), (16777217, t0)], "k bigint, ts timestamp"
+    )
+    feats2 = spark.createDataFrame(
+        [(16777216.0, t0 - dt.timedelta(days=1), 1.0)],
+        "k float, fts timestamp, v double",
+    )
+    res = asof_join(
+        facts2, feats2, on="ts", by=["k"], right_on="fts",
+        strategy=strategy,
+    )
+    vals = {r.k: r.v for r in res.collect()}
+    assert vals == {16777216: 1.0, 16777217: None}
+    assert res.schema["k"].dataType.simpleString() == "bigint"
+
+
 def test_asof_bucketed_matches_plain(spark):
     """Time-bucketed segmented-scan as-of must be value-identical to
     the single-partition-per-entity propagation, including NULL-ts
