@@ -1045,6 +1045,38 @@ def _join_asof_nearest(spark, sf_dir):
 
 
 @q(
+    "join_asof_bucketed_nearest",
+    f"""WITH facts AS ({_ASOF_FACTS_SQL})
+       SELECT f.event_id, f.user_id, f.ts, l.value, l.event_type
+       FROM facts f
+       LEFT JOIN LATERAL (
+         SELECT e.value, e.event_type FROM events e
+         WHERE e.user_id = f.user_id
+         ORDER BY abs(epoch_us(e.ts) - epoch_us(f.ts)) ASC,
+                  (e.ts > f.ts) ASC
+         LIMIT 1
+       ) l ON TRUE""",
+)
+def _join_asof_bucketed_nearest(spark, sf_dir):
+    """Skew-safe NEAREST as-of: the time-bucketed segmented scan must
+    equal the plain nearest result — same LATERAL oracle as
+    ``join_asof_nearest``. Proves the bucketed propagation
+    (``operators/joins.py:_bucketed_propagate_fwd`` + backward carry)
+    is direction-complete, not just backward."""
+    from aligned_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    facts = e.filter(F.col("event_id") % 37 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    feat = e.select("user_id", "ts", "value", "event_type")
+    return asof_join(
+        facts, feat, on="ts", by=["user_id"], direction="nearest",
+        bucket_seconds=86400,
+    )
+
+
+@q(
     "join_pit_ttl",
     f"""WITH facts AS ({_FACT_GRID_SQL})
        SELECT f.user_id, f.fts, l.value, l.event_type

@@ -62,6 +62,13 @@ HEADLINE = [
     "events_session_window",
     "tpch_q1",
     "tpch_q3",
+    # round-4 additions: direction-complete skew-safe as-of, OLAP
+    # grouping sets, grid resample, registrable-domain filtering
+    "join_asof_bucketed_nearest",
+    "tpch_q6",
+    "agg_rollup_cube",
+    "events_resample",
+    "corpus_domain_filter",
 ]
 
 
@@ -99,15 +106,17 @@ def main() -> None:
     # between runs keeps every run's compute honest (operator-internal
     # persists rebuild each time).
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        samples = []
         for _ in range(3):
             t0 = time.time()
             _force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+            samples.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        runs[name] = samples
+        timings[name] = min(samples)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -117,6 +126,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # all three per-run samples, so the recorded file shows
+                # the contention spread alongside the steady-state min
+                "runs": runs,
                 "sf": float(sf),
             }
         )

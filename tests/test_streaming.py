@@ -580,6 +580,77 @@ def test_stream_session_aggregate_e2e(spark, tmp_path):
             for r in rows2] == [(1, at(1000), at(1050), 2, 12.0)]
 
 
+def test_stream_session_parity_out_of_order(spark, tmp_path):
+    """Streaming session merge == batch session_window over the same
+    events: out-of-order arrivals (above watermark) across THREE
+    micro-batches must merge into exactly the sessions the batch path
+    computes; sessions still open at the final watermark are the only
+    difference (they sit in state, unemitted)."""
+    from aligned_spark.operators.aggregate import AggSpec
+    from aligned_spark.streaming import FileStreamSource, session_aggregate
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    src = FileStreamSource(path=inbox, schema_ddl=schema)
+    aggs = [AggSpec("n", "count", None), AggSpec("total", "sum", "value")]
+
+    def run():
+        agged = session_aggregate(
+            src.read_stream(spark), keys=["user_id"], ts="ts",
+            gap_seconds=30, aggs=aggs, watermark_seconds=60,
+        )
+        batches: list = []
+        q = (
+            agged.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: batches.append(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r for b in batches for r in b]
+
+    # batch 1 in-order; batch 2 and 3 deliver LATE (but above-watermark)
+    # events that must merge into / extend earlier sessions
+    b1 = [(1, at(10), 1.0), (1, at(40), 2.0), (2, at(35), 5.0)]
+    b2 = [(1, at(5), 1.5), (2, at(70), 3.0)]       # 5s is 65s late
+    b3 = [(1, at(30), 2.5), (999, at(5000), 0.0)]  # closer advances wm
+    emitted = []
+    for b in (b1, b2, b3):
+        drop(b)
+        emitted.extend(run())
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n, r.total)
+        for r in emitted
+    )
+
+    static = spark.createDataFrame(b1 + b2 + b3, schema)
+    batch = session_aggregate(
+        static, keys=["user_id"], ts="ts", gap_seconds=30, aggs=aggs
+    )
+    final_wm = at(5000 - 60)
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n, r.total)
+        for r in batch.collect()
+        if r.session_end <= final_wm  # open sessions never emit
+    )
+    assert got == want and len(got) >= 3
+    # the out-of-order events really did merge: user 1 is ONE session
+    # spanning [5, 70) with all four events
+    assert (1, at(5), at(70), 4, 7.0) in got
+
+
 def test_stream_dedup_ingest(spark, tmp_path):
     """Streaming ingest with cross-batch near-dup filtering: each
     micro-batch flows through DedupIndexSource.ingest inside
