@@ -4114,65 +4114,67 @@ def _agg_cube(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # --- dedup pillar ---
-    "dedup_exact",
+    # Round-4 window. Slots 1-18: every full-oracle query with no
+    # driver row yet after r2+r3 (VERDICT r3 "Next round" tasks 1-2,
+    # incl. the canonicalizer-fixed inverted index and this round's
+    # bucketed nearest as-of). Slots 19-50: regression re-verification
+    # of r2/r3-verified flagships most touched by the round-3/4 churn
+    # (as-of/PIT key widening, distinct-agg split, normalize_scores
+    # null fix), so the file proves the churn didn't regress them.
+    "text_inverted_index",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_bucketed_nearest",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "agg_rollup_cube",
+    "agg_cube",
+    "events_resample",
+    "events_pivot",
+    "events_session_window",
+    "text_dup_ngram_chars",
+    "corpus_domain_filter",
+    "text_bigram_surprise",
+    "profile_table_stats",
+    "dedup_incremental",
+    "corpus_pipeline_e2e",
+    # --- regression re-verification: joins & PIT (key widening) ---
+    "store_features_for",
+    "join_pit_ttl",
+    "agg_pit_window",
+    "agg_rolling_window",
+    "join_asof",
+    "join_equi_multi",
+    "join_asof_bucketed",
+    "join_semi",
+    "join_anti",
+    "join_salted",
+    # --- aggregation (distinct split) & store entry points ---
+    "agg_group_basic",
+    "agg_group_stats",
+    "custom_agg_pandas",
+    "store_sql",
+    "store_features_windowed",
+    "view_derived_features",
+    "freshness",
+    # --- corpus pillar (normalize/domain changes this round) ---
+    "corpus_normalize_scores",
     "dedup_minhash",
+    "dedup_semantic",
+    "dedup_exact",
     "dedup_fingerprint",
     "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_semantic",
     "dedup_lines",
     "graph_connected_components",
     "text_decontaminate",
-    # --- similarity / vector indexes ---
-    "sim_lsh_pairs",
-    "sim_topk_matmul",
-    "vector_index_nearest",
-    "vector_index_ivf",
-    "vector_index_lsh",
-    "embed_fake_text",
-    "embed_pca_stats",
-    # --- text / corpus analysis ---
-    "text_language_quality",
-    "text_quality_score",
-    "corpus_filter",
-    "text_line_dup_ratio",
-    "text_top_ngram",
-    "text_ngram_jaccard",
-    # --- corpus transforms ---
-    "corpus_weighted_sample",
-    "corpus_quantile_filter",
-    "corpus_pack",
-    "corpus_sample_k",
-    "corpus_redact_pii",
-    "events_sessionize",
-    # --- splits / multimodal ---
-    "splits_train",
-    "splits_temporal",
-    "multimodal_binary",
-    "multimodal_image_pipeline",
-    # --- joins / streaming-parity / profiling ---
-    "join_range_binned",
-    "stream_interval_join_batch",
-    "profile_histogram",
-    # --- secondary view/store paths ---
-    "view_between_dates",
-    "view_unique_entities",
-    "view_materialized_fast_path",
-    "agg_hopping_offset",
-    "combine_two_views",
-    "encode_dates",
-    "setop_intersect_except",
-    "source_partitioned_parquet",
-    # --- round-2 hash-fail, oracle fixed this round ---
-    "custom_agg_pandas",
-    # --- new this round ---
-    "stream_late_data",
-    "join_asof_bucketed",
     "text_bm25",
     "text_perplexity",
-    "text_inverted_index",
-    "corpus_normalize_scores",
+    "sim_topk_cosine",
+    "vector_index_nearest",
+    # --- streaming parity ---
+    "stream_interval_join_batch",
+    "stream_late_data",
 ]
 
 
