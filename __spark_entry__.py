@@ -686,6 +686,39 @@ def _agg_group_stats(spark, sf_dir):
     return out.withColumn("var_price", _r2(F.col("var_price")))
 
 
+@q("agg_group_approx")  # sketch twin of agg_group_stats — rows-only
+def _agg_group_approx(spark, sf_dir):
+    """Approximate aggregation opt-ins for the 100 TB dashboard mode
+    (``operators/aggregate.py:AggSpec(approx=True)``): HLL++
+    ``approx_count_distinct`` (no per-group distinct hash set, pure
+    map-side sketch merge) and ``percentile_approx`` (single-pass
+    KLL-style sketch, no sort buffer) mixed with exact sums in ONE
+    aggregation — the per-spec flag means the exact specs don't pay
+    the distinct-split join. Rows-only by design: sketch outputs are
+    implementation-defined; the exact twin ``agg_group_stats`` is the
+    value gate, and the pytest asserts rsd/accuracy tolerances."""
+    from aligned_spark.operators.aggregate import AggSpec, group_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            AggSpec("sum_qty", "sum", F.col("l_quantity").cast("decimal(18,4)")),
+            AggSpec("n_parts_hll", "count_distinct", "l_partkey",
+                    approx=True, rsd=0.02),
+            AggSpec("med_price_sketch", "median", "l_extendedprice",
+                    approx=True, accuracy=10000),
+            AggSpec("p90_price_sketch", "percentile", "l_extendedprice",
+                    percentile=0.9, approx=True),
+        ],
+    ).select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n_parts_hll", "med_price_sketch", "p90_price_sketch",
+    )
+
+
 @q(
     "agg_concat_sorted",
     """SELECT c_nationkey,

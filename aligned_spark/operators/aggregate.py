@@ -51,13 +51,24 @@ AggKind = Literal[
 
 @dataclass
 class AggSpec:
-    """One aggregated output column."""
+    """One aggregated output column.
+
+    ``approx=True`` opts THIS spec into the sketch form of its kind
+    — HLL++ ``approx_count_distinct`` (tunable ``rsd``, Spark default
+    0.05) or ``percentile_approx`` (tunable ``accuracy``, default
+    10000) — so a single aggregation can mix exact sums with sketched
+    distincts. Exact stays the default; the per-call ``approx``
+    argument on the regime functions force-sketches every spec (the
+    100 TB dashboard mode)."""
 
     name: str
     kind: AggKind
     column: str | Expr | Column | None = None  # None only for count
     percentile: float | None = None
     separator: str = ""
+    approx: bool = False
+    rsd: float | None = None       # approx_count_distinct max rel. std dev
+    accuracy: int | None = None    # percentile_approx accuracy knob
 
     def _source(self) -> Column:
         if self.column is None:
@@ -68,6 +79,9 @@ class AggSpec:
             return self.column.to_spark()
         return F.col(self.column)
 
+    def is_approx(self, approx: bool = False) -> bool:
+        return approx or self.approx
+
     def to_agg_column(self, approx: bool = False) -> Column:
         return self.to_raw_agg(approx).alias(self.name)
 
@@ -77,6 +91,7 @@ class AggSpec:
         function (``.over(w)``; Spark rejects ``.over`` on an aliased
         column)."""
         c = self._source()
+        ap = self.is_approx(approx)
         match self.kind:
             case "sum":
                 out = F.sum(c)
@@ -89,26 +104,29 @@ class AggSpec:
             case "count":
                 out = F.count(F.lit(1)) if self.column is None else F.count(c)
             case "count_distinct":
-                out = (
-                    F.approx_count_distinct(c)
-                    if approx
-                    else F.countDistinct(c)
-                )
+                if ap:
+                    out = (
+                        F.approx_count_distinct(c, self.rsd)
+                        if self.rsd is not None
+                        else F.approx_count_distinct(c)
+                    )
+                else:
+                    out = F.countDistinct(c)
             case "std":
                 out = F.stddev(c)
             case "variance":
                 out = F.variance(c)
             case "median":
                 out = (
-                    F.percentile_approx(c, 0.5)
-                    if approx
+                    self._pct_approx(c, 0.5)
+                    if ap
                     else F.percentile(c, F.lit(0.5))
                 )
             case "percentile":
                 q = self.percentile if self.percentile is not None else 0.5
                 out = (
-                    F.percentile_approx(c, q)
-                    if approx
+                    self._pct_approx(c, q)
+                    if ap
                     else F.percentile(c, F.lit(q))
                 )
             case "concat_string":
@@ -124,6 +142,11 @@ class AggSpec:
             case _:
                 raise ValueError(f"unknown aggregation kind {self.kind!r}")
         return out
+
+    def _pct_approx(self, c: Column, q: float) -> Column:
+        if self.accuracy is not None:
+            return F.percentile_approx(c, q, self.accuracy)
+        return F.percentile_approx(c, q)
 
 
 def custom_aggregate(
@@ -152,7 +175,7 @@ def _percentile_fused(
     group instead of one per spec), unpacked with ``element_at``."""
     by_src: dict[str, list[tuple[int, AggSpec, float]]] = {}
     for i, a in enumerate(specs):
-        if a.kind in ("median", "percentile"):
+        if a.kind in ("median", "percentile") and not a.approx:
             col_key = a.column if isinstance(a.column, str) else f"#{i}"
             p = 0.5 if a.kind == "median" else (a.percentile or 0.5)
             by_src.setdefault(col_key, []).append((i, a, p))
@@ -200,13 +223,15 @@ def group_aggregate(
     distinct_idx = [
         i
         for i, a in enumerate(aggs)
-        if a.kind == "count_distinct" and not approx
+        if a.kind == "count_distinct" and not a.is_approx(approx)
     ]
     buffered = any(
-        a.kind in ("median", "percentile", "collect_list", "collect_set",
-                   "concat_string")
+        a.kind in ("collect_list", "collect_set", "concat_string")
+        or (
+            a.kind in ("median", "percentile") and not a.is_approx(approx)
+        )
         for a in aggs
-    ) and not approx
+    )
     if keys and distinct_idx and buffered and len(distinct_idx) < len(aggs):
         rest = [
             col_for(i, a) for i, a in enumerate(aggs) if i not in distinct_idx
@@ -259,7 +284,7 @@ def rolling_aggregate(
         .rangeBetween(-int(window_seconds * 1_000_000), 0)
     )
     for a in aggs:
-        if a.kind == "count_distinct" and not approx:
+        if a.kind == "count_distinct" and not a.is_approx(approx):
             # exact distinct over a moving frame: collect_set size
             out = out.withColumn(a.name, F.size(F.array_distinct(F.collect_list(a._source()).over(w))))
             continue

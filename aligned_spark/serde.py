@@ -158,6 +158,9 @@ def view_to_dict(view: CompiledFeatureView) -> dict[str, Any]:
                     "column": _spec_column_to_dict(a.spec.column),
                     "percentile": a.spec.percentile,
                     "separator": a.spec.separator,
+                    "approx": a.spec.approx,
+                    "rsd": a.spec.rsd,
+                    "accuracy": a.spec.accuracy,
                 },
                 "window": dataclasses.asdict(a.window),
             }
@@ -224,6 +227,9 @@ def view_from_dict(data: dict[str, Any]) -> CompiledFeatureView:
                     column=_spec_column_from_dict(a["spec"]["column"]),
                     percentile=a["spec"]["percentile"],
                     separator=a["spec"]["separator"],
+                    approx=a["spec"].get("approx", False),
+                    rsd=a["spec"].get("rsd"),
+                    accuracy=a["spec"].get("accuracy"),
                 ),
                 window=AggregateWindow(**a["window"]),
             )

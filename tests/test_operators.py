@@ -936,3 +936,108 @@ def test_asof_directions_bucketed(spark):
                 bucket_seconds=60.0,
             ).collect()))
             assert plain == buck, (direction, ttl)
+
+
+def test_approx_agg_specs(spark):
+    """Per-spec approx opt-ins: HLL count-distinct within its rsd,
+    sketch percentile within its rank-accuracy bound, exact specs in
+    the same call byte-identical to the pure-exact run."""
+    from aligned_spark.operators.aggregate import (
+        AggSpec,
+        group_aggregate,
+        rolling_aggregate,
+    )
+
+    df = (
+        spark.range(20_000)
+        .select(
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") % 1777).alias("u"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+    )
+    exact = {
+        r.g: (r.s, r.nd, r.p50)
+        for r in group_aggregate(
+            df, ["g"],
+            [
+                AggSpec("s", "sum", "v"),
+                AggSpec("nd", "count_distinct", "u"),
+                AggSpec("p50", "median", "v"),
+            ],
+        ).collect()
+    }
+    mixed = {
+        r.g: (r.s, r.nd, r.p50)
+        for r in group_aggregate(
+            df, ["g"],
+            [
+                AggSpec("s", "sum", "v"),
+                AggSpec("nd", "count_distinct", "u", approx=True, rsd=0.02),
+                AggSpec("p50", "median", "v", approx=True, accuracy=10000),
+            ],
+        ).collect()
+    }
+    assert set(mixed) == set(exact)
+    for g, (s, nd, p50) in exact.items():
+        ms, mnd, mp50 = mixed[g]
+        assert ms == s                      # exact spec untouched
+        assert abs(mnd - nd) <= 0.05 * nd   # 2.5 sigma of rsd=0.02
+        assert abs(mp50 - p50) <= 10.0      # ~1/accuracy rank error
+
+    # rolling frame: per-spec approx distinct works (exact uses the
+    # collect_set fallback; both must be close)
+    ts = F.timestamp_seconds(F.lit(1704067200) + F.col("id"))
+    ev = spark.range(5000).select(
+        (F.col("id") % 2).alias("k"), ts.alias("ts"),
+        (F.col("id") % 97).alias("u"),
+    )
+    ex = rolling_aggregate(
+        ev, ["k"], "ts", 3600, [AggSpec("nd", "count_distinct", "u")]
+    )
+    ap = rolling_aggregate(
+        ev, ["k"], "ts", 3600,
+        [AggSpec("nd", "count_distinct", "u", approx=True)],
+    )
+    exv = sorted(r.nd for r in ex.collect())
+    apv = sorted(r.nd for r in ap.collect())
+    assert len(exv) == len(apv)
+    assert all(abs(a - e) <= max(3, 0.1 * e) for a, e in zip(apv, exv))
+
+
+def test_approx_distinct_skips_split_join(spark):
+    """A sketched count_distinct must NOT trigger the exact-distinct
+    split (no join in the plan): HLL merges map-side like any other
+    partial aggregate, even alongside a sort-buffered collect_list."""
+    import contextlib
+    import io
+
+    from aligned_spark.operators.aggregate import AggSpec, group_aggregate
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("u")
+    )
+    out = group_aggregate(
+        df, ["g"],
+        [
+            AggSpec("lst", "collect_list", "u"),
+            AggSpec("nd", "count_distinct", "u", approx=True),
+        ],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    # but the exact form of the same spec list DOES split
+    out2 = group_aggregate(
+        df, ["g"],
+        [
+            AggSpec("lst", "collect_list", "u"),
+            AggSpec("nd", "count_distinct", "u"),
+        ],
+    )
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        out2.explain("formatted")
+    assert "Join" in buf2.getvalue()
