@@ -3705,7 +3705,10 @@ def _dedup_incremental(spark, sf_dir):
 
 
 def _tpch_store(spark, sf_dir):
-    """lineitem/orders/customer contracts for the SQL entry point."""
+    """TPC-H contracts for the SQL entry point — all eight testdata
+    tables the queries touch, so ``execute_sql`` plans multi-way
+    joins (Q5's customer-orders-lineitem-supplier-nation-region
+    chain) entirely inside Catalyst with the small dims broadcast."""
     from aligned_spark.contracts import (
         Float64,
         Int32,
@@ -3724,6 +3727,8 @@ def _tpch_store(spark, sf_dir):
     class Lineitem:
         l_orderkey = Int64().as_entity()
         l_linenumber = Int32().as_entity()
+        l_partkey = Int64()
+        l_suppkey = Int64()
         l_quantity = Float64()
         l_extendedprice = Float64()
         l_discount = Float64()
@@ -3738,8 +3743,10 @@ def _tpch_store(spark, sf_dir):
     class Orders:
         o_orderkey = Int64().as_entity()
         o_custkey = Int64()
+        o_orderstatus = String()
         o_totalprice = Float64()
         o_orderdate = Timestamp()
+        o_orderpriority = String()
 
     @feature_view(
         name="customer",
@@ -3747,12 +3754,50 @@ def _tpch_store(spark, sf_dir):
     )
     class Customer:
         c_custkey = Int64().as_entity()
+        c_name = String()
+        c_nationkey = Int64()
+        c_acctbal = Float64()
         c_mktsegment = String()
 
+    @feature_view(
+        name="supplier",
+        source=FileSource.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+    class Supplier:
+        s_suppkey = Int64().as_entity()
+        s_name = String()
+        s_nationkey = Int64()
+        s_acctbal = Float64()
+
+    @feature_view(
+        name="nation", source=FileSource.parquet(f"{sf_dir}/nation.parquet")
+    )
+    class Nation:
+        n_nationkey = Int64().as_entity()
+        n_name = String()
+        n_regionkey = Int64()
+
+    @feature_view(
+        name="region", source=FileSource.parquet(f"{sf_dir}/region.parquet")
+    )
+    class Region:
+        r_regionkey = Int64().as_entity()
+        r_name = String()
+
+    @feature_view(
+        name="part", source=FileSource.parquet(f"{sf_dir}/part.parquet")
+    )
+    class Part:
+        p_partkey = Int64().as_entity()
+        p_name = String()
+        p_brand = String()
+        p_type = String()
+        p_size = Int32()
+        p_retailprice = Float64()
+
     store = ContractStore(spark)
-    store.add_view(Lineitem)
-    store.add_view(Orders)
-    store.add_view(Customer)
+    for v in (Lineitem, Orders, Customer, Supplier, Nation, Region, Part):
+        store.add_view(v)
     return store
 
 
@@ -3818,6 +3863,102 @@ def _tpch_q3(spark, sf_dir):
     """TPC-H Q3 (shipping priority, 3-way join + top-10) via
     `execute_sql`."""
     return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q3)
+
+
+_TPCH_Q4 = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+"""
+
+_TPCH_Q5 = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+"""
+
+_TPCH_Q10 = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+"""
+
+_TPCH_Q14 = """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(18,6)) ELSE CAST(0.0 AS DECIMAL(18,6))
+                END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@q("tpch_q4", _TPCH_Q4)
+def _tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking) via `execute_sql` —
+    correlated EXISTS planned as a left-semi join. Adapted predicate:
+    the testdata lineitem carries no commit/receipt dates, so the
+    late-line test is ``l_shipdate > o_orderdate`` (same plan shape:
+    semi join on the order key with a per-row comparison)."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q4)
+
+
+@q("tpch_q5", _TPCH_Q5)
+def _tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-way
+    customer-orders-lineitem-supplier-nation-region chain with the
+    extra c_nationkey = s_nationkey co-location predicate. Catalyst
+    broadcasts supplier/nation/region and reorders the joins; only
+    orders x lineitem shuffles."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q5)
+
+
+@q("tpch_q10", _TPCH_Q10)
+def _tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting, top 20 by lost revenue)
+    with a deterministic c_custkey tiebreak. TakeOrderedAndProject —
+    no global sort materialization."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q10)
+
+
+@q("tpch_q14", _TPCH_Q14)
+def _tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional aggregation over the
+    lineitem x part join, decimal-accumulated on both engines so the
+    ratio is bit-stable."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q14)
 
 
 @q(
