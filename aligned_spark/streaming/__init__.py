@@ -10,7 +10,11 @@ from aligned_spark.streaming.sources import (
 from aligned_spark.streaming.joins import stream_interval_join
 from aligned_spark.streaming.late import drop_late_events
 from aligned_spark.streaming.sessions import session_aggregate
-from aligned_spark.streaming.stateful import decayed_count, stateful_dedup
+from aligned_spark.streaming.stateful import (
+    decayed_count,
+    heavy_hitters,
+    stateful_dedup,
+)
 from aligned_spark.streaming.worker import (
     StreamWorker,
     stream_aggregate,
@@ -22,6 +26,7 @@ __all__ = [
     "FileStreamSource",
     "KafkaStreamSource",
     "decayed_count",
+    "heavy_hitters",
     "drop_late_events",
     "session_aggregate",
     "stateful_dedup",

@@ -170,3 +170,98 @@ def decayed_count(
             timeoutConf=timeout,
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    num_counters: int = 64,
+) -> DataFrame:
+    """Per-key streaming heavy hitters with BOUNDED state: a
+    Misra-Gries summary of ``num_counters`` counters per group key,
+    merged across micro-batches with the mergeable-summaries rule
+    (combine counts, subtract the (m+1)-th largest, keep positives).
+
+    Guarantees (classic MG): every value with true frequency
+    > N/(m+1) is retained, and each emitted ``count_lo`` is a LOWER
+    bound within N/(m+1) of the true count (N = total observations
+    for the key so far, tracked exactly in ``total_n``). The
+    training-data ingest use: hot-URL / hot-ngram / hot-license
+    detection over unbounded-cardinality streams where an exact
+    per-value count would hold the whole key space in state.
+
+    Each micro-batch emits the key's full current summary (update
+    semantics): ``key…, value, count_lo, total_n``. State per key is
+    O(num_counters) regardless of distinct values seen — compare the
+    exact alternative (state = every distinct value). No reference
+    counterpart (its stream workers aggregate per entity only,
+    ``aligned/worker.py:172-204``); the sketch rule follows the
+    published mergeable-summaries formulation of Misra-Gries.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    schema = df.schema
+    for k in (*key_cols, value_col):
+        if k not in schema.names:
+            raise ValueError(f"column {k!r} not in stream schema")
+    out_schema = StructType(
+        [f for f in schema.fields if f.name in key_cols]
+        + [
+            StructField("value", StringType()),
+            StructField("count_lo", LongType()),
+            StructField("total_n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("values", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("total_n", LongType()),
+        ]
+    )
+    m = int(num_counters)
+    if m < 1:
+        raise ValueError("num_counters must be >= 1")
+
+    def _fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        if state.exists:
+            values, counts, total = state.get
+            sketch = dict(zip(list(values), list(counts)))
+        else:
+            sketch, total = {}, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vc = pdf[value_col].astype(str).value_counts()
+            total += int(vc.sum())
+            for v, c in vc.items():
+                sketch[v] = sketch.get(v, 0) + int(c)
+        if len(sketch) > m:
+            # mergeable-summaries prune: subtract the (m+1)-th largest
+            # count from everything, drop non-positives
+            cut = sorted(sketch.values(), reverse=True)[m]
+            sketch = {v: c - cut for v, c in sketch.items() if c > cut}
+        state.update((list(sketch), [sketch[v] for v in sketch], total))
+        if sketch:
+            rows = pd.DataFrame(
+                [[*key, v, c, total] for v, c in sketch.items()],
+                columns=out_schema.names,
+            )
+            yield rows
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -732,3 +732,74 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted((r.event_id, r.ts) for b in batches for r in b)
     assert rows == [(1, at(0)), (2, at(5))]
+
+
+def test_stream_heavy_hitters_bounded_state(spark, tmp_path):
+    """Misra-Gries heavy hitters across micro-batches: every true
+    heavy value (freq > N/(m+1)) survives with a lower-bound count
+    within N/(m+1) of truth, while state stays at <= m counters per
+    key even though the stream carries far more distinct values."""
+    from collections import Counter
+
+    from aligned_spark.streaming import FileStreamSource, heavy_hitters
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, url string"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    # skewed stream: two hot urls + a long unique tail, delivered
+    # over three micro-batch runs
+    m = 8
+    batches = []
+    seq = 0
+    for b in range(3):
+        rows = []
+        rows += [(1, "hot-a")] * 40 + [(1, "hot-b")] * 25
+        rows += [(1, f"tail-{b}-{i}") for i in range(60)]  # all unique
+        rows += [(2, "only-hot")] * 10 + [(2, f"t{b}{i}") for i in range(5)]
+        batches.append(rows)
+
+    src = FileStreamSource(path=inbox, schema_ddl=schema)
+
+    def run():
+        hh = heavy_hitters(
+            src.read_stream(spark), ["k"], "url", num_counters=m
+        )
+        out: list = []
+        q = (
+            hh.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: out.append(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r for b in out for r in b]
+
+    last = []
+    for b in batches:
+        drop(b)
+        last = run()  # update mode: the final run's rows are current
+
+    truth = Counter()
+    for b in batches:
+        for k, u in b:
+            if k == 1:
+                truth[u] += 1
+    n1 = sum(truth.values())
+    err = n1 / (m + 1)
+
+    k1 = {r.value: (r.count_lo, r.total_n) for r in last if r.k == 1}
+    assert len(k1) <= m  # bounded summary
+    assert all(tn == n1 for _, tn in k1.values())  # exact N tracking
+    for hot in ("hot-a", "hot-b"):  # true counts 120 / 75 >> err
+        assert hot in k1
+        lo = k1[hot][0]
+        assert truth[hot] - err <= lo <= truth[hot]
+    k2 = {r.value for r in last if r.k == 2}
+    assert "only-hot" in k2 and len(k2) <= m
