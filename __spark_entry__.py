@@ -686,6 +686,37 @@ def _agg_group_stats(spark, sf_dir):
     return out.withColumn("var_price", _r2(F.col("var_price")))
 
 
+@q(
+    "agg_top_frequent",
+    """WITH c AS (
+         SELECT event_type, CAST(user_id % 100 AS BIGINT) AS value,
+                COUNT(*) AS n_occurrences
+         FROM events GROUP BY event_type, user_id % 100
+       ), r AS (
+         SELECT event_type, value, n_occurrences,
+                ROW_NUMBER() OVER (
+                  PARTITION BY event_type
+                  ORDER BY n_occurrences DESC, value ASC
+                ) AS rank
+         FROM c
+       )
+       SELECT event_type, value, n_occurrences,
+              CAST(rank AS INT) AS rank
+       FROM r WHERE rank <= 5""",
+)
+def _agg_top_frequent(spark, sf_dir):
+    """Exact per-key top-frequent values
+    (``operators/aggregate.py:top_frequent``) — the at-rest twin of
+    the streaming Misra-Gries ``heavy_hitters``: one count shuffle
+    plus a window over the count frame, never over the raw rows."""
+    from aligned_spark.operators.aggregate import top_frequent
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 100).alias("hot")
+    )
+    return top_frequent(ev, ["event_type"], "hot", 5)
+
+
 @q("agg_group_approx")  # sketch twin of agg_group_stats — rows-only
 def _agg_group_approx(spark, sf_dir):
     """Approximate aggregation opt-ins for the 100 TB dashboard mode

@@ -149,6 +149,36 @@ class AggSpec:
         return F.percentile_approx(c, q)
 
 
+def top_frequent(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact per-key top-``k`` most frequent values — the batch twin
+    of the streaming Misra-Gries summary
+    (:func:`aligned_spark.streaming.stateful.heavy_hitters`): same
+    question ("which values dominate each key?"), exact answer when
+    the data is at rest.
+
+    Plan: count per (keys, value) — ONE shuffle with map-side
+    partials, state bounded by distinct values — then a
+    ``row_number`` window partitioned BY THE KEYS over the
+    group-cardinality-sized count frame (not the raw data).
+    Deterministic tiebreak: (count desc, value asc). Output:
+    ``keys…, value, n_occurrences, rank``."""
+    counted = df.groupBy(*keys, F.col(value_col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = W.partitionBy(*keys).orderBy(
+        F.col("n_occurrences").desc(), F.col("value").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def custom_aggregate(
     df: DataFrame,
     keys: list[str],
