@@ -3992,6 +3992,34 @@ def _tpch_q14(spark, sf_dir):
     return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q14)
 
 
+_TPCH_Q18 = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+"""
+
+
+@q("tpch_q18", _TPCH_Q18)
+def _tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): IN-subquery with a HAVING
+    aggregate, planned as an aggregate + left-semi join; threshold
+    tuned to the testdata's quantity distribution so rows survive at
+    every SF. Deterministic o_orderkey tiebreak on the top-100."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q18)
+
+
 @q(
     "text_dup_ngram_chars",
     f"""

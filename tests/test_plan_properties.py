@@ -231,3 +231,37 @@ def test_bm25_stays_jvm_side(spark):
     plan = plan_text(bm25_scores(docs, "doc_id", "text", ["spark"]))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    """The 6-way Q5 chain must broadcast the small dimension tables
+    and never fall back to a cartesian product."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_q5"](spark, "/root/testdata/sf0.001")
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_frequent_windows_count_frame(spark, lineitem):
+    """top_frequent's shape at scale: the only Exchange is the count
+    aggregate's (keyed on (key, value) — map-side partials), the
+    ranking window is keyed on l_returnflag (never a global
+    single-partition window), and Spark's WindowGroupLimit prunes to
+    top-k BEFORE the shuffle so the sort input is bounded."""
+    from aligned_spark.operators.aggregate import top_frequent
+
+    df = top_frequent(lineitem, ["l_returnflag"], "l_suppkey", 3)
+    plan = plan_text(df)
+    assert "Window" in plan
+    # every Exchange is a hash partitioning that includes the group key
+    for chunk in plan.split("Exchange")[1:]:
+        head = chunk.splitlines()
+        args = next((ln for ln in head if "partitioning" in ln), "")
+        if not args:
+            continue
+        assert "l_returnflag" in args, args
+    # rank-filter pushdown: partial top-k runs below the exchange
+    assert plan.count("WindowGroupLimit") >= 2
