@@ -687,6 +687,40 @@ def _agg_group_stats(spark, sf_dir):
 
 
 @q(
+    "profile_corr_matrix",
+    f"""WITH s AS (
+         SELECT corr(l_quantity, l_extendedprice) AS c0,
+                corr(l_quantity, l_discount) AS c1,
+                corr(l_quantity, l_tax) AS c2,
+                corr(l_extendedprice, l_discount) AS c3,
+                corr(l_extendedprice, l_tax) AS c4,
+                corr(l_discount, l_tax) AS c5
+         FROM lineitem
+       )
+       SELECT p.col_a, p.col_b, {_O_R6.format(c='p.corr')} AS corr
+       FROM s, LATERAL (VALUES
+         ('l_quantity', 'l_extendedprice', s.c0),
+         ('l_quantity', 'l_discount', s.c1),
+         ('l_quantity', 'l_tax', s.c2),
+         ('l_extendedprice', 'l_discount', s.c3),
+         ('l_extendedprice', 'l_tax', s.c4),
+         ('l_discount', 'l_tax', s.c5)
+       ) AS p(col_a, col_b, corr)""",
+)
+def _profile_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem measures in one
+    aggregate pass (``operators/decompose.py:correlation_matrix``),
+    rounded to 1e-6 for cross-engine summation-order stability."""
+    from aligned_spark.operators.decompose import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return out.select("col_a", "col_b", _r6(F.col("corr")).alias("corr"))
+
+
+@q(
     "agg_top_frequent",
     """WITH c AS (
          SELECT event_type, CAST(user_id % 100 AS BIGINT) AS value,

@@ -118,3 +118,45 @@ def pca_project(
 
     fn = F.pandas_udf(project, "array<double>")
     return df.withColumn(out_col, fn(F.col(vec_col)))
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], include_diagonal: bool = False
+) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns in ONE
+    distributed pass: every ``F.corr(a, b)`` lands in a single
+    aggregate node (map-side-combinable moment partials, one Exchange
+    to one row), then the 1×(d·(d-1)/2) result unpivots via
+    ``stack`` — no per-pair jobs, no driver row transfer beyond the
+    final coefficient list.
+
+    The feature-store diagnostic that belongs next to
+    :func:`profile_table`: redundant-feature detection before
+    training exports. For wide d (≥ ~100) the d² aggregate
+    expressions bloat codegen — prefer PCA's moment pass
+    (``fit_pca``) and derive correlations from the covariance it
+    already accumulates.
+
+    Output: ``col_a, col_b, corr`` (upper triangle, ``col_a <
+    col_b`` positionally; diagonal opt-in)."""
+    pairs = [
+        (a, b)
+        for i, a in enumerate(cols)
+        for b in cols[i if include_diagonal else i + 1:]
+    ]
+    if not pairs:
+        raise ValueError("need at least two columns (or the diagonal)")
+    row = df.agg(
+        *[
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+                f"__c_{i}"
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )

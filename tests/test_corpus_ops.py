@@ -345,3 +345,36 @@ def test_normalize_scores_null_values_excluded(spark):
     )
     z = {r.v: r.z for r in normalize_scores(df, ["src"], "v").collect()}
     assert z[1.0] == -1.0 and z[3.0] == 1.0
+
+
+def test_correlation_matrix_numpy_parity(spark):
+    import numpy as np
+
+    from aligned_spark.operators.decompose import correlation_matrix
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(500)
+    b = 2.0 * a + rng.randn(500) * 0.1
+    c = rng.randn(500)
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+        "a double, b double, c double",
+    )
+    got = {(r.col_a, r.col_b): r.corr
+           for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    want = np.corrcoef(np.stack([a, b, c]))
+    assert abs(got[("a", "b")] - want[0, 1]) < 1e-9
+    assert abs(got[("a", "c")] - want[0, 2]) < 1e-9
+    assert abs(got[("b", "c")] - want[1, 2]) < 1e-9
+    assert got[("a", "b")] > 0.99
+
+    # single aggregate pass: exactly one pair of HashAggregates
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        correlation_matrix(df, ["a", "b", "c"]).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("HashAggregate") <= 4  # partial+final (x2 in detail)
