@@ -126,3 +126,33 @@ def test_sampling_sessions_resample_on_empty(spark):
     prof = {r.column: (r.n_nulls, r.n_distinct)
             for r in profile_table(ev).collect()}
     assert prof["user_id"] == (0, 0)
+
+
+def test_top_frequent_and_corr_degenerate(spark):
+    from aligned_spark.operators.aggregate import top_frequent
+    from aligned_spark.operators.decompose import correlation_matrix
+
+    ev = _empty_events(spark)
+    assert top_frequent(ev, ["user_id"], "value", 3).count() == 0
+
+    # k larger than the distinct count: every value ranks
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2)], "g string, v long"
+    )
+    rows = {(r.value, r.n_occurrences, r.rank)
+            for r in top_frequent(df, ["g"], "v", 10).collect()}
+    assert rows == {(1, 2, 1), (2, 1, 2)}
+
+    # constant column → undefined correlation must surface as NULL,
+    # not crash or fabricate a number
+    c = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, k double"
+    )
+    got = {(r.col_a, r.col_b): r.corr
+           for r in correlation_matrix(c, ["x", "k"]).collect()}
+    assert got[("x", "k")] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least two"):
+        correlation_matrix(c, ["x"])
