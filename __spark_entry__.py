@@ -4054,6 +4054,419 @@ def _tpch_q18(spark, sf_dir):
     return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q18)
 
 
+# --- remaining TPC-H queries (full 22/22 through execute_sql) -------
+#
+# The testdata star schema has no partsupp table and no
+# commit/receipt dates, ship modes, phones, or comments, so Q2, Q9,
+# Q11, Q12, Q16, Q20, Q21, Q22 substitute semantically-equivalent
+# predicates over the columns that exist (noted per query).  Every
+# substitution preserves the query's PLAN SHAPE — the correlated
+# subquery, anti-join, grouping-set, or multi-way join pattern the
+# original exercises — which is what matters for engine coverage.
+# Like Q1-Q18 above, the IDENTICAL SQL text is the DuckDB oracle;
+# decimal accumulation keeps aggregates order-independent and
+# bit-stable across both engines.
+
+_TPCH_Q2 = """
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           p.p_name
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND p.p_type = 'LARGE' AND p.p_size <= 10
+      AND s.s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+_TPCH_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                  AS DECIMAL(18,6)) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_TPCH_Q8 = """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                    ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                  AS DECIMAL(18,6)) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+_TPCH_Q9 = """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                  - p.p_retailprice * l.l_quantity
+                  AS DECIMAL(18,6)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+_TPCH_Q11 = """
+    SELECT l.l_partkey AS ps_partkey,
+           CAST(SUM(CAST(l.l_extendedprice * l.l_quantity
+                AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_0'
+    GROUP BY l.l_partkey
+    HAVING SUM(CAST(l.l_extendedprice * l.l_quantity
+               AS DECIMAL(18,4))) > (
+      SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity
+                 AS DECIMAL(18,4))) AS DOUBLE)
+             * 2.0 / COUNT(DISTINCT l2.l_partkey)
+      FROM lineitem l2
+      JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      WHERE n2.n_name = 'NATION_0')
+    ORDER BY part_value DESC, ps_partkey
+"""
+
+_TPCH_Q12 = """
+    SELECT l.l_returnflag AS l_shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l_shipmode
+"""
+
+_TPCH_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS c_custkey,
+             COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_TPCH_Q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+_TPCH_Q16 = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 3, 7, 14, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_TPCH_Q17 = """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND p.p_type = 'MEDIUM'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+"""
+
+_TPCH_Q19 = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1.0 AND l.l_quantity <= 11.0
+           AND l.l_returnflag = 'N')
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10.0 AND l.l_quantity <= 20.0
+           AND l.l_returnflag = 'N')
+       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20.0 AND l.l_quantity <= 30.0
+           AND l.l_returnflag = 'N')
+"""
+
+_TPCH_Q20 = """
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                       'NATION_4')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 45.0)
+    ORDER BY s.s_suppkey
+"""
+
+_TPCH_Q21 = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                       'NATION_4')
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+_TPCH_Q22 = """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS totacctbal
+    FROM (
+      SELECT SUBSTRING(c.c_name, 15, 2) AS cntrycode,
+             c.c_acctbal AS c_acctbal
+      FROM customer c
+      WHERE SUBSTRING(c.c_name, 15, 2) IN ('00', '02', '04', '06',
+                                           '08', '10', '12')
+        AND c.c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+                 AS DOUBLE) / COUNT(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+
+@q("tpch_q2", _TPCH_Q2)
+def _tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (min-cost supplier) via `execute_sql`. No partsupp
+    table in the testdata, so "min supplycost among regional
+    suppliers of the part" becomes "min s_acctbal among EUROPE
+    suppliers who shipped the part" — the same correlated-scalar-MIN
+    over a 4-way join, decorrelated by Catalyst into an aggregate +
+    join on the correlation key."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q2)
+
+
+@q("tpch_q7", _TPCH_Q7)
+def _tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): the classic
+    double-nation-dim join (n1 off supplier, n2 off customer) with a
+    symmetric OR pair filter and per-year grouping. Both nation dims
+    broadcast."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q7)
+
+
+@q("tpch_q8", _TPCH_Q8)
+def _tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): 8-way join with conditional
+    share-of-total aggregation per order year."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q8)
+
+
+@q("tpch_q9", _TPCH_Q9)
+def _tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): no partsupp, so supplycost is
+    stood in by p_retailprice (same plan: 5-way join, LIKE filter on
+    part name, profit expression grouped by nation x year)."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q9)
+
+
+@q("tpch_q11", _TPCH_Q11)
+def _tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock): partsupp value stood in by
+    lineitem extendedprice*quantity per part from one nation's
+    suppliers; the HAVING > uncorrelated-scalar-subquery shape is
+    intact. The spec's fraction-of-total threshold is 0.0001/SF —
+    scale-dependent — so here it is 2x the mean part value, which
+    keeps selectivity stable at every SF without plumbing SF into
+    the SQL text."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q11)
+
+
+@q("tpch_q12", _TPCH_Q12)
+def _tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / late lines): no l_shipmode or
+    commit/receipt dates, so modes are stood in by l_returnflag and
+    "received late" by shipdate > orderdate + 60 days. The
+    CASE-split priority counts over the orders x lineitem join are
+    as per spec."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q12)
+
+
+@q("tpch_q13", _TPCH_Q13)
+def _tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): left outer
+    join with an ON-clause filter (priority stands in for the
+    comment LIKE), then a double aggregation — count per customer,
+    histogram that count."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q13)
+
+
+@q("tpch_q15", _TPCH_Q15)
+def _tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the revenue view expressed as a
+    CTE (referenced twice — once joined, once under MAX), with an
+    exact decimal equality against the scalar max so ties are
+    engine-stable."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q15)
+
+
+@q("tpch_q16", _TPCH_Q16)
+def _tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship): distinct-supplier
+    counts per brand/type/size bucket with a NOT IN anti-join
+    (negative-balance suppliers stand in for the complaints
+    LIKE)."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q16)
+
+
+@q("tpch_q17", _TPCH_Q17)
+def _tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    AVG per part under a < comparison. Quantities are integral in
+    the testdata so the per-part average is exact in IEEE double on
+    both engines — no threshold flicker."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q17)
+
+
+@q("tpch_q19", _TPCH_Q19)
+def _tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): three OR'd multi-column
+    predicate groups spanning both join sides (returnflag/linestatus
+    stand in for shipmode/shipinstruct). Catalyst pushes the
+    common-brand disjunction below the join."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q19)
+
+
+@q("tpch_q20", _TPCH_Q20)
+def _tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): nested IN subqueries —
+    suppliers who shipped more than a threshold quantity of
+    'small%' parts in a year (HAVING over a grouped subquery stands
+    in for the 0.5*availqty partsupp compare)."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q20)
+
+
+@q("tpch_q21", _TPCH_Q21)
+def _tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the
+    EXISTS + NOT EXISTS double-correlated pair over the same
+    lineitem table ("some other supplier on the order, but no OTHER
+    supplier was late"), lateness adapted to
+    shipdate > orderdate + 90 days."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q21)
+
+
+@q("tpch_q22", _TPCH_Q22)
+def _tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): country code stood in
+    by a customer-name substring, the scalar avg-balance threshold
+    computed as exact-decimal-sum / count, and the NOT EXISTS
+    anti-join keyed to urgent orders (every testdata customer has
+    SOME order)."""
+    return _tpch_store(spark, sf_dir).execute_sql(_TPCH_Q22)
+
+
 @q(
     "text_dup_ngram_chars",
     f"""
@@ -4406,7 +4819,26 @@ _PRIORITY: list[str] = [
     "profile_table_stats",
     "dedup_incremental",
     "corpus_pipeline_e2e",
-    # --- regression re-verification: joins & PIT (key widening) ---
+    # --- the 14 remaining TPC-H queries, new this round (full
+    # 22/22 through execute_sql; identical-SQL-text oracles) ---
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # --- regression re-verification (VERDICT r3 task 3): the
+    # r2-verified flagships most touched by the round-3/4 churn
+    # (as-of/PIT key widening, distinct-agg split, normalize null
+    # fix) ---
     "store_features_for",
     "join_pit_ttl",
     "agg_pit_window",
@@ -4414,34 +4846,17 @@ _PRIORITY: list[str] = [
     "join_asof",
     "join_equi_multi",
     "join_asof_bucketed",
-    "join_semi",
-    "join_anti",
-    "join_salted",
-    # --- aggregation (distinct split) & store entry points ---
     "agg_group_basic",
     "agg_group_stats",
     "custom_agg_pandas",
     "store_sql",
     "store_features_windowed",
     "view_derived_features",
-    "freshness",
-    # --- corpus pillar (normalize/domain changes this round) ---
     "corpus_normalize_scores",
     "dedup_minhash",
     "dedup_semantic",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "dedup_lines",
-    "graph_connected_components",
-    "text_decontaminate",
-    "text_bm25",
-    "text_perplexity",
-    "sim_topk_cosine",
-    "vector_index_nearest",
-    # --- streaming parity ---
-    "stream_interval_join_batch",
     "stream_late_data",
+    "freshness",
 ]
 
 
