@@ -2503,6 +2503,58 @@ def _dedup_fingerprint(spark, sf_dir):
     ).select("doc_id")
 
 
+def _substring_spans_oracle(width: int = 6, min_docs: int = 2) -> str:
+    """DuckDB replay of rolling-window substring-span detection: same
+    poly window hashes, same cross-document census, same
+    gaps-and-islands run detection."""
+    return f"""
+    {_poly_doc_cte(width)},
+    win AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(sh, 1) AS pos, unnest(sh) AS h
+      FROM sh),
+    shared AS (
+      SELECT h FROM win GROUP BY h
+      HAVING count(DISTINCT doc_id) >= {min_docs}),
+    dup AS (SELECT w.doc_id, w.pos FROM win w JOIN shared s ON w.h = s.h),
+    runs AS (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM dup),
+    rs AS (SELECT doc_id, island, count(*) AS run
+           FROM runs GROUP BY doc_id, island),
+    agg AS (SELECT doc_id, SUM(run) AS dup_windows,
+                   MAX(run) AS max_dup_run
+            FROM rs GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(sh) AS total_windows FROM sh)
+    SELECT t.doc_id,
+           CAST(t.total_windows AS BIGINT) AS total_windows,
+           CAST(COALESCE(a.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(COALESCE(a.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+           CASE WHEN t.total_windows = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(COALESCE(a.dup_windows, 0) AS DOUBLE)
+                     / t.total_windows
+           END AS dup_fraction
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """
+
+
+@q("dedup_substring_spans", _substring_spans_oracle())
+def _dedup_substring_spans(spark, sf_dir):
+    """Exact substring-span duplication stats — the distributed
+    suffix-array stand-in (Lee et al. 2022): per doc, how many
+    6-token windows are shared verbatim with other documents and the
+    longest such run. Full pipeline (tokenize → window fold → census
+    → islands) replayed in DuckDB; corpus-scale default is
+    `impl="arrow"` (SipHash kernel, same semantics)."""
+    from aligned_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(
+        d.select("doc_id", "text"), "doc_id", "text", width=6, impl="poly"
+    )
+
+
 @q(
     "multimodal_binary",
     """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

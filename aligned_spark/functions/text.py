@@ -209,6 +209,19 @@ def shingle_hashes(text: Column, width: int = 3) -> Column:
     )
 
 
+def positional_shingle_hashes(text: Column, width: int = 3) -> Column:
+    """:func:`shingle_hashes` without the distinct: window hashes in
+    document order, duplicates kept — substring-span detection needs
+    run contiguity, which a distinct-set would destroy."""
+    words = _words(text)
+    word_h = F.transform(words, lambda w: F.xxhash64(w))
+    windows = _sliding_zip(word_h, width)
+    return F.transform(
+        windows,
+        lambda s: F.xxhash64(*[s.getField(str(k)) for k in range(width)]),
+    )
+
+
 def extract_domain(url: Column) -> Column:
     """Registrable host of a URL, lowercased: scheme/userinfo/port/
     path stripped, a leading ``www.`` removed. Pure

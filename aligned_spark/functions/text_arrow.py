@@ -101,6 +101,31 @@ def shingle_hash_lists(texts: pd.Series, width: int = 3) -> pd.Series:
     return pd.Series(out, index=texts.index, dtype=object)
 
 
+def window_hash_lists(texts: pd.Series, width: int = 3) -> pd.Series:
+    """Positional word-window hashes per document, in document order
+    with duplicates kept (substring-span detection input)."""
+    counts, flat = _flat_token_hashes(texts)
+    starts, wcounts, windows = _window_hashes(counts, flat, width)
+    signed = windows.view(np.int64)
+    out = [
+        signed[starts[i] : starts[i] + wcounts[i]].tolist()
+        for i in range(len(counts))
+    ]
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+def window_hashes_arrow(text: Column, width: int = 8) -> Column:
+    """Arrow-batched positional window hashes (document order,
+    duplicates kept) — SipHash family twin of
+    :func:`aligned_spark.functions.text_poly.poly_window_hashes_arrow`."""
+
+    def _kernel(s: pd.Series) -> pd.Series:
+        return window_hash_lists(s, width)
+
+    udf = F.pandas_udf(_kernel, ArrayType(LongType()))
+    return udf(text)
+
+
 # Deterministic permutation family: odd multipliers + offsets.
 def _perm_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     import random

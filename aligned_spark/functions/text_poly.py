@@ -159,6 +159,21 @@ def poly_shingle_hashes_arrow(text: Column, width: int) -> Column:
     return F.pandas_udf(_kernel, ArrayType(LongType()))(text)
 
 
+def poly_window_hashes_arrow(text: Column, width: int) -> Column:
+    """Positional sliding-window hashes in document order (duplicates
+    kept) — the substring-span detection input; mirror of
+    :func:`sql_window_hashes`."""
+
+    def _kernel(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [window_hashes(t, width) for t in s],
+            index=s.index,
+            dtype=object,
+        )
+
+    return F.pandas_udf(_kernel, ArrayType(LongType()))(text)
+
+
 def poly_simhash_arrow(text: Column, width: int) -> Column:
     def _kernel(s: pd.Series) -> pd.Series:
         return pd.Series([simhash_value(t, width) for t in s], index=s.index)

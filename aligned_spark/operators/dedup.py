@@ -752,3 +752,120 @@ def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
     union = F.size(F.array_union(ga, gb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+    min_docs: int = 2,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Per-document duplicated-substring statistics — the distributed
+    stand-in for suffix-array exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    A ``width``-token rolling-hash window plays the role of a suffix:
+    a window hash appearing in >= ``min_docs`` DISTINCT documents
+    marks a ``width``-token span shared verbatim across documents,
+    and a run of ``k`` consecutive duplicated windows marks a shared
+    span of ``k + width - 1`` tokens. Output per input row:
+
+    - ``total_windows`` — number of ``width``-token windows
+    - ``dup_windows``   — windows shared with >= min_docs-1 other docs
+    - ``max_dup_run``   — longest consecutive duplicated-window run
+      (longest cross-document verbatim span, in windows)
+    - ``dup_fraction``  — dup_windows / total_windows (0.0 when the
+      doc is shorter than ``width`` tokens)
+
+    Scale design (100 TB): the exploded (id, pos, hash) frame is the
+    suffix-array workload and is persisted (MEMORY_AND_DISK) because
+    it feeds both the cross-document hash census and the join back.
+    The census aggregates with map-side partials on the hash, the
+    semi-join is hash-partitioned on the same key (the Exchange is
+    reused), and the run detection needs exactly one further shuffle
+    on the document id (window + final aggregate share it). Nothing
+    is collected on the driver; no O(n^2) pair set is ever formed —
+    spans are detected through the hash census, not pairwise compare.
+
+    ``impl``: "arrow" (SipHash kernel, corpus-scale default),
+    "codegen" (pure-JVM xxhash64), "poly" (SQL-mirrorable family —
+    the oracle-verified correctness path; see
+    :mod:`aligned_spark.functions.text_poly`)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # positional variants only: the distinct-set shingle helpers used
+    # by MinHash would destroy run contiguity (and drop repeats)
+    if impl == "arrow":
+        from aligned_spark.functions.text_arrow import window_hashes_arrow
+
+        wh = window_hashes_arrow(F.col(text_col), width)
+    elif impl == "codegen":
+        from aligned_spark.functions.text import positional_shingle_hashes
+
+        wh = positional_shingle_hashes(F.col(text_col), width)
+    elif impl == "poly":
+        from aligned_spark.functions.text_poly import (
+            poly_window_hashes_arrow,
+        )
+
+        wh = poly_window_hashes_arrow(F.col(text_col), width)
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    win = (
+        df.select(F.col(id_col), wh.alias("__wh"))
+        .select(id_col, F.posexplode("__wh").alias("__pos", "__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # cross-document census: hashes seen in >= min_docs distinct docs
+    shared = (
+        win.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    dup = win.join(shared, on="__h")
+    # gaps-and-islands: consecutive positions share (pos - row_number)
+    w_doc = W.partitionBy(id_col).orderBy(F.col("__pos").asc())
+    runs = dup.withColumn(
+        "__island", F.col("__pos") - F.row_number().over(w_doc)
+    )
+    run_stats = (
+        runs.groupBy(id_col, "__island")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__run").alias("dup_windows"),
+            F.max("__run").alias("max_dup_run"),
+        )
+    )
+    totals = win.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_windows")
+    )
+    out = (
+        df.select(id_col)
+        .join(totals, on=id_col, how="left")
+        .join(run_stats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("total_windows", F.lit(0))
+            .cast("long")
+            .alias("total_windows"),
+            F.coalesce("dup_windows", F.lit(0))
+            .cast("long")
+            .alias("dup_windows"),
+            F.coalesce("max_dup_run", F.lit(0))
+            .cast("long")
+            .alias("max_dup_run"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(F.col("total_windows") == 0, F.lit(0.0)).otherwise(
+                F.col("dup_windows").cast("double")
+                / F.col("total_windows").cast("double")
+            ),
+        )
+    )
+    return out

@@ -69,6 +69,13 @@ HEADLINE = [
     "agg_rollup_cube",
     "events_resample",
     "corpus_domain_filter",
+    # round-4 completion of TPC-H: the plan-shape-heavy queries
+    # (correlated scalar MIN, 5-way profit join, double aggregation,
+    # EXISTS+NOT EXISTS pair)
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q21",
 ]
 
 

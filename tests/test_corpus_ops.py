@@ -378,3 +378,72 @@ def test_correlation_matrix_numpy_parity(spark):
         correlation_matrix(df, ["a", "b", "c"]).explain("formatted")
     plan = buf.getvalue()
     assert plan.count("HashAggregate") <= 4  # partial+final (x2 in detail)
+
+
+def test_duplicate_spans_known_structure(spark):
+    """Hand-built corpus with an exactly-known shared-span layout.
+
+    width=3 windows; docs 0 and 1 share the 5-token span
+    "alpha bravo charlie delta echo" (3 consecutive windows) and,
+    separately, the 3-token span "xray yankee zulu" (1 window) —
+    doc 2 is all-unique filler and doc 3 is too short to window.
+    """
+    from aligned_spark.operators.dedup import duplicate_spans
+
+    shared5 = "alpha bravo charlie delta echo"
+    shared3 = "xray yankee zulu"
+    rows = [
+        (0, f"{shared5} golf hotel india {shared3} kilo"),
+        (1, f"one two {shared5} three four five {shared3}"),
+        (2, "mike november oscar papa quebec romeo sierra tango"),
+        (3, "uno dos"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in duplicate_spans(
+            df, "doc_id", "text", width=3, impl="poly"
+        ).collect()
+    }
+    # doc 0: 12 tokens -> 10 windows; 3 dup (shared5) + 1 dup (shared3)
+    assert out[0].total_windows == 10
+    assert out[0].dup_windows == 4
+    assert out[0].max_dup_run == 3
+    assert out[0].dup_fraction == pytest.approx(0.4)
+    # doc 1: 12 tokens -> 10 windows; same two spans, different offsets
+    assert out[1].dup_windows == 4
+    assert out[1].max_dup_run == 3
+    # doc 2: nothing shared
+    assert out[2].dup_windows == 0
+    assert out[2].max_dup_run == 0
+    assert out[2].dup_fraction == 0.0
+    # doc 3: shorter than the window -> zero everything, still present
+    assert out[3].total_windows == 0
+    assert out[3].dup_fraction == 0.0
+
+
+@pytest.mark.parametrize("impl", ["arrow", "codegen"])
+def test_duplicate_spans_impl_parity(spark, impl):
+    """The production hash families (SipHash arrow kernel, xxhash64
+    codegen) must produce identical span statistics to the
+    oracle-verified poly family — same windows, different hashes,
+    collisions astronomically unlikely at this scale."""
+    from aligned_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (0, f"intro words {shared} outro"),
+        (1, f"{shared} completely different tail here"),
+        (2, "unrelated filler content without any overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def key(rows_):
+        return sorted(
+            (r.doc_id, r.total_windows, r.dup_windows, r.max_dup_run)
+            for r in rows_
+        )
+
+    poly = duplicate_spans(df, "doc_id", "text", width=4, impl="poly")
+    other = duplicate_spans(df, "doc_id", "text", width=4, impl=impl)
+    assert key(other.collect()) == key(poly.collect())
