@@ -2150,6 +2150,45 @@ def _join_range_binned(spark, sf_dir):
 
 
 @q(
+    "join_fuzzy_blocked",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    a AS (SELECT p_name AS name_a,
+                 substring(lower(p_name), 1, 4) AS blk FROM names),
+    b AS (SELECT p_name AS name_b,
+                 substring(lower(p_name), 1, 4) AS blk FROM names)
+    SELECT a.name_a, b.name_b,
+           CAST(levenshtein(lower(a.name_a), lower(b.name_b))
+                AS INTEGER) AS edit_distance
+    FROM a JOIN b ON a.blk = b.blk
+    WHERE a.name_a < b.name_b
+      AND levenshtein(lower(a.name_a), lower(b.name_b)) <= 3
+    """,
+)
+def _join_fuzzy_blocked(spark, sf_dir):
+    """Approximate string self-join (entity resolution): distinct
+    part names within Levenshtein distance 3, candidates generated
+    by 4-char-prefix blocking instead of the O(n^2) cross join. The
+    oracle replays the identical blocking + edit-distance rule in
+    DuckDB. The length pre-filter and bounded-threshold levenshtein
+    are pure pruning — they cannot change the result set."""
+    from aligned_spark.operators.joins import fuzzy_join
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    out = fuzzy_join(
+        names.select(F.col("p_name").alias("name_a")),
+        names.select(F.col("p_name").alias("name_b")),
+        "name_a",
+        "name_b",
+        max_distance=3,
+        block_len=4,
+    )
+    return out.filter(F.col("name_a") < F.col("name_b")).select(
+        "name_a", "name_b", "edit_distance"
+    )
+
+
+@q(
     "stream_interval_join_batch",
     """
     SELECT l.user_id,
@@ -3127,6 +3166,27 @@ def _splits_temporal(spark, sf_dir):
 
 
 @q(
+    "splits_stratified",
+    """SELECT event_id, event_type, ts FROM events
+       QUALIFY percent_rank()
+               OVER (PARTITION BY event_type ORDER BY ts) >= 0.75""",
+)
+def _splits_stratified(spark, sf_dir):
+    """Stratified temporal split (reference `TrainTestJob` stratified
+    fraction, aligned/split_strategy.py): exact per-stratum
+    fractions via percent_rank within each event_type, newest 25% →
+    test. Parallelism = #strata (documented contract: strata are
+    low-cardinality class labels). Returns the test slice."""
+    from aligned_spark.operators.splits import train_test_split
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    _train, test = train_test_split(
+        e, 0.25, target="event_type", event_timestamp="ts"
+    )
+    return test
+
+
+@q(
     "source_partitioned_parquet",
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 )
@@ -3667,6 +3727,39 @@ def _corpus_normalize_scores(spark, sf_dir):
         "doc_id", "source", "n_chars"
     )
     return normalize_scores(docs, ["source"], "n_chars")
+
+
+@q(
+    "corpus_winsorize_cdf",
+    """WITH b AS (
+         SELECT source,
+                CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.05)
+                     AS DOUBLE) AS lo,
+                CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.95)
+                     AS DOUBLE) AS hi
+         FROM documents GROUP BY source
+       )
+       SELECT d.doc_id, d.source, d.n_chars,
+              least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)
+                AS n_chars_winsorized,
+              percent_rank() OVER (PARTITION BY d.source
+                                   ORDER BY d.n_chars) AS cdf
+       FROM documents d JOIN b USING (source)""",
+)
+def _corpus_winsorize_cdf(spark, sf_dir):
+    """Outlier control for mixture pipelines: per-source 5/95
+    winsorization (exact linear-interpolated percentiles — same
+    definition both engines) plus empirical-CDF normalization via
+    in-group percent_rank (`operators/quality.py:winsorize`,
+    `cdf_normalize`). The approx=True twin swaps in a t-digest
+    sketch for extreme group sizes."""
+    from aligned_spark.operators.quality import cdf_normalize, winsorize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = winsorize(docs, ["source"], "n_chars", 0.05, 0.95)
+    return cdf_normalize(out, ["source"], "n_chars", out_col="cdf")
 
 
 def _profile_col_sql(c: str) -> str:

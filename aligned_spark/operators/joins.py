@@ -668,3 +668,51 @@ def _asof_via_join(
         *[F.col(c) for c in fact_cols],
         *[F.col(f"__p_{c}") for c in payload_cols],
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block_len: int = 3,
+) -> DataFrame:
+    """Approximate string join (entity resolution): pairs whose
+    Levenshtein distance is <= ``max_distance``, found via prefix
+    blocking.
+
+    Reference parity: the aligned reference has no fuzzy matching;
+    this extends the engine's join surface for record-linkage /
+    training-data provenance workloads.
+
+    Scale design (100 TB): the naive formulation is an O(n*m) cross
+    join with a per-pair edit distance — never viable. Blocking
+    reduces it to an equi-join on the lowercased ``block_len``-char
+    prefix, so only same-block candidates shuffle together, and two
+    cheap codegen pre-filters (length difference > k, then the JVM
+    ``levenshtein`` with its early-exit threshold form) prune before
+    any pair materializes wide rows. The standard blocking trade-off
+    applies and is deliberate: pairs that differ inside the first
+    ``block_len`` characters are not candidates (run a second pass
+    on a different blocking key — e.g. suffix or phonetic — to
+    raise recall). A hot prefix (skewed block) is split by AQE
+    skew-join handling like any other skewed equi-join key.
+
+    Output: all columns of ``left``, all of ``right``, plus
+    ``edit_distance``."""
+    lk = F.lower(F.col(left_col))
+    rk = F.lower(F.col(right_col))
+    lb = left.withColumn("__blk", F.substring(lk, 1, block_len))
+    rb = right.withColumn("__blk", F.substring(rk, 1, block_len))
+    # bounded form: abandons the DP row once distance exceeds the
+    # threshold (returns -1), exact value otherwise
+    lv = F.levenshtein(
+        F.lower(lb[left_col]), F.lower(rb[right_col]), max_distance
+    )
+    len_ok = (
+        F.abs(F.length(lb[left_col]) - F.length(rb[right_col]))
+        <= max_distance
+    )
+    joined = lb.join(rb, on="__blk").filter(len_ok).filter(lv >= 0)
+    return joined.withColumn("edit_distance", lv.cast("int")).drop("__blk")

@@ -20,7 +20,7 @@ sorts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from aligned_spark.functions.text import _sliding_zip, _words
@@ -177,6 +177,65 @@ def normalize_scores(
     return out.withColumn(out_col, r6).drop(
         "__n", "__s", "__s2", "__mean", "__std"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization) of a numeric
+    column — the outlier guard quality-score pipelines apply before
+    mixing or thresholding.
+
+    Same shape as :func:`normalize_scores`: one aggregate to one row
+    per group, broadcast back, clip codegen-side. Exact
+    ``percentile`` buffers each group's values in the aggregation
+    state — fine for low-cardinality grouping keys (sources,
+    languages); at extreme group sizes pass ``approx=True`` for the
+    t-digest sketch (``percentile_approx``, bounded state, rank
+    error ~1e-4) — same plan, different aggregate.
+
+    NULL values are ignored by the percentile and pass through
+    unclipped; groups whose every value is NULL get NULL bounds and
+    also pass through."""
+    v = F.col(value_col).cast("double")
+    if approx:
+        lo_agg = F.percentile_approx(v, lower, 10000)
+        hi_agg = F.percentile_approx(v, upper, 10000)
+    else:
+        lo_agg = F.percentile(v, F.lit(lower))
+        hi_agg = F.percentile(v, F.lit(upper))
+    bounds = df.groupBy(*keys).agg(
+        lo_agg.alias("__lo"), hi_agg.alias("__hi")
+    )
+    out = df.join(F.broadcast(bounds), keys)
+    clipped = F.when(
+        v.isNull() | F.col("__lo").isNull(), v
+    ).otherwise(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+    return out.withColumn(
+        out_col or f"{value_col}_winsorized", clipped
+    ).drop("__lo", "__hi")
+
+
+def cdf_normalize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "cdf",
+) -> DataFrame:
+    """Per-group empirical-CDF normalization: ``percent_rank`` of the
+    value within its group — maps any score distribution onto [0, 1]
+    so thresholds ("keep the top 30%") mean the same thing across
+    sources with differently-shaped scorers. Ties share a rank
+    (deterministic); parallelism = #groups, so keys must be
+    low-cardinality categories (they are: sources, languages)."""
+    w = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    return df.withColumn(out_col, F.percent_rank().over(w))
 
 
 def profile_table(

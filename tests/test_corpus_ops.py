@@ -447,3 +447,50 @@ def test_duplicate_spans_impl_parity(spark, impl):
     poly = duplicate_spans(df, "doc_id", "text", width=4, impl="poly")
     other = duplicate_spans(df, "doc_id", "text", width=4, impl=impl)
     assert key(other.collect()) == key(poly.collect())
+
+
+def test_winsorize_known_bounds(spark):
+    from aligned_spark.operators.quality import winsorize
+
+    # group "a": values 0..10 -> p25 = 2.5, p75 = 7.5
+    rows = [("a", float(v)) for v in range(11)] + [("b", 100.0)]
+    df = spark.createDataFrame(rows, "src string, v double")
+    out = {
+        (r.src, r.v): r.v_winsorized
+        for r in winsorize(df, ["src"], "v", 0.25, 0.75).collect()
+    }
+    assert out[("a", 0.0)] == 2.5
+    assert out[("a", 5.0)] == 5.0
+    assert out[("a", 10.0)] == 7.5
+    # single-value group: lo == hi == the value -> unchanged
+    assert out[("b", 100.0)] == 100.0
+
+
+def test_winsorize_nulls_pass_through(spark):
+    from aligned_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None), ("n", None)],
+        "src string, v double",
+    )
+    rows = winsorize(df, ["src"], "v", 0.0, 1.0).collect()
+    vals = {(r.src, r.v): r.v_winsorized for r in rows}
+    assert vals[("a", None)] is None
+    assert vals[("n", None)] is None  # all-NULL group: NULL bounds
+    assert vals[("a", 2.0)] == 2.0
+
+
+def test_cdf_normalize_ties(spark):
+    from aligned_spark.operators.quality import cdf_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0)],
+        "src string, v double",
+    )
+    out = cdf_normalize(df, ["src"], "v").collect()
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r.v, set()).add(r.cdf)
+    assert by_v[1.0] == {0.0}
+    assert by_v[2.0] == {1.0 / 3.0}  # tied rows share the rank
+    assert by_v[4.0] == {1.0}

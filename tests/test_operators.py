@@ -1041,3 +1041,30 @@ def test_approx_distinct_skips_split_join(spark):
     with contextlib.redirect_stdout(buf2):
         out2.explain("formatted")
     assert "Join" in buf2.getvalue()
+
+
+def test_fuzzy_join_blocked(spark):
+    """Blocked approximate string join: finds same-prefix pairs
+    within the distance bound, prunes beyond it, and (documented
+    trade-off) never pairs across blocking prefixes."""
+    from aligned_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(0, "johnathan smith"), (1, "acme corp"), (2, "zebra")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "jonathan smith"),   # dist 1, same 4-prefix "john"? no — "jona"
+            (11, "johnatan smith"),   # dist 1, prefix "john" matches
+            (12, "acme corp."),       # dist 1, prefix "acme"
+            (13, "acme incorporated"),  # dist >> 2, pruned by distance
+            (14, "zebra!"),           # dist 1, prefix "zebr"
+        ],
+        "rid long, rname string",
+    )
+    out = fuzzy_join(left, right, "lname", "rname", max_distance=2,
+                     block_len=4)
+    pairs = {(r.lid, r.rid, r.edit_distance) for r in out.collect()}
+    # "jonathan" has prefix "jona" != "john": blocked out despite dist 1
+    assert pairs == {(0, 11, 1), (1, 12, 1), (2, 14, 1)}
