@@ -3187,6 +3187,25 @@ def _splits_stratified(spark, sf_dir):
 
 
 @q(
+    "events_global_row_ids",
+    """SELECT event_id, ts,
+              CAST(row_number() OVER (ORDER BY ts, event_id) - 1
+                   AS BIGINT) AS row_id
+       FROM events""",
+)
+def _events_global_row_ids(spark, sf_dir):
+    """Contiguous global row ids in (ts, event_id) order via the
+    two-phase distributed rank (`operators/core.py:global_row_ids`)
+    — range partition + per-partition offsets, never the single-task
+    global window the oracle's row_number() would plan. The sharding
+    primitive for packed corpora and resumable iteration."""
+    from aligned_spark.operators.core import global_row_ids
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return global_row_ids(e, ["ts", "event_id"])
+
+
+@q(
     "source_partitioned_parquet",
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 )

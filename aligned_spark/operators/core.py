@@ -414,3 +414,81 @@ def resample(
         on=ts,
         by=keys,
     )
+
+
+def global_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 0-based row ids in total ``order_cols`` order —
+    WITHOUT the single-task plan Spark gives a global window
+    (``row_number().over(Window.orderBy(...))`` funnels every row
+    through ONE task; WindowExec warns and then does exactly that).
+
+    The training-data sharding primitive: stable example ids for a
+    packed corpus, resumable iteration offsets, deterministic
+    shuffling seeds.
+
+    Two-phase formulation (the textbook distributed rank):
+
+    1. range-repartition on ``order_cols`` and sort within each
+       partition — Spark's own TakeOrderedAndProject machinery,
+       parallelism = ``num_partitions``;
+    2. count rows per partition (a tiny aggregate), prefix-sum the
+       counts on the driver (one row per partition), broadcast the
+       offsets, and add ``offset + local position`` in a streaming
+       ``mapInPandas`` pass that never materializes a partition.
+
+    The frame is persisted between the two phases — REQUIRED for
+    correctness, not a cache nicety: the range partitioner samples
+    its split points, so an unpersisted recompute between the count
+    job and the id job could draw different boundaries and mis-align
+    the offsets.
+
+    ``order_cols`` must be a total order (add a unique tiebreak
+    column); with ties the ids of tied rows are arbitrary within the
+    tie group. Ids equal ``row_number() OVER (ORDER BY order_cols)
+    - 1`` regardless of partition boundaries."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = parted.groupBy("__pid").count().collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(row["__pid"])] = run
+        run += int(row["count"])
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(
+        df.schema.fields + [StructField(id_col, LongType(), False)]
+    )
+
+    def _assign(batches):
+        base = None
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = b_offsets.value[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
+            pdf[id_col] = np.arange(
+                base + seen, base + seen + len(pdf), dtype=np.int64
+            )
+            seen += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(_assign, out_schema)

@@ -250,6 +250,14 @@ class JsonSource(_FileSource):
     format: str = "json"
 
 
+@dataclass
+class OrcSource(_FileSource):
+    """ORC files — same columnar pushdown contract as parquet
+    (predicate + projection reach the stripe reader)."""
+
+    format: str = "orc"
+
+
 class FileSource:
     """Convenience factory namespace (reference ``FileSource``)."""
 
@@ -282,6 +290,10 @@ class FileSource:
     @staticmethod
     def json(path: str, mapping_keys: dict[str, str] | None = None) -> JsonSource:
         return JsonSource(path=path, mapping_keys=mapping_keys or {})
+
+    @staticmethod
+    def orc(path: str, mapping_keys: dict[str, str] | None = None) -> OrcSource:
+        return OrcSource(path=path, mapping_keys=mapping_keys or {})
 
     @staticmethod
     def delta(path: str):

@@ -1068,3 +1068,21 @@ def test_fuzzy_join_blocked(spark):
     pairs = {(r.lid, r.rid, r.edit_distance) for r in out.collect()}
     # "jonathan" has prefix "jona" != "john": blocked out despite dist 1
     assert pairs == {(0, 11, 1), (1, 12, 1), (2, 14, 1)}
+
+
+def test_global_row_ids_matches_window_rank(spark):
+    """Two-phase distributed ids == row_number() - 1 over the total
+    order, for any partition count, including ids crossing partition
+    boundaries."""
+    from aligned_spark.operators.core import global_row_ids
+
+    rows = [(i % 7, 1000 - i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = global_row_ids(df, ["v", "k"], num_partitions=5)
+    got = {(r.k, r.v): r.row_id for r in out.collect()}
+    expected_order = sorted(rows, key=lambda t: (t[1], t[0]))
+    for rid, (k, v) in enumerate(expected_order):
+        assert got[(k, v)] == rid
+    # the plan must not contain a partitionless WindowExec
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -229,3 +229,23 @@ def test_jdbc_roundtrip_pushdown(spark):
     assert "GreaterThan(id,15)" in plan  # predicate reached the DB
     assert "ReadSchema: struct<id:bigint>" in plan  # projection pruned
     assert sorted(r.id for r in flt.collect()) == [16, 17, 18, 19]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from aligned_spark.sources.file import FileSource
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+        "id long, s string, v double",
+    )
+    src = FileSource.orc(str(tmp_path / "t.orc"))
+    src.insert(df)
+    back = src.read(spark)
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+        (3, "c", 3.5),
+    ]
+    # pushdown reaches the ORC reader like parquet
+    plan = back.filter("id = 2").select("s")._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in plan
