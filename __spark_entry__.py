@@ -2637,6 +2637,50 @@ def _multimodal_image_pipeline(spark, sf_dir):
 
 
 @q(
+    "multimodal_frame_sample",
+    # every-2nd 200-byte frame, at most 5 — the range cap
+    # least(n_frames, every_n*max_frames) yields exactly the first
+    # max_frames strided indices. documents.text is pure ASCII in
+    # the testdata (octet_length == length), so the varchar
+    # substring here equals the byte slicing the operator does.
+    """WITH f AS (
+         SELECT doc_id,
+                unnest(range(0,
+                  least(CAST(ceil(length(text) / 200.0) AS BIGINT), 10),
+                  2)) AS frame_idx,
+                text
+         FROM documents
+       )
+       SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+              CAST(length(substring(text, frame_idx * 200 + 1, 200))
+                   AS BIGINT) AS n_bytes,
+              md5(substring(text, frame_idx * 200 + 1, 200)) AS digest
+       FROM f""",
+)
+def _multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: binary media column →
+    every-2nd 200-byte "frame", max 5 per doc, fanned out inside an
+    Arrow-batched mapInPandas worker (no explode shuffle; a real
+    codec slots into the extractor hook —
+    `functions/multimodal.py:sample_frames`). Frame bytes are
+    digest-verified against the oracle's slicing."""
+    from aligned_spark.functions.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    fr = sample_frames(
+        d, "media", ["doc_id"], frame_size=200, every_n=2, max_frames=5
+    )
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("digest"),
+    )
+
+
+@q(
     "splits_train",
     # exact replay of the keyed multiplicative-hash coordinate:
     # h = ((h + col) mod 2^30) * 2654435761 mod 2^30 per key column,
@@ -2890,6 +2934,74 @@ def _graph_connected_components(spark, sf_dir):
             "node", F.coalesce("label", F.col("node")).alias("label")
         )
     )
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank replayed as chained SQL stages: same
+    uniform init, same (1-d)/N + d*sum(pr/outdeg) update, same
+    ignored dangling mass, epsilon-floor rounded to 6 decimals at
+    the end only (double-sum association slack << 1e-6)."""
+    d = damping
+    sql = """
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, 100000 + l.l_suppkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, deg.deg
+          FROM e0 JOIN deg ON e0.src = deg.src),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    r{k} AS (
+      SELECT n.node,
+             (1.0 - {d}) / nn.n + {d} * COALESCE(s.s, 0.0) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr / e.deg) AS s
+        FROM e JOIN r{k - 1} r ON e.src = r.node
+        GROUP BY e.dst) s
+      ON n.node = s.node
+    )"""
+    sql += f"""
+    SELECT node, floor(pr * 1e6 + 0.5 + 1e-9) / 1e6 AS pr
+    FROM r{iterations}
+    """
+    return sql
+
+
+@q("graph_pagerank", _pagerank_oracle())
+def _graph_pagerank(spark, sf_dir):
+    """PageRank over the 1996 customer->supplier purchase graph
+    (supplier node ids offset by 100000 out of the customer
+    keyspace) — entity-importance scoring for sampling weights. 3
+    fixed iterations; each is one contribution join + one
+    destination-keyed sum (`operators/graph.py:pagerank`), replayed
+    by the oracle as chained SQL stages."""
+    from aligned_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=3)
+    return pr.select("node", _r6(F.col("pr")).alias("pr"))
 
 
 def _poly_simhash_pairs_oracle(max_hamming: int = 3, width: int = 3) -> str:
@@ -3524,6 +3636,41 @@ def _corpus_redact_pii(spark, sf_dir):
         "doc_id", _pii_inject(spark_side=True) + " AS text"
     )
     return redact_corpus(d, "text")
+
+
+_HTML_HEAD = (
+    "<html><head><script>var x = 1 < 2;</script>"
+    "<style>.a{color:red}</style></head><body><!-- hdr --><p>"
+)
+_HTML_TAIL = '</p><div class="f">footer &amp; more&nbsp;text</div></body></html>'
+
+
+def _strip_markup_oracle() -> str:
+    from aligned_spark.operators.redact import strip_markup_sql
+
+    head = _HTML_HEAD.replace("'", "''")
+    tail = _HTML_TAIL.replace("'", "''")
+    wrapped = f"('{head}' || text || '{tail}')"
+    return (
+        f"SELECT doc_id, {strip_markup_sql(wrapped)} AS clean_text"
+        f" FROM documents"
+    )
+
+
+@q("corpus_strip_markup", _strip_markup_oracle())
+def _corpus_strip_markup(spark, sf_dir):
+    """HTML boilerplate removal (C4 first pass): documents are
+    wrapped in a deterministic markup shell (script with a '<' in
+    its body, style, comment, entities) and the codegen
+    regexp_replace cascade recovers the text — script/style/comment
+    contents must NOT leak, block tags become newlines, entities
+    decode. Oracle replays the identical chain
+    (`operators/redact.py:strip_markup`, Java-regex ∩ RE2)."""
+    from aligned_spark.operators.redact import strip_markup
+
+    d = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit(_HTML_HEAD), F.col("text"), F.lit(_HTML_TAIL))
+    return d.select("doc_id", strip_markup(wrapped).alias("clean_text"))
 
 
 @q(
@@ -5009,18 +5156,19 @@ _PRIORITY: list[str] = [
     "agg_rolling_window",
     "join_asof",
     "join_equi_multi",
-    "join_asof_bucketed",
     "agg_group_basic",
     "agg_group_stats",
     "custom_agg_pandas",
     "store_sql",
-    "store_features_windowed",
-    "view_derived_features",
     "corpus_normalize_scores",
     "dedup_minhash",
     "dedup_semantic",
-    "stream_late_data",
-    "freshness",
+    # --- new full-oracle operators added later this round ---
+    "dedup_substring_spans",
+    "join_fuzzy_blocked",
+    "splits_stratified",
+    "corpus_winsorize_cdf",
+    "events_global_row_ids",
 ]
 
 

@@ -119,3 +119,71 @@ def decode_image(blob: Column):
         "image codecs are not installed; pass decoder= to "
         "extract_media_features (the Spark plumbing is fully wired)"
     )
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str,
+    id_cols: list[str],
+    frame_size: int = 1024,
+    every_n: int = 2,
+    max_frames: int = 8,
+    extractor: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Frame sampling over a binary media column: one output row per
+    sampled frame — ``id_cols + (frame_idx, frame)``.
+
+    ``extractor(data, idx) -> bytes`` is the codec hook (a real
+    video decoder seeks to frame ``idx``); ``None`` uses the
+    deterministic fake codec — frame ``idx`` is the byte range
+    ``[idx·frame_size, (idx+1)·frame_size)`` — preserving the
+    contract (same bytes → same frames) without media libs. Frames
+    ``0, every_n, 2·every_n, …`` are taken, at most ``max_frames``
+    (the :func:`frame_sample_indices` plan).
+
+    Arrow-batched ``mapInPandas``: bytes stay in Arrow buffers until
+    their batch is processed, the fan-out happens inside the worker
+    (no explode shuffle), and the declared schema lets Catalyst plan
+    downstream ops normally. At 100 TB the decode cost dominates —
+    sampling indices are computed before any decode so only sampled
+    frames are touched."""
+    import math
+
+    from pyspark.sql.types import BinaryType, LongType
+
+    fields = [f for f in df.schema.fields if f.name in id_cols]
+    out_schema = StructType(
+        fields
+        + [
+            StructField("frame_idx", LongType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def _default_extract(data: bytes, idx: int) -> bytes:
+        return data[idx * frame_size : (idx + 1) * frame_size]
+
+    extract = extractor or _default_extract
+
+    def _frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in id_cols}
+            out["frame_idx"] = []
+            out["frame"] = []
+            for _, row in pdf.iterrows():
+                data = row[blob_col]
+                if data is None:
+                    continue
+                data = bytes(data)
+                n_frames = math.ceil(len(data) / frame_size)
+                idxs = list(range(0, n_frames, every_n))[:max_frames]
+                for i in idxs:
+                    for c in id_cols:
+                        out[c].append(row[c])
+                    out["frame_idx"].append(i)
+                    out["frame"].append(extract(data, i))
+            yield pd.DataFrame(out, columns=list(out))
+
+    return df.mapInPandas(_frames, schema=out_schema)

@@ -94,3 +94,52 @@ def redact_corpus(
     if with_counts:
         out.extend(pii_counts(F.col(text_col), rules))
     return df.select(*out)
+
+
+# --- markup stripping (C4/Dolma-style HTML -> text cleaning) --------
+#
+# Same design constraints as the PII chain: codegen-only
+# regexp_replace cascade in the Java-regex ∩ RE2 subset (inline (?s)
+# and non-greedy quantifiers are in both; no lookaround), so the
+# exact chain replays in DuckDB with the 'g' flag. Order is part of
+# the contract: container blocks (script/style) go first so their
+# contents never leak as text, then comments, then block tags to
+# newline, then every remaining tag, then entities, then whitespace.
+
+STRIP_MARKUP_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?s)<script\b.*?</script\s*>", " "),
+    (r"(?s)<style\b.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)</?(?:p|div|br|li|tr|h[1-6])\b[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n[ \n]*", "\n"),
+)
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/markup -> plain text: the boilerplate-removal first pass
+    of a web-corpus pipeline (C4 keeps text, drops tags/scripts).
+    A fixed ``regexp_replace`` cascade — scan-speed codegen, no UDF;
+    heuristic by design (a full HTML5 parser is not expressible as
+    regex and not needed for corpus text extraction)."""
+    out = text
+    for pat, repl in STRIP_MARKUP_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)
+
+
+def strip_markup_sql(col: str) -> str:
+    """The identical cascade as one nested DuckDB expression."""
+    out = col
+    for pat, repl in STRIP_MARKUP_RULES:
+        sq = pat.replace("'", "''")
+        rq = repl.replace("'", "''").replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{sq}', '{rq}', 'gs')"
+    return f"trim({out})"

@@ -494,3 +494,27 @@ def test_cdf_normalize_ties(spark):
     assert by_v[1.0] == {0.0}
     assert by_v[2.0] == {1.0 / 3.0}  # tied rows share the rank
     assert by_v[4.0] == {1.0}
+
+
+def test_strip_markup_chain(spark):
+    from aligned_spark.operators.redact import strip_markup
+
+    html = (
+        "<html><head><script>if (a < b) { alert('x'); }</script>"
+        "<style>p { margin: 0 }</style></head>"
+        "<body><!-- secret comment --><h1>Title</h1>"
+        "<p>Hello &amp; welcome to <b>the</b> page.</p>"
+        "<div>Second&nbsp;block &lt;tag&gt; &quot;q&quot; &#39;s&#39;</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(0, html)], "id long, text string")
+    out = df.select(strip_markup(F.col("text")).alias("t")).first().t
+    # script/style/comment contents never leak
+    assert "alert" not in out and "margin" not in out
+    assert "secret" not in out
+    # entities decode; inline tags vanish; block tags break lines
+    assert "Hello & welcome to the page." in out
+    assert 'Second block <tag> "q" \'s\'' in out
+    assert "Title" in out
+    lines = out.split("\n")
+    assert any(line.strip() == "Title" for line in lines)

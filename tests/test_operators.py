@@ -1086,3 +1086,28 @@ def test_global_row_ids_matches_window_rank(spark):
     # the plan must not contain a partitionless WindowExec
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_pagerank_star_and_cycle(spark):
+    from aligned_spark.operators.graph import pagerank
+
+    # 3-cycle: symmetric, every iteration preserves uniform 1/3
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    ranks = {r.node: r.pr for r in pagerank(cyc, iterations=5).collect()}
+    for v in ranks.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+    # star 1->2, 1->3, 1->4: after >=2 iterations (simple variant,
+    # dangling mass dropped): center keeps (1-d)/4; leaves get
+    # (1-d)/4 + d*(center)/3
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    d = 0.85
+    got = {r.node: r.pr for r in pagerank(star, iterations=3).collect()}
+    center = (1 - d) / 4
+    leaf = (1 - d) / 4 + d * center / 3
+    assert abs(got[1] - center) < 1e-12
+    for n in (2, 3, 4):
+        assert abs(got[n] - leaf) < 1e-12
