@@ -610,6 +610,43 @@ def _sim_topk_cosine(spark, sf_dir):
     return out.select("query_id", "neighbor_id", _r6(F.col("sim")).alias("sim"))
 
 
+def _prototypicality_oracle(dim: int = 64) -> str:
+    """Centroid = exact decimal dimension sums / count, then the same
+    sequential-fold cosine as every other similarity oracle."""
+    cent_terms = ", ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)"
+        for i in range(dim)
+    )
+    cos = _cosine_oracle("e.embedding", "c.centroid")
+    return f"""
+    WITH c AS (
+      SELECT label, [{cent_terms}] AS centroid
+      FROM embeddings GROUP BY label
+    )
+    SELECT e.vec_id, e.label, {_O_R6.format(c=cos)} AS proto_sim
+    FROM embeddings e JOIN c ON e.label = c.label
+    """
+
+
+@q("embed_prototypicality", _prototypicality_oracle())
+def _embed_prototypicality(spark, sf_dir):
+    """Prototype-distance curation signal: cosine of each embedding
+    to its label centroid (`operators/similarity.py:prototypicality`
+    — SemDeDup-style outlier scoring). Centroids are one aggregate
+    node with decimal-exact dimension sums, broadcast back; the
+    oracle replays both stages."""
+    from aligned_spark.operators.similarity import prototypicality
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = prototypicality(emb, "label", "embedding", 64)
+    return out.select(
+        "vec_id", "label", _r6(F.col("proto_sim")).alias("proto_sim")
+    )
+
+
 # ===========================================================================
 # §2.5 aggregations
 # ===========================================================================
@@ -1881,6 +1918,47 @@ _ORACLES["text_language_quality"] = f"""
   FROM ({_language_oracle()}) a JOIN ({_quality_oracle()}) b USING (doc_id)"""
 
 
+_READABILITY_FORMULA = (
+    "206.835 - 1.015 * (CAST(n_words AS DOUBLE)"
+    " / CAST(greatest(n_sentences, 1) AS DOUBLE))"
+    " - 84.6 * (CAST(n_syllables AS DOUBLE)"
+    " / CAST(greatest(n_words, 1) AS DOUBLE))"
+)
+
+
+@q(
+    "text_readability",
+    f"""WITH cnt AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                  '[.!?]+')) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                  '[a-zà-ÿ]+')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                  '[aeiouy]+')) AS BIGINT) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           {_O_R6.format(c=_READABILITY_FORMULA)} AS flesch
+    FROM cnt""",
+)
+def _text_readability(spark, sf_dir):
+    """Flesch reading-ease quality signal
+    (`functions/text.py:readability`): sentence/word/vowel-group
+    counts plus the classic formula, all codegen regexp_count — the
+    oracle mirrors counts and the exact double arithmetic."""
+    from aligned_spark.functions.text import readability
+
+    d = _t(spark, sf_dir, "documents")
+    r = readability(F.col("text"))
+    return d.select(
+        "doc_id",
+        r.getField("n_sentences").alias("n_sentences"),
+        r.getField("n_words").alias("n_words"),
+        r.getField("n_syllables").alias("n_syllables"),
+        _r6(r.getField("flesch")).alias("flesch"),
+    )
+
+
 @q("corpus_filter", None)
 def _corpus_filter(spark, sf_dir):
     """The composed C4/Gopher-style pre-training filter: English,
@@ -1991,6 +2069,18 @@ def _dedup_minhash(spark, sf_dir):
         impl="poly",
     )
     return pairs.select("doc_id_a", "doc_id_b")
+
+
+@q("dedup_substring_spans_arrow")  # production SipHash kernel — rows-only (benched)
+def _dedup_substring_spans_arrow(spark, sf_dir):
+    """Corpus-scale twin of the oracle-verified `dedup_substring_spans`
+    (same census + islands code, vectorized window-hash kernel)."""
+    from aligned_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(
+        d.select("doc_id", "text"), "doc_id", "text", width=6, impl="arrow"
+    )
 
 
 @q("dedup_minhash_arrow")  # production SipHash kernel — rows-only (benched)

@@ -233,3 +233,33 @@ def extract_domain(url: Column) -> Column:
         1,
     )
     return F.regexp_replace(host, r"^www\.", "")
+
+
+def readability(text: Column) -> Column:
+    """Flesch reading-ease heuristic as a codegen struct —
+    ``(n_sentences, n_words, n_syllables, flesch)``.
+
+    Sentences are ``[.!?]+`` runs, words are the module's token runs,
+    syllables are approximated as ASCII vowel-group runs (the
+    standard cheap estimator; accented vowels are deliberately not
+    counted — a heuristic, stated so the oracle can mirror it).
+    ``flesch = 206.835 - 1.015·(words/sentences) -
+    84.6·(syllables/words)`` with denominators floored at 1. Pure
+    ``regexp_count`` — scan-speed, engine-portable pattern subset."""
+    low = F.lower(F.coalesce(text, F.lit("")))
+    n_sent = F.regexp_count(low, F.lit("[.!?]+")).cast("long")
+    n_words = F.regexp_count(low, F.lit("[a-zà-ÿ]+")).cast("long")
+    n_syll = F.regexp_count(low, F.lit("[aeiouy]+")).cast("long")
+    sent_d = F.greatest(n_sent, F.lit(1)).cast("double")
+    word_d = F.greatest(n_words, F.lit(1)).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / sent_d)
+        - F.lit(84.6) * (n_syll.cast("double") / word_d)
+    )
+    return F.struct(
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -525,3 +525,50 @@ def lsh_bucketed_pairs(
         )
     scored = cand.select(f"{id_col}_a", f"{id_col}_b", sim.alias("sim"))
     return scored.filter(F.col("sim") >= threshold)
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-group mean vector (class prototype; the E-step of k-means;
+    the cluster summary SemDeDup-style curation scores against).
+
+    All ``dim`` dimension sums run in ONE aggregate node — map-side
+    partials, one Exchange carrying a single row per group. Sums
+    accumulate in DECIMAL (exact, order-independent) and the final
+    division is fixed-order IEEE, so centroids are bit-reproducible
+    across partitionings and replayable by an independent engine."""
+    v = F.col(vec_col)
+    sums = [
+        F.sum(v[i].cast("decimal(27,18)")).cast("double").alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    agg = df.groupBy(group_col).agg(
+        *sums, F.count(F.lit(1)).alias("__n")
+    )
+    centroid = F.array(
+        *[F.col(f"__s{i}") / F.col("__n") for i in range(dim)]
+    )
+    return agg.select(group_col, centroid.alias("centroid"))
+
+
+def prototypicality(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    dim: int,
+    out_col: str = "proto_sim",
+) -> DataFrame:
+    """Cosine similarity of each vector to its group centroid — the
+    prototype-distance curation signal (SemDeDup keeps/drops by
+    distance to the cluster centroid; low scorers are outliers or
+    mislabeled examples).
+
+    The centroid frame is one row per group — broadcast; the scoring
+    itself is a codegen fold per row. No shuffle beyond the centroid
+    aggregate's own."""
+    cents = group_centroids(df, group_col, vec_col, dim)
+    out = df.join(F.broadcast(cents), on=group_col)
+    return out.withColumn(
+        out_col, cosine_double(F.col(vec_col), F.col("centroid"))
+    ).drop("centroid")

@@ -76,6 +76,14 @@ HEADLINE = [
     "tpch_q9",
     "tpch_q13",
     "tpch_q21",
+    # late round-4 operators: substring-span dedup (production
+    # kernel), iterative PageRank, two-phase global row ids,
+    # scan-speed markup strip, mapInPandas frame fan-out
+    "dedup_substring_spans_arrow",
+    "graph_pagerank",
+    "events_global_row_ids",
+    "corpus_strip_markup",
+    "multimodal_frame_sample",
 ]
 
 

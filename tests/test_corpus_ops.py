@@ -518,3 +518,46 @@ def test_strip_markup_chain(spark):
     assert "Title" in out
     lines = out.split("\n")
     assert any(line.strip() == "Title" for line in lines)
+
+
+def test_group_centroids_and_prototypicality(spark):
+    from aligned_spark.operators.similarity import (
+        group_centroids,
+        prototypicality,
+    )
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.0, 1.0]),
+        (2, 1, [2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, v array<double>")
+    cents = {r.label: r.centroid for r in group_centroids(df, "label", "v", 2).collect()}
+    assert cents[0] == [0.5, 0.5]
+    assert cents[1] == [2.0, 2.0]
+    prot = {r.vec_id: r.proto_sim for r in prototypicality(df, "label", "v", 2).collect()}
+    # both label-0 vectors are at 45 degrees to the centroid
+    import math
+    assert abs(prot[0] - math.cos(math.pi / 4)) < 1e-12
+    assert abs(prot[1] - math.cos(math.pi / 4)) < 1e-12
+    assert abs(prot[2] - 1.0) < 1e-12
+
+
+def test_readability_counts(spark):
+    from aligned_spark.functions.text import readability
+
+    df = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran! Did it rain?"), (1, "")],
+        "id long, text string",
+    )
+    out = {r.id: r.r for r in df.select("id", readability(F.col("text")).alias("r")).collect()}
+    r0 = out[0]
+    assert r0.n_sentences == 3
+    assert r0.n_words == 9
+    # vowel groups: e,a,a,e,o,a,i,i,ai -> 9
+    assert r0.n_syllables == 9
+    expected = 206.835 - 1.015 * (9 / 3) - 84.6 * (9 / 9)
+    assert abs(r0.flesch - expected) < 1e-9
+    r1 = out[1]
+    assert r1.n_words == 0 and r1.n_sentences == 0
+    assert r1.flesch == 206.835  # guarded denominators
