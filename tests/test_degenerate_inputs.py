@@ -156,3 +156,43 @@ def test_top_frequent_and_corr_degenerate(spark):
 
     with pytest.raises(ValueError, match="at least two"):
         correlation_matrix(c, ["x"])
+
+
+def test_new_round4_ops_on_empty(spark):
+    """duplicate_spans / fuzzy_join / winsorize / global_row_ids /
+    pagerank / sample_frames on empty frames: no crash, empty (or
+    well-defined) output with the declared schema."""
+    from aligned_spark.functions.multimodal import sample_frames
+    from aligned_spark.operators.core import global_row_ids
+    from aligned_spark.operators.dedup import duplicate_spans
+    from aligned_spark.operators.graph import pagerank
+    from aligned_spark.operators.joins import fuzzy_join
+    from aligned_spark.operators.quality import cdf_normalize, winsorize
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    out = duplicate_spans(empty_docs, "doc_id", "text", width=3)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "total_windows", "dup_windows", "max_dup_run",
+        "dup_fraction",
+    }
+
+    e1 = spark.createDataFrame([], "a long, s string")
+    e2 = spark.createDataFrame([], "b long, t string")
+    assert fuzzy_join(e1, e2, "s", "t").count() == 0
+
+    ev = spark.createDataFrame([], "g string, v double")
+    assert winsorize(ev, ["g"], "v").count() == 0
+    assert cdf_normalize(ev, ["g"], "v").count() == 0
+
+    er = spark.createDataFrame([], "k long, v long")
+    assert global_row_ids(er, ["v", "k"], num_partitions=4).count() == 0
+
+    eb = spark.createDataFrame([], "id long, media binary")
+    assert sample_frames(eb, "media", ["id"]).count() == 0
+
+    # pagerank needs >=1 node (1/N init); a graph with no edges is a
+    # caller error — single self-loop degenerates gracefully
+    loop = spark.createDataFrame([(1, 1)], "src long, dst long")
+    r = pagerank(loop, iterations=2).collect()
+    assert len(r) == 1 and abs(r[0].pr - 1.0) < 1e-12

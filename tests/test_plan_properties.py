@@ -265,3 +265,52 @@ def test_top_frequent_windows_count_frame(spark, lineitem):
         assert "l_returnflag" in args, args
     # rank-filter pushdown: partial top-k runs below the exchange
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_prototypicality_broadcasts_centroids(spark):
+    from aligned_spark.operators.similarity import prototypicality
+
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, label long, v array<double>",
+    )
+    plan = plan_text(prototypicality(df, "label", "v", 2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_strip_markup_is_pure_projection(lineitem):
+    from aligned_spark.operators.redact import strip_markup
+
+    out = lineitem.select(strip_markup(F.col("l_returnflag")))
+    plan = plan_text(out)
+    # a scan-level map: no exchange, no Python evaluation
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_fuzzy_join_is_equi_join_on_block(spark):
+    from aligned_spark.operators.joins import fuzzy_join
+
+    a = spark.createDataFrame([(i, f"name{i}") for i in range(500)],
+                              "ida long, na string")
+    b = spark.createDataFrame([(i, f"name{i}x") for i in range(500)],
+                              "idb long, nb string")
+    plan = plan_text(fuzzy_join(a, b, "na", "nb", 2, 4))
+    # blocking must plan as a hash equi-join (broadcast or shuffled),
+    # never a nested-loop cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_global_row_ids_no_global_window(spark):
+    from aligned_spark.operators.core import global_row_ids
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    out = global_row_ids(df, ["v", "k"], num_partitions=8)
+    plan = plan_text(out)
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
