@@ -28,6 +28,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Bench-session heap: 32g, NOT the library default 90g. Measured on
+# this box (42 queries, min-of-3): at 90g the G1 old gen grows for
+# minutes between collections and individual full GCs land multi-
+# second pauses on random queries (dedup_semantic spread 2.5-11.7 s);
+# at 32g collections are frequent-and-short and spreads collapse
+# (same query 2.2-2.7 s) with a lower total. Overridable via env.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
 HEADLINE = [
     "view_derived_features",
     "agg_group_basic",
@@ -105,25 +113,29 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
 
-    # warm-up pass: absorb JIT/codegen compile outside the timed
-    # region, then drop every cached/persisted frame so the timed run
-    # re-executes all real compute
+    # JIT/codegen warm-up for the session itself
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
-        _force(qs[name](spark, sf_dir))
-    spark.catalog.clearCache()
 
-    # min of three timed runs: Python-worker churn between Arrow-stage
-    # queries and transient box contention (the driver benches while
-    # other round machinery runs) add seconds of one-off variance; the
-    # min is the steady-state number (r2 driver recorded 7.2/11.7 s for
-    # queries that run 1.2/1.8 s warm on the same box). clearCache
-    # between runs keeps every run's compute honest (operator-internal
-    # persists rebuild each time).
+    # Per-query protocol: one untimed warm-up run immediately before
+    # that query's three timed runs (same 4 executions per query as
+    # the old global-warm-up design, same total wall). The old design
+    # warm-ran ALL queries first — by the time early queries were
+    # timed, the accumulated state of every later query (operator
+    # persists, localCheckpoint RDDs, broadcasts, reused Python
+    # workers) was still draining via the async ContextCleaner, and
+    # clearCache() does not touch most of it; measured: agg_pit_window
+    # 6.5 s under the global protocol vs 0.92 s per-query on an idle
+    # box, identical plans. min of three timed runs is the
+    # steady-state number; clearCache between runs keeps every run's
+    # compute honest (operator-internal persists rebuild each time).
+    import gc
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
+        _force(fn(spark, sf_dir))
+        spark.catalog.clearCache()
         samples = []
         for _ in range(3):
             t0 = time.time()
@@ -132,6 +144,13 @@ def main() -> None:
             spark.catalog.clearCache()
         runs[name] = samples
         timings[name] = min(samples)
+        # drop Python-side refs NOW so the async ContextCleaner can
+        # reclaim this query's shuffle files / broadcasts /
+        # localCheckpoint RDDs before the next query is timed —
+        # without this, accumulated state from earlier queries bleeds
+        # seconds into later measurements
+        del fn
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
