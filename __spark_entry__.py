@@ -3388,6 +3388,57 @@ def _splits_stratified(spark, sf_dir):
     return test
 
 
+def _zorder_oracle(bits: int = 16) -> str:
+    """Same min-max scaling (bounds via subquery — identical exact
+    values to the Spark side's collected scalars), same IEEE op
+    order, same bit interleave."""
+    top = float((1 << bits) - 1)
+    terms = []
+    for b in range(bits):
+        for i, s in enumerate(("s0", "s1")):
+            terms.append(f"((({s} >> {b}) & 1) << {b * 2 + i})")
+    zkey = " | ".join(terms)
+    return f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS eus FROM events
+    ),
+    b AS (
+      SELECT CAST(min(user_id) AS DOUBLE) AS lo0,
+             CAST(max(user_id) AS DOUBLE) AS hi0,
+             CAST(min(eus) AS DOUBLE) AS lo1,
+             CAST(max(eus) AS DOUBLE) AS hi1
+      FROM ev
+    ),
+    s AS (
+      SELECT event_id,
+             CAST(floor((CAST(user_id AS DOUBLE) - b.lo0)
+                  / (b.hi0 - b.lo0) * {top!r}) AS BIGINT) AS s0,
+             CAST(floor((CAST(eus AS DOUBLE) - b.lo1)
+                  / (b.hi1 - b.lo1) * {top!r}) AS BIGINT) AS s1
+      FROM ev CROSS JOIN b
+    )
+    SELECT event_id, ({zkey}) AS zkey FROM s
+    """
+
+
+@q("layout_zorder_key", _zorder_oracle())
+def _layout_zorder_key(spark, sf_dir):
+    """Z-ORDER clustering key over (user_id, event time): bit-
+    interleaved min-max-scaled coordinates, so range-partitioning +
+    sorting by this key gives parquet row groups tight min/max stats
+    on BOTH columns — multi-dimensional data skipping
+    (`operators/layout.py:zorder_key` / `cluster_by_zorder`). Pure
+    codegen bit arithmetic; the oracle replays scaling and
+    interleaving exactly."""
+    from aligned_spark.operators.layout import zorder_key
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("eus")
+    )
+    out = zorder_key(e, ["user_id", "eus"], bits=16)
+    return out.select("event_id", F.col("__zkey").alias("zkey"))
+
+
 @q(
     "events_global_row_ids",
     """SELECT event_id, ts,

@@ -271,3 +271,110 @@ def test_asof_directions_match_brute_force(
             assert got[i] is None, (i, got[i])
         else:
             assert got[i] in want, (i, got[i], want)
+
+
+# --- substring-span dedup vs python brute force ---------------------
+
+span_docs = st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=span_docs, width=st.sampled_from([2, 3]))
+def test_duplicate_spans_matches_brute_force(spark, docs, width):
+    """Random tiny corpora (single-letter tokens, heavy repetition —
+    exactly the tie/overlap shapes a fixture never covers) against a
+    direct python reimplementation of census + islands."""
+    from aligned_spark.operators.dedup import duplicate_spans
+
+    texts = [" ".join(toks) for toks in docs]
+    windows = {
+        i: [tuple(toks[j : j + width]) for j in range(len(toks) - width + 1)]
+        for i, toks in enumerate(docs)
+    }
+    from collections import Counter
+
+    owner: dict[tuple, set] = {}
+    for i, ws in windows.items():
+        for w in ws:
+            owner.setdefault(w, set()).add(i)
+    expected = {}
+    for i, ws in windows.items():
+        dup_flags = [len(owner[w]) >= 2 for w in ws]
+        dup_windows = sum(dup_flags)
+        best = cur = 0
+        for f in dup_flags:
+            cur = cur + 1 if f else 0
+            best = max(best, cur)
+        expected[i] = (len(ws), dup_windows, best)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.total_windows, r.dup_windows, r.max_dup_run)
+        for r in duplicate_spans(
+            df, "doc_id", "text", width=width, impl="poly"
+        ).collect()
+    }
+    assert got == expected
+
+
+# --- blocked fuzzy join vs python brute force ------------------------
+
+fuzzy_names = st.lists(
+    st.text(alphabet="abcx", min_size=0, max_size=6),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(names=fuzzy_names, k=st.sampled_from([1, 2]), blk=st.sampled_from([1, 2]))
+def test_fuzzy_join_matches_brute_force(spark, names, k, blk):
+    """Blocking contract exactly: pairs share the lowercased
+    ``blk``-char prefix AND edit distance <= k (tiny alphabet forces
+    prefix collisions, empty strings, and distance ties)."""
+    from aligned_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        list(enumerate(names)), "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        list(enumerate(names)), "rid long, rname string"
+    )
+    expected = set()
+    for i, a in enumerate(names):
+        for j, b in enumerate(names):
+            if a[:blk] == b[:blk] and _lev(a, b) <= k:
+                expected.add((i, j, _lev(a, b)))
+    got = {
+        (r.lid, r.rid, r.edit_distance)
+        for r in fuzzy_join(
+            left, right, "lname", "rname", max_distance=k, block_len=blk
+        ).collect()
+    }
+    assert got == expected
