@@ -185,3 +185,31 @@ class StreamWorker:
 
     def start(self, sink: Callable[[DataFrame, int], None] | None = None):
         return self.query(sink).start()
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join (the reference's feature-view
+    joins applied on the streaming side, cf. ``worker.py:172-204``
+    batch pipeline parity).
+
+    Semantics worth stating (and pinned by
+    ``test_stream_static_enrich_refreshes_dim``): the static side's
+    plan re-executes every micro-batch, but for a file-backed dim the
+    FILE LISTING is captured in the DataFrame's file index when the
+    frame is built — dim files landed later are invisible to a join
+    plan that holds the old frame (``refreshByPath`` does not reach
+    a plan-captured index). For slowly-changing dims, enrich inside
+    ``foreachBatch`` with a freshly-built dim frame
+    (``spark.read.parquet(dim_path)`` per batch — one cheap listing
+    per micro-batch). The dim is broadcast by default: a
+    stream-static join cannot shuffle the unbounded side, and at
+    cluster scale the alternative repartitions every micro-batch.
+    """
+    d = F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(d, on=on, how=how)

@@ -803,3 +803,86 @@ def test_stream_heavy_hitters_bounded_state(spark, tmp_path):
         assert truth[hot] - err <= lo <= truth[hot]
     k2 = {r.value for r in last if r.k == 2}
     assert "only-hot" in k2 and len(k2) <= m
+
+
+def test_stream_static_enrich_refreshes_dim(spark, tmp_path):
+    """Stream-static enrichment: a parquet dim's FILE LISTING is
+    captured in the frame's file index — files landed later are
+    invisible to a join plan holding the old frame. Pins both
+    halves: stale with the captured plan, fresh when the dim frame
+    is rebuilt per batch inside foreachBatch (the documented
+    slowly-changing-dim pattern)."""
+    from aligned_spark.streaming import FileStreamSource
+    from aligned_spark.streaming.worker import enrich_stream
+
+    inbox = str(tmp_path / "inbox")
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, v double"
+
+    def drop_events(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    def drop_dim(rows):
+        spark.createDataFrame(
+            rows, "user_id long, segment string"
+        ).coalesce(1).write.mode("append").parquet(dim_dir)
+
+    drop_events([(1, 1.0), (2, 2.0)])
+    drop_dim([(1, "gold")])
+
+    stream = FileStreamSource(path=inbox, schema_ddl=schema).read_stream(
+        spark
+    )
+    dim = spark.read.parquet(dim_dir)
+    enriched = enrich_stream(stream, dim, on="user_id")
+
+    got: list = []
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r1 = {r.user_id: r.segment for r in got}
+    assert r1 == {1: "gold", 2: None}
+
+    # user 2's dim row lands AFTER the first run. WITHOUT a refresh
+    # the cached file index keeps it invisible…
+    drop_dim([(2, "silver")])
+    drop_events([(1, 3.0), (2, 4.0)])
+    got2: list = []
+    q2 = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: got2.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    r2 = {r.user_id: r.segment for r in got2}
+    assert r2 == {1: "gold", 2: None}  # stale listing — documented
+
+    # …while per-batch enrichment (freshly built dim inside
+    # foreachBatch) sees every landed file
+    drop_events([(1, 5.0), (2, 6.0)])
+    got3: list = []
+
+    def _enrich_in_batch(df, _id):
+        fresh_dim = spark.read.parquet(dim_dir)
+        got3.extend(enrich_stream(df, fresh_dim, on="user_id").collect())
+
+    q3 = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_enrich_in_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    r3 = {r.user_id: r.segment for r in got3}
+    assert r3 == {1: "gold", 2: "silver"}
