@@ -3388,6 +3388,78 @@ def _splits_stratified(spark, sf_dir):
     return test
 
 
+@q(
+    "events_funnel",
+    """WITH s0 AS (
+         SELECT user_id, ts, event_type,
+                min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS step0_ts
+         FROM events),
+       s1 AS (
+         SELECT *, min(CASE WHEN event_type = 'click'
+                        AND ts >= step0_ts
+                        AND epoch_us(ts) <= epoch_us(step0_ts)
+                            + 86400000000
+                        THEN ts END)
+                  OVER (PARTITION BY user_id) AS step1_ts
+         FROM s0),
+       s2 AS (
+         SELECT *, min(CASE WHEN event_type = 'purchase'
+                        AND ts >= step1_ts
+                        AND epoch_us(ts) <= epoch_us(step0_ts)
+                            + 86400000000
+                        THEN ts END)
+                  OVER (PARTITION BY user_id) AS step2_ts
+         FROM s1)
+       SELECT user_id, min(step0_ts) AS step0_ts,
+              min(step1_ts) AS step1_ts, min(step2_ts) AS step2_ts,
+              min(CASE WHEN step2_ts IS NOT NULL THEN 3
+                       WHEN step1_ts IS NOT NULL THEN 2
+                       WHEN step0_ts IS NOT NULL THEN 1
+                       ELSE 0 END) AS stage
+       FROM s2 GROUP BY user_id""",
+)
+def _events_funnel(spark, sf_dir):
+    """First-touch funnel view -> click -> purchase with a 24h
+    conversion window measured from funnel entry
+    (`operators/sessions.py:funnel`): k cascaded MIN windows over
+    ONE user partitioning — a single Exchange, no join cascade. The
+    oracle replays the greedy rule window-for-window."""
+    from aligned_spark.operators.sessions import funnel
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel(
+        e, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_seconds=86400,
+    )
+
+
+@q(
+    "events_cohort_retention",
+    """WITH a AS (
+         SELECT user_id,
+                epoch_us(ts) // 604800000000 AS active_p,
+                min(epoch_us(ts)) OVER (PARTITION BY user_id)
+                  AS first_eus
+         FROM events)
+       SELECT CAST(first_eus // 604800000000 AS BIGINT) AS cohort_period,
+              CAST(active_p - (first_eus // 604800000000) AS BIGINT)
+                AS period_offset,
+              count(DISTINCT user_id) AS n_users
+       FROM a GROUP BY 1, 2""",
+)
+def _events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle
+    (`operators/sessions.py:cohort_retention`): cohort by
+    first-activity week (exact integer epoch division), distinct
+    active users per (cohort, offset). One window + one aggregate —
+    two Exchanges."""
+    from aligned_spark.operators.sessions import cohort_retention
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(e, "user_id", "ts", period_seconds=7 * 24 * 3600)
+
+
 def _zorder_oracle(bits: int = 16) -> str:
     """Same min-max scaling (bounds via subquery — identical exact
     values to the Spark side's collected scalars), same IEEE op

@@ -1161,3 +1161,72 @@ def test_cluster_by_zorder_locality(spark, tmp_path):
     # single-column sort would leave every file spanning the full
     # other dimension (area == full). Allow generous slack.
     assert sum(areas) / len(areas) <= full_area / 2
+
+
+def test_funnel_first_touch_semantics(spark):
+    import datetime as dt
+
+    from aligned_spark.operators.sessions import funnel
+
+    B = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return B + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: full funnel in order
+        (1, t(0), "view"), (1, t(10), "click"), (1, t(20), "buy"),
+        # user 2: buy BEFORE click -> greedy stops at stage 2
+        (2, t(0), "view"), (2, t(5), "buy"), (2, t(10), "click"),
+        # user 3: click before any view -> only stage 1 (later view,
+        # no click after it)
+        (3, t(0), "click"), (3, t(10), "view"),
+        # user 4: conversion window: click lands after the 30s window
+        (4, t(0), "view"), (4, t(60), "click"),
+        # user 5: never enters
+        (5, t(0), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, ev string")
+    out = {
+        r.u: (r.stage, r.step0_ts, r.step1_ts, r.step2_ts)
+        for r in funnel(
+            df, "u", "ts", "ev", ["view", "click", "buy"],
+            within_seconds=30,
+        ).collect()
+    }
+    assert out[1][0] == 3 and out[1][3] == t(20)
+    assert out[2][0] == 2  # buy@5 precedes click@10 -> no stage 3 (greedy)
+    assert out[3][0] == 1
+    assert out[4][0] == 1  # click outside the 30s entry window
+    assert out[5][0] == 0
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    from aligned_spark.operators.sessions import cohort_retention
+
+    B = dt.datetime(2024, 1, 1)
+    day = 24 * 3600
+
+    def t(d):
+        return B + dt.timedelta(days=d)
+
+    rows = [
+        (1, t(0)), (1, t(7)), (1, t(15)),   # cohort w0: w0, w1, w2
+        (2, t(1)), (2, t(8)),               # cohort w0: w0, w1
+        (3, t(7)), (3, t(21)),              # cohort w1: w0, w2
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {
+        (r.cohort_period, r.period_offset): r.n_users
+        for r in cohort_retention(df, "u", "ts", 7 * day).collect()
+    }
+    # normalize cohort ids to offsets from the smallest
+    base = min(c for c, _ in out)
+    norm = {(c - base, o): n for (c, o), n in out.items()}
+    assert norm[(0, 0)] == 2
+    assert norm[(0, 1)] == 2
+    assert norm[(0, 2)] == 1
+    assert norm[(1, 0)] == 1
+    assert norm[(1, 2)] == 1
