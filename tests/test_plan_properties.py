@@ -314,3 +314,27 @@ def test_global_row_ids_no_global_window(spark):
     plan = plan_text(out)
     assert "Window" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_tpch_correlated_subqueries_decorrelate(spark):
+    """The TPC-H queries with correlated subqueries must plan as
+    joins, never as per-row subquery execution or nested loops:
+    Q2's correlated scalar MIN and Q17's correlated AVG decorrelate
+    into aggregate+join; Q21's EXISTS/NOT EXISTS pair becomes
+    LeftSemi + LeftAnti hash joins."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q2 = plan_text(entry.queries()["tpch_q2"](spark, sf))
+    assert "CartesianProduct" not in q2
+    assert "BroadcastNestedLoopJoin" not in q2
+    assert "BroadcastHashJoin" in q2
+
+    q17 = plan_text(entry.queries()["tpch_q17"](spark, sf))
+    assert "CartesianProduct" not in q17
+    assert "Aggregate" in q17 or "HashAggregate" in q17
+
+    q21 = plan_text(entry.queries()["tpch_q21"](spark, sf))
+    assert "LeftSemi" in q21
+    assert "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
