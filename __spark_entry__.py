@@ -28,7 +28,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -3386,6 +3386,75 @@ def _splits_stratified(spark, sf_dir):
         e, 0.25, target="event_type", event_timestamp="ts"
     )
     return test
+
+
+@q(
+    "join_scd2",
+    """WITH dedup AS (
+         SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+         FROM orders GROUP BY 1, 2),
+       dim AS (
+         SELECT d.o_custkey, d.o_orderdate AS valid_from,
+                lead(d.o_orderdate) OVER (
+                  PARTITION BY d.o_custkey ORDER BY d.o_orderdate
+                ) AS valid_to,
+                o.o_orderpriority, o.o_totalprice
+         FROM dedup d JOIN orders o ON o.o_orderkey = d.ok),
+       facts AS (
+         SELECT o_orderkey AS fact_id, o_custkey,
+                o_orderdate + INTERVAL 15 DAY AS fts
+         FROM orders)
+       SELECT f.fact_id, f.o_custkey, f.fts,
+              d.o_orderpriority, d.o_totalprice
+       FROM facts f LEFT JOIN dim d
+         ON f.o_custkey = d.o_custkey
+        AND d.valid_from <= f.fts
+        AND (d.valid_to IS NULL OR d.valid_to > f.fts)""",
+)
+def _join_scd2(spark, sf_dir):
+    """SCD2 temporal dimension join
+    (`operators/joins.py:scd2_join`): customer "state" versions are
+    built from order history (valid_from = order date, valid_to =
+    next order date, open current version), and each fact — the same
+    orders probed 15 days later — picks up the version valid at its
+    timestamp. The engine answers with the one-shuffle sorted-merge
+    as-of + a codegen validity check; the oracle states the raw
+    interval-containment LEFT JOIN."""
+    from aligned_spark.operators.joins import scd2_join
+
+    o = _t(spark, sf_dir, "orders")
+    dedup = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("__ok")
+    )
+    dim = (
+        dedup.join(
+            o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+            dedup["__ok"] == F.col("o_orderkey"),
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                W.partitionBy("o_custkey").orderBy("valid_from")
+            ),
+        )
+    )
+    facts = o.select(
+        F.col("o_orderkey").alias("fact_id"),
+        "o_custkey",
+        F.expr("o_orderdate + INTERVAL 15 DAY").alias("fts"),
+    )
+    out = scd2_join(
+        facts, dim, ["o_custkey"], "fts", "valid_from", "valid_to"
+    )
+    return out.select(
+        "fact_id", "o_custkey", "fts", "o_orderpriority", "o_totalprice"
+    )
 
 
 @q(

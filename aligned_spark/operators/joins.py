@@ -716,3 +716,55 @@ def fuzzy_join(
     )
     joined = lb.join(rb, on="__blk").filter(len_ok).filter(lv >= 0)
     return joined.withColumn("edit_distance", lv.cast("int")).drop("__blk")
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    by: list[str],
+    fact_ts: str,
+    valid_from: str,
+    valid_to: str,
+    suffix: str = "",
+) -> DataFrame:
+    """Temporal dimension join (slowly-changing-dimension type 2):
+    each fact row picks up the dimension VERSION whose
+    ``[valid_from, valid_to)`` interval contains the fact's
+    timestamp; facts before the first version (or landing in a
+    validity gap) keep NULL dim columns.
+
+    Formulation: the backward as-of join on ``valid_from`` (one
+    union + one entity-keyed shuffle + one sort — never the
+    nested-loop BETWEEN join Spark plans for the raw interval
+    predicate), then a codegen validity check nulls out versions
+    that expired before the fact (``valid_to <= fact_ts``). When
+    intervals tile time with no gaps — the usual SCD2 invariant —
+    the check never fires; stating it keeps gap semantics exact.
+
+    An open current version is a NULL ``valid_to`` (treated as
+    +infinity)."""
+    payload = [
+        c
+        for c in dim.columns
+        if c not in set(by) | {valid_from, valid_to}
+    ]
+    joined = asof_join(
+        facts,
+        dim,
+        on=fact_ts,
+        by=by,
+        right_on=valid_from,
+        suffix=suffix,
+        direction="backward",
+    )
+    vt = valid_to if valid_to not in facts.columns else valid_to + (
+        suffix or "_right"
+    )
+    alive = F.col(vt).isNull() | (F.col(vt) > F.col(fact_ts))
+    out = joined
+    for c in payload:
+        name = c + (suffix or "_right") if c in facts.columns else c
+        out = out.withColumn(
+            name, F.when(alive, F.col(name)).otherwise(F.lit(None))
+        )
+    return out.drop(vt)

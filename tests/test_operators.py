@@ -1230,3 +1230,43 @@ def test_cohort_retention_triangle(spark):
     assert norm[(0, 2)] == 1
     assert norm[(1, 0)] == 1
     assert norm[(1, 2)] == 1
+
+
+def test_scd2_join_gaps_and_open_version(spark):
+    import datetime as dt
+
+    from aligned_spark.operators.joins import scd2_join
+
+    B = dt.datetime(2024, 1, 1)
+
+    def t(d):
+        return B + dt.timedelta(days=d)
+
+    # key 1: v1 [0,10), GAP [10,20), v2 [20, open)
+    dim = spark.createDataFrame(
+        [
+            (1, t(0), t(10), "v1"),
+            (1, t(20), None, "v2"),
+        ],
+        "k long, valid_from timestamp, valid_to timestamp, tag string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(5)),    # inside v1
+            (101, 1, t(15)),   # in the gap -> NULL (expired version)
+            (102, 1, t(20)),   # exactly at v2 start -> v2
+            (103, 1, t(999)),  # open current version -> v2
+            (104, 1, t(-1)),   # before first version -> NULL
+            (105, 2, t(5)),    # unknown key -> NULL
+        ],
+        "fid long, k long, fts timestamp",
+    )
+    out = {
+        r.fid: r.tag
+        for r in scd2_join(
+            facts, dim, ["k"], "fts", "valid_from", "valid_to"
+        ).collect()
+    }
+    assert out == {
+        100: "v1", 101: None, 102: "v2", 103: "v2", 104: None, 105: None
+    }
