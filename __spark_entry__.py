@@ -3389,6 +3389,49 @@ def _splits_stratified(spark, sf_dir):
 
 
 @q(
+    "snapshot_diff_orders",
+    """WITH old AS (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey % 10 <> 0),
+       new AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN o_totalprice * 1.1 ELSE o_totalprice END
+                  AS o_totalprice
+         FROM orders WHERE o_orderkey % 7 <> 0)
+       SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN o.o_totalprice = n.o_totalprice
+                     THEN 'unchanged'
+                   ELSE 'changed' END AS change_type
+       FROM old o FULL OUTER JOIN new n
+         ON o.o_orderkey = n.o_orderkey""",
+)
+def _snapshot_diff_orders(spark, sf_dir):
+    """CDC between two snapshots (`operators/core.py:snapshot_diff`):
+    simulated deletions (keys dropped from new), inserts (keys
+    missing from old) and updates (+10% price on every third key) —
+    tagged in one full-outer equi join. Oracle states the same
+    comparison directly."""
+    from aligned_spark.operators.core import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@q(
     "join_scd2",
     """WITH dedup AS (
          SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok

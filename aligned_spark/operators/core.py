@@ -492,3 +492,43 @@ def global_row_ids(
             yield pdf
 
     return parted.mapInPandas(_assign, out_schema)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two table snapshots: one row per
+    key present in either side, tagged ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` (null-safe column comparison).
+
+    The reconciliation primitive behind incremental re-materialization
+    audits and upsert verification. Shape: ONE full-outer equi join —
+    both sides hash-partition on the keys; comparisons are codegen.
+    Output: key columns + ``change_type``."""
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    o = old.select(
+        *keys,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, change.alias("change_type"))

@@ -1270,3 +1270,19 @@ def test_scd2_join_gaps_and_open_version(spark):
     assert out == {
         100: "v1", 101: None, 102: "v2", 103: "v2", 104: None, 105: None
     }
+
+
+def test_snapshot_diff_change_types(spark):
+    from aligned_spark.operators.core import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "B", 2.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # key 1: identical incl. null-safe compare of the null column
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
