@@ -92,6 +92,9 @@ HEADLINE = [
     "events_global_row_ids",
     "corpus_strip_markup",
     "multimodal_frame_sample",
+    "join_scd2",
+    "snapshot_diff_orders",
+    "events_funnel",
 ]
 
 
