@@ -172,8 +172,10 @@ def sample_frames(
             out: dict[str, list] = {c: [] for c in id_cols}
             out["frame_idx"] = []
             out["frame"] = []
-            for _, row in pdf.iterrows():
-                data = row[blob_col]
+            # column-list iteration, not iterrows (which constructs a
+            # Series per row — the pandas row-at-a-time trap)
+            id_lists = {c: pdf[c].tolist() for c in id_cols}
+            for ridx, data in enumerate(pdf[blob_col].tolist()):
                 if data is None:
                     continue
                 data = bytes(data)
@@ -181,7 +183,7 @@ def sample_frames(
                 idxs = list(range(0, n_frames, every_n))[:max_frames]
                 for i in idxs:
                     for c in id_cols:
-                        out[c].append(row[c])
+                        out[c].append(id_lists[c][ridx])
                     out["frame_idx"].append(i)
                     out["frame"].append(extract(data, i))
             yield pd.DataFrame(out, columns=list(out))
