@@ -5415,6 +5415,214 @@ def _agg_cube(spark, sf_dir):
     ).select("event_type", "user_bucket", "n", "total")
 
 
+@q(
+    "corpus_chunk_overlap",
+    """WITH ch AS (
+         SELECT doc_id, text,
+                unnest(range(0, CAST(floor((len(text) - 1) / 150.0)
+                                     AS BIGINT) + 1)) AS chunk_idx
+         FROM documents WHERE len(text) > 0
+       )
+       SELECT doc_id, chunk_idx,
+              chunk_idx * 150 + 1 AS chunk_start,
+              substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk
+       FROM ch""",
+)
+def _corpus_chunk_overlap(spark, sf_dir):
+    """RAG/embedding-prep chunking: 200-char chunks with 50-char
+    overlap (stride 150) — a pure codegen posexplode(sequence)+substr
+    flatMap, no shuffle, output row size bounded by the chunk size
+    regardless of document length
+    (`operators/sampling.py:chunk_documents`)."""
+    from aligned_spark.operators.sampling import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, "doc_id", "text", chunk_size=200, overlap=50)
+
+
+@q(
+    "events_lag_features",
+    """SELECT event_id, user_id, ts, value,
+              epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+              value - lag(value) OVER w AS value_delta
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def _events_lag_features(spark, sf_dir):
+    """Sequence feature engineering: time-since-previous-event (exact
+    int64 micros) and value delta per user — ONE shuffle + sort feeds
+    both lags (Spark fuses same-spec window functions into a single
+    WindowExec); deterministic under tied timestamps via the event_id
+    tiebreak (`operators/core.py:lag_features`)."""
+    from aligned_spark.operators.core import lag_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = lag_features(
+        ev, ["user_id"], "ts", ["value"], tie_cols=["event_id"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "gap_us", "value_delta"
+    )
+
+
+def _poly_fuzzy_decontaminate_oracle(
+    num_hashes: int = 32, bands: int = 8, width: int = 3, split: int = 450
+) -> str:
+    """Docs >= ``split`` act as the benchmark set; the oracle replays
+    the full MinHash banding (same folds/permutation literals as the
+    dedup_minhash oracle) and the any-band-collision rule in SQL."""
+    from aligned_spark.functions import text_poly as tp
+
+    rpb = num_hashes // bands
+    return f"""
+    {_poly_doc_cte(width)},
+    sig AS MATERIALIZED (SELECT doc_id,
+                {tp.sql_minhash_sig('sh', num_hashes)} AS sig
+            FROM sh WHERE len(sh) > 0),
+    bnd AS MATERIALIZED (
+      SELECT doc_id, band_id,
+             {tp.sql_band_hash('sig', 'band_id', rpb)} AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band_id)
+    ),
+    bench AS (SELECT DISTINCT band_id, band_hash FROM bnd
+              WHERE doc_id >= {split}),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT * FROM bnd WHERE doc_id < {split}) c
+      JOIN bench USING (band_id, band_hash)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id < {split} AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
+@q("text_decontaminate_fuzzy", _poly_fuzzy_decontaminate_oracle())
+def _text_decontaminate_fuzzy(spark, sf_dir):
+    """NEAR-duplicate decontamination: corpus docs whose MinHash
+    signature collides with any benchmark doc in >=1 LSH band are
+    dropped — catches the paraphrased benchmark leakage the exact
+    8-gram rule (`text_decontaminate`) misses. Benchmark band set
+    broadcasts; the corpus side never shuffles more than
+    (id, band, hash) rows (`operators/dedup.py:fuzzy_decontaminate`;
+    production kernel: `impl="arrow"`)."""
+    from aligned_spark.operators.dedup import fuzzy_decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 450)
+    bench = d.filter(F.col("doc_id") >= 450)
+    clean = fuzzy_decontaminate(
+        corpus, bench, "doc_id", "text", "text",
+        num_hashes=32, bands=8, shingle_width=3, impl="poly",
+    )
+    return clean.select("doc_id")
+
+
+@q(
+    "corpus_outliers_mad",
+    """WITH med AS (
+         SELECT source,
+                CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.5)
+                     AS DOUBLE) AS m
+         FROM documents GROUP BY source
+       ),
+       mad AS (
+         SELECT d.source,
+                CAST(quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.m),
+                                   0.5) AS DOUBLE) AS mad
+         FROM documents d JOIN med m USING (source) GROUP BY d.source
+       )
+       SELECT d.doc_id, d.source, d.n_chars,
+              CASE WHEN a.mad <= 0.0 THEN FALSE
+                   ELSE abs(CAST(d.n_chars AS DOUBLE) - m.m)
+                        > 3.0 * 1.4826 * a.mad
+              END AS is_outlier
+       FROM documents d JOIN med m USING (source) JOIN mad a USING (source)""",
+)
+def _corpus_outliers_mad(spark, sf_dir):
+    """Robust outlier flagging: |v − median| > 3·1.4826·MAD per source
+    — the 50%-breakdown alternative to z-scores for corpus QC. Two
+    exact-percentile aggregations to one row per group, broadcast
+    back, flag codegen-side (`operators/quality.py:mad_outliers`).
+    Same interpolated-percentile contract both engines (cf.
+    corpus_winsorize_cdf)."""
+    from aligned_spark.operators.quality import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return mad_outliers(docs, ["source"], "n_chars", k=3.0)
+
+
+@q(
+    "text_token_entropy",
+    f"""WITH base AS (
+         SELECT doc_id,
+                list_filter(
+                  string_split_regex(lower(coalesce(text, '')),
+                                     '[^a-zA-ZÀ-ÿ]+'),
+                  x -> length(x) > 0
+                ) AS words
+         FROM documents
+       ),
+       w AS (SELECT doc_id, unnest(words) AS w FROM base),
+       c AS (
+         SELECT doc_id, w,
+                {_O_R6.format(c='CAST(count(*) AS DOUBLE)'
+                              ' * log2(CAST(count(*) AS DOUBLE))')} AS t,
+                count(*) AS c
+         FROM w GROUP BY doc_id, w
+       ),
+       a AS (
+         SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+                CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS s
+         FROM c GROUP BY doc_id
+       )
+       SELECT doc_id,
+              greatest(0.0, {_O_R6.format(c='log2(n) - s / n')})
+                AS token_entropy
+       FROM a""",
+)
+def _text_token_entropy(spark, sf_dir):
+    """Word-unigram Shannon entropy per document (bits) — the
+    gibberish/boilerplate signal next to the Gopher repetition rules.
+    Computed as log2(n) − Σc·log2(c)/n (two chained aggregations, no
+    totals join); terms are epsilon-rounded FIRST, then decimal-summed,
+    so the result is order-independent and bit-identical to the SQL
+    replay (`operators/quality.py:token_entropy`)."""
+    from aligned_spark.operators.quality import token_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return token_entropy(d, ["doc_id"], "text")
+
+
+@q(
+    "corpus_ntile_bins",
+    """SELECT doc_id, lang, n_chars,
+              CAST(ntile(10) OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS BIGINT)
+                AS bin
+       FROM documents""",
+)
+def _corpus_ntile_bins(spark, sf_dir):
+    """Per-language decile binning of document length — equal-count
+    discretization (ntile) with a deterministic doc_id tiebreak; the
+    stratification-bucket primitive for sampling and feature binning
+    (`operators/quality.py:quantile_bins`)."""
+    from aligned_spark.operators.quality import quantile_bins
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = quantile_bins(
+        docs, ["lang"], "n_chars", 10, tie_cols=["doc_id"]
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("bin").cast("long").alias("bin")
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

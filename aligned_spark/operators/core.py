@@ -416,6 +416,41 @@ def resample(
     )
 
 
+def lag_features(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value_cols: list[str],
+    tie_cols: list[str] | None = None,
+    gap_col: str = "gap_us",
+) -> DataFrame:
+    """Per-key previous-event deltas — the classic sequence
+    feature-engineering primitive (time-since-last-event, value change
+    since last observation) that turns an event log into model inputs.
+
+    Adds ``{gap_col}`` (microseconds since the key's previous event,
+    NULL for each key's first row) and ``{v}_delta`` per value column
+    (current − previous, NULL for the first row). Ordering is
+    ``(ts, *tie_cols)`` — pass a unique tiebreaker so results are
+    deterministic under equal timestamps.
+
+    Scale shape: ONE shuffle on ``keys`` + one sort feeds every lag
+    (Spark fuses same-spec window functions into a single WindowExec);
+    no state beyond one preceding row per function. Gap math is exact
+    int64 micros (no float timestamps)."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (tie_cols or [])]
+    w = W.partitionBy(*keys).orderBy(*order)
+    us = F.unix_micros(F.col(ts))
+    out = df.withColumn(gap_col, us - F.lag(us).over(w))
+    for v in value_cols:
+        out = out.withColumn(
+            f"{v}_delta", F.col(v) - F.lag(F.col(v)).over(w)
+        )
+    return out
+
+
 def global_row_ids(
     df: DataFrame,
     order_cols: list[str],

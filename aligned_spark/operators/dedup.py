@@ -744,6 +744,53 @@ def decontaminate(
     return corpus.join(hit_ids, on=id_col, how=how)
 
 
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    corpus_text: str,
+    benchmark_text: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_width: int = 3,
+    impl: str = "arrow",
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: drop corpus docs whose MinHash
+    signature collides with ANY benchmark doc in at least one LSH band
+    — the fuzzy complement of :func:`decontaminate` (exact n-gram
+    overlap misses lightly-paraphrased benchmark leakage; banded
+    MinHash catches documents above ~the band Jaccard threshold
+    without comparing every corpus×benchmark pair).
+
+    Spark shape: band both sides with the SAME seeded signature
+    pipeline as :func:`minhash_near_dup_pairs`, broadcast the
+    benchmark band set (eval suites are MBs against TBs), semi-join
+    corpus bands on ``(band_id, band_hash)``, distinct the hit ids,
+    anti-join the corpus. The corpus side never shuffles more than
+    (id, band, hash) rows and the only wide exchange is the
+    id-distinct over the (small) hit set — the same 100 TB contour as
+    the exact path. ``keep_contaminated=True`` returns flagged docs
+    for audit."""
+    bench_bands = _band_rows(
+        benchmark, id_col, benchmark_text, num_hashes, bands,
+        shingle_width, impl,
+    ).select("band_id", "band_hash").distinct()
+    corpus_bands = _band_rows(
+        corpus, id_col, corpus_text, num_hashes, bands, shingle_width, impl
+    )
+    hit_ids = (
+        corpus_bands.join(
+            F.broadcast(bench_bands), on=["band_id", "band_hash"],
+            how="left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    how = "left_semi" if keep_contaminated else "left_anti"
+    return corpus.join(hit_ids, on=id_col, how=how)
+
+
 def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     """Exact character-n-gram Jaccard similarity of two text columns."""
     from aligned_spark.functions.text import char_ngrams

@@ -222,6 +222,112 @@ def winsorize(
     ).drop("__lo", "__hi")
 
 
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: float = 3.0,
+    scale: float = 1.4826,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation:
+    ``|v − median| > k · scale · MAD`` (scale 1.4826 makes MAD a
+    consistent σ estimator under normality). The mean/stddev z-score
+    (:func:`normalize_scores`) is itself dragged by the outliers it is
+    supposed to find; MAD has a 50% breakdown point, which is why
+    corpus QC (doc-length, score distributions) thresholds on it.
+
+    Shape: two exact-``percentile`` aggregations to one row per group
+    (median, then MAD of the broadcast-joined deviations), broadcast
+    back, flag codegen-side. Same scale contract as :func:`winsorize`:
+    exact percentile buffers each group's values — grouping keys are
+    low-cardinality categories. Degenerate groups (MAD = 0) and NULL
+    values flag nothing."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*keys).agg(
+        F.percentile(v, F.lit(0.5)).alias("__med")
+    )
+    j = df.join(F.broadcast(med), keys)
+    dev = F.abs(v - F.col("__med"))
+    mad = (
+        j.select(*keys, dev.alias("__dev"))
+        .groupBy(*keys)
+        .agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad"))
+    )
+    out = j.join(F.broadcast(mad), keys)
+    flag = F.when(
+        v.isNull() | (F.col("__mad") <= 0.0), F.lit(False)
+    ).otherwise(dev > F.lit(float(k)) * F.lit(float(scale)) * F.col("__mad"))
+    return out.withColumn(flag_col, flag).drop("__med", "__mad")
+
+
+def token_entropy(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    out_col: str = "token_entropy",
+) -> DataFrame:
+    """Per-document Shannon entropy of the word-unigram distribution
+    (bits): ``−Σ p·log2(p)`` over token frequencies — the classic
+    gibberish/boilerplate signal (repetitive spam scores near 0,
+    natural prose 6–9 bits; used alongside the Gopher repetition
+    rules). Documents with no tokens are excluded (no signal ≠ 0).
+
+    Computed as ``log2(n) − (Σ c·log2(c)) / n`` — algebraically equal
+    to the definition but needing only TWO chained aggregations keyed
+    (doc, token) then (doc), with no totals join and no second pass
+    over the tokenize branch. Determinism: float summation order is
+    partition-dependent, so each ``c·log2(c)`` term is
+    epsilon-floor-rounded to 6 decimals FIRST and the rounded terms
+    are summed in DECIMAL (exact, order-independent); the SQL oracle
+    replays the identical formula. No windows, no UDFs; aggregation
+    state is bounded by each doc's vocabulary."""
+    words = _words(F.col(text_col))
+    ex = df.select(*id_cols, F.explode(words).alias("__w"))
+    cnt = ex.groupBy(*id_cols, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    c = F.col("__c").cast("double")
+    term = c * F.log2(c)
+    term_r6 = (
+        F.floor(term * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+    agg = cnt.groupBy(*id_cols).agg(
+        F.sum("__c").alias("__n"),
+        F.sum(term_r6.cast("decimal(18,6)")).cast("double").alias("__s"),
+    )
+    n = F.col("__n").cast("double")
+    ent = F.log2(n) - F.col("__s") / n
+    ent_r6 = (
+        F.floor(ent * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+    return agg.select(
+        *id_cols, F.greatest(F.lit(0.0), ent_r6).alias(out_col)
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_bins: int,
+    tie_cols: list[str] | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Per-group equal-count discretization: ``ntile(n_bins)`` over the
+    value order — the feature-engineering binning primitive (decile
+    features, stratification buckets for sampling/negatives). Pass
+    ``tie_cols`` (a unique key) so equal values bin deterministically;
+    SQL ntile semantics (earlier buckets absorb the remainder) match
+    every engine. Parallelism = #groups — key on low-cardinality
+    categories, same contract as :func:`cdf_normalize`."""
+    order = [F.col(value_col).asc()] + [
+        F.col(c).asc() for c in (tie_cols or [])
+    ]
+    w = W.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
 def cdf_normalize(
     df: DataFrame,
     keys: list[str],

@@ -79,6 +79,64 @@ def pack_documents(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int,
+    overlap: int = 0,
+    chunk_col: str = "chunk",
+    idx_col: str = "chunk_idx",
+    start_col: str = "chunk_start",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with
+    ``overlap`` characters shared between consecutive chunks — the
+    RAG/embedding-prep primitive (context windows are bounded; retrieval
+    wants sub-document granularity with overlap so no span straddles a
+    boundary unseen).
+
+    Chunk ``k`` covers ``[k·step, k·step + chunk_size)`` with
+    ``step = chunk_size − overlap``; the last chunk may be shorter;
+    empty documents produce no chunks. ``{start_col}`` is the 1-based
+    character offset (SQL ``substr`` convention).
+
+    Scale shape: a pure codegen ``posexplode(sequence(...))`` +
+    ``substr`` — a flatMap over the scan, no shuffle, no UDF; output
+    row size is bounded by ``chunk_size`` regardless of document
+    length, so downstream partitions stay balanced even when the
+    corpus has multi-MB outlier documents."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap}"
+        )
+    step = chunk_size - overlap
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.length(text) - F.lit(1), F.lit(step)
+    )
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    return (
+        df.filter(F.length(text) > 0)
+        .select(
+            id_col,
+            *others,
+            F.posexplode(starts).alias(idx_col, "__start"),
+            text.alias("__text"),
+        )
+        .select(
+            id_col,
+            *others,
+            F.col(idx_col).cast("long").alias(idx_col),
+            (F.col("__start") + F.lit(1)).cast("long").alias(start_col),
+            F.col("__text")
+            .substr(F.col("__start") + F.lit(1), F.lit(chunk_size))
+            .alias(chunk_col),
+        )
+    )
+
+
 def filter_by_quantile(
     df: DataFrame,
     keys: list[str],

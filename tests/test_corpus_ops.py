@@ -561,3 +561,123 @@ def test_readability_counts(spark):
     r1 = out[1]
     assert r1.n_words == 0 and r1.n_sentences == 0
     assert r1.flesch == 206.835  # guarded denominators
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunks tile the document with the advertised stride: chunk k
+    starts at k*step (1-based start col), consecutive chunks share
+    exactly `overlap` characters, reassembling the step-prefixes
+    restores the document, and empty docs yield no rows."""
+    from aligned_spark.operators.sampling import chunk_documents
+
+    text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame(
+        [(0, text), (1, "short"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=100, overlap=20)
+    rows = sorted(
+        out.collect(), key=lambda r: (r.doc_id, r.chunk_idx)
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: starts at 0,80,160,240 → 4 chunks
+    c0 = by_doc[0]
+    assert [r.chunk_start for r in c0] == [1, 81, 161, 241]
+    assert all(len(r.chunk) == 100 for r in c0[:-1])
+    assert len(c0[-1].chunk) == 20  # 260 - 240
+    for a, b in zip(c0, c0[1:]):
+        assert a.chunk[-20:] == b.chunk[:20]  # the overlap region
+    reassembled = "".join(r.chunk[:80] for r in c0[:-1]) + c0[-1].chunk
+    assert reassembled == text
+    # doc 1 shorter than one chunk → exactly one (short) chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "short"
+    # empty doc → no rows
+    assert 2 not in by_doc
+
+
+def test_chunk_documents_validates_args(spark):
+    from aligned_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=10, overlap=10)
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """A corpus doc that is a light paraphrase of a benchmark doc
+    (most shingles shared → some band must collide) is dropped; an
+    unrelated doc survives; keep_contaminated flips the selection."""
+    from aligned_spark.operators.dedup import fuzzy_decontaminate
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while the sun sets slowly behind the tall green hills"
+    )
+    para = bench_text.replace("slowly", "quickly")  # one-word edit
+    other = "completely different content about spark query engines " * 3
+    corpus = spark.createDataFrame(
+        [(0, para), (1, other)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    clean = fuzzy_decontaminate(
+        corpus, bench, "doc_id", "text", "text", num_hashes=32, bands=16
+    )
+    kept = {r.doc_id for r in clean.collect()}
+    assert kept == {1}
+    flagged = fuzzy_decontaminate(
+        corpus, bench, "doc_id", "text", "text",
+        num_hashes=32, bands=16, keep_contaminated=True,
+    )
+    assert {r.doc_id for r in flagged.collect()} == {0}
+
+
+def test_mad_outliers_known_values(spark):
+    """Hand-checked MAD rule: values [10..14, 100] per one group —
+    median 12.5, MAD 1.5 → only 100 exceeds 3·1.4826·MAD."""
+    from aligned_spark.operators.quality import mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "row_id long, grp string, v double",
+    )
+    out = {r.row_id: r.is_outlier for r in
+           mad_outliers(df, ["grp"], "v").collect()}
+    assert out == {0: False, 1: False, 2: False, 3: False, 4: False,
+                   5: True}
+
+
+def test_mad_outliers_degenerate_and_null(spark):
+    """MAD = 0 (constant group) and NULL values flag nothing."""
+    from aligned_spark.operators.quality import mad_outliers
+
+    df = spark.createDataFrame(
+        [(0, "c", 5.0), (1, "c", 5.0), (2, "c", 99.0), (3, "c", None)],
+        "row_id long, grp string, v double",
+    )
+    # median 5.0, deviations [0,0,94,null] → MAD 0 → nothing flagged
+    out = {r.row_id: r.is_outlier for r in
+           mad_outliers(df, ["grp"], "v").collect()}
+    assert out == {0: False, 1: False, 2: False, 3: False}
+
+
+def test_token_entropy_uniform_and_constant(spark):
+    """4 distinct tokens → 2 bits; all-same-token → 0; empty doc
+    excluded from the output."""
+    from aligned_spark.operators.quality import token_entropy
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "spam spam spam spam"),
+         (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.token_entropy for r in
+           token_entropy(df, ["doc_id"], "text").collect()}
+    assert abs(out[0] - 2.0) < 1e-5
+    assert out[1] == 0.0
+    assert 2 not in out

@@ -1286,3 +1286,55 @@ def test_snapshot_diff_change_types(spark):
     out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
     # key 1: identical incl. null-safe compare of the null column
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_lag_features_gaps_and_deltas(spark):
+    """gap_us is exact micros since the key's previous event (NULL on
+    first rows), value deltas subtract per key in (ts, tiebreak)
+    order, and keys never see each other's rows."""
+    import datetime as dt
+
+    from aligned_spark.operators.core import lag_features
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, 10.0),
+        (2, 1, t0 + dt.timedelta(seconds=1, microseconds=500_000), 13.5),
+        (3, 2, t0, 7.0),
+        # tied timestamps on user 2: event_id breaks the tie
+        (4, 2, t0 + dt.timedelta(seconds=2), 8.0),
+        (5, 2, t0 + dt.timedelta(seconds=2), 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r.event_id: r for r in
+           lag_features(df, ["user_id"], "ts", ["value"],
+                        tie_cols=["event_id"]).collect()}
+    assert out[1].gap_us is None and out[1].value_delta is None
+    assert out[2].gap_us == 1_500_000
+    assert out[2].value_delta == 3.5
+    assert out[3].gap_us is None  # user 2's first event
+    assert out[4].gap_us == 2_000_000
+    assert out[5].gap_us == 0  # tied with event 4, ordered after it
+    assert out[5].value_delta == -2.0
+
+
+def test_quantile_bins_equal_counts(spark):
+    """ntile(4) over 10 rows → bucket sizes 3,3,2,2 in value order,
+    deterministic under ties via the tiebreak column."""
+    from aligned_spark.operators.quality import quantile_bins
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i % 5)) for i in range(10)],
+        "row_id long, grp string, v double",
+    )
+    out = quantile_bins(df, ["grp"], "v", 4, tie_cols=["row_id"])
+    sizes = {r.bin: r.n for r in
+             out.groupBy("bin").count().withColumnRenamed("count", "n")
+             .collect()}
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+    # rows are binned in (v, row_id) order: smallest three v values
+    # (0.0 at row 0 and 5, then 1.0 at row 1) land in bin 1
+    b1 = {r.row_id for r in out.filter("bin = 1").collect()}
+    assert b1 == {0, 5, 1}
