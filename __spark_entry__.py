@@ -4502,16 +4502,26 @@ def _tpch_store(spark, sf_dir):
     return store
 
 
+# Q1/Q6 sum in SCALED LONGS (floor(x·10^s + 0.5) per row, integer sum,
+# divide once at the end) instead of DECIMAL casts: same exactness and
+# order-independence, but the accumulator stays a primitive long inside
+# whole-stage codegen — a decimal sum's result precision (28) exceeds
+# Spark's compact-long decimal range, so every row pays a BigDecimal
+# box (measured on this box: 1.96 s → 0.54 s for Q1 at sf0.1, values
+# bit-identical in both engines). Capacity: 9.2e18 scaled units — at
+# 1e6 scale and TPC-H magnitudes that is ~sf3000 per group; beyond
+# that, widen the scale down or sum plain doubles.
 _TPCH_Q1 = """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-             AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-             AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e4 AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 1e4 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e4 AS sum_base_price,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_disc_price,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                * (1.0 + l_tax) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+             AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -4519,8 +4529,8 @@ _TPCH_Q1 = """
 """
 
 _TPCH_Q6 = """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
-                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1e4 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -5683,25 +5693,32 @@ _PRIORITY: list[str] = [
     # r2-verified flagships most touched by the round-3/4 churn
     # (as-of/PIT key widening, distinct-agg split, normalize null
     # fix) ---
+    # (dropped from this regression block to make room for the six
+    # new-operator queries below: custom_agg_pandas / dedup_minhash /
+    # dedup_semantic already have green r3 driver rows and were not
+    # touched since; store_sql is redundantly exercised by the 22
+    # TPC-H execute_sql slots above; agg_rolling_window and
+    # agg_group_stats share their churned code paths with the
+    # agg_pit_window / agg_group_basic slots kept here.)
     "store_features_for",
     "join_pit_ttl",
     "agg_pit_window",
-    "agg_rolling_window",
     "join_asof",
     "join_equi_multi",
     "agg_group_basic",
-    "agg_group_stats",
-    "custom_agg_pandas",
-    "store_sql",
     "corpus_normalize_scores",
-    "dedup_minhash",
-    "dedup_semantic",
     # --- new full-oracle operators added later this round ---
     "dedup_substring_spans",
     "join_fuzzy_blocked",
     "splits_stratified",
     "corpus_winsorize_cdf",
     "events_global_row_ids",
+    "corpus_chunk_overlap",
+    "events_lag_features",
+    "text_decontaminate_fuzzy",
+    "corpus_outliers_mad",
+    "text_token_entropy",
+    "corpus_ntile_bins",
 ]
 
 

@@ -95,6 +95,13 @@ HEADLINE = [
     "join_scd2",
     "snapshot_diff_orders",
     "events_funnel",
+    # session additions: RAG chunking, sequence lag features, unigram
+    # entropy, MAD outliers, MinHash cross-corpus decontamination
+    "corpus_chunk_overlap",
+    "events_lag_features",
+    "text_token_entropy",
+    "corpus_outliers_mad",
+    "text_decontaminate_fuzzy",
 ]
 
 
