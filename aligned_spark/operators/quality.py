@@ -293,7 +293,11 @@ def token_entropy(
     )
     agg = cnt.groupBy(*id_cols).agg(
         F.sum("__c").alias("__n"),
-        F.sum(term_r6.cast("decimal(18,6)")).cast("double").alias("__s"),
+        (
+            F.sum(F.floor(term_r6 * F.lit(1e6) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("__s"),
     )
     n = F.col("__n").cast("double")
     ent = F.log2(n) - F.col("__s") / n

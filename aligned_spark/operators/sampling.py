@@ -183,6 +183,51 @@ def weighted_source_sample(
     return df.filter(hash_coordinate(key_cols, seed) < thr)
 
 
+def weighted_reservoir_k(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``min(k, n)``
+    rows per group, each row's inclusion probability proportional to
+    its weight — Efraimidis–Spirakis A-ES: every row draws an
+    exponential race key ``−ln(u)/w`` and the ``k`` smallest win.
+    The deterministic complement of :func:`weighted_source_sample`
+    (which takes a Bernoulli *fraction* per source): "give me 100k
+    docs per domain, long documents proportionally more often".
+
+    ``u`` comes from the stable multiplicative-hash coordinate (same
+    family as :func:`sample_exact_k`), shifted by 2^-31 so u > 0 — so
+    the sample is reproducible across runs, partitionings, and
+    engines; the race key is epsilon-rounded to 6 decimals with a
+    ``key_cols`` tiebreak so cross-engine ln() last-ulp differences
+    cannot reorder the cut (weights are assumed O(1)–O(1e6); rows
+    with NULL or non-positive weight are excluded). Scale contract
+    as :func:`sample_exact_k`'s naive path: rank within each group —
+    group by low-cardinality categories; compose with its pre-filter
+    trick if groups are corpus-sized."""
+    u = hash_coordinate(key_cols, seed) + F.lit(2.0 ** -31)
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    key_r6 = (
+        F.floor(key * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+    win = W.partitionBy(group_col).orderBy(
+        F.col("__key").asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("__key", key_r6)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__key", "__rn")
+    )
+
+
 def sample_exact_k(
     df: DataFrame,
     group_col: str,

@@ -37,8 +37,17 @@ def _r6(col: Column) -> Column:
 
 
 def _dsum6(col: Column) -> Column:
-    """Order-independent exact sum of 6-decimal values → double."""
-    return F.sum(col.cast("decimal(18,6)")).cast("double")
+    """Order-independent exact sum of 6-decimal values → double.
+
+    The inputs are already r6-rounded (exact multiples of 1e-6), so
+    ``floor(x·1e6 + 0.5)`` recovers the exact scaled integer and the
+    sum runs on a primitive long accumulator — a decimal SUM's result
+    precision (28) would box a BigDecimal per row (see PERF.md)."""
+    return (
+        F.sum(F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        .cast("double")
+        / F.lit(1e6)
+    )
 
 
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -681,3 +681,48 @@ def test_token_entropy_uniform_and_constant(spark):
     assert abs(out[0] - 2.0) < 1e-5
     assert out[1] == 0.0
     assert 2 not in out
+
+
+def test_weighted_reservoir_exact_k_and_bias(spark):
+    """Exactly min(k, n) rows per group; across many seeds a row with
+    10x the weight is sampled far more often (A-ES property);
+    identical seed → identical sample."""
+    from aligned_spark.operators.sampling import weighted_reservoir_k
+
+    rows = [(i, "g", 100.0 if i == 0 else 10.0) for i in range(40)]
+    rows += [(100 + i, "tiny", 1.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "row_id long, grp string, w double")
+
+    out = weighted_reservoir_k(df, "grp", ["row_id"], "w", k=5, seed=1)
+    by_grp = {}
+    for r in out.collect():
+        by_grp.setdefault(r.grp, set()).add(r.row_id)
+    assert len(by_grp["g"]) == 5
+    assert by_grp["tiny"] == {100, 101, 102}  # n < k -> all rows
+
+    # determinism: same seed twice -> same set
+    again = {r.row_id for r in
+             weighted_reservoir_k(df, "grp", ["row_id"], "w", k=5,
+                                  seed=1).collect() if r.grp == "g"}
+    assert again == by_grp["g"]
+
+    # bias: row 0 (10x weight) wins across most seeds
+    hits = 0
+    for seed in range(30):
+        got = {r.row_id for r in
+               weighted_reservoir_k(df, "grp", ["row_id"], "w", k=5,
+                                    seed=seed).collect()}
+        hits += 0 in got
+    assert hits >= 20  # P(include) ~ 0.87 analytically; 30 draws
+
+
+def test_weighted_reservoir_excludes_nonpositive_weights(spark):
+    from aligned_spark.operators.sampling import weighted_reservoir_k
+
+    df = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", 0.0), (2, "g", -3.0), (3, "g", None)],
+        "row_id long, grp string, w double",
+    )
+    out = {r.row_id for r in
+           weighted_reservoir_k(df, "grp", ["row_id"], "w", k=10).collect()}
+    assert out == {0}
