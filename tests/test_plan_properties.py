@@ -338,3 +338,80 @@ def test_tpch_correlated_subqueries_decorrelate(spark):
     assert "LeftSemi" in q21
     assert "LeftAnti" in q21
     assert "CartesianProduct" not in q21
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking must stay a Generate fused over the scan — zero
+    Exchanges (a shuffle here would move whole documents to produce
+    bounded chunks)."""
+    from aligned_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "x" * 500)], "doc_id long, text string"
+    )
+    p = plan_text(chunk_documents(df, "doc_id", "text", 200, 50))
+    assert "Exchange" not in p
+    assert "Generate" in p
+
+
+def test_lag_features_single_window(spark):
+    """Both lag columns must share ONE WindowExec (one shuffle + one
+    sort); a second Window would double the sort cost."""
+    import datetime as dt
+
+    from aligned_spark.operators.core import lag_features
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    p = plan_text(
+        lag_features(df, ["user_id"], "ts", ["value"],
+                     tie_cols=["event_id"]),
+        "simple",
+    )
+    assert p.count("Window") - p.count("WindowGroupLimit") == 1
+
+
+def test_fuzzy_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark band set and the hit-id set must broadcast —
+    a sort-merge join would shuffle the corpus side."""
+    from aligned_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here number {i} " * 5) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = fuzzy_decontaminate(
+        docs.filter("doc_id < 8"), docs.filter("doc_id >= 8"),
+        "doc_id", "text", "text",
+    )
+    # the hit-id anti join is sized only at runtime (AQE converts it);
+    # inspect the FINAL adaptive plan after execution
+    out.collect()
+    p = out._jdf.queryExecution().executedPlan().toString()
+    p = p.split("Initial Plan")[0]  # AQE prints the pre-runtime plan too
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    from aligned_spark.operators.quality import mad_outliers
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0)], "row_id long, grp string, v double"
+    )
+    p = plan_text(mad_outliers(df, ["grp"], "v"))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_token_entropy_no_totals_join(spark):
+    """The log2(n) − Σc·log2 c / n formulation must aggregate without
+    joining back a totals frame (the joined form recomputed the
+    tokenize branch twice)."""
+    from aligned_spark.operators.quality import token_entropy
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    p = plan_text(token_entropy(df, ["doc_id"], "text"))
+    assert "Join" not in p
