@@ -5612,6 +5612,22 @@ def _text_decontaminate_fuzzy(spark, sf_dir):
     return clean.select("doc_id")
 
 
+@q("text_decontaminate_fuzzy_arrow")  # production SipHash kernel — rows-only (benched)
+def _text_decontaminate_fuzzy_arrow(spark, sf_dir):
+    """Perf twin of ``text_decontaminate_fuzzy`` on the vectorized
+    Arrow SipHash family (same banding code, hash family swapped —
+    cf. ``dedup_minhash_arrow``)."""
+    from aligned_spark.operators.dedup import fuzzy_decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 450)
+    bench = d.filter(F.col("doc_id") >= 450)
+    return fuzzy_decontaminate(
+        corpus, bench, "doc_id", "text", "text",
+        num_hashes=32, bands=8, shingle_width=3, impl="arrow",
+    ).select("doc_id")
+
+
 @q(
     "corpus_outliers_mad",
     """WITH med AS (

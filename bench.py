@@ -101,7 +101,8 @@ HEADLINE = [
     "events_lag_features",
     "text_token_entropy",
     "corpus_outliers_mad",
-    "text_decontaminate_fuzzy",
+    "text_decontaminate_fuzzy_arrow",
+    "corpus_weighted_reservoir",
 ]
 
 
