@@ -5746,6 +5746,33 @@ def _corpus_weighted_reservoir(spark, sf_dir):
 
 
 @q(
+    "agg_percentiles_counting",
+    """SELECT l_returnflag,
+              CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                   AS DOUBLE) AS p0_5,
+              CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9)
+                   AS DOUBLE) AS p0_9,
+              CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+                   AS DOUBLE) AS p0_99
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def _agg_percentiles_counting(spark, sf_dir):
+    """EXACT percentiles via the distributed counting formulation —
+    no per-group value buffer (``F.percentile`` holds each group's
+    every value in one task's aggregation state; the census shape
+    distributes the heavy pass and ranks only (value, count) rows).
+    Verified equal to quantile_cont
+    (`operators/aggregate.py:exact_percentiles_counting`)."""
+    from aligned_spark.operators.aggregate import exact_percentiles_counting
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_percentiles_counting(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99],
+        scale=1e4,
+    )
+
+
+@q(
     "corpus_ntile_bins",
     """SELECT doc_id, lang, n_chars,
               CAST(ntile(10) OVER (PARTITION BY lang

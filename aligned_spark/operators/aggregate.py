@@ -179,6 +179,79 @@ def top_frequent(
     )
 
 
+def exact_percentiles_counting(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    percentiles: list[float],
+    scale: float = 1e4,
+    prefix: str = "p",
+) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group WITHOUT the
+    per-group value buffer of ``F.percentile`` — the 100 TB shape for
+    exact quantiles over grid-valued columns (prices, counts, scores
+    rounded to a fixed precision).
+
+    ``F.percentile`` collects every value of a group into one
+    aggregation state: with 3 groups over a corpus, 3 tasks hold and
+    sort everything. Here the heavy pass is a fully distributed
+    count keyed (group, scaled value) with map-side partials; only
+    the (value, count) census — bounded by the value grid, not the
+    row count — feeds a per-group cumulative rank, and the k-th /
+    (k+1)-th bracketing values interpolate exactly like
+    ``quantile_cont``. NULLs are excluded (SQL semantics); empty
+    groups produce no row.
+
+    Contract: values must lie exactly on the ``1/scale`` grid (e.g.
+    4-decimal money at the default 1e4) — ``floor(v·scale + 0.5)``
+    then ``/scale`` round-trips such doubles bit-exactly. Output
+    columns ``{prefix}{p}`` with '.' → '_' (e.g. ``p0_9``)."""
+    v = F.col(value_col).cast("double")
+    sv = F.floor(v * F.lit(scale) + F.lit(0.5)).cast("long")
+    cnt = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, sv.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = W.partitionBy(*keys)
+    cum = cnt.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(tot_w)
+    )
+    aggs = []
+    names = []
+    for p in percentiles:
+        name = f"{prefix}{p}".replace(".", "_")
+        names.append(name)
+        k = (F.col("__n") - F.lit(1)) * F.lit(float(p))
+        kf = F.floor(k)
+        g = k - kf
+        lo = F.min(F.when(F.col("__cum") >= kf + 1, F.col("__v")))
+        hi = F.min(F.when(F.col("__cum") >= kf + 2, F.col("__v")))
+        aggs.append(lo.alias(f"__lo_{name}"))
+        aggs.append(hi.alias(f"__hi_{name}"))
+        aggs.append(F.max(g).alias(f"__g_{name}"))
+    out = cum.groupBy(*keys).agg(*aggs)
+    cols = list(keys)
+    for name in names:
+        lo = F.col(f"__lo_{name}").cast("double") / F.lit(scale)
+        hi = (
+            F.coalesce(F.col(f"__hi_{name}"), F.col(f"__lo_{name}")).cast(
+                "double"
+            )
+            / F.lit(scale)
+        )
+        g = F.col(f"__g_{name}")
+        # (1-g)·lo + g·hi, NOT lo + (hi-lo)·g: matches quantile_cont /
+        # F.percentile bit-for-bit (the forms differ in the last ulp)
+        cols.append(((F.lit(1.0) - g) * lo + g * hi).alias(name))
+    return out.select(*cols)
+
+
 def custom_aggregate(
     df: DataFrame,
     keys: list[str],

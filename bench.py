@@ -103,6 +103,7 @@ HEADLINE = [
     "corpus_outliers_mad",
     "text_decontaminate_fuzzy_arrow",
     "corpus_weighted_reservoir",
+    "agg_percentiles_counting",
 ]
 
 

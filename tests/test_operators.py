@@ -1338,3 +1338,43 @@ def test_quantile_bins_equal_counts(spark):
     # (0.0 at row 0 and 5, then 1.0 at row 1) land in bin 1
     b1 = {r.row_id for r in out.filter("bin = 1").collect()}
     assert b1 == {0, 5, 1}
+
+
+def test_exact_percentiles_counting_matches_buffered(spark):
+    """The distributed counting formulation must equal F.percentile
+    bit-for-bit on grid-valued data, including interpolated ranks,
+    ties, NULL exclusion, and single-value groups."""
+    from aligned_spark.operators.aggregate import (
+        exact_percentiles_counting,
+    )
+
+    rows = [(i, "a", round(((i * 37) % 100) / 4.0, 2)) for i in range(101)]
+    rows += [(200 + i, "b", 5.25) for i in range(4)]  # all-ties group
+    rows += [(300, "c", 1.11), (301, "c", None)]      # null excluded
+    df = spark.createDataFrame(rows, "row_id long, grp string, v double")
+
+    ps = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r.grp: r
+        for r in exact_percentiles_counting(
+            df, ["grp"], "v", ps, scale=1e4
+        ).collect()
+    }
+    exp = {
+        r.grp: r
+        for r in df.groupBy("grp")
+        .agg(
+            *[
+                F.percentile(F.col("v"), F.lit(p)).alias(
+                    f"p{p}".replace(".", "_")
+                )
+                for p in ps
+            ]
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for grp in exp:
+        for p in ps:
+            name = f"p{p}".replace(".", "_")
+            assert got[grp][name] == exp[grp][name], (grp, name)
