@@ -69,6 +69,12 @@ class AggSpec:
     approx: bool = False
     rsd: float | None = None       # approx_count_distinct max rel. std dev
     accuracy: int | None = None    # percentile_approx accuracy knob
+    # exact median/percentile WITHOUT the per-group value buffer, via
+    # the distributed counting census (exact_percentiles_counting) —
+    # requires grid-valued columns (exact at 1/counting_scale) and
+    # grouping keys; ignored for other kinds / approx specs
+    counting: bool = False
+    counting_scale: float = 1e4
 
     def _source(self) -> Column:
         if self.column is None:
@@ -316,6 +322,59 @@ def group_aggregate(
     - Several exact percentiles of the same column fuse into one
       ``percentile(c, array(…))`` buffer (measured ~1.6× on two).
     """
+    counting_idx = [
+        i
+        for i, a in enumerate(aggs)
+        if a.kind in ("median", "percentile")
+        and a.counting
+        and not a.is_approx(approx)
+    ]
+    if counting_idx and keys:
+        rest_specs = [a for i, a in enumerate(aggs) if i not in counting_idx]
+        out = (
+            group_aggregate(df, keys, rest_specs, approx)
+            if rest_specs
+            else df.select(*keys).distinct()
+        )
+        # one census per distinct source column; specs sharing a
+        # column share its counting pass
+        by_col: dict[str, list[AggSpec]] = {}
+        col_frames = []
+        seen: dict[str, str] = {}
+        work = df
+        for i in counting_idx:
+            key = str(aggs[i]._source())
+            if key not in seen:
+                seen[key] = f"__cnt_src_{len(seen)}"
+                work = work.withColumn(seen[key], aggs[i]._source())
+            by_col.setdefault(seen[key], []).append(aggs[i])
+        for src_col, specs in by_col.items():
+            ps = [
+                (s.percentile if s.kind == "percentile" and
+                 s.percentile is not None else 0.5)
+                for s in specs
+            ]
+            uniq = sorted(set(ps))
+            cf = exact_percentiles_counting(
+                work, keys, src_col, uniq,
+                scale=specs[0].counting_scale, prefix="__q",
+            )
+            renames = [F.col(k).alias(f"__k_{k}") for k in keys]
+            vals = [
+                F.col(f"__q{p}".replace(".", "_")).alias(s.name)
+                for p, s in zip(ps, specs)
+            ]
+            col_frames.append(cf.select(*renames, *vals))
+        for cf in col_frames:
+            cond = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+                cond = c if cond is None else cond & c
+            out = out.join(cf, cond, "left").drop(
+                *[f"__k_{k}" for k in keys]
+            )
+        return out.select(*keys, *[a.name for a in aggs])
+
     fused, _ = {}, None
     if not approx:
         fused, _ = _percentile_fused(aggs)

@@ -1378,3 +1378,31 @@ def test_exact_percentiles_counting_matches_buffered(spark):
         for p in ps:
             name = f"p{p}".replace(".", "_")
             assert got[grp][name] == exp[grp][name], (grp, name)
+
+
+def test_aggspec_counting_percentiles_match_buffered(spark):
+    """AggSpec(counting=True) routes median/percentile through the
+    census path and must equal the buffered plan exactly, mixed with
+    plain specs and a duplicate-percentile pair."""
+    from aligned_spark.operators.aggregate import AggSpec, group_aggregate
+
+    rows = [(i, f"g{i % 3}", round((i * 13 % 50) / 4.0, 2))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "row_id long, grp string, v double")
+    specs = lambda counting: [
+        AggSpec("n", "count", None),
+        AggSpec("med", "median", "v", counting=counting),
+        AggSpec("p90", "percentile", "v", percentile=0.9,
+                counting=counting),
+        AggSpec("p90_twin", "percentile", "v", percentile=0.9,
+                counting=counting),
+        AggSpec("total", "sum", "v"),
+    ]
+    got = {r.grp: r for r in
+           group_aggregate(df, ["grp"], specs(True)).collect()}
+    exp = {r.grp: r for r in
+           group_aggregate(df, ["grp"], specs(False)).collect()}
+    assert set(got) == set(exp)
+    for g in exp:
+        for c in ["n", "med", "p90", "p90_twin", "total"]:
+            assert got[g][c] == exp[g][c], (g, c)
