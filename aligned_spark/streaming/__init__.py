@@ -12,6 +12,7 @@ from aligned_spark.streaming.late import drop_late_events
 from aligned_spark.streaming.sessions import session_aggregate
 from aligned_spark.streaming.stateful import (
     decayed_count,
+    event_gaps,
     heavy_hitters,
     stateful_dedup,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "FileStreamSource",
     "KafkaStreamSource",
     "decayed_count",
+    "event_gaps",
     "heavy_hitters",
     "drop_late_events",
     "session_aggregate",

@@ -12,6 +12,9 @@ expressible cases — use those first):
 - :func:`decayed_count`: per-key exponentially-decayed event counter
   (half-life semantics). Not expressible as a windowed aggregation —
   the decay is continuous, not a window boundary.
+- :func:`event_gaps`: per-key time-since-previous-event in micros —
+  the streaming twin of the batch ``lag_features`` operator (exact
+  batch parity pinned by test); one int64 of state per key.
 
 State scale: both keep O(1) state per key (a timestamp + a float);
 state is hash-partitioned across executors by group key, exactly like
@@ -78,6 +81,76 @@ def stateful_dedup(
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+def event_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tie_cols: list[str] | None = None,
+    gap_col: str = "gap_us",
+    state_ttl_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch
+    :func:`aligned_spark.operators.core.lag_features` gap: per key,
+    microseconds since the key's previous event; NULL for a key's
+    first event ever. State per key: ONE int64 (the last event
+    timestamp) — the continuous-lag semantics a windowed aggregation
+    cannot express.
+
+    Events are ordered by ``(ts, *tie_cols)`` WITHIN each micro-batch;
+    across batches the state carries the last timestamp forward, so a
+    source that delivers batches in event-time order reproduces the
+    batch operator exactly (pinned by the parity test). Late
+    stragglers get a gap relative to the latest-seen event, and the
+    state never rewinds (``max`` merge). ``state_ttl_seconds`` bounds
+    state for high-cardinality key streams (a key idle that long
+    restarts with a NULL gap)."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(gap_col, LongType())]
+    )
+    state_schema = StructType([StructField("last_us", LongType())])
+    order = [ts_col] + list(tie_cols or [])
+
+    def _fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(
+            drop=True
+        )
+        us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        prev = us.shift(1)
+        if state.exists:
+            (last_us,) = state.get
+            prev.iloc[0] = last_us
+        gaps = (us - prev).astype("Int64")
+        new_last = int(us.iloc[-1])
+        if state.exists:
+            new_last = max(new_last, int(state.get[0]))
+        state.update((new_last,))
+        if state_ttl_seconds is not None:
+            state.setTimeoutDuration(int(state_ttl_seconds * 1000))
+        yield pdf.assign(**{gap_col: gaps})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
     )
 
 

@@ -886,3 +886,72 @@ def test_stream_static_enrich_refreshes_dim(spark, tmp_path):
     q3.awaitTermination(120)
     r3 = {r.user_id: r.segment for r in got3}
     assert r3 == {1: "gold", 2: "silver"}
+
+
+def test_stream_event_gaps_batch_parity(spark, tmp_path):
+    """The stateful event_gaps operator over event-time-ordered
+    micro-batches must reproduce the batch lag_features gap exactly —
+    including NULL first-gaps per key and gaps that SPAN batch
+    boundaries (the state carry)."""
+    from aligned_spark.operators.core import lag_features
+    from aligned_spark.sources.file import read_parquet
+    from aligned_spark.streaming import event_gaps
+
+    events = read_parquet(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "user_id", "ts", "value")
+
+    # batch truth
+    expect = {
+        r.event_id: r.gap_us
+        for r in lag_features(
+            events, ["user_id"], "ts", [], tie_cols=["event_id"]
+        ).collect()
+    }
+
+    # three sequential slices by event time → three ordered files
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    cuts = ["2024-01-08", "2024-01-18"]
+    slices = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(inbox / f"batch_{i}"))
+    files = sorted(str(p) for p in inbox.glob("batch_*/part-*.parquet"))
+    ordered = tmp_path / "ordered"
+    ordered.mkdir()
+    import shutil, time as _t
+
+    for i, f in enumerate(files):
+        shutil.copy(f, ordered / f"{i:03d}.parquet")
+        _t.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ordered))
+    )
+    gapped = event_gaps(raw, ["user_id"], "ts", tie_cols=["event_id"])
+    batches: list = []
+    q = (
+        gapped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r.event_id: r.gap_us for b in batches for r in b}
+    assert len(got) == len(expect)
+    mismatches = {
+        k: (got[k], expect[k]) for k in expect if got[k] != expect[k]
+    }
+    assert not mismatches, list(mismatches.items())[:5]
+    # sanity: the stream actually split the work
+    assert sum(1 for b in batches if b) >= 3
