@@ -196,3 +196,82 @@ def test_new_round4_ops_on_empty(spark):
     loop = spark.createDataFrame([(1, 1)], "src long, dst long")
     r = pagerank(loop, iterations=2).collect()
     assert len(r) == 1 and abs(r[0].pr - 1.0) < 1e-12
+
+
+def test_session_ops_on_empty(spark):
+    """This session's operators on empty frames: all must return
+    empty (or identity) results with the right schema, not throw."""
+    from aligned_spark.operators.aggregate import (
+        exact_percentiles_counting,
+    )
+    from aligned_spark.operators.core import lag_features
+    from aligned_spark.operators.dedup import fuzzy_decontaminate
+    from aligned_spark.operators.quality import (
+        mad_outliers,
+        quantile_bins,
+        token_entropy,
+    )
+    from aligned_spark.operators.sampling import (
+        chunk_documents,
+        weighted_reservoir_k,
+    )
+
+    docs = _empty_docs(spark)
+    ev = _empty_events(spark)
+
+    out = chunk_documents(docs, "doc_id", "text", 100, 10)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "chunk_idx", "chunk_start",
+                                "chunk"}
+
+    out = lag_features(ev, ["user_id"], "ts", ["value"])
+    assert out.count() == 0 and "gap_us" in out.columns
+
+    some = spark.createDataFrame(
+        [(0, "hello world text here")], "doc_id long, text string"
+    )
+    # empty benchmark → nothing flagged, corpus passes through
+    assert fuzzy_decontaminate(
+        some, docs, "doc_id", "text", "text"
+    ).count() == 1
+    # empty corpus → empty result
+    assert fuzzy_decontaminate(
+        docs, some, "doc_id", "text", "text"
+    ).count() == 0
+
+    g = spark.createDataFrame([], "grp string, v double")
+    assert mad_outliers(g, ["grp"], "v").count() == 0
+    assert quantile_bins(g, ["grp"], "v", 4).count() == 0
+    assert token_entropy(docs, ["doc_id"], "text").count() == 0
+    assert weighted_reservoir_k(
+        g.withColumn("row_id", F.lit(0).cast("long")),
+        "grp", ["row_id"], "v", k=3,
+    ).count() == 0
+    out = exact_percentiles_counting(g, ["grp"], "v", [0.5, 0.9])
+    assert out.count() == 0
+    assert set(out.columns) == {"grp", "p0_5", "p0_9"}
+
+
+def test_session_ops_single_row(spark):
+    """Single-row groups: percentile of one value is the value; lag is
+    NULL; reservoir returns the row; one chunk for a short doc."""
+    from aligned_spark.operators.aggregate import (
+        exact_percentiles_counting,
+    )
+    from aligned_spark.operators.core import lag_features
+    from aligned_spark.operators.quality import mad_outliers
+
+    one = spark.createDataFrame([("g", 7.25)], "grp string, v double")
+    r = exact_percentiles_counting(one, ["grp"], "v", [0.0, 0.5, 1.0])
+    row = r.collect()[0]
+    assert row.p0_0 == row.p0_5 == row.p1_0 == 7.25
+
+    ev = spark.createDataFrame(
+        [(1, 1, T0, 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = lag_features(ev, ["user_id"], "ts", ["value"]).collect()[0]
+    assert row.gap_us is None and row.value_delta is None
+
+    row = mad_outliers(one, ["grp"], "v").collect()[0]
+    assert row.is_outlier is False  # MAD 0 → nothing flagged
