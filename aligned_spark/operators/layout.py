@@ -108,3 +108,82 @@ def zorder_key_sql(cols: list[str], los: list[float], his: list[float],
         for i, s in enumerate(scaled):
             terms.append(f"((({s} >> {b}) & 1) << {b * k + i})")
     return "(" + " | ".join(terms) + ")"
+
+
+def _fs_and_path(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def describe_layout(spark, path: str) -> DataFrame:
+    """File-level layout statistics for a table directory: one row
+    ``(file, bytes)`` per data file (metadata/_SUCCESS excluded).
+
+    The maintenance-planning primitive: small-file ratio, total bytes,
+    and file-size skew all derive from it with plain aggregations.
+    Listing goes through the Hadoop FileSystem API, so it works on any
+    configured scheme; cost is proportional to file COUNT (a driver
+    listing — the same contract as any compaction planner's)."""
+    fs, jpath = _fs_and_path(spark, path)
+    it = fs.listFiles(jpath, True)
+    rows = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        base = name.rsplit("/", 1)[-1]
+        if base.startswith("_") or base.startswith("."):
+            continue
+        rows.append((name, int(st.getLen())))
+    return spark.createDataFrame(rows, "file string, bytes long")
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Small-files maintenance (the OPTIMIZE of a plain-parquet
+    table): rewrite ``path`` into ``ceil(total_bytes / target_bytes)``
+    files, optionally range-sorted by ``order_cols`` so the rewrite
+    restores clustering (compose with :func:`zorder_key` by passing
+    ``["__zkey"]`` on a keyed frame). Returns the output file count.
+
+    Ten thousand 1 MB files cost a 100 TB scan ~10k task setups and
+    defeat row-group pruning; nightly compaction to ~128 MB is the
+    standard counter. The rewrite lands in a temp directory first and
+    swaps in via two FS renames — readers between the renames can see
+    a missing directory (plain parquet has no transaction log;
+    Delta's OPTIMIZE, gated in this container, is the transactional
+    answer — `sources/delta.py`)."""
+    import math
+
+    from aligned_spark.sources.file import read_parquet
+
+    sizes = describe_layout(spark, path).agg(
+        F.sum("bytes").alias("b"), F.count("*").alias("n")
+    ).first()
+    total = sizes["b"] or 0
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = read_parquet(spark, path)
+    if order_cols:
+        out = df.repartitionByRange(
+            n_out, *[F.col(c) for c in order_cols]
+        ).sortWithinPartitions(*order_cols)
+    else:
+        out = df.repartition(n_out)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    fs, jpath = _fs_and_path(spark, path)
+    _, jtmp = _fs_and_path(spark, tmp)
+    bak = path.rstrip("/") + "__compact_old"
+    _, jbak = _fs_and_path(spark, bak)
+    if not fs.rename(jpath, jbak):
+        raise IOError(f"compaction swap failed renaming {path} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jbak, jpath)  # roll back
+        raise IOError(f"compaction swap failed installing {tmp}")
+    fs.delete(jbak, True)
+    return n_out

@@ -1406,3 +1406,46 @@ def test_aggspec_counting_percentiles_match_buffered(spark):
     for g in exp:
         for c in ["n", "med", "p90", "p90_twin", "total"]:
             assert got[g][c] == exp[g][c], (g, c)
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """40 tiny files compact into the computed count with identical
+    data; describe_layout sees the new layout; order_cols restores
+    clustering (files carry disjoint key ranges)."""
+    from aligned_spark.operators.layout import (
+        compact_parquet,
+        describe_layout,
+    )
+    from aligned_spark.sources.file import read_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(40).write.parquet(path)
+    before = describe_layout(spark, path).collect()
+    assert len(before) == 40
+    total = sum(r.bytes for r in before)
+    checksum = read_parquet(spark, path).selectExpr(
+        "sum(xxhash64(struct(*)))"
+    ).first()[0]
+
+    n_out = compact_parquet(
+        spark, path, target_bytes=(total // 3) + 1, order_cols=["k"]
+    )
+    after = describe_layout(spark, path).collect()
+    assert len(after) == n_out <= 4
+    assert read_parquet(spark, path).selectExpr(
+        "sum(xxhash64(struct(*)))"
+    ).first()[0] == checksum
+    # clustering restored: per-file k ranges must not overlap
+    files = sorted(r.file for r in after)
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).first()
+        ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
