@@ -5398,6 +5398,51 @@ def _events_resample(spark, sf_dir):
 
 
 @q(
+    "events_resample_linear",
+    """WITH b AS (
+         SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+         FROM events GROUP BY user_id
+       ), g AS (
+         SELECT user_id,
+                unnest(generate_series(
+                  to_timestamp(ceil(epoch_us(lo) / 86400000000.0)
+                               * 86400)::TIMESTAMP,
+                  hi, INTERVAL 1 DAY)) AS ts
+         FROM b
+         WHERE to_timestamp(ceil(epoch_us(lo) / 86400000000.0)
+                            * 86400)::TIMESTAMP <= hi
+       )
+       SELECT g.user_id, g.ts,
+              CASE WHEN nx.t1 IS NULL OR nx.t1 = pv.t0 THEN pv.v0
+                   ELSE pv.v0 + (nx.v1 - pv.v0)
+                        * (CAST(epoch_us(g.ts) - pv.t0 AS DOUBLE)
+                           / CAST(nx.t1 - pv.t0 AS DOUBLE))
+              END AS value
+       FROM g
+       LEFT JOIN LATERAL (
+         SELECT e.value AS v0, epoch_us(e.ts) AS t0 FROM events e
+         WHERE e.user_id = g.user_id AND e.ts <= g.ts
+         ORDER BY e.ts DESC LIMIT 1
+       ) pv ON TRUE
+       LEFT JOIN LATERAL (
+         SELECT e.value AS v1, epoch_us(e.ts) AS t1 FROM events e
+         WHERE e.user_id = g.user_id AND e.ts >= g.ts
+         ORDER BY e.ts ASC LIMIT 1
+       ) nx ON TRUE""",
+)
+def _events_resample_linear(spark, sf_dir):
+    """Regular-grid resampling with LINEAR interpolation
+    (``operators/core.py:resample_linear``): each daily tick
+    interpolates between the surrounding events (exact int64-micros
+    fraction, identical IEEE formula in the oracle); ticks past a
+    user's last event forward-fill."""
+    from aligned_spark.operators.core import resample_linear
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return resample_linear(ev, ["user_id"], "ts", "value", 86400.0)
+
+
+@q(
     "events_pivot",
     f"""SELECT user_id,
               COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
@@ -5743,6 +5788,59 @@ def _corpus_weighted_reservoir(spark, sf_dir):
     return weighted_reservoir_k(
         docs, "source", ["doc_id"], "n_chars", k=20, seed=0
     )
+
+
+@q(
+    "events_anomaly_mad",
+    """WITH lagged AS (
+         SELECT event_id, event_type,
+                value - lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                  AS value_delta
+         FROM events
+       ),
+       base AS (SELECT * FROM lagged WHERE value_delta IS NOT NULL),
+       med AS (
+         SELECT event_type,
+                CAST(quantile_cont(value_delta, 0.5) AS DOUBLE) AS m
+         FROM base GROUP BY event_type
+       ),
+       mad AS (
+         SELECT b.event_type,
+                CAST(quantile_cont(abs(b.value_delta - m.m), 0.5)
+                     AS DOUBLE) AS mad
+         FROM base b JOIN med m USING (event_type)
+         GROUP BY b.event_type
+       )
+       SELECT b.event_id, b.event_type, b.value_delta,
+              CASE WHEN a.mad <= 0.0 THEN FALSE
+                   ELSE abs(b.value_delta - m.m) > 3.0 * 1.4826 * a.mad
+              END AS is_outlier
+       FROM base b JOIN med m USING (event_type)
+       JOIN mad a USING (event_type)""",
+)
+def _events_anomaly_mad(spark, sf_dir):
+    """Anomalous-transition detection COMPOSED from this round's
+    operators: per-user lag deltas (`lag_features`) feed per-type
+    robust MAD flagging (`mad_outliers`) — the sequence-anomaly
+    pipeline (sudden value jumps) in one DAG, both stages replayed by
+    the oracle. First events (NULL delta) are excluded."""
+    from aligned_spark.operators.core import lag_features
+    from aligned_spark.operators.quality import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    lagged = lag_features(
+        ev, ["user_id"], "ts", ["value"], tie_cols=["event_id"]
+    ).filter(F.col("value_delta").isNotNull())
+    out = mad_outliers(
+        lagged.select("event_id", "event_type", "value_delta"),
+        ["event_type"],
+        "value_delta",
+        k=3.0,
+    )
+    return out.select("event_id", "event_type", "value_delta", "is_outlier")
 
 
 @q(

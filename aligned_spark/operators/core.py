@@ -416,6 +416,82 @@ def resample(
     )
 
 
+def resample_linear(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value_col: str,
+    step_seconds: float,
+) -> DataFrame:
+    """:func:`resample` with LINEAR interpolation instead of forward
+    fill: each grid tick's value is interpolated between the key's
+    latest event at-or-before and earliest event after the tick —
+    the sensor/metrics resampling rule (ffill models step functions;
+    gauges want the line). Ticks after a key's last event forward-fill
+    (no right endpoint to interpolate toward); a tick ON an event
+    takes the event's value exactly.
+
+    Shape: the same per-key ``sequence`` grid, then TWO sorted-merge
+    as-of passes (backward + forward — each one shuffle + sort on the
+    keys, cf. :func:`aligned_spark.operators.joins.asof_join`); the
+    interpolation itself is exact int64-micros arithmetic lowered to
+    codegen."""
+    from pyspark.sql import functions as F
+
+    from aligned_spark.operators.joins import asof_join
+
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
+    step_us = int(step_seconds * 1_000_000)
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts).alias("__lo"), F.max(ts).alias("__hi")
+    )
+    aligned_lo = F.timestamp_micros(
+        F.ceil(F.unix_micros(F.col("__lo")) / F.lit(step_us)).cast("long")
+        * F.lit(step_us)
+    )
+    grid = (
+        bounds.withColumn("__start", aligned_lo)
+        .filter(F.col("__start") <= F.col("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.unix_micros(F.col("__start")),
+                    F.unix_micros(F.col("__hi")),
+                    F.lit(step_us),
+                )
+            ).alias("__tick_us"),
+        )
+        .select(*keys, F.timestamp_micros(F.col("__tick_us")).alias(ts))
+    )
+    ev = df.select(
+        *keys,
+        ts,
+        F.col(value_col).cast("double").alias("__v"),
+        F.unix_micros(F.col(ts)).alias("__t"),
+    )
+    back = asof_join(
+        grid, ev.select(*keys, ts, F.col("__v").alias("__v0"),
+                        F.col("__t").alias("__t0")),
+        on=ts, by=keys,
+    )
+    both = asof_join(
+        back, ev.select(*keys, ts, F.col("__v").alias("__v1"),
+                        F.col("__t").alias("__t1")),
+        on=ts, by=keys, direction="forward",
+    )
+    t = F.unix_micros(F.col(ts))
+    frac = (t - F.col("__t0")).cast("double") / (
+        F.col("__t1") - F.col("__t0")
+    ).cast("double")
+    interp = F.when(
+        F.col("__t1").isNull() | (F.col("__t1") == F.col("__t0")),
+        F.col("__v0"),
+    ).otherwise(F.col("__v0") + (F.col("__v1") - F.col("__v0")) * frac)
+    return both.select(*keys, ts, interp.alias(value_col))
+
+
 def lag_features(
     df: DataFrame,
     keys: list[str],

@@ -1449,3 +1449,27 @@ def test_compact_parquet_small_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_resample_linear_hand_checked(spark):
+    """Ticks between events interpolate on the line; a tick ON an
+    event takes its value; ticks past the last event forward-fill."""
+    import datetime as dt
+
+    from aligned_spark.operators.core import resample_linear
+
+    t0 = dt.datetime(2024, 1, 1)  # aligned to the 1h grid
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(hours=2), 16.0),   # slope 3/h
+        (1, t0 + dt.timedelta(hours=2, minutes=30), 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {r.ts: r.v for r in
+           resample_linear(df, ["k"], "ts", "v", 3600.0).collect()}
+    assert out[t0] == 10.0                          # tick on event
+    assert out[t0 + dt.timedelta(hours=1)] == 13.0  # midpoint of 10→16
+    assert out[t0 + dt.timedelta(hours=2)] == 16.0  # tick on event
+    # grid ends at the last event (02:30 → last tick 02:00); nothing
+    # past it — matches resample()'s span rule
+    assert len(out) == 3
