@@ -5791,6 +5791,29 @@ def _corpus_weighted_reservoir(spark, sf_dir):
 
 
 @q(
+    "corpus_collapse_rare",
+    """WITH keep AS (
+         SELECT source FROM documents WHERE source IS NOT NULL
+         GROUP BY source HAVING COUNT(*) >= 30
+       )
+       SELECT d.doc_id,
+              CASE WHEN d.source IS NULL THEN NULL
+                   WHEN k.source IS NOT NULL THEN d.source
+                   ELSE 'OTHER' END AS source
+       FROM documents d LEFT JOIN keep k ON d.source = k.source""",
+)
+def _corpus_collapse_rare(spark, sf_dir):
+    """Long-tail category collapsing before encoding: sources with
+    fewer than 30 documents fold into 'OTHER' (broadcast keep-set,
+    codegen membership flag —
+    `operators/quality.py:collapse_rare_categories`)."""
+    from aligned_spark.operators.quality import collapse_rare_categories
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return collapse_rare_categories(docs, "source", min_count=30)
+
+
+@q(
     "events_anomaly_mad",
     """WITH lagged AS (
          SELECT event_id, event_type,

@@ -332,6 +332,41 @@ def quantile_bins(
     return df.withColumn(out_col, F.ntile(n_bins).over(w))
 
 
+def collapse_rare_categories(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other: str = "OTHER",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace category values occurring fewer than ``min_count``
+    times with a sentinel — the long-tail guard before one-hot /
+    ordinal encoding (a raw domain column one-hot-encodes into
+    millions of columns; collapsed, the tail becomes one). NULL stays
+    NULL (missing ≠ rare).
+
+    Shape: one map-side-partial count to (#distinct values) rows,
+    broadcast the KEEP set (frequent values only — the broadcast is
+    bounded by the head of the distribution, not the tail), and a
+    left-semi-style membership flag codegen-side. At 100 TB the keep
+    set for any encodable cardinality fits a broadcast by
+    construction."""
+    keep = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select(F.col(col).alias("__keep"))
+    )
+    out = df.join(
+        F.broadcast(keep), F.col(col) == F.col("__keep"), "left"
+    )
+    collapsed = F.when(F.col(col).isNull(), F.lit(None).cast("string")) \
+        .when(F.col("__keep").isNotNull(), F.col(col).cast("string")) \
+        .otherwise(F.lit(other))
+    return out.withColumn(out_col or col, collapsed).drop("__keep")
+
+
 def cdf_normalize(
     df: DataFrame,
     keys: list[str],

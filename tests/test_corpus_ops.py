@@ -726,3 +726,24 @@ def test_weighted_reservoir_excludes_nonpositive_weights(spark):
     out = {r.row_id for r in
            weighted_reservoir_k(df, "grp", ["row_id"], "w", k=10).collect()}
     assert out == {0}
+
+
+def test_collapse_rare_categories(spark):
+    """Values below the threshold fold into the sentinel; frequent
+    values and NULLs pass through; out_col leaves the original."""
+    from aligned_spark.operators.quality import collapse_rare_categories
+
+    rows = [(i, "common") for i in range(5)] + [
+        (10, "rare"), (11, None), (12, "alsorare")
+    ]
+    df = spark.createDataFrame(rows, "row_id long, cat string")
+    out = {r.row_id: r.cat for r in
+           collapse_rare_categories(df, "cat", min_count=3).collect()}
+    assert all(out[i] == "common" for i in range(5))
+    assert out[10] == "OTHER" and out[12] == "OTHER"
+    assert out[11] is None
+    kept = collapse_rare_categories(
+        df, "cat", min_count=3, out_col="cat2"
+    )
+    r = {x.row_id: x for x in kept.collect()}
+    assert r[10].cat == "rare" and r[10].cat2 == "OTHER"
