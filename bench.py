@@ -104,6 +104,8 @@ HEADLINE = [
     "text_decontaminate_fuzzy_arrow",
     "corpus_weighted_reservoir",
     "agg_percentiles_counting",
+    "events_resample_linear",
+    "events_anomaly_mad",
 ]
 
 
