@@ -5791,6 +5791,51 @@ def _corpus_weighted_reservoir(spark, sf_dir):
 
 
 @q(
+    "corpus_temperature_sample",
+    # fractions replayed with the identical formula (p^α/Σp^α, keep
+    # min(1, target·q/n)), epsilon-rounded to 6 decimals so pow()
+    # last-ulp differences cannot flip a row; hash replay as in
+    # corpus_weighted_reservoir
+    """WITH c AS (
+         SELECT source, COUNT(*) AS n FROM documents
+         WHERE source IS NOT NULL GROUP BY source
+       ),
+       tz AS (
+         SELECT (SELECT CAST(SUM(n) AS DOUBLE) FROM c) AS total,
+                SUM(pow(n / (SELECT CAST(SUM(n) AS DOUBLE) FROM c),
+                        0.5)) AS z
+         FROM c
+       ),
+       f AS (
+         SELECT c.source,
+                floor(least(1.0,
+                            300 * (pow(c.n / tz.total, 0.5) / tz.z)
+                            / c.n) * 1e6 + 0.5 + 1e-9) / 1e6 AS f
+         FROM c, tz
+       ),
+       h AS (
+         SELECT doc_id, source,
+                ((0 + doc_id) % 1073741824) * 2654435761 % 1073741824 AS hh
+         FROM documents
+       )
+       SELECT h.doc_id, h.source FROM h
+       JOIN f USING (source)
+       WHERE CAST(hh AS DOUBLE) / 1073741824 < f.f""",
+)
+def _corpus_temperature_sample(spark, sf_dir):
+    """Temperature mixture resampling (α=0.5 upweights small
+    sources): ~300 docs drawn with per-source keep-fractions
+    p_s^α/Σp^α folded into a literal CASE — a pure scan filter, no
+    shuffle (`operators/sampling.py:temperature_sample`)."""
+    from aligned_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(
+        docs, "source", ["doc_id"], alpha=0.5, target_rows=300, seed=0
+    )
+
+
+@q(
     "corpus_collapse_rare",
     """WITH keep AS (
          SELECT source FROM documents WHERE source IS NOT NULL

@@ -183,6 +183,56 @@ def weighted_source_sample(
     return df.filter(hash_coordinate(key_cols, seed) < thr)
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_cols: list[str],
+    alpha: float,
+    target_rows: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual
+    α-sampling recipe: sample source ``s`` with probability
+    ``p_s^α / Σ p^α``, α<1 upweights low-resource sources): draw
+    ~``target_rows`` total with per-source keep-fraction
+    ``min(1, target·q_s / n_s)`` over the stable hash coordinate —
+    deterministic, re-runnable, SQL-replayable.
+
+    Shape: one map-side-partial count to (#sources) rows computed on
+    the driver (sources are low-cardinality by definition), folded
+    into a literal CASE threshold → the sample is a pure scan filter,
+    no shuffle, no join. Fractions are epsilon-rounded to 6 decimals
+    so the transcendental ``pow`` cannot flip a row across engines."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[0] is not None
+    }
+    total = sum(counts.values())
+    if not total:
+        return df.filter(F.lit(False))
+    probs = {s: n / total for s, n in counts.items()}
+    z = sum(p ** alpha for p in probs.values())
+    import math
+
+    fracs = {
+        s: math.floor(
+            min(1.0, target_rows * (probs[s] ** alpha / z) / counts[s])
+            * 1e6 + 0.5 + 1e-9
+        )
+        / 1e6
+        for s in counts
+    }
+    thr: Column = F.lit(0.0)
+    for s, f in sorted(fracs.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(f)).otherwise(thr)
+    return df.filter(hash_coordinate(key_cols, seed) < thr)
+
+
 def weighted_reservoir_k(
     df: DataFrame,
     group_col: str,

@@ -747,3 +747,27 @@ def test_collapse_rare_categories(spark):
     )
     r = {x.row_id: x for x in kept.collect()}
     assert r[10].cat == "rare" and r[10].cat2 == "OTHER"
+
+
+def test_temperature_sample_upweights_small_sources(spark):
+    """α<1 flattens the mixture: the small source's share of the
+    sample must exceed its share of the corpus; target size is
+    approximately met; α validation rejects bad values."""
+    import pytest as _pytest
+
+    from aligned_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(1800)] + [
+        (10_000 + i, "small") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "row_id long, src string")
+    out = temperature_sample(
+        df, "src", ["row_id"], alpha=0.3, target_rows=400, seed=3
+    ).collect()
+    n = len(out)
+    assert 300 <= n <= 500  # hash-Bernoulli ≈ target
+    small_share = sum(1 for r in out if r.src == "small") / n
+    assert small_share > 0.25  # corpus share is 0.10; α=0.3 lifts it
+    with _pytest.raises(ValueError):
+        temperature_sample(df, "src", ["row_id"], alpha=0.0,
+                           target_rows=10)
