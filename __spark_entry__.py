@@ -5791,6 +5791,52 @@ def _corpus_weighted_reservoir(spark, sf_dir):
 
 
 @q(
+    "events_drift_psi",
+    # q = first half of January (reference), p = second half (current);
+    # fixed 5.0-wide value bins; identical clip/round formula both
+    # engines (ln last-ulp absorbed by the epsilon rounding)
+    """WITH a AS (
+         SELECT floor(value / 5.0) * 5.0 AS bin_lo, COUNT(*) AS qn
+         FROM events WHERE value IS NOT NULL
+           AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY 1
+       ),
+       b AS (
+         SELECT floor(value / 5.0) * 5.0 AS bin_lo, COUNT(*) AS pn
+         FROM events WHERE value IS NOT NULL
+           AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY 1
+       ),
+       tot AS (
+         SELECT (SELECT CAST(SUM(qn) AS DOUBLE) FROM a) AS qt,
+                (SELECT CAST(SUM(pn) AS DOUBLE) FROM b) AS pt
+       ),
+       t AS (
+         SELECT floor((greatest(coalesce(pn, 0) / tot.pt, 1e-6)
+                       - greatest(coalesce(qn, 0) / tot.qt, 1e-6))
+                      * ln(greatest(coalesce(pn, 0) / tot.pt, 1e-6)
+                           / greatest(coalesce(qn, 0) / tot.qt, 1e-6))
+                      * 1e6 + 0.5 + 1e-9) / 1e6 AS term
+         FROM a FULL OUTER JOIN b USING (bin_lo), tot
+       )
+       SELECT CAST(SUM(CAST(floor(term * 1e6 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1e6 AS psi
+       FROM t""",
+)
+def _events_drift_psi(spark, sf_dir):
+    """Distribution-drift alarm: PSI of the event value between the
+    first and second half of January — two histogram aggregations, a
+    bin-keyed full-outer join, an exact sum of rounded terms
+    (`operators/quality.py:population_stability`)."""
+    from aligned_spark.operators.quality import population_stability
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < "2024-01-15")
+    cur = ev.filter(F.col("ts") >= "2024-01-15")
+    return population_stability(ref, cur, "value", bin_width=5.0)
+
+
+@q(
     "corpus_temperature_sample",
     # fractions replayed with the identical formula (p^α/Σp^α, keep
     # min(1, target·q/n)), epsilon-rounded to 6 decimals so pow()

@@ -52,6 +52,60 @@ def histogram(
     )
 
 
+def population_stability(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bin_width: float,
+    floor: float = 1e-6,
+    out_col: str = "psi",
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column: ``Σ (p_b − q_b)·ln(p_b/q_b)`` over fixed-width bins (q =
+    reference share, p = current share) — the standard drift alarm
+    for feature/score distributions (rule of thumb: <0.1 stable,
+    >0.25 shifted). The statistical sibling of the schema-drift check
+    in ``checks.py``. Returns one row ``(psi)``.
+
+    Bins present on only one side take the ``floor`` share (the
+    conventional clip — PSI is infinite at a true zero). Shape: two
+    histogram aggregations (map-side partials to #occupied-bins
+    rows), a full-outer join on the bin, and an exact sum of
+    epsilon-rounded terms — deterministic and SQL-replayable; no full
+    shuffles of either snapshot."""
+    ha = histogram(reference, value_col, bin_width).select(
+        F.col("bin_lo"), F.col("bin_count").alias("__qn")
+    )
+    hb = histogram(current, value_col, bin_width).select(
+        F.col("bin_lo"), F.col("bin_count").alias("__pn")
+    )
+    qt = reference.filter(F.col(value_col).isNotNull()).count()
+    pt = current.filter(F.col(value_col).isNotNull()).count()
+    if not qt or not pt:
+        raise ValueError("population_stability needs non-empty sides")
+    j = ha.join(hb, on="bin_lo", how="full_outer")
+    q = F.greatest(
+        F.coalesce(F.col("__qn"), F.lit(0)).cast("double") / F.lit(float(qt)),
+        F.lit(float(floor)),
+    )
+    p = F.greatest(
+        F.coalesce(F.col("__pn"), F.lit(0)).cast("double") / F.lit(float(pt)),
+        F.lit(float(floor)),
+    )
+    term = (p - q) * F.log(p / q)
+    term_r6 = (
+        F.floor(term * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+    return j.agg(
+        (
+            F.sum(F.floor(term_r6 * F.lit(1e6) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias(out_col)
+    )
+
+
 def top_ngram_fraction(
     df: DataFrame,
     id_cols: list[str],

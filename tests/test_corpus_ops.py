@@ -771,3 +771,32 @@ def test_temperature_sample_upweights_small_sources(spark):
     with _pytest.raises(ValueError):
         temperature_sample(df, "src", ["row_id"], alpha=0.0,
                            target_rows=10)
+
+
+def test_population_stability_known_and_identical(spark):
+    """Identical distributions → PSI ~0; a clean two-bin shift matches
+    the hand formula; empty side raises."""
+    import math
+
+    import pytest as _pytest
+
+    from aligned_spark.operators.quality import population_stability
+
+    a = spark.createDataFrame(
+        [(float(v),) for v in [1] * 60 + [11] * 40], "v double"
+    )
+    same = population_stability(a, a, "v", bin_width=10.0).first().psi
+    assert abs(same) < 1e-5
+
+    b = spark.createDataFrame(
+        [(float(v),) for v in [1] * 30 + [11] * 70], "v double"
+    )
+    got = population_stability(a, b, "v", bin_width=10.0).first().psi
+    expected = (0.3 - 0.6) * math.log(0.3 / 0.6) + (
+        0.7 - 0.4
+    ) * math.log(0.7 / 0.4)
+    assert abs(got - expected) < 1e-4
+
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError):
+        population_stability(a, empty, "v", bin_width=10.0)
