@@ -5791,6 +5791,44 @@ def _corpus_weighted_reservoir(spark, sf_dir):
 
 
 @q(
+    "events_drift_ks",
+    """WITH u AS (
+         SELECT value AS v,
+                COUNT(*) FILTER (WHERE ts < TIMESTAMP
+                                 '2024-01-15 00:00:00') AS qn,
+                COUNT(*) FILTER (WHERE ts >= TIMESTAMP
+                                 '2024-01-15 00:00:00') AS pn
+         FROM events WHERE value IS NOT NULL GROUP BY value
+       ),
+       tot AS (
+         SELECT CAST(SUM(qn) AS DOUBLE) AS qt,
+                CAST(SUM(pn) AS DOUBLE) AS pt
+         FROM u
+       ),
+       c AS (
+         SELECT abs(CAST(SUM(qn) OVER (ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.qt
+                    - CAST(SUM(pn) OVER (ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.pt)
+                  AS d
+         FROM u, tot
+       )
+       SELECT MAX(d) AS ks FROM c""",
+)
+def _events_drift_ks(spark, sf_dir):
+    """Bin-free drift test: two-sample KS between the two January
+    halves of the event value — a combined value census, cumulative
+    CDFs over the census, max absolute gap
+    (`operators/quality.py:ks_statistic`)."""
+    from aligned_spark.operators.quality import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < "2024-01-15")
+    cur = ev.filter(F.col("ts") >= "2024-01-15")
+    return ks_statistic(ref, cur, "value")
+
+
+@q(
     "events_drift_psi",
     # q = first half of January (reference), p = second half (current);
     # fixed 5.0-wide value bins; identical clip/round formula both

@@ -106,6 +106,49 @@ def population_stability(
     )
 
 
+def ks_statistic(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    out_col: str = "ks",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic:
+    ``sup_x |F_ref(x) − F_cur(x)|`` — the bin-free companion to
+    :func:`population_stability` (PSI needs a bin width; KS compares
+    the full empirical CDFs and is attained at a data point, so no
+    tuning). Returns one row ``(ks)``.
+
+    Shape: one combined value census (map-side-partial counts per
+    distinct value with per-side tallies), cumulative sums over the
+    census — a window over #distinct values, not rows, same contract
+    as the counting-percentile census — and a max-abs-diff aggregate.
+    NULLs excluded; either side empty raises."""
+    qv = reference.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    pv = current.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    u = qv.withColumn("__q", F.lit(1)).withColumn("__p", F.lit(0)).unionByName(
+        pv.withColumn("__q", F.lit(0)).withColumn("__p", F.lit(1))
+    )
+    census = u.groupBy("__v").agg(
+        F.sum("__q").alias("__qn"), F.sum("__p").alias("__pn")
+    )
+    tot = census.agg(
+        F.sum("__qn").alias("qt"), F.sum("__pn").alias("pt")
+    ).first()
+    qt, pt = tot["qt"], tot["pt"]
+    if not qt or not pt:
+        raise ValueError("ks_statistic needs non-empty sides")
+    w = W.orderBy("__v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    fa = F.sum("__qn").over(w).cast("double") / F.lit(float(qt))
+    fb = F.sum("__pn").over(w).cast("double") / F.lit(float(pt))
+    return census.select(F.abs(fa - fb).alias("__d")).agg(
+        F.max("__d").alias(out_col)
+    )
+
+
 def top_ngram_fraction(
     df: DataFrame,
     id_cols: list[str],

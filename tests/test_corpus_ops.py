@@ -800,3 +800,27 @@ def test_population_stability_known_and_identical(spark):
     empty = spark.createDataFrame([], "v double")
     with _pytest.raises(ValueError):
         population_stability(a, empty, "v", bin_width=10.0)
+
+
+def test_ks_statistic_known_and_scipy_free(spark):
+    """Identical samples → 0; disjoint samples → 1; a hand-computed
+    mixed case matches the step-CDF definition."""
+    import pytest as _pytest
+
+    from aligned_spark.operators.quality import ks_statistic
+
+    a = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]],
+                              "v double")
+    assert ks_statistic(a, a, "v").first().ks == 0.0
+
+    b = spark.createDataFrame([(float(v),) for v in [10, 11]], "v double")
+    assert ks_statistic(a, b, "v").first().ks == 1.0
+
+    # a = {1,2,3,4}, c = {2,4}: F_a(2)=0.5 F_c(2)=0.5; F_a(3)=0.75
+    # F_c(3)=0.5 → sup = 0.25
+    c = spark.createDataFrame([(2.0,), (4.0,)], "v double")
+    assert ks_statistic(a, c, "v").first().ks == 0.25
+
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError):
+        ks_statistic(a, empty, "v")
