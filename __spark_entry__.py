@@ -5791,6 +5791,67 @@ def _corpus_weighted_reservoir(spark, sf_dir):
 
 
 @q(
+    "corpus_jsd_slices",
+    """WITH base AS (
+         SELECT doc_id,
+                list_filter(
+                  string_split_regex(lower(coalesce(text, '')),
+                                     '[^a-zA-ZÀ-ÿ]+'),
+                  x -> length(x) > 0
+                ) AS words
+         FROM documents
+       ),
+       wa AS (
+         SELECT unnest(words) AS w FROM base WHERE doc_id % 2 = 0
+       ),
+       wb AS (
+         SELECT unnest(words) AS w FROM base WHERE doc_id % 2 = 1
+       ),
+       ca AS (SELECT w, COUNT(*) AS an FROM wa GROUP BY w),
+       cb AS (SELECT w, COUNT(*) AS bn FROM wb GROUP BY w),
+       tot AS (
+         SELECT (SELECT CAST(SUM(an) AS DOUBLE) FROM ca) AS ta,
+                (SELECT CAST(SUM(bn) AS DOUBLE) FROM cb) AS tb
+       ),
+       t AS (
+         SELECT floor((
+                  CASE WHEN coalesce(an, 0) > 0
+                       THEN (coalesce(an, 0) / tot.ta)
+                            * log2((coalesce(an, 0) / tot.ta)
+                                   / ((coalesce(an, 0) / tot.ta
+                                       + coalesce(bn, 0) / tot.tb) / 2.0))
+                            / 2.0
+                       ELSE 0.0 END
+                  + CASE WHEN coalesce(bn, 0) > 0
+                         THEN (coalesce(bn, 0) / tot.tb)
+                              * log2((coalesce(bn, 0) / tot.tb)
+                                     / ((coalesce(an, 0) / tot.ta
+                                         + coalesce(bn, 0) / tot.tb) / 2.0))
+                              / 2.0
+                         ELSE 0.0 END
+                ) * 1e6 + 0.5 + 1e-9) / 1e6 AS term
+         FROM ca FULL OUTER JOIN cb USING (w), tot
+       )
+       SELECT CAST(SUM(CAST(floor(term * 1e6 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1e6 AS jsd
+       FROM t""",
+)
+def _corpus_jsd_slices(spark, sf_dir):
+    """Corpus-shift measurement: Jensen–Shannon divergence between
+    the token distributions of the even- and odd-id document slices —
+    token censuses, vocab-keyed outer join, exact sum of rounded
+    contributions (`operators/quality.py:js_divergence_tokens`)."""
+    from aligned_spark.operators.quality import js_divergence_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return js_divergence_tokens(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+    )
+
+
+@q(
     "events_drift_ks",
     """WITH u AS (
          SELECT value AS v,

@@ -149,6 +149,59 @@ def ks_statistic(
     )
 
 
+def js_divergence_tokens(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    out_col: str = "jsd",
+) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between the word-unigram
+    distributions of two document sets — the text-domain member of the
+    drift family (:func:`population_stability` / :func:`ks_statistic`
+    cover numeric columns): symmetric, bounded [0, 1], defined even
+    when vocabularies don't overlap (where KL is infinite). The
+    standard corpus-shift measure between slices/snapshots of a
+    training mixture.
+
+    Shape: one token census per side (map-side partials keyed by
+    token), a full-outer join on the token, per-token contributions
+    ``½·p·log2(p/m) + ½·q·log2(q/m)`` (``m = (p+q)/2``; absent side
+    contributes 0) epsilon-rounded and summed exactly. No state
+    beyond the vocabulary census."""
+    def census(df, n):
+        return (
+            df.select(F.explode(_words(F.col(text_col))).alias("__w"))
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias(n))
+        )
+
+    ca = census(a, "__an")
+    cb = census(b, "__bn")
+    ta = ca.agg(F.sum("__an")).first()[0]
+    tb = cb.agg(F.sum("__bn")).first()[0]
+    if not ta or not tb:
+        raise ValueError("js_divergence_tokens needs tokens on both sides")
+    j = ca.join(cb, on="__w", how="full_outer")
+    p = F.coalesce(F.col("__an"), F.lit(0)).cast("double") / F.lit(float(ta))
+    q = F.coalesce(F.col("__bn"), F.lit(0)).cast("double") / F.lit(float(tb))
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(p > 0, p * F.log2(p / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log2(q / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+    )
+    term_r6 = (
+        F.floor(term * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+    return j.agg(
+        (
+            F.sum(F.floor(term_r6 * F.lit(1e6) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias(out_col)
+    )
+
+
 def top_ngram_fraction(
     df: DataFrame,
     id_cols: list[str],

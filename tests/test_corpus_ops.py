@@ -824,3 +824,31 @@ def test_ks_statistic_known_and_scipy_free(spark):
     empty = spark.createDataFrame([], "v double")
     with _pytest.raises(ValueError):
         ks_statistic(a, empty, "v")
+
+
+def test_js_divergence_tokens_bounds(spark):
+    """Identical corpora → 0; disjoint vocabularies → 1 bit (the JSD
+    maximum); a half-overlap case lands strictly between."""
+    import pytest as _pytest
+
+    from aligned_spark.operators.quality import js_divergence_tokens
+
+    a = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    assert abs(js_divergence_tokens(a, a, "text").first().jsd) < 1e-5
+
+    b = spark.createDataFrame(
+        [(1, "epsilon zeta eta theta")], "doc_id long, text string"
+    )
+    assert abs(js_divergence_tokens(a, b, "text").first().jsd - 1.0) < 1e-4
+
+    c = spark.createDataFrame(
+        [(2, "alpha beta epsilon zeta")], "doc_id long, text string"
+    )
+    mid = js_divergence_tokens(a, c, "text").first().jsd
+    assert 0.1 < mid < 0.9
+
+    empty = spark.createDataFrame([(3, "")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        js_divergence_tokens(a, empty, "text")
