@@ -6109,6 +6109,67 @@ def _corpus_ntile_bins(spark, sf_dir):
     )
 
 
+def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
+    from aligned_spark.functions import text_poly as tp
+    from aligned_spark.operators.quality import (
+        _CLF_ADD,
+        _CLF_MOD,
+        _CLF_MULT,
+        _CLF_SCALE,
+    )
+
+    # identical integer fold (weights never touch floats until the
+    # single multiply+divide at the end → bit-identical logit, no
+    # rounding tolerance needed)
+    return f"""
+    WITH wh AS (SELECT doc_id, {tp.sql_word_hashes('text')} AS whs
+                FROM documents),
+    s AS (
+      SELECT doc_id, len(whs) AS n,
+             coalesce(list_sum(list_transform(whs,
+               h -> ((h % {buckets}) * {_CLF_MULT} + {_CLF_ADD})
+                    % {_CLF_MOD} - {_CLF_SCALE})), 0)
+               AS wsum
+      FROM wh
+    )
+    SELECT doc_id,
+           CASE WHEN n > 0
+                THEN CAST(wsum AS DOUBLE) / ({float(_CLF_SCALE)} * n)
+                ELSE 0.0 END AS logit,
+           CAST(CASE WHEN n > 0
+                     AND CAST(wsum AS DOUBLE) / ({float(_CLF_SCALE)} * n)
+                         > {float(threshold)}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s"""
+
+
+@q("text_quality_classifier", _clf_oracle())
+def _text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the CCNet/FineWeb fastText
+    gate): feature-hash every token, sum the bucket weights, keep docs
+    whose logit clears the threshold. This registration runs the
+    SQL-replayable poly-hash twin; the production path is the pure
+    codegen ``impl="codegen"`` (zero-shuffle scan projection), benched
+    as ``text_quality_classifier_fast``
+    (`operators/quality.py:hashed_classifier_score`)."""
+    from aligned_spark.operators.quality import hashed_classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_classifier_score(
+        d, "doc_id", "text", impl="poly"
+    )
+
+
+@q("text_quality_classifier_fast")  # production codegen twin — rows-only
+def _text_quality_classifier_fast(spark, sf_dir):
+    from aligned_spark.operators.quality import hashed_classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_classifier_score(
+        d, "doc_id", "text", impl="codegen"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -852,3 +852,58 @@ def test_js_divergence_tokens_bounds(spark):
     empty = spark.createDataFrame([(3, "")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         js_divergence_tokens(a, empty, "text")
+
+
+def test_hashed_classifier_exact_and_bounded(spark):
+    """Poly impl matches a hand-computed fold; both impls are pure,
+    bounded to [-1, 1], and flag-consistent; empty text scores 0."""
+    from aligned_spark.functions.text_poly import word_hashes
+    from aligned_spark.operators.quality import (
+        _CLF_ADD,
+        _CLF_MOD,
+        _CLF_MULT,
+        _CLF_SCALE,
+        hashed_classifier_score,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark spark spark"),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    B = 1 << 20
+
+    def expected(text):
+        hs = word_hashes(text)
+        if not hs:
+            return 0.0
+        s = sum(
+            ((h % B) * _CLF_MULT + _CLF_ADD) % _CLF_MOD - _CLF_SCALE
+            for h in hs
+        )
+        return s / (float(_CLF_SCALE) * len(hs))
+
+    for impl in ("poly", "codegen"):
+        out = {
+            r.doc_id: r
+            for r in hashed_classifier_score(
+                df, "doc_id", "text", impl=impl
+            ).collect()
+        }
+        assert out[2].logit == 0.0 and out[3].logit == 0.0
+        for r in out.values():
+            assert -1.0 <= r.logit <= 1.0
+            assert r.keep == int(r.logit > 0.0)
+    out = {
+        r.doc_id: r
+        for r in hashed_classifier_score(
+            df, "doc_id", "text", impl="poly"
+        ).collect()
+    }
+    for i, (_, text) in enumerate(rows):
+        assert out[i].logit == expected(text)
+
+    with pytest.raises(ValueError):
+        hashed_classifier_score(df, "doc_id", "text", buckets=1 << 22)
