@@ -6143,6 +6143,85 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
     FROM s"""
 
 
+_TRI_CASE = (
+    "CASE WHEN c3.c3 IS NOT NULL"
+    "     THEN CAST(c3.c3 AS DOUBLE) / CAST(x.c2 AS DOUBLE)"
+    "     WHEN y.c2 IS NOT NULL"
+    f"     THEN 0.4 * CAST(y.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE)"
+    "     WHEN v.c1 IS NOT NULL"
+    f"     THEN {0.4 * 0.4!r} * CAST(v.c1 AS DOUBLE) / tot.n"
+    f"     ELSE {0.4 * 0.4!r} / tot.n END"
+)
+
+
+@q(
+    "text_trigram_backoff",
+    f"""WITH base AS (
+         SELECT doc_id,
+                list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '') AS w
+         FROM documents
+       ), flat AS (
+         SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i + 1])) AS ctx,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tg,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i + 1] || ' ' || w[i + 2])) AS b23,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i + 1])) AS w2,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i + 2])) AS w3
+         FROM base WHERE len(w) >= 3 AND doc_id % 2 = 1
+       ), ttri AS (
+         SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tg
+         FROM base WHERE len(w) >= 3 AND doc_id % 2 = 0
+       ), c3 AS (SELECT tg, COUNT(*) AS c3 FROM ttri GROUP BY tg),
+       tbg AS (
+         SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i + 1])) AS b
+         FROM base WHERE len(w) >= 2 AND doc_id % 2 = 0
+       ), c2 AS (SELECT b, COUNT(*) AS c2 FROM tbg GROUP BY b),
+       ttok AS (SELECT unnest(w) AS token FROM base WHERE doc_id % 2 = 0),
+       c1 AS (SELECT token, COUNT(*) AS c1 FROM ttok GROUP BY token),
+       tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ttok),
+       s AS (
+         SELECT f.doc_id,
+                {_O_R6.format(c=f"-ln({_TRI_CASE})")} AS s
+         FROM flat f
+         LEFT JOIN c3 ON f.tg = c3.tg
+         LEFT JOIN c2 x ON f.ctx = x.b
+         LEFT JOIN c2 y ON f.b23 = y.b
+         LEFT JOIN c1 u ON f.w2 = u.token
+         LEFT JOIN c1 v ON f.w3 = v.token
+         CROSS JOIN tot
+       )
+       SELECT doc_id, COUNT(*) AS n_trigrams,
+              {_O_R6.format(c="CAST(SUM(CAST(floor(s * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*)")}
+                AS avg_neg_logp3
+       FROM s GROUP BY doc_id""",
+)
+def _text_trigram_backoff(spark, sf_dir):
+    """Held-out trigram LM with stupid backoff: count the model on
+    even doc_ids, score the odd docs — the deployment shape of a
+    KenLM-style perplexity filter, exercising all four backoff
+    branches (`operators/text_rank.py:trigram_backoff_surprise`)."""
+    from aligned_spark.operators.text_rank import (
+        trigram_backoff_surprise,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return trigram_backoff_surprise(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )
+
+
 @q("text_quality_classifier", _clf_oracle())
 def _text_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (the CCNet/FineWeb fastText

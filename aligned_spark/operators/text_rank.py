@@ -276,3 +276,146 @@ def unigram_surprise(
         .drop("__s")
     )
     return scored
+
+
+def _trigram_parts(text: Column) -> Column:
+    """Array of structs (ctx='w1 w2', tg='w1 w2 w3', b23='w2 w3',
+    w2, w3) — one per trigram slot, document order."""
+    words = F.filter(F.split(text, TOKEN_RE), lambda w: w != F.lit(""))
+    n = F.size(words)
+    m = F.greatest(n - 2, F.lit(0))
+    a = F.slice(words, 1, m)
+    b = F.slice(words, 2, m)
+    c = F.slice(words, 3, m)
+    ab = F.zip_with(
+        a, b, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+    )
+    return F.zip_with(
+        ab,
+        c,
+        lambda p, z: F.struct(
+            F.concat_ws(" ", p.getField("w1"), p.getField("w2")).alias(
+                "ctx"
+            ),
+            F.concat_ws(
+                " ", p.getField("w1"), p.getField("w2"), z
+            ).alias("tg"),
+            F.concat_ws(" ", p.getField("w2"), z).alias("b23"),
+            p.getField("w2").alias("w2"),
+            z.alias("w3"),
+        ),
+    )
+
+
+def trigram_backoff_surprise(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Held-out trigram LM surprise with STUPID BACKOFF (Brants et
+    al. 2007, "Large Language Models in Machine Translation"): score
+    each document of ``score`` under an n-gram model counted from
+    ``train``:
+
+        S(w3|w1 w2) = c3(w1 w2 w3)/c2(w1 w2)          if c3 > 0
+                    = α · c2(w2 w3)/c1(w2)            elif c2(w2 w3) > 0
+                    = α² · c1(w3)/N                   elif c1(w3) > 0
+                    = α² · 1/N                        (OOV floor)
+
+    Unlike :func:`bigram_surprise` (corpus scored under itself — every
+    transition seen), the train/score split exercises all four branches,
+    which is the real KenLM-filter deployment shape: count the model on
+    a reference corpus, score candidate documents against it. Output:
+    (id, n_trigrams, avg_neg_logp3) for scored docs with ≥ 3 tokens.
+
+    Scale shape: three count tables are vocabulary-bounded (Zipf-small
+    relative to the corpus; the trigram table is the big one — it
+    map-side combines and joins back on its own key, never wider than
+    the scored trigram stream). Five hash joins on n-gram string keys,
+    one per-doc reduction; no UDFs, no windows, fully codegen.
+
+    Float determinism: ln is r6-rounded at the moment of computation;
+    the branch arithmetic (α multiplies, count ratios) is
+    identical-order IEEE both engines; per-doc sums are exact scaled
+    longs (`_dsum6`).
+    """
+    lo = F.lower(F.col(text_col))
+    tri_train = train.select(
+        F.explode(_trigram_parts(lo)).alias("t")
+    ).select("t.*")
+    tri_score = score.select(
+        F.col(id_col), F.explode(_trigram_parts(lo)).alias("t")
+    ).select(id_col, "t.*")
+
+    c3 = tri_train.groupBy("tg").agg(F.count(F.lit(1)).alias("__c3"))
+    bg = train.select(F.explode(_bigrams(lo)).alias("__bg"))
+    c2 = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c2"))
+    toks = tokenize(train, id_col, text_col).select("token")
+    c1 = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c1"))
+    total = toks.select(F.count(F.lit(1)).alias("__n"))
+
+    j = (
+        tri_score.join(c3, "tg", "left")
+        .join(
+            c2.select(
+                F.col("__bg").alias("ctx"), F.col("__c2").alias("__cctx")
+            ),
+            "ctx",
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("__bg").alias("b23"), F.col("__c2").alias("__cb23")
+            ),
+            "b23",
+            "left",
+        )
+        .join(
+            c1.select(
+                F.col("token").alias("w2"), F.col("__c1").alias("__cw2")
+            ),
+            "w2",
+            "left",
+        )
+        .join(
+            c1.select(
+                F.col("token").alias("w3"), F.col("__c1").alias("__cw3")
+            ),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    a1 = F.lit(float(alpha))
+    a2 = F.lit(float(alpha) * float(alpha))
+    nd = F.col("__n").cast("double")
+    p = (
+        F.when(
+            F.col("__c3").isNotNull(),
+            F.col("__c3").cast("double") / F.col("__cctx").cast("double"),
+        )
+        .when(
+            F.col("__cb23").isNotNull(),
+            a1 * F.col("__cb23").cast("double")
+            / F.col("__cw2").cast("double"),
+        )
+        .when(
+            F.col("__cw3").isNotNull(),
+            a2 * F.col("__cw3").cast("double") / nd,
+        )
+        .otherwise(a2 / nd)
+    )
+    s = _r6(-F.log(p))
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            _dsum6(s).alias("__s"),
+        )
+        .withColumn(
+            "avg_neg_logp3", _r6(F.col("__s") / F.col("n_trigrams"))
+        )
+        .drop("__s")
+    )

@@ -907,3 +907,44 @@ def test_hashed_classifier_exact_and_bounded(spark):
 
     with pytest.raises(ValueError):
         hashed_classifier_score(df, "doc_id", "text", buckets=1 << 22)
+
+
+def test_trigram_backoff_all_branches(spark):
+    """One scored trigram per backoff branch: seen trigram (p=1),
+    bigram backoff (0.4·1), unigram backoff (0.16·c/N), OOV floor
+    (0.16/N). Train corpus: 'a b c d' → N=4 tokens."""
+    import math
+
+    from aligned_spark.operators.text_rank import (
+        trigram_backoff_surprise,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [
+            (0, "a b c"),    # trigram branch: 1/1
+            (1, "x b c"),    # bigram branch: 0.4 * 1/1
+            (2, "x y c"),    # unigram branch: 0.16 * 1/4
+            (3, "x y z"),    # OOV floor: 0.16 / 4
+            (4, "a b"),      # < 3 tokens → absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in trigram_backoff_surprise(
+            train, score, "doc_id", "text"
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5 + 1e-9) / 1e6
+
+    assert out[0].avg_neg_logp3 == r6(r6(-math.log(1.0)))
+    assert out[1].avg_neg_logp3 == r6(r6(-math.log(0.4)))
+    assert out[2].avg_neg_logp3 == r6(r6(-math.log(0.4 * 0.4 * 1 / 4.0)))
+    assert out[3].avg_neg_logp3 == r6(r6(-math.log(0.4 * 0.4 / 4.0)))
+    assert all(r.n_trigrams == 1 for r in out.values())
