@@ -106,6 +106,9 @@ HEADLINE = [
     "agg_percentiles_counting",
     "events_resample_linear",
     "events_anomaly_mad",
+    # model-based quality gate (codegen twin) + held-out trigram LM
+    "text_quality_classifier_fast",
+    "text_trigram_backoff",
 ]
 
 

@@ -415,3 +415,40 @@ def test_token_entropy_no_totals_join(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     p = plan_text(token_entropy(df, ["doc_id"], "text"))
     assert "Join" not in p
+
+
+def test_partitioned_fact_join_uses_dynamic_pruning(spark, tmp_path_factory):
+    """A selective dim filter joined to a hive-partitioned fact must
+    prune fact PARTITIONS at runtime (DPP) — at 100 TB the difference
+    between scanning one date's files and scanning the table. Pinned
+    here because DPP silently degrades to a full scan if the join key
+    stops being the partition column or the dim filter stops being
+    selective-broadcastable."""
+    base = tmp_path_factory.mktemp("dpp")
+    fact_path = str(base / "fact")
+    (
+        spark.range(5000)
+        .select(
+            F.col("id").alias("v"),
+            (F.col("id") % 50).alias("part_key"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("part_key")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(50).select(
+        F.col("id").alias("part_key"),
+        (F.col("id") % 5).alias("region"),
+    )
+    joined = fact.join(dim, "part_key").filter(F.col("region") == 1)
+    plan = plan_text(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruning expression sits IN the fact scan's partition
+    # filters (not just anywhere in the plan)
+    pf_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf_lines and any(
+        "dynamicpruning" in ln.lower() for ln in pf_lines
+    ), plan
