@@ -6143,6 +6143,101 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
     FROM s"""
 
 
+def _pipeline_quality_oracle() -> str:
+    # classifier CTE (same integer fold as _clf_oracle) → keep-gate →
+    # exact dedup keep-first → temperature resample (α=0.5, 200 docs,
+    # seed 3) — one SQL replay of the whole composed DAG
+    from aligned_spark.functions import text_poly as tp
+    from aligned_spark.operators.quality import (
+        _CLF_ADD,
+        _CLF_MOD,
+        _CLF_MULT,
+        _CLF_SCALE,
+    )
+
+    B = 1 << 20
+    return f"""
+    WITH wh AS (SELECT doc_id, {tp.sql_word_hashes('text')} AS whs
+                FROM documents),
+    clf AS (
+      SELECT doc_id, len(whs) AS n,
+             coalesce(list_sum(list_transform(whs,
+               h -> ((h % {B}) * {_CLF_MULT} + {_CLF_ADD})
+                    % {_CLF_MOD} - {_CLF_SCALE})), 0) AS wsum
+      FROM wh
+    ),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN n > 0
+                  THEN CAST(wsum AS DOUBLE) / ({float(_CLF_SCALE)} * n)
+                  ELSE 0.0 END AS logit
+      FROM clf
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source, d.text, s.logit
+      FROM documents d JOIN scored s USING (doc_id)
+      WHERE s.logit > 0.0
+    ),
+    dd AS (
+      SELECT doc_id, source, logit FROM (
+        SELECT *, row_number() OVER (PARTITION BY text
+                    ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    c AS (
+      SELECT source, COUNT(*) AS n FROM dd
+      WHERE source IS NOT NULL GROUP BY source
+    ),
+    tz AS (
+      SELECT (SELECT CAST(SUM(n) AS DOUBLE) FROM c) AS total,
+             SUM(pow(n / (SELECT CAST(SUM(n) AS DOUBLE) FROM c),
+                     0.5)) AS z
+      FROM c
+    ),
+    f AS (
+      SELECT c.source,
+             floor(least(1.0,
+                         200 * (pow(c.n / tz.total, 0.5) / tz.z)
+                         / c.n) * 1e6 + 0.5 + 1e-9) / 1e6 AS f
+      FROM c, tz
+    )
+    SELECT dd.doc_id, dd.source, dd.logit
+    FROM dd JOIN f USING (source)
+    WHERE CAST(((3 + dd.doc_id) % 1073741824) * 2654435761
+               % 1073741824 AS DOUBLE) / 1073741824 < f.f"""
+
+
+@q("corpus_pipeline_quality", _pipeline_quality_oracle())
+def _corpus_pipeline_quality(spark, sf_dir):
+    """FineWeb-style pipeline COMPOSED in one DAG: model-based
+    quality gate (hashed linear classifier) → exact dedup
+    (keep-first) → temperature mixture resample (α=0.5). The sibling
+    of ``corpus_pipeline_e2e`` with this round's model-gate front
+    end; one oracle replays all three stages. Plan: scan → classifier
+    projection (Arrow kernel in the poly twin, pure codegen in
+    production) → one dedup shuffle → literal-CASE resample filter —
+    no extra shuffle for gate or resample."""
+    from aligned_spark.operators.dedup import exact_dedup
+    from aligned_spark.operators.quality import hashed_classifier_score
+    from aligned_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    scored = hashed_classifier_score(
+        d, "doc_id", "text", impl="poly"
+    )
+    kept = d.select("doc_id", "source", "text").join(
+        scored.filter(F.col("keep") == 1).select("doc_id", "logit"),
+        "doc_id",
+    )
+    dd = exact_dedup(kept, ["text"], order_col="doc_id").select(
+        "doc_id", "source", "logit"
+    )
+    out = temperature_sample(
+        dd, "source", ["doc_id"], alpha=0.5, target_rows=200, seed=3
+    )
+    return out.select("doc_id", "source", "logit")
+
+
 _TRI_CASE = (
     "CASE WHEN c3.c3 IS NOT NULL"
     "     THEN CAST(c3.c3 AS DOUBLE) / CAST(x.c2 AS DOUBLE)"
