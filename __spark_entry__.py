@@ -6411,13 +6411,18 @@ _PRIORITY: list[str] = [
     # TPC-H execute_sql slots above; agg_rolling_window and
     # agg_group_stats share their churned code paths with the
     # agg_pit_window / agg_group_basic slots kept here.)
+    # (join_asof and join_equi_multi yield their regression slots to
+    # the two new composed/model-gate queries below: the churned as-of
+    # union path is exercised in-window by join_asof_forward/nearest —
+    # same sorted-merge core, direction-parameterized — and the
+    # equi-join widening fix is pinned by its 16777217 property test.)
     "store_features_for",
     "join_pit_ttl",
     "agg_pit_window",
-    "join_asof",
-    "join_equi_multi",
     "agg_group_basic",
     "corpus_normalize_scores",
+    "text_quality_classifier",
+    "corpus_pipeline_quality",
     # --- new full-oracle operators added later this round ---
     "dedup_substring_spans",
     "join_fuzzy_blocked",
