@@ -6143,6 +6143,63 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
     FROM s"""
 
 
+def _bloom_decontaminate_oracle(
+    width: int = 8, split: int = 450, m_bits: int = 1 << 16, k: int = 2
+) -> str:
+    """Replays the EXACT Bloom bitset — union of bit positions over
+    the benchmark shingles — so the oracle reproduces the same false
+    positives the filter fires (`operators/dedup.py:
+    bloom_decontaminate`; bit-position arithmetic is pure int64)."""
+    pos = (
+        "((({s}) + {off}) % 1073741824) * 2654435761"
+        " % 1073741824 % {m}"
+    )
+    probes = " AND ".join(
+        pos.format(s="p.s", off=j * 7919, m=m_bits)
+        + " IN (SELECT pos FROM bpos)"
+        for j in range(k)
+    )
+    sets = ", ".join(
+        pos.format(s="s", off=j * 7919, m=m_bits) for j in range(k)
+    )
+    return f"""
+    {_poly_doc_cte(width)},
+    bpos AS (
+      SELECT DISTINCT unnest([{sets}]) AS pos
+      FROM (SELECT DISTINCT unnest(sh) AS s FROM sh
+            WHERE doc_id >= {split})
+    ),
+    hits AS (
+      SELECT DISTINCT p.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh
+            WHERE doc_id < {split}) p
+      WHERE {probes}
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id < {split} AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
+@q("text_decontaminate_bloom", _bloom_decontaminate_oracle())
+def _text_decontaminate_bloom(spark, sf_dir):
+    """Decontamination via a broadcast Bloom bitset — the 100 TB
+    shape: the benchmark folds into a 64 Kb bit array probed inside a
+    codegen ``exists``; the corpus side has ZERO joins and zero
+    shuffle (vs `text_decontaminate`'s broadcast semi-join). The
+    oracle rebuilds the identical bitset in SQL, so even Bloom false
+    positives must match bit-for-bit."""
+    from aligned_spark.operators.dedup import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 450)
+    bench = d.filter(F.col("doc_id") >= 450)
+    clean = bloom_decontaminate(
+        corpus, bench, "doc_id", "text", "text",
+        shingle_width=8, m_bits=1 << 16, k=2, impl="poly",
+    )
+    return clean.select("doc_id")
+
+
 def _pipeline_quality_oracle() -> str:
     # classifier CTE (same integer fold as _clf_oracle) → keep-gate →
     # exact dedup keep-first → temperature resample (α=0.5, 200 docs,

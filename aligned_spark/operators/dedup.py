@@ -916,3 +916,114 @@ def duplicate_spans(
         )
     )
     return out
+
+
+_BLOOM_M30 = 1_073_741_824  # 2^30 — hash_coordinate's modulus
+_BLOOM_A = 2_654_435_761  # Knuth multiplier
+_BLOOM_STEP = 7_919  # per-hash-function seed offset
+
+
+def _bloom_pos(h: Column, j: int, m_bits: int) -> Column:
+    """Bit position of shingle-hash ``h`` under hash function ``j`` —
+    exact int64 arithmetic, replayable verbatim in SQL."""
+    return (
+        F.pmod(
+            F.pmod(h + F.lit(j * _BLOOM_STEP), F.lit(_BLOOM_M30))
+            * F.lit(_BLOOM_A),
+            F.lit(_BLOOM_M30),
+        )
+        % F.lit(m_bits)
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    corpus_text: str,
+    benchmark_text: str,
+    shingle_width: int = 8,
+    m_bits: int = 1 << 16,
+    k: int = 2,
+    impl: str = "arrow",
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """:func:`decontaminate`'s broadcast-bitset scale path: instead of
+    a shingle semi-join, the benchmark's shingles are folded into an
+    ``m_bits`` Bloom filter ONCE (driver-side — eval suites are MBs
+    against TBs, so the collect is bounded by design) and every corpus
+    shingle probes the bitset with ``k`` hash functions inside a
+    codegen ``exists`` — ZERO joins, zero shuffle on the corpus side;
+    the only data movement is the bitset riding the task closure.
+
+    One-sided error: a clean doc may be flagged (Bloom false
+    positive, rate ≈ (1−e^(−k·n/m))^k), a contaminated doc is never
+    missed — the right direction for hygiene filtering. The bit
+    positions use exact int64 arithmetic (2^30-modulus multiplicative
+    hashing, 32-bit packed words, power-of-two exact divisions), so an
+    oracle can replay the EXACT bitset — including which false
+    positives fire — in portable SQL.
+
+    ``impl`` selects the shingle-hash family, as in
+    :func:`decontaminate`.
+    """
+    if m_bits % 32 or m_bits > (1 << 22):
+        raise ValueError("m_bits must be a multiple of 32, <= 2^22")
+    if impl == "arrow":
+        from aligned_spark.functions.text_arrow import shingle_hashes_arrow
+
+        def sh(c):
+            return shingle_hashes_arrow(c, shingle_width)
+    elif impl == "poly":
+        from aligned_spark.functions.text_poly import (
+            poly_shingle_hashes_arrow,
+        )
+
+        def sh(c):
+            return poly_shingle_hashes_arrow(c, shingle_width)
+    elif impl == "codegen":
+
+        def sh(c):
+            return shingle_hashes(c, shingle_width)
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    bench_hashes = [
+        r[0]
+        for r in benchmark.select(
+            F.explode(sh(F.col(benchmark_text))).alias("__sh")
+        )
+        .distinct()
+        .collect()
+    ]
+    words = [0] * (m_bits // 32)
+    for h in bench_hashes:
+        for j in range(k):
+            pos = (
+                (h + j * _BLOOM_STEP) % _BLOOM_M30 * _BLOOM_A % _BLOOM_M30
+            ) % m_bits
+            words[pos // 32] |= 1 << (pos % 32)
+    bits = F.lit(words)  # array<bigint> literal, 32 bits used per word
+    pow2 = F.lit([1 << i for i in range(32)])
+
+    def _bit_set(pos: Column) -> Column:
+        word = F.element_at(bits, (pos / F.lit(32)).cast("int") + 1)
+        p2 = F.element_at(pow2, F.pmod(pos, F.lit(32)).cast("int") + 1)
+        # word < 2^32 and p2 a power of two → the double division is
+        # exact and floor recovers the exact shifted value (both
+        # engines IEEE); % 2 extracts the bit
+        return (
+            F.floor(word.cast("double") / p2.cast("double")).cast("long")
+            % 2
+            == 1
+        )
+
+    def _probe(h: Column) -> Column:
+        cond = F.lit(True)
+        for j in range(k):
+            cond = cond & _bit_set(_bloom_pos(h, j, m_bits))
+        return cond
+
+    flagged = F.exists(sh(F.col(corpus_text)), _probe)
+    keep = flagged if keep_contaminated else ~flagged
+    return corpus.filter(keep)

@@ -948,3 +948,65 @@ def test_trigram_backoff_all_branches(spark):
     assert out[2].avg_neg_logp3 == r6(r6(-math.log(0.4 * 0.4 * 1 / 4.0)))
     assert out[3].avg_neg_logp3 == r6(r6(-math.log(0.4 * 0.4 / 4.0)))
     assert all(r.n_trigrams == 1 for r in out.values())
+
+
+def test_bloom_decontaminate_matches_exact_and_fp_direction(spark):
+    """With an uncrowded bitset the Bloom filter equals the exact
+    semi-join result; with a tiny bitset it may only over-flag (drop
+    clean docs), never under-flag (a contaminated doc always probes
+    its own set bits). Also pins the audit flag and the m_bits guard."""
+    from aligned_spark.operators.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "totally unrelated words nowhere near the benchmark set"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "one two three four five six seven eight and more")],
+        "doc_id long, text string",
+    )
+    kw = dict(shingle_width=8, impl="poly")
+    exact = {
+        r.doc_id
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", "text", **kw
+        ).collect()
+    }
+    roomy = {
+        r.doc_id
+        for r in bloom_decontaminate(
+            corpus, bench, "doc_id", "text", "text", m_bits=1 << 20, **kw
+        ).collect()
+    }
+    assert exact == {0, 2} and roomy == exact
+
+    # tiny bitset: survivors are a SUBSET of the exact survivors
+    # (false positives only over-drop) and doc 1 stays flagged
+    tiny = {
+        r.doc_id
+        for r in bloom_decontaminate(
+            corpus, bench, "doc_id", "text", "text", m_bits=32, **kw
+        ).collect()
+    }
+    assert tiny <= exact and 1 not in tiny
+
+    audit = {
+        r.doc_id
+        for r in bloom_decontaminate(
+            corpus, bench, "doc_id", "text", "text",
+            m_bits=1 << 20, keep_contaminated=True, **kw
+        ).collect()
+    }
+    assert audit == {1}
+
+    with pytest.raises(ValueError):
+        bloom_decontaminate(
+            corpus, bench, "doc_id", "text", "text", m_bits=33, **kw
+        )
