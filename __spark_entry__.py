@@ -6143,6 +6143,37 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
     FROM s"""
 
 
+@q(
+    "corpus_shrunk_domain_means",
+    """WITH st AS (
+         SELECT lang, COUNT(n_chars) AS n,
+                SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(27,6)))
+                  AS sdec
+         FROM documents GROUP BY lang
+       ), g AS (
+         SELECT CAST(SUM(n) AS BIGINT) AS gn, SUM(sdec) AS gsdec
+         FROM st
+       )
+       SELECT st.lang, st.n,
+              floor((CAST(sdec AS DOUBLE) / n) * 1e6 + 0.5 + 1e-9)
+                / 1e6 AS raw_mean,
+              floor(((n * (CAST(sdec AS DOUBLE) / n)
+                      + 30.0 * (CAST(gsdec AS DOUBLE) / gn))
+                     / (n + 30.0)) * 1e6 + 0.5 + 1e-9) / 1e6
+                AS shrunk_mean
+       FROM st, g""",
+)
+def _corpus_shrunk_domain_means(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-language mean document length
+    toward the corpus mean (pseudo-count 30) — the small-group-safe
+    ranking statistic for domain/language-level curation decisions
+    (`operators/quality.py:shrunk_group_means`)."""
+    from aligned_spark.operators.quality import shrunk_group_means
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return shrunk_group_means(docs, ["lang"], "n_chars")
+
+
 def _bloom_decontaminate_oracle(
     width: int = 8, split: int = 450, m_bits: int = 1 << 16, k: int = 2
 ) -> str:

@@ -707,3 +707,54 @@ def hashed_classifier_score(
         "logit",
         (F.col("logit") > F.lit(float(threshold))).cast("int").alias("keep"),
     )
+
+
+def shrunk_group_means(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    prior_weight: float = 30.0,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-group mean scores toward the
+    global mean:
+
+        shrunk_g = (n_g · x̄_g + m · μ) / (n_g + m)
+
+    (m = ``prior_weight``, the prior's pseudo-count). THE standard fix
+    for ranking/filtering groups of wildly different sizes — a domain
+    with 3 documents and a perfect average no longer outranks a
+    10⁵-document domain with a merely good one. Output: one row per
+    group — (keys..., n, raw_mean, shrunk_mean).
+
+    Scale shape: one map-side-combinable aggregate to (#groups) rows,
+    then the single-row global moment broadcast back — no window, no
+    second pass over the data. Sums accumulate in DECIMAL (exact,
+    order-independent); the final mean/shrink arithmetic is
+    fixed-order IEEE on exact inputs, r6-rounded, so the SQL replay
+    matches bit-for-bit.
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.sum(v.cast("decimal(27,6)")).alias("__s"),
+    )
+    glob = stats.select(
+        F.sum("n").alias("__gn"), F.sum("__s").alias("__gs")
+    )
+    m = F.lit(float(prior_weight))
+    raw = F.col("__s").cast("double") / F.col("n")
+    mu = F.col("__gs").cast("double") / F.col("__gn")
+    shrunk = (F.col("n") * raw + m * mu) / (F.col("n") + m)
+    r6 = lambda c: (  # noqa: E731
+        F.floor(c * F.lit(1e6) + F.lit(0.5) + F.lit(1e-9)).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        stats.crossJoin(F.broadcast(glob))
+        .select(
+            *keys,
+            "n",
+            r6(raw).alias("raw_mean"),
+            r6(shrunk).alias("shrunk_mean"),
+        )
+    )

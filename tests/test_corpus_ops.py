@@ -1010,3 +1010,32 @@ def test_bloom_decontaminate_matches_exact_and_fp_direction(spark):
         bloom_decontaminate(
             corpus, bench, "doc_id", "text", "text", m_bits=33, **kw
         )
+
+
+def test_shrunk_means_pull_small_groups_to_global(spark):
+    """A 2-row group with extreme mean shrinks almost to the global
+    mean; a 1000-row group barely moves; ordering by shrunk mean can
+    flip vs raw mean (the point of the statistic)."""
+    rows = [("big", 10.0)] * 1000 + [("tiny", 1000.0)] * 2
+    df = spark.createDataFrame(rows, "grp string, v double")
+    from aligned_spark.operators.quality import shrunk_group_means
+
+    out = {
+        r.grp: r
+        for r in shrunk_group_means(df, ["grp"], "v", prior_weight=30.0)
+        .collect()
+    }
+    mu = (1000 * 10.0 + 2 * 1000.0) / 1002  # global mean ≈ 11.98
+    assert out["big"].raw_mean == 10.0
+    assert out["tiny"].raw_mean == 1000.0
+    # tiny: (2·1000 + 30·mu)/32 ≈ 73.7 — pulled almost to global
+    assert out["tiny"].shrunk_mean < 80.0
+    # big: (1000·10 + 30·mu)/1030 ≈ 10.06 — barely moves
+    assert abs(out["big"].shrunk_mean - 10.0) < 0.1
+    assert out["big"].n == 1000 and out["tiny"].n == 2
+    import math
+
+    exp_tiny = (2 * 1000.0 + 30.0 * mu) / (2 + 30.0)
+    assert out["tiny"].shrunk_mean == math.floor(
+        exp_tiny * 1e6 + 0.5 + 1e-9
+    ) / 1e6
