@@ -6144,6 +6144,56 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
 
 
 @q(
+    "multimodal_audio_windows",
+    # fake PCM codec: byte b → centered sample b−128; documents.text
+    # is pure ASCII so ord() replays the bytes exactly. RMS/ZCR use
+    # exact integer accumulation — no rounding tolerance anywhere.
+    """WITH b AS (
+         SELECT doc_id,
+                list_transform(range(1, length(text) + 1),
+                  i -> ord(substr(text, i, 1)) - 128) AS s
+         FROM documents WHERE doc_id < 200
+       ),
+       w AS (
+         SELECT doc_id, s,
+                unnest(range(0, (len(s) - 50) // 25 + 1)) AS window_id
+         FROM b WHERE len(s) >= 50
+       ),
+       fr AS (
+         SELECT doc_id, window_id,
+                list_slice(s, window_id * 25 + 1,
+                           window_id * 25 + 50) AS f
+         FROM w
+       )
+       SELECT doc_id, window_id, CAST(50 AS BIGINT) AS n_samples,
+              sqrt(CAST(list_sum(list_transform(f, x -> x * x))
+                        AS DOUBLE) / 819200.0) AS rms,
+              CAST(coalesce(list_sum(list_transform(range(1, 50),
+                     i -> CASE WHEN sign(f[i]) * sign(f[i + 1]) < 0
+                               THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                AS zero_crossings
+       FROM fr""",
+)
+def _multimodal_audio_windows(spark, sf_dir):
+    """Audio-modality QC front end: binary blob → deterministic fake
+    PCM decode → sliding 50/25 window RMS + zero-crossing features,
+    one Arrow ``mapInPandas`` pass (the VAD/energy-gate shape; a real
+    codec drops in via ``decoder=``). Fully value-verified — the
+    oracle replays the fake codec byte-for-byte
+    (`functions/audio.py:audio_window_features`)."""
+    from aligned_spark.functions.audio import audio_window_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return audio_window_features(
+        d.select("doc_id", F.col("text").cast("binary").alias("blob")),
+        "doc_id",
+        "blob",
+        win=50,
+        hop=25,
+    )
+
+
+@q(
     "corpus_shrunk_domain_means",
     """WITH st AS (
          SELECT lang, COUNT(n_chars) AS n,

@@ -1039,3 +1039,55 @@ def test_shrunk_means_pull_small_groups_to_global(spark):
     assert out["tiny"].shrunk_mean == math.floor(
         exp_tiny * 1e6 + 0.5 + 1e-9
     ) / 1e6
+
+
+def test_audio_window_features_hand_computed(spark):
+    """Known byte patterns → known RMS/ZCR: constant 128 bytes give
+    silence (rms 0, zcr 0); alternating 0/255 give max energy-ish and
+    a crossing per adjacent pair; short docs emit nothing; a custom
+    decoder is honored."""
+    import math
+
+    import numpy as np
+
+    from aligned_spark.functions.audio import audio_window_features
+
+    silent = bytes([128] * 10)
+    alt = bytes([0, 255] * 5)
+    short = bytes([1, 2, 3])
+    df = spark.createDataFrame(
+        [(0, silent), (1, alt), (2, short), (3, None)],
+        "doc_id long, blob binary",
+    )
+    rows = audio_window_features(
+        df, "doc_id", "blob", win=4, hop=2
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    # doc 2 (3 bytes < win) and doc 3 (null) emit nothing
+    assert set(by) == {0, 1}
+    # silent: (10-4)//2+1 = 4 windows, all zero
+    assert len(by[0]) == 4
+    assert all(r.rms == 0.0 and r.zero_crossings == 0 for r in by[0])
+    # alternating: samples -128,127,... → window [-128,127,-128,127]:
+    # e = 2·128² + 2·127², 3 sign flips
+    e = 2 * 128 * 128 + 2 * 127 * 127
+    want = math.sqrt(e / (128 * 128 * 4))
+    assert len(by[1]) == 4
+    assert all(r.rms == want and r.zero_crossings == 3 for r in by[1])
+
+    # injectable decoder: constant-one samples → rms 1/128·… exact
+    ones = audio_window_features(
+        df.filter(F.col("doc_id") == 0),
+        "doc_id",
+        "blob",
+        win=4,
+        hop=4,
+        decoder=lambda b: np.ones(len(b), dtype=np.int64),
+    ).collect()
+    assert all(r.rms == math.sqrt(4 / (128 * 128 * 4)) for r in ones)
+    assert all(r.zero_crossings == 0 for r in ones)
+
+    with pytest.raises(ValueError):
+        audio_window_features(df, "doc_id", "blob", win=0)
