@@ -9,6 +9,7 @@ from aligned_spark.streaming.sources import (
 )
 from aligned_spark.streaming.joins import stream_interval_join
 from aligned_spark.streaming.late import drop_late_events
+from aligned_spark.streaming.monitor import psi_monitor
 from aligned_spark.streaming.sessions import session_aggregate
 from aligned_spark.streaming.stateful import (
     decayed_count,
@@ -30,6 +31,7 @@ __all__ = [
     "event_gaps",
     "heavy_hitters",
     "drop_late_events",
+    "psi_monitor",
     "session_aggregate",
     "stateful_dedup",
     "RateStreamSource",
