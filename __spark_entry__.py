@@ -6143,6 +6143,55 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
     FROM s"""
 
 
+def _ewma_oracle(alpha: float = 0.2, lookback: int = 64) -> str:
+    powers, p = [], 1.0
+    for _ in range(lookback + 1):
+        powers.append(p)
+        p *= 1.0 - alpha
+    # scientific-notation literals are load-bearing: DuckDB types bare
+    # decimal literals as DECIMAL, and the decimal→double conversion of
+    # a 17-digit mantissa rounds through an int128/10^s division —
+    # off by one ulp from the repr'd power. Exponent literals parse
+    # directly as DOUBLE (%.17e round-trips every double exactly).
+    plit = "[" + ", ".join(f"{x:.17e}" for x in powers) + "]"
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len(arr) + 1), "
+        "i -> {term})), (a, b) -> a + b)"
+    )
+    num = fold.format(term=f"arr[i] * ({plit})[len(arr) - i + 1]")
+    den = fold.format(term=f"({plit})[len(arr) - i + 1]")
+    return f"""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN {lookback} PRECEDING AND CURRENT ROW) AS arr
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, user_id, ts, value,
+           ({num}) / ({den}) AS ewma
+    FROM w"""
+
+
+@q("events_ewma", _ewma_oracle())
+def _events_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted value history (pandas
+    ewm-adjust semantics, 64-row truncation): the smoothed sequence
+    feature beside `events_lag_features`' raw deltas. The weighted
+    fold is replayed sequentially by the oracle — bit-identical, no
+    rounding tolerance (`operators/core.py:ewma_features`)."""
+    from aligned_spark.operators.core import ewma_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    ).filter(F.col("value").isNotNull())
+    return ewma_features(
+        ev, ["user_id"], "ts", "value",
+        alpha=0.2, lookback=64, tie_cols=["event_id"],
+    )
+
+
 @q(
     "multimodal_audio_windows",
     # fake PCM codec: byte b → centered sample b−128; documents.text

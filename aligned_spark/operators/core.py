@@ -643,3 +643,63 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*keys, change.alias("change_type"))
+
+
+def ewma_features(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value_col: str,
+    alpha: float = 0.2,
+    lookback: int = 64,
+    tie_cols: list[str] | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of
+    ``value_col`` — the smoothed-history feature (recent behavior
+    weighted over stale) every event-sequence model wants next to
+    :func:`lag_features`'s raw deltas:
+
+        ewma_t = Σ_{j=0..m} (1−α)^j · x_{t−j} / Σ_{j=0..m} (1−α)^j,
+        m = min(t, lookback)
+
+    — pandas ``ewm(alpha, adjust=True)`` semantics, TRUNCATED at
+    ``lookback`` rows so the per-row state is bounded by contract
+    (at the default α=0.2, the dropped tail's weight is
+    (1−α)^65 < 5·10⁻⁷ of the total). Rows with NULL values must be
+    filtered out first (weights are positional).
+
+    Scale shape: one shuffle on ``keys`` + one sort; the bounded
+    ROWS-frame ``collect_list`` holds ≤ lookback+1 doubles per row —
+    no whole-partition buffering, unlike an unbounded running
+    formulation. The weighted fold runs SEQUENTIALLY over the frame
+    with power-of-(1−α) literals, so the float result is bit-identical
+    to any engine replaying the same fold (no rounding tolerance).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (tie_cols or [])]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-lookback, W.currentRow)
+    )
+    powers, p = [], 1.0
+    for _ in range(lookback + 1):
+        powers.append(p)
+        p *= 1.0 - alpha
+    plit = F.lit(powers)
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    out = df.withColumn("__arr", arr)
+    n = F.size("__arr")
+    idx = F.sequence(F.lit(1), n)
+
+    def _fold(body):
+        return F.aggregate(idx, F.lit(0.0), body)
+
+    num = _fold(
+        lambda acc, i: acc
+        + F.element_at("__arr", i) * F.element_at(plit, n - i + 1)
+    )
+    den = _fold(lambda acc, i: acc + F.element_at(plit, n - i + 1))
+    return out.withColumn(out_col, num / den).drop("__arr")

@@ -1091,3 +1091,46 @@ def test_audio_window_features_hand_computed(spark):
 
     with pytest.raises(ValueError):
         audio_window_features(df, "doc_id", "blob", win=0)
+
+
+def test_ewma_matches_pandas_and_truncates(spark):
+    """Bit-equal to pandas ewm(alpha, adjust=True) within the
+    lookback; the truncation drops exactly the >lookback tail; keys
+    don't leak into each other."""
+    import pandas as pd
+
+    from aligned_spark.operators.core import ewma_features
+
+    vals = [float(v) for v in [10, 20, 30, 40, 50]]
+    rows = [(1, t, v) for t, v in enumerate(vals)] + [(2, 0, 100.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        (r.k, r.t): r.ewma
+        for r in ewma_features(
+            df, ["k"], "t", "v", alpha=0.3, lookback=64
+        ).collect()
+    }
+    expect = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for t in range(5):
+        # pandas evaluates an incremental recurrence (different float
+        # association than the explicit fold) → semantic parity to
+        # 1e-12; BIT-exactness is pinned against the oracle fold by
+        # the events_ewma driver query instead
+        assert abs(out[(1, t)] - expect[t]) < 1e-12, (t, out[(1, t)])
+    assert out[(2, 0)] == 100.0  # fresh key starts fresh
+
+    # lookback=2: row t uses rows t-2..t only
+    out2 = {
+        (r.k, r.t): r.ewma
+        for r in ewma_features(
+            df, ["k"], "t", "v", alpha=0.3, lookback=2
+        ).collect()
+    }
+    w = [0.7 ** 2, 0.7, 1.0]
+    expect_t4 = sum(wi * v for wi, v in zip(w, vals[2:])) / sum(w)
+    assert abs(out2[(1, 4)] - expect_t4) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ewma_features(df, ["k"], "t", "v", alpha=1.5)
