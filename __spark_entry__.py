@@ -6143,6 +6143,55 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
     FROM s"""
 
 
+@q(
+    "join_interval_overlap",
+    """WITH l AS (
+         SELECT event_id, event_type, value AS lo, value + 5 AS hi
+         FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+       ),
+       r AS (
+         SELECT event_id AS r_id, event_type AS r_type,
+                value AS r_lo, value + 5 AS r_hi
+         FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+       )
+       SELECT l.event_id, COUNT(*) AS n_overlaps
+       FROM l JOIN r ON l.event_type = r.r_type
+         AND l.lo <= r.r_hi AND r.r_lo <= l.hi
+       GROUP BY l.event_id""",
+)
+def _join_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join (per-type value spans), binned
+    to a hash equi-join with exactly-once first-shared-bin output —
+    the segment-conflation shape Catalyst would otherwise plan as a
+    nested loop. Aggregated to per-left overlap counts
+    (`operators/joins.py:interval_overlap_join`)."""
+    from aligned_spark.operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("lo"),
+        (F.col("value") + 5).alias("hi"),
+    )
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("r_id"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("r_lo"),
+        (F.col("value") + 5).alias("r_hi"),
+    )
+    j = interval_overlap_join(
+        left.withColumnRenamed("event_type", "etype"),
+        right,
+        "lo", "hi", "r_lo", "r_hi",
+        bin_width=5.0,
+        on=["etype"],
+    )
+    return j.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
 def _ewma_oracle(alpha: float = 0.2, lookback: int = 64) -> str:
     powers, p = [], 1.0
     for _ in range(lookback + 1):

@@ -768,3 +768,60 @@ def scd2_join(
             name, F.when(alive, F.col(name)).otherwise(F.lit(None))
         )
     return out.drop(vt)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Inner interval×interval OVERLAP join (``l_lo <= r_hi AND
+    r_lo <= l_hi``, closed intervals, plus optional equality keys) as
+    a hash equi-join on bin ids — :func:`range_join`'s sibling for
+    two interval sets (time-range conflation, span reconciliation,
+    segment×segment matching).
+
+    Both sides explode into the bins they cover and meet on
+    (keys, bin); a bare inequality join would be a broadcast nested
+    loop. Overlapping pairs share EVERY bin their intersection
+    covers, so instead of a distinct, each pair is kept only in the
+    FIRST shared bin — ``bin == greatest(floor(l_lo/w),
+    floor(r_lo/w))`` — which both sides of an overlapping pair
+    provably cover: exactly-once output with no dedup shuffle.
+
+    Cost: one hash shuffle on (keys, bin) + span/bin_width exploded
+    rows per side. Pick ``bin_width`` near the median interval span;
+    hot bins fall under AQE skew splitting. Column names across the
+    two inputs must be disjoint (standard for the join helpers
+    here)."""
+    on = on or []
+    b = F.lit(float(bin_width))
+
+    def _bins(lo, hi):
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / b).cast("long"),
+                F.floor(F.col(hi) / b).cast("long"),
+            )
+        )
+
+    lb = left.withColumn("__bin", _bins(left_lo, left_hi))
+    rb = right.withColumn("__bin", _bins(right_lo, right_hi))
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / b).cast("long"),
+        F.floor(F.col(right_lo) / b).cast("long"),
+    )
+    out = (
+        lb.join(rb, on=on + ["__bin"], how="inner")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("__bin") == first_shared)
+        )
+    )
+    return out.drop("__bin")

@@ -452,3 +452,43 @@ def test_partitioned_fact_join_uses_dynamic_pruning(spark, tmp_path_factory):
     assert pf_lines and any(
         "dynamicpruning" in ln.lower() for ln in pf_lines
     ), plan
+
+
+def test_interval_overlap_join_avoids_nested_loop(spark):
+    """The binned interval-overlap join must plan as a hash equi-join
+    on (keys, bin) — never BroadcastNestedLoopJoin — and produce each
+    overlapping pair exactly once (first-shared-bin rule) vs the
+    brute-force pair set."""
+    from aligned_spark.operators.joins import interval_overlap_join
+
+    left = spark.range(300).select(
+        F.col("id").alias("l_id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 97).cast("double").alias("lo"),
+        ((F.col("id") % 97) + 7).cast("double").alias("hi"),
+    )
+    right = spark.range(200).select(
+        (F.col("id") + 1000).alias("r_id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 89).cast("double").alias("r_lo"),
+        ((F.col("id") % 89) + 5).cast("double").alias("r_hi"),
+    )
+    j = interval_overlap_join(
+        left, right, "lo", "hi", "r_lo", "r_hi", bin_width=8.0, on=["g"]
+    )
+    plan = plan_text(j)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    got = {(r.l_id, r.r_id) for r in j.collect()}
+    brute = {
+        (r.l_id, r.r_id)
+        for r in left.join(right, "g")
+        .filter(
+            (F.col("lo") <= F.col("r_hi")) & (F.col("r_lo") <= F.col("hi"))
+        )
+        .collect()
+    }
+    assert got == brute
+    # exactly-once: the joined frame has no duplicate pairs
+    assert j.count() == len(got)
