@@ -6143,6 +6143,65 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
     FROM s"""
 
 
+def _prefix_jaccard_oracle(t: float = 0.6, width: int = 3) -> str:
+    return f"""
+    {_poly_doc_cte(width)},
+    sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh
+             WHERE len(sh) > 0),
+    toks AS (SELECT doc_id, unnest(s) AS tok FROM sets),
+    dfc AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    ordered AS (
+      SELECT t.doc_id, list(t.tok ORDER BY d.df, t.tok) AS o
+      FROM toks t JOIN dfc d USING (tok) GROUP BY t.doc_id
+    ),
+    pre AS (
+      SELECT doc_id,
+             unnest(list_slice(o, 1,
+               len(o) - CAST(ceil({t} * len(o)) AS BIGINT) + 1)) AS tok
+      FROM ordered
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM pre a JOIN pre b USING (tok) WHERE a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT da, db, len(list_intersect(x.s, y.s)) AS i,
+             len(x.s) AS na, len(y.s) AS nb
+      FROM cand JOIN sets x ON cand.da = x.doc_id
+                JOIN sets y ON cand.db = y.doc_id
+    )
+    SELECT da AS doc_id_a, db AS doc_id_b,
+           CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+    FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {t}"""
+
+
+@q("sim_prefix_jaccard_pairs", _prefix_jaccard_oracle())
+def _sim_prefix_jaccard_pairs(spark, sf_dir):
+    """EXACT set-similarity self-join via PPJoin prefix filtering
+    (rarest-first prefixes → candidate join on rare tokens → exact
+    intersection verify): all pairs with shingle-set Jaccard ≥ 0.6,
+    provably no false negatives — the completeness complement to
+    `dedup_minhash`'s LSH banding. Full pipeline replayed by the
+    oracle (`operators/similarity.py:prefix_jaccard_pairs`)."""
+    from aligned_spark.operators.similarity import prefix_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.6, shingle_width=3,
+        impl="poly",
+    )
+
+
+@q("sim_prefix_jaccard_pairs_arrow")  # production SipHash kernel — rows-only (benched)
+def _sim_prefix_jaccard_pairs_arrow(spark, sf_dir):
+    from aligned_spark.operators.similarity import prefix_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.6, shingle_width=3,
+    )
+
+
 @q(
     "join_interval_overlap",
     """WITH l AS (

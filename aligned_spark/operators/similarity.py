@@ -572,3 +572,128 @@ def prototypicality(
     return out.withColumn(
         out_col, cosine_double(F.col(vec_col), F.col("centroid"))
     ).drop("centroid")
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_width: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering
+    (PPJoin family — Xiao et al. 2008, "Efficient Similarity Joins
+    for Near Duplicate Detection"): every document pair whose shingle
+    sets have Jaccard ≥ ``threshold``, with NO false negatives — the
+    exact complement to MinHash-LSH banding (which trades recall for
+    speed) when dedup must be provably complete.
+
+    Prefix-filter principle: order every set by ascending global
+    token frequency (rarest first, ties by value); a set of size s
+    keeps a prefix of its first ``s − ⌈t·s⌉ + 1`` tokens. Two sets
+    with Jaccard ≥ t MUST share at least one prefix token, so
+    candidates are pairs meeting on a prefix-token key — the join
+    runs over rare tokens (a token's candidate contribution is
+    quadratic in its prefix df, and frequent tokens fall out of
+    prefixes), not over the full posting lists. Candidates then
+    verify by exact intersection.
+
+    Scale shape: one df-count aggregate, one per-doc sort of its own
+    tokens (no global sort), a prefix-token hash self-join, and a
+    verification join fetching the two sets per surviving candidate.
+    Where LSH shuffles (id, band) rows, this shuffles (id,
+    prefix-token) rows — more selective at high thresholds. Hot
+    prefix tokens fall under AQE skew splitting. Jaccard is one exact
+    integer division — bit-identical everywhere, no rounding.
+
+    ``impl``: "arrow" (SipHash shingle kernel, production), "poly"
+    (SQL-replayable family — the oracle path), "codegen" (xxhash64).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if impl == "arrow":
+        from aligned_spark.functions.text_arrow import shingle_hashes_arrow
+
+        sh = shingle_hashes_arrow(F.col(text_col), shingle_width)
+    elif impl == "poly":
+        from aligned_spark.functions.text_poly import (
+            poly_shingle_hashes_arrow,
+        )
+
+        sh = poly_shingle_hashes_arrow(F.col(text_col), shingle_width)
+    elif impl == "codegen":
+        from aligned_spark.functions.text import shingle_hashes
+
+        sh = shingle_hashes(F.col(text_col), shingle_width)
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    sets = (
+        df.select(F.col(id_col), F.array_distinct(sh).alias("__set"))
+        .filter(F.size("__set") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    toks = sets.select(id_col, F.explode("__set").alias("__tok"))
+    dfc = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        toks.join(dfc, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "__tok"))
+            ).alias("__o")
+        )
+        .select(
+            id_col,
+            F.transform("__o", lambda x: x.getField("__tok")).alias(
+                "__o"
+            ),
+        )
+    )
+    s = F.size("__o")
+    plen = s - F.ceil(F.lit(float(threshold)) * s) + 1
+    prefixes = ordered.select(
+        id_col,
+        F.explode(F.slice("__o", F.lit(1), plen)).alias("__tok"),
+    )
+    a = prefixes.select(
+        F.col(id_col).alias("__ida"), F.col("__tok").alias("__tok")
+    )
+    b = prefixes.select(
+        F.col(id_col).alias("__idb"), F.col("__tok").alias("__tok")
+    )
+    cand = (
+        a.join(b, "__tok")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col(id_col).alias("__ida"), F.col("__set").alias("__sa")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("__idb"), F.col("__set").alias("__sb")
+    )
+    # materialize the intersection size in its own projection — the
+    # jaccard expression reads it twice and Spark does not CSE an
+    # array_intersect subtree shared across output expressions
+    paired = (
+        cand.join(sa, "__ida")
+        .join(sb, "__idb")
+        .select(
+            "__ida",
+            "__idb",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__i"),
+            F.size("__sa").alias("__na"),
+            F.size("__sb").alias("__nb"),
+        )
+    )
+    jac = F.col("__i").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__i")
+    )
+    return paired.select(
+        F.col("__ida").alias(f"{id_col}_a"),
+        F.col("__idb").alias(f"{id_col}_b"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= float(threshold))

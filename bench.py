@@ -109,6 +109,15 @@ HEADLINE = [
     # model-based quality gate (codegen twin) + held-out trigram LM
     "text_quality_classifier_fast",
     "text_trigram_backoff",
+    # third-pass additions: composed model-gate pipeline, zero-join
+    # bloom decontamination, audio windows, bounded-frame EWMA,
+    # binned interval-overlap join
+    "corpus_pipeline_quality",
+    "text_decontaminate_bloom",
+    "multimodal_audio_windows",
+    "events_ewma",
+    "join_interval_overlap",
+    "sim_prefix_jaccard_pairs_arrow",
 ]
 
 

@@ -1134,3 +1134,55 @@ def test_ewma_matches_pandas_and_truncates(spark):
 
     with _pytest.raises(ValueError):
         ewma_features(df, ["k"], "t", "v", alpha=1.5)
+
+
+def test_prefix_jaccard_no_false_negatives(spark):
+    """Against brute force on a corpus with planted near-dups: the
+    prefix-filtered result equals the exact O(n²) pair set at the
+    threshold (completeness is the op's contract), across impls."""
+    from itertools import combinations
+
+    from aligned_spark.functions.text_poly import window_hashes
+    from aligned_spark.operators.similarity import prefix_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base + " extra"),                      # near-dup of 0
+        (2, base.replace("quick", "slow")),        # near-dup of 0
+        (3, "completely different words with no overlap at all here"),
+        (4, "completely different words with no overlap at all there"),
+        (5, "short text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def jac(a, b):
+        sa = set(window_hashes(a, 3))
+        sb = set(window_hashes(b, 3))
+        if not sa or not sb:
+            return 0.0
+        return len(sa & sb) / len(sa | sb)
+
+    t = 0.5
+    brute = {
+        (i, j)
+        for (i, a), (j, b) in combinations(docs, 2)
+        if jac(a, b) >= t
+    }
+    assert brute  # the fixture really contains qualifying pairs
+    for impl in ("poly", "codegen", "arrow"):
+        got = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in prefix_jaccard_pairs(
+                df, "doc_id", "text", threshold=t, impl=impl
+            ).collect()
+        }
+        if impl == "poly":
+            assert got == brute, (impl, got, brute)
+        else:
+            # different hash families change tie sets only if two
+            # shingles collide — sets must still match here
+            assert got == brute, (impl, got, brute)
+
+    with pytest.raises(ValueError):
+        prefix_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
