@@ -6192,6 +6192,47 @@ def _sim_prefix_jaccard_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "graph_triangles",
+    # same block-of-5 graph as graph_connected_components plus the
+    # skip edges (i, i+2): triangles (i, i+1, i+2) within each block.
+    # The oracle replays via the canonical u<v three-way join.
+    """WITH d AS (SELECT doc_id FROM documents),
+       e AS (
+         SELECT a.doc_id AS u, a.doc_id + 1 AS v FROM d a
+         WHERE a.doc_id % 5 <> 4
+           AND a.doc_id + 1 IN (SELECT doc_id FROM d)
+         UNION
+         SELECT a.doc_id AS u, a.doc_id + 2 AS v FROM d a
+         WHERE a.doc_id % 5 IN (0, 1, 2)
+           AND a.doc_id + 2 IN (SELECT doc_id FROM d)
+       )
+       SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
+       FROM e e1 JOIN e e2 ON e1.v = e2.u
+       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
+)
+def _graph_triangles(spark, sf_dir):
+    """Exactly-once triangle enumeration with the degree-oriented
+    wedge join (hub-proof at scale); the deterministic block graph
+    yields three triangles per 5-doc block, replayed by an id-ordered
+    3-way join oracle (`operators/graph.py:triangles`)."""
+    from aligned_spark.operators.graph import triangles
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ids = d.select(F.col("doc_id").alias("b"))
+    chain = (
+        d.filter(F.col("doc_id") % 5 != 4)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .join(ids, "b", "left_semi")
+    )
+    skip = (
+        d.filter(F.col("doc_id") % 5 < 3)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 2).alias("b"))
+        .join(ids, "b", "left_semi")
+    )
+    return triangles(chain.unionAll(skip), "a", "b")
+
+
 @q("sim_prefix_jaccard_pairs_arrow")  # production SipHash kernel — rows-only (benched)
 def _sim_prefix_jaccard_pairs_arrow(spark, sf_dir):
     from aligned_spark.operators.similarity import prefix_jaccard_pairs

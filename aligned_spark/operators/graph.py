@@ -90,3 +90,69 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Enumerate every triangle of an undirected graph exactly once —
+    rows ``(node_a < node_b < node_c)`` — with the degree-oriented
+    wedge join (the MapReduce-classic of Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer").
+
+    Edges are canonicalized (self-loops dropped, duplicates and
+    direction collapsed), then ORIENTED from the lower to the higher
+    endpoint under the total order (degree, id). Wedges join oriented
+    edges head-to-tail and a semi-join against the closing edge keeps
+    real triangles. Orientation by DEGREE is the scale fix: every
+    wedge pivots at its lowest-degree vertex, so a hub of degree d in
+    a skewed graph generates O(d_out²) wedges where d_out is bounded
+    by the count of HIGHER-degree neighbors — O(√|E|) — instead of
+    d²; the hot-key blowup of the naive id-orientation cannot occur.
+
+    Cost: one degree aggregate + three hash shuffles on edge keys.
+    Output order inside each row is by node id (canonical triple),
+    independent of the degree orientation used internally.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(
+        F.col("n").alias("u"), F.col("d").alias("__du")
+    )
+    dv = deg.select(
+        F.col("n").alias("v"), F.col("d").alias("__dv")
+    )
+    # orient x→y iff (deg, id) of x < (deg, id) of y
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    e1 = oriented.select(F.col("x").alias("p"), F.col("y").alias("q"))
+    e2 = oriented.select(F.col("x").alias("q"), F.col("y").alias("r"))
+    wedges = e1.join(e2, "q").select("p", "q", "r")
+    # the closing edge is always oriented p→r: (deg,id) is a total
+    # order and p <ord q <ord r, so no reversed probe is needed
+    closing = oriented.select(
+        F.col("x").alias("p"), F.col("y").alias("r")
+    )
+    tri = wedges.join(closing, ["p", "r"], "left_semi")
+    nodes = F.array_sort(F.array("p", "q", "r"))
+    return tri.select(
+        nodes.getItem(0).alias("node_a"),
+        nodes.getItem(1).alias("node_b"),
+        nodes.getItem(2).alias("node_c"),
+    )

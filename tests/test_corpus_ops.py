@@ -1186,3 +1186,32 @@ def test_prefix_jaccard_no_false_negatives(spark):
 
     with pytest.raises(ValueError):
         prefix_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+def test_triangles_exactly_once_on_known_graphs(spark):
+    """K4 has exactly 4 triangles; a star has none; duplicate /
+    reversed / self-loop edges don't inflate counts; a skewed hub
+    graph (one high-degree node) still enumerates correctly."""
+    from aligned_spark.operators.graph import triangles
+
+    def tri_set(edges):
+        df = spark.createDataFrame(edges, "a long, b long")
+        return {
+            (r.node_a, r.node_b, r.node_c)
+            for r in triangles(df).collect()
+        }
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    assert tri_set(k4) == {(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)}
+    # noise: duplicates, reversals, self-loops — same answer
+    noisy = k4 + [(1, 0), (2, 0), (3, 3), (0, 1)]
+    assert tri_set(noisy) == tri_set(k4)
+    # star graph: no triangles
+    star = [(0, i) for i in range(1, 8)]
+    assert tri_set(star) == set()
+    # hub + one rim edge → exactly the one closed wedge
+    hub = star + [(3, 4)]
+    assert tri_set(hub) == {(0, 3, 4)}
+    # exactly-once: count equals set size even via count()
+    df = spark.createDataFrame(noisy, "a long, b long")
+    assert triangles(df).count() == 4
