@@ -275,3 +275,80 @@ def test_session_ops_single_row(spark):
 
     row = mad_outliers(one, ["grp"], "v").collect()[0]
     assert row.is_outlier is False  # MAD 0 → nothing flagged
+
+
+def test_third_pass_ops_on_empty_and_trivial(spark):
+    """Session ops survive empty frames, all-empty text, and inputs
+    below their structural minimums (one doc, no overlap, no edges)."""
+    docs = _empty_docs(spark)
+
+    from aligned_spark.operators.quality import (
+        hashed_classifier_score,
+        shrunk_group_means,
+    )
+
+    assert hashed_classifier_score(docs, "doc_id", "text").count() == 0
+    one = spark.createDataFrame([(0, "", None)],
+                                "doc_id long, text string, g string")
+    r = hashed_classifier_score(one, "doc_id", "text").first()
+    assert r.logit == 0.0 and r.keep == 0
+
+    empty_vals = spark.createDataFrame([], "g string, v double")
+    assert shrunk_group_means(empty_vals, ["g"], "v").count() == 0
+    # all-null value group: n=0 → raw/shrunk are NULL, not a crash
+    nulls = spark.createDataFrame([("a", None)], "g string, v double")
+    row = shrunk_group_means(nulls, ["g"], "v").first()
+    assert row.n == 0
+
+    from aligned_spark.operators.text_rank import (
+        trigram_backoff_surprise,
+    )
+
+    assert trigram_backoff_surprise(docs, docs, "doc_id", "text").count() == 0
+    # empty TRAIN corpus: the OOV floor divides by N=0 — the row
+    # surfaces with an explicit NULL surprise (visible degenerate),
+    # never a silent inf/NaN or a crash
+    sc = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    out = trigram_backoff_surprise(docs, sc, "doc_id", "text").collect()
+    assert len(out) == 1 and out[0].avg_neg_logp3 is None
+
+    from aligned_spark.operators.dedup import bloom_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    # empty benchmark → nothing flagged, corpus passes through
+    assert bloom_decontaminate(
+        corpus, docs, "doc_id", "text", "text", impl="poly"
+    ).count() == 1
+
+    from aligned_spark.operators.similarity import prefix_jaccard_pairs
+
+    assert prefix_jaccard_pairs(docs, "doc_id", "text", 0.5).count() == 0
+    assert prefix_jaccard_pairs(corpus, "doc_id", "text", 0.5).count() == 0
+
+    from aligned_spark.operators.graph import triangles
+
+    no_edges = spark.createDataFrame([], "a long, b long")
+    assert triangles(no_edges).count() == 0
+
+    from aligned_spark.operators.core import ewma_features
+
+    ev = _empty_events(spark)
+    assert ewma_features(ev, ["user_id"], "ts", "value").count() == 0
+
+    from aligned_spark.operators.joins import interval_overlap_join
+
+    li = spark.createDataFrame([], "l long, lo double, hi double")
+    ri = spark.createDataFrame([], "r long, r_lo double, r_hi double")
+    assert interval_overlap_join(
+        li, ri, "lo", "hi", "r_lo", "r_hi", bin_width=1.0
+    ).count() == 0
+
+    from aligned_spark.functions.audio import audio_window_features
+
+    blobs = spark.createDataFrame([], "doc_id long, blob binary")
+    assert audio_window_features(blobs, "doc_id", "blob").count() == 0
