@@ -492,3 +492,43 @@ def test_interval_overlap_join_avoids_nested_loop(spark):
     assert got == brute
     # exactly-once: the joined frame has no duplicate pairs
     assert j.count() == len(got)
+
+
+def test_bloom_decontaminate_has_no_join(spark):
+    """The Bloom path's whole point: the corpus side must plan as a
+    pure Filter over the scan — zero Join nodes, zero Exchange (the
+    bitset rides the closure, not the shuffle)."""
+    from aligned_spark.operators.dedup import bloom_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = bloom_decontaminate(
+        corpus, bench, "doc_id", "text", "text", impl="codegen"
+    )
+    plan = plan_text(out, "simple")
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    """Candidate generation must be a hash join on prefix tokens —
+    never a cross/nested-loop pairing of documents."""
+    from aligned_spark.operators.similarity import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common words here plus unique token u{i} and u{i+1}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = prefix_jaccard_pairs(docs, "doc_id", "text", 0.7,
+                               impl="codegen")
+    plan = plan_text(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
