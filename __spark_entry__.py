@@ -3879,7 +3879,7 @@ def _vector_index_ivf_probe(spark, sf_dir):
     )
 
 
-def _vector_lsh_oracle(
+def _lsh_ranked_ctes(
     num_planes: int = 6, num_tables: int = 4, dim: int = 64, seed: int = 42
 ) -> str:
     """Mirror of the bucket-pruned ``nearest_n``: same seeded plane
@@ -3908,8 +3908,8 @@ def _vector_lsh_oracle(
             )
         return " UNION ALL ".join(parts)
 
-    return f"""
-      WITH cb AS ({bucket_union('')}),
+    # CTE chain shared with the retrieval-metrics oracle
+    ctes = f"""cb AS ({bucket_union('')}),
       qb AS ({bucket_union('WHERE vec_id < 10')}),
       cand AS (
         SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
@@ -3926,7 +3926,15 @@ def _vector_lsh_oracle(
         FROM cand
         JOIN embeddings ea ON ea.vec_id = query_id
         JOIN embeddings eb ON eb.vec_id = neighbor_id
-      )
+      )"""
+    return ctes
+
+
+def _vector_lsh_oracle(
+    num_planes: int = 6, num_tables: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    return f"""
+      WITH {_lsh_ranked_ctes(num_planes, num_tables, dim, seed)}
       SELECT query_id, neighbor_id, {_O_R6.format(c='raw_sim')} AS sim
       FROM ranked WHERE rk <= 5"""
 
@@ -3953,6 +3961,70 @@ def _vector_index_lsh(spark, sf_dir):
 
 
 _ORACLES["vector_index_lsh"] = _vector_lsh_oracle()
+
+
+def _eval_ann_oracle(dim: int = 64) -> str:
+    cos = _cosine_oracle("a.embedding", "b.embedding")
+    return f"""
+      WITH {_lsh_ranked_ctes()},
+      tr AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {cos} DESC, b.vec_id) AS rn
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ) WHERE rn = 1
+      ),
+      j AS (
+        SELECT t.query_id, r.rk
+        FROM tr t LEFT JOIN (
+          SELECT query_id, neighbor_id, rk FROM ranked WHERE rk <= 5
+        ) r USING (query_id, neighbor_id)
+      )
+      SELECT query_id,
+             COUNT(*) AS n_truth,
+             COUNT(rk) AS n_hits,
+             CAST(COUNT(rk) AS DOUBLE) / COUNT(*) AS recall_at_k,
+             CASE WHEN MIN(rk) IS NOT NULL
+                  THEN 1.0 / MIN(rk) ELSE 0.0 END AS mrr
+      FROM j GROUP BY query_id"""
+
+
+@q("eval_ann_recall", _eval_ann_oracle())
+def _eval_ann_recall(spark, sf_dir):
+    """ANN evaluation harness: recall@5 + MRR of the LSH-bucketed
+    index against the exact nearest neighbor (self excluded) — the
+    measurement loop that tunes num_planes/num_tables in production.
+    Both the retriever AND the ground truth replay in the oracle
+    (`operators/similarity.py:retrieval_metrics`)."""
+    import tempfile
+
+    from aligned_spark.operators.similarity import (
+        retrieval_metrics,
+        top_k_similar,
+    )
+    from aligned_spark.sources.vector_index import VectorIndexSource
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    tmp = tempfile.mkdtemp(prefix="aligned_eval_")
+    vix = VectorIndexSource(
+        path=f"{tmp}/index", id_col="vec_id", vector_col="embedding",
+        dim=dim, num_planes=6, num_tables=4,
+    )
+    vix.overwrite(emb.select("vec_id", "embedding"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", "embedding"
+    )
+    retrieved = vix.nearest_n(queries, n=5, exact=False)
+    truth = top_k_similar(
+        queries, emb, "vec_id", "embedding", k=1, exclude_self=True
+    )
+    return retrieval_metrics(
+        truth, retrieved, "query_id", "neighbor_id", "sim", k=5
+    )
 
 
 # ===========================================================================

@@ -697,3 +697,59 @@ def prefix_jaccard_pairs(
         F.col("__idb").alias(f"{id_col}_b"),
         jac.alias("jaccard"),
     ).filter(F.col("jaccard") >= float(threshold))
+
+
+def retrieval_metrics(
+    truth: DataFrame,
+    retrieved: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-query retrieval quality — the evaluation harness for the
+    ANN paths (IVF probes, LSH buckets) against exact ground truth:
+    given ``truth`` (query, relevant item) pairs and a scored
+    ``retrieved`` list, emit per query
+
+        (query, n_truth, n_hits, recall_at_k, mrr)
+
+    where hits are truth items appearing in the top ``k`` by
+    (score DESC, item id) and MRR uses the first (best-ranked) hit.
+    Queries with truth but NO retrieved rows still appear (zero
+    recall) — silent query dropout is the classic eval bug.
+
+    Scale shape: one ranking window partitioned by query (top-k
+    pre-truncation keeps the join small), one left join on
+    (query, item), one per-query aggregate. Metrics are exact integer
+    ratios — single IEEE divisions, engine-independent."""
+    w = W.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col)
+    )
+    ranked = (
+        retrieved.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_col, item_col, "__rk")
+    )
+    j = truth.select(query_col, item_col).join(
+        ranked, [query_col, item_col], "left"
+    )
+    agg = j.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("__rk").alias("n_hits"),
+        F.min("__rk").alias("__first"),
+    )
+    return agg.select(
+        query_col,
+        "n_truth",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_truth")).alias(
+            "recall_at_k"
+        ),
+        F.when(
+            F.col("__first").isNotNull(),
+            F.lit(1.0) / F.col("__first"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+    )

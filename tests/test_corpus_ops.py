@@ -1215,3 +1215,54 @@ def test_triangles_exactly_once_on_known_graphs(spark):
     # exactly-once: count equals set size even via count()
     df = spark.createDataFrame(noisy, "a long, b long")
     assert triangles(df).count() == 4
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Known truth/retrieved lists → known recall@k and MRR,
+    including: multi-truth queries, truth missing from retrieval,
+    queries with NO retrieved rows (must not drop out), and the
+    (score, id) tie-break determining the rank used by MRR."""
+    from aligned_spark.operators.similarity import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    retrieved = spark.createDataFrame(
+        [
+            (1, 99, 0.9), (1, 10, 0.8), (1, 11, 0.7),  # hits at rk 2,3
+            (2, 21, 0.9), (2, 22, 0.8),                # no hits
+            # query 3 retrieved nothing at all
+        ],
+        "query_id long, neighbor_id long, sim double",
+    )
+    out = {
+        r.query_id: r
+        for r in retrieval_metrics(
+            truth, retrieved, "query_id", "neighbor_id", "sim", k=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_truth == 2 and out[1].n_hits == 2
+    assert out[1].recall_at_k == 1.0 and out[1].mrr == 0.5  # first hit rk2
+    assert out[2].recall_at_k == 0.0 and out[2].mrr == 0.0
+    assert out[3].n_hits == 0 and out[3].mrr == 0.0
+
+    # k truncation: with k=2 only rank-2 survives for query 1
+    out2 = {
+        r.query_id: r
+        for r in retrieval_metrics(
+            truth, retrieved, "query_id", "neighbor_id", "sim", k=2
+        ).collect()
+    }
+    assert out2[1].n_hits == 1 and out2[1].recall_at_k == 0.5
+    # tie-break: equal scores rank by item id
+    tied = spark.createDataFrame(
+        [(5, 52, 0.5), (5, 51, 0.5)],
+        "query_id long, neighbor_id long, sim double",
+    )
+    t5 = spark.createDataFrame([(5, 52)], "query_id long, neighbor_id long")
+    r5 = retrieval_metrics(
+        t5, tied, "query_id", "neighbor_id", "sim", k=5
+    ).first()
+    assert r5.mrr == 0.5  # 51 outranks 52 on the id tie
