@@ -3992,6 +3992,80 @@ def _eval_ann_oracle(dim: int = 64) -> str:
       FROM j GROUP BY query_id"""
 
 
+_WP_VOCAB = [
+    # starts: common English openers + a few short words
+    "the", "a", "an", "re", "un", "in", "de", "pre", "over", "with",
+    "s", "t", "o", "w", "b", "c", "d", "e", "f", "g", "h", "l", "m",
+    "n", "p", "r",
+    # continuations
+    "##s", "##ing", "##ed", "##er", "##ion", "##ly", "##e", "##a",
+    "##t", "##o", "##n", "##i", "##r", "##l", "##d", "##u", "##y",
+    "##0", "##1", "##2", "##3", "##4", "##5", "##6", "##7", "##8",
+    "##9",
+]
+
+
+def _wordpiece_oracle() -> str:
+    rows = ", ".join(
+        f"('{p[2:]}', 1)" if p.startswith("##") else f"('{p}', 0)"
+        for p in _WP_VOCAB
+    )
+    return f"""
+    WITH RECURSIVE
+    vocab(v, is_cont) AS (SELECT * FROM (VALUES {rows}) t),
+    w AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS word
+      FROM documents
+    ),
+    dw AS (SELECT DISTINCT word FROM w),
+    steps(word, pos, n, unk) AS (
+      SELECT word, 1, 0, FALSE FROM dw
+      UNION ALL
+      SELECT s.word,
+             CASE WHEN b.best IS NULL THEN len(s.word) + 1
+                  ELSE s.pos + b.best END,
+             CASE WHEN b.best IS NULL THEN 1 ELSE s.n + 1 END,
+             b.best IS NULL OR s.unk
+      FROM steps s LEFT JOIN LATERAL (
+        SELECT max(len(v.v)) AS best FROM vocab v
+        WHERE v.is_cont = CASE WHEN s.pos = 1 THEN 0 ELSE 1 END
+          AND substr(s.word, s.pos, len(v.v)) = v.v
+      ) b ON TRUE
+      WHERE s.pos <= len(s.word)
+    ),
+    tok AS (
+      SELECT word, CASE WHEN unk THEN 1 ELSE n END AS n,
+             CASE WHEN unk THEN 1 ELSE 0 END AS u
+      FROM steps WHERE pos > len(word)
+    ),
+    per_doc AS (
+      SELECT w.doc_id, SUM(tok.n) AS n_tokens, SUM(tok.u) AS n_unk
+      FROM w JOIN tok USING (word) GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS INT) AS n_tokens,
+           CAST(coalesce(p.n_unk, 0) AS INT) AS n_unk
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+@q("text_wordpiece_counts", _wordpiece_oracle())
+def _text_wordpiece_counts(spark, sf_dir):
+    """REAL subword token budgeting: WordPiece greedy longest-match
+    counts under a fixed piece vocabulary (swap in a model's
+    vocab.txt at the call site) — whitespace/regex counts drift
+    10-40% from what a model actually bills. Even the iterative
+    greedy matcher is value-verified: the oracle replays it with a
+    recursive CTE, including the whole-word-[UNK] dead-end rule
+    (`functions/tokenizer.py:wordpiece_token_count`)."""
+    from aligned_spark.functions.tokenizer import wordpiece_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece_token_count(d, "doc_id", "text", _WP_VOCAB)
+
+
 @q("eval_ann_recall", _eval_ann_oracle())
 def _eval_ann_recall(spark, sf_dir):
     """ANN evaluation harness: recall@5 + MRR of the LSH-bucketed

@@ -1266,3 +1266,75 @@ def test_retrieval_metrics_hand_computed(spark):
         t5, tied, "query_id", "neighbor_id", "sim", k=5
     ).first()
     assert r5.mrr == 0.5  # 51 outranks 52 on the id tie
+
+
+def test_wordpiece_known_and_properties(spark):
+    """BERT's canonical example tokenizes correctly; reconstruction
+    and greediness invariants hold under hypothesis-generated vocab/
+    word pairs; the Spark kernel matches the pure function."""
+    from hypothesis import given, settings, strategies as st
+
+    from aligned_spark.functions.tokenizer import (
+        wordpiece_token_count,
+        wordpiece_tokens,
+        wordpiece_word,
+    )
+
+    vocab = ["un", "##aff", "##able", "runn", "##ing", "run", "the"]
+    starts = {p for p in vocab if not p.startswith("##")}
+    conts = {p[2:] for p in vocab if p.startswith("##")}
+
+    assert wordpiece_word("unaffable", starts, conts, "[UNK]", 4) == [
+        "un", "##aff", "##able",
+    ]
+    # greedy takes 'runn'+'##ing', not 'run' then dead end
+    assert wordpiece_word("running", starts, conts, "[UNK]", 4) == [
+        "runn", "##ing",
+    ]
+    assert wordpiece_word("xyz", starts, conts, "[UNK]", 4) == ["[UNK]"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet="ab", min_size=1, max_size=12),
+        pieces=st.sets(
+            st.text(alphabet="ab", min_size=1, max_size=3),
+            min_size=1, max_size=8,
+        ),
+    )
+    def props(word, pieces):
+        mp = max(len(p) for p in pieces)
+        toks = wordpiece_word(word, pieces, pieces, "[UNK]", mp)
+        if toks == ["[UNK]"]:
+            return
+        # reconstruction
+        assert "".join(t.removeprefix("##") for t in toks) == word
+        # greediness: each piece is the longest vocab match at its pos
+        pos = 0
+        for t in toks:
+            raw = t.removeprefix("##")
+            for longer in range(min(mp, len(word) - pos), len(raw), -1):
+                assert word[pos:pos + longer] not in pieces
+            pos += len(raw)
+
+    props()
+
+    df = spark.createDataFrame(
+        [(0, "The unaffable running"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    toks = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", wordpiece_tokens(F.col("text"), vocab).alias("t")
+        ).collect()
+    }
+    assert toks[0] == ["the", "un", "##aff", "##able", "runn", "##ing"]
+    assert toks[1] == [] and toks[2] == []
+
+    counts = {
+        r.doc_id: (r.n_tokens, r.n_unk)
+        for r in wordpiece_token_count(
+            df, "doc_id", "text", vocab
+        ).collect()
+    }
+    assert counts[0] == (6, 0) and counts[1] == (0, 0)
