@@ -118,6 +118,9 @@ HEADLINE = [
     "events_ewma",
     "join_interval_overlap",
     "sim_prefix_jaccard_pairs_arrow",
+    "text_wordpiece_counts",
+    "graph_triangles",
+    "eval_ann_recall",
 ]
 
 
