@@ -6255,7 +6255,12 @@ def _corpus_ntile_bins(spark, sf_dir):
     )
 
 
-def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
+def _clf_scored_ctes(buckets: int = 1 << 20) -> str:
+    """Shared classifier CTE chain (identical integer fold — weights
+    never touch floats until the single multiply+divide at the end →
+    bit-identical logit, no rounding tolerance needed). Used by BOTH
+    the classifier oracle and the composed-pipeline oracle so the
+    hash constants can never desynchronize."""
     from aligned_spark.functions import text_poly as tp
     from aligned_spark.operators.quality import (
         _CLF_ADD,
@@ -6264,29 +6269,32 @@ def _clf_oracle(buckets: int = 1 << 20, threshold: float = 0.0) -> str:
         _CLF_SCALE,
     )
 
-    # identical integer fold (weights never touch floats until the
-    # single multiply+divide at the end → bit-identical logit, no
-    # rounding tolerance needed)
-    return f"""
-    WITH wh AS (SELECT doc_id, {tp.sql_word_hashes('text')} AS whs
+    return f"""wh AS (SELECT doc_id, {tp.sql_word_hashes('text')} AS whs
                 FROM documents),
-    s AS (
+    clf AS (
       SELECT doc_id, len(whs) AS n,
              coalesce(list_sum(list_transform(whs,
                h -> ((h % {buckets}) * {_CLF_MULT} + {_CLF_ADD})
                     % {_CLF_MOD} - {_CLF_SCALE})), 0)
                AS wsum
       FROM wh
-    )
-    SELECT doc_id,
-           CASE WHEN n > 0
-                THEN CAST(wsum AS DOUBLE) / ({float(_CLF_SCALE)} * n)
-                ELSE 0.0 END AS logit,
-           CAST(CASE WHEN n > 0
-                     AND CAST(wsum AS DOUBLE) / ({float(_CLF_SCALE)} * n)
-                         > {float(threshold)}
+    ),
+    scored AS (
+      SELECT doc_id, n,
+             CASE WHEN n > 0
+                  THEN CAST(wsum AS DOUBLE) / ({float(_CLF_SCALE)} * n)
+                  ELSE 0.0 END AS logit
+      FROM clf
+    )"""
+
+
+def _clf_oracle(threshold: float = 0.0) -> str:
+    return f"""
+    WITH {_clf_scored_ctes()}
+    SELECT doc_id, logit,
+           CAST(CASE WHEN logit > {float(threshold)}
                 THEN 1 ELSE 0 END AS INT) AS keep
-    FROM s"""
+    FROM scored"""
 
 
 def _prefix_jaccard_oracle(t: float = 0.6, width: int = 3) -> str:
@@ -6626,35 +6634,12 @@ def _text_decontaminate_bloom(spark, sf_dir):
 
 
 def _pipeline_quality_oracle() -> str:
-    # classifier CTE (same integer fold as _clf_oracle) → keep-gate →
-    # exact dedup keep-first → temperature resample (α=0.5, 200 docs,
-    # seed 3) — one SQL replay of the whole composed DAG
-    from aligned_spark.functions import text_poly as tp
-    from aligned_spark.operators.quality import (
-        _CLF_ADD,
-        _CLF_MOD,
-        _CLF_MULT,
-        _CLF_SCALE,
-    )
-
-    B = 1 << 20
+    # classifier CTE chain (SHARED with _clf_oracle — one source of
+    # truth for the hash constants) → keep-gate → exact dedup
+    # keep-first → temperature resample (α=0.5, 200 docs, seed 3) —
+    # one SQL replay of the whole composed DAG
     return f"""
-    WITH wh AS (SELECT doc_id, {tp.sql_word_hashes('text')} AS whs
-                FROM documents),
-    clf AS (
-      SELECT doc_id, len(whs) AS n,
-             coalesce(list_sum(list_transform(whs,
-               h -> ((h % {B}) * {_CLF_MULT} + {_CLF_ADD})
-                    % {_CLF_MOD} - {_CLF_SCALE})), 0) AS wsum
-      FROM wh
-    ),
-    scored AS (
-      SELECT doc_id,
-             CASE WHEN n > 0
-                  THEN CAST(wsum AS DOUBLE) / ({float(_CLF_SCALE)} * n)
-                  ELSE 0.0 END AS logit
-      FROM clf
-    ),
+    WITH {_clf_scored_ctes()},
     kept AS (
       SELECT d.doc_id, d.source, d.text, s.logit
       FROM documents d JOIN scored s USING (doc_id)

@@ -44,24 +44,38 @@ def _fake_pcm(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
 
 
+def _resolve_decoder(
+    decoder: Callable[[bytes], np.ndarray] | None,
+) -> Callable[[bytes], np.ndarray]:
+    """Decoder resolution shared by :func:`decode_pcm` and
+    :func:`audio_window_features`: explicit ``decoder`` → soundfile
+    (if importable; multi-channel input is mean-downmixed to mono so
+    the output always fits the 1-D sample contract) → deterministic
+    fake."""
+    if decoder is not None:
+        return decoder
+    try:
+        from io import BytesIO
+
+        import soundfile as _sf  # type: ignore
+
+        def _real(data: bytes) -> np.ndarray:
+            sig, _rate = _sf.read(BytesIO(data), dtype="int16")
+            if sig.ndim > 1:  # (frames, channels) → mono downmix
+                sig = sig.mean(axis=1)
+            return np.asarray(sig).astype(np.int64)
+
+        return _real
+    except ImportError:
+        return _fake_pcm
+
+
 def decode_pcm(
     blob: Column, decoder: Callable[[bytes], np.ndarray] | None = None
 ) -> Column:
     """Binary column → array<bigint> of centered PCM samples.
-    Decoder resolution: explicit ``decoder`` → soundfile (if
-    importable) → deterministic fake."""
-    if decoder is None:
-        try:
-            from io import BytesIO
-
-            import soundfile as _sf  # type: ignore
-
-            def decoder(data: bytes) -> np.ndarray:
-                sig, _rate = _sf.read(BytesIO(data), dtype="int16")
-                return sig.astype(np.int64)
-
-        except ImportError:
-            decoder = _fake_pcm
+    Decoder resolution: see :func:`_resolve_decoder`."""
+    decoder = _resolve_decoder(decoder)
 
     def _kernel(s: pd.Series) -> pd.Series:
         out = [
@@ -110,15 +124,13 @@ def audio_window_features(
     """
     if win <= 0 or hop <= 0:
         raise ValueError("win and hop must be positive")
-    dec = decoder
+    dec = _resolve_decoder(decoder)
     denom = float(128 * 128 * win)
 
     src = df.select(F.col(id_col).alias("__id"), F.col(blob_col).alias("__b"))
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from aligned_spark.functions.audio import _fake_pcm as _fp
-
-        d = dec or _fp
+        d = dec
         for pdf in batches:
             ids, wids, ns, rms, zcs = [], [], [], [], []
             for i, b in zip(pdf["__id"], pdf["__b"]):

@@ -666,8 +666,11 @@ def ewma_features(
     — pandas ``ewm(alpha, adjust=True)`` semantics, TRUNCATED at
     ``lookback`` rows so the per-row state is bounded by contract
     (at the default α=0.2, the dropped tail's weight is
-    (1−α)^65 < 5·10⁻⁷ of the total). Rows with NULL values must be
-    filtered out first (weights are positional).
+    (1−α)^65 < 5·10⁻⁷ of the total). Weights are positional, so NULL
+    values cannot be silently skipped: any row whose frame contains a
+    NULL (including its own) gets a NULL ewma — visible, never
+    mis-weighted. Pre-filter NULL rows to score the dense history
+    instead.
 
     Scale shape: one shuffle on ``keys`` + one sort; the bounded
     ROWS-frame ``collect_list`` holds ≤ lookback+1 doubles per row —
@@ -690,9 +693,16 @@ def ewma_features(
         p *= 1.0 - alpha
     plit = F.lit(powers)
     arr = F.collect_list(F.col(value_col).cast("double")).over(w)
-    out = df.withColumn("__arr", arr)
+    # collect_list silently DROPS nulls — compare against the frame's
+    # row count so a frame containing any NULL yields a NULL ewma
+    # instead of positionally mis-weighted values; the count also
+    # guards the all-null frame (n=0, where sequence(1,0) would
+    # descend into element_at(plit, 0) and throw)
+    out = df.withColumn("__arr", arr).withColumn(
+        "__frame_n", F.count(F.lit(1)).over(w)
+    )
     n = F.size("__arr")
-    idx = F.sequence(F.lit(1), n)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
 
     def _fold(body):
         return F.aggregate(idx, F.lit(0.0), body)
@@ -702,4 +712,7 @@ def ewma_features(
         + F.element_at("__arr", i) * F.element_at(plit, n - i + 1)
     )
     den = _fold(lambda acc, i: acc + F.element_at(plit, n - i + 1))
-    return out.withColumn(out_col, num / den).drop("__arr")
+    ewma = F.when(
+        (n > 0) & (n == F.col("__frame_n")), num / den
+    ).otherwise(F.lit(None).cast("double"))
+    return out.withColumn(out_col, ewma).drop("__arr", "__frame_n")

@@ -967,8 +967,10 @@ def bloom_decontaminate(
     ``impl`` selects the shingle-hash family, as in
     :func:`decontaminate`.
     """
-    if m_bits % 32 or m_bits > (1 << 22):
-        raise ValueError("m_bits must be a multiple of 32, <= 2^22")
+    if m_bits <= 0 or m_bits % 32 or m_bits > (1 << 22):
+        raise ValueError(
+            "m_bits must be a positive multiple of 32, <= 2^22"
+        )
     if impl == "arrow":
         from aligned_spark.functions.text_arrow import shingle_hashes_arrow
 

@@ -76,14 +76,34 @@ def population_stability(
     ha = histogram(reference, value_col, bin_width).select(
         F.col("bin_lo"), F.col("bin_count").alias("__qn")
     )
+    qt = reference.filter(F.col(value_col).isNotNull()).count()
+    return psi_from_reference_histogram(
+        ha, qt, current, value_col, bin_width, floor, out_col
+    )
+
+
+def psi_from_reference_histogram(
+    ref_hist: DataFrame,
+    ref_total: int,
+    current: DataFrame,
+    value_col: str,
+    bin_width: float,
+    floor: float = 1e-6,
+    out_col: str = "psi",
+) -> DataFrame:
+    """:func:`population_stability` against a PRE-AGGREGATED reference
+    — ``ref_hist`` is the reference's ``(bin_lo, __qn)`` histogram and
+    ``ref_total`` its non-null count, both computed ONCE by the caller
+    (the streaming monitor's per-batch path: the reference data is
+    never rescanned)."""
     hb = histogram(current, value_col, bin_width).select(
         F.col("bin_lo"), F.col("bin_count").alias("__pn")
     )
-    qt = reference.filter(F.col(value_col).isNotNull()).count()
+    qt = ref_total
     pt = current.filter(F.col(value_col).isNotNull()).count()
     if not qt or not pt:
         raise ValueError("population_stability needs non-empty sides")
-    j = ha.join(hb, on="bin_lo", how="full_outer")
+    j = ref_hist.join(hb, on="bin_lo", how="full_outer")
     q = F.greatest(
         F.coalesce(F.col("__qn"), F.lit(0)).cast("double") / F.lit(float(qt)),
         F.lit(float(floor)),

@@ -723,15 +723,23 @@ def retrieval_metrics(
     pre-truncation keeps the join small), one left join on
     (query, item), one per-query aggregate. Metrics are exact integer
     ratios — single IEEE divisions, engine-independent."""
+    # duplicate (query, item) retrieved rows (e.g. the same neighbor
+    # surfacing from several LSH tables) would burn top-k slots AND
+    # fan out the truth join, corrupting every denominator — dedupe
+    # to each item's best score BEFORE ranking, and distinct the
+    # truth side before counting it
+    best = retrieved.groupBy(query_col, item_col).agg(
+        F.max(score_col).alias("__score")
+    )
     w = W.partitionBy(query_col).orderBy(
-        F.col(score_col).desc(), F.col(item_col)
+        F.col("__score").desc(), F.col(item_col)
     )
     ranked = (
-        retrieved.withColumn("__rk", F.row_number().over(w))
+        best.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(query_col, item_col, "__rk")
     )
-    j = truth.select(query_col, item_col).join(
+    j = truth.select(query_col, item_col).distinct().join(
         ranked, [query_col, item_col], "left"
     )
     agg = j.groupBy(query_col).agg(

@@ -8,19 +8,22 @@ when drift clears the threshold — the "is tonight's ingest shaped
 like the corpus we trained on?" gate, running inside the ingest
 stream instead of as a day-after batch job.
 
-Scale design: the reference histogram is aggregated ONCE and
-persisted (a bin-keyed frame of #bins rows, not the reference data);
-each micro-batch adds one map-side-combinable histogram aggregation
-over the batch and a #bins-row join — per-batch cost is O(batch) scan
-plus O(bins) merge, independent of reference size. PSI per batch is
-exactly the batch operator's value (pinned by the parity test), so
-alerts are reproducible in offline replay.
+Scale design: the reference is reduced ONCE, before the stream
+starts, to its (bin, count) histogram plus one non-null total — a
+#bins-row frame that is persisted and eagerly materialized; the
+reference DATA is never rescanned. Each micro-batch then adds one
+map-side-combinable histogram aggregation over the batch and a
+#bins-row join — per-batch cost is O(batch) scan plus O(bins) merge,
+independent of reference size. PSI per batch is exactly the batch
+operator's value (pinned by the parity test), so alerts are
+reproducible in offline replay.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -45,24 +48,40 @@ def psi_monitor(
     checkpoint/trigger options and ``.start()`` (same contract as the
     other streaming helpers).
     """
-    from aligned_spark.operators.quality import population_stability
+    from aligned_spark.operators.quality import (
+        histogram,
+        psi_from_reference_histogram,
+    )
 
-    ref = reference.select(F.col(value_col)).persist()
-    ref.count()  # materialize once, before the stream starts
+    # reference reduced to (#bins rows, one count) ONCE, before the
+    # stream starts — per-batch work never touches the reference data
+    ref_hist = (
+        histogram(reference, value_col, bin_width)
+        .select(F.col("bin_lo"), F.col("bin_count").alias("__qn"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ref_hist.count()  # materialize eagerly
+    ref_total = reference.filter(F.col(value_col).isNotNull()).count()
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        nonnull = batch_df.filter(F.col(value_col).isNotNull())
-        if nonnull.take(1):
-            psi = float(
-                population_stability(
-                    ref, nonnull, value_col, bin_width
-                ).first().psi
-            )
-            alert = psi > threshold
-        else:
-            psi, alert = None, False
-        if on_batch is not None:
-            on_batch(batch_id, n, psi, alert)
+        nonnull = batch_df.filter(
+            F.col(value_col).isNotNull()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = nonnull.count()
+            if n:
+                psi = float(
+                    psi_from_reference_histogram(
+                        ref_hist, ref_total, nonnull, value_col,
+                        bin_width,
+                    ).first().psi
+                )
+                alert = psi > threshold
+            else:
+                psi, alert = None, False
+            if on_batch is not None:
+                on_batch(batch_id, n, psi, alert)
+        finally:
+            nonnull.unpersist()
 
     return stream.writeStream.outputMode("append").foreachBatch(_batch)

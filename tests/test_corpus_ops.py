@@ -1338,3 +1338,58 @@ def test_wordpiece_known_and_properties(spark):
         ).collect()
     }
     assert counts[0] == (6, 0) and counts[1] == (0, 0)
+
+
+def test_review_fixes_metrics_ewma_bloom(spark):
+    """Review regressions: duplicate retrieved rows must not corrupt
+    retrieval metrics; EWMA over frames containing NULLs yields NULL
+    (never silent mis-weighting) and all-null frames don't crash;
+    bloom m_bits=0 raises."""
+    from aligned_spark.operators.similarity import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 10)], "query_id long, neighbor_id long"
+    )
+    dup = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 10, 0.8), (1, 11, 0.7)],
+        "query_id long, neighbor_id long, sim double",
+    )
+    r = retrieval_metrics(
+        truth, dup, "query_id", "neighbor_id", "sim", k=2
+    ).first()
+    assert r.n_truth == 1 and r.n_hits == 1
+    assert r.recall_at_k == 1.0 and r.mrr == 1.0
+    # the duplicate must not burn a top-k slot: with k=2, item 11
+    # still ranks (rk 2) — truth on 11 would be a hit
+    t11 = spark.createDataFrame(
+        [(1, 11)], "query_id long, neighbor_id long"
+    )
+    r11 = retrieval_metrics(
+        t11, dup, "query_id", "neighbor_id", "sim", k=2
+    ).first()
+    assert r11.n_hits == 1 and r11.mrr == 0.5
+
+    from aligned_spark.operators.core import ewma_features
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, None), (1, 2, 3.0), (2, 0, None)],
+        "k long, t long, v double",
+    )
+    out = {
+        (r.k, r.t): r.ewma
+        for r in ewma_features(df, ["k"], "t", "v", lookback=4).collect()
+    }
+    assert out[(1, 0)] == 1.0          # clean frame
+    assert out[(1, 1)] is None         # own value null
+    assert out[(1, 2)] is None         # frame contains a null
+    assert out[(2, 0)] is None         # all-null frame — no crash
+
+    from aligned_spark.operators.dedup import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        bloom_decontaminate(
+            docs, docs, "doc_id", "text", "text", m_bits=0
+        )
