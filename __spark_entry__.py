@@ -3992,6 +3992,73 @@ def _eval_ann_oracle(dim: int = 64) -> str:
       FROM j GROUP BY query_id"""
 
 
+def _image_dedup_oracle(limit: int = 300) -> str:
+    hx = "'0123456789abcdef'"
+    packs = " + ".join(
+        f"(CASE WHEN gs[{8 * r + c + 1}] > gs[{8 * r + c + 2}] "
+        f"THEN CAST({1 << (r * 7 + c)} AS BIGINT) ELSE 0 END)"
+        for r in range(8)
+        for c in range(7)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS sig FROM documents
+      WHERE doc_id < {limit}
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 32), i ->
+               (strpos({hx}, substr(sig, 2 * i + 1, 1)) - 1) * 16
+               + strpos({hx}, substr(sig, 2 * i + 2, 1)) - 1) AS sb
+      FROM h
+    ),
+    g AS (
+      -- exact replica of the kernel's float path: per-channel /255
+      -- FIRST (each rounds), then ((x0+x1)+x2)/3 — integer channel
+      -- sums are NOT order-equivalent to this (rounding differs per
+      -- triple), so the floats themselves are replayed
+      SELECT doc_id,
+             list_transform(range(0, 64), p ->
+               ((sb[(3 * p) % 32 + 1] / 255.0
+                 + sb[(3 * p + 1) % 32 + 1] / 255.0)
+                + sb[(3 * p + 2) % 32 + 1] / 255.0) / 3.0) AS gs
+      FROM b
+    ),
+    d AS (SELECT doc_id, {packs} AS dhash FROM g)
+    SELECT MIN(doc_id) AS doc_id, dhash FROM d GROUP BY dhash"""
+
+
+@q("multimodal_image_dedup", _image_dedup_oracle())
+def _multimodal_image_dedup(spark, sf_dir):
+    """Perceptual image dedup: decode (fake codec) → grayscale →
+    56-bit dHash → keep-first per hash. The oracle replays the ENTIRE
+    visual pipeline — sha256 codec bytes, channel-sum grayscale
+    ordering, the 56-comparison bit pack — in SQL, so the perceptual
+    hash itself is value-verified, not just row-counted
+    (`functions/images.py:image_dhash`)."""
+    from aligned_spark.functions.images import (
+        decode_image,
+        grayscale_image,
+        image_dhash,
+    )
+    from aligned_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # materialize the tensor then the hash in separate projections —
+    # the dHash ladder reads the tensor 112 times (no CSE across a
+    # pandas-UDF subtree)
+    gray = d.select(
+        "doc_id",
+        grayscale_image(
+            decode_image(F.col("text").cast("binary"))
+        ).alias("__g"),
+    )
+    hashed = gray.select(
+        "doc_id", image_dhash(F.col("__g")).alias("dhash")
+    )
+    return exact_dedup(hashed, ["dhash"], order_col="doc_id")
+
+
 _WP_VOCAB = [
     # starts: common English openers + a few short words
     "the", "a", "an", "re", "un", "in", "de", "pre", "over", "with",

@@ -208,3 +208,29 @@ def presigned_aws_url(
             )
 
     return F.pandas_udf(_kernel, StringType())(key)
+
+
+def image_dhash(gray: Column) -> Column:
+    """Perceptual dHash of an 8×8 grayscale tensor: 56 bits, one per
+    horizontally-adjacent pixel pair (``gray[r][c] > gray[r][c+1]``)
+    — the standard difference-hash for near-duplicate image detection
+    (identical content → identical hash regardless of encoding
+    container; 1-bit-tolerant matching composes with the SimHash
+    pigeonhole machinery).
+
+    Pure codegen comparison ladder — no UDF. IMPORTANT: pass a
+    *materialized column* (project the grayscale tensor first); the
+    expression reads the tensor 112 times and Spark will not CSE a
+    pandas-UDF subtree."""
+
+    def g(r: int, c: int) -> Column:
+        return F.element_at(F.element_at(gray, r + 1), c + 1)
+
+    bits = None
+    for r in range(8):
+        for c in range(7):
+            term = F.when(
+                g(r, c) > g(r, c + 1), F.lit(1 << (r * 7 + c))
+            ).otherwise(F.lit(0))
+            bits = term if bits is None else bits + term
+    return bits.cast("long")

@@ -133,3 +133,46 @@ def test_resize_image_nearest(spark):
         resize_image(decode_image(F.col("blob")), 4, 4).alias("t")
     ).first()
     assert np.asarray(r.t).shape == (4, 4, 3)
+
+
+def test_image_dhash_reference_and_dedup(spark):
+    """dHash matches a pure-python replay of the fake codec; equal
+    bytes → equal hash; different bytes → (overwhelmingly) different
+    hash; 56-bit range respected."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aligned_spark.functions.images import (
+        decode_image,
+        grayscale_image,
+        image_dhash,
+    )
+
+    rows = [(0, b"same bytes"), (1, b"same bytes"), (2, b"other")]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    gray = df.select(
+        "doc_id", grayscale_image(decode_image(F.col("blob"))).alias("g")
+    )
+    out = {
+        r.doc_id: r.h
+        for r in gray.select(
+            "doc_id", image_dhash(F.col("g")).alias("h")
+        ).collect()
+    }
+
+    def ref(data: bytes) -> int:
+        h = hashlib.sha256(data).digest()
+        seed = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
+        g = (np.resize(seed, 192).reshape(8, 8, 3) / 255.0).mean(axis=2)
+        bits = 0
+        for r in range(8):
+            for c in range(7):
+                if g[r][c] > g[r][c + 1]:
+                    bits |= 1 << (r * 7 + c)
+        return bits
+
+    assert out[0] == ref(b"same bytes") == out[1]
+    assert out[2] == ref(b"other") != out[0]
+    assert all(0 <= v < (1 << 56) for v in out.values())
