@@ -3992,6 +3992,85 @@ def _eval_ann_oracle(dim: int = 64) -> str:
       FROM j GROUP BY query_id"""
 
 
+def _remove_spans_oracle(width: int = 8, min_docs: int = 2) -> str:
+    from aligned_spark.functions import text_poly as tp
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''),
+                                            '\\s+'),
+                         x -> x <> '') AS toks,
+             {tp.sql_ws_word_hashes('text')} AS wwh
+      FROM documents
+    ),
+    whf AS (SELECT doc_id, toks,
+                   {tp.sql_window_hashes('wwh', width)} AS wh
+            FROM t),
+    win AS (
+      SELECT doc_id, unnest(range(0, len(wh))) AS pos,
+             unnest(wh) AS h
+      FROM whf
+    ),
+    census AS (
+      SELECT h FROM win GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ),
+    dupw AS (SELECT win.doc_id, win.pos FROM win
+             JOIN census USING (h)),
+    cov AS (
+      SELECT DISTINCT doc_id, widx FROM (
+        SELECT doc_id, unnest(range(pos, pos + {width})) AS widx
+        FROM dupw)
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(0, len(toks))) AS widx,
+             unnest(toks) AS w
+      FROM whf
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.widx, tok.w FROM tok
+      LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                   AND tok.widx = cov.widx
+      WHERE cov.widx IS NULL
+    ),
+    re AS (SELECT doc_id, string_agg(w, ' ' ORDER BY widx)
+                    AS clean_text
+           FROM kept GROUP BY doc_id),
+    rm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov
+           GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+           CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed
+    FROM documents d
+    LEFT JOIN re USING (doc_id) LEFT JOIN rm USING (doc_id)"""
+
+
+@q("dedup_remove_spans", _remove_spans_oracle())
+def _dedup_remove_spans(spark, sf_dir):
+    """Cross-document verbatim span REMOVAL (the transformation of
+    suffix-array dedup, not just its measurement): whitespace tokens
+    covered by an 8-token window shared by ≥2 docs are cut and the
+    survivors reassemble in order. Whole pipeline — census, coverage,
+    splice — replayed by the oracle
+    (`operators/dedup.py:remove_duplicate_spans`)."""
+    from aligned_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(
+        d, "doc_id", "text", width=8, min_docs=2, impl="poly"
+    )
+
+
+@q("dedup_remove_spans_arrow")  # production xxhash64 path — rows-only (benched)
+def _dedup_remove_spans_arrow(spark, sf_dir):
+    from aligned_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(
+        d, "doc_id", "text", width=8, min_docs=2
+    )
+
+
 def _image_dedup_oracle(limit: int = 300) -> str:
     hx = "'0123456789abcdef'"
     packs = " + ".join(

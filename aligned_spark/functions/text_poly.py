@@ -288,3 +288,48 @@ def sql_simhash(sh_col: str) -> str:
         for j in range(SIMHASH_BITS)
     )
     return f"({terms})"
+
+
+def ws_word_hashes(text: str | None) -> list[int]:
+    """One poly hash per WHITESPACE token (raw characters, case
+    preserved) — the span-REMOVAL tokenization: unlike
+    :func:`word_hashes`' lowercase-alpha tokens, whitespace tokens
+    map 1:1 onto the words a removal pass reassembles."""
+    return [
+        _fold([ord(c) for c in w], CHAR_B)
+        for w in (text or "").split()
+    ]
+
+
+def ws_window_hashes(text: str | None, width: int) -> list[int]:
+    wh = ws_word_hashes(text)
+    return [
+        _fold(wh[i : i + width], COMB_B)
+        for i in range(len(wh) - width + 1)
+    ]
+
+
+def poly_ws_window_hashes_arrow(text: Column, width: int) -> Column:
+    def _kernel(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [ws_window_hashes(t, width) for t in s],
+            index=s.index,
+            dtype=object,
+        )
+
+    return F.pandas_udf(_kernel, ArrayType(LongType()))(text)
+
+
+def sql_ws_word_hashes(col: str) -> str:
+    """Whitespace-token char folds — mirror of :func:`ws_word_hashes`
+    (``\\s`` matches Python ``str.split`` on this corpus's ASCII
+    whitespace)."""
+    return (
+        f"list_transform(list_filter("
+        f"string_split_regex(coalesce({col}, ''), '\\s+'), "
+        f"x -> x <> ''), "
+        f"w -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        f"list_transform(string_split_regex(w, ''), "
+        f"c -> CAST(ord(c) AS HUGEINT))), "
+        f"(a, b) -> (a * {CHAR_B} + b) % {P}) AS BIGINT))"
+    )

@@ -1029,3 +1029,123 @@ def bloom_decontaminate(
     flagged = F.exists(sh(F.col(corpus_text)), _probe)
     keep = flagged if keep_contaminated else ~flagged
     return corpus.filter(keep)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+    min_docs: int = 2,
+    impl: str = "arrow",
+) -> DataFrame:
+    """:func:`duplicate_spans`' production counterpart: REMOVE the
+    cross-document verbatim spans instead of just measuring them —
+    the actual transformation of suffix-array dedup (Lee et al.
+    2022): every whitespace token covered by a ``width``-token window
+    whose hash appears in ≥ ``min_docs`` distinct documents is cut,
+    and the survivors reassemble in order (single-space joined —
+    whitespace is canonicalized by construction). Output per input
+    row: ``(id, clean_text, n_removed)``.
+
+    Tokenization is WHITESPACE words (case and punctuation
+    preserved), not the lowercase-alpha dedup tokens — removal must
+    map 1:1 onto reassemblable words.
+
+    Scale shape: same census skeleton as :func:`duplicate_spans` —
+    the (id, pos, hash) explode feeds a map-side-combinable distinct-
+    doc census on the hash key and a semi-join back; span → token
+    coverage explodes ``width`` rows per duplicated window (bounded
+    by width × dup_windows, not text length); reassembly is one
+    shuffle on the id with an order-struct sort inside each group.
+    Nothing collects on the driver; no pairwise compare.
+
+    ``impl``: "arrow"/"codegen" hash the whitespace tokens with
+    SipHash/xxhash64; "poly" is the SQL-replayable oracle path.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    raw_tokens = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    if impl == "poly":
+        from aligned_spark.functions.text_poly import (
+            poly_ws_window_hashes_arrow,
+        )
+
+        wh = poly_ws_window_hashes_arrow(F.col(text_col), width)
+    elif impl in ("arrow", "codegen"):
+        # token xxhash64 folds windowed with fixed-arity xxhash64 —
+        # the same shape as shingle_hashes but over raw ws tokens
+        from aligned_spark.functions.text import _sliding_zip
+
+        word_h = F.transform(raw_tokens, lambda w: F.xxhash64(w))
+        wh = F.transform(
+            _sliding_zip(word_h, width),
+            lambda s: F.xxhash64(
+                *[s.getField(str(k)) for k in range(width)]
+            ),
+        )
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    base = df.select(
+        F.col(id_col),
+        raw_tokens.alias("__toks"),
+        wh.alias("__wh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    windows = base.select(
+        id_col, F.posexplode("__wh").alias("__pos", "__h")
+    )
+    census = (
+        windows.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+    )
+    dup_windows = windows.join(census, "__h", "left_semi")
+    covered = (
+        dup_windows.select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("__pos"), F.col("__pos") + F.lit(width - 1)
+                )
+            ).alias("__widx"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        id_col, F.posexplode("__toks").alias("__widx", "__w")
+    )
+    kept = toks.join(covered, [id_col, "__widx"], "left_anti")
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__widx", "__w"))
+            ).alias("__o")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("__o", lambda x: x.getField("__w")), " "
+            ).alias("clean_text"),
+        )
+    )
+    removed = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -121,6 +121,8 @@ HEADLINE = [
     "text_wordpiece_counts",
     "graph_triangles",
     "eval_ann_recall",
+    "multimodal_image_dedup",
+    "dedup_remove_spans_arrow",
 ]
 
 

@@ -1393,3 +1393,48 @@ def test_review_fixes_metrics_ewma_bloom(spark):
         bloom_decontaminate(
             docs, docs, "doc_id", "text", "text", m_bits=0
         )
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Planted verbatim span across two docs: exactly the covered
+    tokens vanish from both, unique text survives, punctuation and
+    case are preserved, and a doc with no duplication round-trips
+    (modulo whitespace canonicalization)."""
+    from aligned_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (0, f"Alpha! {shared} beta."),
+        (1, f"Gamma {shared} delta?"),
+        (2, "totally unique text with punctuation, preserved."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for impl in ("poly", "arrow"):
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(
+                df, "doc_id", "text", width=8, min_docs=2, impl=impl
+            ).collect()
+        }
+        assert out[0].clean_text == "Alpha! beta."
+        assert out[1].clean_text == "Gamma delta?"
+        assert out[0].n_removed == 8 and out[1].n_removed == 8
+        assert out[2].clean_text == rows[2][1]
+        assert out[2].n_removed == 0
+
+    # overlapping duplicated windows: a 9-token shared span removes
+    # all 9 tokens (two windows, union coverage), not 16
+    s9 = shared + " nine"
+    df2 = spark.createDataFrame(
+        [(0, f"X {s9} Y"), (1, f"Z {s9} W")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            df2, "doc_id", "text", width=8, min_docs=2, impl="poly"
+        ).collect()
+    }
+    assert out2[0].clean_text == "X Y" and out2[0].n_removed == 9
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(df, "doc_id", "text", impl="bogus")
