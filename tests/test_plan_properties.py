@@ -532,3 +532,17 @@ def test_prefix_jaccard_no_cartesian(spark):
     plan = plan_text(out, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_single_fused_window(lineitem):
+    """collect_list and the frame row-count share one window spec —
+    they must fuse into ONE WindowExec (a second Sort+Window would
+    double the operator's shuffle-side cost)."""
+    from aligned_spark.operators.core import ewma_features
+
+    out = ewma_features(
+        lineitem, ["l_suppkey"], "ts", "l_quantity", lookback=16
+    )
+    plan = plan_text(out, "simple")
+    assert plan.count("Window") == 1, plan
+    assert "SinglePartition" not in plan
