@@ -3992,6 +3992,46 @@ def _eval_ann_oracle(dim: int = 64) -> str:
       FROM j GROUP BY query_id"""
 
 
+@q(
+    "events_feature_cross",
+    """WITH h AS (
+         SELECT event_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_filter(
+                    string_split_regex(coalesce(CAST(event_type
+                      AS VARCHAR), ''), ''), c -> c <> ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 2147483647) AS h1,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_filter(
+                    string_split_regex(coalesce(CAST(user_id % 10
+                      AS VARCHAR), ''), ''), c -> c <> ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 2147483647) AS h2
+         FROM events
+       )
+       SELECT event_id,
+              ((h1 * 1000003 + h2) % 2147483647) % 1024
+                AS cross_bucket
+       FROM h""",
+)
+def _events_feature_cross(spark, sf_dir):
+    """Hashed interaction feature (event_type × user-decile → 1024
+    buckets): the wide-model feature cross without a cross-product
+    vocabulary — pure codegen Mersenne-31 folds, zero shuffle,
+    replayed exactly in SQL (`operators/core.py:feature_cross`)."""
+    from aligned_spark.operators.core import feature_cross
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 10).alias("user_decile"),
+    )
+    return feature_cross(
+        ev, ["event_type", "user_decile"], buckets=1024
+    ).select("event_id", "cross_bucket")
+
+
 def _remove_spans_oracle(width: int = 8, min_docs: int = 2) -> str:
     from aligned_spark.functions import text_poly as tp
 

@@ -716,3 +716,54 @@ def ewma_features(
         (n > 0) & (n == F.col("__frame_n")), num / den
     ).otherwise(F.lit(None).cast("double"))
     return out.withColumn(out_col, ewma).drop("__arr", "__frame_n")
+
+
+_CROSS_P = 2_147_483_647  # 2^31 − 1: acc·B + ch stays < 2^62 (int64-safe)
+_CROSS_CHAR_B = 31
+_CROSS_COMB_B = 1_000_003
+
+
+def feature_cross(
+    df: DataFrame,
+    cols: list[str],
+    buckets: int,
+    out_col: str = "cross_bucket",
+) -> DataFrame:
+    """Hashed interaction feature ("feature cross", the wide-model /
+    recsys staple): the combination of ``cols`` folds into one of
+    ``buckets`` ids — categorical interactions without materializing
+    the cross-product vocabulary.
+
+    Each value casts to its string form and char-folds under the
+    Mersenne-31 polynomial (NULL folds as the empty string — one
+    reserved stream distinct from the text '0'); the per-column
+    hashes then combine order-sensitively, so cross(a,b) ≠ cross(b,a).
+    Entirely codegen int64 arithmetic — no UDF, no shuffle, and
+    exactly replayable in portable SQL (unlike xxhash64; the 2^31−1
+    modulus keeps every intermediate under 2^62).
+
+    Collisions are the accepted price of hashing (rate ≈ n²/2m as in
+    any hashed-embedding table); pick ``buckets`` ≥ the square of the
+    expected distinct-combination count for near-perfect separation.
+    """
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+
+    def _char_fold(c: str) -> Column:
+        chars = F.split(
+            F.coalesce(F.col(c).cast("string"), F.lit("")), ""
+        )
+        return F.aggregate(
+            F.filter(chars, lambda ch: ch != F.lit("")),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (
+                acc * F.lit(_CROSS_CHAR_B) + F.ascii(ch)
+            ) % F.lit(_CROSS_P),
+        )
+
+    combined = F.lit(0).cast("long")
+    for c in cols:
+        combined = (
+            combined * F.lit(_CROSS_COMB_B) + _char_fold(c)
+        ) % F.lit(_CROSS_P)
+    return df.withColumn(out_col, combined % F.lit(int(buckets)))

@@ -1438,3 +1438,33 @@ def test_remove_duplicate_spans_semantics(spark):
     assert out2[0].clean_text == "X Y" and out2[0].n_removed == 9
     with pytest.raises(ValueError):
         remove_duplicate_spans(df, "doc_id", "text", impl="bogus")
+
+
+def test_feature_cross_properties(spark):
+    """Order sensitivity, null-vs-'0' separation, bucket range,
+    determinism across partitionings, and the buckets guard."""
+    from aligned_spark.operators.core import feature_cross
+
+    df = spark.createDataFrame(
+        [(0, "a", "b"), (1, "b", "a"), (2, None, "b"), (3, "0", "b"),
+         (4, "a", "b")],
+        "i long, x string, y string",
+    )
+    out = {
+        r.i: r.cross_bucket
+        for r in feature_cross(df, ["x", "y"], 1 << 20).collect()
+    }
+    assert out[0] == out[4]            # deterministic
+    assert out[0] != out[1]            # order-sensitive
+    assert out[2] != out[3]            # NULL ≠ '0'
+    assert all(0 <= v < (1 << 20) for v in out.values())
+    rep = {
+        r.i: r.cross_bucket
+        for r in feature_cross(
+            df.repartition(7), ["x", "y"], 1 << 20
+        ).collect()
+    }
+    assert rep == out                  # partition-layout independent
+
+    with pytest.raises(ValueError):
+        feature_cross(df, ["x"], 0)
