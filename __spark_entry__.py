@@ -4191,13 +4191,15 @@ _WP_VOCAB = [
 ]
 
 
-def _wordpiece_oracle() -> str:
+def _wordpiece_ctes() -> str:
+    """Recursive greedy-matcher CTE chain ending in per_doc(doc_id,
+    n_tokens, n_unk) — shared by the wordpiece-count oracle and the
+    wordpiece-budget packing oracle."""
     rows = ", ".join(
         f"('{p[2:]}', 1)" if p.startswith("##") else f"('{p}', 0)"
         for p in _WP_VOCAB
     )
-    return f"""
-    WITH RECURSIVE
+    return f"""RECURSIVE
     vocab(v, is_cont) AS (SELECT * FROM (VALUES {rows}) t),
     w AS (
       SELECT doc_id,
@@ -4230,7 +4232,12 @@ def _wordpiece_oracle() -> str:
     per_doc AS (
       SELECT w.doc_id, SUM(tok.n) AS n_tokens, SUM(tok.u) AS n_unk
       FROM w JOIN tok USING (word) GROUP BY w.doc_id
-    )
+    )"""
+
+
+def _wordpiece_oracle() -> str:
+    return f"""
+    WITH {_wordpiece_ctes()}
     SELECT d.doc_id,
            CAST(coalesce(p.n_tokens, 0) AS INT) AS n_tokens,
            CAST(coalesce(p.n_unk, 0) AS INT) AS n_unk
@@ -4250,6 +4257,51 @@ def _text_wordpiece_counts(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return wordpiece_token_count(d, "doc_id", "text", _WP_VOCAB)
+
+
+@q("corpus_pack_wordpiece", None)  # oracle registered below (shared CTEs)
+def _corpus_pack_wordpiece(spark, sf_dir):
+    """Sequence packing under REAL WordPiece budgets (512 subword
+    tokens per pack, per source): the composition a pretraining data
+    loader actually runs — tokenizer counts → greedy first-fit pack.
+    Both stages replay in one oracle (recursive-CTE tokenizer +
+    window cumsum)."""
+    from aligned_spark.functions.tokenizer import wordpiece_token_count
+    from aligned_spark.operators.sampling import pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    wp = wordpiece_token_count(d, "doc_id", "text", _WP_VOCAB)
+    joined = d.select("doc_id", "source").join(wp, "doc_id")
+    out = pack_documents(
+        joined.select(
+            "doc_id", "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        ),
+        keys=["source"],
+        order_col="doc_id",
+        token_col="n_tokens",
+        budget=512,
+    )
+    return out.select("doc_id", "source", "n_tokens", "pack_id")
+
+
+def _pack_wordpiece_oracle() -> str:
+    return f"""
+    WITH {_wordpiece_ctes()},
+    j AS (
+      SELECT d.doc_id, d.source,
+             CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+             AS BIGINT) AS pack_id
+    FROM j"""
+
+
+_ORACLES["corpus_pack_wordpiece"] = _pack_wordpiece_oracle()
 
 
 @q("eval_ann_recall", _eval_ann_oracle())
