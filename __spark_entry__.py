@@ -32,6 +32,7 @@ Float-determinism strategy (so value hashes match DuckDB exactly):
 from __future__ import annotations
 
 import datetime as dt
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
@@ -3104,11 +3105,16 @@ def _graph_connected_components(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+def _pagerank_oracle(
+    iterations: int = 3, damping: float = 0.85, dangling: bool = False
+) -> str:
     """Fixed-iteration PageRank replayed as chained SQL stages: same
-    uniform init, same (1-d)/N + d*sum(pr/outdeg) update, same
-    ignored dangling mass, epsilon-floor rounded to 6 decimals at
-    the end only (double-sum association slack << 1e-6)."""
+    uniform init, same (1-d)/N + d*(sum(pr/outdeg) [+ m/N]) update,
+    epsilon-floor rounded to 6 decimals at the end only (double-sum
+    association slack << 1e-6). ``dangling=True`` replays the
+    standard Brin-Page dangling-mass redistribution — one extra
+    scalar CTE per iteration, mirroring the operator's one extra
+    global aggregate."""
     d = damping
     sql = """
     WITH e0 AS (
@@ -3124,7 +3130,25 @@ def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
           FROM e0 JOIN deg ON e0.src = deg.src),
     r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
     for k in range(1, iterations + 1):
-        sql += f""",
+        if dangling:
+            sql += f""",
+    m{k} AS (
+      SELECT COALESCE(SUM(r.pr), 0.0) AS m FROM r{k - 1} r
+      WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.node)
+    ),
+    r{k} AS (
+      SELECT n.node,
+             (1.0 - {d}) / nn.n
+             + {d} * (COALESCE(s.s, 0.0) + m{k}.m / nn.n) AS pr
+      FROM nodes n CROSS JOIN nn CROSS JOIN m{k}
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr / e.deg) AS s
+        FROM e JOIN r{k - 1} r ON e.src = r.node
+        GROUP BY e.dst) s
+      ON n.node = s.node
+    )"""
+        else:
+            sql += f""",
     r{k} AS (
       SELECT n.node,
              (1.0 - {d}) / nn.n + {d} * COALESCE(s.s, 0.0) AS pr
@@ -3170,6 +3194,65 @@ def _graph_pagerank(spark, sf_dir):
     )
     pr = pagerank(edges, iterations=3)
     return pr.select("node", _r6(F.col("pr")).alias("pr"))
+
+
+@q("graph_pagerank_dangling", _pagerank_oracle(dangling=True))
+def _graph_pagerank_dangling(spark, sf_dir):
+    """Standard Brin-Page PageRank (dangling mass redistributed
+    uniformly — mass conserved at 1) over the same 1996 purchase
+    graph. The supplier nodes are ALL dangling here (they never buy),
+    so the redistribution term is load-bearing, not a no-op. One
+    extra global scalar per iteration, broadcast cross-joined — the
+    oracle replays it as one extra scalar CTE per stage
+    (`operators/graph.py:pagerank`)."""
+    from aligned_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=3, redistribute_dangling=True)
+    return pr.select("node", _r6(F.col("pr")).alias("pr"))
+
+
+@q(
+    "events_distinct_sketch",
+    """WITH kept AS (
+         SELECT event_type, user_id FROM events
+         WHERE ((user_id % 2147483647) * 1103515245 + 12345)
+               % 2147483647 < 134217727
+       )
+       SELECT event_type,
+              COUNT(DISTINCT user_id) AS n_sampled,
+              (CAST(COUNT(DISTINCT user_id) AS DOUBLE) * 2147483647.0)
+                / 134217727.0 AS est_distinct
+       FROM kept GROUP BY event_type""",
+)
+def _events_distinct_sketch(spark, sf_dir):
+    """Deterministic bottom-p distinct-count sketch: per event type,
+    estimate distinct users from the hash-threshold-retained 1/16 of
+    the id space (`operators/aggregate.py:hash_sampled_distinct`).
+    Unlike HLL the estimate is a pure dataflow — the Mersenne-31
+    affine hash replays bit-for-bit in the oracle — and at scale the
+    threshold filter cuts the distinct shuffle 16-fold."""
+    from aligned_spark.operators.aggregate import hash_sampled_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return hash_sampled_distinct(
+        e, ["event_type"], "user_id", log2_inv_p=4
+    )
 
 
 def _poly_simhash_pairs_oracle(max_hamming: int = 3, width: int = 3) -> str:
@@ -4191,21 +4274,37 @@ _WP_VOCAB = [
 ]
 
 
-def _wordpiece_ctes() -> str:
+def _wordpiece_ctes(
+    vocab: list[str] | None = None, split_mode: str = "alnum"
+) -> str:
     """Recursive greedy-matcher CTE chain ending in per_doc(doc_id,
-    n_tokens, n_unk) — shared by the wordpiece-count oracle and the
-    wordpiece-budget packing oracle."""
+    n_tokens, n_unk) — shared by the wordpiece-count oracle, the
+    wordpiece-budget packing oracle, and the real-vocab variant.
+    ``split_mode`` mirrors ``functions/tokenizer.py``: "alnum" =
+    ``[a-z0-9]+`` runs only; "bert" = runs PLUS every other
+    non-whitespace char as its own single-char token."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
     rows = ", ".join(
-        f"('{p[2:]}', 1)" if p.startswith("##") else f"('{p}', 0)"
-        for p in _WP_VOCAB
+        f"('{esc(p[2:])}', 1)" if p.startswith("##")
+        else f"('{esc(p)}', 0)"
+        for p in (vocab if vocab is not None else _WP_VOCAB)
     )
+    if split_mode == "alnum":
+        splitter = (
+            "list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '')"
+        )
+    else:  # bert: RE2 \s is ASCII-only, same as the kernel's re.ASCII
+        splitter = (
+            r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')"
+        )
     return f"""RECURSIVE
     vocab(v, is_cont) AS (SELECT * FROM (VALUES {rows}) t),
     w AS (
-      SELECT doc_id,
-             unnest(list_filter(
-               string_split_regex(lower(text), '[^a-z0-9]+'),
-               x -> x <> '')) AS word
+      SELECT doc_id, unnest({splitter}) AS word
       FROM documents
     ),
     dw AS (SELECT DISTINCT word FROM w),
@@ -4302,6 +4401,45 @@ def _pack_wordpiece_oracle() -> str:
 
 
 _ORACLES["corpus_pack_wordpiece"] = _pack_wordpiece_oracle()
+
+
+def _real_vocab() -> list[str]:
+    from aligned_spark.functions.tokenizer import load_vocab
+
+    return load_vocab(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "aligned_spark", "resources", "vocab_1k.txt",
+        )
+    )
+
+
+def _wordpiece_real_vocab_oracle() -> str:
+    return f"""
+    WITH {_wordpiece_ctes(_real_vocab(), split_mode="bert")}
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS INT) AS n_tokens,
+           CAST(coalesce(p.n_unk, 0) AS INT) AS n_unk
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+@q("text_wordpiece_real_vocab", _wordpiece_real_vocab_oracle())
+def _text_wordpiece_real_vocab(spark, sf_dir):
+    """WordPiece budgeting under a REAL-shaped 1000-piece uncased
+    vocabulary (checked in at ``aligned_spark/resources/vocab_1k.txt``
+    — specials, all ASCII punctuation pieces, full single-char
+    coverage, frequent words + ## suffixes, the public
+    bert-base-uncased layout) with ``split_mode="bert"``: punctuation
+    runs become single-char tokens and are billed, exactly as an
+    uncased model bills them. The recursive-CTE oracle replays the
+    greedy matcher AND the BERT pre-tokenizer
+    (`functions/tokenizer.py:wordpiece_token_count`)."""
+    from aligned_spark.functions.tokenizer import wordpiece_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece_token_count(
+        d, "doc_id", "text", _real_vocab(), split_mode="bert"
+    )
 
 
 @q("eval_ann_recall", _eval_ann_oracle())
@@ -4717,7 +4855,7 @@ def _corpus_winsorize_cdf(spark, sf_dir):
 
 def _profile_col_sql(c: str) -> str:
     return f"""SELECT '{c}' AS column,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        CAST(MIN({c}) AS VARCHAR) AS min_value,
        CAST(MAX({c}) AS VARCHAR) AS max_value
@@ -7064,82 +7202,70 @@ def _text_quality_classifier_fast(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-4 window. Slots 1-18: every full-oracle query with no
-    # driver row yet after r2+r3 (VERDICT r3 "Next round" tasks 1-2,
-    # incl. the canonicalizer-fixed inverted index and this round's
-    # bucketed nearest as-of). Slots 19-50: regression re-verification
-    # of r2/r3-verified flagships most touched by the round-3/4 churn
-    # (as-of/PIT key widening, distinct-agg split, normalize_scores
-    # null fix), so the file proves the churn didn't regress them.
-    "text_inverted_index",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_asof_bucketed_nearest",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "agg_rollup_cube",
-    "agg_cube",
-    "events_resample",
-    "events_pivot",
-    "events_session_window",
-    "text_dup_ngram_chars",
-    "corpus_domain_filter",
-    "text_bigram_surprise",
+    # Round-5 window (VERDICT r4 "Next round" tasks 1-2). Slot 1: the
+    # single red r4 row, oracle HUGEINT->BIGINT cast now applied.
+    # Slots 2-41: every full-oracle query with NO driver row across
+    # r2-r4 (derived from the CORRECTNESS files vs queries(); all 40
+    # were judge-local-green in r4). Remaining slots: re-verification
+    # of queries whose oracles were rewritten by the scaled-long-sum
+    # sweep (commit e77ce70), plus queries new this round. Union of
+    # r2-r5 green rows = every full-oracle query in the file.
     "profile_table_stats",
-    "dedup_incremental",
-    "corpus_pipeline_e2e",
-    # --- the 14 remaining TPC-H queries, new this round (full
-    # 22/22 through execute_sql; identical-SQL-text oracles) ---
-    "tpch_q2",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # --- regression re-verification (VERDICT r3 task 3): the
-    # r2-verified flagships most touched by the round-3/4 churn
-    # (as-of/PIT key widening, distinct-agg split, normalize null
-    # fix) ---
-    # (dropped from this regression block to make room for the six
-    # new-operator queries below: custom_agg_pandas / dedup_minhash /
-    # dedup_semantic already have green r3 driver rows and were not
-    # touched since; store_sql is redundantly exercised by the 22
-    # TPC-H execute_sql slots above; agg_rolling_window and
-    # agg_group_stats share their churned code paths with the
-    # agg_pit_window / agg_group_basic slots kept here.)
-    # (join_asof and join_equi_multi yield their regression slots to
-    # the two new composed/model-gate queries below: the churned as-of
-    # union path is exercised in-window by join_asof_forward/nearest —
-    # same sorted-merge core, direction-parameterized — and the
-    # equi-join widening fix is pinned by its 16777217 property test.)
-    "store_features_for",
-    "join_pit_ttl",
-    "agg_pit_window",
-    "agg_group_basic",
-    "corpus_normalize_scores",
-    "text_quality_classifier",
-    "corpus_pipeline_quality",
-    # --- new full-oracle operators added later this round ---
-    "dedup_substring_spans",
-    "join_fuzzy_blocked",
-    "splits_stratified",
-    "corpus_winsorize_cdf",
-    "events_global_row_ids",
-    "corpus_chunk_overlap",
-    "events_lag_features",
-    "text_decontaminate_fuzzy",
-    "corpus_outliers_mad",
-    "text_token_entropy",
-    "corpus_ntile_bins",
+    # --- the 10 COVERAGE-noted backlog ---
+    "corpus_strip_markup",
+    "multimodal_frame_sample",
+    "graph_pagerank",
+    "embed_prototypicality",
+    "text_readability",
+    "layout_zorder_key",
+    "events_funnel",
+    "events_cohort_retention",
+    "join_scd2",
+    "snapshot_diff_orders",
+    # --- the r4 third-pass additions ---
+    "dedup_remove_spans",
+    "sim_prefix_jaccard_pairs",
+    "graph_triangles",
+    "eval_ann_recall",
+    "text_wordpiece_counts",
+    "corpus_pack_wordpiece",
+    "text_trigram_backoff",
+    "text_decontaminate_bloom",
+    "multimodal_audio_windows",
+    "multimodal_image_dedup",
+    "events_ewma",
+    "events_feature_cross",
+    "join_interval_overlap",
+    "corpus_shrunk_domain_means",
+    "agg_percentiles_counting",
+    "corpus_weighted_reservoir",
+    "agg_top_frequent",
+    "profile_corr_matrix",
+    "events_anomaly_mad",
+    "events_drift_ks",
+    "events_drift_psi",
+    "corpus_jsd_slices",
+    "corpus_collapse_rare",
+    "corpus_temperature_sample",
+    "events_resample_linear",
+    # --- the 5 remaining TPC-H queries without a driver row ---
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    # --- re-verification: oracles rewritten by the scaled-long-sum
+    # sweep (e77ce70) after their last green driver row ---
+    "agg_rolling_window",
+    "agg_group_stats",
+    "view_agg_rolling",
+    "dedup_minhash",
+    "store_sql",
+    "tpch_q6",
+    # --- new full-oracle queries added in round 5 ---
+    "graph_pagerank_dangling",
+    "text_wordpiece_real_vocab",
+    "events_distinct_sketch",
 ]
 
 

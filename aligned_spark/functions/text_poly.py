@@ -41,6 +41,10 @@ from pyspark.sql.types import ArrayType, LongType
 # (same class as functions.text._words / text_arrow._TOKEN_RE).
 _TOKEN_RE = re.compile(r"[a-zà-ÿ]+")
 
+# ASCII whitespace only — keeps ws tokenization identical to Java
+# \s (Spark F.split) and RE2 \s (DuckDB): see ws_word_hashes.
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
 P = (1 << 61) - 1  # Mersenne prime — (a*h+b) stays under 2^122 < int128
 CHAR_B = 31  # character-fold base (word hash)
 COMB_B = 1_000_003  # combining base (shingle windows, band hashes)
@@ -294,10 +298,18 @@ def ws_word_hashes(text: str | None) -> list[int]:
     """One poly hash per WHITESPACE token (raw characters, case
     preserved) — the span-REMOVAL tokenization: unlike
     :func:`word_hashes`' lowercase-alpha tokens, whitespace tokens
-    map 1:1 onto the words a removal pass reassembles."""
+    map 1:1 onto the words a removal pass reassembles.
+
+    Tokenizes on ASCII whitespace ONLY (``re.ASCII`` ``\\s``) so the
+    token stream is identical to the Spark side's
+    ``F.split(r"\\s+")`` (Java ``\\s`` = ASCII) and DuckDB's RE2
+    ``\\s`` — Python ``str.split()`` would additionally split on
+    NBSP / U+2028 etc. and misalign hash positions against Spark
+    token indices, cutting the wrong tokens."""
     return [
         _fold([ord(c) for c in w], CHAR_B)
-        for w in (text or "").split()
+        for w in _WS_ASCII.split(text or "")
+        if w
     ]
 
 

@@ -13,8 +13,11 @@ applies an actual piece vocabulary:
   ``[UNK]`` (HuggingFace WordPiece behavior, not per-char fallback).
 
 Vocabularies are plain ``list[str]`` (load a real model's vocab.txt
-at the call site); the kernel receives it via closure → Spark task
-broadcast. Python-loop-per-word is the honest cost — this is the
+at the call site via :func:`load_vocab` — pair it with
+``split_mode="bert"`` so punctuation is billed; the default
+``"alnum"`` splitter is for lowercase alphanumeric-only
+vocabularies, see :func:`wordpiece_tokens`); the kernel receives it
+via closure → Spark task broadcast. Python-loop-per-word is the honest cost — this is the
 documented Arrow escape hatch, same tier as the SipHash dedup
 kernels; the per-batch cost is linear in characters and there is no
 shuffle (pure projection).
@@ -25,11 +28,26 @@ extends the training-data surface.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 _WORD_RE = r"[^a-z0-9]+"
+# BERT-style basic tokenization (ASCII): words are [a-z0-9]+ runs,
+# every other non-whitespace char is its OWN single-char token (real
+# WordPiece emits punctuation as tokens and bills them). re.ASCII so
+# \s matches exactly what Java \s / RE2 \s match in the SQL mirrors.
+_BERT_RE = re.compile(r"[a-z0-9]+|[^a-z0-9\s]", re.ASCII)
+
+
+def load_vocab(path: str) -> list[str]:
+    """Load a WordPiece ``vocab.txt`` (one piece per line, order =
+    id). Pieces are used verbatim — pair with ``split_mode="bert"``
+    for vocabularies that contain punctuation/special pieces."""
+    with open(path, encoding="utf-8") as fh:
+        return [ln.rstrip("\n") for ln in fh if ln.rstrip("\n")]
 
 
 def wordpiece_word(word: str, starts: set, conts: set, unk: str,
@@ -58,15 +76,43 @@ def wordpiece_tokens(
     text: Column,
     vocab: list[str],
     unk: str = "[UNK]",
+    split_mode: str = "alnum",
 ) -> Column:
     """Text column → array<string> of WordPiece tokens (lowercased,
-    words split on non-alphanumerics, greedy longest-match per word)."""
+    greedy longest-match per word).
+
+    ``split_mode`` picks the pre-tokenizer:
+
+    - ``"alnum"`` (default, SQL-oracle-mirrored): words are
+      ``[a-z0-9]+`` runs; EVERYTHING else is a separator.
+      RESTRICTION: cased pieces, punctuation pieces, and specials in
+      a real model vocab can never match under this mode, and
+      punctuation never enters the budget — counts will undercount
+      versus the model being budgeted. Use it with lowercase
+      alphanumeric-only vocabularies.
+    - ``"bert"`` — BERT basic-tokenizer semantics on ASCII text:
+      lowercase, ``[a-z0-9]+`` runs are words AND every other
+      non-whitespace character is its own single-char token, each
+      then WordPiece-matched (so ``.`` ``,`` … are billed exactly as
+      a real uncased model bills them). Use with a real (lowercase)
+      ``vocab.txt`` via :func:`load_vocab`.
+    """
     starts = {p for p in vocab if not p.startswith("##")}
     conts = {p[2:] for p in vocab if p.startswith("##")}
     max_piece = max((len(p) for p in starts | conts), default=1)
-    import re
+    if split_mode == "alnum":
+        word_re = re.compile(_WORD_RE)
 
-    word_re = re.compile(_WORD_RE)
+        def _pretok(t: str) -> list[str]:
+            return [w for w in word_re.split(t) if w]
+
+    elif split_mode == "bert":
+
+        def _pretok(t: str) -> list[str]:
+            return _BERT_RE.findall(t)
+
+    else:
+        raise ValueError(f"unknown split_mode: {split_mode!r}")
 
     def _kernel(s):
         import pandas as pd
@@ -74,11 +120,10 @@ def wordpiece_tokens(
         out = []
         for t in s:
             toks: list[str] = []
-            for w in word_re.split((t or "").lower()):
-                if w:
-                    toks.extend(
-                        wordpiece_word(w, starts, conts, unk, max_piece)
-                    )
+            for w in _pretok((t or "").lower()):
+                toks.extend(
+                    wordpiece_word(w, starts, conts, unk, max_piece)
+                )
             out.append(toks)
         return pd.Series(out, index=s.index, dtype=object)
 
@@ -91,12 +136,14 @@ def wordpiece_token_count(
     text_col: str,
     vocab: list[str],
     unk: str = "[UNK]",
+    split_mode: str = "alnum",
 ) -> DataFrame:
     """Per-document REAL token counts under a subword vocab — the
     budget signal for packing/length filtering: (id, n_tokens,
     n_unk). One projection (kernel) + one array aggregation; no
-    shuffle, no driver transfer."""
-    toks = wordpiece_tokens(F.col(text_col), vocab, unk)
+    shuffle, no driver transfer. See :func:`wordpiece_tokens` for
+    ``split_mode`` (use "bert" with real model vocabularies)."""
+    toks = wordpiece_tokens(F.col(text_col), vocab, unk, split_mode)
     projected = df.select(F.col(id_col), toks.alias("__toks"))
     return projected.select(
         id_col,

@@ -636,3 +636,55 @@ def _pit_window_aggregate_join(
         *[agg_col(a) for a in aggs],
     )
     return agged.drop("__row_id")
+
+
+def hash_sampled_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    log2_inv_p: int = 4,
+) -> DataFrame:
+    """Approximate per-group distinct count via DETERMINISTIC
+    hash-threshold sampling — the bottom-p theta-sketch idea
+    (Flajolet's adaptive-sampling family): a value is retained iff
+    ``hash(value) < t`` where ``t = P//2^log2_inv_p``, so every
+    worker keeps the SAME p-fraction of the value space with no
+    coordination, retained sets are trivially mergeable (set union),
+    and ``distinct_retained / p`` estimates the true cardinality.
+
+    Returns ``(keys..., n_sampled, est_distinct)``.
+
+    Scale design (100 TB): the threshold filter runs BEFORE the
+    distinct shuffle, so the exchange carries only the p-fraction of
+    (keys, value) pairs — a 2^log2_inv_p-fold shuffle reduction over
+    exact count-distinct — and the distinct itself map-side-combines.
+    State per group is bounded by p x cardinality, never by row
+    count. Unlike HLL (``approx_count_distinct``), the estimate is a
+    pure deterministic dataflow: the hash is a Mersenne-31 affine
+    fold, so an independent SQL engine replays it bit-for-bit.
+
+    ``value_col`` must be a non-negative integral column (ids); the
+    affine hash ``((x % P) * A + B) % P`` stays inside signed-64
+    arithmetic, JVM-codegen on the Spark side. Reference capability:
+    none (beyond-reference surface; the reference has no sketches).
+    """
+    if not 1 <= log2_inv_p <= 24:
+        raise ValueError(
+            f"log2_inv_p must be in [1, 24], got {log2_inv_p}"
+        )
+    P = (1 << 31) - 1  # Mersenne prime, products fit signed-64
+    A, B = 1_103_515_245, 12_345
+    t = P >> log2_inv_p
+    h = F.pmod(
+        F.pmod(F.col(value_col).cast("long"), F.lit(P)) * F.lit(A)
+        + F.lit(B),
+        F.lit(P),
+    )
+    kept = df.filter(h < F.lit(t)).select(*keys, F.col(value_col))
+    agged = kept.groupBy(*keys).agg(
+        F.count_distinct(F.col(value_col)).alias("n_sampled")
+    )
+    est = (
+        F.col("n_sampled").cast("double") * F.lit(float(P))
+    ) / F.lit(float(t))
+    return agged.select(*keys, "n_sampled", est.alias("est_distinct"))

@@ -1081,12 +1081,21 @@ def remove_duplicate_spans(
         from aligned_spark.functions.text import _sliding_zip
 
         word_h = F.transform(raw_tokens, lambda w: F.xxhash64(w))
-        wh = F.transform(
-            _sliding_zip(word_h, width),
-            lambda s: F.xxhash64(
-                *[s.getField(str(k)) for k in range(width)]
+        # Docs shorter than ``width`` tokens have NO windows. Without
+        # the guard, _sliding_zip emits one NULL-padded window whose
+        # xxhash64 silently skips the NULL fields, so two identical
+        # short docs would share a window hash and be fully deleted —
+        # diverging from the oracle-verified poly path, which emits
+        # zero windows for them.
+        wh = F.when(
+            F.size(raw_tokens) >= width,
+            F.transform(
+                _sliding_zip(word_h, width),
+                lambda s: F.xxhash64(
+                    *[s.getField(str(k)) for k in range(width)]
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<bigint>"))
     else:
         raise ValueError(f"unknown impl: {impl!r}")
 

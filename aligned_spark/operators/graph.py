@@ -29,16 +29,24 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list.
 
     Returns ``(node, pr)`` for every node appearing as a source or
-    destination. Simple-variant semantics, stated precisely so the
-    oracle can replay them: ranks start uniform at ``1/N``; each
-    iteration sets ``pr' = (1-d)/N + d * Σ_in pr/outdeg``; dangling
-    nodes (no out-edges) keep receiving but their mass is NOT
-    redistributed (the common simplification — full dangling-mass
-    handling adds a per-iteration global sum).
+    destination. Semantics, stated precisely so the oracle can replay
+    them: ranks start uniform at ``1/N``; each iteration sets
+    ``pr' = (1-d)/N + d * (Σ_in pr/outdeg [+ m/N])`` where ``m`` is
+    the total rank mass sitting on dangling nodes (no out-edges).
+
+    - ``redistribute_dangling=False`` (default): dangling nodes keep
+      receiving but their mass is NOT redistributed — the common
+      simplification; total mass decays each iteration.
+    - ``redistribute_dangling=True``: the standard Brin-Page
+      formulation — dangling mass is spread uniformly, total mass is
+      conserved at 1. Costs exactly one extra global scalar aggregate
+      per iteration (a 1-row frame, broadcast cross-joined — never a
+      driver collect, so the iteration stays a pure dataflow).
 
     A fixed iteration count (not convergence-tested) keeps the
     computation a pure deterministic dataflow — replayable as N
@@ -69,6 +77,15 @@ def pagerank(
         )
         .persist()
     )
+    dangling = None
+    if redistribute_dangling:
+        # node ids with no out-edge — joined per iteration to sum the
+        # mass they hold; persisted once like the edge frame
+        dangling = nodes.join(
+            out_deg.select(F.col(src).alias("node")),
+            on="node",
+            how="left_anti",
+        ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for _ in range(iterations):
         contribs = e.join(
@@ -78,16 +95,22 @@ def pagerank(
             (F.col("pr") / F.col("__deg")).alias("__c"),
         )
         sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
-        ranks = (
-            nodes.join(sums, on="node", how="left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("__s", F.lit(0.0))
-                ).alias("pr"),
+        joined = nodes.join(sums, on="node", how="left")
+        if redistribute_dangling:
+            m = ranks.join(dangling, on="node", how="left_semi").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__m")
             )
-            .localCheckpoint(eager=False)
+            joined = joined.crossJoin(F.broadcast(m))
+            new_pr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                F.coalesce("__s", F.lit(0.0))
+                + F.col("__m") / F.lit(float(n))
+            )
+        else:
+            new_pr = F.lit((1.0 - damping) / n) + F.lit(
+                damping
+            ) * F.coalesce("__s", F.lit(0.0))
+        ranks = joined.select("node", new_pr.alias("pr")).localCheckpoint(
+            eager=False
         )
     return ranks
 

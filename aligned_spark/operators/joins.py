@@ -799,6 +799,12 @@ def interval_overlap_join(
     hot bins fall under AQE skew splitting. Column names across the
     two inputs must be disjoint (standard for the join helpers
     here)."""
+    if not bin_width > 0:  # also rejects NaN
+        raise ValueError(
+            f"bin_width must be > 0, got {bin_width!r}: 0 divides by "
+            "zero into null bins (silently empty result), negative "
+            "widths corrupt binning"
+        )
     on = on or []
     b = F.lit(float(bin_width))
 

@@ -62,6 +62,15 @@ def psi_monitor(
     )
     ref_hist.count()  # materialize eagerly
     ref_total = reference.filter(F.col(value_col).isNotNull()).count()
+    if not ref_total:
+        # fail at setup, not inside foreachBatch at the first
+        # non-empty micro-batch (which would crash a running stream
+        # at an arbitrary later time)
+        ref_hist.unpersist()
+        raise ValueError(
+            "psi_monitor needs a non-empty reference: no non-null "
+            f"values in reference[{value_col!r}]"
+        )
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         nonnull = batch_df.filter(

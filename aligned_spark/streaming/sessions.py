@@ -41,7 +41,18 @@ def session_aggregate(
 
     Output: ``keys…, session_start, session_end, <agg columns>``
     where ``session_end`` is the last event's time + gap (Spark's
-    half-open session extent)."""
+    half-open session extent).
+
+    CAUTION — ``session_end`` is the CLOSE of the window, NOT the
+    last event's timestamp: it sits ``gap_seconds`` after the final
+    event. Downstream joins/durations that want "time of last
+    activity" must use ``session_end - gap`` (or add a ``max(ts)``
+    AggSpec), otherwise every session looks ``gap`` longer than it
+    was and as-of joins against the end pick up events from the idle
+    gap. The batch mirror (``operators/sessions.py:session_stats``)
+    emits ``session_end = max(ts)`` — last-event time — so the two
+    surfaces intentionally differ and this docstring is the
+    boundary's contract."""
     if getattr(df, "isStreaming", False):
         if watermark_seconds is None:
             raise ValueError(

@@ -123,6 +123,11 @@ HEADLINE = [
     "eval_ann_recall",
     "multimodal_image_dedup",
     "dedup_remove_spans_arrow",
+    # round-5 additions: standard dangling-mass PageRank, real-vocab
+    # BERT-mode WordPiece budgets, hash-threshold distinct sketch
+    "graph_pagerank_dangling",
+    "text_wordpiece_real_vocab",
+    "events_distinct_sketch",
 ]
 
 
@@ -184,20 +189,42 @@ def main() -> None:
         gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    # Verbose archival record (all three per-run samples, so the file
+    # shows the contention spread alongside the steady-state min).
+    # This line outgrew the driver's 2000-char tail capture in round 4
+    # (BENCH_r04.json parsed=null), so it is printed FIRST and the
+    # parseable record is the compact line below, printed LAST.
     print(
         json.dumps(
             {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
+                "metric": "headline_runs",
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # all three per-run samples, so the recorded file shows
-                # the contention spread alongside the steady-state min
                 "runs": runs,
                 "sf": float(sf),
             }
         )
     )
+    # Compact machine-readable line, guaranteed to fit the driver's
+    # 2000-char tail window: headline total + the slowest queries
+    # (as many as fit in ~1500 chars), 2-dp rounding.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact: dict[str, float] = {}
+    base = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+    }
+    for name, sec in slowest:
+        trial = dict(base, queries=dict(compact, **{name: round(sec, 2)}))
+        if len(json.dumps(trial)) > 1500:
+            break
+        compact[name] = round(sec, 2)
+    print(json.dumps(dict(base, queries=compact)))
     spark.stop()
 
 
