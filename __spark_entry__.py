@@ -3255,6 +3255,160 @@ def _events_distinct_sketch(spark, sf_dir):
     )
 
 
+@q(
+    "privacy_k_anonymity",
+    """SELECT c_nationkey, c_mktsegment,
+              COUNT(*) AS n_rows,
+              COUNT(*) < 10 AS violates
+       FROM customer GROUP BY c_nationkey, c_mktsegment""",
+)
+def _privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002) over the (nation, market
+    segment) quasi-identifier pair: equivalence-class sizes + the
+    re-identifiability flag — the privacy gate run before releasing
+    user-derived training records. One map-side-combinable count;
+    mode="suppress" reuses the same Exchange for the release
+    semi-join (`operators/quality.py:k_anonymity`)."""
+    from aligned_spark.operators.quality import k_anonymity
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity(
+        c, ["c_nationkey", "c_mktsegment"], k=10, mode="groups"
+    )
+
+
+@q(
+    "events_twap",
+    """WITH g AS (
+         SELECT user_id,
+                CAST(floor(value * 1e4 + 0.5) AS DECIMAL(19,0)) AS vs,
+                CAST(
+                  epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                  - epoch_us(ts) AS DECIMAL(19,0)) AS gap
+         FROM events
+       ),
+       a AS (
+         SELECT user_id, COUNT(*) AS n_points,
+                SUM(vs * gap) AS svw, SUM(gap) AS sw
+         FROM g GROUP BY user_id
+       )
+       SELECT user_id, n_points,
+              CAST(sw AS DOUBLE) / 1e6 AS span_seconds,
+              CASE WHEN sw > 0 THEN
+                (CAST(svw AS DOUBLE) / CAST(sw AS DOUBLE)) / 1e4
+              END AS twa
+       FROM a""",
+)
+def _events_twap(spark, sf_dir):
+    """Per-user TIME-weighted average of the step signal ``value`` —
+    TWAP: each observation holds until the next, so burst updates
+    don't over-weight the mean. Value·gap products and sums run in
+    DECIMAL(38,0) integer arithmetic (scaled-long values × exact
+    microsecond gaps) — order-independent, one double division at
+    the end, replayed verbatim by the oracle
+    (`operators/aggregate.py:time_weighted_avg`)."""
+    from aligned_spark.operators.aggregate import time_weighted_avg
+
+    e = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        e, ["user_id"], "ts", "value", tie_cols=["event_id"]
+    )
+
+
+@q(
+    "model_calibration_bins",
+    """WITH s AS (
+         SELECT (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 AS score,
+                CAST(label % 2 AS BIGINT) AS lab
+         FROM embeddings
+       ),
+       b AS (
+         SELECT least(CAST(floor(score * 10.0) AS BIGINT), 9) AS bin,
+                CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS ss, lab
+         FROM s WHERE score IS NOT NULL AND score >= 0 AND score <= 1
+       )
+       SELECT bin, COUNT(*) AS n,
+              CAST(SUM(ss) AS DOUBLE) / COUNT(*) / 1e6 AS mean_score,
+              CAST(SUM(lab) AS DOUBLE) / COUNT(*) AS accuracy
+       FROM b GROUP BY bin""",
+)
+def _model_calibration_bins(spark, sf_dir):
+    """Reliability diagram for a scored dataset: equal-width
+    confidence bins with count, mean confidence (scaled-long sums —
+    order-independent), and empirical accuracy; the per-bin
+    decomposition behind ECE/MCE model-calibration monitoring. Score
+    = affine squash of the first embedding coordinate, label = class
+    parity — both pure float/int ops that replay bit-for-bit
+    (`operators/quality.py:calibration_bins`)."""
+    from aligned_spark.operators.quality import calibration_bins
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (
+            (F.element_at("embedding", 1).cast("double") + F.lit(1.0))
+            / F.lit(2.0)
+        ).alias("score"),
+        (F.col("label") % 2).cast("long").alias("lab"),
+    )
+    return calibration_bins(scored, "score", "lab", n_bins=10)
+
+
+_MIX_WEIGHTS = {
+    "src0": 0.30, "src1": 0.20, "src2": 0.15, "src3": 0.15,
+    "src4": 0.10, "src5": 0.05, "src6": 0.03, "src7": 0.02,
+}
+_MIX_BUDGET = 500_000
+
+
+def _mixture_plan_oracle() -> str:
+    wsc = {s: int(round(w * 1_000_000)) for s, w in _MIX_WEIGHTS.items()}
+    wtot = sum(wsc.values())
+    targets = {s: ws * _MIX_BUDGET // wtot for s, ws in wsc.items()}
+    rows = ", ".join(f"('{s}', {t})" for s, t in sorted(targets.items()))
+    return f"""
+    WITH tc AS (
+      SELECT source,
+             SUM(CAST(len(list_filter(
+               string_split_regex(coalesce(text, ''), '\\s+'),
+               x -> x <> '')) AS BIGINT)) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tgt(source, target_tokens) AS (SELECT * FROM (VALUES {rows}) t)
+    SELECT tc.source, tc.n_tokens, tgt.target_tokens,
+           least(1.0, CAST(tgt.target_tokens AS DOUBLE)
+                        / CAST(tc.n_tokens AS DOUBLE)) AS sample_rate,
+           CAST(tgt.target_tokens AS DOUBLE)
+             / CAST(tc.n_tokens AS DOUBLE) AS epochs
+    FROM tc JOIN tgt USING (source)
+    WHERE tc.n_tokens > 0"""
+
+
+@q("corpus_mixture_plan", _mixture_plan_oracle())
+def _corpus_mixture_plan(spark, sf_dir):
+    """Token-budget mixture planning: per-source whitespace-token
+    inventories → exact integer token targets under the configured
+    mixture weights → keep-rates and epoch counts (>1 = upsample the
+    low-resource source). Targets are arbitrary-precision integer
+    floor divisions computed once on the driver (no decimal-division
+    plan expression to round differently across engines); the
+    inventory is one map-side-combinable sum
+    (`operators/sampling.py:mixture_plan`)."""
+    from aligned_spark.operators.sampling import mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    tc = d.groupBy("source").agg(
+        F.sum(F.size(toks).cast("long")).alias("n_tokens")
+    )
+    return mixture_plan(
+        tc, "source", "n_tokens", _MIX_WEIGHTS, _MIX_BUDGET
+    )
+
+
 def _poly_simhash_pairs_oracle(max_hamming: int = 3, width: int = 3) -> str:
     """Pigeonhole-banded Hamming pairs, fully replayed in SQL: the
     chunk boundaries below are computed with the SAME divmod as

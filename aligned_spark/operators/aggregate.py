@@ -688,3 +688,64 @@ def hash_sampled_distinct(
         F.col("n_sampled").cast("double") * F.lit(float(P))
     ) / F.lit(float(t))
     return agged.select(*keys, "n_sampled", est.alias("est_distinct"))
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tie_cols: list[str] | None = None,
+    scale: float = 1e4,
+) -> DataFrame:
+    """Per-key TIME-weighted average of a step signal — the TWAP
+    shape: each observation holds its value until the next one, so
+    the mean is ``Σ v_i·(t_{i+1}−t_i) / Σ (t_{i+1}−t_i)`` over the
+    observed span (the last observation bounds the integral and
+    carries no weight). The arithmetic mean over-weights bursts of
+    rapid updates; the time-weighted one is what "average position /
+    price / level over the day" actually means.
+
+    Determinism (bit-exact across engines): values are scaled to
+    longs (``floor(v·scale+0.5)``), gaps are exact long
+    microseconds, and both the value·gap products and their sums run
+    in DECIMAL(38,0) — order-independent integer arithmetic with no
+    double association anywhere; ONE double division at the end.
+
+    Scale shape: one hash shuffle on ``keys`` feeding a window lead
+    + the final aggregate (same partitioning, Exchange reused); no
+    driver transfer. ``tie_cols`` breaks equal-timestamp ordering
+    deterministically (pass the event id).
+
+    Output: ``(keys…, n_points, span_seconds, twa)``; ``twa`` is
+    NULL for keys with a single observation (zero-length span).
+    Reference capability: none (beyond-reference surface).
+    """
+    tie = [F.col(c).asc() for c in (tie_cols or [])]
+    w = W.partitionBy(*keys).orderBy(F.col(ts_col).asc(), *tie)
+    mic = F.unix_micros(F.col(ts_col))
+    gap = (F.unix_micros(F.lead(ts_col).over(w)) - mic).cast(
+        "decimal(19,0)"
+    )
+    v_scaled = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("decimal(19,0)")
+    stepped = df.select(
+        *keys,
+        (v_scaled * gap).alias("__vw"),
+        gap.alias("__w"),
+    )
+    agged = stepped.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__vw").alias("__svw"),
+        F.sum("__w").alias("__sw"),
+    )
+    twa = (
+        F.col("__svw").cast("double") / F.col("__sw").cast("double")
+    ) / F.lit(float(scale))
+    return agged.select(
+        *keys,
+        "n_points",
+        (F.col("__sw").cast("double") / F.lit(1e6)).alias("span_seconds"),
+        F.when(F.col("__sw") > 0, twa).alias("twa"),
+    )

@@ -778,3 +778,114 @@ def shrunk_group_means(
             r6(shrunk).alias("shrunk_mean"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int,
+    mode: str = "groups",
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy gate a training-data release pipeline runs before
+    publishing user-derived records (Sweeney 2002): a dataset is
+    k-anonymous iff every quasi-identifier equivalence class holds at
+    least ``k`` rows.
+
+    ``mode``:
+
+    - ``"groups"`` — one row per equivalence class:
+      ``(quasi_identifiers..., n_rows, violates)``;
+    - ``"violations"`` — only the classes with ``n_rows < k`` (the
+      re-identifiable ones to suppress/generalize);
+    - ``"suppress"`` — the INPUT rows whose class passes (the
+      k-anonymous release: violating rows suppressed).
+
+    Scale shape: one map-side-combinable count per class; "suppress"
+    adds a semi-join of the input against the passing classes on the
+    same keys, so the Exchange is reused. No driver transfer.
+    Reference capability: none (beyond-reference surface).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    counts = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    if mode == "groups":
+        return counts.select(
+            *quasi_identifiers,
+            "n_rows",
+            (F.col("n_rows") < k).alias("violates"),
+        )
+    if mode == "violations":
+        return counts.filter(F.col("n_rows") < k)
+    if mode == "suppress":
+        ok = counts.filter(F.col("n_rows") >= k).select(*quasi_identifiers)
+        return df.join(ok, quasi_identifiers, "left_semi")
+    raise ValueError(f"unknown mode: {mode!r}")
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: scores in
+    [0, 1] are cut into ``n_bins`` equal-width bins; each bin reports
+    its count, mean confidence, and empirical accuracy — the per-bin
+    decomposition from which ECE/MCE derive (see :func:`ece`).
+
+    Determinism: the bin mean is a ratio of a SCALED-LONG sum
+    (``floor(score*1e6+0.5)`` per row, summed as a primitive long —
+    order-independent) over the count, divided once at the end; the
+    accuracy is an integer ratio. Both replay bit-for-bit in SQL.
+
+    Output: ``(bin, n, mean_score, accuracy)``, bin in [0, n_bins).
+    One map-side-combinable aggregation; no shuffle beyond it.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    scaled = F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long")
+    lab = F.col(label_col).cast("long")
+    agged = (
+        df.filter(s.isNotNull() & (s >= 0) & (s <= 1))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled).alias("__ss"),
+            F.sum(lab).alias("__pos"),
+        )
+    )
+    return agged.select(
+        "bin",
+        "n",
+        (
+            F.col("__ss").cast("double") / F.col("n") / F.lit(1e6)
+        ).alias("mean_score"),
+        (F.col("__pos").cast("double") / F.col("n")).alias("accuracy"),
+    )
+
+
+def ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> float:
+    """Expected calibration error — the bin-weighted mean
+    |accuracy − confidence| over :func:`calibration_bins`. Returns a
+    driver-side float (one ``n_bins``-row collect; the heavy pass is
+    the single aggregation inside calibration_bins)."""
+    rows = calibration_bins(df, score_col, label_col, n_bins).collect()
+    total = sum(r.n for r in rows)
+    if not total:
+        return 0.0
+    return sum(
+        r.n / total * abs(r.accuracy - r.mean_score) for r in rows
+    )

@@ -344,3 +344,63 @@ def sample_exact_k(
     )
     ok = kept.join(F.broadcast(short), on=group_col, how="left_anti")
     return ok.unionByName(rescue).drop("__coord")
+
+
+def mixture_plan(
+    token_counts: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    target_weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Data-mixture planning by TOKENS: given per-source token
+    inventories and target mixture weights, derive what the sampler
+    must do to hit a ``token_budget`` — per source: its token target,
+    the keep-rate for downsampling, and the epoch count when the
+    target EXCEEDS the inventory (upsampling, the low-resource case
+    temperature mixtures hit constantly).
+
+    Output per source present in BOTH inputs:
+    ``(source, n_tokens, target_tokens, sample_rate, epochs)`` where
+    ``target_tokens = floor(w_norm · budget)`` in exact integer
+    arithmetic (weights scaled to 1e6 longs — no float allocation
+    drift), ``sample_rate = min(1, target/n)`` and
+    ``epochs = target/n`` (>1 means repeat the source).
+
+    Scale shape: ``token_counts`` is already the per-source rollup
+    (#sources rows); this is a pure projection with plan-literal
+    weights — compose with :func:`weighted_source_sample` /
+    :func:`deterministic_sample` to execute the plan as a scan
+    filter. Reference capability: none (beyond-reference surface).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    bad = {s: w for s, w in target_weights.items() if w < 0}
+    if bad or not target_weights:
+        raise ValueError(f"weights must be non-negative and non-empty: {bad}")
+    wsc = {
+        s: int(round(w * 1_000_000)) for s, w in target_weights.items()
+    }
+    wtot = sum(wsc.values())
+    if wtot <= 0:
+        raise ValueError("target_weights sum to zero")
+    # targets are independent of the data — arbitrary-precision
+    # integer floor division on the driver (a decimal-division plan
+    # expression would round differently across engines; Python ints
+    # never do), embedded as plan literals
+    targets = {s: ws * int(token_budget) // wtot for s, ws in wsc.items()}
+    tcol: Column = F.lit(None).cast("long")
+    for s, t in sorted(targets.items()):
+        tcol = F.when(F.col(source_col) == s, F.lit(t)).otherwise(tcol)
+    n = F.col(tokens_col).cast("long")
+    epochs = tcol.cast("double") / n.cast("double")
+    return (
+        token_counts.filter(tcol.isNotNull() & (n > 0))
+        .select(
+            F.col(source_col).alias("source"),
+            n.alias("n_tokens"),
+            tcol.alias("target_tokens"),
+            F.least(F.lit(1.0), epochs).alias("sample_rate"),
+            epochs.alias("epochs"),
+        )
+    )
