@@ -1873,9 +1873,9 @@ def _source_filtered(spark, sf_dir):
 @q(
     "text_token_counts",
     r"""SELECT doc_id,
-              CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+              CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                                    x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
-              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))
                 AS BIGINT) AS bpe_tokens
        FROM documents""",
 )
@@ -2062,7 +2062,7 @@ _ORACLES["corpus_filter"] = f"""
        qual AS ({_quality_oracle()}),
        toks AS (
          SELECT doc_id,
-                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                                      x -> len(x) > 0)) AS BIGINT) AS ws_tokens
          FROM documents)
   SELECT doc_id, pred_lang, quality, ws_tokens
@@ -2569,7 +2569,7 @@ def _dedup_semantic(spark, sf_dir):
     "corpus_pack",
     r"""WITH t AS (
          SELECT doc_id, source,
-                CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                                      x -> len(x) > 0)) AS BIGINT) AS tokens
          FROM documents
        )
@@ -3370,7 +3370,7 @@ def _mixture_plan_oracle() -> str:
     WITH tc AS (
       SELECT source,
              SUM(CAST(len(list_filter(
-               string_split_regex(coalesce(text, ''), '\\s+'),
+               string_split_regex(coalesce(text, ''), '[ \t\n\x0b\f\r]+'),
                x -> x <> '')) AS BIGINT)) AS n_tokens
       FROM documents GROUP BY source
     ),
@@ -4276,7 +4276,7 @@ def _remove_spans_oracle(width: int = 8, min_docs: int = 2) -> str:
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(coalesce(text, ''),
-                                            '\\s+'),
+                                            '[ \\t\\n\\x0b\\f\\r]+'),
                          x -> x <> '') AS toks,
              {tp.sql_ws_word_hashes('text')} AS wwh
       FROM documents
@@ -4451,9 +4451,11 @@ def _wordpiece_ctes(
             "list_filter(string_split_regex(lower(text), "
             "'[^a-z0-9]+'), x -> x <> '')"
         )
-    else:  # bert: RE2 \s is ASCII-only, same as the kernel's re.ASCII
+    else:  # bert: explicit ASCII-WS class — RE2 \s lacks \x0b, the
+        # Python-ASCII / Java \s include it; spelling the class out
+        # keeps kernel and oracle identical on every byte.
         splitter = (
-            r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')"
+            r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \t\n\x0b\f\r]')"
         )
     return f"""RECURSIVE
     vocab(v, is_cont) AS (SELECT * FROM (VALUES {rows}) t),
@@ -6157,7 +6159,7 @@ def _events_pivot(spark, sf_dir):
     "corpus_pipeline_e2e",
     r"""WITH t AS (
          SELECT doc_id, source, lang, text,
-                CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                                      x -> len(x) > 0)) AS BIGINT) AS tokens
          FROM documents
        ), f AS (

@@ -41,8 +41,10 @@ from pyspark.sql.types import ArrayType, LongType
 # (same class as functions.text._words / text_arrow._TOKEN_RE).
 _TOKEN_RE = re.compile(r"[a-zà-ÿ]+")
 
-# ASCII whitespace only — keeps ws tokenization identical to Java
-# \s (Spark F.split) and RE2 \s (DuckDB): see ws_word_hashes.
+# ASCII whitespace only — identical to Java \s (Spark F.split):
+# both are [ \t\n\x0b\f\r]. NOTE: RE2 \s (DuckDB) EXCLUDES \x0b, so
+# the SQL mirrors spell the class out explicitly instead of \s —
+# see sql_ws_word_hashes / ws_word_hashes.
 _WS_ASCII = re.compile(r"\s+", re.ASCII)
 
 P = (1 << 61) - 1  # Mersenne prime — (a*h+b) stays under 2^122 < int128
@@ -300,12 +302,14 @@ def ws_word_hashes(text: str | None) -> list[int]:
     :func:`word_hashes`' lowercase-alpha tokens, whitespace tokens
     map 1:1 onto the words a removal pass reassembles.
 
-    Tokenizes on ASCII whitespace ONLY (``re.ASCII`` ``\\s``) so the
-    token stream is identical to the Spark side's
-    ``F.split(r"\\s+")`` (Java ``\\s`` = ASCII) and DuckDB's RE2
-    ``\\s`` — Python ``str.split()`` would additionally split on
-    NBSP / U+2028 etc. and misalign hash positions against Spark
-    token indices, cutting the wrong tokens."""
+    Tokenizes on ASCII whitespace ONLY (``re.ASCII`` ``\\s`` =
+    ``[ \\t\\n\\x0b\\f\\r]``) so the token stream is identical to the
+    Spark side's ``F.split(r"\\s+")`` (Java ``\\s``, same class) —
+    Python ``str.split()`` would additionally split on NBSP / U+2028
+    etc. and misalign hash positions against Spark token indices,
+    cutting the wrong tokens. The DuckDB mirror
+    (:func:`sql_ws_word_hashes`) spells the class out explicitly
+    because RE2 ``\\s`` EXCLUDES ``\\x0b``."""
     return [
         _fold([ord(c) for c in w], CHAR_B)
         for w in _WS_ASCII.split(text or "")
@@ -333,12 +337,13 @@ def poly_ws_window_hashes_arrow(text: Column, width: int) -> Column:
 
 
 def sql_ws_word_hashes(col: str) -> str:
-    """Whitespace-token char folds — mirror of :func:`ws_word_hashes`
-    (``\\s`` matches Python ``str.split`` on this corpus's ASCII
-    whitespace)."""
+    """Whitespace-token char folds — mirror of :func:`ws_word_hashes`.
+    The split class is spelled out because RE2 ``\\s`` lacks ``\\x0b``
+    while the Python/Java sides include it (see ``_WS_ASCII``)."""
     return (
         f"list_transform(list_filter("
-        f"string_split_regex(coalesce({col}, ''), '\\s+'), "
+        f"string_split_regex(coalesce({col}, ''), "
+        f"'[ \\t\\n\\x0b\\f\\r]+'), "
         f"x -> x <> ''), "
         f"w -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
         f"list_transform(string_split_regex(w, ''), "

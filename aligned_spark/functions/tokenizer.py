@@ -37,17 +37,23 @@ from pyspark.sql.types import ArrayType, StringType
 _WORD_RE = r"[^a-z0-9]+"
 # BERT-style basic tokenization (ASCII): words are [a-z0-9]+ runs,
 # every other non-whitespace char is its OWN single-char token (real
-# WordPiece emits punctuation as tokens and bills them). re.ASCII so
-# \s matches exactly what Java \s / RE2 \s match in the SQL mirrors.
-_BERT_RE = re.compile(r"[a-z0-9]+|[^a-z0-9\s]", re.ASCII)
+# WordPiece emits punctuation as tokens and bills them). Whitespace
+# is the EXPLICIT class [ \t\n\x0b\f\r] — Python-ASCII \s and Java
+# \s both include \x0b but RE2 (the DuckDB oracle engine) \s does
+# not, so \s would silently diverge on U+000B; the spelled-out class
+# is used verbatim on both sides.
+_BERT_RE = re.compile(r"[a-z0-9]+|[^a-z0-9 \t\n\x0b\f\r]")
 
 
 def load_vocab(path: str) -> list[str]:
-    """Load a WordPiece ``vocab.txt`` (one piece per line, order =
-    id). Pieces are used verbatim — pair with ``split_mode="bert"``
-    for vocabularies that contain punctuation/special pieces."""
+    """Load a WordPiece ``vocab.txt`` (one piece per line; CRLF
+    tolerated). Blank lines are dropped — only set MEMBERSHIP is
+    used here, piece ids are never consumed, so positions need not
+    survive. Pieces are used verbatim — pair with
+    ``split_mode="bert"`` for vocabularies that contain
+    punctuation/special pieces."""
     with open(path, encoding="utf-8") as fh:
-        return [ln.rstrip("\n") for ln in fh if ln.rstrip("\n")]
+        return [ln.rstrip("\r\n") for ln in fh if ln.rstrip("\r\n")]
 
 
 def wordpiece_word(word: str, starts: set, conts: set, unk: str,

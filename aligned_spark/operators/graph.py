@@ -23,6 +23,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the storage behind a locally-checkpointed frame whose
+    data is no longer needed. ``Dataset.unpersist`` only clears the
+    SQL cache, not the checkpoint RDD, so this reaches the
+    ``LogicalRDD`` plan node directly; the API is internal but stable
+    across Spark 3.x/4.x, and on any failure cleanup merely falls
+    back to the ContextCleaner's GC-driven path."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -87,31 +100,54 @@ def pagerank(
             how="left_anti",
         ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    for _ in range(iterations):
-        contribs = e.join(
-            ranks, e["__src"] == ranks["node"]
-        ).select(
-            F.col("__dst").alias("node"),
-            (F.col("pr") / F.col("__deg")).alias("__c"),
-        )
-        sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
-        joined = nodes.join(sums, on="node", how="left")
-        if redistribute_dangling:
-            m = ranks.join(dangling, on="node", how="left_semi").agg(
-                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__m")
+    prev_ck = None
+    try:
+        for _ in range(iterations):
+            contribs = e.join(
+                ranks, e["__src"] == ranks["node"]
+            ).select(
+                F.col("__dst").alias("node"),
+                (F.col("pr") / F.col("__deg")).alias("__c"),
             )
-            joined = joined.crossJoin(F.broadcast(m))
-            new_pr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
-                F.coalesce("__s", F.lit(0.0))
-                + F.col("__m") / F.lit(float(n))
+            sums = contribs.groupBy("node").agg(
+                F.sum("__c").alias("__s")
             )
-        else:
-            new_pr = F.lit((1.0 - damping) / n) + F.lit(
-                damping
-            ) * F.coalesce("__s", F.lit(0.0))
-        ranks = joined.select("node", new_pr.alias("pr")).localCheckpoint(
-            eager=False
-        )
+            joined = nodes.join(sums, on="node", how="left")
+            if redistribute_dangling:
+                m = ranks.join(
+                    dangling, on="node", how="left_semi"
+                ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__m"))
+                joined = joined.crossJoin(F.broadcast(m))
+                new_pr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                    F.coalesce("__s", F.lit(0.0))
+                    + F.col("__m") / F.lit(float(n))
+                )
+            else:
+                new_pr = F.lit((1.0 - damping) / n) + F.lit(
+                    damping
+                ) * F.coalesce("__s", F.lit(0.0))
+            # EAGER checkpoint: materializes this iteration's ranks,
+            # truncates the (otherwise doubling, since ranks appears
+            # twice under redistribute_dangling) lineage, and lets
+            # the PREVIOUS iteration's checkpointed partitions be
+            # released immediately — without this, every call leaked
+            # one persisted RDD per iteration plus the input frames
+            # for the session's lifetime.
+            ranks = joined.select(
+                "node", new_pr.alias("pr")
+            ).localCheckpoint(eager=True)
+            if prev_ck is not None:
+                _unpersist_checkpoint(prev_ck)
+            prev_ck = ranks
+    finally:
+        # Safe: the final eager checkpoint no longer references them.
+        nodes.unpersist()
+        e.unpersist()
+        if dangling is not None:
+            dangling.unpersist()
+    # The ONE remaining persisted RDD backs the returned frame (local
+    # checkpoints cannot be recomputed); the ContextCleaner frees it
+    # when the caller drops the frame.
     return ranks
 
 

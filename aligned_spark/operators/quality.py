@@ -20,6 +20,8 @@ sorts.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -801,6 +803,14 @@ def k_anonymity(
     - ``"suppress"`` — the INPUT rows whose class passes (the
       k-anonymous release: violating rows suppressed).
 
+    NULL-class semantics: ``groupBy`` treats NULL as a regular class
+    value (all-NULL quasi-identifiers form one equivalence class), so
+    the suppress semi-join matches with ``eqNullSafe`` (``<=>``) per
+    column — a NULL class that the audit reports as ``n_rows >= k``
+    is RELEASED, and one below ``k`` is suppressed, exactly as the
+    groups/violations modes count it. (Plain ``=`` would silently
+    suppress every NULL-valued row regardless of its class size.)
+
     Scale shape: one map-side-combinable count per class; "suppress"
     adds a semi-join of the input against the passing classes on the
     same keys, so the Exchange is reused. No driver transfer.
@@ -820,8 +830,20 @@ def k_anonymity(
     if mode == "violations":
         return counts.filter(F.col("n_rows") < k)
     if mode == "suppress":
-        ok = counts.filter(F.col("n_rows") >= k).select(*quasi_identifiers)
-        return df.join(ok, quasi_identifiers, "left_semi")
+        ok = counts.filter(F.col("n_rows") >= k).select(
+            *[
+                F.col(c).alias(f"__qi_{i}")
+                for i, c in enumerate(quasi_identifiers)
+            ]
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                df[c].eqNullSafe(ok[f"__qi_{i}"])
+                for i, c in enumerate(quasi_identifiers)
+            ],
+        )
+        return df.join(ok, cond, "left_semi")
     raise ValueError(f"unknown mode: {mode!r}")
 
 
