@@ -7358,70 +7358,67 @@ def _text_quality_classifier_fast(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-5 window (VERDICT r4 "Next round" tasks 1-2). Slot 1: the
-    # single red r4 row, oracle HUGEINT->BIGINT cast now applied.
-    # Slots 2-41: every full-oracle query with NO driver row across
-    # r2-r4 (derived from the CORRECTNESS files vs queries(); all 40
-    # were judge-local-green in r4). Remaining slots: re-verification
-    # of queries whose oracles were rewritten by the scaled-long-sum
-    # sweep (commit e77ce70), plus queries new this round. Union of
-    # r2-r5 green rows = every full-oracle query in the file.
-    "profile_table_stats",
-    # --- the 10 COVERAGE-noted backlog ---
-    "corpus_strip_markup",
-    "multimodal_frame_sample",
-    "graph_pagerank",
-    "embed_prototypicality",
-    "text_readability",
-    "layout_zorder_key",
-    "events_funnel",
-    "events_cohort_retention",
-    "join_scd2",
-    "snapshot_diff_orders",
-    # --- the r4 third-pass additions ---
-    "dedup_remove_spans",
-    "sim_prefix_jaccard_pairs",
-    "graph_triangles",
-    "eval_ann_recall",
-    "text_wordpiece_counts",
-    "corpus_pack_wordpiece",
-    "text_trigram_backoff",
-    "text_decontaminate_bloom",
-    "multimodal_audio_windows",
-    "multimodal_image_dedup",
-    "events_ewma",
-    "events_feature_cross",
-    "join_interval_overlap",
-    "corpus_shrunk_domain_means",
-    "agg_percentiles_counting",
-    "corpus_weighted_reservoir",
-    "agg_top_frequent",
-    "profile_corr_matrix",
-    "events_anomaly_mad",
-    "events_drift_ks",
-    "events_drift_psi",
-    "corpus_jsd_slices",
-    "corpus_collapse_rare",
-    "corpus_temperature_sample",
-    "events_resample_linear",
-    # --- the 5 remaining TPC-H queries without a driver row ---
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    # --- re-verification: oracles rewritten by the scaled-long-sum
-    # sweep (e77ce70) after their last green driver row ---
-    "agg_rolling_window",
-    "agg_group_stats",
-    "view_agg_rolling",
-    "dedup_minhash",
-    "store_sql",
-    "tpch_q6",
-    # --- new full-oracle queries added in round 5 ---
-    "graph_pagerank_dangling",
-    "text_wordpiece_real_vocab",
-    "events_distinct_sketch",
+    # Round-6 window (VERDICT r5 "Next round" task 1). Slots 1-4: the
+    # four full-oracle queries added in the r5 snapshot commit AFTER
+    # the driver's correctness run — judge-local-green, no driver row
+    # yet. Slots 5-45: staleness re-sweep of every query whose last
+    # green driver row is r2 (two+ rounds old) so no row's latest
+    # verification predates r5 by more than this window. Tail slots:
+    # round-6 additions get inserted here as they land; the remaining
+    # slots give the never-driver-seen rows-only twins their first
+    # (weaker, rows-only by design) driver rows.
+    "privacy_k_anonymity",
+    "events_twap",
+    "model_calibration_bins",
+    "corpus_mixture_plan",
+    # --- r2-era staleness re-sweep ---
+    "agg_concat_sorted",
+    "agg_hopping_window",
+    "constraints_drop_invalid",
+    "dedup_embedding",
+    "drop_duplicates",
+    "embed_dot_product",
+    "ensure_types_cast",
+    "expr_arithmetic",
+    "expr_comparison_logic",
+    "expr_conditionals",
+    "expr_date_components",
+    "expr_euclidean",
+    "expr_hash_distinct",
+    "expr_json",
+    "expr_math_funcs",
+    "expr_ordinal_replace",
+    "expr_split_array",
+    "expr_string_ops",
+    "expr_time_diff",
+    "filter_project",
+    "freshness",
+    "join_anti",
+    "join_asof",
+    "join_equi_multi",
+    "join_salted",
+    "join_semi",
+    "model_predict_over",
+    "rename_columns",
+    "sim_topk_cosine",
+    "source_csv_roundtrip",
+    "source_filtered",
+    "source_in_memory",
+    "stack_union",
+    "store_features_windowed",
+    "store_lineage",
+    "store_load_feature",
+    "text_token_counts",
+    "top_k",
+    "unique_rows_latest",
+    "view_agg_plain",
+    "view_derived_features",
+    # --- round-6 additions land here (swap out the twins below) ---
+    "dedup_remove_spans_arrow",
+    "sim_prefix_jaccard_pairs_arrow",
+    "dedup_minhash_arrow",
+    "embed_pca_project",
+    "text_quality_classifier_fast",
 ]
 
 
