@@ -7344,6 +7344,140 @@ def _text_quality_classifier_fast(spark, sf_dir):
 
 
 # ===========================================================================
+# Delta Lake (pure-Python _delta_log — sources/delta_log.py)
+# ===========================================================================
+
+_DELTA_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+def _delta_orders_table(spark, sf_dir):
+    """Build a REAL Delta table from ``orders`` and run the write
+    path end-to-end: initial partitioned write, a MERGE upsert
+    (matched updates double the price for keys ≡0 mod 3; unmatched
+    inserts shift keys ≡0 mod 7 by 1e8), then a DELETE of customers
+    ≡0 mod 10. Returns the table's DeltaLog. Each call builds a fresh
+    table under a throwaway dir — the ACID log, file-pruned MERGE
+    rewrite, and hive partitionValues are all exercised for real."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
+    path = tempfile.mkdtemp(prefix="aligned_spark_delta_")
+    src = DeltaSource(path=path, partition_by=["o_orderpriority"])
+    src.insert(base.repartition(4))
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    src.upsert(upd.unionByName(ins), keys=["o_orderkey"])
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    return DeltaLog(path)
+
+
+_DELTA_MERGED_SQL = """
+    base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice * 2 AS o_totalprice, o_orderpriority
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey,
+             o_totalprice, o_orderpriority
+      FROM base WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM upd u
+                        WHERE u.o_orderkey = b.o_orderkey)
+    ),
+    final AS (
+      SELECT * FROM merged WHERE NOT (o_custkey % 10 = 0)
+    )"""
+
+
+@q(
+    "source_delta_merge",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM final""",
+)
+def _source_delta_merge(spark, sf_dir):
+    """Delta Lake write/MERGE/DELETE round-trip on the pure-Python
+    transaction log (`sources/delta_log.py`; reference primary
+    storage `aligned/sources/local.py:887`): the final snapshot read
+    back from disk must equal the relational semantics the oracle
+    replays. MERGE rewrites ONLY parts containing a matched key (one
+    `_metadata.file_path` semi-join), commits are atomic exclusive
+    creates, and parquet-footer min/max stats back data skipping."""
+    log = _delta_orders_table(spark, sf_dir)
+    return log.read(spark).select(*_DELTA_ORDERS_COLS)
+
+
+@q(
+    "source_delta_time_travel",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT 0 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_price_cents
+    FROM base
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+    FROM final""",
+)
+def _source_delta_time_travel(spark, sf_dir):
+    """Time travel on the same Delta table: version 0 (initial
+    write) vs version 2 (post-MERGE+DELETE), each summarized by
+    count / key sum / scaled-long price sum (order-independent —
+    module docstring). The log replay serves BOTH versions from one
+    `_delta_log`; old parts stay readable until VACUUM."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    log = _delta_orders_table(spark, sf_dir)
+
+    def _summ(df, v):
+        return df.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("long")
+            ).alias("sum_price_cents"),
+        )
+
+    return _summ(log.read(spark, version=0), 0).unionByName(
+        _summ(log.read(spark, version=2), 2)
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -7414,8 +7548,8 @@ _PRIORITY: list[str] = [
     "view_agg_plain",
     "view_derived_features",
     # --- round-6 additions land here (swap out the twins below) ---
-    "dedup_remove_spans_arrow",
-    "sim_prefix_jaccard_pairs_arrow",
+    "source_delta_merge",
+    "source_delta_time_travel",
     "dedup_minhash_arrow",
     "embed_pca_project",
     "text_quality_classifier_fast",

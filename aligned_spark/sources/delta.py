@@ -3,10 +3,13 @@
 
 Delta is the intended primary storage at 100 TB: transactional
 upsert (``MERGE``), data skipping, ``OPTIMIZE ZORDER BY (entity, ts)``
-for PIT locality. The delta-spark jars are NOT in this container, so
-the connector degrades gracefully: constructing it works, using it
-without delta installed raises a clear error; when available, it uses
-the real APIs.
+for PIT locality. When the delta-spark jars are present the real JVM
+APIs are used; when they are NOT (this container), every operation
+falls back to :mod:`aligned_spark.sources.delta_log` — a pure-Python
+implementation of the public Delta transaction-log protocol over
+local filesystems — so the table format is exercised end-to-end
+either way. Concurrent writers are handled with the standard
+optimistic retry loop around :class:`ConcurrentCommitError`.
 """
 
 from __future__ import annotations
@@ -17,6 +20,10 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from aligned_spark.sources.base import WritableSource
+from aligned_spark.sources.delta_log import (
+    ConcurrentCommitError,
+    DeltaLog,
+)
 
 try:  # gated: delta-spark not in this container
     from delta.tables import DeltaTable  # type: ignore
@@ -26,65 +33,109 @@ except Exception:  # pragma: no cover
     DeltaTable = None  # type: ignore
     HAS_DELTA = False
 
+_MAX_COMMIT_RETRIES = 10
 
-def _require_delta() -> None:
-    if not HAS_DELTA:
-        raise RuntimeError(
-            "delta-spark is not installed; add the delta-spark package and "
-            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
-        )
+
+def _retrying(fn) -> Any:
+    """Optimistic-concurrency loop: each attempt re-resolves against
+    the latest snapshot (the callable re-reads it), so a lost race
+    simply replays the logical operation."""
+    for attempt in range(_MAX_COMMIT_RETRIES):
+        try:
+            return fn()
+        except ConcurrentCommitError:
+            if attempt == _MAX_COMMIT_RETRIES - 1:
+                raise
+    return None  # pragma: no cover
 
 
 @dataclass
 class DeltaSource(WritableSource):
     path: str
     mapping_keys: dict[str, str] = field(default_factory=dict)
+    #: partition layout applied on first write
+    partition_by: list[str] | None = None
 
     def job_group_key(self) -> str:
         return f"delta:{self.path}"
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        _require_delta()
-        df = spark.read.format("delta").load(self.path)
+    def _log(self) -> DeltaLog:
+        return DeltaLog(self.path)
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        if HAS_DELTA:
+            reader = spark.read.format("delta")
+            if version is not None:
+                reader = reader.option("versionAsOf", version)
+            df = reader.load(self.path)
+        else:
+            df = self._log().read(spark, version=version)
         if self.mapping_keys:
             df = df.withColumnsRenamed(self.mapping_keys)
         return df
 
     def insert(self, df: DataFrame) -> None:
-        _require_delta()
-        df.write.format("delta").mode("append").save(self.path)
+        if HAS_DELTA:
+            df.write.format("delta").mode("append").save(self.path)
+            return
+        _retrying(
+            lambda: self._log().write(df, "append", self.partition_by)
+        )
 
     def upsert(self, df: DataFrame, keys: list[str]) -> None:
         """Real transactional merge — only touched files rewrite
         (reference's deltalake merge, ``local.py:663``)."""
-        _require_delta()
-        spark = df.sparkSession
-        if not DeltaTable.isDeltaTable(spark, self.path):
-            self.insert(df)
+        if HAS_DELTA:
+            spark = df.sparkSession
+            if not DeltaTable.isDeltaTable(spark, self.path):
+                self.insert(df)
+                return
+            table = DeltaTable.forPath(spark, self.path)
+            cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+            (
+                table.alias("t")
+                .merge(df.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
             return
-        table = DeltaTable.forPath(spark, self.path)
-        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
-        (
-            table.alias("t")
-            .merge(df.alias("s"), cond)
-            .whenMatchedUpdateAll()
-            .whenNotMatchedInsertAll()
-            .execute()
+        _retrying(
+            lambda: self._log().merge_upsert(df, keys, self.partition_by)
         )
 
     def overwrite(self, df: DataFrame, predicate: Column | None = None) -> None:
-        _require_delta()
-        writer = df.write.format("delta").mode("overwrite")
+        if HAS_DELTA:
+            writer = df.write.format("delta").mode("overwrite")
+            if predicate is not None:
+                writer = writer.option("replaceWhere", str(predicate._jc))
+            writer.save(self.path)
+            return
         if predicate is not None:
-            writer = writer.option("replaceWhere", str(predicate._jc))
-        writer.save(self.path)
+            raise NotImplementedError(
+                "replaceWhere requires delta-spark; use delete_where + "
+                "insert with the pure-Python log"
+            )
+        _retrying(
+            lambda: self._log().write(df, "overwrite", self.partition_by)
+        )
 
     def delete_where(self, spark: SparkSession, predicate: Column) -> None:
-        _require_delta()
-        DeltaTable.forPath(spark, self.path).delete(predicate)
+        if HAS_DELTA:
+            DeltaTable.forPath(spark, self.path).delete(predicate)
+            return
+        _retrying(lambda: self._log().delete_where(spark, predicate))
 
     def optimize_zorder(self, spark: SparkSession, columns: list[str]) -> None:
         """Cluster files by (entity, ts) for PIT-join data skipping."""
-        _require_delta()
-        cols = ", ".join(f"`{c}`" for c in columns)
-        spark.sql(f"OPTIMIZE delta.`{self.path}` ZORDER BY ({cols})")
+        if HAS_DELTA:
+            cols = ", ".join(f"`{c}`" for c in columns)
+            spark.sql(
+                f"OPTIMIZE delta.`{self.path}` ZORDER BY ({cols})"
+            )
+            return
+        _retrying(
+            lambda: self._log().optimize(spark, zorder_by=columns)
+        )

@@ -1,0 +1,789 @@
+"""Pure-Python Delta Lake transaction log over local filesystems.
+
+Implements the PUBLIC Delta protocol (delta.io PROTOCOL.md; reference
+declares Delta its primary storage, ``aligned/sources/local.py:887``)
+without the delta-spark jars, which are absent from this container: a
+Delta table is nothing but immutable parquet parts plus a
+``_delta_log/`` directory of numbered JSON commits, each a list of
+newline-delimited actions:
+
+- ``protocol``   — minReaderVersion / minWriterVersion;
+- ``metaData``   — table id, schemaString (Spark StructType JSON —
+  the same format delta-spark writes), partitionColumns;
+- ``add``        — a live parquet part (path, partitionValues, size,
+  modificationTime, dataChange, stats);
+- ``remove``     — a tombstoned part;
+- ``commitInfo`` — operation metadata (informational).
+
+A SNAPSHOT at version V replays actions of commits 0..V in order:
+last ``metaData`` wins, ``add`` inserts the path into the live set,
+``remove`` deletes it. Every mutation below is therefore ACID on a
+local filesystem:
+
+- **atomicity/durability** — a commit is a single
+  ``O_CREAT|O_EXCL`` create of ``_delta_log/<v>.json`` (fsync'd);
+  readers either see the whole commit or none of it;
+- **isolation** — optimistic concurrency: writers read the latest
+  version, prepare parts, and commit at ``latest+1``; losing a race
+  raises :class:`ConcurrentCommitError` and the caller retries
+  against the new snapshot (same protocol real Delta uses — on S3 it
+  needs a put-if-absent coordination service, which is exactly what
+  this module's exclusive-create provides locally).
+
+Scale design (100 TB): log replay is driver-side METADATA work — the
+same place every Delta implementation does it — and is bounded by
+parquet CHECKPOINTS: every ``checkpoint_interval`` commits the full
+action state is compacted into ``<v>.checkpoint.parquet`` (typed
+nested columns per the protocol) and ``_last_checkpoint`` points at
+it, so a reader replays one parquet file plus the commits after it,
+never the whole history. Data files are only ever pruned or added:
+MERGE/DELETE rewrite ONLY the parts that contain a matching row
+(found with one file-pruning semi-join on ``_metadata.file_path``),
+and per-file min/max stats harvested from parquet FOOTERS at write
+time drive data skipping in :meth:`DeltaLog.read` without opening a
+single data file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+#: string stats longer than this are not recorded — a TRUNCATED max
+#: would need the protocol's 0xFF-padding trick to stay an upper
+#: bound, so long strings simply opt out of skipping instead.
+_MAX_STR_STAT = 64
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — reload the
+    snapshot and retry the operation against it."""
+
+
+@dataclass
+class Snapshot:
+    """Materialized view of the log at one version."""
+
+    version: int
+    metadata: dict[str, Any] | None
+    files: dict[str, dict[str, Any]]  # relative path -> add action
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return (self.metadata or {}).get("partitionColumns", [])
+
+    def schema(self) -> StructType | None:
+        ss = (self.metadata or {}).get("schemaString")
+        return StructType.fromJson(json.loads(ss)) if ss else None
+
+
+def _pad(v: int) -> str:
+    return f"{v:020d}"
+
+
+def _stats_from_footer(path: str) -> dict[str, Any]:
+    """Per-file stats straight from the parquet FOOTER (no data
+    scan): numRecords plus min/max/nullCount for primitive columns.
+    Timestamps serialize as ISO strings; long strings are skipped
+    (see ``_MAX_STR_STAT``)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+
+    def _norm(v: Any) -> Any:
+        import datetime as dt
+
+        if isinstance(v, dt.datetime):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                v = v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, str) and len(v) > _MAX_STR_STAT:
+            return None
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:  # nested — no skipping stats
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = _norm(st.min), _norm(st.max)
+            if lo is None or hi is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
+@dataclass
+class DeltaLog:
+    """Reader/writer for one table's ``_delta_log``."""
+
+    table_path: str
+    checkpoint_interval: int = 10
+
+    # ------------------------------------------------------------ log
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.table_path, "_delta_log")
+
+    def exists(self) -> bool:
+        return os.path.isfile(
+            os.path.join(self.log_dir, _pad(0) + ".json")
+        )
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            m = _COMMIT_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"not a Delta table (no _delta_log): {self.table_path}"
+            )
+        return vs[-1]
+
+    def _last_checkpoint(self) -> int | None:
+        p = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.isfile(p):
+            return None
+        try:
+            with open(p, encoding="utf-8") as fh:
+                return int(json.load(fh)["version"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def _read_commit(self, version: int) -> list[dict[str, Any]]:
+        p = os.path.join(self.log_dir, _pad(version) + ".json")
+        with open(p, encoding="utf-8") as fh:
+            return [json.loads(ln) for ln in fh if ln.strip()]
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Replay the log (checkpoint-accelerated) up to ``version``
+        (default: latest)."""
+        latest = self.latest_version()
+        target = latest if version is None else version
+        if target > latest or target < 0:
+            raise ValueError(
+                f"version {target} out of range [0, {latest}]"
+            )
+        meta: dict[str, Any] | None = None
+        files: dict[str, dict[str, Any]] = {}
+        start = 0
+        ck = self._last_checkpoint()
+        if ck is not None and ck <= target:
+            meta, files = self._read_checkpoint(ck)
+            start = ck + 1
+        for v in range(start, target + 1):
+            for action in self._read_commit(v):
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+        return Snapshot(version=target, metadata=meta, files=files)
+
+    # ----------------------------------------------------- committing
+
+    def commit(
+        self,
+        actions: list[dict[str, Any]],
+        version: int,
+        operation: str,
+        params: dict[str, Any] | None = None,
+    ) -> int:
+        """Atomically publish ``actions`` as commit ``version``.
+
+        Exclusive-create of the commit file IS the concurrency
+        control: exactly one writer wins a version; losers get
+        :class:`ConcurrentCommitError` and must re-resolve against
+        the new snapshot before retrying."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        info = {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": params or {},
+                "engineInfo": "aligned-spark-pydelta",
+            }
+        }
+        payload = "".join(
+            json.dumps(a, separators=(",", ":")) + "\n"
+            for a in [info, *actions]
+        )
+        path = os.path.join(self.log_dir, _pad(version) + ".json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"version {version} already committed at "
+                f"{self.table_path}"
+            ) from exc
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        if (
+            self.checkpoint_interval > 0
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            self._write_checkpoint(version)
+        return version
+
+    # ---------------------------------------------------- checkpoints
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self.log_dir, _pad(version) + ".checkpoint.parquet"
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Compact the snapshot at ``version`` into one parquet file
+        with typed nested action columns (protocol §checkpoints), and
+        repoint ``_last_checkpoint``."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot(version)
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ]
+        )
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                ("name", pa.string()),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        proto_t = pa.struct(
+            [
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+            ]
+        )
+        # one action per row, exactly one non-null column per row
+        md = snap.metadata or {}
+        meta_row = {
+            "id": md.get("id"),
+            "name": md.get("name"),
+            "schemaString": md.get("schemaString"),
+            "partitionColumns": md.get("partitionColumns", []),
+            "createdTime": md.get("createdTime"),
+        }
+        add_rows = [
+            {
+                "path": add["path"],
+                "partitionValues": list(
+                    (add.get("partitionValues") or {}).items()
+                ),
+                "size": add.get("size"),
+                "modificationTime": add.get("modificationTime"),
+                "dataChange": False,
+                "stats": json.dumps(add.get("stats"))
+                if add.get("stats")
+                else None,
+            }
+            for add in snap.files.values()
+        ]
+        rows_add = [None, None, *add_rows]
+        rows_meta = [None, meta_row] + [None] * len(add_rows)
+        rows_proto = [PROTOCOL, None] + [None] * len(add_rows)
+        n = len(rows_add)
+        table = pa.table(
+            {
+                "add": pa.array(rows_add, type=add_t),
+                "metaData": pa.array(rows_meta, type=meta_t),
+                "protocol": pa.array(rows_proto, type=proto_t),
+            }
+        )
+        tmp = self._checkpoint_path(version) + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, self._checkpoint_path(version))
+        last = os.path.join(self.log_dir, "_last_checkpoint")
+        tmp2 = last + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp2, "w", encoding="utf-8") as fh:
+            json.dump({"version": version, "size": n}, fh)
+        os.replace(tmp2, last)
+
+    def _read_checkpoint(
+        self, version: int
+    ) -> tuple[dict[str, Any] | None, dict[str, Any]]:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(self._checkpoint_path(version)).to_pylist()
+        meta: dict[str, Any] | None = None
+        files: dict[str, dict[str, Any]] = {}
+        for r in rows:
+            if r.get("metaData"):
+                m = r["metaData"]
+                meta = {
+                    "id": m.get("id"),
+                    "name": m.get("name"),
+                    "schemaString": m.get("schemaString"),
+                    "partitionColumns": m.get("partitionColumns") or [],
+                    "createdTime": m.get("createdTime"),
+                }
+            if r.get("add"):
+                a = dict(r["add"])
+                a["partitionValues"] = dict(a.get("partitionValues") or [])
+                if a.get("stats"):
+                    a["stats"] = json.loads(a["stats"])
+                files[a["path"]] = a
+        return meta, files
+
+    # -------------------------------------------------------- writing
+
+    def _stage_parts(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+    ) -> list[dict[str, Any]]:
+        """Write ``df`` as parquet parts INTO the table directory via
+        a staging dir, harvest footer stats, and return the add
+        actions (not yet committed — files are invisible to readers
+        until their commit lands, which is what makes the whole write
+        atomic)."""
+        staging = os.path.join(
+            self.table_path, f"_staging-{uuid.uuid4().hex}"
+        )
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        adds: list[dict[str, Any]] = []
+        try:
+            for root, _dirs, names in os.walk(staging):
+                for name in names:
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(root, name)
+                    reldir = os.path.relpath(root, staging)
+                    part_values: dict[str, str | None] = {}
+                    comps = [] if reldir == "." else reldir.split(os.sep)
+                    for comp in comps:
+                        k, _, v = comp.partition("=")
+                        part_values[unquote(k)] = (
+                            None if v == _HIVE_NULL else unquote(v)
+                        )
+                    new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                    rel = (
+                        new_name
+                        if reldir == "."
+                        else os.path.join(reldir, new_name)
+                    )
+                    dst = os.path.join(self.table_path, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    stats = _stats_from_footer(src)
+                    os.replace(src, dst)
+                    adds.append(
+                        {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": part_values,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": int(
+                                os.path.getmtime(dst) * 1000
+                            ),
+                            "dataChange": True,
+                            "stats": stats,
+                        }
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    def _metadata_action(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> dict[str, Any]:
+        return {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": partition_by or [],
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        }
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """``append`` adds parts; ``overwrite`` additionally
+        tombstones every previously-live part (old versions stay
+        readable — time travel)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        if not self.exists():
+            adds = self._stage_parts(df, partition_by)
+            actions = [
+                {"protocol": PROTOCOL},
+                self._metadata_action(df, partition_by),
+                *({"add": a} for a in adds),
+            ]
+            return self.commit(
+                actions, 0, "WRITE", {"mode": "ErrorIfExists"}
+            )
+        snap = self.snapshot()
+        partition_by = partition_by or snap.partition_columns
+        adds = self._stage_parts(df, partition_by)
+        actions: list[dict[str, Any]] = []
+        if mode == "overwrite":
+            now = int(time.time() * 1000)
+            actions += [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+                for p in snap.files
+            ]
+            actions.append(self._metadata_action(df, partition_by))
+        actions += [{"add": a} for a in adds]
+        return self.commit(
+            actions, snap.version + 1, "WRITE", {"mode": mode}
+        )
+
+    # -------------------------------------------------------- reading
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.table_path, rel)
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        skipping: list[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
+        """Snapshot read. ``skipping`` is a list of
+        ``(column, op, value)`` with op in <=, >=, = — files whose
+        footer stats PROVE no row can match are dropped before Spark
+        ever lists them (the filter itself must still be applied by
+        the caller; skipping is sound, not complete)."""
+        snap = self.snapshot(version)
+        paths = sorted(snap.files)
+        if skipping:
+            paths = [
+                p
+                for p in paths
+                if _file_may_match(snap.files[p], skipping)
+            ]
+        schema = snap.schema()
+        if not paths:
+            if schema is None:
+                raise ValueError(
+                    f"empty Delta table without metaData: "
+                    f"{self.table_path}"
+                )
+            return spark.createDataFrame([], schema)
+        reader = spark.read.option("basePath", self.table_path)
+        df = reader.parquet(*[self._abs(p) for p in paths])
+        if schema is not None:
+            # normalize column ORDER and TYPES to the table schema —
+            # hive-style partition directories infer as string/int,
+            # which may differ from the declared column type
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return df
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        for v in self._versions():
+            for action in self._read_commit(v):
+                if "commitInfo" in action:
+                    out.append({"version": v, **action["commitInfo"]})
+        return out
+
+    # ------------------------------------------------------ mutations
+
+    def _touched_files(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        row_filter,
+    ) -> list[str]:
+        """Relative paths of live parts holding ≥1 row matched by
+        ``row_filter`` (a function df→df). One Spark job; the collect
+        is bounded by the FILE count, never the row count."""
+        if not snap.files:
+            return []
+        df = self.read(spark, snap.version).withColumn(
+            "__file", F.col("_metadata.file_path")
+        )
+        hits = (
+            row_filter(df)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        table_abs = os.path.abspath(self.table_path)
+        rel = []
+        for r in hits:
+            # _metadata.file_path is a percent-ENCODED URI; unquote
+            # restores the literal on-disk name (which may itself
+            # contain Spark's %XX partition-value escapes)
+            p = unquote(urlparse(r["__file"]).path) or r["__file"]
+            rel.append(
+                os.path.relpath(os.path.abspath(p), table_abs).replace(
+                    os.sep, "/"
+                )
+            )
+        return sorted(set(rel))
+
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """MERGE: whenMatchedUpdateAll + whenNotMatchedInsertAll.
+
+        Only parts containing a matched key are rewritten: a semi-join
+        on ``_metadata.file_path`` finds them, their survivors
+        (anti-join on the keys) are unioned with ALL source rows and
+        rewritten; every untouched part is carried over by doing
+        nothing. Callers must pre-dedup the source on ``keys``."""
+        if not self.exists():
+            return self.write(df, "append", partition_by)
+        spark = df.sparkSession
+        snap = self.snapshot()
+        src_keys = df.select(*keys).distinct()
+        touched = self._touched_files(
+            spark,
+            snap,
+            lambda cur: cur.join(src_keys, keys, "left_semi"),
+        )
+        schema_cols = [f.name for f in snap.schema().fields]
+        out = df.select(*schema_cols)
+        if touched:
+            survivors = (
+                spark.read.option("basePath", self.table_path)
+                .parquet(*[self._abs(p) for p in touched])
+                .select(*schema_cols)
+                .join(src_keys, keys, "left_anti")
+            )
+            out = survivors.unionByName(out)
+        adds = self._stage_parts(
+            out, partition_by or snap.partition_columns
+        )
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for p in touched
+        ] + [{"add": a} for a in adds]
+        return self.commit(
+            actions,
+            snap.version + 1,
+            "MERGE",
+            {"predicate": " AND ".join(keys)},
+        )
+
+    def delete_where(self, spark: SparkSession, predicate: Column) -> int:
+        """DELETE rows matching ``predicate`` (NULL-valued predicates
+        keep the row, like SQL DELETE). Only parts containing a match
+        rewrite."""
+        snap = self.snapshot()
+        cond = F.coalesce(predicate, F.lit(False))
+        touched = self._touched_files(
+            spark, snap, lambda cur: cur.filter(cond)
+        )
+        if not touched:
+            return snap.version
+        schema_cols = [f.name for f in snap.schema().fields]
+        survivors = (
+            spark.read.option("basePath", self.table_path)
+            .parquet(*[self._abs(p) for p in touched])
+            .select(*schema_cols)
+            .filter(~cond)
+        )
+        adds = self._stage_parts(survivors, snap.partition_columns)
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for p in touched
+        ] + [{"add": a} for a in adds]
+        return self.commit(actions, snap.version + 1, "DELETE", {})
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        zorder_by: list[str] | None = None,
+        target_rows_per_file: int | None = None,
+    ) -> int:
+        """Compaction: rewrite all live parts as fewer, optionally
+        Z-ORDER-clustered files (reuses
+        :func:`aligned_spark.operators.layout.zorder_key` so footer
+        min/max stats become selective on every z-ordered column) —
+        ``dataChange=False``, so streams reading the log can skip it.
+        """
+        snap = self.snapshot()
+        if not snap.files:
+            return snap.version
+        df = self.read(spark, snap.version)
+        if zorder_by:
+            from aligned_spark.operators.layout import zorder_key
+
+            df = (
+                zorder_key(df, zorder_by)
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        if target_rows_per_file:
+            n = max(1, df.count() // target_rows_per_file)
+            df = df.repartition(n) if not zorder_by else df.coalesce(n)
+        adds = self._stage_parts(df, snap.partition_columns)
+        for a in adds:
+            a["dataChange"] = False
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+            for p in snap.files
+        ] + [{"add": a} for a in adds]
+        return self.commit(
+            actions,
+            snap.version + 1,
+            "OPTIMIZE",
+            {"zOrderBy": zorder_by or []},
+        )
+
+    def vacuum(self, dry_run: bool = False) -> list[str]:
+        """Physically delete parts no longer referenced by the LATEST
+        snapshot (time travel to versions needing them stops working
+        — the documented Delta trade-off). Staging leftovers are
+        swept too."""
+        live = set(self.snapshot().files)
+        doomed: list[str] = []
+        for root, dirs, names in os.walk(self.table_path):
+            dirs[:] = [
+                d
+                for d in dirs
+                if d != "_delta_log" and not d.startswith("_staging-")
+            ]
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(root, name), self.table_path
+                ).replace(os.sep, "/")
+                if rel not in live:
+                    doomed.append(rel)
+        if not dry_run:
+            for rel in doomed:
+                try:
+                    os.unlink(self._abs(rel))
+                except FileNotFoundError:
+                    pass
+            for name in os.listdir(self.table_path):
+                if name.startswith("_staging-"):
+                    shutil.rmtree(
+                        os.path.join(self.table_path, name),
+                        ignore_errors=True,
+                    )
+        return sorted(doomed)
+
+
+def _file_may_match(
+    add: dict[str, Any], predicates: list[tuple[str, str, Any]]
+) -> bool:
+    """Sound data-skipping: True unless footer stats PROVE the file
+    cannot contain a matching row. Partition values participate as
+    exact min=max stats."""
+    stats = add.get("stats") or {}
+    mins = dict(stats.get("minValues") or {})
+    maxs = dict(stats.get("maxValues") or {})
+    for k, v in (add.get("partitionValues") or {}).items():
+        if v is not None:
+            mins[k] = v
+            maxs[k] = v
+    for col, op, val in predicates:
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue  # no stats — cannot prune
+        try:
+            if op == "=" and (val < lo or val > hi):
+                return False
+            if op == ">=" and hi < val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+        except TypeError:  # incomparable types — cannot prune
+            continue
+    return True

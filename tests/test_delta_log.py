@@ -1,0 +1,211 @@
+"""Pure-Python Delta transaction log (`sources/delta_log.py`) —
+round-trip, MERGE file pruning, time travel, checkpoints, data
+skipping, optimistic concurrency, vacuum."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()), key=repr
+    )
+
+
+@pytest.fixture()
+def log(tmp_path):
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    return DeltaLog(str(tmp_path / "tbl"))
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, p=k % 2) for k, v in pairs]
+    )
+
+
+def test_write_read_roundtrip(spark, log):
+    df = _mk(spark, [(1, "a"), (2, "b"), (3, "c")])
+    assert log.write(df, "append") == 0
+    back = log.read(spark)
+    assert _rows(back) == _rows(df)
+    assert back.schema == df.schema  # types normalized to metaData
+
+
+def test_append_accumulates_and_overwrite_replaces(spark, log):
+    log.write(_mk(spark, [(1, "a")]), "append")
+    log.write(_mk(spark, [(2, "b")]), "append")
+    assert log.read(spark).count() == 2
+    log.write(_mk(spark, [(9, "z")]), "overwrite")
+    assert _rows(log.read(spark)) == _rows(_mk(spark, [(9, "z")]))
+    # previous versions stay readable (time travel)
+    assert log.read(spark, version=1).count() == 2
+    assert log.read(spark, version=0).count() == 1
+
+
+def test_partitioned_write_hive_layout(spark, log, tmp_path):
+    df = _mk(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    log.write(df, "append", partition_by=["p"])
+    snap = log.snapshot()
+    assert snap.partition_columns == ["p"]
+    assert all(
+        a["partitionValues"].get("p") in {"0", "1"}
+        for a in snap.files.values()
+    )
+    assert all(p.startswith("p=") for p in snap.files)
+    back = log.read(spark)
+    assert _rows(back) == _rows(df)
+    # partition column type restored from metaData (dirs infer int)
+    assert dict(back.dtypes)["p"] == "bigint"
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, log):
+    # two physical parts: keys 1-4 in one, 5-8 in the other
+    a = _mk(spark, [(i, "old") for i in (1, 2, 3, 4)]).coalesce(1)
+    b = _mk(spark, [(i, "old") for i in (5, 6, 7, 8)]).coalesce(1)
+    log.write(a, "append")
+    log.write(b, "append")
+    assert len(log.snapshot().files) == 2
+    # touch only the first part (+ a brand-new key)
+    upd = _mk(spark, [(1, "NEW"), (99, "INS")])
+    log.merge_upsert(upd, ["k"])
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got == {
+        1: "NEW", 2: "old", 3: "old", 4: "old",
+        5: "old", 6: "old", 7: "old", 8: "old", 99: "INS",
+    }
+    # the untouched part must NOT have been tombstoned
+    removed = [
+        act["remove"]["path"]
+        for act in log._read_commit(2)
+        if "remove" in act
+    ]
+    assert len(removed) == 1
+    live_before = set(log.snapshot(1).files)
+    assert (live_before - set(removed)) <= set(log.snapshot().files)
+
+
+def test_delete_where_null_predicate_keeps_row(spark, log):
+    df = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30)]
+    )
+    log.write(df, "append")
+    log.delete_where(spark, F.col("v") > 15)
+    kept = sorted(r.k for r in log.read(spark).collect())
+    assert kept == [1, 2]  # NULL comparison keeps the row
+
+
+def test_checkpoint_compacts_replay(spark, tmp_path):
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "tbl"), checkpoint_interval=2)
+    for i in range(5):
+        log.write(_mk(spark, [(i, f"v{i}")]), "append")
+    ck = os.path.join(log.log_dir, "00000000000000000004.checkpoint.parquet")
+    assert os.path.isfile(ck)
+    with open(os.path.join(log.log_dir, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 4
+    full = log.snapshot()
+    # force the checkpoint path: delete pre-checkpoint JSON commits
+    for v in range(4):
+        os.unlink(os.path.join(log.log_dir, f"{v:020d}.json"))
+    snap = log.snapshot()
+    assert set(snap.files) == set(full.files)
+    assert log.read(spark).count() == 5
+    assert snap.schema() is not None
+
+
+def test_data_skipping_prunes_by_footer_stats(spark, log):
+    # three parts with disjoint k ranges
+    for lo in (0, 100, 200):
+        log.write(
+            _mk(spark, [(lo + i, "x") for i in range(10)]).coalesce(1),
+            "append",
+        )
+    snap = log.snapshot()
+    assert len(snap.files) == 3
+    from aligned_spark.sources.delta_log import _file_may_match
+
+    surviving = [
+        p
+        for p, a in snap.files.items()
+        if _file_may_match(a, [("k", ">=", 100), ("k", "<=", 150)])
+    ]
+    assert len(surviving) == 1
+    pruned = log.read(spark, skipping=[("k", ">=", 100), ("k", "<=", 150)])
+    assert pruned.count() == 10  # only the middle file was listed
+    assert (
+        pruned.filter((F.col("k") >= 100) & (F.col("k") <= 150)).count()
+        == 10
+    )
+
+
+def test_concurrent_commit_conflict_raises_and_retry_wins(spark, log):
+    from aligned_spark.sources.delta_log import ConcurrentCommitError
+
+    log.write(_mk(spark, [(1, "a")]), "append")
+    # simulate a racing writer landing version 1 first
+    blocker = os.path.join(log.log_dir, f"{1:020d}.json")
+    with open(blocker, "w") as fh:
+        fh.write('{"commitInfo":{"operation":"RACE"}}\n')
+    with pytest.raises(ConcurrentCommitError):
+        log.commit([], 1, "WRITE")
+    # DeltaSource's retry loop re-resolves and lands at version 2
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=log.table_path)
+    src.insert(_mk(spark, [(2, "b")]))
+    assert log.latest_version() == 2
+    assert log.read(spark).count() == 2
+
+
+def test_optimize_zorder_compacts_without_datachange(spark, log):
+    for i in range(4):
+        log.write(
+            _mk(spark, [(i * 10 + j, "x") for j in range(5)]).coalesce(1),
+            "append",
+        )
+    before = log.read(spark)
+    n_before = before.count()
+    v = log.optimize(spark, zorder_by=["k", "p"])
+    snap = log.snapshot(v)
+    assert all(a["dataChange"] is False for a in snap.files.values())
+    after = log.read(spark)
+    assert after.count() == n_before
+    assert _rows(after) == _rows(before)
+
+
+def test_vacuum_removes_tombstoned_parts(spark, log):
+    log.write(_mk(spark, [(1, "a")]), "append")
+    log.write(_mk(spark, [(2, "b")]), "overwrite")
+    doomed = log.vacuum(dry_run=True)
+    assert len(doomed) >= 1
+    log.vacuum()
+    # current snapshot unharmed; time travel to v0 now broken by design
+    assert log.read(spark).count() == 1
+    parts = [
+        f
+        for _r, _d, fs in os.walk(log.table_path)
+        for f in fs
+        if f.endswith(".parquet") and "checkpoint" not in f
+    ]
+    assert len(parts) == len(log.snapshot().files)
+
+
+def test_delta_source_upsert_roundtrip(spark, tmp_path):
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "t"), partition_by=["p"])
+    src.insert(_mk(spark, [(1, "a"), (2, "b")]))
+    src.upsert(_mk(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    got = {r.k: r.v for r in src.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert src.read(spark, version=0).count() == 2
+    src.delete_where(spark, F.col("k") == 1)
+    assert {r.k for r in src.read(spark).collect()} == {2, 3}
