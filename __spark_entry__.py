@@ -4598,6 +4598,100 @@ def _text_wordpiece_real_vocab(spark, sf_dir):
     )
 
 
+def _bpe_merges() -> list[tuple[str, str]]:
+    from aligned_spark.functions.tokenizer import load_merges
+
+    return load_merges(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "aligned_spark", "resources", "bpe_merges.txt",
+        ),
+        limit=40,
+    )
+
+
+def _bpe_oracle() -> str:
+    """Recursive replay of the BPE merge loop, ONE merge per step:
+    the leftmost occurrence of the lowest-rank pair. Provably equal
+    to the kernel's merge-all-occurrences schedule for any TRAINED
+    merge table — a pair involving a merged symbol is always learned
+    after (= ranked above) the merge that created the symbol, so
+    merging one occurrence never changes which pair is best
+    (`functions/tokenizer.py:bpe_word`). The 40-merge prefix of the
+    checked-in table keeps counts non-trivial on this corpus (the
+    full 89-merge table saturates its 31-word vocabulary — same
+    corpus artifact the round-5 PPJoin sweep documented)."""
+    rows = ", ".join(
+        f"('{a}', '{b}', '{a}{b}', {r})"
+        for r, (a, b) in enumerate(_bpe_merges())
+    )
+    return f"""WITH RECURSIVE
+    merges(a, b, m, r) AS (SELECT * FROM (VALUES {rows}) t),
+    w AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS word
+      FROM documents
+    ),
+    dw AS (SELECT DISTINCT word FROM w),
+    steps(word, toks, done) AS (
+      SELECT word,
+             list_filter(string_split_regex(word, ''), c -> c <> ''),
+             FALSE
+      FROM dw
+      UNION ALL
+      SELECT s.word,
+             CASE WHEN p.pos IS NULL THEN s.toks
+                  ELSE s.toks[1:p.pos - 1] || [p.m]
+                       || s.toks[p.pos + 2:] END,
+             p.pos IS NULL
+      FROM steps s LEFT JOIN LATERAL (
+        SELECT m.m AS m, u.i AS pos
+        FROM merges m
+        JOIN (SELECT unnest(range(1, len(s.toks))) AS i) u
+          ON s.toks[u.i] = m.a AND s.toks[u.i + 1] = m.b
+        ORDER BY m.r, u.i
+        LIMIT 1
+      ) p ON TRUE
+      WHERE NOT s.done AND len(s.toks) > 1
+    ),
+    tok AS (
+      SELECT word, len(toks) AS n
+      FROM steps WHERE done OR len(toks) = 1
+    ),
+    per_doc AS (
+      SELECT w.doc_id, SUM(tok.n) AS n_tokens,
+             COUNT(*) AS n_words
+      FROM w JOIN tok USING (word) GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS INT) AS n_tokens,
+           CAST(coalesce(p.n_words, 0) AS INT) AS n_words
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+@q("text_bpe_counts", _bpe_oracle())
+def _text_bpe_counts(spark, sf_dir):
+    """GPT-family token budgeting: byte-level BPE counts under the
+    checked-in corpus-trained merge table
+    (``aligned_spark/resources/bpe_merges.txt``, public merges.txt
+    layout, 40-rank prefix) — the budget signal real LLM pipelines
+    price with, beside the WordPiece one. The Arrow kernel memoizes
+    per distinct word per batch (Zipf corpora run the merge loop
+    orders of magnitude less often than per-occurrence); the oracle
+    independently replays the merge loop as a recursive CTE
+    (`functions/tokenizer.py:bpe_token_count`)."""
+    from aligned_spark.functions.tokenizer import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    out = bpe_token_count(d, "doc_id", "text", _bpe_merges())
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_words").cast("int").alias("n_words"),
+    )
+
+
 @q("eval_ann_recall", _eval_ann_oracle())
 def _eval_ann_recall(spark, sf_dir):
     """ANN evaluation harness: recall@5 + MRR of the LSH-bucketed
@@ -7550,7 +7644,7 @@ _PRIORITY: list[str] = [
     # --- round-6 additions land here (swap out the twins below) ---
     "source_delta_merge",
     "source_delta_time_travel",
-    "dedup_minhash_arrow",
+    "text_bpe_counts",
     "embed_pca_project",
     "text_quality_classifier_fast",
 ]

@@ -158,3 +158,153 @@ def wordpiece_token_count(
             F.filter("__toks", lambda t: t == F.lit(unk))
         ).alias("n_unk"),
     )
+
+
+# =====================================================================
+# Byte-level BPE (GPT-family token budgeting)
+# =====================================================================
+
+
+def load_merges(
+    path: str, limit: int | None = None
+) -> list[tuple[str, str]]:
+    """Load a ``merges.txt`` (public BPE layout: optional ``#``
+    header lines, one ``a b`` pair per line, RANK = line order; CRLF
+    tolerated). ``limit`` takes the first N merges — a prefix of a
+    BPE merge table is itself a valid smaller table, the standard
+    way to shrink a tokenizer."""
+    out: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for ln in fh:
+            ln = ln.rstrip("\r\n")
+            if not ln or ln.startswith("#"):
+                continue
+            a, _, b = ln.partition(" ")
+            out.append((a, b))
+            if limit is not None and len(out) >= limit:
+                break
+    return out
+
+
+def bpe_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Apply a BPE merge table to ONE word (Sennrich et al. 2016;
+    the GPT-2 ``bpe()`` loop): start from characters, repeatedly
+    merge every left-to-right occurrence of the LOWEST-RANK adjacent
+    pair until none matches. Pure function — shared by the kernel
+    and the tests' reference replays.
+
+    The SQL oracle replays this one occurrence at a time (leftmost
+    of the lowest-rank pair); the two schedules provably agree for
+    any table produced by BPE TRAINING, because a pair involving a
+    merged symbol can only be learned after the merge that created
+    the symbol, i.e. always carries a HIGHER rank — so merging one
+    occurrence never changes which pair is best next."""
+    syms: list[str] = list(word)
+    while len(syms) > 1:
+        best_rank: int | None = None
+        best: tuple[str, str] | None = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        a, b = best
+        merged = a + b
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_tokens(
+    text: Column,
+    merges: list[tuple[str, str]],
+    split_mode: str = "alnum",
+) -> Column:
+    """Text column → array<string> of BPE tokens. Same Arrow-kernel
+    shape as :func:`wordpiece_tokens` (merge table rides the task
+    closure; pure projection, no shuffle) with one extra lever: a
+    per-batch WORD MEMO — natural text is Zipf-distributed, so the
+    merge loop runs once per distinct word per batch, not once per
+    occurrence. ``split_mode`` as in :func:`wordpiece_tokens`
+    ("bert" bills punctuation as single-char tokens)."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    if split_mode == "alnum":
+        word_re = re.compile(_WORD_RE)
+
+        def _pretok(t: str) -> list[str]:
+            return [w for w in word_re.split(t) if w]
+
+    elif split_mode == "bert":
+
+        def _pretok(t: str) -> list[str]:
+            return _BERT_RE.findall(t)
+
+    else:
+        raise ValueError(f"unknown split_mode: {split_mode!r}")
+
+    def _kernel(s):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in s:
+            toks: list[str] = []
+            for w in _pretok((t or "").lower()):
+                enc = memo.get(w)
+                if enc is None:
+                    enc = bpe_word(w, ranks)
+                    memo[w] = enc
+                toks.extend(enc)
+            out.append(toks)
+        return pd.Series(out, index=s.index, dtype=object)
+
+    return F.pandas_udf(_kernel, ArrayType(StringType()))(text)
+
+
+def bpe_token_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    split_mode: str = "alnum",
+) -> DataFrame:
+    """Per-document BPE token counts: (id, n_tokens, n_words) — the
+    GPT-family budget signal next to the WordPiece one. One kernel
+    projection + array sizes; no shuffle, no driver transfer."""
+    toks = bpe_tokens(F.col(text_col), merges, split_mode)
+    word_src = (
+        F.array_remove(
+            F.split(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                _WORD_RE,
+            ),
+            "",
+        )
+        if split_mode == "alnum"
+        else None
+    )
+    projected = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        (
+            F.size(word_src)
+            if word_src is not None
+            else F.lit(None).cast("int")
+        ).alias("n_words"),
+    )
+    return projected.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        "n_words",
+    )
