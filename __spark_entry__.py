@@ -7572,6 +7572,89 @@ def _source_delta_time_travel(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-6 completeness: CUBE, dataflow ECE
+# ===========================================================================
+
+
+@q(
+    "agg_cube",
+    f"""SELECT event_type,
+              CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+              COUNT(*) AS n,
+              {_O_DSUM.format(c="value")} AS total,
+              CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN date_trunc('week', ts) IS NULL THEN 1 ELSE 0 END
+                AS grouping_level
+       FROM events
+       GROUP BY CUBE (event_type, date_trunc('week', ts))""",
+)
+def _agg_cube(spark, sf_dir):
+    """Full CUBE over (event_type, week): per-cell, BOTH one-dim
+    margins, and the grand total in one pass (2^k grouping sets,
+    expanded map-side — the rows ROLLUP's hierarchy skips are the
+    per-week margins). Same grouping-level CASE mirror as
+    ``agg_rollup_cube``; SURVEY §2.5 notes cube/grouping-sets come
+    free with Spark and the reference has no equivalent."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "week", F.date_trunc("week", F.col("ts"))
+    )
+    out = ev.cube("event_type", "week").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("total"),
+        (F.grouping("event_type") + F.grouping("week")).alias(
+            "grouping_level"
+        ),
+    )
+    return out.select(
+        "event_type", "week", "n", "total", "grouping_level"
+    )
+
+
+@q(
+    "model_ece",
+    """WITH s AS (
+         SELECT (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 AS score,
+                CAST(label % 2 AS BIGINT) AS lab
+         FROM embeddings
+       ),
+       b AS (
+         SELECT least(CAST(floor(score * 10.0) AS BIGINT), 9) AS bin,
+                CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS ss, lab
+         FROM s WHERE score IS NOT NULL AND score >= 0 AND score <= 1
+       ),
+       g AS (
+         SELECT bin, COUNT(*) AS n,
+                CAST(SUM(ss) AS BIGINT) AS ssum,
+                CAST(SUM(lab) AS BIGINT) AS pos
+         FROM b GROUP BY bin
+       )
+       SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+              CAST(SUM(abs(pos * 1000000 - ssum)) AS DOUBLE)
+                / 1e6 / SUM(n) AS ece
+       FROM g""",
+)
+def _model_ece(spark, sf_dir):
+    """Expected calibration error as a 1-row DATAFLOW over the same
+    single aggregation as the reliability diagram — per bin,
+    n·|acc−conf| = |pos·1e6 − ss|/1e6 with an INTEGER numerator, so
+    the cross-bin sum is order-independent and replays exactly; the
+    float formulation would drift by summation order
+    (`operators/quality.py:ece_frame`). Completes the driver-verified
+    calibration surface (VERDICT r5 task 7)."""
+    from aligned_spark.operators.quality import ece_frame
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (
+            (F.element_at("embedding", 1).cast("double") + F.lit(1.0))
+            / F.lit(2.0)
+        ).alias("score"),
+        (F.col("label") % 2).cast("long").alias("lab"),
+    )
+    return ece_frame(scored, "score", "lab", n_bins=10)
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -7645,8 +7728,8 @@ _PRIORITY: list[str] = [
     "source_delta_merge",
     "source_delta_time_travel",
     "text_bpe_counts",
-    "embed_pca_project",
-    "text_quality_classifier_fast",
+    "agg_cube",
+    "model_ece",
 ]
 
 

@@ -847,6 +847,35 @@ def k_anonymity(
     raise ValueError(f"unknown mode: {mode!r}")
 
 
+def _calibration_agg(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Shared single-pass aggregation behind :func:`calibration_bins`
+    and :func:`ece_frame`: ``(bin, n, __ss, __pos)`` with the score
+    sum as a SCALED LONG (order-independent)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    scaled = F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long")
+    lab = F.col(label_col).cast("long")
+    return (
+        df.filter(s.isNotNull() & (s >= 0) & (s <= 1))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled).alias("__ss"),
+            F.sum(lab).alias("__pos"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,
@@ -866,24 +895,7 @@ def calibration_bins(
     Output: ``(bin, n, mean_score, accuracy)``, bin in [0, n_bins).
     One map-side-combinable aggregation; no shuffle beyond it.
     """
-    if n_bins < 1:
-        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    s = F.col(score_col).cast("double")
-    b = F.least(
-        F.floor(s * F.lit(float(n_bins))).cast("long"),
-        F.lit(n_bins - 1),
-    )
-    scaled = F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long")
-    lab = F.col(label_col).cast("long")
-    agged = (
-        df.filter(s.isNotNull() & (s >= 0) & (s <= 1))
-        .groupBy(b.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(scaled).alias("__ss"),
-            F.sum(lab).alias("__pos"),
-        )
-    )
+    agged = _calibration_agg(df, score_col, label_col, n_bins)
     return agged.select(
         "bin",
         "n",
@@ -894,20 +906,45 @@ def calibration_bins(
     )
 
 
+def ece_frame(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error as a 1-row DATAFLOW (no driver
+    collect): ``(n_total, ece)``.
+
+    Exactness: per bin, ``n_b·|acc_b − conf_b| = |pos_b·1e6 − ss_b|
+    / 1e6`` — an INTEGER numerator, so the cross-bin sum is
+    order-independent and the whole statistic reduces to one integer
+    sum divided twice (fixed order) at the end. The float version
+    (Σ n_b/N·|…| with per-bin division first) would drift by summation
+    order. Two shuffle-free stages over the same single aggregation
+    as :func:`calibration_bins`."""
+    agged = _calibration_agg(df, score_col, label_col, n_bins)
+    return agged.agg(
+        F.sum("n").alias("n_total"),
+        (
+            F.sum(
+                F.abs(
+                    F.col("__pos") * F.lit(1000000) - F.col("__ss")
+                )
+            ).cast("double")
+            / F.lit(1e6)
+            / F.sum("n")
+        ).alias("ece"),
+    )
+
+
 def ece(
     df: DataFrame,
     score_col: str,
     label_col: str,
     n_bins: int = 10,
 ) -> float:
-    """Expected calibration error — the bin-weighted mean
-    |accuracy − confidence| over :func:`calibration_bins`. Returns a
-    driver-side float (one ``n_bins``-row collect; the heavy pass is
-    the single aggregation inside calibration_bins)."""
-    rows = calibration_bins(df, score_col, label_col, n_bins).collect()
-    total = sum(r.n for r in rows)
-    if not total:
-        return 0.0
-    return sum(
-        r.n / total * abs(r.accuracy - r.mean_score) for r in rows
-    )
+    """Expected calibration error as a driver-side float — collects
+    :func:`ece_frame`'s single row (the heavy pass is the one
+    aggregation inside it)."""
+    row = ece_frame(df, score_col, label_col, n_bins).collect()[0]
+    return float(row.ece) if row.ece is not None else 0.0

@@ -151,3 +151,39 @@ def test_load_vocab_crlf(tmp_path):
     p = tmp_path / "vocab.txt"
     p.write_bytes(b"hello\r\nworld\r\n\r\n##ing\r\n")
     assert load_vocab(str(p)) == ["hello", "world", "##ing"]
+
+
+# ------------------------------------------------- round-6 additions
+
+
+def test_ece_frame_matches_float_ece_and_handles_empty(spark):
+    from aligned_spark.operators.quality import (
+        calibration_bins,
+        ece,
+        ece_frame,
+    )
+
+    rows = [
+        Row(score=s, label=l)
+        for s, l in [
+            (0.05, 0), (0.12, 0), (0.18, 1), (0.43, 0),
+            (0.47, 1), (0.55, 1), (0.81, 1), (0.88, 0),
+            (0.93, 1), (0.97, 1), (None, 1), (1.5, 0),
+        ]
+    ]
+    df = spark.createDataFrame(rows)
+    frame = ece_frame(df, "score", "label").collect()[0]
+    assert frame.n_total == 10  # null + out-of-range filtered
+    # integer-numerator identity vs the bin-level float formula
+    bins = calibration_bins(df, "score", "label").collect()
+    float_ece = sum(
+        b.n / frame.n_total * abs(b.accuracy - b.mean_score)
+        for b in bins
+    )
+    assert abs(frame.ece - float_ece) < 1e-12
+    assert abs(ece(df, "score", "label") - frame.ece) < 1e-15
+
+    empty = spark.createDataFrame([], "score double, label bigint")
+    assert ece(empty, "score", "label") == 0.0
+    r = ece_frame(empty, "score", "label").collect()[0]
+    assert r.n_total is None and r.ece is None
