@@ -81,6 +81,9 @@ class Snapshot:
     version: int
     metadata: dict[str, Any] | None
     files: dict[str, dict[str, Any]]  # relative path -> add action
+    #: latest committed writer-transaction version per appId (the
+    #: protocol's ``txn`` action — idempotent streaming writes)
+    txns: dict[str, int] = field(default_factory=dict)
 
     @property
     def partition_columns(self) -> list[str]:
@@ -210,10 +213,11 @@ class DeltaLog:
             )
         meta: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
+        txns: dict[str, int] = {}
         start = 0
         ck = self._last_checkpoint()
         if ck is not None and ck <= target:
-            meta, files = self._read_checkpoint(ck)
+            meta, files, txns = self._read_checkpoint(ck)
             start = ck + 1
         for v in range(start, target + 1):
             for action in self._read_commit(v):
@@ -223,7 +227,12 @@ class DeltaLog:
                     files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
-        return Snapshot(version=target, metadata=meta, files=files)
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = t["version"]
+        return Snapshot(
+            version=target, metadata=meta, files=files, txns=txns
+        )
 
     # ----------------------------------------------------- committing
 
@@ -313,6 +322,9 @@ class DeltaLog:
                 ("minWriterVersion", pa.int32()),
             ]
         )
+        txn_t = pa.struct(
+            [("appId", pa.string()), ("version", pa.int64())]
+        )
         # one action per row, exactly one non-null column per row
         md = snap.metadata or {}
         meta_row = {
@@ -337,17 +349,24 @@ class DeltaLog:
             }
             for add in snap.files.values()
         ]
-        rows_add = [None, None, *add_rows]
-        rows_meta = [None, meta_row] + [None] * len(add_rows)
-        rows_proto = [PROTOCOL, None] + [None] * len(add_rows)
-        n = len(rows_add)
+        txn_rows = [
+            {"appId": app, "version": v}
+            for app, v in sorted(snap.txns.items())
+        ]
+        pad = len(add_rows) + len(txn_rows)
+        rows_add = [None, None] + add_rows + [None] * len(txn_rows)
+        rows_txn = [None, None] + [None] * len(add_rows) + txn_rows
+        rows_meta = [None, meta_row] + [None] * pad
+        rows_proto = [PROTOCOL, None] + [None] * pad
         table = pa.table(
             {
                 "add": pa.array(rows_add, type=add_t),
                 "metaData": pa.array(rows_meta, type=meta_t),
                 "protocol": pa.array(rows_proto, type=proto_t),
+                "txn": pa.array(rows_txn, type=txn_t),
             }
         )
+        n = len(rows_add)
         tmp = self._checkpoint_path(version) + f".tmp-{uuid.uuid4().hex}"
         pq.write_table(table, tmp)
         os.replace(tmp, self._checkpoint_path(version))
@@ -359,13 +378,16 @@ class DeltaLog:
 
     def _read_checkpoint(
         self, version: int
-    ) -> tuple[dict[str, Any] | None, dict[str, Any]]:
+    ) -> tuple[dict[str, Any] | None, dict[str, Any], dict[str, int]]:
         import pyarrow.parquet as pq
 
         rows = pq.read_table(self._checkpoint_path(version)).to_pylist()
         meta: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
+        txns: dict[str, int] = {}
         for r in rows:
+            if r.get("txn"):
+                txns[r["txn"]["appId"]] = r["txn"]["version"]
             if r.get("metaData"):
                 m = r["metaData"]
                 meta = {
@@ -381,7 +403,7 @@ class DeltaLog:
                 if a.get("stats"):
                     a["stats"] = json.loads(a["stats"])
                 files[a["path"]] = a
-        return meta, files
+        return meta, files, txns
 
     # -------------------------------------------------------- writing
 
@@ -457,15 +479,43 @@ class DeltaLog:
             }
         }
 
+    @staticmethod
+    def _txn_action(txn: tuple[str, int] | None) -> list[dict[str, Any]]:
+        if txn is None:
+            return []
+        app_id, version = txn
+        return [
+            {
+                "txn": {
+                    "appId": app_id,
+                    "version": int(version),
+                    "lastUpdated": int(time.time() * 1000),
+                }
+            }
+        ]
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Latest committed writer-transaction version for
+        ``app_id`` (None if the table is new or the app unseen) —
+        the replay guard for idempotent streaming sinks."""
+        if not self.exists():
+            return None
+        return self.snapshot().txns.get(app_id)
+
     def write(
         self,
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """``append`` adds parts; ``overwrite`` additionally
         tombstones every previously-live part (old versions stay
-        readable — time travel)."""
+        readable — time travel). ``txn=(appId, version)`` records a
+        writer-transaction action IN THE SAME COMMIT as the adds —
+        the protocol's exactly-once primitive: a replayed batch
+        either finds its version already committed (skip) or its
+        earlier attempt never became visible."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode: {mode!r}")
         if not self.exists():
@@ -474,6 +524,7 @@ class DeltaLog:
                 {"protocol": PROTOCOL},
                 self._metadata_action(df, partition_by),
                 *({"add": a} for a in adds),
+                *self._txn_action(txn),
             ]
             return self.commit(
                 actions, 0, "WRITE", {"mode": "ErrorIfExists"}
@@ -496,6 +547,7 @@ class DeltaLog:
             ]
             actions.append(self._metadata_action(df, partition_by))
         actions += [{"add": a} for a in adds]
+        actions += self._txn_action(txn)
         return self.commit(
             actions, snap.version + 1, "WRITE", {"mode": mode}
         )
@@ -595,6 +647,7 @@ class DeltaLog:
         df: DataFrame,
         keys: list[str],
         partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE: whenMatchedUpdateAll + whenNotMatchedInsertAll.
 
@@ -604,7 +657,7 @@ class DeltaLog:
         rewritten; every untouched part is carried over by doing
         nothing. Callers must pre-dedup the source on ``keys``."""
         if not self.exists():
-            return self.write(df, "append", partition_by)
+            return self.write(df, "append", partition_by, txn=txn)
         spark = df.sparkSession
         snap = self.snapshot()
         src_keys = df.select(*keys).distinct()
@@ -636,7 +689,7 @@ class DeltaLog:
                 }
             }
             for p in touched
-        ] + [{"add": a} for a in adds]
+        ] + [{"add": a} for a in adds] + self._txn_action(txn)
         return self.commit(
             actions,
             snap.version + 1,

@@ -11,6 +11,7 @@ from aligned_spark.streaming.joins import stream_interval_join
 from aligned_spark.streaming.late import drop_late_events
 from aligned_spark.streaming.monitor import psi_monitor
 from aligned_spark.streaming.sessions import session_aggregate
+from aligned_spark.streaming.sinks import idempotent_delta_sink
 from aligned_spark.streaming.stateful import (
     decayed_count,
     event_gaps,
@@ -33,6 +34,7 @@ __all__ = [
     "drop_late_events",
     "psi_monitor",
     "session_aggregate",
+    "idempotent_delta_sink",
     "stateful_dedup",
     "RateStreamSource",
     "StreamWorker",
