@@ -7571,6 +7571,100 @@ def _source_delta_time_travel(spark, sf_dir):
     )
 
 
+def _iceberg_orders_table(spark, sf_dir):
+    """Same write/MERGE/DELETE sequence as ``_delta_orders_table``,
+    through the pure-Python ICEBERG v1 implementation
+    (`sources/iceberg_log.py`): JSON metadata versions + real Avro
+    manifest lists/manifests (`sources/avro_io.py`), HadoopCatalog
+    exclusive-create commits, copy-on-write file-pruned MERGE.
+    Returns the IcebergLog."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.iceberg import IcebergSource
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
+    path = tempfile.mkdtemp(prefix="aligned_spark_iceberg_")
+    src = IcebergSource(path=path, partition_by=["o_orderpriority"])
+    src.insert(base.repartition(4))
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    src.upsert(upd.unionByName(ins), keys=["o_orderkey"])
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    return IcebergLog(path)
+
+
+@q(
+    "source_iceberg_merge",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM final""",
+)
+def _source_iceberg_merge(spark, sf_dir):
+    """Iceberg v1 write/MERGE/DELETE round-trip on the pure-Python
+    table format (reference `aligned/sources/iceberg.py:71` drives
+    the same format through pyiceberg): the final snapshot, planned
+    from Avro manifests, must equal the relational semantics the
+    oracle replays — identical to the Delta twin, proving both table
+    formats implement the same logical contract."""
+    log = _iceberg_orders_table(spark, sf_dir)
+    return log.read(spark).select(*_DELTA_ORDERS_COLS)
+
+
+@q(
+    "source_iceberg_time_travel",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT 0 AS snapshot_seq, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_price_cents
+    FROM base
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+    FROM final""",
+)
+def _source_iceberg_time_travel(spark, sf_dir):
+    """Snapshot time travel on the Iceberg table: first snapshot
+    (initial write) vs the post-MERGE+DELETE head, resolved by
+    snapshot id from the metadata snapshot list; summaries use the
+    order-independent scaled-long sum."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    log = _iceberg_orders_table(spark, sf_dir)
+    sids = log.snapshot_ids()
+
+    def _summ(df, seq):
+        return df.agg(
+            F.lit(seq).cast("int").alias("snapshot_seq"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("long")
+            ).alias("sum_price_cents"),
+        )
+
+    return _summ(log.read(spark, snapshot_id=sids[0]), 0).unionByName(
+        _summ(log.read(spark, snapshot_id=sids[-1]), 2)
+    )
+
+
 # ===========================================================================
 # Round-6 completeness: CUBE, dataflow ECE
 # ===========================================================================
@@ -7690,8 +7784,8 @@ _PRIORITY: list[str] = [
     "drop_duplicates",
     "embed_dot_product",
     "ensure_types_cast",
-    "expr_arithmetic",
-    "expr_comparison_logic",
+    "source_iceberg_merge",
+    "source_iceberg_time_travel",
     "expr_conditionals",
     "expr_date_components",
     "expr_euclidean",

@@ -62,11 +62,8 @@ from pyspark.sql.types import StructType
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
-#: string stats longer than this are not recorded — a TRUNCATED max
-#: would need the protocol's 0xFF-padding trick to stay an upper
-#: bound, so long strings simply opt out of skipping instead.
-_MAX_STR_STAT = 64
+# hive null-partition marker, footer-stat harvesting, and part
+# staging live in aligned_spark.sources.parts (shared with Iceberg)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -96,59 +93,6 @@ class Snapshot:
 
 def _pad(v: int) -> str:
     return f"{v:020d}"
-
-
-def _stats_from_footer(path: str) -> dict[str, Any]:
-    """Per-file stats straight from the parquet FOOTER (no data
-    scan): numRecords plus min/max/nullCount for primitive columns.
-    Timestamps serialize as ISO strings; long strings are skipped
-    (see ``_MAX_STR_STAT``)."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
-    mins: dict[str, Any] = {}
-    maxs: dict[str, Any] = {}
-    nulls: dict[str, int] = {}
-
-    def _norm(v: Any) -> Any:
-        import datetime as dt
-
-        if isinstance(v, dt.datetime):
-            return v.isoformat()
-        if isinstance(v, bytes):
-            try:
-                v = v.decode("utf-8")
-            except UnicodeDecodeError:
-                return None
-        if isinstance(v, str) and len(v) > _MAX_STR_STAT:
-            return None
-        if isinstance(v, (int, float, str, bool)):
-            return v
-        return None
-
-    for rg_i in range(md.num_row_groups):
-        rg = md.row_group(rg_i)
-        for c_i in range(rg.num_columns):
-            col = rg.column(c_i)
-            name = col.path_in_schema
-            if "." in name:  # nested — no skipping stats
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            lo, hi = _norm(st.min), _norm(st.max)
-            if lo is None or hi is None:
-                continue
-            mins[name] = lo if name not in mins else min(mins[name], lo)
-            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-            if st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
-    return {
-        "numRecords": md.num_rows,
-        "minValues": mins,
-        "maxValues": maxs,
-        "nullCount": nulls,
-    }
 
 
 @dataclass
@@ -412,58 +356,25 @@ class DeltaLog:
         df: DataFrame,
         partition_by: list[str] | None,
     ) -> list[dict[str, Any]]:
-        """Write ``df`` as parquet parts INTO the table directory via
-        a staging dir, harvest footer stats, and return the add
-        actions (not yet committed — files are invisible to readers
-        until their commit lands, which is what makes the whole write
-        atomic)."""
-        staging = os.path.join(
-            self.table_path, f"_staging-{uuid.uuid4().hex}"
-        )
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
-        adds: list[dict[str, Any]] = []
-        try:
-            for root, _dirs, names in os.walk(staging):
-                for name in names:
-                    if not name.endswith(".parquet"):
-                        continue
-                    src = os.path.join(root, name)
-                    reldir = os.path.relpath(root, staging)
-                    part_values: dict[str, str | None] = {}
-                    comps = [] if reldir == "." else reldir.split(os.sep)
-                    for comp in comps:
-                        k, _, v = comp.partition("=")
-                        part_values[unquote(k)] = (
-                            None if v == _HIVE_NULL else unquote(v)
-                        )
-                    new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-                    rel = (
-                        new_name
-                        if reldir == "."
-                        else os.path.join(reldir, new_name)
-                    )
-                    dst = os.path.join(self.table_path, rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    stats = _stats_from_footer(src)
-                    os.replace(src, dst)
-                    adds.append(
-                        {
-                            "path": rel.replace(os.sep, "/"),
-                            "partitionValues": part_values,
-                            "size": os.path.getsize(dst),
-                            "modificationTime": int(
-                                os.path.getmtime(dst) * 1000
-                            ),
-                            "dataChange": True,
-                            "stats": stats,
-                        }
-                    )
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        return adds
+        """Stage parquet parts (shared machinery:
+        :func:`aligned_spark.sources.parts.stage_parquet_parts`) and
+        shape them as Delta ``add`` actions — still invisible to
+        readers until their commit lands."""
+        from aligned_spark.sources.parts import stage_parquet_parts
+
+        return [
+            {
+                "path": p.path,
+                "partitionValues": p.partition_values,
+                "size": p.size,
+                "modificationTime": p.mtime_ms,
+                "dataChange": True,
+                "stats": p.stats,
+            }
+            for p in stage_parquet_parts(
+                df, self.table_path, partition_by
+            )
+        ]
 
     def _metadata_action(
         self, df: DataFrame, partition_by: list[str] | None

@@ -5,12 +5,18 @@ Spark-first: Iceberg is a catalog format — reads/writes go through
 ``spark.table`` / ``MERGE INTO`` with the iceberg-spark-runtime jars
 and a configured catalog (e.g. ``spark.sql.catalog.<name>`` =
 ``org.apache.iceberg.spark.SparkCatalog``). The jars are NOT in this
-container: constructing the source works everywhere; using it without
-an Iceberg catalog raises a clear error.
+container, so when they are absent every operation falls back to
+:mod:`aligned_spark.sources.iceberg_log` — a pure-Python v1 table
+format implementation (JSON metadata versions + REAL Avro manifest
+lists/manifests via :mod:`aligned_spark.sources.avro_io`) rooted at
+``path`` — with the standard optimistic retry around concurrent
+metadata commits. Catalog-identifier-only sources without a ``path``
+still raise the clear jar-gating error.
 
 Unlike the reference (pyiceberg on the driver, Arrow append/upsert
 through a single process), every operation here is a distributed
-Spark job — upsert is a real ``MERGE INTO`` handled by the cluster.
+Spark job — upsert is a real ``MERGE INTO`` handled by the cluster
+(jar path) or a file-pruned copy-on-write rewrite (pure-Python path).
 """
 
 from __future__ import annotations
@@ -20,6 +26,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from aligned_spark.sources.base import WritableSource
+from aligned_spark.sources.delta import _retrying
+from aligned_spark.sources.iceberg_log import IcebergLog
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
@@ -45,46 +53,92 @@ def _require_iceberg(spark: SparkSession) -> None:
 
 @dataclass
 class IcebergSource(WritableSource):
-    """``catalog.schema.table`` Iceberg identifier."""
+    """``catalog.schema.table`` Iceberg identifier (jar path), or a
+    filesystem ``path`` for the pure-Python v1 implementation."""
 
-    table: str
+    table: str = ""
     mapping_keys: dict[str, str] = field(default_factory=dict)
+    #: table directory for the jar-free path (HadoopCatalog-style)
+    path: str | None = None
+    partition_by: list[str] | None = None
 
     def job_group_key(self) -> str:
-        return f"iceberg:{self.table}"
+        return f"iceberg:{self.table or self.path}"
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        _require_iceberg(spark)
-        df = spark.table(self.table)
+    def _use_jars(self, spark: SparkSession) -> bool:
+        if self.table and _has_iceberg(spark):
+            return True
+        if self.path is None:
+            _require_iceberg(spark)  # raises the clear gating error
+        return False
+
+    def _log(self) -> IcebergLog:
+        return IcebergLog(self.path)
+
+    def read(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        if self._use_jars(spark):
+            reader = spark.read.format("iceberg")
+            if snapshot_id is not None:
+                reader = reader.option("snapshot-id", snapshot_id)
+            df = (
+                reader.load(self.table)
+                if snapshot_id is not None
+                else spark.table(self.table)
+            )
+        else:
+            df = self._log().read(spark, snapshot_id=snapshot_id)
         if self.mapping_keys:
             df = df.withColumnsRenamed(self.mapping_keys)
         return df
 
     def insert(self, df: DataFrame) -> None:
-        _require_iceberg(df.sparkSession)
-        df.writeTo(self.table).append()
+        if self._use_jars(df.sparkSession):
+            df.writeTo(self.table).append()
+            return
+        _retrying(
+            lambda: self._log().write(df, "append", self.partition_by)
+        )
 
     def upsert(self, df: DataFrame, keys: list[str]) -> None:
         """Distributed ``MERGE INTO`` on the entity keys (the
         reference's pyiceberg driver-side upsert, re-expressed as a
-        cluster job)."""
+        cluster job), or the jar-free file-pruned copy-on-write
+        MERGE."""
         spark = df.sparkSession
-        _require_iceberg(spark)
-        df.createOrReplaceTempView("__iceberg_upsert_src")
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        spark.sql(
-            f"MERGE INTO {self.table} t USING __iceberg_upsert_src s "
-            f"ON {cond} WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        if self._use_jars(spark):
+            df.createOrReplaceTempView("__iceberg_upsert_src")
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            spark.sql(
+                f"MERGE INTO {self.table} t USING __iceberg_upsert_src s "
+                f"ON {cond} WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        _retrying(lambda: self._log().merge_upsert(df, keys))
 
     def overwrite(self, df: DataFrame, predicate: Column | None = None) -> None:
-        _require_iceberg(df.sparkSession)
+        if self._use_jars(df.sparkSession):
+            if predicate is not None:
+                df.writeTo(self.table).overwrite(predicate)
+            else:
+                df.writeTo(self.table).replace()
+            return
         if predicate is not None:
-            df.writeTo(self.table).overwrite(predicate)
-        else:
-            df.writeTo(self.table).replace()
+            raise NotImplementedError(
+                "predicate overwrite requires the iceberg jars; use "
+                "delete_where + insert with the pure-Python log"
+            )
+        _retrying(
+            lambda: self._log().write(df, "overwrite", self.partition_by)
+        )
 
     def delete_where(self, spark: SparkSession, predicate: Column) -> None:
-        _require_iceberg(spark)
-        spark.sql(f"DELETE FROM {self.table} WHERE {predicate._jc.toString()}")
+        if self._use_jars(spark):
+            spark.sql(
+                f"DELETE FROM {self.table} "
+                f"WHERE {predicate._jc.toString()}"
+            )
+            return
+        _retrying(lambda: self._log().delete_where(spark, predicate))

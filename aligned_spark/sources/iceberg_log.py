@@ -1,0 +1,722 @@
+"""Pure-Python Apache Iceberg v1 table format over local filesystems.
+
+Implements the PUBLIC Iceberg table spec (iceberg.apache.org/spec/;
+reference ``aligned/sources/iceberg.py:71`` drives the same format
+through pyiceberg) without the iceberg-spark-runtime jar or the
+pyiceberg package, neither of which exists in this container:
+
+- ``metadata/v<N>.metadata.json`` — table metadata: schema with
+  FIELD IDS, partition spec, the snapshot list, current-snapshot-id,
+  snapshot/metadata logs. One file per commit; the HadoopCatalog
+  convention (atomic ``O_CREAT|O_EXCL`` create of the next version +
+  ``version-hint.text``) is the commit protocol, giving the same
+  optimistic concurrency as the Delta log (losers raise
+  :class:`~aligned_spark.sources.delta_log.ConcurrentCommitError`-
+  equivalent and retry);
+- ``metadata/snap-<id>-*.avro`` — the MANIFEST LIST: one row per
+  manifest with partition-spec id and added-snapshot id;
+- ``metadata/<uuid>-m0.avro`` — MANIFEST files: one ``manifest_entry``
+  row per data file (status ADDED/EXISTING/DELETED, nested
+  ``data_file`` record with path, format, identity-partition tuple,
+  record count, size). Avro container files are written/read by
+  :mod:`aligned_spark.sources.avro_io` — the metadata layer is real
+  Avro, as the spec requires, not JSON stand-ins;
+- ``data/…`` — plain parquet parts staged by the same shared
+  machinery as the Delta implementation
+  (:mod:`aligned_spark.sources.parts`).
+
+Snapshot semantics: each commit's manifest list enumerates the
+manifests reachable at that snapshot; a reader resolves current (or
+any historical) snapshot → manifest list → manifests → live data
+files (status != DELETED). MERGE/DELETE use copy-on-write at file
+granularity: only parts containing a matched row are rewritten; the
+new snapshot's manifest list carries one manifest of EXISTING entries
+for every untouched file plus ADDED entries for rewrites (deleted
+files simply leave the list — prior snapshots still reference them,
+so time travel keeps working).
+
+Scale design (100 TB): identical posture to every Iceberg
+implementation — planning is driver-side METADATA over manifest
+files (O(files) Avro rows, split across manifests), data jobs are
+Spark scans of the planned file set; identity partition values ride
+the manifest entries for partition pruning without touching data
+files. Supported column types cover the engine's surface (bool, int,
+long, float, double, string, timestamp, date, binary, decimal,
+list<primitive>); schema field-ids are assigned depth-first at
+CREATE, as the spec requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aligned_spark.sources.avro_io import read_container, write_container
+from aligned_spark.sources.delta_log import ConcurrentCommitError
+from aligned_spark.sources.parts import StagedPart, stage_parquet_parts
+
+_VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+ADDED, EXISTING, DELETED = 1, 0, 2
+
+
+# ----------------------------------------------------- schema mapping
+
+
+def _iceberg_type(dt: T.DataType, next_id) -> Any:
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": next_id(),
+            "element": _iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    raise ValueError(f"unsupported Spark type for Iceberg: {dt}")
+
+
+def _spark_type(it: Any) -> T.DataType:
+    if isinstance(it, dict) and it.get("type") == "list":
+        return T.ArrayType(
+            _spark_type(it["element"]), not it["element-required"]
+        )
+    m = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+    }
+    if it in m:
+        return m[it]
+    dm = re.match(r"decimal\((\d+),\s*(\d+)\)", str(it))
+    if dm:
+        return T.DecimalType(int(dm.group(1)), int(dm.group(2)))
+    raise ValueError(f"unsupported Iceberg type: {it!r}")
+
+
+def _schema_to_iceberg(schema: T.StructType) -> dict[str, Any]:
+    counter = {"n": 0}
+
+    def next_id() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    fields = []
+    for f in schema.fields:
+        fid = next_id()
+        fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, next_id),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": fields,
+        "__last_column_id": counter["n"],
+    }
+
+
+def _schema_to_spark(ice: dict[str, Any]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"], _spark_type(f["type"]), not f["required"]
+            )
+            for f in ice["fields"]
+        ]
+    )
+
+
+# ------------------------------------------------------- avro schemas
+
+
+def _partition_avro_schema(spec_fields: list[dict[str, Any]]) -> dict:
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": f["field-id"],
+            }
+            for f in spec_fields
+        ],
+    }
+
+
+def _manifest_entry_schema(spec_fields: list[dict[str, Any]]) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {
+                            "name": "file_path",
+                            "type": "string",
+                            "field-id": 100,
+                        },
+                        {
+                            "name": "file_format",
+                            "type": "string",
+                            "field-id": 101,
+                        },
+                        {
+                            "name": "partition",
+                            "type": _partition_avro_schema(spec_fields),
+                            "field-id": 102,
+                        },
+                        {
+                            "name": "record_count",
+                            "type": "long",
+                            "field-id": 103,
+                        },
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                        {
+                            "name": "block_size_in_bytes",
+                            "type": "long",
+                            "field-id": 105,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {
+            "name": "added_snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 503,
+        },
+    ],
+}
+
+
+# ------------------------------------------------------------- tables
+
+
+@dataclass
+class IcebergSnapshotView:
+    """Resolved view of one snapshot: live files + partition values."""
+
+    snapshot_id: int
+    schema: T.StructType
+    partition_columns: list[str]
+    files: dict[str, dict[str, Any]]  # rel path -> entry info
+
+
+@dataclass
+class IcebergLog:
+    """Reader/writer for one Iceberg v1 table directory."""
+
+    table_path: str
+
+    # -------------------------------------------------------- layout
+
+    @property
+    def meta_dir(self) -> str:
+        return os.path.join(self.table_path, "metadata")
+
+    def exists(self) -> bool:
+        return os.path.isfile(
+            os.path.join(self.meta_dir, "v1.metadata.json")
+        )
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for name in os.listdir(self.meta_dir):
+            m = _VERSION_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current_metadata(
+        self, version: int | None = None
+    ) -> dict[str, Any]:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"not an Iceberg table: {self.table_path}"
+            )
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(f"metadata version {v} not in {vs}")
+        p = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    # ------------------------------------------------------- commits
+
+    def _commit_metadata(self, md: dict[str, Any], version: int) -> None:
+        """HadoopCatalog commit: exclusive-create of the next
+        metadata version; ``version-hint.text`` is an advisory
+        pointer, the version files are the source of truth."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"metadata v{version} already committed at "
+                f"{self.table_path}"
+            ) from exc
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(md, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = hint + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(tmp, hint)
+
+    def _write_manifest(
+        self,
+        entries: list[dict[str, Any]],
+        spec_fields: list[dict[str, Any]],
+        schema_json: dict[str, Any],
+    ) -> dict[str, Any]:
+        name = f"{uuid.uuid4().hex}-m0.avro"
+        path = os.path.join(self.meta_dir, name)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        size = write_container(
+            path,
+            _manifest_entry_schema(spec_fields),
+            entries,
+            metadata={
+                "schema": json.dumps(schema_json),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": "0",
+                "format-version": "1",
+                "content": "data",
+            },
+        )
+        return {
+            "manifest_path": f"metadata/{name}",
+            "manifest_length": size,
+            "partition_spec_id": 0,
+            "added_snapshot_id": None,  # filled by the caller
+        }
+
+    def _write_manifest_list(
+        self, snapshot_id: int, manifests: list[dict[str, Any]]
+    ) -> str:
+        name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        path = os.path.join(self.meta_dir, name)
+        write_container(
+            path,
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {**m, "added_snapshot_id": snapshot_id}
+                for m in manifests
+            ],
+        )
+        return f"metadata/{name}"
+
+    @staticmethod
+    def _snapshot_id() -> int:
+        return uuid.uuid4().int >> 65  # positive, fits a long
+
+    def _next_commit(
+        self,
+        md: dict[str, Any],
+        manifests: list[dict[str, Any]],
+        operation: str,
+    ) -> int:
+        sid = self._snapshot_id()
+        ml = self._write_manifest_list(sid, manifests)
+        now = int(time.time() * 1000)
+        snap = {
+            "snapshot-id": sid,
+            "timestamp-ms": now,
+            "manifest-list": ml,
+            "summary": {"operation": operation},
+            "schema-id": 0,
+        }
+        version = self._versions()[-1] + 1
+        new_md = dict(md)
+        new_md["last-updated-ms"] = now
+        new_md["current-snapshot-id"] = sid
+        new_md["snapshots"] = [*md.get("snapshots", []), snap]
+        new_md["snapshot-log"] = [
+            *md.get("snapshot-log", []),
+            {"timestamp-ms": now, "snapshot-id": sid},
+        ]
+        new_md["metadata-log"] = [
+            *md.get("metadata-log", []),
+            {
+                "timestamp-ms": now,
+                "metadata-file": f"metadata/v{version - 1}.metadata.json",
+            },
+        ]
+        self._commit_metadata(new_md, version)
+        return sid
+
+    # -------------------------------------------------------- create
+
+    def create(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> None:
+        """CREATE TABLE: v1 metadata with spec-compliant field-id
+        assignment and an identity partition spec; no snapshot yet."""
+        ice_schema = _schema_to_iceberg(df.schema)
+        last_col = ice_schema.pop("__last_column_id")
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        spec_fields = []
+        for i, c in enumerate(partition_by or []):
+            if c not in by_name:
+                raise ValueError(f"partition column {c!r} not in schema")
+            spec_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        md = {
+            "format-version": 1,
+            "table-uuid": str(uuid.uuid4()),
+            "location": self.table_path,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": last_col,
+            "schema": ice_schema,
+            "schemas": [ice_schema],
+            "current-schema-id": 0,
+            "partition-spec": spec_fields,
+            "partition-specs": [
+                {"spec-id": 0, "fields": spec_fields}
+            ],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(spec_fields),
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        self._commit_metadata(md, 1)
+
+    # ------------------------------------------------------- resolve
+
+    def _resolve(
+        self, snapshot_id: int | None = None
+    ) -> IcebergSnapshotView:
+        md = self.current_metadata()
+        schema = _schema_to_spark(md["schema"])
+        spec_fields = md["partition-specs"][0]["fields"]
+        part_cols = [f["name"] for f in spec_fields]
+        snaps = md.get("snapshots", [])
+        if snapshot_id is None:
+            sid = md.get("current-snapshot-id", -1)
+        else:
+            sid = snapshot_id
+        snap = next(
+            (s for s in snaps if s["snapshot-id"] == sid), None
+        )
+        if snap is None:
+            if snapshot_id is not None:
+                raise ValueError(f"unknown snapshot id {snapshot_id}")
+            return IcebergSnapshotView(-1, schema, part_cols, {})
+        _, manifests = read_container(
+            os.path.join(self.table_path, snap["manifest-list"])
+        )
+        files: dict[str, dict[str, Any]] = {}
+        for m in manifests:
+            _, entries = read_container(
+                os.path.join(self.table_path, m["manifest_path"])
+            )
+            for e in entries:
+                if e["status"] == DELETED:
+                    files.pop(e["data_file"]["file_path"], None)
+                else:
+                    files[e["data_file"]["file_path"]] = e["data_file"]
+        return IcebergSnapshotView(sid, schema, part_cols, files)
+
+    def snapshot_ids(self) -> list[int]:
+        md = self.current_metadata()
+        return [s["snapshot-id"] for s in md.get("snapshots", [])]
+
+    # ------------------------------------------------------- writing
+
+    def _entries(
+        self, parts: list[StagedPart], part_cols: list[str], status: int
+    ) -> list[dict[str, Any]]:
+        return [
+            {
+                "status": status,
+                "snapshot_id": None,
+                "data_file": {
+                    "file_path": p.path,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        c: p.partition_values.get(c) for c in part_cols
+                    },
+                    "record_count": p.stats.get("numRecords", 0),
+                    "file_size_in_bytes": p.size,
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                },
+            }
+            for p in parts
+        ]
+
+    def _existing_entries(
+        self, view: IcebergSnapshotView, skip: set[str]
+    ) -> list[dict[str, Any]]:
+        return [
+            {
+                "status": EXISTING,
+                "snapshot_id": view.snapshot_id,
+                "data_file": df_,
+            }
+            for path, df_ in sorted(view.files.items())
+            if path not in skip
+        ]
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """``append`` / ``overwrite``; creates the table on first
+        write. Returns the new snapshot id."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        if not self.exists():
+            self.create(df, partition_by)
+        md = self.current_metadata()
+        view = self._resolve()
+        part_cols = view.partition_columns
+        parts = stage_parquet_parts(
+            df, self.table_path, part_cols or None, data_subdir="data"
+        )
+        spec_fields = md["partition-specs"][0]["fields"]
+        manifests = [
+            self._write_manifest(
+                self._entries(parts, part_cols, ADDED),
+                spec_fields,
+                md["schema"],
+            )
+        ]
+        if mode == "append" and view.files:
+            manifests.append(
+                self._write_manifest(
+                    self._existing_entries(view, set()),
+                    spec_fields,
+                    md["schema"],
+                )
+            )
+        return self._next_commit(md, manifests, mode)
+
+    # ------------------------------------------------------- reading
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read (current or time travel by snapshot id):
+        manifest-planned file set → one Spark parquet scan, columns
+        normalized to the table schema (identity-partition dirs
+        infer as strings otherwise)."""
+        view = self._resolve(snapshot_id)
+        if not view.files:
+            return spark.createDataFrame([], view.schema)
+        paths = [
+            os.path.join(self.table_path, p) for p in sorted(view.files)
+        ]
+        df = spark.read.option(
+            "basePath", os.path.join(self.table_path, "data")
+        ).parquet(*paths)
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in view.schema.fields
+            ]
+        )
+
+    # ----------------------------------------------------- mutations
+
+    def _touched_files(
+        self, spark: SparkSession, view: IcebergSnapshotView, row_filter
+    ) -> list[str]:
+        if not view.files:
+            return []
+        from urllib.parse import unquote, urlparse
+
+        df = self.read(spark, view.snapshot_id).withColumn(
+            "__file", F.col("_metadata.file_path")
+        )
+        hits = row_filter(df).select("__file").distinct().collect()
+        table_abs = os.path.abspath(self.table_path)
+        out = set()
+        for r in hits:
+            p = unquote(urlparse(r["__file"]).path) or r["__file"]
+            out.add(
+                os.path.relpath(
+                    os.path.abspath(p), table_abs
+                ).replace(os.sep, "/")
+            )
+        return sorted(out)
+
+    def _rewrite_commit(
+        self,
+        md: dict[str, Any],
+        view: IcebergSnapshotView,
+        touched: list[str],
+        replacement: DataFrame,
+        operation: str,
+    ) -> int:
+        spec_fields = md["partition-specs"][0]["fields"]
+        parts = stage_parquet_parts(
+            replacement,
+            self.table_path,
+            view.partition_columns or None,
+            data_subdir="data",
+        )
+        manifests = [
+            self._write_manifest(
+                self._entries(parts, view.partition_columns, ADDED),
+                spec_fields,
+                md["schema"],
+            )
+        ]
+        survivors = self._existing_entries(view, set(touched))
+        if survivors:
+            manifests.append(
+                self._write_manifest(
+                    survivors, spec_fields, md["schema"]
+                )
+            )
+        return self._next_commit(md, manifests, operation)
+
+    def merge_upsert(
+        self, df: DataFrame, keys: list[str]
+    ) -> int:
+        """MERGE (copy-on-write): whenMatchedUpdateAll +
+        whenNotMatchedInsertAll; only parts containing a matched key
+        rewrite — same file-pruned plan as the Delta MERGE. Callers
+        pre-dedup the source on ``keys``."""
+        if not self.exists():
+            return self.write(df, "append")
+        spark = df.sparkSession
+        md = self.current_metadata()
+        view = self._resolve()
+        src_keys = df.select(*keys).distinct()
+        touched = self._touched_files(
+            spark,
+            view,
+            lambda cur: cur.join(src_keys, keys, "left_semi"),
+        )
+        cols = [f.name for f in view.schema.fields]
+        out = df.select(*cols)
+        if touched:
+            survivors = (
+                spark.read.option(
+                    "basePath", os.path.join(self.table_path, "data")
+                )
+                .parquet(
+                    *[os.path.join(self.table_path, p) for p in touched]
+                )
+                .select(*cols)
+                .join(src_keys, keys, "left_anti")
+            )
+            out = survivors.unionByName(out)
+        return self._rewrite_commit(md, view, touched, out, "overwrite")
+
+    def delete_where(
+        self, spark: SparkSession, predicate: Column
+    ) -> int:
+        """DELETE rows matching ``predicate`` (NULL keeps the row);
+        only parts containing a match rewrite."""
+        md = self.current_metadata()
+        view = self._resolve()
+        cond = F.coalesce(predicate, F.lit(False))
+        touched = self._touched_files(
+            spark, view, lambda cur: cur.filter(cond)
+        )
+        if not touched:
+            return view.snapshot_id
+        cols = [f.name for f in view.schema.fields]
+        survivors = (
+            spark.read.option(
+                "basePath", os.path.join(self.table_path, "data")
+            )
+            .parquet(
+                *[os.path.join(self.table_path, p) for p in touched]
+            )
+            .select(*cols)
+            .filter(~cond)
+        )
+        return self._rewrite_commit(
+            md, view, touched, survivors, "delete"
+        )

@@ -1,0 +1,144 @@
+"""Shared parquet part staging for table formats (Delta, Iceberg).
+
+Both transaction-log formats share the same write discipline: Spark
+writes parquet parts into a STAGING directory inside the table, the
+files are renamed to collision-free names in their final location,
+per-file stats are harvested from the parquet FOOTERS (no data
+scan), and the parts stay invisible to readers until the format's
+metadata commit lands — which is what makes the whole write atomic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+#: string stats longer than this are not recorded — a TRUNCATED max
+#: would need protocol-specific padding tricks to stay an upper
+#: bound, so long strings simply opt out of skipping instead.
+_MAX_STR_STAT = 64
+
+
+def stats_from_footer(path: str) -> dict[str, Any]:
+    """Per-file stats straight from the parquet FOOTER (no data
+    scan): numRecords plus min/max/nullCount for primitive columns.
+    Timestamps serialize as ISO strings; long strings are skipped
+    (see ``_MAX_STR_STAT``)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+
+    def _norm(v: Any) -> Any:
+        import datetime as dt
+
+        if isinstance(v, dt.datetime):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                v = v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, str) and len(v) > _MAX_STR_STAT:
+            return None
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:  # nested — no skipping stats
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = _norm(st.min), _norm(st.max)
+            if lo is None or hi is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
+@dataclass
+class StagedPart:
+    path: str  # relative to the table root, "/"-separated
+    partition_values: dict[str, str | None]
+    size: int
+    mtime_ms: int
+    stats: dict[str, Any]
+
+
+def stage_parquet_parts(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None,
+    data_subdir: str = "",
+) -> list[StagedPart]:
+    """Write ``df`` as parquet parts under ``table_path`` (optionally
+    inside ``data_subdir``, e.g. Iceberg's ``data/``) via a staging
+    dir; returns the staged parts with hive partition values parsed
+    from the directory layout."""
+    staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    parts: list[StagedPart] = []
+    try:
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                reldir = os.path.relpath(root, staging)
+                part_values: dict[str, str | None] = {}
+                comps = [] if reldir == "." else reldir.split(os.sep)
+                for comp in comps:
+                    k, _, v = comp.partition("=")
+                    part_values[unquote(k)] = (
+                        None if v == _HIVE_NULL else unquote(v)
+                    )
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel = os.path.join(
+                    *(
+                        ([data_subdir] if data_subdir else [])
+                        + (comps if reldir != "." else [])
+                        + [new_name]
+                    )
+                )
+                dst = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                stats = stats_from_footer(src)
+                os.replace(src, dst)
+                parts.append(
+                    StagedPart(
+                        path=rel.replace(os.sep, "/"),
+                        partition_values=part_values,
+                        size=os.path.getsize(dst),
+                        mtime_ms=int(os.path.getmtime(dst) * 1000),
+                        stats=stats,
+                    )
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return parts

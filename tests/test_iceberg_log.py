@@ -1,0 +1,239 @@
+"""Pure-Python Iceberg v1 tables (`sources/iceberg_log.py`) and the
+Avro codec beneath them (`sources/avro_io.py`)."""
+
+import io
+import json
+import os
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------- avro
+
+
+def test_avro_zigzag_longs_roundtrip(tmp_path):
+    from aligned_spark.sources.avro_io import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "long"], "default": None},
+        ],
+    }
+    recs = [
+        {"a": 0, "b": None},
+        {"a": -1, "b": 1},
+        {"a": -(2**62), "b": 2**62},
+        {"a": 63, "b": -64},
+    ]
+    p = str(tmp_path / "t.avro")
+    write_container(p, schema, recs)
+    _, back = read_container(p)
+    assert back == recs
+
+
+def test_avro_empty_container(tmp_path):
+    from aligned_spark.sources.avro_io import (
+        read_container,
+        write_container,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "string"}]}
+    p = str(tmp_path / "e.avro")
+    write_container(p, schema, [])
+    s, back = read_container(p)
+    assert s == schema and back == []
+
+
+def test_avro_negative_array_block_count():
+    """Readers must accept the size-prefixed negative block count
+    some writers emit."""
+    from aligned_spark.sources.avro_io import (
+        _write_long,
+        read_datum,
+    )
+
+    buf = io.BytesIO()
+    _write_long(buf, -2)  # 2 items, size-prefixed
+    _write_long(buf, 2)  # byte size (ignored)
+    _write_long(buf, 7)
+    _write_long(buf, 8)
+    _write_long(buf, 0)
+    buf.seek(0)
+    assert read_datum(buf, {"type": "array", "items": "long"}) == [7, 8]
+
+
+# --------------------------------------------------------- iceberg
+
+
+@pytest.fixture()
+def log(tmp_path):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    return IcebergLog(str(tmp_path / "tbl"))
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, p=k % 2) for k, v in pairs]
+    )
+
+
+def test_create_writes_spec_compliant_metadata(spark, log):
+    log.write(_mk(spark, [(1, "a"), (2, "b")]), partition_by=["p"])
+    md = log.current_metadata()
+    assert md["format-version"] == 1
+    ids = [f["id"] for f in md["schema"]["fields"]]
+    assert ids == sorted(set(ids))  # unique, assigned in order
+    spec = md["partition-specs"][0]["fields"]
+    assert spec[0]["transform"] == "identity"
+    assert spec[0]["field-id"] == 1000
+    assert spec[0]["source-id"] in ids
+    hint = os.path.join(log.meta_dir, "version-hint.text")
+    assert open(hint).read() == "2"  # v1 create + v2 first snapshot
+
+
+def test_roundtrip_and_append(spark, log):
+    a = _mk(spark, [(1, "a"), (2, "b")])
+    log.write(a, "append", partition_by=["p"])
+    log.write(_mk(spark, [(3, "c")]), "append")
+    out = log.read(spark)
+    assert out.count() == 3
+    assert dict(out.dtypes)["p"] == "bigint"  # schema-normalized
+    assert set(out.columns) == {"k", "v", "p"}
+
+
+def test_manifests_are_real_avro(spark, log):
+    from aligned_spark.sources.avro_io import read_container
+
+    log.write(_mk(spark, [(1, "a")]), partition_by=["p"])
+    md = log.current_metadata()
+    snap = md["snapshots"][-1]
+    _, manifests = read_container(
+        os.path.join(log.table_path, snap["manifest-list"])
+    )
+    assert manifests and all(
+        m["added_snapshot_id"] == snap["snapshot-id"] for m in manifests
+    )
+    mschema, entries = read_container(
+        os.path.join(log.table_path, manifests[0]["manifest_path"])
+    )
+    fids = {f["name"]: f.get("field-id") for f in mschema["fields"]}
+    assert fids == {"status": 0, "snapshot_id": 1, "data_file": 2}
+    e = entries[0]
+    assert e["status"] == 1
+    assert e["data_file"]["file_format"] == "PARQUET"
+    assert e["data_file"]["file_path"].startswith("data/")
+    assert e["data_file"]["record_count"] >= 0
+
+
+def test_merge_rewrites_only_touched_files(spark, log):
+    from aligned_spark.sources.avro_io import read_container
+    from aligned_spark.sources.iceberg_log import ADDED, EXISTING
+
+    a = _mk(spark, [(i, "old") for i in (1, 2, 3, 4)]).coalesce(1)
+    b = _mk(spark, [(i, "old") for i in (5, 6, 7, 8)]).coalesce(1)
+    log.write(a, "append")
+    log.write(b, "append")
+    before = log._resolve()
+    log.merge_upsert(_mk(spark, [(1, "NEW"), (99, "INS")]), keys=["k"])
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got == {1: "NEW", 2: "old", 3: "old", 4: "old",
+                   5: "old", 6: "old", 7: "old", 8: "old", 99: "INS"}
+    # the new snapshot carries EXISTING entries for untouched files
+    md = log.current_metadata()
+    snap = md["snapshots"][-1]
+    _, manifests = read_container(
+        os.path.join(log.table_path, snap["manifest-list"])
+    )
+    statuses = []
+    existing_paths = set()
+    for m in manifests:
+        _, entries = read_container(
+            os.path.join(log.table_path, m["manifest_path"])
+        )
+        for e in entries:
+            statuses.append(e["status"])
+            if e["status"] == EXISTING:
+                existing_paths.add(e["data_file"]["file_path"])
+    assert ADDED in statuses and EXISTING in statuses
+    # the file holding keys 5-8 survived untouched
+    assert existing_paths & set(before.files)
+
+
+def test_delete_null_predicate_keeps_row(spark, log):
+    df = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30)]
+    )
+    log.write(df, "append")
+    log.delete_where(spark, F.col("v") > 15)
+    assert sorted(r.k for r in log.read(spark).collect()) == [1, 2]
+
+
+def test_time_travel_by_snapshot_id(spark, log):
+    s0 = log.write(_mk(spark, [(1, "a")]), "append")
+    s1 = log.write(_mk(spark, [(9, "z")]), "overwrite")
+    assert log.read(spark).count() == 1
+    assert {r.k for r in log.read(spark, snapshot_id=s0).collect()} == {1}
+    assert {r.k for r in log.read(spark, snapshot_id=s1).collect()} == {9}
+    assert log.snapshot_ids() == [s0, s1]
+
+
+def test_concurrent_metadata_commit_conflict(spark, log):
+    from aligned_spark.sources.delta_log import ConcurrentCommitError
+    from aligned_spark.sources.iceberg import IcebergSource
+
+    log.write(_mk(spark, [(1, "a")]), "append")
+    nxt = log._versions()[-1] + 1
+    md = log.current_metadata()
+    blocker = os.path.join(log.meta_dir, f"v{nxt}.metadata.json")
+    with open(blocker, "w") as fh:
+        json.dump(md, fh)
+    with pytest.raises(ConcurrentCommitError):
+        log._commit_metadata(md, nxt)
+    # source-level retry resolves against the new latest and lands
+    src = IcebergSource(path=log.table_path)
+    src.insert(_mk(spark, [(2, "b")]))
+    assert src.read(spark).count() >= 2
+
+
+def test_source_gating_without_path_still_raises(spark):
+    from aligned_spark.sources.iceberg import IcebergSource
+
+    src = IcebergSource(table="cat.db.t")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        src.read(spark)
+
+
+def test_source_path_roundtrip_with_arrays(spark, tmp_path):
+    """Embedding-style array<float> columns survive the type
+    mapping."""
+    from aligned_spark.sources.iceberg import IcebergSource
+
+    src = IcebergSource(path=str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.5, 1.5]), Row(vec_id=2, embedding=[2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    src.insert(df)
+    back = src.read(spark)
+    assert dict(back.dtypes)["embedding"] == "array<float>"
+    assert back.count() == 2
+    src.upsert(
+        spark.createDataFrame(
+            [Row(vec_id=2, embedding=[9.0, 9.0])],
+            "vec_id long, embedding array<float>",
+        ),
+        keys=["vec_id"],
+    )
+    got = {r.vec_id: r.embedding for r in src.read(spark).collect()}
+    assert got[2] == [9.0, 9.0] and got[1] == [0.5, 1.5]
