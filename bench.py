@@ -128,6 +128,14 @@ HEADLINE = [
     "graph_pagerank_dangling",
     "text_wordpiece_real_vocab",
     "events_distinct_sketch",
+    # round-6 additions: Delta write/MERGE/DELETE round-trip on the
+    # pure-Python transaction log, GPT-family BPE budgets, CUBE
+    # grouping sets, dataflow ECE
+    "source_delta_merge",
+    "source_iceberg_merge",
+    "text_bpe_counts",
+    "agg_cube",
+    "model_ece",
 ]
 
 

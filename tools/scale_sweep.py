@@ -28,10 +28,18 @@ operator):
   (k*1e7) and ``value`` (k*1e5). The value offset puts each
   replica's intervals in disjoint bin ranges, so interval-overlap
   output grows 10x (density constant), not 100x.
-- ``lineitem`` x10: straight replication (the counting-percentile
-  census keys on values; duplicated values scale counts, not
-  distinct-value cardinality — the scan/partial-agg path is what
-  grows).
+- ``lineitem`` x10: replica k offsets l_orderkey by k*1e9 (keeps the
+  orders join 1:1 per replica; the counting-percentile census keys on
+  VALUE columns, which replication leaves untouched — counts scale,
+  distinct-value cardinality does not).
+- ``orders`` x10: replica k offsets o_orderkey (k*1e9) and o_custkey
+  (k*1e7) — the pagerank edge graph becomes 10 disjoint copies of the
+  1x graph, so per-iteration density is constant.
+- ``embeddings`` x10: replica k offsets vec_id (k*1e7) and circularly
+  ROTATES each vector by k dims (replica 0 original). Rotation
+  preserves norms and the uniform spread, and two rotated copies of
+  uniform vectors are uncorrelated, so near-neighbor density per
+  vector stays constant instead of creating 10 exact twins per point.
 
 Usage: python tools/scale_sweep.py [--rebuild]
 Prints one JSON line per query plus a summary table for PERF.md.
@@ -53,11 +61,21 @@ BIG = "/tmp/scale10"
 REPLICAS = 10
 
 QUERIES = [
+    # round-5 set
     "dedup_minhash_arrow",
     "dedup_substring_spans_arrow",
     "join_interval_overlap",
     "sim_prefix_jaccard_pairs_arrow",
     "agg_percentiles_counting",
+    # round-6 extension (VERDICT r5 task 4): graph / ANN / bloom
+    "graph_pagerank",
+    "graph_triangles",
+    "eval_ann_recall",
+    "dedup_semantic",
+    "text_decontaminate_bloom",
+    # round-6: steady-state re-measure of the r5 bench wobbles
+    "corpus_domain_filter",
+    "events_global_row_ids",
 ]
 
 
@@ -126,9 +144,41 @@ def build_big(spark) -> None:
     )
 
     li = read_parquet(spark, f"{BASE}/lineitem.parquet")
-    li.select("*", rep).drop("__k").repartition(32).write.mode(
-        "overwrite"
-    ).parquet(f"{BIG}/lineitem.parquet")
+    li.select("*", rep).withColumn(
+        "l_orderkey",
+        F.col("l_orderkey") + F.col("__k") * F.lit(1_000_000_000),
+    ).drop("__k").repartition(32).write.mode("overwrite").parquet(
+        f"{BIG}/lineitem.parquet"
+    )
+
+    od = read_parquet(spark, f"{BASE}/orders.parquet")
+    od.select("*", rep).withColumn(
+        "o_orderkey",
+        F.col("o_orderkey") + F.col("__k") * F.lit(1_000_000_000),
+    ).withColumn(
+        "o_custkey",
+        F.col("o_custkey") + F.col("__k") * F.lit(10_000_000),
+    ).drop("__k").repartition(32).write.mode("overwrite").parquet(
+        f"{BIG}/orders.parquet"
+    )
+
+    emb = read_parquet(spark, f"{BASE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    rolled = F.concat(
+        F.slice(F.col("embedding"), F.col("__k") + 1, F.lit(dim)),
+        F.slice(F.col("embedding"), 1, F.col("__k")),
+    )
+    emb.select("*", rep).select(
+        (F.col("vec_id") + F.col("__k") * F.lit(10_000_000)).alias(
+            "vec_id"
+        ),
+        F.when(F.col("__k") == 0, F.col("embedding"))
+        .otherwise(rolled)
+        .alias("embedding"),
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(
+        f"{BIG}/embeddings.parquet"
+    )
 
 
 def _force(df) -> None:
@@ -156,7 +206,7 @@ def main() -> None:
 
     spark = get_spark("scale_sweep")
     if "--rebuild" in sys.argv or not os.path.exists(
-        f"{BIG}/lineitem.parquet"
+        f"{BIG}/embeddings.parquet"  # r6 extension marker
     ):
         print("building 10x corpus at", BIG, file=sys.stderr)
         build_big(spark)
