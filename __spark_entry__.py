@@ -447,7 +447,7 @@ def _expr_time_diff(spark, sf_dir):
 
 
 @q(
-    "expr_conditionals",
+    "source_delta_evolution",
     """SELECT event_id,
               COALESCE(TRY_CAST(event_type AS DOUBLE), -1.0) AS type_num,
               least(greatest(value, 20.0), 80.0) AS v_clipped,
@@ -7665,6 +7665,43 @@ def _source_iceberg_time_travel(spark, sf_dir):
     )
 
 
+@q(
+    "source_delta_evolution",
+    """SELECT s_suppkey, s_name,
+              CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END
+                AS s_acctbal
+       FROM supplier""",
+)
+def _source_delta_evolution(spark, sf_dir):
+    """Delta SCHEMA EVOLUTION end-to-end: the table is created from
+    the even-key suppliers WITHOUT ``s_acctbal``, then the odd-key
+    suppliers append WITH it under ``merge_schema=True`` — a new
+    metaData action widens the table schema and the final snapshot
+    read projects NULL for the pre-evolution parts via the explicit
+    reader schema (`sources/delta_log.py:merge_schemas`). The oracle
+    replays the widened table relationally."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.delta import DeltaSource
+
+    sup = _t(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="aligned_spark_delta_evo_")
+    src = DeltaSource(path=path, merge_schema=True)
+    src.insert(
+        sup.filter(F.col("s_suppkey") % 2 == 0).select(
+            "s_suppkey", "s_name"
+        )
+    )
+    src.insert(
+        sup.filter(F.col("s_suppkey") % 2 == 1).select(
+            "s_suppkey", "s_name", "s_acctbal"
+        )
+    )
+    return src.read(spark).select("s_suppkey", "s_name", "s_acctbal")
+
+
 # ===========================================================================
 # Round-6 completeness: CUBE, dataflow ECE
 # ===========================================================================
@@ -7786,7 +7823,7 @@ _PRIORITY: list[str] = [
     "ensure_types_cast",
     "source_iceberg_merge",
     "source_iceberg_time_travel",
-    "expr_conditionals",
+    "source_delta_evolution",
     "expr_date_components",
     "expr_euclidean",
     "expr_hash_distinct",

@@ -57,6 +57,10 @@ def get_spark(
         # infers TIMESTAMP_NTZ (rejected by unix_micros/window);
         # with the pinned-UTC session the LTZ reading is identical
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write MICROS, not the deprecated INT96: INT96 pages carry NO
+        # footer statistics, which would silently disable the Delta
+        # log's timestamp data skipping (all_between_dates)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
         .config("spark.ui.enabled", "false")

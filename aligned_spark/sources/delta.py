@@ -55,6 +55,8 @@ class DeltaSource(WritableSource):
     mapping_keys: dict[str, str] = field(default_factory=dict)
     #: partition layout applied on first write
     partition_by: list[str] | None = None
+    #: allow appends to ADD columns (schema evolution)
+    merge_schema: bool = False
 
     def job_group_key(self) -> str:
         return f"delta:{self.path}"
@@ -78,10 +80,64 @@ class DeltaSource(WritableSource):
 
     def insert(self, df: DataFrame) -> None:
         if HAS_DELTA:
-            df.write.format("delta").mode("append").save(self.path)
+            writer = df.write.format("delta").mode("append")
+            if self.merge_schema:
+                writer = writer.option("mergeSchema", "true")
+            writer.save(self.path)
             return
         _retrying(
-            lambda: self._log().write(df, "append", self.partition_by)
+            lambda: self._log().write(
+                df,
+                "append",
+                self.partition_by,
+                merge_schema=self.merge_schema,
+            )
+        )
+
+    def all_between_dates(
+        self,
+        spark: SparkSession,
+        event_timestamp: str,
+        start,
+        end,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Date-range read with DATA SKIPPING: parquet-footer min/max
+        stats (harvested at write time) prune whole parts before
+        Spark lists a single file — the scan a freshness check or
+        incremental materialization runs reads only the parts whose
+        stats overlap [start, end]. Timestamps compare as ISO-8601
+        strings, whose lexicographic order IS chronological order.
+        The row-level filter still applies on top (skipping is sound,
+        not complete)."""
+        if HAS_DELTA:
+            return super().all_between_dates(
+                spark, event_timestamp, start, end, columns
+            )
+        # mapping_keys renames physical → logical; skipping needs the
+        # PHYSICAL column name the footers were written under
+        physical = event_timestamp
+        for raw, logical in self.mapping_keys.items():
+            if logical == event_timestamp:
+                physical = raw
+                break
+        df = self._log().read(
+            spark,
+            skipping=[
+                (physical, ">=", start.isoformat()),
+                (physical, "<=", end.isoformat()),
+            ],
+        )
+        if self.mapping_keys:
+            df = df.withColumnsRenamed(self.mapping_keys)
+        if columns:
+            present = [c for c in columns if c in df.columns]
+            df = df.select(*present)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        return df.filter(
+            (F.col(event_timestamp) >= F.lit(start))
+            & (F.col(event_timestamp) <= F.lit(end))
         )
 
     def upsert(self, df: DataFrame, keys: list[str]) -> None:

@@ -58,7 +58,7 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -93,6 +93,27 @@ class Snapshot:
 
 def _pad(v: int) -> str:
     return f"{v:020d}"
+
+
+def merge_schemas(old: StructType, new: StructType) -> StructType:
+    """Schema EVOLUTION merge: columns of ``old`` keep their order
+    and types; columns only in ``new`` append as nullable. A
+    same-name column with a different type is an error — silent
+    coercion across historical parts is how tables rot."""
+    by_name = {f.name: f for f in old.fields}
+    for f in new.fields:
+        have = by_name.get(f.name)
+        if have is not None and have.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column {f.name!r} "
+                f"from {have.dataType} to {f.dataType}"
+            )
+    added = [
+        StructField(f.name, f.dataType, True)
+        for f in new.fields
+        if f.name not in by_name
+    ]
+    return StructType([*old.fields, *added])
 
 
 @dataclass
@@ -419,6 +440,7 @@ class DeltaLog:
         mode: str = "append",
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """``append`` adds parts; ``overwrite`` additionally
         tombstones every previously-live part (old versions stay
@@ -442,8 +464,26 @@ class DeltaLog:
             )
         snap = self.snapshot()
         partition_by = partition_by or snap.partition_columns
+        table_schema = snap.schema()
+        evolved: StructType | None = None
+        if table_schema is not None and mode == "append":
+            known = {f.name for f in table_schema.fields}
+            extra = [f.name for f in df.schema.fields if f.name not in known]
+            if extra and not merge_schema:
+                raise ValueError(
+                    f"append has columns {extra} not in the table "
+                    f"schema; pass merge_schema=True to evolve"
+                )
+            if extra:
+                evolved = merge_schemas(table_schema, df.schema)
+            else:  # also validates no type drift on common columns
+                merge_schemas(table_schema, df.schema)
         adds = self._stage_parts(df, partition_by)
         actions: list[dict[str, Any]] = []
+        if evolved is not None:
+            meta = dict(snap.metadata)
+            meta["schemaString"] = evolved.json()
+            actions.append({"metaData": meta})
         if mode == "overwrite":
             now = int(time.time() * 1000)
             actions += [
@@ -496,18 +536,12 @@ class DeltaLog:
                 )
             return spark.createDataFrame([], schema)
         reader = spark.read.option("basePath", self.table_path)
-        df = reader.parquet(*[self._abs(p) for p in paths])
         if schema is not None:
-            # normalize column ORDER and TYPES to the table schema —
-            # hive-style partition directories infer as string/int,
-            # which may differ from the declared column type
-            df = df.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
-        return df
+            # explicit reader schema: fixes column ORDER and TYPES to
+            # the table schema (hive partition dirs would infer), and
+            # projects NULL for evolved columns absent from old parts
+            reader = reader.schema(schema)
+        return reader.parquet(*[self._abs(p) for p in paths])
 
     def history(self) -> list[dict[str, Any]]:
         out = []
@@ -581,7 +615,8 @@ class DeltaLog:
         out = df.select(*schema_cols)
         if touched:
             survivors = (
-                spark.read.option("basePath", self.table_path)
+                spark.read.schema(snap.schema())
+                .option("basePath", self.table_path)
                 .parquet(*[self._abs(p) for p in touched])
                 .select(*schema_cols)
                 .join(src_keys, keys, "left_anti")
@@ -621,7 +656,8 @@ class DeltaLog:
             return snap.version
         schema_cols = [f.name for f in snap.schema().fields]
         survivors = (
-            spark.read.option("basePath", self.table_path)
+            spark.read.schema(snap.schema())
+            .option("basePath", self.table_path)
             .parquet(*[self._abs(p) for p in touched])
             .select(*schema_cols)
             .filter(~cond)

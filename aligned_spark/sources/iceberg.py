@@ -61,6 +61,8 @@ class IcebergSource(WritableSource):
     #: table directory for the jar-free path (HadoopCatalog-style)
     path: str | None = None
     partition_by: list[str] | None = None
+    #: allow appends to ADD columns (schema evolution)
+    merge_schema: bool = False
 
     def job_group_key(self) -> str:
         return f"iceberg:{self.table or self.path}"
@@ -98,7 +100,12 @@ class IcebergSource(WritableSource):
             df.writeTo(self.table).append()
             return
         _retrying(
-            lambda: self._log().write(df, "append", self.partition_by)
+            lambda: self._log().write(
+                df,
+                "append",
+                self.partition_by,
+                merge_schema=self.merge_schema,
+            )
         )
 
     def upsert(self, df: DataFrame, keys: list[str]) -> None:

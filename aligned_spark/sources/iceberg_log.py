@@ -155,6 +155,60 @@ def _schema_to_iceberg(schema: T.StructType) -> dict[str, Any]:
     }
 
 
+def _evolve_iceberg_schema(
+    md: dict[str, Any], new_spark: T.StructType
+) -> dict[str, Any] | None:
+    """Schema evolution: append columns of ``new_spark`` unknown to
+    the current schema with FRESH field ids continuing from
+    last-column-id (the spec's assignment rule); same-name type
+    changes are rejected. Returns an updated metadata dict, or None
+    when nothing evolves."""
+    cur = md["schema"]
+    by_name = {f["name"]: f for f in cur["fields"]}
+    added = []
+    for f in new_spark.fields:
+        have = by_name.get(f.name)
+        if have is not None:
+            if _spark_type(have["type"]) != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column "
+                    f"{f.name!r} from {have['type']!r} to {f.dataType}"
+                )
+            continue
+        added.append(f)
+    if not added:
+        return None
+    counter = {"n": md["last-column-id"]}
+
+    def next_id() -> int:
+        counter["n"] += 1
+        return counter["n"]
+
+    new_fields = list(cur["fields"])
+    for f in added:
+        fid = next_id()
+        new_fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType, next_id),
+            }
+        )
+    schema_id = cur.get("schema-id", 0) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": new_fields,
+    }
+    out = dict(md)
+    out["schema"] = new_schema
+    out["schemas"] = [*md.get("schemas", []), new_schema]
+    out["current-schema-id"] = schema_id
+    out["last-column-id"] = counter["n"]
+    return out
+
+
 def _schema_to_spark(ice: dict[str, Any]) -> T.StructType:
     return T.StructType(
         [
@@ -546,15 +600,35 @@ class IcebergLog:
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """``append`` / ``overwrite``; creates the table on first
-        write. Returns the new snapshot id."""
+        write. ``merge_schema=True`` appends unknown columns to the
+        table schema with fresh field ids (old parts project NULL).
+        Returns the new snapshot id."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode: {mode!r}")
         if not self.exists():
             self.create(df, partition_by)
         md = self.current_metadata()
+        if mode == "append":
+            evolved = _evolve_iceberg_schema(md, df.schema)
+            if evolved is not None:
+                if not merge_schema:
+                    extra = [
+                        f.name
+                        for f in df.schema.fields
+                        if f.name
+                        not in {x["name"] for x in md["schema"]["fields"]}
+                    ]
+                    raise ValueError(
+                        f"append has columns {extra} not in the table "
+                        f"schema; pass merge_schema=True to evolve"
+                    )
+                md = evolved
         view = self._resolve()
+        if merge_schema:
+            view.schema = _schema_to_spark(md["schema"])
         part_cols = view.partition_columns
         parts = stage_parquet_parts(
             df, self.table_path, part_cols or None, data_subdir="data"
@@ -594,14 +668,13 @@ class IcebergLog:
         paths = [
             os.path.join(self.table_path, p) for p in sorted(view.files)
         ]
-        df = spark.read.option(
-            "basePath", os.path.join(self.table_path, "data")
-        ).parquet(*paths)
-        return df.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in view.schema.fields
-            ]
+        # explicit reader schema: fixes column order/types (hive
+        # partition dirs would infer) and projects NULL for evolved
+        # columns absent from old parts
+        return (
+            spark.read.schema(view.schema)
+            .option("basePath", os.path.join(self.table_path, "data"))
+            .parquet(*paths)
         )
 
     # ----------------------------------------------------- mutations
@@ -681,7 +754,8 @@ class IcebergLog:
         out = df.select(*cols)
         if touched:
             survivors = (
-                spark.read.option(
+                spark.read.schema(view.schema)
+                .option(
                     "basePath", os.path.join(self.table_path, "data")
                 )
                 .parquet(
@@ -708,7 +782,8 @@ class IcebergLog:
             return view.snapshot_id
         cols = [f.name for f in view.schema.fields]
         survivors = (
-            spark.read.option(
+            spark.read.schema(view.schema)
+            .option(
                 "basePath", os.path.join(self.table_path, "data")
             )
             .parquet(

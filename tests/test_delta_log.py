@@ -209,3 +209,49 @@ def test_delta_source_upsert_roundtrip(spark, tmp_path):
     assert src.read(spark, version=0).count() == 2
     src.delete_where(spark, F.col("k") == 1)
     assert {r.k for r in src.read(spark).collect()} == {2, 3}
+
+
+def test_schema_evolution_append(spark, log):
+    log.write(_mk(spark, [(1, "a")]), "append")
+    wider = spark.createDataFrame([Row(k=2, v="b", p=0, extra=9.5)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merge_schema"):
+        log.write(wider, "append")
+    log.write(wider, "append", merge_schema=True)
+    out = log.read(spark)
+    assert dict(out.dtypes)["extra"] == "double"
+    got = {r.k: r.extra for r in out.collect()}
+    assert got == {1: None, 2: 9.5}  # old part projects NULL
+    # type drift on an existing column is rejected
+    drift = spark.createDataFrame([Row(k="s", v="x", p=0)])
+    with _pytest.raises(ValueError, match="cannot change"):
+        log.write(drift, "append", merge_schema=True)
+
+
+def test_all_between_dates_skips_files(spark, tmp_path):
+    import datetime as dt
+
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import (
+        DeltaLog,
+        _file_may_match,
+    )
+
+    src = DeltaSource(path=str(tmp_path / "t"))
+    for day in (1, 10, 20):
+        rows = [
+            Row(k=day * 100 + i, ts=dt.datetime(2024, 1, day, i))
+            for i in range(3)
+        ]
+        src.insert(spark.createDataFrame(rows).coalesce(1))
+    log = DeltaLog(src.path)
+    snap = log.snapshot()
+    lo, hi = dt.datetime(2024, 1, 9), dt.datetime(2024, 1, 11)
+    pred = [("ts", ">=", lo.isoformat()), ("ts", "<=", hi.isoformat())]
+    kept = [
+        p for p, a in snap.files.items() if _file_may_match(a, pred)
+    ]
+    assert len(kept) == 1  # only the Jan-10 part survives skipping
+    out = src.all_between_dates(spark, "ts", lo, hi)
+    assert sorted(r.k for r in out.collect()) == [1000, 1001, 1002]

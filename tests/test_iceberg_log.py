@@ -237,3 +237,28 @@ def test_source_path_roundtrip_with_arrays(spark, tmp_path):
     )
     got = {r.vec_id: r.embedding for r in src.read(spark).collect()}
     assert got[2] == [9.0, 9.0] and got[1] == [0.5, 1.5]
+
+
+def test_iceberg_schema_evolution_append(spark, log):
+    log.write(_mk(spark, [(1, "a")]), "append")
+    wider = spark.createDataFrame([Row(k=2, v="b", p=0, extra=9.5)])
+    with pytest.raises(ValueError, match="merge_schema"):
+        log.write(wider, "append")
+    log.write(wider, "append", merge_schema=True)
+    out = log.read(spark)
+    assert dict(out.dtypes)["extra"] == "double"
+    got = {r.k: r.extra for r in out.collect()}
+    assert got == {1: None, 2: 9.5}
+    md = log.current_metadata()
+    # fresh field id beyond the originals; schemas list grew
+    ids = [f["id"] for f in md["schema"]["fields"]]
+    assert ids == sorted(set(ids))
+    assert md["last-column-id"] == max(ids)
+    assert len(md["schemas"]) == 2
+    assert md["current-schema-id"] == 1
+    with pytest.raises(ValueError, match="cannot change"):
+        log.write(
+            spark.createDataFrame([Row(k="s", v="x", p=0)]),
+            "append",
+            merge_schema=True,
+        )
