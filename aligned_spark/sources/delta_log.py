@@ -543,6 +543,41 @@ class DeltaLog:
             reader = reader.schema(schema)
         return reader.parquet(*[self._abs(p) for p in paths])
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED between versions (EXCLUSIVE ``from_version``,
+        inclusive ``to_version``/latest) — the incremental-consumer
+        primitive: a reader tracks its last-seen version and scans
+        only the new parts, never the table. Semantics match a Delta
+        append-only change feed: ``dataChange=true`` adds only, so a
+        MERGE/DELETE rewrite RE-EMITS its surviving rows (consumers
+        needing exactly-once row delivery should dedup on keys or
+        restrict the table to appends; real delta-spark streaming
+        errors on such commits instead)."""
+        latest = self.latest_version()
+        to = latest if to_version is None else to_version
+        if from_version > to:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to}"
+            )
+        paths: list[str] = []
+        for v in range(from_version + 1, to + 1):
+            for action in self._read_commit(v):
+                add = action.get("add")
+                if add and add.get("dataChange", True):
+                    paths.append(add["path"])
+        schema = self.snapshot(to).schema()
+        if not paths:
+            return spark.createDataFrame([], schema)
+        reader = spark.read.option("basePath", self.table_path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[self._abs(p) for p in sorted(paths)])
+
     def history(self) -> list[dict[str, Any]]:
         out = []
         for v in self._versions():

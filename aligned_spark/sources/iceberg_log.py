@@ -677,6 +677,55 @@ class IcebergLog:
             .parquet(*paths)
         )
 
+    def read_appends(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental scan: rows in files ADDED by snapshots after
+        ``from_snapshot_id`` up to ``to_snapshot_id``/current (the
+        Iceberg "incremental append scan"). Copy-on-write rewrites
+        re-add their surviving rows — same caveat as the Delta change
+        feed; see :meth:`DeltaLog.read_changes`."""
+        ids = self.snapshot_ids()
+        if from_snapshot_id not in ids:
+            raise ValueError(f"unknown snapshot id {from_snapshot_id}")
+        to = ids[-1] if to_snapshot_id is None else to_snapshot_id
+        lo, hi = ids.index(from_snapshot_id), ids.index(to)
+        if lo > hi:
+            raise ValueError("from snapshot is newer than to snapshot")
+        md = self.current_metadata()
+        view = self._resolve(to)
+        paths: list[str] = []
+        for snap in md["snapshots"][lo + 1 : hi + 1]:
+            _, manifests = read_container(
+                os.path.join(self.table_path, snap["manifest-list"])
+            )
+            for m in manifests:
+                if m["added_snapshot_id"] != snap["snapshot-id"]:
+                    continue
+                _, entries = read_container(
+                    os.path.join(self.table_path, m["manifest_path"])
+                )
+                paths += [
+                    e["data_file"]["file_path"]
+                    for e in entries
+                    if e["status"] == ADDED
+                ]
+        if not paths:
+            return spark.createDataFrame([], view.schema)
+        return (
+            spark.read.schema(view.schema)
+            .option("basePath", os.path.join(self.table_path, "data"))
+            .parquet(
+                *[
+                    os.path.join(self.table_path, p)
+                    for p in sorted(set(paths))
+                ]
+            )
+        )
+
     # ----------------------------------------------------- mutations
 
     def _touched_files(

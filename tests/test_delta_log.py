@@ -255,3 +255,34 @@ def test_all_between_dates_skips_files(spark, tmp_path):
     assert len(kept) == 1  # only the Jan-10 part survives skipping
     out = src.all_between_dates(spark, "ts", lo, hi)
     assert sorted(r.k for r in out.collect()) == [1000, 1001, 1002]
+
+
+def test_read_changes_incremental(spark, log):
+    v0 = log.write(_mk(spark, [(1, "a")]), "append")
+    v1 = log.write(_mk(spark, [(2, "b"), (3, "c")]), "append")
+    v2 = log.write(_mk(spark, [(4, "d")]), "append")
+    # exclusive-from semantics
+    assert sorted(
+        r.k for r in log.read_changes(spark, v0).collect()
+    ) == [2, 3, 4]
+    assert sorted(
+        r.k for r in log.read_changes(spark, v0, v1).collect()
+    ) == [2, 3]
+    assert log.read_changes(spark, v2).count() == 0
+    # a MERGE rewrite re-emits survivors (documented at-least-once)
+    log.merge_upsert(_mk(spark, [(1, "A")]), ["k"])
+    changed = {r.k for r in log.read_changes(spark, v2).collect()}
+    assert 1 in changed
+
+
+def test_degenerate_empty_frames(spark, log):
+    empty = spark.createDataFrame([], "k long, v string, p long")
+    log.write(empty, "append")  # zero-row table is valid
+    assert log.read(spark).count() == 0
+    assert log.read(spark).schema == empty.schema
+    log.write(_mk(spark, [(1, "a")]), "append")
+    # empty MERGE source and no-match DELETE are no-op commits
+    log.merge_upsert(empty, ["k"])
+    log.delete_where(spark, F.col("k") > 10**9)
+    assert log.read(spark).count() == 1
+    assert log.vacuum(dry_run=True) == [] or log.vacuum() is not None

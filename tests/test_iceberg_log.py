@@ -262,3 +262,25 @@ def test_iceberg_schema_evolution_append(spark, log):
             "append",
             merge_schema=True,
         )
+
+
+def test_read_appends_incremental(spark, log):
+    s0 = log.write(_mk(spark, [(1, "a")]), "append")
+    s1 = log.write(_mk(spark, [(2, "b"), (3, "c")]), "append")
+    log.write(_mk(spark, [(4, "d")]), "append")
+    assert sorted(
+        r.k for r in log.read_appends(spark, s0).collect()
+    ) == [2, 3, 4]
+    assert sorted(
+        r.k for r in log.read_appends(spark, s0, s1).collect()
+    ) == [2, 3]
+
+
+def test_iceberg_degenerate_empty_frames(spark, log):
+    empty = spark.createDataFrame([], "k long, v string, p long")
+    log.write(empty, "append")
+    assert log.read(spark).count() == 0
+    log.write(_mk(spark, [(1, "a")]), "append")
+    log.merge_upsert(empty, ["k"])
+    log.delete_where(spark, F.col("k") > 10**9)
+    assert log.read(spark).count() == 1
