@@ -162,17 +162,36 @@ class StreamWorker:
 
         if sink is None:
             target = view.materialized_source or view.source
+            keys = view.entities + (
+                [view.event_timestamp.name]
+                if view.event_timestamp
+                else []
+            )
+            from aligned_spark.sources.delta import (
+                HAS_DELTA,
+                DeltaSource,
+            )
 
-            def sink(batch_df: DataFrame, batch_id: int) -> None:
-                target.upsert(
-                    batch_df,
-                    view.entities
-                    + (
-                        [view.event_timestamp.name]
-                        if view.event_timestamp
-                        else []
-                    ),
+            if isinstance(target, DeltaSource) and not HAS_DELTA:
+                # Delta target on the pure-Python log: upgrade the
+                # default upsert to the EXACTLY-ONCE sink — the
+                # batch_id is committed as a txn action atomically
+                # with the data, so a post-crash foreachBatch replay
+                # is detected and skipped instead of double-upserted.
+                from aligned_spark.streaming.sinks import (
+                    idempotent_delta_sink,
                 )
+
+                sink = idempotent_delta_sink(
+                    target.path,
+                    keys=keys,
+                    app_id=f"view:{self.view_name}",
+                    partition_by=target.partition_by,
+                )
+            else:
+
+                def sink(batch_df: DataFrame, batch_id: int) -> None:
+                    target.upsert(batch_df, keys)
 
         writer = (
             piped.writeStream.outputMode("update")

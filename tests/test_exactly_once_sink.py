@@ -122,3 +122,71 @@ def test_stream_restart_with_forced_replay_no_duplicates(spark, tmp_path):
     assert sorted(r.user_id for r in out.collect()) == [1, 2, 3]
     # batch ids strictly advanced across the restart
     assert max(b for b, _ in seen) > last_batch
+
+
+def test_stream_worker_defaults_to_exactly_once_delta_sink(
+    spark, tmp_path
+):
+    """A view materialized into a (jar-free) DeltaSource gets the
+    txn-guarded sink automatically: batches land once, the txn
+    version advances, and a forced replay of the last batch is a
+    no-op."""
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.sources.in_memory import InMemorySource
+    from aligned_spark.store import ContractStore
+    from aligned_spark.streaming import StreamWorker
+    from aligned_spark.streaming.sinks import idempotent_delta_sink
+    from aligned_spark.streaming.sources import FileStreamSource
+
+    inbox = str(tmp_path / "inbox")
+    schema = "user_id long, ts timestamp, value double"
+    _drop(spark, inbox, [(1, dt.datetime(2024, 1, 1, 0, 0, 2), 2.0),
+                         (1, dt.datetime(2024, 1, 1, 0, 0, 4), 3.0),
+                         (2, dt.datetime(2024, 1, 1, 0, 0, 6), 10.0)])
+    delta_path = str(tmp_path / "delta_tbl")
+
+    @feature_view(
+        name="eo_stats",
+        source=InMemorySource.from_dict(
+            {"user_id": [], "ts": [], "value": []}, schema=schema
+        ),
+        stream_source=FileStreamSource(path=inbox, schema_ddl=schema),
+        materialized_source=DeltaSource(path=delta_path),
+    )
+    class EoStats:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+        total = value.aggregate().sum().over(seconds=10)
+        n = value.aggregate().count().over(seconds=10)
+
+    store = ContractStore(spark)
+    store.add_view(EoStats)
+    worker = StreamWorker(
+        store, "eo_stats",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q = worker.start()  # no sink passed — default path under test
+    q.awaitTermination(120)
+
+    log = DeltaLog(delta_path)
+    out = {r.user_id: (r.total, r.n) for r in log.read(spark).collect()}
+    assert out[1] == (5.0, 2) and out[2] == (10.0, 1)
+    last = log.txn_version("view:eo_stats")
+    assert last is not None
+    n_before = log.read(spark).count()
+    # forced post-crash replay of the same batch: must be skipped
+    replay = idempotent_delta_sink(
+        delta_path, keys=["user_id", "ts"], app_id="view:eo_stats"
+    )
+    replay(log.read(spark), last)
+    assert log.read(spark).count() == n_before

@@ -284,3 +284,58 @@ def test_iceberg_degenerate_empty_frames(spark, log):
     log.merge_upsert(empty, ["k"])
     log.delete_where(spark, F.col("k") > 10**9)
     assert log.read(spark).count() == 1
+
+
+# ---------------------------------------------- avro property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "prop",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "f", "type": "boolean"},
+        {"name": "d", "type": "double"},
+        {"name": "o", "type": ["null", "string"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+_REC = st.fixed_dictionaries(
+    {
+        "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "s": st.text(max_size=40),
+        "b": st.binary(max_size=40),
+        "f": st.booleans(),
+        "d": st.floats(allow_nan=False),
+        "o": st.one_of(st.none(), st.text(max_size=10)),
+        "arr": st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            max_size=8,
+        ),
+        "m": st.dictionaries(st.text(max_size=8), st.text(max_size=8),
+                             max_size=5),
+    }
+)
+
+
+@given(st.lists(_REC, max_size=12))
+@settings(max_examples=120, deadline=None)
+def test_avro_container_roundtrip_property(tmp_path_factory, recs):
+    from aligned_spark.sources.avro_io import (
+        read_container,
+        write_container,
+    )
+
+    p = str(tmp_path_factory.mktemp("avro") / "p.avro")
+    write_container(p, _AVRO_SCHEMA, recs)
+    schema, back = read_container(p)
+    assert schema == _AVRO_SCHEMA
+    assert back == recs
