@@ -727,17 +727,27 @@ class DeltaLog:
         if not snap.files:
             return snap.version
         df = self.read(spark, snap.version)
+        n_files = None
+        if target_rows_per_file:
+            n_files = max(1, df.count() // target_rows_per_file)
         if zorder_by:
             from aligned_spark.operators.layout import zorder_key
 
+            # RANGE-repartition on the interleaved key, then sort
+            # inside each part: every output file covers a contiguous
+            # z-range, so per-column footer min/max narrow and the
+            # stats-skipping payoff actually materializes (a plain
+            # sortWithinPartitions leaves each file spanning the full
+            # range — zero skipping improvement)
+            keyed = zorder_key(df, zorder_by)
+            parts = n_files or df.rdd.getNumPartitions()
             df = (
-                zorder_key(df, zorder_by)
+                keyed.repartitionByRange(parts, "__zkey")
                 .sortWithinPartitions("__zkey")
                 .drop("__zkey")
             )
-        if target_rows_per_file:
-            n = max(1, df.count() // target_rows_per_file)
-            df = df.repartition(n) if not zorder_by else df.coalesce(n)
+        elif n_files:
+            df = df.repartition(n_files)
         adds = self._stage_parts(df, snap.partition_columns)
         for a in adds:
             a["dataChange"] = False

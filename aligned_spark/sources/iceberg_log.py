@@ -726,6 +726,53 @@ class IcebergLog:
             )
         )
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Snapshot lifecycle: drop all but the newest ``keep_last``
+        snapshots from the metadata (one new metadata version — the
+        history edit is itself versioned/atomic) and physically
+        delete data files no longer referenced by ANY retained
+        snapshot (Iceberg's expireSnapshots + removeOrphanFiles in
+        one pass; time travel to expired snapshots stops working, the
+        documented trade-off). Returns the deleted relative paths."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        md = self.current_metadata()
+        snaps = md.get("snapshots", [])
+        if len(snaps) <= keep_last:
+            kept_snaps = snaps
+        else:
+            kept_snaps = snaps[-keep_last:]
+        kept_ids = {s["snapshot-id"] for s in kept_snaps}
+        referenced: set[str] = set()
+        for s_ in kept_snaps:
+            view = self._resolve(s_["snapshot-id"])
+            referenced |= set(view.files)
+        new_md = dict(md)
+        new_md["snapshots"] = kept_snaps
+        new_md["snapshot-log"] = [
+            e
+            for e in md.get("snapshot-log", [])
+            if e["snapshot-id"] in kept_ids
+        ]
+        version = self._versions()[-1] + 1
+        self._commit_metadata(new_md, version)
+        doomed: list[str] = []
+        data_dir = os.path.join(self.table_path, "data")
+        for root, _dirs, names in os.walk(data_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(root, name), self.table_path
+                ).replace(os.sep, "/")
+                if rel not in referenced:
+                    doomed.append(rel)
+                    try:
+                        os.unlink(os.path.join(self.table_path, rel))
+                    except FileNotFoundError:
+                        pass
+        return sorted(doomed)
+
     # ----------------------------------------------------- mutations
 
     def _touched_files(

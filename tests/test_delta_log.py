@@ -286,3 +286,33 @@ def test_degenerate_empty_frames(spark, log):
     log.delete_where(spark, F.col("k") > 10**9)
     assert log.read(spark).count() == 1
     assert log.vacuum(dry_run=True) == [] or log.vacuum() is not None
+
+
+def test_optimize_zorder_improves_skipping_selectivity(spark, log):
+    """After OPTIMIZE ZORDER BY k, per-file k-ranges narrow, so a
+    point-range predicate prunes a larger fraction of files than on
+    the shuffled layout — the data-skipping payoff Z-ordering buys."""
+    import random
+
+    from aligned_spark.sources.delta_log import _file_may_match
+
+    rng = random.Random(7)
+    ks = list(range(400))
+    rng.shuffle(ks)
+    log.write(
+        _mk(spark, [(k, "x") for k in ks]).repartition(8), "append"
+    )
+
+    def pruned_fraction():
+        snap = log.snapshot()
+        pred = [("k", ">=", 100), ("k", "<=", 120)]
+        kept = sum(
+            1 for a in snap.files.values() if _file_may_match(a, pred)
+        )
+        return 1 - kept / len(snap.files)
+
+    before = pruned_fraction()
+    log.optimize(spark, zorder_by=["k"], target_rows_per_file=50)
+    after = pruned_fraction()
+    assert after > before
+    assert after >= 0.5  # narrow range hits a small file subset

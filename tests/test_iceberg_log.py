@@ -339,3 +339,15 @@ def test_avro_container_roundtrip_property(tmp_path_factory, recs):
     schema, back = read_container(p)
     assert schema == _AVRO_SCHEMA
     assert back == recs
+
+
+def test_expire_snapshots_removes_orphans(spark, log):
+    s0 = log.write(_mk(spark, [(1, "a")]), "append")
+    log.write(_mk(spark, [(9, "z")]), "overwrite")
+    doomed = log.expire_snapshots(keep_last=1)
+    assert doomed  # the overwritten v0 parts are gone
+    assert log.snapshot_ids() != [s0]
+    assert len(log.snapshot_ids()) == 1
+    assert {r.k for r in log.read(spark).collect()} == {9}
+    with pytest.raises(ValueError):
+        log.read(spark, snapshot_id=s0)  # expired — by design
