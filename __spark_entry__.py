@@ -447,7 +447,7 @@ def _expr_time_diff(spark, sf_dir):
 
 
 @q(
-    "source_delta_evolution",
+    "expr_conditionals",
     """SELECT event_id,
               COALESCE(TRY_CAST(event_type AS DOUBLE), -1.0) AS type_num,
               least(greatest(value, 20.0), 80.0) AS v_clipped,

@@ -121,11 +121,22 @@ class DeltaSource(WritableSource):
             if logical == event_timestamp:
                 physical = raw
                 break
+
+        def _iso(v):
+            # footer stats are NAIVE-UTC ISO strings (parts._norm);
+            # normalize tz-aware bounds the same way so the string
+            # comparison stays chronological at equal instants
+            import datetime as dt
+
+            if isinstance(v, dt.datetime) and v.tzinfo is not None:
+                v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+
         df = self._log().read(
             spark,
             skipping=[
-                (physical, ">=", start.isoformat()),
-                (physical, "<=", end.isoformat()),
+                (physical, ">=", _iso(start)),
+                (physical, "<=", _iso(end)),
             ],
         )
         if self.mapping_keys:

@@ -54,7 +54,6 @@ import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
-from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -595,32 +594,15 @@ class DeltaLog:
         row_filter,
     ) -> list[str]:
         """Relative paths of live parts holding ≥1 row matched by
-        ``row_filter`` (a function df→df). One Spark job; the collect
-        is bounded by the FILE count, never the row count."""
+        ``row_filter`` (shared machinery:
+        :func:`aligned_spark.sources.parts.touched_files`)."""
+        from aligned_spark.sources.parts import touched_files
+
         if not snap.files:
             return []
-        df = self.read(spark, snap.version).withColumn(
-            "__file", F.col("_metadata.file_path")
+        return touched_files(
+            self.read(spark, snap.version), self.table_path, row_filter
         )
-        hits = (
-            row_filter(df)
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        table_abs = os.path.abspath(self.table_path)
-        rel = []
-        for r in hits:
-            # _metadata.file_path is a percent-ENCODED URI; unquote
-            # restores the literal on-disk name (which may itself
-            # contain Spark's %XX partition-value escapes)
-            p = unquote(urlparse(r["__file"]).path) or r["__file"]
-            rel.append(
-                os.path.relpath(os.path.abspath(p), table_abs).replace(
-                    os.sep, "/"
-                )
-            )
-        return sorted(set(rel))
 
     def merge_upsert(
         self,
@@ -731,20 +713,18 @@ class DeltaLog:
         if target_rows_per_file:
             n_files = max(1, df.count() // target_rows_per_file)
         if zorder_by:
-            from aligned_spark.operators.layout import zorder_key
+            from aligned_spark.operators.layout import cluster_by_zorder
 
-            # RANGE-repartition on the interleaved key, then sort
-            # inside each part: every output file covers a contiguous
-            # z-range, so per-column footer min/max narrow and the
-            # stats-skipping payoff actually materializes (a plain
+            # range-repartition on the interleaved key + in-part sort
+            # (cluster_by_zorder): every output file covers a
+            # contiguous z-range, so footer min/max narrow and the
+            # stats-skipping payoff actually materializes — a plain
             # sortWithinPartitions leaves each file spanning the full
-            # range — zero skipping improvement)
-            keyed = zorder_key(df, zorder_by)
-            parts = n_files or df.rdd.getNumPartitions()
-            df = (
-                keyed.repartitionByRange(parts, "__zkey")
-                .sortWithinPartitions("__zkey")
-                .drop("__zkey")
+            # range (caught by the selectivity regression test)
+            df = cluster_by_zorder(
+                df,
+                zorder_by,
+                n_files or df.rdd.getNumPartitions(),
             )
         elif n_files:
             df = df.repartition(n_files)
@@ -769,11 +749,28 @@ class DeltaLog:
             {"zOrderBy": zorder_by or []},
         )
 
-    def vacuum(self, dry_run: bool = False) -> list[str]:
+    #: default vacuum retention — matches upstream Delta's 7 days
+    DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
+
+    def vacuum(
+        self,
+        dry_run: bool = False,
+        retention_seconds: float | None = None,
+    ) -> list[str]:
         """Physically delete parts no longer referenced by the LATEST
         snapshot (time travel to versions needing them stops working
-        — the documented Delta trade-off). Staging leftovers are
-        swept too."""
+        — the documented Delta trade-off). Stale staging leftovers
+        are swept too.
+
+        ``retention_seconds`` (default 7 days, like upstream Delta)
+        protects CONCURRENT WRITERS: a writer stages parts and only
+        then commits, so a freshly-staged file is unreferenced for a
+        moment — deleting it would let the racing commit publish
+        pointers to nothing. Only files older than the window are
+        touched; pass 0 only when no other writer can be active."""
+        if retention_seconds is None:
+            retention_seconds = self.DEFAULT_RETENTION_SECONDS
+        cutoff = time.time() - retention_seconds
         live = set(self.snapshot().files)
         doomed: list[str] = []
         for root, dirs, names in os.walk(self.table_path):
@@ -785,11 +782,18 @@ class DeltaLog:
             for name in names:
                 if not name.endswith(".parquet"):
                     continue
-                rel = os.path.relpath(
-                    os.path.join(root, name), self.table_path
-                ).replace(os.sep, "/")
-                if rel not in live:
-                    doomed.append(rel)
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.table_path).replace(
+                    os.sep, "/"
+                )
+                if rel in live:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # inside the retention window
+                except FileNotFoundError:
+                    continue
+                doomed.append(rel)
         if not dry_run:
             for rel in doomed:
                 try:
@@ -797,11 +801,14 @@ class DeltaLog:
                 except FileNotFoundError:
                     pass
             for name in os.listdir(self.table_path):
+                p = os.path.join(self.table_path, name)
                 if name.startswith("_staging-"):
-                    shutil.rmtree(
-                        os.path.join(self.table_path, name),
-                        ignore_errors=True,
-                    )
+                    try:
+                        recent = os.path.getmtime(p) > cutoff
+                    except FileNotFoundError:
+                        continue
+                    if not recent:
+                        shutil.rmtree(p, ignore_errors=True)
         return sorted(doomed)
 
 

@@ -423,13 +423,22 @@ class IcebergLog:
     def _write_manifest_list(
         self, snapshot_id: int, manifests: list[dict[str, Any]]
     ) -> str:
+        """New manifests (``added_snapshot_id`` still None) are
+        stamped with this snapshot; REUSED manifests keep the
+        snapshot that added them — the indirection manifest lists
+        exist for, and what lets ``read_appends`` skip whole
+        manifests by id."""
         name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
         path = os.path.join(self.meta_dir, name)
         write_container(
             path,
             _MANIFEST_LIST_SCHEMA,
             [
-                {**m, "added_snapshot_id": snapshot_id}
+                {
+                    **m,
+                    "added_snapshot_id": m.get("added_snapshot_id")
+                    or snapshot_id,
+                }
                 for m in manifests
             ],
         )
@@ -555,6 +564,12 @@ class IcebergLog:
                     files[e["data_file"]["file_path"]] = e["data_file"]
         return IcebergSnapshotView(sid, schema, part_cols, files)
 
+    def _manifests_of(self, snapshot: dict[str, Any]) -> list[dict]:
+        _, manifests = read_container(
+            os.path.join(self.table_path, snapshot["manifest-list"])
+        )
+        return manifests
+
     def snapshot_ids(self) -> list[int]:
         md = self.current_metadata()
         return [s["snapshot-id"] for s in md.get("snapshots", [])]
@@ -582,19 +597,6 @@ class IcebergLog:
             for p in parts
         ]
 
-    def _existing_entries(
-        self, view: IcebergSnapshotView, skip: set[str]
-    ) -> list[dict[str, Any]]:
-        return [
-            {
-                "status": EXISTING,
-                "snapshot_id": view.snapshot_id,
-                "data_file": df_,
-            }
-            for path, df_ in sorted(view.files.items())
-            if path not in skip
-        ]
-
     def write(
         self,
         df: DataFrame,
@@ -611,24 +613,25 @@ class IcebergLog:
         if not self.exists():
             self.create(df, partition_by)
         md = self.current_metadata()
-        if mode == "append":
-            evolved = _evolve_iceberg_schema(md, df.schema)
-            if evolved is not None:
-                if not merge_schema:
-                    extra = [
-                        f.name
-                        for f in df.schema.fields
-                        if f.name
-                        not in {x["name"] for x in md["schema"]["fields"]}
-                    ]
-                    raise ValueError(
-                        f"append has columns {extra} not in the table "
-                        f"schema; pass merge_schema=True to evolve"
-                    )
-                md = evolved
+        # evolution check runs for BOTH modes — an overwrite that
+        # widens the schema without it would write parquet columns
+        # the reader schema silently drops, and a type change would
+        # corrupt reads at scan time instead of failing here
+        evolved = _evolve_iceberg_schema(md, df.schema)
+        if evolved is not None:
+            if not merge_schema:
+                extra = [
+                    f.name
+                    for f in df.schema.fields
+                    if f.name
+                    not in {x["name"] for x in md["schema"]["fields"]}
+                ]
+                raise ValueError(
+                    f"{mode} has columns {extra} not in the table "
+                    f"schema; pass merge_schema=True to evolve"
+                )
+            md = evolved
         view = self._resolve()
-        if merge_schema:
-            view.schema = _schema_to_spark(md["schema"])
         part_cols = view.partition_columns
         parts = stage_parquet_parts(
             df, self.table_path, part_cols or None, data_subdir="data"
@@ -641,14 +644,16 @@ class IcebergLog:
                 md["schema"],
             )
         ]
-        if mode == "append" and view.files:
-            manifests.append(
-                self._write_manifest(
-                    self._existing_entries(view, set()),
-                    spec_fields,
-                    md["schema"],
-                )
+        if mode == "append" and view.snapshot_id != -1:
+            # REUSE the previous snapshot's manifest FILES verbatim —
+            # an append costs O(new parts) manifest rows, never a
+            # rewrite of the full file inventory
+            prev = next(
+                s_
+                for s_ in md["snapshots"]
+                if s_["snapshot-id"] == view.snapshot_id
             )
+            manifests += self._manifests_of(prev)
         return self._next_commit(md, manifests, mode)
 
     # ------------------------------------------------------- reading
@@ -726,16 +731,30 @@ class IcebergLog:
             )
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    #: default orphan-file retention — matches Delta's vacuum window
+    DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
+
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        retention_seconds: float | None = None,
+    ) -> list[str]:
         """Snapshot lifecycle: drop all but the newest ``keep_last``
         snapshots from the metadata (one new metadata version — the
         history edit is itself versioned/atomic) and physically
         delete data files no longer referenced by ANY retained
         snapshot (Iceberg's expireSnapshots + removeOrphanFiles in
         one pass; time travel to expired snapshots stops working, the
-        documented trade-off). Returns the deleted relative paths."""
+        documented trade-off). ``retention_seconds`` (default 7 days)
+        keeps files newer than the window — a concurrent writer's
+        staged-but-uncommitted parts are unreferenced for a moment
+        and must survive; pass 0 only when no other writer can be
+        active. Returns the deleted relative paths."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if retention_seconds is None:
+            retention_seconds = self.DEFAULT_RETENTION_SECONDS
+        cutoff = time.time() - retention_seconds
         md = self.current_metadata()
         snaps = md.get("snapshots", [])
         if len(snaps) <= keep_last:
@@ -765,12 +784,19 @@ class IcebergLog:
                 rel = os.path.relpath(
                     os.path.join(root, name), self.table_path
                 ).replace(os.sep, "/")
-                if rel not in referenced:
-                    doomed.append(rel)
-                    try:
-                        os.unlink(os.path.join(self.table_path, rel))
-                    except FileNotFoundError:
-                        pass
+                if rel in referenced:
+                    continue
+                full = os.path.join(self.table_path, rel)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # inside the retention window
+                except FileNotFoundError:
+                    continue
+                doomed.append(rel)
+                try:
+                    os.unlink(full)
+                except FileNotFoundError:
+                    pass
         return sorted(doomed)
 
     # ----------------------------------------------------- mutations
@@ -778,24 +804,15 @@ class IcebergLog:
     def _touched_files(
         self, spark: SparkSession, view: IcebergSnapshotView, row_filter
     ) -> list[str]:
+        from aligned_spark.sources.parts import touched_files
+
         if not view.files:
             return []
-        from urllib.parse import unquote, urlparse
-
-        df = self.read(spark, view.snapshot_id).withColumn(
-            "__file", F.col("_metadata.file_path")
+        return touched_files(
+            self.read(spark, view.snapshot_id),
+            self.table_path,
+            row_filter,
         )
-        hits = row_filter(df).select("__file").distinct().collect()
-        table_abs = os.path.abspath(self.table_path)
-        out = set()
-        for r in hits:
-            p = unquote(urlparse(r["__file"]).path) or r["__file"]
-            out.add(
-                os.path.relpath(
-                    os.path.abspath(p), table_abs
-                ).replace(os.sep, "/")
-            )
-        return sorted(out)
 
     def _rewrite_commit(
         self,
@@ -805,6 +822,11 @@ class IcebergLog:
         replacement: DataFrame,
         operation: str,
     ) -> int:
+        """Copy-on-write at MANIFEST granularity too: manifests whose
+        files are all untouched carry over verbatim; only manifests
+        containing a touched file are rewritten (their survivors as
+        EXISTING entries), plus one new manifest for the rewritten
+        parts."""
         spec_fields = md["partition-specs"][0]["fields"]
         parts = stage_parquet_parts(
             replacement,
@@ -819,13 +841,41 @@ class IcebergLog:
                 md["schema"],
             )
         ]
-        survivors = self._existing_entries(view, set(touched))
-        if survivors:
-            manifests.append(
-                self._write_manifest(
-                    survivors, spec_fields, md["schema"]
-                )
+        touched_set = set(touched)
+        if view.snapshot_id != -1:
+            prev = next(
+                s_
+                for s_ in md["snapshots"]
+                if s_["snapshot-id"] == view.snapshot_id
             )
+            for m in self._manifests_of(prev):
+                _, entries = read_container(
+                    os.path.join(self.table_path, m["manifest_path"])
+                )
+                hit = any(
+                    e["status"] != DELETED
+                    and e["data_file"]["file_path"] in touched_set
+                    for e in entries
+                )
+                if not hit:
+                    manifests.append(m)  # reused verbatim
+                    continue
+                survivors = [
+                    {
+                        "status": EXISTING,
+                        "snapshot_id": e.get("snapshot_id"),
+                        "data_file": e["data_file"],
+                    }
+                    for e in entries
+                    if e["status"] != DELETED
+                    and e["data_file"]["file_path"] not in touched_set
+                ]
+                if survivors:
+                    manifests.append(
+                        self._write_manifest(
+                            survivors, spec_fields, md["schema"]
+                        )
+                    )
         return self._next_commit(md, manifests, operation)
 
     def merge_upsert(

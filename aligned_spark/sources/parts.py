@@ -15,9 +15,10 @@ import shutil
 import uuid
 from dataclasses import dataclass
 from typing import Any
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: string stats longer than this are not recorded — a TRUNCATED max
@@ -42,6 +43,14 @@ def stats_from_footer(path: str) -> dict[str, Any]:
         import datetime as dt
 
         if isinstance(v, dt.datetime):
+            # NAIVE-UTC ISO strings: pyarrow returns tz-AWARE stats
+            # for TIMESTAMP_MICROS columns ("…+00:00" suffix), and a
+            # suffix makes lexicographic order diverge from
+            # chronological order exactly at equal instants against a
+            # naive predicate — normalize before serializing so every
+            # comparison is suffix-free
+            if v.tzinfo is not None:
+                v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
             return v.isoformat()
         if isinstance(v, bytes):
             try:
@@ -54,6 +63,12 @@ def stats_from_footer(path: str) -> dict[str, Any]:
             return v
         return None
 
+    # SOUNDNESS: a column's file-level min/max must bound EVERY row
+    # group — if any group's stats are missing/unusable (no stats,
+    # over-long string, undecodable bytes), the column must carry NO
+    # bounds at all, or skipping would prune files that still contain
+    # matching rows in the uncovered group.
+    covered: dict[str, int] = {}
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
@@ -67,10 +82,15 @@ def stats_from_footer(path: str) -> dict[str, Any]:
             lo, hi = _norm(st.min), _norm(st.max)
             if lo is None or hi is None:
                 continue
+            covered[name] = covered.get(name, 0) + 1
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+    for name in list(mins):
+        if covered.get(name, 0) != md.num_row_groups:
+            mins.pop(name, None)
+            maxs.pop(name, None)
     return {
         "numRecords": md.num_rows,
         "minValues": mins,
@@ -142,3 +162,30 @@ def stage_parquet_parts(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return parts
+
+
+def touched_files(
+    snapshot_df: DataFrame, table_path: str, row_filter
+) -> list[str]:
+    """Relative paths of parts holding ≥1 row matched by
+    ``row_filter`` (a function df→df) — the file-pruning step both
+    formats' MERGE/DELETE share. One Spark job; the collect is
+    bounded by the FILE count, never the row count.
+
+    ``_metadata.file_path`` is a percent-ENCODED URI; ``unquote``
+    restores the literal on-disk name (which may itself contain
+    Spark's %XX partition-value escapes)."""
+    df = snapshot_df.withColumn(
+        "__file", F.col("_metadata.file_path")
+    )
+    hits = row_filter(df).select("__file").distinct().collect()
+    table_abs = os.path.abspath(table_path)
+    rel = []
+    for r in hits:
+        p = unquote(urlparse(r["__file"]).path) or r["__file"]
+        rel.append(
+            os.path.relpath(os.path.abspath(p), table_abs).replace(
+                os.sep, "/"
+            )
+        )
+    return sorted(set(rel))

@@ -184,9 +184,11 @@ def test_optimize_zorder_compacts_without_datachange(spark, log):
 def test_vacuum_removes_tombstoned_parts(spark, log):
     log.write(_mk(spark, [(1, "a")]), "append")
     log.write(_mk(spark, [(2, "b")]), "overwrite")
-    doomed = log.vacuum(dry_run=True)
+    doomed = log.vacuum(dry_run=True, retention_seconds=0)
     assert len(doomed) >= 1
-    log.vacuum()
+    # default retention PROTECTS fresh files (concurrent writers)
+    assert log.vacuum(dry_run=True) == []
+    log.vacuum(retention_seconds=0)
     # current snapshot unharmed; time travel to v0 now broken by design
     assert log.read(spark).count() == 1
     parts = [
@@ -285,7 +287,7 @@ def test_degenerate_empty_frames(spark, log):
     log.merge_upsert(empty, ["k"])
     log.delete_where(spark, F.col("k") > 10**9)
     assert log.read(spark).count() == 1
-    assert log.vacuum(dry_run=True) == [] or log.vacuum() is not None
+    assert log.vacuum(dry_run=True, retention_seconds=0) == []
 
 
 def test_optimize_zorder_improves_skipping_selectivity(spark, log):
@@ -316,3 +318,47 @@ def test_optimize_zorder_improves_skipping_selectivity(spark, log):
     after = pruned_fraction()
     assert after > before
     assert after >= 0.5  # narrow range hits a small file subset
+
+
+def test_footer_stats_dropped_when_any_row_group_uncovered(tmp_path):
+    """A column whose min/max is unusable in ANY row group must carry
+    NO file-level bounds — partial bounds would prune files that
+    still contain matching rows in the uncovered group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aligned_spark.sources.parts import stats_from_footer
+
+    short = ["a", "b"]
+    long_ = ["z" * 100, "z" * 100]  # > _MAX_STR_STAT → unusable
+    t1 = pa.table({"v": short, "k": [1, 2]})
+    t2 = pa.table({"v": long_, "k": [3, 4]})
+    p = str(tmp_path / "f.parquet")
+    with pq.ParquetWriter(p, t1.schema) as w:
+        w.write_table(t1)  # row group 1: usable v stats
+        w.write_table(t2)  # row group 2: over-long v values
+    stats = stats_from_footer(p)
+    assert stats["numRecords"] == 4
+    assert "v" not in stats["minValues"]
+    assert "v" not in stats["maxValues"]
+    assert stats["minValues"]["k"] == 1
+    assert stats["maxValues"]["k"] == 4
+
+
+def test_footer_timestamp_stats_are_naive_utc(spark, tmp_path):
+    """Stats strings must be suffix-free (naive UTC) so lexicographic
+    comparison with naive predicate bounds stays chronological at
+    equal instants."""
+    import datetime as dt
+    import glob
+
+    from aligned_spark.sources.parts import stats_from_footer
+
+    rows = [(1, dt.datetime(2024, 1, 10))]
+    spark.createDataFrame(rows, "k long, ts timestamp").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "t"))
+    f = glob.glob(str(tmp_path / "t" / "*.parquet"))[0]
+    stats = stats_from_footer(f)
+    assert stats["minValues"]["ts"] == "2024-01-10T00:00:00"
+    assert "+" not in stats["maxValues"]["ts"]

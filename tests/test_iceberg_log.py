@@ -138,7 +138,7 @@ def test_manifests_are_real_avro(spark, log):
 
 def test_merge_rewrites_only_touched_files(spark, log):
     from aligned_spark.sources.avro_io import read_container
-    from aligned_spark.sources.iceberg_log import ADDED, EXISTING
+    from aligned_spark.sources.iceberg_log import ADDED
 
     a = _mk(spark, [(i, "old") for i in (1, 2, 3, 4)]).coalesce(1)
     b = _mk(spark, [(i, "old") for i in (5, 6, 7, 8)]).coalesce(1)
@@ -149,25 +149,38 @@ def test_merge_rewrites_only_touched_files(spark, log):
     got = {r.k: r.v for r in log.read(spark).collect()}
     assert got == {1: "NEW", 2: "old", 3: "old", 4: "old",
                    5: "old", 6: "old", 7: "old", 8: "old", 99: "INS"}
-    # the new snapshot carries EXISTING entries for untouched files
+    # manifest-level copy-on-write: the manifest holding only
+    # untouched files is REUSED verbatim (same path, original
+    # added_snapshot_id), not rewritten — appends/rewrites cost
+    # O(changed parts), never the full file inventory
     md = log.current_metadata()
-    snap = md["snapshots"][-1]
+    prev_snap, snap = md["snapshots"][-2], md["snapshots"][-1]
+    _, prev_manifests = read_container(
+        os.path.join(log.table_path, prev_snap["manifest-list"])
+    )
     _, manifests = read_container(
         os.path.join(log.table_path, snap["manifest-list"])
     )
+    prev_paths = {m["manifest_path"] for m in prev_manifests}
+    reused = [
+        m for m in manifests if m["manifest_path"] in prev_paths
+    ]
+    assert reused, "no manifest file was reused across the rewrite"
+    assert all(
+        m["added_snapshot_id"] != snap["snapshot-id"] for m in reused
+    )
+    # reused manifests still enumerate the untouched files
+    carried = set()
     statuses = []
-    existing_paths = set()
     for m in manifests:
         _, entries = read_container(
             os.path.join(log.table_path, m["manifest_path"])
         )
         for e in entries:
             statuses.append(e["status"])
-            if e["status"] == EXISTING:
-                existing_paths.add(e["data_file"]["file_path"])
-    assert ADDED in statuses and EXISTING in statuses
-    # the file holding keys 5-8 survived untouched
-    assert existing_paths & set(before.files)
+            carried.add(e["data_file"]["file_path"])
+    assert ADDED in statuses
+    assert carried & set(before.files)
 
 
 def test_delete_null_predicate_keeps_row(spark, log):
@@ -344,7 +357,9 @@ def test_avro_container_roundtrip_property(tmp_path_factory, recs):
 def test_expire_snapshots_removes_orphans(spark, log):
     s0 = log.write(_mk(spark, [(1, "a")]), "append")
     log.write(_mk(spark, [(9, "z")]), "overwrite")
-    doomed = log.expire_snapshots(keep_last=1)
+    # default retention keeps fresh orphans (concurrent writers)
+    assert log.expire_snapshots(keep_last=1) == []
+    doomed = log.expire_snapshots(keep_last=1, retention_seconds=0)
     assert doomed  # the overwritten v0 parts are gone
     assert log.snapshot_ids() != [s0]
     assert len(log.snapshot_ids()) == 1
