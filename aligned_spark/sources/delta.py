@@ -181,10 +181,10 @@ class DeltaSource(WritableSource):
             writer.save(self.path)
             return
         if predicate is not None:
-            raise NotImplementedError(
-                "replaceWhere requires delta-spark; use delete_where + "
-                "insert with the pure-Python log"
+            _retrying(
+                lambda: self._log().replace_where(df, predicate)
             )
+            return
         _retrying(
             lambda: self._log().write(df, "overwrite", self.partition_by)
         )

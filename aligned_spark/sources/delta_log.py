@@ -660,6 +660,59 @@ class DeltaLog:
             {"predicate": " AND ".join(keys)},
         )
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        predicate: Column,
+        validate: bool = True,
+    ) -> int:
+        """Delta ``replaceWhere``: atomically replace exactly the
+        rows matching ``predicate`` with ``df`` — the idiomatic
+        partition/date-range refresh (delete_where + insert would be
+        TWO commits with a visible gap; this is one). Only parts
+        containing a matching row rewrite. ``validate`` enforces the
+        upstream contract that every inserted row satisfies the
+        predicate (one count over the new data)."""
+        spark = df.sparkSession
+        snap = self.snapshot()
+        cond = F.coalesce(predicate, F.lit(False))
+        if validate:
+            bad = df.filter(~cond).count()
+            if bad:
+                raise ValueError(
+                    f"replaceWhere: {bad} inserted row(s) violate "
+                    f"the predicate"
+                )
+        touched = self._touched_files(
+            spark, snap, lambda cur: cur.filter(cond)
+        )
+        schema_cols = [f.name for f in snap.schema().fields]
+        out = df.select(*schema_cols)
+        if touched:
+            survivors = (
+                spark.read.schema(snap.schema())
+                .option("basePath", self.table_path)
+                .parquet(*[self._abs(p) for p in touched])
+                .select(*schema_cols)
+                .filter(~cond)
+            )
+            out = survivors.unionByName(out)
+        adds = self._stage_parts(out, snap.partition_columns)
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for p in touched
+        ] + [{"add": a} for a in adds]
+        return self.commit(
+            actions, snap.version + 1, "WRITE", {"mode": "replaceWhere"}
+        )
+
     def delete_where(self, spark: SparkSession, predicate: Column) -> int:
         """DELETE rows matching ``predicate`` (NULL-valued predicates
         keep the row, like SQL DELETE). Only parts containing a match

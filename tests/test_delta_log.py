@@ -362,3 +362,29 @@ def test_footer_timestamp_stats_are_naive_utc(spark, tmp_path):
     stats = stats_from_footer(f)
     assert stats["minValues"]["ts"] == "2024-01-10T00:00:00"
     assert "+" not in stats["maxValues"]["ts"]
+
+
+def test_replace_where_single_commit(spark, log):
+    a = _mk(spark, [(i, "old") for i in (1, 2, 3, 4)]).coalesce(1)
+    b = _mk(spark, [(i, "old") for i in (11, 12)]).coalesce(1)
+    log.write(a, "append")
+    log.write(b, "append")
+    v_before = log.latest_version()
+    repl = _mk(spark, [(2, "NEW"), (4, "NEW")])
+    log.replace_where(repl, (F.col("k") % 2 == 0) & (F.col("k") < 10))
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got == {1: "old", 2: "NEW", 3: "old", 4: "NEW",
+                   11: "old", 12: "old"}
+    # ONE commit; the untouched 11/12 part was not tombstoned
+    assert log.latest_version() == v_before + 1
+    removed = [
+        a_["remove"]["path"]
+        for a_ in log._read_commit(v_before + 1)
+        if "remove" in a_
+    ]
+    assert len(removed) == 1
+    # inserted rows violating the predicate are rejected
+    with pytest.raises(ValueError, match="violate"):
+        log.replace_where(
+            _mk(spark, [(5, "odd")]), F.col("k") % 2 == 0
+        )
