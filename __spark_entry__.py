@@ -7803,12 +7803,13 @@ _PRIORITY: list[str] = [
     # Round-6 window (VERDICT r5 "Next round" task 1). Slots 1-4: the
     # four full-oracle queries added in the r5 snapshot commit AFTER
     # the driver's correctness run — judge-local-green, no driver row
-    # yet. Slots 5-45: staleness re-sweep of every query whose last
-    # green driver row is r2 (two+ rounds old) so no row's latest
-    # verification predates r5 by more than this window. Tail slots:
-    # round-6 additions get inserted here as they land; the remaining
-    # slots give the never-driver-seen rows-only twins their first
-    # (weaker, rows-only by design) driver rows.
+    # yet. Then: a staleness re-sweep of queries whose last green
+    # driver row is r2 (three of those — expr_arithmetic,
+    # expr_comparison_logic, expr_conditionals — gave up their slots
+    # to round-6 additions; all three are r2-green and pass the local
+    # gate this round). Interleaved/tail slots: the TEN new round-6
+    # full-oracle queries (Delta x3 incl. schema evolution, Iceberg
+    # x2, BPE, CUBE, ECE), each needing its first driver row.
     "privacy_k_anonymity",
     "events_twap",
     "model_calibration_bins",

@@ -388,3 +388,34 @@ def test_replace_where_single_commit(spark, log):
         log.replace_where(
             _mk(spark, [(5, "odd")]), F.col("k") % 2 == 0
         )
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """8 threads race appends through the optimistic-retry loop: all
+    rows land, versions are contiguous, and each commit's exclusive
+    create kept the log linear."""
+    import threading
+
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    src = DeltaSource(path=str(tmp_path / "t"))
+    src.insert(_mk(spark, [(0, "seed")]))
+    errors = []
+
+    def writer(i):
+        try:
+            src.insert(_mk(spark, [(100 + i, f"w{i}")]))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    log = DeltaLog(src.path)
+    assert log.latest_version() == 8  # 0 seed + 8 appends, no gaps
+    ks = sorted(r.k for r in log.read(spark).collect())
+    assert ks == [0] + [100 + i for i in range(8)]
