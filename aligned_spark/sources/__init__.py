@@ -21,6 +21,7 @@ from aligned_spark.sources.combinators import (
     CustomMethodSource,
 )
 from aligned_spark.sources.random_source import RandomSource
+from aligned_spark.sources.s3 import S3Source
 
 __all__ = [
     "BatchSource",
@@ -44,4 +45,5 @@ __all__ = [
     "TransformSource",
     "CustomMethodSource",
     "RandomSource",
+    "S3Source",
 ]
