@@ -22,6 +22,7 @@ from aligned_spark.sources.combinators import (
 )
 from aligned_spark.sources.random_source import RandomSource
 from aligned_spark.sources.s3 import S3Source
+from aligned_spark.sources.azure_blob import AzureBlobSource
 
 __all__ = [
     "BatchSource",
@@ -46,4 +47,5 @@ __all__ = [
     "CustomMethodSource",
     "RandomSource",
     "S3Source",
+    "AzureBlobSource",
 ]
