@@ -53,6 +53,22 @@ def _source_to_dict(src: Any) -> dict[str, Any] | None:
             "JSON form — materialize it to a file/catalog source first"
         )
     fields = dataclasses.asdict(src)
+    # Injectable factories (e.g. S3/Azure client_factory, HTTP
+    # transport) are runtime WIRING, not contract state: omit them
+    # when still at their declared default — deserialization
+    # reconstructs the default — and refuse to serialize a
+    # custom-injected one (it has no JSON form).
+    for f in dataclasses.fields(src):
+        v = fields.get(f.name)
+        if callable(v) and not isinstance(v, type):
+            if v is f.default:
+                fields.pop(f.name, None)
+            else:
+                raise ValueError(
+                    f"source field {f.name!r} of "
+                    f"{type(src).__name__} holds an injected "
+                    f"callable and cannot be serialized"
+                )
     for k, v in fields.items():
         if not isinstance(v, (*_JSON_SCALARS, list, dict, tuple)):
             raise ValueError(
@@ -79,6 +95,8 @@ _SOURCE_MODULES = (
     "aligned_spark.sources.delta",
     "aligned_spark.sources.iceberg",
     "aligned_spark.sources.jdbc",
+    "aligned_spark.sources.s3",
+    "aligned_spark.sources.azure_blob",
     "aligned_spark.sources.http",
     "aligned_spark.sources.random_source",
     "aligned_spark.sources.vector_index",

@@ -84,3 +84,26 @@ def test_missing_prefix_raises(spark, s3_env, tmp_path):
     src = _src(s3_env, tmp_path, prefix="nope")
     with pytest.raises(FileNotFoundError):
         src.read(spark)
+
+
+def test_s3_source_serde_roundtrip():
+    """Contract catalogs can carry S3/Azure sources: the injectable
+    client factory is runtime wiring — omitted at its default,
+    refused when custom-injected."""
+    import pytest as _pytest
+
+    from aligned_spark.serde import _source_from_dict, _source_to_dict
+    from aligned_spark.sources.azure_blob import AzureBlobSource
+    from aligned_spark.sources.s3 import S3Source
+
+    src = S3Source(bucket="b", prefix="p", format="csv")
+    back = _source_from_dict(_source_to_dict(src))
+    assert (back.bucket, back.prefix, back.format) == ("b", "p", "csv")
+    assert callable(back.client_factory)
+    az = AzureBlobSource(prefix="q")
+    back2 = _source_from_dict(_source_to_dict(az))
+    assert back2.prefix == "q"
+    with _pytest.raises(ValueError, match="injected callable"):
+        _source_to_dict(
+            S3Source(bucket="b", prefix="p", client_factory=lambda: 1)
+        )
