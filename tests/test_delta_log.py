@@ -419,3 +419,58 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     assert log.latest_version() == 8  # 0 seed + 8 appends, no gaps
     ks = sorted(r.k for r in log.read(spark).collect())
     assert ks == [0] + [100 + i for i in range(8)]
+
+
+def test_store_materialize_into_delta(spark, tmp_path):
+    """Full store integration: a view materializes into the
+    jar-free DeltaSource (overwrite → new table version), reads back
+    through the materialized fast path, and incremental refresh
+    UPSERTs only the new rows as a MERGE commit."""
+    import datetime as dt
+
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.sources.file import ParquetSource
+    from aligned_spark.store import ContractStore
+
+    base = ParquetSource(path=str(tmp_path / "base.parquet"))
+    mat = DeltaSource(path=str(tmp_path / "mat_delta"))
+    schema = "user_id long, ts timestamp, value double"
+    t = dt.datetime(2024, 1, 5)
+    spark.createDataFrame(
+        [(1, t, 1.0), (2, t, 2.0)], schema
+    ).write.parquet(base.path)
+
+    @feature_view(name="delta_mat", source=base, materialized_source=mat)
+    class DeltaMat:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+        doubled = value * 2.0
+
+    store = ContractStore(spark)
+    store.add_view(DeltaMat)
+    store.materialize("delta_mat")
+
+    log = DeltaLog(mat.path)
+    got = {r.user_id: r.doubled for r in log.read(spark).collect()}
+    assert got == {1: 2.0, 2: 4.0}
+    v_full = log.latest_version()
+
+    # incremental: one new row → MERGE commit, not a rewrite
+    spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 6), 5.0)], schema
+    ).write.mode("append").parquet(base.path)
+    store.materialize_incremental("delta_mat")
+    got2 = {r.user_id: r.doubled for r in log.read(spark).collect()}
+    assert got2 == {1: 2.0, 2: 4.0, 3: 10.0}
+    ops = [h["operation"] for h in log.history()]
+    assert "MERGE" in ops
+    assert log.latest_version() == v_full + 1
