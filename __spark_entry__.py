@@ -44,6 +44,13 @@ _ORACLES: dict[str, str] = {}
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in _QUERIES:
+            # last-write-wins silently deleted a VERIFIED query twice
+            # (source_delta_evolution and agg_cube clobbers, round 6)
+            # — make the collision an import-time error instead
+            raise ValueError(
+                f"duplicate query registration: {name!r}"
+            )
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
@@ -7708,7 +7715,7 @@ def _source_delta_evolution(spark, sf_dir):
 
 
 @q(
-    "agg_cube",
+    "agg_cube_weekly",
     f"""SELECT event_type,
               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
               COUNT(*) AS n,
@@ -7719,7 +7726,7 @@ def _source_delta_evolution(spark, sf_dir):
        FROM events
        GROUP BY CUBE (event_type, date_trunc('week', ts))""",
 )
-def _agg_cube(spark, sf_dir):
+def _agg_cube_weekly(spark, sf_dir):
     """Full CUBE over (event_type, week): per-cell, BOTH one-dim
     margins, and the grand total in one pass (2^k grouping sets,
     expanded map-side — the rows ROLLUP's hierarchy skips are the
@@ -7860,7 +7867,7 @@ _PRIORITY: list[str] = [
     "source_delta_merge",
     "source_delta_time_travel",
     "text_bpe_counts",
-    "agg_cube",
+    "agg_cube_weekly",
     "model_ece",
 ]
 

@@ -10,8 +10,9 @@ Same two-tier shape as :class:`aligned_spark.sources.s3.S3Source`:
   client on the driver into an etag-content-addressed spill dir.
   The azure-storage-blob SDK is NOT in this container, so the
   default client factory is import-gated with a clear error; the
-  CLIENT INTERFACE is three methods (``list_blobs``,
-  ``download_blob``, ``upload_blob``) and tests exercise the full
+  CLIENT INTERFACE is four methods (``list_blobs``,
+  ``download_blob``, ``upload_blob``, ``delete_blob``) and tests
+  exercise the full
   read/write path with an injected in-memory implementation — the
   same injectable-transport standard as the HTTP source and the
   presigned-URL signer. When the SDK exists, the default factory
@@ -34,7 +35,7 @@ _TRANSFER_THREADS = 16
 
 
 class BlobClient(Protocol):
-    """Minimal container-scoped blob interface (three methods)."""
+    """Minimal container-scoped blob interface (four methods)."""
 
     def list_blobs(self, prefix: str) -> list[dict[str, str]]:
         """→ [{"name": ..., "etag": ...}] under ``prefix``."""
@@ -102,22 +103,34 @@ class AzureBlobSource(WritableSource):
         return f"azure:{self.prefix}"
 
     def _spill(self) -> str:
-        if self.spill_dir is None:
-            self.spill_dir = os.path.join(
-                tempfile.gettempdir(), "aligned_spark_azure_spill"
-            )
-        os.makedirs(self.spill_dir, exist_ok=True)
-        return self.spill_dir
+        # no self-assignment: the field is serde-visible contract
+        # state (see S3Source._spill)
+        spill = self.spill_dir or os.path.join(
+            tempfile.gettempdir(), "aligned_spark_azure_spill"
+        )
+        os.makedirs(spill, exist_ok=True)
+        return spill
 
     def _fetch(self, client: BlobClient, blobs) -> list[str]:
         spill = self._spill()
+
+        import glob
+        import uuid as _uuid
 
         def one(b) -> str:
             safe = b["name"].replace("/", "__")
             local = os.path.join(spill, f"{b['etag']}__{safe}")
             if not os.path.exists(local):
-                tmp = local + f".tmp-{os.getpid()}"
+                tmp = local + f".tmp-{_uuid.uuid4().hex}"
                 client.download_blob(b["name"], tmp)
+                for stale in glob.glob(
+                    os.path.join(spill, f"*__{safe}")
+                ):
+                    if stale != local:
+                        try:
+                            os.unlink(stale)
+                        except FileNotFoundError:
+                            pass
                 os.replace(tmp, local)
             return local
 

@@ -672,10 +672,30 @@ class DeltaLog:
         TWO commits with a visible gap; this is one). Only parts
         containing a matching row rewrite. ``validate`` enforces the
         upstream contract that every inserted row satisfies the
-        predicate (one count over the new data)."""
+        predicate (one count over the new data). On a not-yet-
+        existing table this CREATES it (matching delta-spark's
+        overwrite+replaceWhere); schema drift/extra columns are
+        rejected like every other write path — replaceWhere never
+        evolves the schema."""
         spark = df.sparkSession
-        snap = self.snapshot()
         cond = F.coalesce(predicate, F.lit(False))
+        if not self.exists():
+            if validate and df.filter(~cond).count():
+                raise ValueError(
+                    "replaceWhere: inserted row(s) violate the "
+                    "predicate"
+                )
+            return self.write(df, "append")
+        snap = self.snapshot()
+        table_schema = snap.schema()
+        known = {f.name for f in table_schema.fields}
+        extra = [f.name for f in df.schema.fields if f.name not in known]
+        if extra:
+            raise ValueError(
+                f"replaceWhere has columns {extra} not in the table "
+                f"schema; replaceWhere never evolves the schema"
+            )
+        merge_schemas(table_schema, df.schema)  # reject type drift
         if validate:
             bad = df.filter(~cond).count()
             if bad:

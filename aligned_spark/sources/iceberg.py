@@ -138,7 +138,12 @@ class IcebergSource(WritableSource):
                 "delete_where + insert with the pure-Python log"
             )
         _retrying(
-            lambda: self._log().write(df, "overwrite", self.partition_by)
+            lambda: self._log().write(
+                df,
+                "overwrite",
+                self.partition_by,
+                merge_schema=self.merge_schema,
+            )
         )
 
     def delete_where(self, spark: SparkSession, predicate: Column) -> None:

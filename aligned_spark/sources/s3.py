@@ -65,12 +65,14 @@ class S3Source(WritableSource):
     # ---------------------------------------------------------- util
 
     def _spill(self) -> str:
-        if self.spill_dir is None:
-            self.spill_dir = os.path.join(
-                tempfile.gettempdir(), "aligned_spark_s3_spill"
-            )
-        os.makedirs(self.spill_dir, exist_ok=True)
-        return self.spill_dir
+        # do NOT assign self.spill_dir — the dataclass field is
+        # contract state (serde serializes it into catalogs) and a
+        # machine-local temp default must not leak there
+        spill = self.spill_dir or os.path.join(
+            tempfile.gettempdir(), "aligned_spark_s3_spill"
+        )
+        os.makedirs(spill, exist_ok=True)
+        return spill
 
     def _list_keys(self, client) -> list[dict[str, str]]:
         out: list[dict[str, str]] = []
@@ -91,14 +93,31 @@ class S3Source(WritableSource):
         client = self.client_factory()
         spill = self._spill()
 
+        import glob
+        import uuid as _uuid
+
         def one(obj: dict[str, str]) -> str:
             safe = obj["key"].replace("/", "__")
             local = os.path.join(
                 spill, f"{self.bucket}__{obj['etag']}__{safe}"
             )
             if not os.path.exists(local):
-                tmp = local + f".tmp-{os.getpid()}"
+                # unique temp per attempt: a pid-keyed name would let
+                # two THREADS of one process interleave writes and
+                # publish a corrupt cache entry forever
+                tmp = local + f".tmp-{_uuid.uuid4().hex}"
                 client.download_file(self.bucket, obj["key"], tmp)
+                # evict superseded generations of the same object so
+                # a periodically-rewritten table does not accumulate
+                # one full copy per refresh in the spill dir
+                for stale in glob.glob(
+                    os.path.join(spill, f"{self.bucket}__*__{safe}")
+                ):
+                    if stale != local:
+                        try:
+                            os.unlink(stale)
+                        except FileNotFoundError:
+                            pass
                 os.replace(tmp, local)
             return local
 

@@ -68,14 +68,16 @@ def test_parquet_write_upsert_overwrite(spark, fake, tmp_path):
     src = _src(fake, tmp_path)
     src.insert(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
     assert src.read(spark).count() == 2
+    before = set(fake.blobs)
     src.upsert(
         spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")]),
         keys=["k"],
     )
     got = {r.k: r.v for r in src.read(spark).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
-    # only current-generation blobs remain after the rewrite
-    assert all(n.startswith("tbl/") for n in fake.blobs)
+    # the pre-upsert generation was deleted — no stale blobs remain
+    # to double-count on the next read
+    assert not (before & set(fake.blobs))
 
 
 def test_etag_cache(spark, fake, tmp_path):

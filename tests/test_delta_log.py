@@ -474,3 +474,32 @@ def test_store_materialize_into_delta(spark, tmp_path):
     ops = [h["operation"] for h in log.history()]
     assert "MERGE" in ops
     assert log.latest_version() == v_full + 1
+
+
+def test_replace_where_validates_schema_and_creates_fresh(spark, tmp_path):
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"))
+    # fresh table: replaceWhere CREATES it (delta-spark parity)
+    log.replace_where(_mk(spark, [(2, "a")]), F.col("k") % 2 == 0)
+    assert log.read(spark).count() == 1
+    # extra columns are rejected — replaceWhere never evolves
+    wider = spark.createDataFrame([Row(k=4, v="x", p=0, extra=1.0)])
+    with pytest.raises(ValueError, match="not in the table schema"):
+        log.replace_where(wider, F.col("k") % 2 == 0)
+    # type drift on an existing column is rejected at write time
+    drift = spark.createDataFrame([Row(k=4, v=9, p=0)])
+    with pytest.raises(ValueError, match="cannot change"):
+        log.replace_where(drift, F.col("k") % 2 == 0)
+
+
+def test_iceberg_source_overwrite_evolves_with_flag(spark, tmp_path):
+    from aligned_spark.sources.iceberg import IcebergSource
+
+    src = IcebergSource(path=str(tmp_path / "t"), merge_schema=True)
+    src.insert(_mk(spark, [(1, "a")]))
+    wider = spark.createDataFrame([Row(k=9, v="z", p=1, extra=5.0)])
+    src.overwrite(wider)  # merge_schema forwarded → widens, no raise
+    out = src.read(spark)
+    assert dict(out.dtypes)["extra"] == "double"
+    assert {r.k for r in out.collect()} == {9}
