@@ -3382,11 +3382,13 @@ def _mixture_plan_oracle() -> str:
       FROM documents GROUP BY source
     ),
     tgt(source, target_tokens) AS (SELECT * FROM (VALUES {rows}) t)
-    SELECT tc.source, tc.n_tokens, tgt.target_tokens,
-           least(1.0, CAST(tgt.target_tokens AS DOUBLE)
-                        / CAST(tc.n_tokens AS DOUBLE)) AS sample_rate,
-           CAST(tgt.target_tokens AS DOUBLE)
-             / CAST(tc.n_tokens AS DOUBLE) AS epochs
+    SELECT tc.source, tc.n_tokens,
+           CAST(tgt.target_tokens AS BIGINT) AS target_tokens,
+           least(CAST(1000000 AS BIGINT),
+                 (CAST(tgt.target_tokens AS BIGINT) * 1000000)
+                   // tc.n_tokens) AS rate_ppm,
+           (CAST(tgt.target_tokens AS BIGINT) * 1000000)
+             // tc.n_tokens AS epochs_ppm
     FROM tc JOIN tgt USING (source)
     WHERE tc.n_tokens > 0"""
 
@@ -3395,10 +3397,13 @@ def _mixture_plan_oracle() -> str:
 def _corpus_mixture_plan(spark, sf_dir):
     """Token-budget mixture planning: per-source whitespace-token
     inventories → exact integer token targets under the configured
-    mixture weights → keep-rates and epoch counts (>1 = upsample the
-    low-resource source). Targets are arbitrary-precision integer
-    floor divisions computed once on the driver (no decimal-division
-    plan expression to round differently across engines); the
+    mixture weights → keep-rates and epoch counts in parts-per-
+    million BIGINTs (>1e6 = upsample the low-resource source).
+    Every output column is integral — targets are driver-side
+    arbitrary-precision floor divisions and the rates are long `div`
+    on both engines, so the row set replays bit-for-bit regardless
+    of how an engine resolves DOUBLE division or decimal literals
+    (the r6 driver hash-mismatch was exactly that drift); the
     inventory is one map-side-combinable sum
     (`operators/sampling.py:mixture_plan`)."""
     from aligned_spark.operators.sampling import mixture_plan

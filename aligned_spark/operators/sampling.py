@@ -361,11 +361,16 @@ def mixture_plan(
     temperature mixtures hit constantly).
 
     Output per source present in BOTH inputs:
-    ``(source, n_tokens, target_tokens, sample_rate, epochs)`` where
+    ``(source, n_tokens, target_tokens, rate_ppm, epochs_ppm)`` where
     ``target_tokens = floor(w_norm · budget)`` in exact integer
     arithmetic (weights scaled to 1e6 longs — no float allocation
-    drift), ``sample_rate = min(1, target/n)`` and
-    ``epochs = target/n`` (>1 means repeat the source).
+    drift), ``epochs_ppm = floor(target·1e6 / n)`` as a BIGINT
+    (1_000_000 = one full epoch; >1e6 means repeat the source) and
+    ``rate_ppm = min(1e6, epochs_ppm)`` — the keep-rate in parts per
+    million. Every column is integral: the plan replays bit-for-bit
+    on any engine (no double-division rounding to drift across
+    DuckDB/Spark versions; divide by 1e6 at the consumer if a float
+    rate is wanted).
 
     Scale shape: ``token_counts`` is already the per-source rollup
     (#sources rows); this is a pure projection with plan-literal
@@ -393,14 +398,23 @@ def mixture_plan(
     for s, t in sorted(targets.items()):
         tcol = F.when(F.col(source_col) == s, F.lit(t)).otherwise(tcol)
     n = F.col(tokens_col).cast("long")
-    epochs = tcol.cast("double") / n.cast("double")
+    # exact long floor division (SQL `div`), never float `/`+floor:
+    # target ≤ budget and budget·1e6 stays far under 2^63
     return (
         token_counts.filter(tcol.isNotNull() & (n > 0))
         .select(
             F.col(source_col).alias("source"),
             n.alias("n_tokens"),
             tcol.alias("target_tokens"),
-            F.least(F.lit(1.0), epochs).alias("sample_rate"),
-            epochs.alias("epochs"),
+            (tcol * F.lit(1_000_000).cast("long")).alias("__ts"),
+        )
+        .withColumn("epochs_ppm", F.expr("__ts div n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            "target_tokens",
+            F.least(F.lit(1_000_000).cast("long"), F.col("epochs_ppm"))
+            .alias("rate_ppm"),
+            "epochs_ppm",
         )
     )

@@ -114,8 +114,9 @@ class AzureBlobSource(WritableSource):
     def _fetch(self, client: BlobClient, blobs) -> list[str]:
         spill = self._spill()
 
-        import glob
         import uuid as _uuid
+
+        from aligned_spark.sources.spill import evict_superseded
 
         def one(b) -> str:
             safe = b["name"].replace("/", "__")
@@ -123,14 +124,11 @@ class AzureBlobSource(WritableSource):
             if not os.path.exists(local):
                 tmp = local + f".tmp-{_uuid.uuid4().hex}"
                 client.download_blob(b["name"], tmp)
-                for stale in glob.glob(
-                    os.path.join(spill, f"*__{safe}")
-                ):
-                    if stale != local:
-                        try:
-                            os.unlink(stale)
-                        except FileNotFoundError:
-                            pass
+                # two-phase eviction: mark superseded generations
+                # now, delete after a grace window — lazy frames
+                # from earlier read() calls still reference the old
+                # paths (sources/spill.py)
+                evict_superseded(spill, f"*__{safe}", keep=local)
                 os.replace(tmp, local)
             return local
 

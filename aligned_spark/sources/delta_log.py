@@ -188,7 +188,20 @@ class DeltaLog:
                 if "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    files[action["add"]["path"]] = action["add"]
+                    add = action["add"]
+                    if isinstance(add.get("stats"), str):
+                        # wire form (protocol): stats is a serialized
+                        # JSON string; parse back to the in-memory
+                        # dict the skipping code consumes. Legacy
+                        # object-form commits pass through unchanged.
+                        try:
+                            add = {
+                                **add,
+                                "stats": json.loads(add["stats"]),
+                            }
+                        except json.JSONDecodeError:
+                            add = {**add, "stats": None}
+                    files[add["path"]] = add
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
                 elif "txn" in action:
@@ -222,8 +235,26 @@ class DeltaLog:
                 "engineInfo": "aligned-spark-pydelta",
             }
         }
+        # protocol wire form: add.stats is a SERIALIZED JSON string
+        # (delta spec), not a nested object — a real delta-spark
+        # reader deserializes it into a String field and would choke
+        # on the object form; in-memory we keep the parsed dict
+        def _wire(a: dict[str, Any]) -> dict[str, Any]:
+            add = a.get("add")
+            if add and isinstance(add.get("stats"), dict):
+                return {
+                    **a,
+                    "add": {
+                        **add,
+                        "stats": json.dumps(
+                            add["stats"], separators=(",", ":")
+                        ),
+                    },
+                }
+            return a
+
         payload = "".join(
-            json.dumps(a, separators=(",", ":")) + "\n"
+            json.dumps(_wire(a), separators=(",", ":")) + "\n"
             for a in [info, *actions]
         )
         path = os.path.join(self.log_dir, _pad(version) + ".json")
@@ -495,7 +526,35 @@ class DeltaLog:
                 }
                 for p in snap.files
             ]
-            actions.append(self._metadata_action(df, partition_by))
+            # delta-spark semantics: the table id and createdTime are
+            # STABLE across overwrites (an overwrite replaces data,
+            # not identity), and a schema change requires explicit
+            # opt-in (overwriteSchema); here merge_schema doubles as
+            # that flag. No metaData action at all when nothing
+            # about the table definition changes.
+            meta0 = dict(snap.metadata or {})
+            schema_changed = table_schema is not None and (
+                {f.name: f.dataType for f in table_schema.fields}
+                != {f.name: f.dataType for f in df.schema.fields}
+            )
+            if schema_changed and not merge_schema:
+                raise ValueError(
+                    "overwrite changes the table schema; pass "
+                    "merge_schema=True to replace it "
+                    "(delta overwriteSchema semantics)"
+                )
+            part_changed = (partition_by or []) != (
+                snap.partition_columns or []
+            )
+            if table_schema is None or schema_changed or part_changed:
+                new_meta = self._metadata_action(df, partition_by)
+                if meta0.get("id"):
+                    new_meta["metaData"]["id"] = meta0["id"]
+                if meta0.get("createdTime"):
+                    new_meta["metaData"]["createdTime"] = meta0[
+                        "createdTime"
+                    ]
+                actions.append(new_meta)
         actions += [{"add": a} for a in adds]
         actions += self._txn_action(txn)
         return self.commit(

@@ -65,6 +65,9 @@ from aligned_spark.sources.delta_log import ConcurrentCommitError
 from aligned_spark.sources.parts import StagedPart, stage_parquet_parts
 
 _VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+# process-local marker: the metadata version a snapshot was read at;
+# set by current_metadata, consumed by commits, never written to disk
+_READ_VERSION_KEY = "__read-version"
 
 ADDED, EXISTING, DELETED = 1, 0, 2
 
@@ -365,7 +368,16 @@ class IcebergLog:
             raise ValueError(f"metadata version {v} not in {vs}")
         p = os.path.join(self.meta_dir, f"v{v}.metadata.json")
         with open(p, encoding="utf-8") as fh:
-            return json.load(fh)
+            md = json.load(fh)
+        # Pin the version this snapshot was read at so a commit built
+        # from it lands at exactly read-version + 1. Without the pin
+        # a writer whose staging job straddles a concurrent commit
+        # would re-list the dir at commit time, land at a fresh
+        # unused version whose snapshot list omits the interloper's
+        # snapshot, and silently drop its committed data. The key is
+        # process-local and stripped before the metadata hits disk.
+        md[_READ_VERSION_KEY] = v
+        return md
 
     # ------------------------------------------------------- commits
 
@@ -373,6 +385,7 @@ class IcebergLog:
         """HadoopCatalog commit: exclusive-create of the next
         metadata version; ``version-hint.text`` is an advisory
         pointer, the version files are the source of truth."""
+        md.pop(_READ_VERSION_KEY, None)  # process-local, never on disk
         os.makedirs(self.meta_dir, exist_ok=True)
         path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
         try:
@@ -464,7 +477,12 @@ class IcebergLog:
             "summary": {"operation": operation},
             "schema-id": 0,
         }
-        version = self._versions()[-1] + 1
+        # commit at (version read) + 1, NOT a fresh dir re-listing: a
+        # writer holding stale metadata must collide with whatever
+        # landed in between (ConcurrentCommitError → caller replays
+        # against fresh metadata), mirroring DeltaLog's
+        # snap.version + 1 pin
+        version = md[_READ_VERSION_KEY] + 1
         new_md = dict(md)
         new_md["last-updated-ms"] = now
         new_md["current-snapshot-id"] = sid
@@ -773,7 +791,7 @@ class IcebergLog:
             for e in md.get("snapshot-log", [])
             if e["snapshot-id"] in kept_ids
         ]
-        version = self._versions()[-1] + 1
+        version = md[_READ_VERSION_KEY] + 1
         self._commit_metadata(new_md, version)
         doomed: list[str] = []
         data_dir = os.path.join(self.table_path, "data")

@@ -93,8 +93,9 @@ class S3Source(WritableSource):
         client = self.client_factory()
         spill = self._spill()
 
-        import glob
         import uuid as _uuid
+
+        from aligned_spark.sources.spill import evict_superseded
 
         def one(obj: dict[str, str]) -> str:
             safe = obj["key"].replace("/", "__")
@@ -107,17 +108,13 @@ class S3Source(WritableSource):
                 # publish a corrupt cache entry forever
                 tmp = local + f".tmp-{_uuid.uuid4().hex}"
                 client.download_file(self.bucket, obj["key"], tmp)
-                # evict superseded generations of the same object so
-                # a periodically-rewritten table does not accumulate
-                # one full copy per refresh in the spill dir
-                for stale in glob.glob(
-                    os.path.join(spill, f"{self.bucket}__*__{safe}")
-                ):
-                    if stale != local:
-                        try:
-                            os.unlink(stale)
-                        except FileNotFoundError:
-                            pass
+                # two-phase eviction of superseded generations:
+                # mark now, delete after a grace window — earlier
+                # read() calls returned LAZY frames that still
+                # reference the old local paths (sources/spill.py)
+                evict_superseded(
+                    spill, f"{self.bucket}__*__{safe}", keep=local
+                )
                 os.replace(tmp, local)
             return local
 

@@ -219,6 +219,41 @@ def test_concurrent_metadata_commit_conflict(spark, log):
     assert src.read(spark).count() >= 2
 
 
+def test_stale_writer_collides_with_interloper(spark, log):
+    """Lost-update regression (r6 ADVICE high): a writer whose
+    staging straddles a concurrent commit must land at its
+    READ-version + 1 and collide — never re-list the dir and land at
+    a fresh version whose snapshot list silently drops the
+    interloper's snapshot."""
+    from aligned_spark.sources.delta_log import ConcurrentCommitError
+
+    log.write(_mk(spark, [(1, "a")]), "append")
+    md_stale = log.current_metadata()  # writer A snapshots metadata
+    before = set(log.snapshot_ids())
+    log.write(_mk(spark, [(2, "b")]), "append")  # writer B lands
+    with pytest.raises(ConcurrentCommitError):
+        log._next_commit(md_stale, [], "append")
+    # B's snapshot survives in the live history
+    assert set(log.snapshot_ids()) > before
+    assert log.read(spark).count() == 2
+
+
+def test_expire_snapshots_stale_read_collides(spark, log):
+    from aligned_spark.sources.delta_log import ConcurrentCommitError
+
+    log.write(_mk(spark, [(1, "a")]), "append")
+    log.write(_mk(spark, [(2, "b")]), "append")
+    md_stale = log.current_metadata()
+    log.write(_mk(spark, [(3, "c")]), "append")
+    # monkey-path-free simulation: drive the tail of expire_snapshots
+    # with the stale metadata the way a racing janitor would
+    with pytest.raises(ConcurrentCommitError):
+        log._commit_metadata(
+            dict(md_stale),
+            md_stale["__read-version"] + 1,
+        )
+
+
 def test_source_gating_without_path_still_raises(spark):
     from aligned_spark.sources.iceberg import IcebergSource
 

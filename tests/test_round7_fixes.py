@@ -1,0 +1,167 @@
+"""Regression tests for the round-7 ADVICE fixes.
+
+1. Iceberg stale-writer commits collide instead of silently dropping
+   a concurrent snapshot (covered in ``test_iceberg_log.py``).
+2. Delta commit JSON writes ``add.stats`` as a serialized JSON
+   STRING (the protocol's wire form) while the in-memory snapshot
+   keeps the parsed dict the skipping code consumes; legacy
+   object-form commits still replay.
+3. Delta ``overwrite`` preserves the table ``id``/``createdTime``
+   and rejects a schema change without ``merge_schema=True``.
+4. Object-store spill-cache eviction is two-phase (mark, then delete
+   after a grace window) so lazy frames from earlier reads keep
+   working after a remote rewrite.
+"""
+
+import json
+import os
+import time
+
+from pyspark.sql import Row
+
+
+# ---------------------------------------------------------------- 2
+
+
+def _log(tmp_path):
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    return DeltaLog(str(tmp_path / "tbl"))
+
+
+def test_delta_commit_stats_is_json_string_on_wire(spark, tmp_path):
+    log = _log(tmp_path)
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=9, v="b")])
+    log.write(df, "append")
+    commit = os.path.join(log.log_dir, "0" * 20 + ".json")
+    adds = [
+        json.loads(ln)["add"]
+        for ln in open(commit, encoding="utf-8")
+        if '"add"' in ln
+    ]
+    assert adds, "commit 0 has no add actions"
+    for a in adds:
+        if a.get("stats") is None:
+            continue
+        # wire form: a STRING that parses into the stats object
+        assert isinstance(a["stats"], str)
+        parsed = json.loads(a["stats"])
+        assert "minValues" in parsed or "numRecords" in parsed
+    # replay parses it back to the dict form skipping consumes
+    snap = log.snapshot()
+    st = [f.get("stats") for f in snap.files.values()]
+    assert any(isinstance(s, dict) for s in st)
+    # and skipping still prunes on it
+    assert log.read(spark, skipping=[("k", ">=", 1)]).count() == 2
+
+
+def test_delta_legacy_object_stats_still_replays(spark, tmp_path):
+    log = _log(tmp_path)
+    df = spark.createDataFrame([Row(k=1)])
+    log.write(df, "append")
+    commit = os.path.join(log.log_dir, "0" * 20 + ".json")
+    lines = open(commit, encoding="utf-8").read().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "add" in a and isinstance(a["add"].get("stats"), str):
+            a["add"]["stats"] = json.loads(a["add"]["stats"])
+        out.append(json.dumps(a, separators=(",", ":")))
+    with open(commit, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(out) + "\n")
+    snap = log.snapshot()
+    st = [f.get("stats") for f in snap.files.values()]
+    assert all(s is None or isinstance(s, dict) for s in st)
+    assert log.read(spark).count() == 1
+
+
+# ---------------------------------------------------------------- 3
+
+
+def test_delta_overwrite_keeps_table_identity(spark, tmp_path):
+    log = _log(tmp_path)
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    log.write(df, "append")
+    meta0 = log.snapshot().metadata
+    log.write(spark.createDataFrame([Row(k=2, v="b")]), "overwrite")
+    meta1 = log.snapshot().metadata
+    assert meta1["id"] == meta0["id"]
+    assert meta1["createdTime"] == meta0["createdTime"]
+    assert log.read(spark).count() == 1
+
+
+def test_delta_overwrite_schema_change_needs_flag(spark, tmp_path):
+    import pytest
+
+    log = _log(tmp_path)
+    log.write(spark.createDataFrame([Row(k=1, v="a")]), "append")
+    widened = spark.createDataFrame([Row(k=2, v="b", w=1.5)])
+    with pytest.raises(ValueError, match="merge_schema"):
+        log.write(widened, "overwrite")
+    log.write(widened, "overwrite", merge_schema=True)
+    snap = log.snapshot()
+    assert {f.name for f in snap.schema().fields} == {"k", "v", "w"}
+    assert log.read(spark).count() == 1
+
+
+# ---------------------------------------------------------------- 4
+
+
+def test_spill_eviction_two_phase(tmp_path):
+    from aligned_spark.sources.spill import evict_superseded
+
+    spill = str(tmp_path)
+    old = os.path.join(spill, "data__etag1__f.parquet")
+    new = os.path.join(spill, "data__etag2__f.parquet")
+    for p in (old, new):
+        with open(p, "w") as fh:
+            fh.write("x")
+    # phase 1: marks, does NOT delete
+    evict_superseded(spill, "data__*__f.parquet", keep=new)
+    assert os.path.exists(old)
+    assert os.path.exists(old + ".superseded")
+    # still inside grace: survives a second pass
+    evict_superseded(spill, "data__*__f.parquet", keep=new)
+    assert os.path.exists(old)
+    # age the marker past the window → deleted
+    past = time.time() - 10
+    os.utime(old + ".superseded", (past, past))
+    evict_superseded(
+        spill, "data__*__f.parquet", keep=new, grace_seconds=5
+    )
+    assert not os.path.exists(old)
+    assert not os.path.exists(old + ".superseded")
+    assert os.path.exists(new)
+
+
+def test_s3_read_survives_remote_rewrite(spark, tmp_path):
+    """The end-to-end shape of the r6 ADVICE finding: read(), remote
+    rewrite, read() again, then evaluate the FIRST frame."""
+    import pytest
+
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+
+    from aligned_spark.sources.s3 import S3Source
+
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="data")
+        src = S3Source(
+            bucket="data",
+            prefix="t/",
+            format="csv",
+            csv_options={"header": "true", "inferSchema": "true"},
+            client_factory=lambda: boto3.client(
+                "s3", region_name="us-east-1"
+            ),
+            spill_dir=str(tmp_path / "spill"),
+        )
+        client.put_object(Bucket="data", Key="t/a.csv", Body="k\n1\n2\n")
+        df1 = src.read(spark)
+        client.put_object(Bucket="data", Key="t/a.csv", Body="k\n7\n")
+        df2 = src.read(spark)
+        # the lazy first frame must still evaluate (old generation
+        # survives inside the grace window)
+        assert df1.count() == 2
+        assert df2.count() == 1
