@@ -24,6 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aligned_spark.sources.base import WritableSource
 from aligned_spark.sources.delta import _retrying
@@ -94,6 +95,58 @@ class IcebergSource(WritableSource):
         if self.mapping_keys:
             df = df.withColumnsRenamed(self.mapping_keys)
         return df
+
+    def all_between_dates(
+        self,
+        spark: SparkSession,
+        event_timestamp: str,
+        start,
+        end,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Date-range read with DATA SKIPPING: manifest-entry
+        ``lower_bounds``/``upper_bounds`` (spec fields, harvested
+        from parquet footers at write time) prune whole parts before
+        Spark lists a file — the Iceberg twin of
+        :meth:`DeltaSource.all_between_dates`. Bounds decode to
+        naive-UTC datetimes, so the predicate values are normalized
+        the same way; the row-level filter still applies on top
+        (skipping is sound, not complete)."""
+        if self._use_jars(spark):
+            return super().all_between_dates(
+                spark, event_timestamp, start, end, columns
+            )
+        physical = event_timestamp
+        for raw, logical in self.mapping_keys.items():
+            if logical == event_timestamp:
+                physical = raw
+                break
+
+        def _naive(v):
+            import datetime as dt
+
+            if isinstance(v, dt.datetime) and v.tzinfo is not None:
+                return v.astimezone(dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return v
+
+        df = self._log().read(
+            spark,
+            skipping=[
+                (physical, ">=", _naive(start)),
+                (physical, "<=", _naive(end)),
+            ],
+        )
+        if self.mapping_keys:
+            df = df.withColumnsRenamed(self.mapping_keys)
+        if columns:
+            present = [c for c in columns if c in df.columns]
+            df = df.select(*present)
+        return df.filter(
+            (F.col(event_timestamp) >= F.lit(start))
+            & (F.col(event_timestamp) <= F.lit(end))
+        )
 
     def insert(self, df: DataFrame) -> None:
         if self._use_jars(df.sparkSession):

@@ -242,6 +242,140 @@ def _partition_avro_schema(spec_fields: list[dict[str, Any]]) -> dict:
     }
 
 
+def _bounds_avro_schema(name: str, kid: int, vid: int) -> list:
+    """Spec shape for ``lower_bounds``/``upper_bounds``: an optional
+    Avro array of key/value records with ``logicalType: map`` (Avro
+    maps take only string keys; Iceberg's field-id-keyed maps use
+    this array encoding — spec §Appendix A)."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": kid},
+                    {
+                        "name": "value",
+                        "type": "bytes",
+                        "field-id": vid,
+                    },
+                ],
+            },
+        },
+    ]
+
+
+def _bound_bytes(ice_type: Any, value: Any) -> bytes | None:
+    """Iceberg single-value binary serialization (spec §Appendix D)
+    of a footer-stat value; None = this value opts out of bounds
+    (complex/decimal types, unparsable stats)."""
+    import datetime as dt
+    import struct as st
+
+    try:
+        if ice_type == "boolean":
+            return b"\x01" if value else b"\x00"
+        if ice_type == "int":
+            return st.pack("<i", int(value))
+        if ice_type == "long":
+            return st.pack("<q", int(value))
+        if ice_type == "float":
+            return st.pack("<f", float(value))
+        if ice_type == "double":
+            return st.pack("<d", float(value))
+        if ice_type == "string":
+            return str(value).encode("utf-8")
+        if ice_type == "timestamp":
+            # footer stats serialize timestamps as NAIVE-UTC ISO
+            # strings (parts._norm); the spec stores epoch MICROS
+            ts = dt.datetime.fromisoformat(str(value))
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+            epoch = dt.datetime(1970, 1, 1)
+            return st.pack(
+                "<q",
+                (ts - epoch) // dt.timedelta(microseconds=1),
+            )
+    except (ValueError, TypeError, OverflowError, st.error):
+        return None
+    return None
+
+
+def _bound_value(ice_type: Any, raw: bytes) -> Any:
+    """Inverse of :func:`_bound_bytes`; None = undecodable (treated
+    as no bound — skipping stays sound)."""
+    import datetime as dt
+    import struct as st
+
+    try:
+        if ice_type == "boolean":
+            return raw != b"\x00"
+        if ice_type == "int":
+            return st.unpack("<i", raw)[0]
+        if ice_type == "long":
+            return st.unpack("<q", raw)[0]
+        if ice_type == "float":
+            return st.unpack("<f", raw)[0]
+        if ice_type == "double":
+            return st.unpack("<d", raw)[0]
+        if ice_type == "string":
+            return raw.decode("utf-8")
+        if ice_type == "timestamp":
+            return dt.datetime(1970, 1, 1) + dt.timedelta(
+                microseconds=st.unpack("<q", raw)[0]
+            )
+    except (ValueError, TypeError, st.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _iceberg_file_may_match(
+    data_file: dict[str, Any],
+    fields_by_id: dict[int, dict[str, Any]],
+    predicates: list[tuple[str, str, Any]],
+) -> bool:
+    """Sound manifest-level data skipping: True unless the entry's
+    ``lower_bounds``/``upper_bounds`` PROVE the file cannot contain a
+    matching row. Identity-partition values participate as exact
+    min=max bounds. Mirrors ``delta_log._file_may_match``."""
+    def decode(raw_list) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for kv in raw_list or []:
+            f = fields_by_id.get(kv["key"])
+            if f is None:
+                continue
+            v = _bound_value(f["type"], kv["value"])
+            if v is not None:
+                out[f["name"]] = v
+        return out
+
+    mins = decode(data_file.get("lower_bounds"))
+    maxs = decode(data_file.get("upper_bounds"))
+    for k, v in (data_file.get("partition") or {}).items():
+        if v is not None:
+            mins[k] = v
+            maxs[k] = v
+    for col, op, val in predicates:
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue  # no bounds — cannot prune
+        try:
+            if op == "=" and (val < lo or val > hi):
+                return False
+            if op == ">=" and hi < val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+        except TypeError:  # incomparable — cannot prune
+            continue
+    return True
+
+
 def _manifest_entry_schema(spec_fields: list[dict[str, Any]]) -> dict:
     return {
         "type": "record",
@@ -290,6 +424,22 @@ def _manifest_entry_schema(spec_fields: list[dict[str, Any]]) -> dict:
                             "name": "block_size_in_bytes",
                             "type": "long",
                             "field-id": 105,
+                        },
+                        {
+                            "name": "lower_bounds",
+                            "type": _bounds_avro_schema(
+                                "k126_v127", 126, 127
+                            ),
+                            "default": None,
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": _bounds_avro_schema(
+                                "k129_v130", 129, 130
+                            ),
+                            "default": None,
+                            "field-id": 128,
                         },
                     ],
                 },
@@ -595,8 +745,34 @@ class IcebergLog:
     # ------------------------------------------------------- writing
 
     def _entries(
-        self, parts: list[StagedPart], part_cols: list[str], status: int
+        self,
+        parts: list[StagedPart],
+        part_cols: list[str],
+        status: int,
+        schema_json: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
+        # column bounds: the SAME parquet-footer min/max already
+        # harvested at staging time (parts.stats_from_footer — sound
+        # across row groups, truncation-free strings only), encoded
+        # per spec as field-id → single-value binary
+        fields = (schema_json or {}).get("fields", [])
+        by_name = {
+            f["name"]: f
+            for f in fields
+            if isinstance(f.get("type"), str)  # primitives only
+        }
+
+        def bounds(stat: dict[str, Any]) -> list[dict] | None:
+            out = []
+            for name, v in (stat or {}).items():
+                f = by_name.get(name)
+                if f is None:
+                    continue
+                raw = _bound_bytes(f["type"], v)
+                if raw is not None:
+                    out.append({"key": f["id"], "value": raw})
+            return sorted(out, key=lambda e: e["key"]) or None
+
         return [
             {
                 "status": status,
@@ -610,6 +786,8 @@ class IcebergLog:
                     "record_count": p.stats.get("numRecords", 0),
                     "file_size_in_bytes": p.size,
                     "block_size_in_bytes": 64 * 1024 * 1024,
+                    "lower_bounds": bounds(p.stats.get("minValues")),
+                    "upper_bounds": bounds(p.stats.get("maxValues")),
                 },
             }
             for p in parts
@@ -657,7 +835,7 @@ class IcebergLog:
         spec_fields = md["partition-specs"][0]["fields"]
         manifests = [
             self._write_manifest(
-                self._entries(parts, part_cols, ADDED),
+                self._entries(parts, part_cols, ADDED, md["schema"]),
                 spec_fields,
                 md["schema"],
             )
@@ -680,12 +858,31 @@ class IcebergLog:
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
+        skipping: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame:
         """Snapshot read (current or time travel by snapshot id):
         manifest-planned file set → one Spark parquet scan, columns
         normalized to the table schema (identity-partition dirs
-        infer as strings otherwise)."""
+        infer as strings otherwise). ``skipping`` is a list of
+        ``(column, op, value)`` with op in <=, >=, = — files whose
+        manifest ``lower_bounds``/``upper_bounds`` (spec fields,
+        harvested from parquet footers at write time) PROVE no row
+        can match are dropped before Spark lists them; the caller
+        still applies the row-level filter (skipping is sound, not
+        complete). Same contract as :meth:`DeltaLog.read`."""
         view = self._resolve(snapshot_id)
+        md = self.current_metadata()
+        if skipping and view.files:
+            fields_by_id = {
+                f["id"]: f
+                for f in md["schema"]["fields"]
+                if isinstance(f.get("type"), str)
+            }
+            view.files = {
+                p: e
+                for p, e in view.files.items()
+                if _iceberg_file_may_match(e, fields_by_id, skipping)
+            }
         if not view.files:
             return spark.createDataFrame([], view.schema)
         paths = [
@@ -854,7 +1051,9 @@ class IcebergLog:
         )
         manifests = [
             self._write_manifest(
-                self._entries(parts, view.partition_columns, ADDED),
+                self._entries(
+                    parts, view.partition_columns, ADDED, md["schema"]
+                ),
                 spec_fields,
                 md["schema"],
             )

@@ -160,6 +160,29 @@ def main() -> None:
     # JIT/codegen warm-up for the session itself
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Box-load calibration (r6 verdict task 8): one fixed reference
+    # query (tpch_q6 — a plan-stable single-pass scan untouched since
+    # round 4) run 5× at suite start. Its min is the box's floor and
+    # its spread the contention level; cross-round BENCH comparisons
+    # divide by this instead of guessing whether a uniform inflation
+    # is driver-box load (the r4/r5/r6 verdicts each spent a section
+    # on exactly that question).
+    cal_fn = qs["tpch_q6"]
+    _force(cal_fn(spark, sf_dir))  # untimed warm-up
+    spark.catalog.clearCache()
+    cal_samples = []
+    for _ in range(5):
+        t0 = time.time()
+        _force(cal_fn(spark, sf_dir))
+        cal_samples.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+    calibration = {
+        "query": "tpch_q6",
+        "samples": cal_samples,
+        "min": min(cal_samples),
+        "max": max(cal_samples),
+    }
+
     # Per-query protocol: one untimed warm-up run immediately before
     # that query's three timed runs (same 4 executions per query as
     # the old global-warm-up design, same total wall). The old design
@@ -211,6 +234,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "calibration": calibration,
                 "sf": float(sf),
             }
         )
@@ -226,6 +250,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(timings),
+        "calibration": calibration,
     }
     for name, sec in slowest:
         trial = dict(base, queries=dict(compact, **{name: round(sec, 2)}))

@@ -219,6 +219,81 @@ def test_concurrent_metadata_commit_conflict(spark, log):
     assert src.read(spark).count() >= 2
 
 
+def test_iceberg_manifest_bounds_prune_files(spark, log):
+    """The Delta selectivity test ported to Iceberg (r6 verdict task
+    3): manifest lower/upper bounds (spec fields 125/128, single-value
+    binary) prune whole files before Spark lists them."""
+    for lo in (0, 100, 200):
+        log.write(
+            _mk(spark, [(lo + i, "x") for i in range(10)]).coalesce(1),
+            "append",
+        )
+    view = log._resolve()
+    assert len(view.files) == 3
+    # bounds made it into the manifests as field-id-keyed binaries
+    from aligned_spark.sources.iceberg_log import (
+        _bound_value,
+        _iceberg_file_may_match,
+    )
+
+    md = log.current_metadata()
+    fields_by_id = {
+        f["id"]: f
+        for f in md["schema"]["fields"]
+        if isinstance(f.get("type"), str)
+    }
+    k_id = next(
+        f["id"] for f in md["schema"]["fields"] if f["name"] == "k"
+    )
+    los = sorted(
+        _bound_value("long", kv["value"])
+        for df_ in view.files.values()
+        for kv in df_["lower_bounds"]
+        if kv["key"] == k_id
+    )
+    assert los == [0, 100, 200]
+    pred = [("k", ">=", 100), ("k", "<=", 150)]
+    surviving = [
+        p
+        for p, df_ in view.files.items()
+        if _iceberg_file_may_match(df_, fields_by_id, pred)
+    ]
+    assert len(surviving) == 1
+    pruned = log.read(spark, skipping=pred)
+    assert pruned.count() == 10  # only the middle file was listed
+
+
+def test_iceberg_all_between_dates_skips_parts(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    from aligned_spark.sources.iceberg import IcebergSource
+
+    src = IcebergSource(path=str(tmp_path / "t"))
+    for day in (1, 10, 20):
+        rows = [
+            Row(k=day * 100 + i, ts=dt.datetime(2024, 1, day, i))
+            for i in range(3)
+        ]
+        src.insert(spark.createDataFrame(rows).coalesce(1))
+    lo, hi = dt.datetime(2024, 1, 9), dt.datetime(2024, 1, 11)
+    out = src.all_between_dates(spark, "ts", lo, hi)
+    assert sorted(r.k for r in out.collect()) == [1000, 1001, 1002]
+    # prove the pruning actually happened at the file level
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    ilog = IcebergLog(src.path)
+    pruned = ilog.read(spark, skipping=[("ts", ">=", lo), ("ts", "<=", hi)])
+    full = ilog.read(spark)
+    assert pruned.count() == 3 < full.count() == 9
+    # and the skipped read still yields the same filtered rows
+    assert (
+        pruned.filter((SF.col("ts") >= lo) & (SF.col("ts") <= hi)).count()
+        == 3
+    )
+
+
 def test_stale_writer_collides_with_interloper(spark, log):
     """Lost-update regression (r6 ADVICE high): a writer whose
     staging straddles a concurrent commit must land at its
