@@ -195,6 +195,28 @@ class DeltaSource(WritableSource):
             return
         _retrying(lambda: self._log().delete_where(spark, predicate))
 
+    def version(self, spark: SparkSession | None = None) -> int:
+        """Current table version — the cursor an incremental consumer
+        records before calling :meth:`read_changes`."""
+        return self._log().latest_version()
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Exactly-once change feed (``_change_type`` +
+        ``_commit_version``) since ``from_version`` — MERGE/DELETE
+        rewrites emit only the truly-changed rows, never their
+        surviving co-residents (:meth:`DeltaLog.read_cdf`). Works on
+        jar-written tables too: the reconstruction reads the public
+        commit JSON, no table property required."""
+        df = self._log().read_cdf(spark, from_version, to_version)
+        if self.mapping_keys:
+            df = df.withColumnsRenamed(self.mapping_keys)
+        return df
+
     def optimize_zorder(self, spark: SparkSession, columns: list[str]) -> None:
         """Cluster files by (entity, ts) for PIT-join data skipping."""
         if HAS_DELTA:

@@ -636,6 +636,93 @@ class DeltaLog:
             reader = reader.schema(schema)
         return reader.parquet(*[self._abs(p) for p in sorted(paths)])
 
+    def read_cdf(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change-data-feed reconstruction with PROPER row semantics
+        (exclusive ``from_version``, inclusive ``to_version``):
+        every row carries ``_change_type`` (insert / update_preimage
+        / update_postimage / delete) and ``_commit_version``. Unlike
+        :meth:`read_changes` (the cheap append feed), a copy-on-write
+        rewrite does NOT re-emit its surviving rows: per rewrite
+        commit the removed parts' old content is diffed against the
+        added parts' new content — keyed (full-outer join on the
+        ``mergeKeys`` the MERGE recorded) when available, else a
+        whole-row ``exceptAll`` (updates then appear as
+        delete+insert, still exactly-once).
+
+        Scale: cost per rewrite commit is a join over ONLY its
+        touched parts (the 1-row-MERGE-into-100 TB case reads the
+        handful of rewritten files twice), append commits stay a pure
+        scan of new parts — the same contour delta-spark's CDF-less
+        reconstruction pays. Matches public Delta CDF column
+        semantics (`_change_type`, `_commit_version`)."""
+        latest = self.latest_version()
+        to = latest if to_version is None else to_version
+        if from_version > to:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to}"
+            )
+        from aligned_spark.sources.cdc import diff_rewrite, tag_changes
+
+        schema = self.snapshot(to).schema()
+        cols = [f.name for f in schema.fields]
+
+        def tagged(df: DataFrame, ctype: str, v: int) -> DataFrame:
+            return tag_changes(df, cols, ctype, "_commit_version", v)
+
+        def read_parts(paths: list[str]) -> DataFrame:
+            return (
+                spark.read.schema(schema)
+                .option("basePath", self.table_path)
+                .parquet(*[self._abs(p) for p in sorted(paths)])
+                .select(*cols)
+            )
+
+        pieces: list[DataFrame] = []
+        empty = tagged(spark.createDataFrame([], schema), "insert", 0).limit(0)
+        for v in range(from_version + 1, to + 1):
+            adds: list[str] = []
+            removes: list[str] = []
+            keys: list[str] | None = None
+            for action in self._read_commit(v):
+                if "commitInfo" in action:
+                    mk = (
+                        action["commitInfo"]
+                        .get("operationParameters", {})
+                        .get("mergeKeys")
+                    )
+                    if mk:
+                        keys = mk.split(",")
+                elif "add" in action:
+                    if action["add"].get("dataChange", True):
+                        adds.append(action["add"]["path"])
+                elif "remove" in action:
+                    if action["remove"].get("dataChange", True):
+                        removes.append(action["remove"]["path"])
+            if not adds and not removes:
+                continue
+            if not removes:  # pure append — no old content to diff
+                pieces.append(tagged(read_parts(adds), "insert", v))
+                continue
+            old = read_parts(removes) if removes else None
+            new = read_parts(adds) if adds else None
+            if new is None:  # pure remove: every old row deleted
+                pieces.append(tagged(old, "delete", v))
+                continue
+            pieces += diff_rewrite(
+                old, new, cols, keys, "_commit_version", v
+            )
+        if not pieces:
+            return empty
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     def history(self) -> list[dict[str, Any]]:
         out = []
         for v in self._versions():
@@ -716,7 +803,9 @@ class DeltaLog:
             actions,
             snap.version + 1,
             "MERGE",
-            {"predicate": " AND ".join(keys)},
+            # mergeKeys lets read_cdf reconstruct update pre/post
+            # pairs by key instead of falling back to row-diff
+            {"predicate": " AND ".join(keys), "mergeKeys": ",".join(keys)},
         )
 
     def replace_where(

@@ -199,6 +199,28 @@ class IcebergSource(WritableSource):
             )
         )
 
+    def version(self, spark: SparkSession | None = None) -> int:
+        """Current snapshot id — the cursor an incremental consumer
+        records before calling :meth:`read_changes`."""
+        ids = self._log().snapshot_ids()
+        return ids[-1] if ids else -1
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Exactly-once change feed (``_change_type`` +
+        ``_snapshot_id``) — the Iceberg twin of
+        :meth:`DeltaSource.read_changes`."""
+        df = self._log().read_changes(
+            spark, from_snapshot_id, to_snapshot_id
+        )
+        if self.mapping_keys:
+            df = df.withColumnsRenamed(self.mapping_keys)
+        return df
+
     def delete_where(self, spark: SparkSession, predicate: Column) -> None:
         if self._use_jars(spark):
             spark.sql(

@@ -616,6 +616,7 @@ class IcebergLog:
         md: dict[str, Any],
         manifests: list[dict[str, Any]],
         operation: str,
+        summary_extra: dict[str, str] | None = None,
     ) -> int:
         sid = self._snapshot_id()
         ml = self._write_manifest_list(sid, manifests)
@@ -624,7 +625,7 @@ class IcebergLog:
             "snapshot-id": sid,
             "timestamp-ms": now,
             "manifest-list": ml,
-            "summary": {"operation": operation},
+            "summary": {"operation": operation, **(summary_extra or {})},
             "schema-id": 0,
         }
         # commit at (version read) + 1, NOT a fresh dir re-listing: a
@@ -946,6 +947,106 @@ class IcebergLog:
             )
         )
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Change feed with PROPER row semantics (exclusive
+        ``from_snapshot_id``): every row carries ``_change_type``
+        (insert / update_preimage / update_postimage / delete) and
+        ``_snapshot_id``. Unlike :meth:`read_appends`, a copy-on-write
+        rewrite does NOT re-emit surviving rows: per snapshot the file
+        set is diffed against its parent's; removed parts' old content
+        vs added parts' new content reconstruct the true changes —
+        keyed on the ``merge-keys`` the MERGE snapshot summary
+        recorded, else whole-row (shared machinery:
+        :mod:`aligned_spark.sources.cdc`). Cost per rewrite snapshot
+        is a join over only its touched parts."""
+        from aligned_spark.sources.cdc import diff_rewrite, tag_changes
+
+        ids = self.snapshot_ids()
+        if from_snapshot_id not in ids:
+            raise ValueError(f"unknown snapshot id {from_snapshot_id}")
+        to = ids[-1] if to_snapshot_id is None else to_snapshot_id
+        lo, hi = ids.index(from_snapshot_id), ids.index(to)
+        if lo > hi:
+            raise ValueError("from snapshot is newer than to snapshot")
+        md = self.current_metadata()
+        view = self._resolve(to)
+        cols = [f.name for f in view.schema.fields]
+
+        def read_paths(paths: list[str]) -> DataFrame:
+            return (
+                spark.read.schema(view.schema)
+                .option(
+                    "basePath", os.path.join(self.table_path, "data")
+                )
+                .parquet(
+                    *[
+                        os.path.join(self.table_path, p)
+                        for p in sorted(paths)
+                    ]
+                )
+                .select(*cols)
+            )
+
+        pieces: list[DataFrame] = []
+        prev_files = set(self._resolve(ids[lo]).files)
+        for snap in md["snapshots"][lo + 1 : hi + 1]:
+            sid = snap["snapshot-id"]
+            cur_files = set(self._resolve(sid).files)
+            added = sorted(cur_files - prev_files)
+            removed = sorted(prev_files - cur_files)
+            prev_files = cur_files
+            if not added and not removed:
+                continue
+            if not removed:  # pure append
+                pieces.append(
+                    tag_changes(
+                        read_paths(added),
+                        cols,
+                        "insert",
+                        "_snapshot_id",
+                        sid,
+                    )
+                )
+                continue
+            if not added:  # pure remove
+                pieces.append(
+                    tag_changes(
+                        read_paths(removed),
+                        cols,
+                        "delete",
+                        "_snapshot_id",
+                        sid,
+                    )
+                )
+                continue
+            mk = snap.get("summary", {}).get("merge-keys")
+            keys = mk.split(",") if mk else None
+            pieces += diff_rewrite(
+                read_paths(removed),
+                read_paths(added),
+                cols,
+                keys,
+                "_snapshot_id",
+                sid,
+            )
+        if not pieces:
+            return tag_changes(
+                spark.createDataFrame([], view.schema),
+                cols,
+                "insert",
+                "_snapshot_id",
+                0,
+            ).limit(0)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     #: default orphan-file retention — matches Delta's vacuum window
     DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
 
@@ -1036,6 +1137,7 @@ class IcebergLog:
         touched: list[str],
         replacement: DataFrame,
         operation: str,
+        summary_extra: dict[str, str] | None = None,
     ) -> int:
         """Copy-on-write at MANIFEST granularity too: manifests whose
         files are all untouched carry over verbatim; only manifests
@@ -1093,7 +1195,9 @@ class IcebergLog:
                             survivors, spec_fields, md["schema"]
                         )
                     )
-        return self._next_commit(md, manifests, operation)
+        return self._next_commit(
+            md, manifests, operation, summary_extra
+        )
 
     def merge_upsert(
         self, df: DataFrame, keys: list[str]
@@ -1128,7 +1232,11 @@ class IcebergLog:
                 .join(src_keys, keys, "left_anti")
             )
             out = survivors.unionByName(out)
-        return self._rewrite_commit(md, view, touched, out, "overwrite")
+        return self._rewrite_commit(
+            md, view, touched, out, "overwrite",
+            # merge-keys let read_changes reconstruct update pairs
+            {"merge-keys": ",".join(keys)},
+        )
 
     def delete_where(
         self, spark: SparkSession, predicate: Column

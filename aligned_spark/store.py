@@ -431,6 +431,41 @@ class ContractStore:
         else:
             ms.upsert(new_rows, view.entities + [ts_col])
 
+    def materialized_version(self, view_name: str) -> int:
+        """Cursor for :meth:`changes_since`: the materialized table's
+        current version/snapshot id. Record it BEFORE a refresh; pass
+        it after to get exactly the refresh's row-level changes."""
+        ms = self.views[view_name].materialized_source
+        if ms is None or not hasattr(ms, "version"):
+            raise ValueError(
+                f"view {view_name!r} has no versioned materialized "
+                "source (Delta/Iceberg)"
+            )
+        return ms.version(self.spark)
+
+    def changes_since(
+        self,
+        view_name: str,
+        version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Exactly-once change feed of a view's MATERIALIZED table
+        since ``version`` — what a downstream incremental consumer
+        (a serving store loader, a cache invalidator, a mirror) reads
+        after :meth:`materialize_incremental` instead of rescanning
+        the table. Rows carry ``_change_type`` (insert /
+        update_preimage / update_postimage / delete): the upsert a
+        refresh performs emits only truly-changed rows, never the
+        surviving co-residents of rewritten parts — at 100 TB a
+        1-row refresh yields a 1-pair feed, not a part-sized one."""
+        ms = self.views[view_name].materialized_source
+        if ms is None or not hasattr(ms, "read_changes"):
+            raise ValueError(
+                f"view {view_name!r} has no change-feed-capable "
+                "materialized source (Delta/Iceberg)"
+            )
+        return ms.read_changes(self.spark, version, to_version)
+
     def drop_invalid(self, view_name: str, df: DataFrame | None = None) -> DataFrame:
         from aligned_spark.constraints import drop_invalid as _drop
 
