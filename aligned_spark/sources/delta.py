@@ -57,17 +57,22 @@ class DeltaSource(WritableSource):
     partition_by: list[str] | None = None
     #: allow appends to ADD columns (schema evolution)
     merge_schema: bool = False
+    #: commit-coordination backend override (e.g.
+    #: :class:`~aligned_spark.sources.log_store.S3LogStore` for a
+    #: conditional-put-coordinated log on an object store); None =
+    #: filesystem exclusive-create under ``path/_delta_log``
+    log_store: Any | None = None
 
     def job_group_key(self) -> str:
         return f"delta:{self.path}"
 
     def _log(self) -> DeltaLog:
-        return DeltaLog(self.path)
+        return DeltaLog(self.path, log_store=self.log_store)
 
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
-        if HAS_DELTA:
+        if HAS_DELTA and self.log_store is None:
             reader = spark.read.format("delta")
             if version is not None:
                 reader = reader.option("versionAsOf", version)
@@ -79,7 +84,7 @@ class DeltaSource(WritableSource):
         return df
 
     def insert(self, df: DataFrame) -> None:
-        if HAS_DELTA:
+        if HAS_DELTA and self.log_store is None:
             writer = df.write.format("delta").mode("append")
             if self.merge_schema:
                 writer = writer.option("mergeSchema", "true")
@@ -110,7 +115,7 @@ class DeltaSource(WritableSource):
         strings, whose lexicographic order IS chronological order.
         The row-level filter still applies on top (skipping is sound,
         not complete)."""
-        if HAS_DELTA:
+        if HAS_DELTA and self.log_store is None:
             return super().all_between_dates(
                 spark, event_timestamp, start, end, columns
             )
@@ -154,7 +159,7 @@ class DeltaSource(WritableSource):
     def upsert(self, df: DataFrame, keys: list[str]) -> None:
         """Real transactional merge — only touched files rewrite
         (reference's deltalake merge, ``local.py:663``)."""
-        if HAS_DELTA:
+        if HAS_DELTA and self.log_store is None:
             spark = df.sparkSession
             if not DeltaTable.isDeltaTable(spark, self.path):
                 self.insert(df)
@@ -174,7 +179,7 @@ class DeltaSource(WritableSource):
         )
 
     def overwrite(self, df: DataFrame, predicate: Column | None = None) -> None:
-        if HAS_DELTA:
+        if HAS_DELTA and self.log_store is None:
             writer = df.write.format("delta").mode("overwrite")
             if predicate is not None:
                 writer = writer.option("replaceWhere", str(predicate._jc))
@@ -190,7 +195,7 @@ class DeltaSource(WritableSource):
         )
 
     def delete_where(self, spark: SparkSession, predicate: Column) -> None:
-        if HAS_DELTA:
+        if HAS_DELTA and self.log_store is None:
             DeltaTable.forPath(spark, self.path).delete(predicate)
             return
         _retrying(lambda: self._log().delete_where(spark, predicate))
@@ -219,7 +224,7 @@ class DeltaSource(WritableSource):
 
     def optimize_zorder(self, spark: SparkSession, columns: list[str]) -> None:
         """Cluster files by (entity, ts) for PIT-join data skipping."""
-        if HAS_DELTA:
+        if HAS_DELTA and self.log_store is None:
             cols = ", ".join(f"`{c}`" for c in columns)
             spark.sql(
                 f"OPTIMIZE delta.`{self.path}` ZORDER BY ({cols})"

@@ -65,9 +65,13 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 # staging live in aligned_spark.sources.parts (shared with Iceberg)
 
 
-class ConcurrentCommitError(RuntimeError):
-    """Another writer committed this version first — reload the
-    snapshot and retry the operation against it."""
+# Commit coordination primitive lives in log_store (put-if-absent on
+# filesystem O_EXCL or S3 IfNoneMatch); re-exported here for the
+# existing import sites (delta.py, iceberg_log.py, streaming/sinks.py).
+from aligned_spark.sources.log_store import (  # noqa: E402
+    ConcurrentCommitError,
+    FileSystemLogStore,
+)
 
 
 @dataclass
@@ -121,6 +125,11 @@ class DeltaLog:
 
     table_path: str
     checkpoint_interval: int = 10
+    #: commit-coordination backend; None = filesystem O_EXCL on
+    #: ``table_path/_delta_log``. Pass an
+    #: :class:`~aligned_spark.sources.log_store.S3LogStore` to host
+    #: the log on an object store with conditional-put coordination.
+    log_store: Any | None = None
 
     # ------------------------------------------------------------ log
 
@@ -128,16 +137,19 @@ class DeltaLog:
     def log_dir(self) -> str:
         return os.path.join(self.table_path, "_delta_log")
 
+    @property
+    def _store(self) -> Any:
+        if self.log_store is None:
+            # cache: dataclass field doubles as the memo slot
+            self.log_store = FileSystemLogStore(self.log_dir)
+        return self.log_store
+
     def exists(self) -> bool:
-        return os.path.isfile(
-            os.path.join(self.log_dir, _pad(0) + ".json")
-        )
+        return self._store.exists(_pad(0) + ".json")
 
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self._store.list_names():
             m = _COMMIT_RE.match(name)
             if m:
                 out.append(int(m.group(1)))
@@ -152,19 +164,22 @@ class DeltaLog:
         return vs[-1]
 
     def _last_checkpoint(self) -> int | None:
-        p = os.path.join(self.log_dir, "_last_checkpoint")
-        if not os.path.isfile(p):
+        if not self._store.exists("_last_checkpoint"):
             return None
         try:
-            with open(p, encoding="utf-8") as fh:
-                return int(json.load(fh)["version"])
+            return int(
+                json.loads(self._store.read_text("_last_checkpoint"))[
+                    "version"
+                ]
+            )
         except (ValueError, KeyError, json.JSONDecodeError):
             return None
 
     def _read_commit(self, version: int) -> list[dict[str, Any]]:
-        p = os.path.join(self.log_dir, _pad(version) + ".json")
-        with open(p, encoding="utf-8") as fh:
-            return [json.loads(ln) for ln in fh if ln.strip()]
+        text = self._store.read_text(_pad(version) + ".json")
+        return [
+            json.loads(ln) for ln in text.splitlines() if ln.strip()
+        ]
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         """Replay the log (checkpoint-accelerated) up to ``version``
@@ -222,11 +237,11 @@ class DeltaLog:
     ) -> int:
         """Atomically publish ``actions`` as commit ``version``.
 
-        Exclusive-create of the commit file IS the concurrency
-        control: exactly one writer wins a version; losers get
-        :class:`ConcurrentCommitError` and must re-resolve against
-        the new snapshot before retrying."""
-        os.makedirs(self.log_dir, exist_ok=True)
+        Put-if-absent of the commit file IS the concurrency control
+        (``O_EXCL`` on filesystems, ``IfNoneMatch="*"`` on S3 —
+        whichever the log store provides): exactly one writer wins a
+        version; losers get :class:`ConcurrentCommitError` and must
+        re-resolve against the new snapshot before retrying."""
         info = {
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),
@@ -257,18 +272,9 @@ class DeltaLog:
             json.dumps(_wire(a), separators=(",", ":")) + "\n"
             for a in [info, *actions]
         )
-        path = os.path.join(self.log_dir, _pad(version) + ".json")
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as exc:
-            raise ConcurrentCommitError(
-                f"version {version} already committed at "
-                f"{self.table_path}"
-            ) from exc
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
-            fh.write(payload)
-            fh.flush()
-            os.fsync(fh.fileno())
+        self._store.put_exclusive(
+            _pad(version) + ".json", payload.encode("utf-8")
+        )
         if (
             self.checkpoint_interval > 0
             and version > 0
@@ -279,10 +285,9 @@ class DeltaLog:
 
     # ---------------------------------------------------- checkpoints
 
-    def _checkpoint_path(self, version: int) -> str:
-        return os.path.join(
-            self.log_dir, _pad(version) + ".checkpoint.parquet"
-        )
+    @staticmethod
+    def _checkpoint_name(version: int) -> str:
+        return _pad(version) + ".checkpoint.parquet"
 
     def _write_checkpoint(self, version: int) -> None:
         """Compact the snapshot at ``version`` into one parquet file
@@ -362,21 +367,28 @@ class DeltaLog:
             }
         )
         n = len(rows_add)
-        tmp = self._checkpoint_path(version) + f".tmp-{uuid.uuid4().hex}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, self._checkpoint_path(version))
-        last = os.path.join(self.log_dir, "_last_checkpoint")
-        tmp2 = last + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp2, "w", encoding="utf-8") as fh:
-            json.dump({"version": version, "size": n}, fh)
-        os.replace(tmp2, last)
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf)
+        self._store.put_atomic(
+            self._checkpoint_name(version),
+            buf.getvalue().to_pybytes(),
+        )
+        self._store.put_atomic(
+            "_last_checkpoint",
+            json.dumps({"version": version, "size": n}).encode(),
+        )
 
     def _read_checkpoint(
         self, version: int
     ) -> tuple[dict[str, Any] | None, dict[str, Any], dict[str, int]]:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = pq.read_table(self._checkpoint_path(version)).to_pylist()
+        rows = pq.read_table(
+            pa.BufferReader(
+                self._store.read_bytes(self._checkpoint_name(version))
+            )
+        ).to_pylist()
         meta: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
         txns: dict[str, int] = {}

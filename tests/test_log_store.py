@@ -1,0 +1,168 @@
+"""Object-store commit coordination (`sources/log_store.py`): the
+Delta log hosted on S3 with native conditional-put (PutObject
+IfNoneMatch="*") as the put-if-absent primitive — the coordination
+upstream Delta needs a DynamoDB sidecar for. Data parts stay on the
+table path (the coordination-service split); only the log's
+atomicity moves to the object store. moto enforces IfNoneMatch, so
+the race tests are real."""
+
+import threading
+
+import pytest
+
+from pyspark.sql import Row
+
+moto = pytest.importorskip("moto")
+
+
+@pytest.fixture()
+def s3_client():
+    from moto import mock_aws
+
+    with mock_aws():
+        import boto3
+
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="lake")
+        yield client
+
+
+def _store(client, prefix="tbl/_delta_log"):
+    from aligned_spark.sources.log_store import S3LogStore
+
+    return S3LogStore(
+        bucket="lake", prefix=prefix, client_factory=lambda: client
+    )
+
+
+# ------------------------------------------------------- primitives
+
+
+def test_filesystem_put_exclusive_is_put_if_absent(tmp_path):
+    from aligned_spark.sources.log_store import (
+        ConcurrentCommitError,
+        FileSystemLogStore,
+    )
+
+    st = FileSystemLogStore(str(tmp_path / "log"))
+    st.put_exclusive("00.json", b"a")
+    with pytest.raises(ConcurrentCommitError):
+        st.put_exclusive("00.json", b"b")
+    assert st.read_text("00.json") == "a"  # winner's bytes survive
+
+
+def test_s3_put_exclusive_is_put_if_absent(s3_client):
+    from aligned_spark.sources.log_store import ConcurrentCommitError
+
+    st = _store(s3_client)
+    st.put_exclusive("00.json", b"winner")
+    with pytest.raises(ConcurrentCommitError):
+        st.put_exclusive("00.json", b"loser")
+    assert st.read_text("00.json") == "winner"
+    assert sorted(st.list_names()) == ["00.json"]
+    st.put_atomic("_last_checkpoint", b"{}")  # overwrite-allowed
+    st.put_atomic("_last_checkpoint", b'{"version": 1}')
+    assert st.read_text("_last_checkpoint") == '{"version": 1}'
+
+
+# ------------------------------------------- DeltaLog on an S3 log
+
+
+def test_delta_log_full_cycle_on_s3(spark, s3_client, tmp_path):
+    """Write/append/merge/time-travel with the transaction log
+    living entirely in S3, crossing a checkpoint boundary so the
+    checkpoint parquet round-trips through object bytes too."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(
+        str(tmp_path / "t"),
+        checkpoint_interval=3,
+        log_store=_store(s3_client),
+    )
+    log.write(spark.createDataFrame([Row(k=1, v="a")]), "append")
+    log.write(spark.createDataFrame([Row(k=2, v="b")]), "append")
+    log.write(spark.createDataFrame([Row(k=3, v="c")]), "append")
+    log.write(spark.createDataFrame([Row(k=4, v="d")]), "append")
+    assert log.latest_version() == 3
+    # checkpoint at v3 exists as an s3 object and accelerates replay
+    names = log.log_store.list_names()
+    assert any(n.endswith(".checkpoint.parquet") for n in names)
+    assert log._last_checkpoint() == 3
+    assert log.read(spark).count() == 4
+    log.merge_upsert(spark.createDataFrame([Row(k=2, v="B")]), ["k"])
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # time travel replays S3-hosted commits
+    assert log.snapshot(0).version == 0
+    assert log.read(spark, version=1).count() == 2
+    # nothing under the local _delta_log dir — the log is remote
+    import os
+
+    assert not os.path.isdir(log.log_dir)
+
+
+def test_delta_s3_commit_race_loser_sees_winner(spark, s3_client, tmp_path):
+    """Two writers prepare against the same snapshot; the first
+    conditional put wins, the second gets ConcurrentCommitError
+    (never a silent overwrite)."""
+    from aligned_spark.sources.delta_log import (
+        ConcurrentCommitError,
+        DeltaLog,
+    )
+
+    log = DeltaLog(str(tmp_path / "t"), log_store=_store(s3_client))
+    log.write(spark.createDataFrame([Row(k=0, v="seed")]), "append")
+    log.commit([], 1, "WRITE")  # the interloper lands v1 first
+    with pytest.raises(ConcurrentCommitError):
+        log.commit([], 1, "WRITE")
+    assert log.latest_version() == 1
+
+
+def test_concurrent_appends_all_land_on_s3(spark, s3_client, tmp_path):
+    """The b0a67ef stress test re-run against a moto-backed
+    _delta_log: racing writers coordinate purely through S3
+    conditional puts; all rows land, version sequence is gap-free."""
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    src = DeltaSource(
+        path=str(tmp_path / "t"), log_store=_store(s3_client)
+    )
+    src.insert(spark.createDataFrame([Row(k=0, v="seed")]))
+    errors = []
+
+    def writer(i):
+        try:
+            src.insert(
+                spark.createDataFrame([Row(k=100 + i, v=f"w{i}")])
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    log = DeltaLog(src.path, log_store=_store(s3_client))
+    assert log.latest_version() == 6  # seed + 6 appends, no gaps
+    ks = sorted(r.k for r in log.read(spark).collect())
+    assert ks == [0] + [100 + i for i in range(6)]
+
+
+def test_exactly_once_txn_survives_on_s3(spark, s3_client, tmp_path):
+    """txn actions (streaming exactly-once replay guard) replay from
+    S3-hosted commits like local ones."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"), log_store=_store(s3_client))
+    log.write(
+        spark.createDataFrame([Row(k=1)]),
+        "append",
+        txn=("app-1", 7),
+    )
+    assert log.txn_version("app-1") == 7
+    assert log.txn_version("other") is None
