@@ -22,6 +22,7 @@ Spark job — upsert is a real ``MERGE INTO`` handled by the cluster
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,19 +65,23 @@ class IcebergSource(WritableSource):
     partition_by: list[str] | None = None
     #: allow appends to ADD columns (schema evolution)
     merge_schema: bool = False
+    #: commit-coordination backend for the version files (e.g.
+    #: :class:`~aligned_spark.sources.log_store.S3LogStore`); None =
+    #: filesystem exclusive-create under ``path/metadata``
+    commit_store: Any | None = None
 
     def job_group_key(self) -> str:
         return f"iceberg:{self.table or self.path}"
 
     def _use_jars(self, spark: SparkSession) -> bool:
-        if self.table and _has_iceberg(spark):
+        if self.table and _has_iceberg(spark) and self.commit_store is None:
             return True
         if self.path is None:
             _require_iceberg(spark)  # raises the clear gating error
         return False
 
     def _log(self) -> IcebergLog:
-        return IcebergLog(self.path)
+        return IcebergLog(self.path, commit_store=self.commit_store)
 
     def read(
         self, spark: SparkSession, snapshot_id: int | None = None

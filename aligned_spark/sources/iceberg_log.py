@@ -483,6 +483,15 @@ class IcebergLog:
     """Reader/writer for one Iceberg v1 table directory."""
 
     table_path: str
+    #: commit-coordination backend for the VERSION FILES only
+    #: (``vN.metadata.json`` + ``version-hint.text``); None =
+    #: filesystem exclusive-create. Manifests and manifest lists are
+    #: immutable uniquely-named content files with no coordination
+    #: need, so they stay on the table path — the same
+    #: coordination-service split the Delta log store uses. Pass an
+    #: :class:`~aligned_spark.sources.log_store.S3LogStore` to get
+    #: conditional-put (``IfNoneMatch="*"``) commit atomicity on S3.
+    commit_store: Any | None = None
 
     # -------------------------------------------------------- layout
 
@@ -490,16 +499,22 @@ class IcebergLog:
     def meta_dir(self) -> str:
         return os.path.join(self.table_path, "metadata")
 
+    @property
+    def _vstore(self) -> Any:
+        if self.commit_store is None:
+            from aligned_spark.sources.log_store import (
+                FileSystemLogStore,
+            )
+
+            self.commit_store = FileSystemLogStore(self.meta_dir)
+        return self.commit_store
+
     def exists(self) -> bool:
-        return os.path.isfile(
-            os.path.join(self.meta_dir, "v1.metadata.json")
-        )
+        return self._vstore.exists("v1.metadata.json")
 
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.meta_dir):
-            return []
         out = []
-        for name in os.listdir(self.meta_dir):
+        for name in self._vstore.list_names():
             m = _VERSION_RE.match(name)
             if m:
                 out.append(int(m.group(1)))
@@ -516,9 +531,7 @@ class IcebergLog:
         v = vs[-1] if version is None else version
         if v not in vs:
             raise ValueError(f"metadata version {v} not in {vs}")
-        p = os.path.join(self.meta_dir, f"v{v}.metadata.json")
-        with open(p, encoding="utf-8") as fh:
-            md = json.load(fh)
+        md = json.loads(self._vstore.read_text(f"v{v}.metadata.json"))
         # Pin the version this snapshot was read at so a commit built
         # from it lands at exactly read-version + 1. Without the pin
         # a writer whose staging job straddles a concurrent commit
@@ -536,24 +549,19 @@ class IcebergLog:
         metadata version; ``version-hint.text`` is an advisory
         pointer, the version files are the source of truth."""
         md.pop(_READ_VERSION_KEY, None)  # process-local, never on disk
-        os.makedirs(self.meta_dir, exist_ok=True)
-        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as exc:
+            self._vstore.put_exclusive(
+                f"v{version}.metadata.json",
+                json.dumps(md, indent=1).encode("utf-8"),
+            )
+        except ConcurrentCommitError:
             raise ConcurrentCommitError(
                 f"metadata v{version} already committed at "
                 f"{self.table_path}"
-            ) from exc
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
-            json.dump(md, fh, indent=1)
-            fh.flush()
-            os.fsync(fh.fileno())
-        hint = os.path.join(self.meta_dir, "version-hint.text")
-        tmp = hint + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(str(version))
-        os.replace(tmp, hint)
+            ) from None
+        self._vstore.put_atomic(
+            "version-hint.text", str(version).encode("utf-8")
+        )
 
     def _write_manifest(
         self,

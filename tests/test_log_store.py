@@ -153,6 +153,80 @@ def test_concurrent_appends_all_land_on_s3(spark, s3_client, tmp_path):
     assert ks == [0] + [100 + i for i in range(6)]
 
 
+# ---------------------------------------- IcebergLog on an S3 store
+
+
+def test_iceberg_version_commits_on_s3(spark, s3_client, tmp_path):
+    """Iceberg version files (the race-sensitive commit point) host
+    on S3 with conditional-put coordination; manifests stay on the
+    table path (immutable content, no coordination need)."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    st = _store(s3_client, prefix="tbl/metadata")
+    log = IcebergLog(str(tmp_path / "t"), commit_store=st)
+    log.write(spark.createDataFrame([Row(k=1, v="a")]), "append")
+    log.write(spark.createDataFrame([Row(k=2, v="b")]), "append")
+    log.merge_upsert(spark.createDataFrame([Row(k=2, v="B")]), ["k"])
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got == {1: "a", 2: "B"}
+    names = st.list_names()
+    assert "v3.metadata.json" in names and "version-hint.text" in names
+    # time travel across S3-hosted versions
+    ids = log.snapshot_ids()
+    assert log.read(spark, snapshot_id=ids[0]).count() == 1
+
+
+def test_iceberg_s3_commit_race_loser_collides(spark, s3_client, tmp_path):
+    """Two writers build from the same metadata snapshot; the second
+    conditional put collides instead of silently dropping the
+    interloper's snapshot."""
+    from aligned_spark.sources.delta_log import ConcurrentCommitError
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    st = _store(s3_client, prefix="tbl/metadata")
+    log = IcebergLog(str(tmp_path / "t"), commit_store=st)
+    log.write(spark.createDataFrame([Row(k=0, v="seed")]), "append")
+    stale = log.current_metadata()  # both writers read v1
+    log.write(spark.createDataFrame([Row(k=1, v="w1")]), "append")
+    with pytest.raises(ConcurrentCommitError):
+        log._commit_metadata(dict(stale), stale["__read-version"] + 1)
+
+
+def test_iceberg_concurrent_appends_all_land_on_s3(
+    spark, s3_client, tmp_path
+):
+    from aligned_spark.sources.iceberg import IcebergSource
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    st = _store(s3_client, prefix="tbl/metadata")
+    src = IcebergSource(
+        path=str(tmp_path / "t"), commit_store=st
+    )
+    src.insert(spark.createDataFrame([Row(k=0, v="seed")]))
+    errors = []
+
+    def writer(i):
+        try:
+            src.insert(
+                spark.createDataFrame([Row(k=100 + i, v=f"w{i}")])
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    log = IcebergLog(src.path, commit_store=st)
+    ks = sorted(r.k for r in log.read(spark).collect())
+    assert ks == [0] + [100 + i for i in range(4)]
+    assert len(log.snapshot_ids()) == 5  # seed + 4, none dropped
+
+
 def test_exactly_once_txn_survives_on_s3(spark, s3_client, tmp_path):
     """txn actions (streaming exactly-once replay guard) replay from
     S3-hosted commits like local ones."""
