@@ -7677,6 +7677,88 @@ def _source_iceberg_time_travel(spark, sf_dir):
     )
 
 
+# The true row-level change feed of the shared write sequence
+# (initial write = commit 0, MERGE = 1, DELETE = 2), replayed
+# relationally: the MERGE emits an update pre/post pair per matched
+# key and an insert per shifted key; the DELETE emits exactly the
+# post-merge rows it removed. Copy-on-write rewrites must NOT re-emit
+# surviving co-residents of rewritten parts — that absence is what
+# this oracle checks (a naive part-level feed would return every row
+# of every touched part and fail the hash). Prices ride as scaled-
+# long cents (module float convention).
+_CDF_CHANGES_SQL = f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS price_cents,
+           'update_preimage' AS change_type, 1 AS commit_seq
+    FROM base WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 2 * 100 + 0.5) AS BIGINT),
+           'update_postimage', 1
+    FROM base WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+           'insert', 1
+    FROM base WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+           'delete', 2
+    FROM merged WHERE o_custkey % 10 = 0"""
+
+
+def _cdf_project(df, seq_col):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return df.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("_change_type").alias("change_type"),
+        seq_col.cast("int").alias("commit_seq"),
+    )
+
+
+@q("source_delta_cdf", _CDF_CHANGES_SQL)
+def _source_delta_cdf(spark, sf_dir):
+    """Delta change-data-feed fidelity (`DeltaLog.read_cdf`,
+    `sources/cdc.py`): the reconstructed feed since version 0 over
+    the write/MERGE/DELETE sequence — keyed full-outer diff for the
+    MERGE commit (mergeKeys recorded in commitInfo), whole-row
+    exceptAll for the DELETE — must equal the oracle's relational
+    replay row for row. Public Delta CDF column semantics
+    (`_change_type`/`_commit_version`); cost per rewrite commit is a
+    join over only its touched parts."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    log = _delta_orders_table(spark, sf_dir)
+    return _cdf_project(
+        log.read_cdf(spark, 0), F.col("_commit_version")
+    )
+
+
+@q("source_iceberg_cdf", _CDF_CHANGES_SQL)
+def _source_iceberg_cdf(spark, sf_dir):
+    """Iceberg twin of the change feed (`IcebergLog.read_changes`):
+    per-snapshot file-set diff against the parent, keyed on the
+    merge-keys the MERGE snapshot summary recorded. Random snapshot
+    ids are normalized to their position in the snapshot list so the
+    output is deterministic for the oracle."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    log = _iceberg_orders_table(spark, sf_dir)
+    sids = log.snapshot_ids()
+    seq = F.col("_snapshot_id")
+    for i, sid in enumerate(sids):
+        seq = F.when(F.col("_snapshot_id") == sid, F.lit(i)).otherwise(
+            seq
+        )
+    return _cdf_project(log.read_changes(spark, sids[0]), seq)
+
+
 @q(
     "source_delta_evolution",
     """SELECT s_suppkey, s_name,
@@ -7812,68 +7894,71 @@ def _model_ece(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-6 window (VERDICT r5 "Next round" task 1). Slots 1-4: the
-    # four full-oracle queries added in the r5 snapshot commit AFTER
-    # the driver's correctness run — judge-local-green, no driver row
-    # yet. Then: a staleness re-sweep of queries whose last green
-    # driver row is r2 (three of those — expr_arithmetic,
-    # expr_comparison_logic, expr_conditionals — gave up their slots
-    # to round-6 additions; all three are r2-green and pass the local
-    # gate this round). Interleaved/tail slots: the TEN new round-6
-    # full-oracle queries (Delta x3 incl. schema evolution, Iceberg
-    # x2, BPE, CUBE, ECE), each needing its first driver row.
-    "privacy_k_anonymity",
-    "events_twap",
-    "model_calibration_bins",
+    # Round-7 window (VERDICT r6 "Next round" tasks 1 and 6).
+    # Slot 1: corpus_mixture_plan — the one red r6 driver row; the
+    # fix (integer-scaled rate_ppm/epochs_ppm BIGINTs on both engine
+    # and oracle sides, no doubles left in the output) exact-passes
+    # the local gate at sf0.01 AND sf0.1 this round. Slots 2-3: the
+    # two new round-7 full-oracle queries (row-level CDC feeds for
+    # Delta and Iceberg). Slots 4-6: the three r2-era rows the r6
+    # window displaced. Remaining 44 slots: the r3-era staleness
+    # cohort, oldest-first policy — 44 of its 47; the three deferred
+    # to r8 (join_asof_bucketed, sim_topk_matmul,
+    # stream_interval_join_batch) are the ones whose semantic twins
+    # (join_asof, sim_topk_cosine, live stream-stream e2e) went green
+    # in r6, so they carry the least marginal re-verification value.
     "corpus_mixture_plan",
-    # --- r2-era staleness re-sweep ---
-    "agg_concat_sorted",
-    "agg_hopping_window",
-    "constraints_drop_invalid",
-    "dedup_embedding",
-    "drop_duplicates",
-    "embed_dot_product",
-    "ensure_types_cast",
-    "source_iceberg_merge",
-    "source_iceberg_time_travel",
-    "source_delta_evolution",
-    "expr_date_components",
-    "expr_euclidean",
-    "expr_hash_distinct",
-    "expr_json",
-    "expr_math_funcs",
-    "expr_ordinal_replace",
-    "expr_split_array",
-    "expr_string_ops",
-    "expr_time_diff",
-    "filter_project",
-    "freshness",
-    "join_anti",
-    "join_asof",
-    "join_equi_multi",
-    "join_salted",
-    "join_semi",
-    "model_predict_over",
-    "rename_columns",
-    "sim_topk_cosine",
-    "source_csv_roundtrip",
-    "source_filtered",
-    "source_in_memory",
-    "stack_union",
-    "store_features_windowed",
-    "store_lineage",
-    "store_load_feature",
-    "text_token_counts",
-    "top_k",
-    "unique_rows_latest",
-    "view_agg_plain",
-    "view_derived_features",
-    # --- round-6 additions land here (swap out the twins below) ---
-    "source_delta_merge",
-    "source_delta_time_travel",
-    "text_bpe_counts",
-    "agg_cube_weekly",
-    "model_ece",
+    "source_delta_cdf",
+    "source_iceberg_cdf",
+    # --- r2-era (displaced by the r6 window) ---
+    "expr_arithmetic",
+    "expr_comparison_logic",
+    "expr_conditionals",
+    # --- r3-era staleness cohort ---
+    "agg_hopping_offset",
+    "combine_two_views",
+    "corpus_filter",
+    "corpus_pack",
+    "corpus_quantile_filter",
+    "corpus_redact_pii",
+    "corpus_sample_k",
+    "corpus_weighted_sample",
+    "custom_agg_pandas",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_lines",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embed_fake_text",
+    "embed_pca_stats",
+    "encode_dates",
+    "events_sessionize",
+    "graph_connected_components",
+    "join_range_binned",
+    "multimodal_binary",
+    "multimodal_image_pipeline",
+    "profile_histogram",
+    "setop_intersect_except",
+    "sim_lsh_pairs",
+    "source_partitioned_parquet",
+    "splits_temporal",
+    "splits_train",
+    "stream_late_data",
+    "text_bm25",
+    "text_decontaminate",
+    "text_language_quality",
+    "text_line_dup_ratio",
+    "text_ngram_jaccard",
+    "text_perplexity",
+    "text_quality_score",
+    "text_top_ngram",
+    "vector_index_ivf",
+    "vector_index_lsh",
+    "vector_index_nearest",
+    "view_between_dates",
+    "view_materialized_fast_path",
+    "view_unique_entities",
 ]
 
 
