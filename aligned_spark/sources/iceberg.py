@@ -234,3 +234,21 @@ class IcebergSource(WritableSource):
             )
             return
         _retrying(lambda: self._log().delete_where(spark, predicate))
+
+    def optimize_zorder(
+        self, spark: SparkSession, columns: list[str]
+    ) -> None:
+        """Compact + cluster files by (entity, ts) for PIT-join data
+        skipping — Iceberg ``rewriteDataFiles`` with a z-order
+        strategy; jar path uses the system procedure."""
+        if self._use_jars(spark):
+            cols = ", ".join(f"'{c}'" for c in columns)
+            spark.sql(
+                f"CALL system.rewrite_data_files(table => "
+                f"'{self.table}', strategy => 'sort', sort_order => "
+                f"'zorder({cols})')"
+            )
+            return
+        _retrying(
+            lambda: self._log().optimize(spark, zorder_by=columns)
+        )

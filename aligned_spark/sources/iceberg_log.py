@@ -808,11 +808,15 @@ class IcebergLog:
         mode: str = "append",
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """``append`` / ``overwrite``; creates the table on first
         write. ``merge_schema=True`` appends unknown columns to the
         table schema with fresh field ids (old parts project NULL).
-        Returns the new snapshot id."""
+        ``txn=(app_id, batch_id)`` records an idempotent-writer
+        watermark in the snapshot summary ATOMICALLY with the data
+        (the Flink/Iceberg ``max-committed-checkpoint-id`` pattern);
+        see :meth:`txn_version`. Returns the new snapshot id."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode: {mode!r}")
         if not self.exists():
@@ -859,7 +863,88 @@ class IcebergLog:
                 if s_["snapshot-id"] == view.snapshot_id
             )
             manifests += self._manifests_of(prev)
-        return self._next_commit(md, manifests, mode)
+        return self._next_commit(
+            md, manifests, mode, self._txn_summary(txn)
+        )
+
+    @staticmethod
+    def _txn_summary(
+        txn: tuple[str, int] | None,
+    ) -> dict[str, str] | None:
+        if txn is None:
+            return None
+        app_id, batch_id = txn
+        return {"app-id": app_id, "batch-id": str(int(batch_id))}
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Highest ``batch-id`` any snapshot committed for
+        ``app_id`` (None if the app never wrote) — the exactly-once
+        replay guard, read from snapshot summaries the way
+        Flink-on-Iceberg reads ``max-committed-checkpoint-id``.
+        Driver-side metadata only, no Spark job."""
+        if not self.exists():
+            return None
+        best: int | None = None
+        for snap in self.current_metadata().get("snapshots", []):
+            s = snap.get("summary", {})
+            if s.get("operation") == "expired":  # pragma: no cover
+                continue
+            if s.get("app-id") == app_id and "batch-id" in s:
+                b = int(s["batch-id"])
+                best = b if best is None or b > best else best
+        return best
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        zorder_by: list[str] | None = None,
+        target_rows_per_file: int | None = None,
+    ) -> int:
+        """Compaction (Iceberg ``rewriteDataFiles``): rewrite all
+        live parts as fewer, optionally Z-ORDER-clustered files —
+        the snapshot commits with operation ``replace``, which the
+        change feeds (:meth:`read_changes`, :meth:`read_appends`)
+        skip because no logical row changed. Z-ordering reuses
+        :func:`aligned_spark.operators.layout.cluster_by_zorder`
+        (range-repartition on the interleaved key + in-part sort) so
+        the manifest ``lower_bounds``/``upper_bounds`` become
+        selective on every z-ordered column. Old files stay on disk
+        for time travel until :meth:`expire_snapshots`."""
+        md = self.current_metadata()
+        view = self._resolve()
+        if not view.files:
+            return view.snapshot_id
+        df = self.read(spark)
+        n_files = None
+        if target_rows_per_file:
+            n_files = max(1, df.count() // target_rows_per_file)
+        if zorder_by:
+            from aligned_spark.operators.layout import (
+                cluster_by_zorder,
+            )
+
+            df = cluster_by_zorder(
+                df,
+                zorder_by,
+                n_files or df.rdd.getNumPartitions(),
+            )
+        elif n_files:
+            df = df.repartition(n_files)
+        part_cols = view.partition_columns
+        parts = stage_parquet_parts(
+            df, self.table_path, part_cols or None, data_subdir="data"
+        )
+        spec_fields = md["partition-specs"][0]["fields"]
+        manifests = [
+            self._write_manifest(
+                self._entries(parts, part_cols, ADDED, md["schema"]),
+                spec_fields,
+                md["schema"],
+            )
+        ]
+        return self._next_commit(
+            md, manifests, "replace", {"zorder-by": ",".join(zorder_by or [])}
+        )
 
     # ------------------------------------------------------- reading
 
@@ -928,6 +1013,10 @@ class IcebergLog:
         view = self._resolve(to)
         paths: list[str] = []
         for snap in md["snapshots"][lo + 1 : hi + 1]:
+            # compaction rewrites every live file without changing a
+            # row — its re-added files are not appends
+            if snap.get("summary", {}).get("operation") == "replace":
+                continue
             _, manifests = read_container(
                 os.path.join(self.table_path, snap["manifest-list"])
             )
@@ -1009,6 +1098,11 @@ class IcebergLog:
             removed = sorted(prev_files - cur_files)
             prev_files = cur_files
             if not added and not removed:
+                continue
+            # compaction swaps the whole file set with no logical
+            # change — diffing it would flood the feed with
+            # delete+insert noise for every surviving row
+            if snap.get("summary", {}).get("operation") == "replace":
                 continue
             if not removed:  # pure append
                 pieces.append(
@@ -1208,14 +1302,18 @@ class IcebergLog:
         )
 
     def merge_upsert(
-        self, df: DataFrame, keys: list[str]
+        self,
+        df: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE (copy-on-write): whenMatchedUpdateAll +
         whenNotMatchedInsertAll; only parts containing a matched key
         rewrite — same file-pruned plan as the Delta MERGE. Callers
-        pre-dedup the source on ``keys``."""
+        pre-dedup the source on ``keys``. ``txn`` as in
+        :meth:`write`."""
         if not self.exists():
-            return self.write(df, "append")
+            return self.write(df, "append", txn=txn)
         spark = df.sparkSession
         md = self.current_metadata()
         view = self._resolve()
@@ -1243,7 +1341,7 @@ class IcebergLog:
         return self._rewrite_commit(
             md, view, touched, out, "overwrite",
             # merge-keys let read_changes reconstruct update pairs
-            {"merge-keys": ",".join(keys)},
+            {"merge-keys": ",".join(keys), **(self._txn_summary(txn) or {})},
         )
 
     def delete_where(

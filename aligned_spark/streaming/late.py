@@ -47,6 +47,9 @@ def drop_late_events(
     per_batch = tagged.groupBy("__batch").agg(
         F.max(ts_col).alias("__bmax")
     )
+    # unpartitioned Window is safe HERE only: it runs over the
+    # per-batch rollup (one row per micro-batch — thousands at 100 TB,
+    # never per event) and the result broadcasts back to the stream
     w = W.orderBy("__batch").rowsBetween(W.unboundedPreceding, -1)
     wm = per_batch.withColumn(
         "__wm",

@@ -78,3 +78,42 @@ def idempotent_delta_sink(
                 # even have been our own replayed twin) and retry
 
     return sink
+
+
+def idempotent_iceberg_sink(
+    table_path: str,
+    keys: list[str] | None = None,
+    app_id: str = "stream",
+    partition_by: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Iceberg twin of :func:`idempotent_delta_sink`: the replay
+    guard rides in the snapshot summary (``app-id``/``batch-id``,
+    the Flink-on-Iceberg ``max-committed-checkpoint-id`` pattern),
+    committed atomically with the data in one metadata version —
+    :meth:`IcebergLog.txn_version` reads it back driver-side."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        log = IcebergLog(table_path)
+        for attempt in range(_MAX_RETRIES):
+            last = log.txn_version(app_id)
+            if last is not None and batch_id <= last:
+                return  # replay of an already-committed batch
+            try:
+                if keys:
+                    log.merge_upsert(
+                        batch_df, keys, txn=(app_id, batch_id)
+                    )
+                else:
+                    log.write(
+                        batch_df,
+                        "append",
+                        partition_by,
+                        txn=(app_id, batch_id),
+                    )
+                return
+            except ConcurrentCommitError:
+                if attempt == _MAX_RETRIES - 1:
+                    raise
+
+    return sink

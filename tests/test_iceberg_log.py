@@ -476,3 +476,112 @@ def test_expire_snapshots_removes_orphans(spark, log):
     assert {r.k for r in log.read(spark).collect()} == {9}
     with pytest.raises(ValueError):
         log.read(spark, snapshot_id=s0)  # expired — by design
+
+
+# ------------------------------------------- compaction / exactly-once
+
+
+def test_iceberg_optimize_compacts_preserving_rows(spark, log):
+    """rewriteDataFiles parity: many small files compact into fewer
+    under a 'replace' snapshot; rows and time travel survive."""
+    for i in range(4):
+        log.write(
+            _mk(spark, [(i * 10 + j, "x") for j in range(5)]).coalesce(1),
+            "append",
+        )
+    before_view = log._resolve()
+    pre_rows = sorted(r.k for r in log.read(spark).collect())
+    pre_sid = log.snapshot_ids()[-1]
+    log.optimize(spark, target_rows_per_file=20)
+    view = log._resolve()
+    assert len(view.files) < len(before_view.files)
+    assert sorted(r.k for r in log.read(spark).collect()) == pre_rows
+    md = log.current_metadata()
+    assert md["snapshots"][-1]["summary"]["operation"] == "replace"
+    # pre-compaction snapshot still time-travels
+    assert log.read(spark, snapshot_id=pre_sid).count() == 20
+
+
+def test_iceberg_optimize_zorder_improves_pruning(spark, log):
+    """The Delta z-order selectivity test ported: after optimize
+    (zorder_by=k) per-file k-bounds narrow, so a point range prunes
+    a larger file fraction via manifest bounds."""
+    import random
+
+    from aligned_spark.sources.iceberg_log import (
+        _iceberg_file_may_match,
+    )
+
+    rng = random.Random(7)
+    ks = list(range(400))
+    rng.shuffle(ks)
+    log.write(
+        _mk(spark, [(k, "x") for k in ks]).repartition(8), "append"
+    )
+
+    def pruned_fraction():
+        view = log._resolve()
+        md = log.current_metadata()
+        fields_by_id = {
+            f["id"]: f
+            for f in md["schema"]["fields"]
+            if isinstance(f.get("type"), str)
+        }
+        pred = [("k", ">=", 100), ("k", "<=", 120)]
+        kept = sum(
+            1
+            for df_ in view.files.values()
+            if _iceberg_file_may_match(df_, fields_by_id, pred)
+        )
+        return 1 - kept / len(view.files)
+
+    before = pruned_fraction()
+    log.optimize(spark, zorder_by=["k"], target_rows_per_file=50)
+    after = pruned_fraction()
+    assert after > before
+    assert after >= 0.5
+
+
+def test_iceberg_change_feeds_skip_compaction(spark, log):
+    """A replace snapshot swaps every file without a logical change:
+    both feeds must emit nothing for it, and changes after it must
+    still flow."""
+    log.write(_mk(spark, [(i, "x") for i in range(20)]).coalesce(1), "append")
+    s0 = log.snapshot_ids()[-1]
+    log.optimize(spark, target_rows_per_file=10)
+    assert log.read_changes(spark, s0).count() == 0
+    assert log.read_appends(spark, s0).count() == 0
+    log.write(_mk(spark, [(99, "new")]), "append")
+    ch = log.read_changes(spark, s0)
+    got = [(r.k, r._change_type) for r in ch.collect()]
+    assert got == [(99, "insert")]
+    assert log.read_appends(spark, s0).count() == 1
+
+
+def test_iceberg_txn_version_and_sink_replay(spark, tmp_path):
+    """Exactly-once: batch-id rides in the snapshot summary; a
+    replayed foreachBatch call is a no-op; distinct app ids do not
+    mask each other."""
+    from aligned_spark.streaming.sinks import idempotent_iceberg_sink
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    path = str(tmp_path / "t")
+    sink = idempotent_iceberg_sink(path, app_id="appA")
+    sink(_mk(spark, [(1, "a")]), 0)
+    sink(_mk(spark, [(2, "b")]), 1)
+    sink(_mk(spark, [(2, "b")]), 1)  # forced replay — must skip
+    log = IcebergLog(path)
+    assert log.txn_version("appA") == 1
+    assert log.txn_version("appB") is None
+    assert sorted(r.k for r in log.read(spark).collect()) == [1, 2]
+    # second app appends independently
+    sink_b = idempotent_iceberg_sink(path, app_id="appB")
+    sink_b(_mk(spark, [(3, "c")]), 0)
+    assert log.txn_version("appB") == 0
+    assert log.read(spark).count() == 3
+    # upsert mode replay
+    sink_u = idempotent_iceberg_sink(path, keys=["k"], app_id="appU")
+    sink_u(_mk(spark, [(3, "C")]), 5)
+    sink_u(_mk(spark, [(3, "WRONG")]), 5)  # replay skipped
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got[3] == "C"
