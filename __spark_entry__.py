@@ -7760,6 +7760,71 @@ def _source_iceberg_cdf(spark, sf_dir):
 
 
 @q(
+    "store_incremental_aggregate",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS price_cents
+    FROM final GROUP BY o_orderpriority""",
+)
+def _store_incremental_aggregate(spark, sf_dir):
+    """Incremental view maintenance
+    (`operators/incremental.py:IncrementalAggregate`): a SUM/COUNT
+    aggregate by priority is maintained across the write → MERGE →
+    DELETE sequence purely from CDC slices (first refresh = full
+    build; the next two read only changed rows, convert them to
+    signed per-group deltas and MERGE — the txn cursor rides each
+    commit). The oracle is the direct group-by over the final state:
+    equality proves maintenance correctness including group moves
+    and emptied groups. At 100 TB a refresh costs the changed parts,
+    never a base rescan. Prices ride as scaled-long cents."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.operators.incremental import (
+        IncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    cents = (
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents")
+    )
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="aligned_spark_ivm_")
+    src = DeltaSource(path=f"{root}/base")
+    src.insert(base.withColumn("price_cents", cents).repartition(4))
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=f"{root}/agg",
+        group_keys=["o_orderpriority"],
+        sums=["price_cents"],
+    )
+    agg.refresh(spark)  # full build at version 0
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    src.upsert(
+        upd.unionByName(ins).withColumn("price_cents", cents),
+        keys=["o_orderkey"],
+    )
+    agg.refresh(spark)  # incremental: merge slice only
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    agg.refresh(spark)  # incremental: delete slice only
+    return agg.read(spark).select(
+        "o_orderpriority", "n_rows", "price_cents"
+    )
+
+
+@q(
     "source_delta_evolution",
     """SELECT s_suppkey, s_name,
               CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END
