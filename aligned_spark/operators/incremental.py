@@ -104,41 +104,79 @@ class IncrementalAggregate:
                     *[F.sum(c).alias(c) for c in self.sums],
                 )
             )
+            self._reject_null_keys(full)
             log.write(full, "append", txn=(self.app_id, current))
             return current
         deltas = change_deltas(
             self.source.read_changes(spark, cursor),
             self.group_keys,
             self.sums,
-        )
-        old = log.read(spark).select(
-            *self.group_keys,
-            F.col(COUNT_COL).alias("__old_n"),
-            *[F.col(c).alias(f"__old_{c}") for c in self.sums],
-        )
-        merged = deltas.join(old, on=self.group_keys, how="left").select(
-            *self.group_keys,
-            (
-                F.coalesce(F.col("__old_n"), F.lit(0))
-                + F.col(COUNT_COL)
-            ).alias(COUNT_COL),
-            *[
+        ).persist()
+        try:
+            self._reject_null_keys(deltas)
+            # Semi-filter the aggregate by the delta keys BEFORE the
+            # outer join: at a billion groups the aggregate scan
+            # stays one pass with a (usually broadcast) semi-join and
+            # the outer join runs over only the touched groups —
+            # never a sort-merge shuffle of the whole aggregate. AQE
+            # picks the semi strategy: broadcast for a small slice,
+            # shuffle for a backfill-sized one (the correct fallback).
+            keys_df = deltas.select(*self.group_keys)
+            old = (
+                log.read(spark)
+                .join(keys_df, on=self.group_keys, how="left_semi")
+                .select(
+                    *self.group_keys,
+                    F.col(COUNT_COL).alias("__old_n"),
+                    *[
+                        F.col(c).alias(f"__old_{c}")
+                        for c in self.sums
+                    ],
+                )
+            )
+            merged = deltas.join(
+                old, on=self.group_keys, how="left"
+            ).select(
+                *self.group_keys,
                 (
-                    F.coalesce(F.col(f"__old_{c}"), F.lit(0))
-                    + F.coalesce(F.col(c), F.lit(0))
-                ).alias(c)
-                for c in self.sums
-            ],
-        )
-        # cursor rides the MERGE commit: data + watermark are atomic
-        log.merge_upsert(
-            merged, self.group_keys, txn=(self.app_id, current)
-        )
-        # opportunistic tombstone of emptied groups — idempotent and
-        # safe to lose (read() filters __n = 0 regardless)
-        if not merged.filter(F.col(COUNT_COL) == 0).isEmpty():
-            log.delete_where(spark, F.col(COUNT_COL) == 0)
+                    F.coalesce(F.col("__old_n"), F.lit(0))
+                    + F.col(COUNT_COL)
+                ).alias(COUNT_COL),
+                *[
+                    (
+                        F.coalesce(F.col(f"__old_{c}"), F.lit(0))
+                        + F.coalesce(F.col(c), F.lit(0))
+                    ).alias(c)
+                    for c in self.sums
+                ],
+            )
+            # cursor rides the MERGE commit: data+watermark atomic
+            log.merge_upsert(
+                merged, self.group_keys, txn=(self.app_id, current)
+            )
+            # opportunistic tombstone of emptied groups — idempotent
+            # and safe to lose (read() filters __n = 0 regardless)
+            if not merged.filter(F.col(COUNT_COL) == 0).isEmpty():
+                log.delete_where(spark, F.col(COUNT_COL) == 0)
+        finally:
+            deltas.unpersist()
         return current
+
+    def _reject_null_keys(self, grouped: DataFrame) -> None:
+        """NULL group keys never match under SQL MERGE semantics
+        (upstream Delta behaves identically), so maintaining them
+        would duplicate rows — fail fast instead. Cheap: runs on the
+        already-aggregated frame."""
+        null_pred = None
+        for k in self.group_keys:
+            c = F.col(k).isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        if not grouped.filter(null_pred).isEmpty():
+            raise ValueError(
+                "null group keys are not maintainable (MERGE never "
+                "matches NULL) — fill or filter them in the base: "
+                f"{self.group_keys}"
+            )
 
     def read(self, spark: SparkSession) -> DataFrame:
         """The maintained aggregate (groups with no surviving rows

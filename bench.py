@@ -136,6 +136,12 @@ HEADLINE = [
     "text_bpe_counts",
     "agg_cube",
     "model_ece",
+    # round-7 additions: row-level CDC reconstruction over rewrite
+    # commits (both formats) and CDC-driven incremental aggregate
+    # maintenance (3 refreshes: full build + two change slices)
+    "source_delta_cdf",
+    "source_iceberg_cdf",
+    "store_incremental_aggregate",
 ]
 
 

@@ -115,3 +115,23 @@ def test_refresh_touches_only_changes(spark, src, tmp_path):
     assert change_deltas(ch, ["g"], ["x"]).count() == 1
     agg.refresh(spark)
     assert _maintained(spark, agg) == _direct(spark, src)
+
+
+def test_null_group_keys_rejected(spark, tmp_path):
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=1, g="a", x=1.0), Row(k=2, g=None, x=2.0)]
+        )
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+    )
+    with pytest.raises(ValueError, match="null group keys"):
+        agg.refresh(spark)
