@@ -134,6 +134,9 @@ class IncrementalAggregate:
                     ],
                 )
             )
+            # persisted: staged once by the MERGE, probed again by
+            # the emptied-group check — never recomputed through the
+            # CDC read + semi-join chain
             merged = deltas.join(
                 old, on=self.group_keys, how="left"
             ).select(
@@ -149,7 +152,7 @@ class IncrementalAggregate:
                     ).alias(c)
                     for c in self.sums
                 ],
-            )
+            ).persist()
             # cursor rides the MERGE commit: data+watermark atomic
             log.merge_upsert(
                 merged, self.group_keys, txn=(self.app_id, current)
@@ -158,6 +161,7 @@ class IncrementalAggregate:
             # and safe to lose (read() filters __n = 0 regardless)
             if not merged.filter(F.col(COUNT_COL) == 0).isEmpty():
                 log.delete_where(spark, F.col(COUNT_COL) == 0)
+            merged.unpersist()
         finally:
             deltas.unpersist()
         return current
