@@ -7760,6 +7760,51 @@ def _source_iceberg_cdf(spark, sf_dir):
 
 
 @q(
+    "source_iceberg_mor",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM final""",
+)
+def _source_iceberg_mor(spark, sf_dir):
+    """Iceberg v2 MERGE-ON-READ parity
+    (`iceberg_log.py:merge_upsert_mor/delete_where_mor`): the same
+    write/MERGE/DELETE sequence as `source_iceberg_merge`, but the
+    MERGE writes position-delete pairs + appended parts and the
+    DELETE writes only pairs — zero copy-on-write part rewrites. The
+    read applies the pairs with a broadcast anti-join on the scan's
+    (file, row_index) metadata; result must equal the identical
+    relational oracle, proving CoW and MOR implement one logical
+    contract. At 100 TB this is the small-frequent-change posture:
+    a 1-row upsert costs one tiny delete file + one tiny data file."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.iceberg import IcebergSource
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
+    path = tempfile.mkdtemp(prefix="aligned_spark_iceberg_mor_")
+    src = IcebergSource(path=path, merge_on_read=True)
+    src.insert(base.repartition(4))
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    src.upsert(upd.unionByName(ins), keys=["o_orderkey"])
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    return IcebergLog(path).read(spark).select(*_DELTA_ORDERS_COLS)
+
+
+@q(
     "store_incremental_aggregate",
     f"""WITH {_DELTA_MERGED_SQL}
     SELECT o_orderpriority,

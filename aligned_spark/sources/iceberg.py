@@ -69,6 +69,11 @@ class IcebergSource(WritableSource):
     #: :class:`~aligned_spark.sources.log_store.S3LogStore`); None =
     #: filesystem exclusive-create under ``path/metadata``
     commit_store: Any | None = None
+    #: route upsert/delete through v2 POSITION DELETES
+    #: (merge-on-read) instead of copy-on-write part rewrites — the
+    #: small-frequent-change posture; compact with
+    #: :meth:`optimize_zorder` / ``IcebergLog.optimize``
+    merge_on_read: bool = False
 
     def job_group_key(self) -> str:
         return f"iceberg:{self.table or self.path}"
@@ -181,7 +186,10 @@ class IcebergSource(WritableSource):
                 "WHEN NOT MATCHED THEN INSERT *"
             )
             return
-        _retrying(lambda: self._log().merge_upsert(df, keys))
+        if self.merge_on_read:
+            _retrying(lambda: self._log().merge_upsert_mor(df, keys))
+        else:
+            _retrying(lambda: self._log().merge_upsert(df, keys))
 
     def overwrite(self, df: DataFrame, predicate: Column | None = None) -> None:
         if self._use_jars(df.sparkSession):
@@ -233,7 +241,14 @@ class IcebergSource(WritableSource):
                 f"WHERE {predicate._jc.toString()}"
             )
             return
-        _retrying(lambda: self._log().delete_where(spark, predicate))
+        if self.merge_on_read:
+            _retrying(
+                lambda: self._log().delete_where_mor(spark, predicate)
+            )
+        else:
+            _retrying(
+                lambda: self._log().delete_where(spark, predicate)
+            )
 
     def optimize_zorder(
         self, spark: SparkSession, columns: list[str]

@@ -53,7 +53,7 @@ import os
 import re
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -456,6 +456,14 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {
+            # v2: 0 = data manifest, 1 = POSITION-DELETE manifest
+            # (merge-on-read). Old manifest lists lack the field —
+            # readers default it to 0 via the embedded Avro schema.
+            "name": "content",
+            "type": "int",
+            "field-id": 517,
+        },
+        {
             "name": "added_snapshot_id",
             "type": ["null", "long"],
             "default": None,
@@ -470,12 +478,20 @@ _MANIFEST_LIST_SCHEMA = {
 
 @dataclass
 class IcebergSnapshotView:
-    """Resolved view of one snapshot: live files + partition values."""
+    """Resolved view of one snapshot: live files + partition values.
+
+    ``delete_files`` are v2 POSITION-DELETE parquet files
+    (``file_path``/``pos`` rows, the spec's merge-on-read encoding);
+    a read anti-joins them against the data scan's
+    ``_metadata`` (file, row_index) pairs."""
 
     snapshot_id: int
     schema: T.StructType
     partition_columns: list[str]
     files: dict[str, dict[str, Any]]  # rel path -> entry info
+    delete_files: dict[str, dict[str, Any]] = field(
+        default_factory=dict
+    )
 
 
 @dataclass
@@ -606,6 +622,7 @@ class IcebergLog:
             _MANIFEST_LIST_SCHEMA,
             [
                 {
+                    "content": 0,
                     **m,
                     "added_snapshot_id": m.get("added_snapshot_id")
                     or snapshot_id,
@@ -730,22 +747,105 @@ class IcebergLog:
             os.path.join(self.table_path, snap["manifest-list"])
         )
         files: dict[str, dict[str, Any]] = {}
+        delete_files: dict[str, dict[str, Any]] = {}
         for m in manifests:
+            target = (
+                delete_files if m.get("content", 0) == 1 else files
+            )
             _, entries = read_container(
                 os.path.join(self.table_path, m["manifest_path"])
             )
             for e in entries:
                 if e["status"] == DELETED:
-                    files.pop(e["data_file"]["file_path"], None)
+                    target.pop(e["data_file"]["file_path"], None)
                 else:
-                    files[e["data_file"]["file_path"]] = e["data_file"]
-        return IcebergSnapshotView(sid, schema, part_cols, files)
+                    target[e["data_file"]["file_path"]] = e["data_file"]
+        return IcebergSnapshotView(
+            sid, schema, part_cols, files, delete_files
+        )
 
     def _manifests_of(self, snapshot: dict[str, Any]) -> list[dict]:
         _, manifests = read_container(
             os.path.join(self.table_path, snapshot["manifest-list"])
         )
         return manifests
+
+    # ------------------------------------------- merge-on-read scans
+
+    #: table-relative path of the file a row came from, derived from
+    #: the scan's ``_metadata`` — matches the ``file_path`` values in
+    #: position-delete files
+    @staticmethod
+    def _rel_file_col():
+        return F.concat(
+            F.lit("data/"),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "/data/(.*)$", 1
+            ),
+        )
+
+    def _delete_pairs(
+        self,
+        spark: SparkSession,
+        view: IcebergSnapshotView,
+        rels: list[str] | None = None,
+    ) -> DataFrame | None:
+        """(file_path, pos) rows of the snapshot's position-delete
+        files, optionally restricted to the data files actually being
+        scanned. None when the snapshot carries no deletes."""
+        if not view.delete_files:
+            return None
+        pairs = spark.read.schema("file_path string, pos long").parquet(
+            *[
+                os.path.join(self.table_path, p)
+                for p in sorted(view.delete_files)
+            ]
+        )
+        if rels is not None:
+            pairs = pairs.filter(F.col("file_path").isin(rels))
+        return pairs
+
+    def _scan(
+        self,
+        spark: SparkSession,
+        view: IcebergSnapshotView,
+        rels: list[str] | None = None,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Plan a read of ``rels`` (default: all live data files)
+        with the snapshot's position deletes APPLIED: the data scan
+        carries (file, row_index) from ``_metadata`` and anti-joins
+        the delete pairs — AQE broadcasts the (small) delete side.
+        ``keep_meta=True`` keeps ``__file``/``__pos`` columns for
+        callers that need row positions (the MOR writers)."""
+        rels = sorted(view.files) if rels is None else sorted(rels)
+        cols = [f.name for f in view.schema.fields]
+        if not rels:
+            df = spark.createDataFrame([], view.schema)
+            if keep_meta:
+                df = df.withColumn(
+                    "__file", F.lit(None).cast("string")
+                ).withColumn("__pos", F.lit(None).cast("long"))
+            return df
+        df = (
+            spark.read.schema(view.schema)
+            .option("basePath", os.path.join(self.table_path, "data"))
+            .parquet(*[os.path.join(self.table_path, p) for p in rels])
+        )
+        pairs = self._delete_pairs(spark, view, rels)
+        if pairs is None and not keep_meta:
+            return df.select(*cols)
+        df = df.withColumn("__file", self._rel_file_col()).withColumn(
+            "__pos", F.col("_metadata.row_index")
+        )
+        if pairs is not None:
+            df = df.join(
+                pairs.withColumnRenamed("file_path", "__file")
+                .withColumnRenamed("pos", "__pos"),
+                ["__file", "__pos"],
+                "left_anti",
+            )
+        return df if keep_meta else df.select(*cols)
 
     def snapshot_ids(self) -> list[int]:
         md = self.current_metadata()
@@ -977,19 +1077,11 @@ class IcebergLog:
                 for p, e in view.files.items()
                 if _iceberg_file_may_match(e, fields_by_id, skipping)
             }
-        if not view.files:
-            return spark.createDataFrame([], view.schema)
-        paths = [
-            os.path.join(self.table_path, p) for p in sorted(view.files)
-        ]
-        # explicit reader schema: fixes column order/types (hive
-        # partition dirs would infer) and projects NULL for evolved
-        # columns absent from old parts
-        return (
-            spark.read.schema(view.schema)
-            .option("basePath", os.path.join(self.table_path, "data"))
-            .parquet(*paths)
-        )
+        # explicit reader schema inside _scan: fixes column
+        # order/types (hive partition dirs would infer), projects
+        # NULL for evolved columns absent from old parts, and applies
+        # any position-delete files (merge-on-read)
+        return self._scan(spark, view)
 
     def read_appends(
         self,
@@ -1022,6 +1114,10 @@ class IcebergLog:
             )
             for m in manifests:
                 if m["added_snapshot_id"] != snap["snapshot-id"]:
+                    continue
+                if m.get("content", 0) == 1:
+                    # position-delete manifest — its parquet holds
+                    # (file_path, pos) pairs, not table rows
                     continue
                 _, entries = read_container(
                     os.path.join(self.table_path, m["manifest_path"])
@@ -1074,40 +1170,79 @@ class IcebergLog:
         view = self._resolve(to)
         cols = [f.name for f in view.schema.fields]
 
-        def read_paths(paths: list[str]) -> DataFrame:
-            return (
-                spark.read.schema(view.schema)
-                .option(
-                    "basePath", os.path.join(self.table_path, "data")
-                )
-                .parquet(
-                    *[
-                        os.path.join(self.table_path, p)
-                        for p in sorted(paths)
-                    ]
-                )
-                .select(*cols)
-            )
-
         pieces: list[DataFrame] = []
-        prev_files = set(self._resolve(ids[lo]).files)
+        prev_view = self._resolve(ids[lo])
         for snap in md["snapshots"][lo + 1 : hi + 1]:
             sid = snap["snapshot-id"]
-            cur_files = set(self._resolve(sid).files)
-            added = sorted(cur_files - prev_files)
-            removed = sorted(prev_files - cur_files)
-            prev_files = cur_files
-            if not added and not removed:
+            cur_view = self._resolve(sid)
+            added = sorted(set(cur_view.files) - set(prev_view.files))
+            removed = sorted(
+                set(prev_view.files) - set(cur_view.files)
+            )
+            new_del = sorted(
+                set(cur_view.delete_files)
+                - set(prev_view.delete_files)
+            )
+            old_view, prev_view = prev_view, cur_view
+            if not added and not removed and not new_del:
                 continue
             # compaction swaps the whole file set with no logical
             # change — diffing it would flood the feed with
             # delete+insert noise for every surviving row
             if snap.get("summary", {}).get("operation") == "replace":
                 continue
+            mk = snap.get("summary", {}).get("merge-keys")
+            keys = mk.split(",") if mk else None
+            if new_del:
+                # merge-on-read commit: the rows its position-delete
+                # files kill, read at the PARENT view (parent deletes
+                # applied, so already-dead rows can't re-emit); scan
+                # only the data files the pairs reference
+                ndp = spark.read.schema(
+                    "file_path string, pos long"
+                ).parquet(
+                    *[
+                        os.path.join(self.table_path, p)
+                        for p in new_del
+                    ]
+                )
+                # bounded: one rel path per touched data file
+                hit = [
+                    r[0]
+                    for r in ndp.select("file_path")
+                    .distinct()
+                    .collect()
+                ]
+                dead = (
+                    self._scan(spark, old_view, hit, keep_meta=True)
+                    .join(
+                        ndp.withColumnRenamed("file_path", "__file")
+                        .withColumnRenamed("pos", "__pos"),
+                        ["__file", "__pos"],
+                        "left_semi",
+                    )
+                    .select(*cols)
+                )
+                if added:  # MOR merge: delete pairs + appended rows
+                    pieces += diff_rewrite(
+                        dead,
+                        self._scan(spark, cur_view, added),
+                        cols,
+                        keys,
+                        "_snapshot_id",
+                        sid,
+                    )
+                else:  # MOR delete
+                    pieces.append(
+                        tag_changes(
+                            dead, cols, "delete", "_snapshot_id", sid
+                        )
+                    )
+                continue
             if not removed:  # pure append
                 pieces.append(
                     tag_changes(
-                        read_paths(added),
+                        self._scan(spark, cur_view, added),
                         cols,
                         "insert",
                         "_snapshot_id",
@@ -1118,7 +1253,7 @@ class IcebergLog:
             if not added:  # pure remove
                 pieces.append(
                     tag_changes(
-                        read_paths(removed),
+                        self._scan(spark, old_view, removed),
                         cols,
                         "delete",
                         "_snapshot_id",
@@ -1126,11 +1261,11 @@ class IcebergLog:
                     )
                 )
                 continue
-            mk = snap.get("summary", {}).get("merge-keys")
-            keys = mk.split(",") if mk else None
+            # copy-on-write rewrite: old/new content of the touched
+            # parts, each side with ITS view's position deletes
             pieces += diff_rewrite(
-                read_paths(removed),
-                read_paths(added),
+                self._scan(spark, old_view, removed),
+                self._scan(spark, cur_view, added),
                 cols,
                 keys,
                 "_snapshot_id",
@@ -1184,6 +1319,7 @@ class IcebergLog:
         for s_ in kept_snaps:
             view = self._resolve(s_["snapshot-id"])
             referenced |= set(view.files)
+            referenced |= set(view.delete_files)
         new_md = dict(md)
         new_md["snapshots"] = kept_snaps
         new_md["snapshot-log"] = [
@@ -1226,8 +1362,11 @@ class IcebergLog:
 
         if not view.files:
             return []
+        # keep_meta carries the table-relative __file column through
+        # the (possible) merge-on-read delete anti-join — _metadata
+        # itself is unresolvable past that join
         return touched_files(
-            self.read(spark, view.snapshot_id),
+            self._scan(spark, view, keep_meta=True),
             self.table_path,
             row_filter,
         )
@@ -1326,16 +1465,10 @@ class IcebergLog:
         cols = [f.name for f in view.schema.fields]
         out = df.select(*cols)
         if touched:
-            survivors = (
-                spark.read.schema(view.schema)
-                .option(
-                    "basePath", os.path.join(self.table_path, "data")
-                )
-                .parquet(
-                    *[os.path.join(self.table_path, p) for p in touched]
-                )
-                .select(*cols)
-                .join(src_keys, keys, "left_anti")
+            # _scan applies any position deletes on the touched parts
+            # — a CoW rewrite must not resurrect MOR-deleted rows
+            survivors = self._scan(spark, view, touched).join(
+                src_keys, keys, "left_anti"
             )
             out = survivors.unionByName(out)
         return self._rewrite_commit(
@@ -1357,18 +1490,148 @@ class IcebergLog:
         )
         if not touched:
             return view.snapshot_id
-        cols = [f.name for f in view.schema.fields]
-        survivors = (
-            spark.read.schema(view.schema)
-            .option(
-                "basePath", os.path.join(self.table_path, "data")
-            )
-            .parquet(
-                *[os.path.join(self.table_path, p) for p in touched]
-            )
-            .select(*cols)
-            .filter(~cond)
-        )
+        survivors = self._scan(spark, view, touched).filter(~cond)
         return self._rewrite_commit(
             md, view, touched, survivors, "delete"
+        )
+
+    # ------------------------------------------ merge-on-read writes
+
+    def _stage_delete_manifest(
+        self, md: dict[str, Any], pairs: DataFrame
+    ) -> dict[str, Any]:
+        """Write ``(file_path, pos)`` pairs as v2 position-delete
+        parquet (sorted by file then position per spec, range-
+        clustered so each delete file covers few data files) and
+        return its content=1 manifest-list entry."""
+        spec_fields = md["partition-specs"][0]["fields"]
+        part_cols = [f["name"] for f in spec_fields]
+        sorted_pairs = pairs.repartitionByRange(
+            "file_path", "pos"
+        ).sortWithinPartitions("file_path", "pos")
+        parts = stage_parquet_parts(
+            sorted_pairs, self.table_path, None, data_subdir="data"
+        )
+        manifest = self._write_manifest(
+            self._entries(parts, part_cols, ADDED),
+            spec_fields,
+            md["schema"],
+        )
+        return {**manifest, "content": 1}
+
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        predicate: Column,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Merge-on-read DELETE (Iceberg v2 position deletes): a
+        matching row costs ONE (file_path, pos) pair in a small
+        delete file — no data part is rewritten, unlike
+        :meth:`delete_where`. Reads apply the pairs with a broadcast
+        anti-join on the scan's ``_metadata`` (file, row_index);
+        :meth:`optimize` compacts them away. The 100 TB trade the
+        spec makes: tiny-delete latency for a per-read anti-join."""
+        md = self.current_metadata()
+        view = self._resolve()
+        cond = F.coalesce(predicate, F.lit(False))
+        pairs = (
+            self._scan(spark, view, keep_meta=True)
+            .filter(cond)
+            .select(
+                F.col("__file").alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            .persist()
+        )
+        try:
+            if view.snapshot_id == -1 or pairs.isEmpty():
+                return view.snapshot_id
+            manifests = [self._stage_delete_manifest(md, pairs)]
+        finally:
+            pairs.unpersist()
+        snap = next(
+            s_
+            for s_ in md["snapshots"]
+            if s_["snapshot-id"] == view.snapshot_id
+        )
+        manifests += self._manifests_of(snap)
+        md = {**md, "format-version": 2}  # v2 feature now in use
+        return self._next_commit(
+            md,
+            manifests,
+            "delete",
+            {"mode": "merge-on-read", **(self._txn_summary(txn) or {})},
+        )
+
+    def merge_upsert_mor(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Merge-on-read MERGE: matched old rows become position-
+        delete pairs, ALL source rows append as new parts — zero data
+        rewrites (a 1-row upsert into a 100 TB table writes one tiny
+        delete file and one tiny data file). Same logical contract as
+        :meth:`merge_upsert`; CDC reconstructs the identical
+        update-pair feed from the pairs + appended parts."""
+        if not self.exists():
+            return self.write(df, "append", txn=txn)
+        spark = df.sparkSession
+        md = self.current_metadata()
+        view = self._resolve()
+        if view.snapshot_id == -1:  # created but never written
+            return self.write(df, "append", txn=txn)
+        cols = [f.name for f in view.schema.fields]
+        src_keys = df.select(*keys).distinct()
+        pairs = (
+            self._scan(spark, view, keep_meta=True)
+            .join(src_keys, keys, "left_semi")
+            .select(
+                F.col("__file").alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            .persist()
+        )
+        spec_fields = md["partition-specs"][0]["fields"]
+        part_cols = view.partition_columns
+        try:
+            parts = stage_parquet_parts(
+                df.select(*cols),
+                self.table_path,
+                part_cols or None,
+                data_subdir="data",
+            )
+            manifests = [
+                self._write_manifest(
+                    self._entries(
+                        parts, part_cols, ADDED, md["schema"]
+                    ),
+                    spec_fields,
+                    md["schema"],
+                )
+            ]
+            if not pairs.isEmpty():
+                manifests.append(
+                    self._stage_delete_manifest(md, pairs)
+                )
+        finally:
+            pairs.unpersist()
+        snap = next(
+            s_
+            for s_ in md["snapshots"]
+            if s_["snapshot-id"] == view.snapshot_id
+        )
+        manifests += self._manifests_of(snap)
+        md = {**md, "format-version": 2}
+        return self._next_commit(
+            md,
+            manifests,
+            "overwrite",
+            {
+                "mode": "merge-on-read",
+                "merge-keys": ",".join(keys),
+                **(self._txn_summary(txn) or {}),
+            },
         )

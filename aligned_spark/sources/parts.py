@@ -174,7 +174,18 @@ def touched_files(
 
     ``_metadata.file_path`` is a percent-ENCODED URI; ``unquote``
     restores the literal on-disk name (which may itself contain
-    Spark's %XX partition-value escapes)."""
+    Spark's %XX partition-value escapes). A frame that ALREADY
+    carries a table-relative ``__file`` column (an Iceberg
+    merge-on-read scan — ``_metadata`` is unresolvable through its
+    delete anti-join) is used as-is."""
+    if "__file" in snapshot_df.columns:
+        hits = (
+            row_filter(snapshot_df)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        return sorted({r["__file"] for r in hits})
     df = snapshot_df.withColumn(
         "__file", F.col("_metadata.file_path")
     )
