@@ -7760,6 +7760,49 @@ def _source_iceberg_cdf(spark, sf_dir):
 
 
 @q(
+    "source_delta_mor",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM final""",
+)
+def _source_delta_mor(spark, sf_dir):
+    """Delta MERGE-ON-READ parity
+    (`delta_log.py:merge_upsert_mor/delete_where_mor`): the same
+    write/MERGE/DELETE sequence as `source_delta_merge`, but the
+    MERGE writes position-delete sidecars + appended parts and the
+    DELETE writes only sidecars — zero part rewrites, protocol
+    raised to reader-feature gating so foreign readers refuse rather
+    than resurrect. Result must equal the identical relational
+    oracle, proving CoW and MOR implement one logical contract."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
+    path = tempfile.mkdtemp(prefix="aligned_spark_delta_mor_")
+    src = DeltaSource(path=path, merge_on_read=True)
+    src.insert(base.repartition(4))
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    src.upsert(upd.unionByName(ins), keys=["o_orderkey"])
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    return DeltaLog(path).read(spark).select(*_DELTA_ORDERS_COLS)
+
+
+@q(
     "source_iceberg_mor",
     f"""WITH {_DELTA_MERGED_SQL}
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

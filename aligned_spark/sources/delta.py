@@ -62,6 +62,11 @@ class DeltaSource(WritableSource):
     #: conditional-put-coordinated log on an object store); None =
     #: filesystem exclusive-create under ``path/_delta_log``
     log_store: Any | None = None
+    #: route upsert/delete through POSITION DELETES (merge-on-read,
+    #: reader-feature-gated engine extension) instead of copy-on-write
+    #: part rewrites — the small-frequent-change posture; compact
+    #: with :meth:`optimize_zorder` / ``DeltaLog.optimize``
+    merge_on_read: bool = False
 
     def job_group_key(self) -> str:
         return f"delta:{self.path}"
@@ -72,7 +77,7 @@ class DeltaSource(WritableSource):
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
-        if HAS_DELTA and self.log_store is None:
+        if HAS_DELTA and self.log_store is None and not self.merge_on_read:
             reader = spark.read.format("delta")
             if version is not None:
                 reader = reader.option("versionAsOf", version)
@@ -84,7 +89,7 @@ class DeltaSource(WritableSource):
         return df
 
     def insert(self, df: DataFrame) -> None:
-        if HAS_DELTA and self.log_store is None:
+        if HAS_DELTA and self.log_store is None and not self.merge_on_read:
             writer = df.write.format("delta").mode("append")
             if self.merge_schema:
                 writer = writer.option("mergeSchema", "true")
@@ -115,7 +120,7 @@ class DeltaSource(WritableSource):
         strings, whose lexicographic order IS chronological order.
         The row-level filter still applies on top (skipping is sound,
         not complete)."""
-        if HAS_DELTA and self.log_store is None:
+        if HAS_DELTA and self.log_store is None and not self.merge_on_read:
             return super().all_between_dates(
                 spark, event_timestamp, start, end, columns
             )
@@ -159,7 +164,7 @@ class DeltaSource(WritableSource):
     def upsert(self, df: DataFrame, keys: list[str]) -> None:
         """Real transactional merge — only touched files rewrite
         (reference's deltalake merge, ``local.py:663``)."""
-        if HAS_DELTA and self.log_store is None:
+        if HAS_DELTA and self.log_store is None and not self.merge_on_read:
             spark = df.sparkSession
             if not DeltaTable.isDeltaTable(spark, self.path):
                 self.insert(df)
@@ -174,12 +179,21 @@ class DeltaSource(WritableSource):
                 .execute()
             )
             return
-        _retrying(
-            lambda: self._log().merge_upsert(df, keys, self.partition_by)
-        )
+        if self.merge_on_read:
+            _retrying(
+                lambda: self._log().merge_upsert_mor(
+                    df, keys, self.partition_by
+                )
+            )
+        else:
+            _retrying(
+                lambda: self._log().merge_upsert(
+                    df, keys, self.partition_by
+                )
+            )
 
     def overwrite(self, df: DataFrame, predicate: Column | None = None) -> None:
-        if HAS_DELTA and self.log_store is None:
+        if HAS_DELTA and self.log_store is None and not self.merge_on_read:
             writer = df.write.format("delta").mode("overwrite")
             if predicate is not None:
                 writer = writer.option("replaceWhere", str(predicate._jc))
@@ -195,10 +209,17 @@ class DeltaSource(WritableSource):
         )
 
     def delete_where(self, spark: SparkSession, predicate: Column) -> None:
-        if HAS_DELTA and self.log_store is None:
+        if HAS_DELTA and self.log_store is None and not self.merge_on_read:
             DeltaTable.forPath(spark, self.path).delete(predicate)
             return
-        _retrying(lambda: self._log().delete_where(spark, predicate))
+        if self.merge_on_read:
+            _retrying(
+                lambda: self._log().delete_where_mor(spark, predicate)
+            )
+        else:
+            _retrying(
+                lambda: self._log().delete_where(spark, predicate)
+            )
 
     def version(self, spark: SparkSession | None = None) -> int:
         """Current table version — the cursor an incremental consumer
@@ -224,7 +245,7 @@ class DeltaSource(WritableSource):
 
     def optimize_zorder(self, spark: SparkSession, columns: list[str]) -> None:
         """Cluster files by (entity, ts) for PIT-join data skipping."""
-        if HAS_DELTA and self.log_store is None:
+        if HAS_DELTA and self.log_store is None and not self.merge_on_read:
             cols = ", ".join(f"`{c}`" for c in columns)
             spark.sql(
                 f"OPTIMIZE delta.`{self.path}` ZORDER BY ({cols})"

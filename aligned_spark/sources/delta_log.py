@@ -84,6 +84,13 @@ class Snapshot:
     #: latest committed writer-transaction version per appId (the
     #: protocol's ``txn`` action — idempotent streaming writes)
     txns: dict[str, int] = field(default_factory=dict)
+    #: live POSITION-DELETE sidecars (merge-on-read; the engine's
+    #: ``deleteFile`` action, reader-feature-gated): rel path →
+    #: {"path", "sizeInBytes", "cardinality"}. Reads anti-join their
+    #: (file_path, pos) pairs against the data scan's _metadata.
+    delete_files: dict[str, dict[str, Any]] = field(
+        default_factory=dict
+    )
 
     @property
     def partition_columns(self) -> list[str]:
@@ -193,15 +200,22 @@ class DeltaLog:
         meta: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
         txns: dict[str, int] = {}
+        dels: dict[str, dict[str, Any]] = {}
         start = 0
         ck = self._last_checkpoint()
         if ck is not None and ck <= target:
-            meta, files, txns = self._read_checkpoint(ck)
+            meta, files, txns, dels = self._read_checkpoint(ck)
             start = ck + 1
         for v in range(start, target + 1):
             for action in self._read_commit(v):
                 if "metaData" in action:
                     meta = action["metaData"]
+                elif "deleteFile" in action:
+                    d = action["deleteFile"]
+                    if d.get("add", True):
+                        dels[d["path"]] = d
+                    else:
+                        dels.pop(d["path"], None)
                 elif "add" in action:
                     add = action["add"]
                     if isinstance(add.get("stats"), str):
@@ -223,7 +237,11 @@ class DeltaLog:
                     t = action["txn"]
                     txns[t["appId"]] = t["version"]
         return Snapshot(
-            version=target, metadata=meta, files=files, txns=txns
+            version=target,
+            metadata=meta,
+            files=files,
+            txns=txns,
+            delete_files=dels,
         )
 
     # ----------------------------------------------------- committing
@@ -283,6 +301,27 @@ class DeltaLog:
             self._write_checkpoint(version)
         return version
 
+    @staticmethod
+    def _protocol_action(gated: bool) -> dict[str, Any]:
+        """Base protocol, or — once position deletes exist — a
+        reader/writer FEATURE GATE (protocol table features): a
+        compliant foreign reader that does not understand
+        ``aligned.positionDeletes`` must refuse the table rather
+        than silently resurrect deleted rows. That is the
+        protocol-lawful way to extend Delta; delta-spark regains
+        access after OPTIMIZE compacts the deletes away and commits
+        the base protocol back."""
+        if not gated:
+            return {"protocol": {**PROTOCOL}}
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["aligned.positionDeletes"],
+                "writerFeatures": ["aligned.positionDeletes"],
+            }
+        }
+
     # ---------------------------------------------------- checkpoints
 
     @staticmethod
@@ -320,10 +359,19 @@ class DeltaLog:
             [
                 ("minReaderVersion", pa.int32()),
                 ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
             ]
         )
         txn_t = pa.struct(
             [("appId", pa.string()), ("version", pa.int64())]
+        )
+        del_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("cardinality", pa.int64()),
+            ]
         )
         # one action per row, exactly one non-null column per row
         md = snap.metadata or {}
@@ -353,17 +401,40 @@ class DeltaLog:
             {"appId": app, "version": v}
             for app, v in sorted(snap.txns.items())
         ]
-        pad = len(add_rows) + len(txn_rows)
-        rows_add = [None, None] + add_rows + [None] * len(txn_rows)
-        rows_txn = [None, None] + [None] * len(add_rows) + txn_rows
+        del_rows = [
+            {
+                "path": d["path"],
+                "sizeInBytes": d.get("sizeInBytes"),
+                "cardinality": d.get("cardinality"),
+            }
+            for d in snap.delete_files.values()
+        ]
+        pad = len(add_rows) + len(txn_rows) + len(del_rows)
+        pre, post = [None, None], [None] * (
+            len(txn_rows) + len(del_rows)
+        )
+        rows_add = pre + add_rows + post
+        rows_txn = (
+            pre
+            + [None] * len(add_rows)
+            + txn_rows
+            + [None] * len(del_rows)
+        )
+        rows_del = (
+            pre + [None] * (len(add_rows) + len(txn_rows)) + del_rows
+        )
         rows_meta = [None, meta_row] + [None] * pad
-        rows_proto = [PROTOCOL, None] + [None] * pad
+        rows_proto = [
+            self._protocol_action(bool(snap.delete_files))["protocol"],
+            None,
+        ] + [None] * pad
         table = pa.table(
             {
                 "add": pa.array(rows_add, type=add_t),
                 "metaData": pa.array(rows_meta, type=meta_t),
                 "protocol": pa.array(rows_proto, type=proto_t),
                 "txn": pa.array(rows_txn, type=txn_t),
+                "deleteFile": pa.array(rows_del, type=del_t),
             }
         )
         n = len(rows_add)
@@ -378,9 +449,12 @@ class DeltaLog:
             json.dumps({"version": version, "size": n}).encode(),
         )
 
-    def _read_checkpoint(
-        self, version: int
-    ) -> tuple[dict[str, Any] | None, dict[str, Any], dict[str, int]]:
+    def _read_checkpoint(self, version: int) -> tuple[
+        dict[str, Any] | None,
+        dict[str, Any],
+        dict[str, int],
+        dict[str, dict[str, Any]],
+    ]:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -392,7 +466,10 @@ class DeltaLog:
         meta: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
         txns: dict[str, int] = {}
+        dels: dict[str, dict[str, Any]] = {}
         for r in rows:
+            if r.get("deleteFile"):
+                dels[r["deleteFile"]["path"]] = r["deleteFile"]
             if r.get("txn"):
                 txns[r["txn"]["appId"]] = r["txn"]["version"]
             if r.get("metaData"):
@@ -410,7 +487,7 @@ class DeltaLog:
                 if a.get("stats"):
                     a["stats"] = json.loads(a["stats"])
                 files[a["path"]] = a
-        return meta, files, txns
+        return meta, files, txns, dels
 
     # -------------------------------------------------------- writing
 
@@ -592,6 +669,8 @@ class DeltaLog:
         snap = self.snapshot(version)
         paths = sorted(snap.files)
         if skipping:
+            # sound with position deletes too: a delete only SHRINKS
+            # a file's live rows, so footer bounds stay a superset
             paths = [
                 p
                 for p in paths
@@ -605,13 +684,78 @@ class DeltaLog:
                     f"{self.table_path}"
                 )
             return spark.createDataFrame([], schema)
+        return self._scan(spark, snap, paths)
+
+    def _rel_file_col(self):
+        """Table-relative path of the file a row came from, derived
+        from ``_metadata.file_path`` (a percent-encoded URI; strip
+        scheme, strip the table dir, url-decode) — matches the add
+        actions' ``path`` and the delete sidecars' ``file_path``."""
+        prefix = (
+            "^[A-Za-z][A-Za-z0-9+.-]*:(//)?"
+            + re.escape(os.path.abspath(self.table_path))
+            + "/"
+        )
+        return F.url_decode(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), prefix, ""
+            )
+        )
+
+    def _scan(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        paths: list[str],
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Plan a read of ``paths`` with the snapshot's position
+        deletes APPLIED (anti-join of the small pair set against the
+        scan's (file, row_index) metadata — AQE broadcasts it).
+        ``keep_meta=True`` keeps ``__file``/``__pos`` for the MOR
+        writers."""
+        schema = snap.schema()
         reader = spark.read.option("basePath", self.table_path)
         if schema is not None:
             # explicit reader schema: fixes column ORDER and TYPES to
             # the table schema (hive partition dirs would infer), and
             # projects NULL for evolved columns absent from old parts
             reader = reader.schema(schema)
-        return reader.parquet(*[self._abs(p) for p in paths])
+        df = reader.parquet(*[self._abs(p) for p in sorted(paths)])
+        cols = df.columns
+        pairs = self._delete_pairs(spark, snap, paths)
+        if pairs is None and not keep_meta:
+            return df
+        df = df.withColumn("__file", self._rel_file_col()).withColumn(
+            "__pos", F.col("_metadata.row_index")
+        )
+        if pairs is not None:
+            df = df.join(
+                pairs.withColumnRenamed("file_path", "__file")
+                .withColumnRenamed("pos", "__pos"),
+                ["__file", "__pos"],
+                "left_anti",
+            )
+        return df if keep_meta else df.select(*cols)
+
+    def _delete_pairs(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        paths: list[str] | None = None,
+    ) -> DataFrame | None:
+        """(file_path, pos) rows of the snapshot's delete sidecars,
+        optionally restricted to the files being scanned."""
+        if not snap.delete_files:
+            return None
+        pairs = spark.read.schema("file_path string, pos long").parquet(
+            *[self._abs(p) for p in sorted(snap.delete_files)]
+        )
+        if paths is not None:
+            pairs = pairs.filter(
+                F.col("file_path").isin(sorted(paths))
+            )
+        return pairs
 
     def read_changes(
         self,
@@ -686,19 +830,12 @@ class DeltaLog:
         def tagged(df: DataFrame, ctype: str, v: int) -> DataFrame:
             return tag_changes(df, cols, ctype, "_commit_version", v)
 
-        def read_parts(paths: list[str]) -> DataFrame:
-            return (
-                spark.read.schema(schema)
-                .option("basePath", self.table_path)
-                .parquet(*[self._abs(p) for p in sorted(paths)])
-                .select(*cols)
-            )
-
         pieces: list[DataFrame] = []
         empty = tagged(spark.createDataFrame([], schema), "insert", 0).limit(0)
         for v in range(from_version + 1, to + 1):
             adds: list[str] = []
             removes: list[str] = []
+            del_adds: list[str] = []
             keys: list[str] | None = None
             for action in self._read_commit(v):
                 if "commitInfo" in action:
@@ -709,24 +846,77 @@ class DeltaLog:
                     )
                     if mk:
                         keys = mk.split(",")
+                elif "deleteFile" in action:
+                    # sidecar DROPS (compaction) are not row changes
+                    if action["deleteFile"].get("add", True):
+                        del_adds.append(action["deleteFile"]["path"])
                 elif "add" in action:
                     if action["add"].get("dataChange", True):
                         adds.append(action["add"]["path"])
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"]["path"])
-            if not adds and not removes:
+            if not adds and not removes and not del_adds:
+                continue
+            if del_adds:
+                # merge-on-read commit: the rows its new pairs kill,
+                # read at the PARENT version (parent deletes applied
+                # so already-dead rows can't re-emit), scanning only
+                # the data files the pairs reference
+                prev = self.snapshot(v - 1)
+                ndp = spark.read.schema(
+                    "file_path string, pos long"
+                ).parquet(*[self._abs(p) for p in sorted(del_adds)])
+                hit = [
+                    r[0]
+                    for r in ndp.select("file_path")
+                    .distinct()
+                    .collect()
+                ]
+                dead = (
+                    self._scan(spark, prev, hit, keep_meta=True)
+                    .join(
+                        ndp.withColumnRenamed("file_path", "__file")
+                        .withColumnRenamed("pos", "__pos"),
+                        ["__file", "__pos"],
+                        "left_semi",
+                    )
+                    .select(*cols)
+                )
+                if adds:  # MOR merge: pairs + appended parts
+                    pieces += diff_rewrite(
+                        dead,
+                        self._scan(spark, self.snapshot(v), adds),
+                        cols,
+                        keys,
+                        "_commit_version",
+                        v,
+                    )
+                else:  # MOR delete
+                    pieces.append(tagged(dead, "delete", v))
                 continue
             if not removes:  # pure append — no old content to diff
-                pieces.append(tagged(read_parts(adds), "insert", v))
+                pieces.append(
+                    tagged(
+                        self._scan(spark, self.snapshot(v), adds),
+                        "insert",
+                        v,
+                    )
+                )
                 continue
-            old = read_parts(removes) if removes else None
-            new = read_parts(adds) if adds else None
-            if new is None:  # pure remove: every old row deleted
+            # copy-on-write rewrite: old/new content of the touched
+            # parts, each side with ITS version's position deletes
+            old = self._scan(spark, self.snapshot(v - 1), removes)
+            if not adds:  # pure remove: every old row deleted
                 pieces.append(tagged(old, "delete", v))
                 continue
             pieces += diff_rewrite(
-                old, new, cols, keys, "_commit_version", v
+                old,
+                self._scan(spark, self.snapshot(v), adds),
+                cols,
+                keys,
+                "_commit_version",
+                v,
             )
         if not pieces:
             return empty
@@ -758,8 +948,15 @@ class DeltaLog:
 
         if not snap.files:
             return []
+        # keep_meta carries the table-relative __file column through
+        # the (possible) merge-on-read delete anti-join — _metadata
+        # itself is unresolvable past that join
         return touched_files(
-            self.read(spark, snap.version), self.table_path, row_filter
+            self._scan(
+                spark, snap, sorted(snap.files), keep_meta=True
+            ),
+            self.table_path,
+            row_filter,
         )
 
     def merge_upsert(
@@ -789,10 +986,10 @@ class DeltaLog:
         schema_cols = [f.name for f in snap.schema().fields]
         out = df.select(*schema_cols)
         if touched:
+            # _scan applies any position deletes on the touched parts
+            # — a CoW rewrite must not resurrect MOR-deleted rows
             survivors = (
-                spark.read.schema(snap.schema())
-                .option("basePath", self.table_path)
-                .parquet(*[self._abs(p) for p in touched])
+                self._scan(spark, snap, touched)
                 .select(*schema_cols)
                 .join(src_keys, keys, "left_anti")
             )
@@ -870,9 +1067,7 @@ class DeltaLog:
         out = df.select(*schema_cols)
         if touched:
             survivors = (
-                spark.read.schema(snap.schema())
-                .option("basePath", self.table_path)
-                .parquet(*[self._abs(p) for p in touched])
+                self._scan(spark, snap, touched)
                 .select(*schema_cols)
                 .filter(~cond)
             )
@@ -906,9 +1101,7 @@ class DeltaLog:
             return snap.version
         schema_cols = [f.name for f in snap.schema().fields]
         survivors = (
-            spark.read.schema(snap.schema())
-            .option("basePath", self.table_path)
-            .parquet(*[self._abs(p) for p in touched])
+            self._scan(spark, snap, touched)
             .select(*schema_cols)
             .filter(~cond)
         )
@@ -925,6 +1118,146 @@ class DeltaLog:
             for p in touched
         ] + [{"add": a} for a in adds]
         return self.commit(actions, snap.version + 1, "DELETE", {})
+
+    # ------------------------------------------ merge-on-read writes
+
+    def _stage_delete_sidecar(
+        self, pairs: DataFrame
+    ) -> list[dict[str, Any]]:
+        """Write (file_path, pos) pairs as position-delete parquet
+        under ``_position_deletes/`` (underscore-prefixed: Spark's
+        data listing and the vacuum walk treat it like other sidecar
+        state; sorted by file then position, range-clustered so each
+        sidecar covers few data files) and return their engine
+        ``deleteFile`` actions."""
+        from aligned_spark.sources.parts import stage_parquet_parts
+
+        sorted_pairs = pairs.repartitionByRange(
+            "file_path", "pos"
+        ).sortWithinPartitions("file_path", "pos")
+        parts = stage_parquet_parts(
+            sorted_pairs,
+            self.table_path,
+            None,
+            data_subdir="_position_deletes",
+        )
+        return [
+            {
+                "deleteFile": {
+                    "path": p.path,
+                    "sizeInBytes": p.size,
+                    "cardinality": p.stats.get("numRecords", 0),
+                    "add": True,
+                }
+            }
+            for p in parts
+        ]
+
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        predicate: Column,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Merge-on-read DELETE: a matching row costs ONE
+        (file_path, pos) pair in a small sidecar — no data part is
+        rewritten, unlike :meth:`delete_where` (whose rewrite cost is
+        proportional to touched-part BYTES, the thing that hurts at
+        100 TB). The commit raises the protocol to reader/writer
+        table features so a foreign reader that cannot apply the
+        pairs refuses the table instead of resurrecting rows;
+        :meth:`optimize` compacts the pairs away and restores the
+        base protocol."""
+        snap = self.snapshot()
+        cond = F.coalesce(predicate, F.lit(False))
+        if not snap.files:
+            return snap.version
+        pairs = (
+            self._scan(
+                spark, snap, sorted(snap.files), keep_meta=True
+            )
+            .filter(cond)
+            .select(
+                F.col("__file").alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            .persist()
+        )
+        try:
+            if pairs.isEmpty():
+                return snap.version
+            actions = [
+                self._protocol_action(True),
+                *self._stage_delete_sidecar(pairs),
+                *self._txn_action(txn),
+            ]
+        finally:
+            pairs.unpersist()
+        return self.commit(
+            actions,
+            snap.version + 1,
+            "DELETE",
+            {"mode": "merge-on-read"},
+        )
+
+    def merge_upsert_mor(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Merge-on-read MERGE: matched old rows become position-
+        delete pairs, ALL source rows append as new parts — zero data
+        rewrites (a 1-row upsert into a 100 TB table writes one tiny
+        sidecar and one tiny part). Same logical contract as
+        :meth:`merge_upsert`; :meth:`read_cdf` reconstructs the
+        identical update-pair feed from the pairs + appended parts."""
+        if not self.exists():
+            return self.write(df, "append", partition_by, txn=txn)
+        spark = df.sparkSession
+        snap = self.snapshot()
+        src_keys = df.select(*keys).distinct()
+        schema_cols = [f.name for f in snap.schema().fields]
+        pairs = (
+            self._scan(
+                spark, snap, sorted(snap.files), keep_meta=True
+            )
+            .join(src_keys, keys, "left_semi")
+            .select(
+                F.col("__file").alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            .persist()
+        )
+        try:
+            adds = self._stage_parts(
+                df.select(*schema_cols),
+                partition_by or snap.partition_columns,
+            )
+            actions: list[dict[str, Any]] = [
+                {"add": a} for a in adds
+            ]
+            gated = bool(snap.delete_files)
+            if not pairs.isEmpty():
+                actions += self._stage_delete_sidecar(pairs)
+                gated = True
+            actions = [
+                self._protocol_action(gated),
+                *actions,
+                *self._txn_action(txn),
+            ]
+        finally:
+            pairs.unpersist()
+        return self.commit(
+            actions,
+            snap.version + 1,
+            "MERGE",
+            {
+                "mode": "merge-on-read",
+                "mergeKeys": ",".join(keys),
+            },
+        )
 
     def optimize(
         self,
@@ -975,6 +1308,15 @@ class DeltaLog:
             }
             for p in snap.files
         ] + [{"add": a} for a in adds]
+        if snap.delete_files:
+            # the rewrite materialized the deletes — drop the
+            # sidecars and restore the base protocol so foreign
+            # readers regain access
+            actions += [
+                {"deleteFile": {"path": p, "add": False}}
+                for p in sorted(snap.delete_files)
+            ]
+            actions.append(self._protocol_action(False))
         return self.commit(
             actions,
             snap.version + 1,
@@ -1004,7 +1346,8 @@ class DeltaLog:
         if retention_seconds is None:
             retention_seconds = self.DEFAULT_RETENTION_SECONDS
         cutoff = time.time() - retention_seconds
-        live = set(self.snapshot().files)
+        head = self.snapshot()
+        live = set(head.files) | set(head.delete_files)
         doomed: list[str] = []
         for root, dirs, names in os.walk(self.table_path):
             dirs[:] = [

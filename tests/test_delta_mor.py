@@ -1,0 +1,171 @@
+"""Delta merge-on-read position deletes (`delta_log.py`): small
+deletes/upserts write (file_path, pos) sidecars under
+`_position_deletes/` instead of rewriting parts; the commit raises
+the protocol to reader/writer table features (protocol-lawful
+gating) and OPTIMIZE restores it; CDC reconstructs the same feed as
+copy-on-write."""
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def log(tmp_path):
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    return DeltaLog(str(tmp_path / "tbl"))
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame([Row(k=k, v=v) for k, v in pairs])
+
+
+def test_mor_delete_writes_no_data_parts(spark, log):
+    log.write(
+        _mk(spark, [(i, f"v{i}") for i in range(100)]).coalesce(1),
+        "append",
+    )
+    before = set(log.snapshot().files)
+    log.delete_where_mor(spark, F.col("k") < 10)
+    snap = log.snapshot()
+    assert set(snap.files) == before  # zero data parts rewritten
+    assert snap.delete_files
+    assert all(
+        p.startswith("_position_deletes/") for p in snap.delete_files
+    )
+    got = sorted(r.k for r in log.read(spark).collect())
+    assert got == list(range(10, 100))
+    # protocol now gates foreign readers on the feature
+    proto = [
+        a["protocol"]
+        for a in log._read_commit(log.latest_version())
+        if "protocol" in a
+    ]
+    assert proto and proto[0]["readerFeatures"] == [
+        "aligned.positionDeletes"
+    ]
+    # no-op predicates commit nothing
+    v = log.latest_version()
+    log.delete_where_mor(spark, F.lit(None).cast("boolean"))
+    assert log.latest_version() == v
+
+
+def test_mor_merge_appends_and_masks(spark, log):
+    log.write(
+        _mk(spark, [(i, f"v{i}") for i in range(50)]).coalesce(1),
+        "append",
+    )
+    before = set(log.snapshot().files)
+    log.merge_upsert_mor(_mk(spark, [(7, "UPD"), (999, "NEW")]), ["k"])
+    snap = log.snapshot()
+    assert before <= set(snap.files)  # old parts intact, one added
+    assert len(snap.delete_files) == 1
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got[7] == "UPD" and got[999] == "NEW" and len(got) == 51
+    log.merge_upsert_mor(_mk(spark, [(7, "UPD2")]), ["k"])
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got[7] == "UPD2" and len(got) == 51
+
+
+def test_mor_cdf_matches_cow_semantics(spark, log):
+    log.write(
+        _mk(spark, [(i, f"v{i}") for i in range(100)]).coalesce(1),
+        "append",
+    )
+    v0 = log.latest_version()
+    log.merge_upsert_mor(_mk(spark, [(5, "UPD"), (500, "NEW")]), ["k"])
+    log.delete_where_mor(spark, F.col("k") == 6)
+    got = {
+        (r.k, r._change_type): r.v
+        for r in log.read_cdf(spark, v0).collect()
+    }
+    assert got == {
+        (5, "update_preimage"): "v5",
+        (5, "update_postimage"): "UPD",
+        (500, "insert"): "NEW",
+        (6, "delete"): "v6",
+    }
+    # a MOR-deleted row must NOT re-emit from a later delete slice
+    v1 = log.latest_version()
+    log.delete_where_mor(spark, F.col("k") < 8)
+    dead = {r.k for r in log.read_cdf(spark, v1).collect()}
+    assert dead == {0, 1, 2, 3, 4, 5, 7}
+
+
+def test_mor_cow_interplay_no_resurrection(spark, log):
+    log.write(
+        _mk(spark, [(i, "x") for i in range(20)]).coalesce(1),
+        "append",
+    )
+    log.delete_where_mor(spark, F.col("k") == 3)
+    log.merge_upsert(_mk(spark, [(4, "UPD")]), ["k"])  # CoW rewrite
+    got = sorted(r.k for r in log.read(spark).collect())
+    assert got == [i for i in range(20) if i != 3]
+    log.delete_where(spark, F.col("k") == 5)  # CoW delete
+    got = sorted(r.k for r in log.read(spark).collect())
+    assert got == [i for i in range(20) if i not in (3, 5)]
+
+
+def test_optimize_purges_sidecars_and_restores_protocol(spark, log):
+    log.write(
+        _mk(spark, [(i, "x") for i in range(40)]).coalesce(1),
+        "append",
+    )
+    log.delete_where_mor(spark, F.col("k") % 4 == 0)
+    assert log.snapshot().delete_files
+    log.optimize(spark)
+    snap = log.snapshot()
+    assert not snap.delete_files
+    got = sorted(r.k for r in log.read(spark).collect())
+    assert got == [i for i in range(40) if i % 4 != 0]
+    proto = [
+        a["protocol"]
+        for a in log._read_commit(log.latest_version())
+        if "protocol" in a
+    ]
+    assert proto and "readerFeatures" not in proto[0]
+    # vacuum with zero retention now reclaims the orphaned sidecar
+    doomed = log.vacuum(retention_seconds=0)
+    assert any(p.startswith("_position_deletes/") for p in doomed)
+    assert sorted(r.k for r in log.read(spark).collect()) == got
+
+
+def test_mor_survives_checkpoint_replay(spark, tmp_path):
+    """delete_files must round-trip through the parquet checkpoint —
+    a reader starting from the checkpoint must still apply them."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"), checkpoint_interval=2)
+    log.write(
+        _mk(spark, [(i, "x") for i in range(30)]).coalesce(1),
+        "append",
+    )
+    log.delete_where_mor(spark, F.col("k") < 5)
+    log.write(_mk(spark, [(100, "y")]), "append")  # v2 → checkpoint
+    assert log._last_checkpoint() == 2
+    # remove pre-checkpoint commits: replay must come from the
+    # checkpoint alone
+    import os
+
+    for v in (0, 1):
+        os.unlink(os.path.join(log.log_dir, f"{v:020d}.json"))
+    got = sorted(r.k for r in log.read(spark).collect())
+    assert got == list(range(5, 30)) + [100]
+
+
+def test_source_merge_on_read_routing(spark, tmp_path):
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    src = DeltaSource(path=str(tmp_path / "t"), merge_on_read=True)
+    src.insert(_mk(spark, [(i, "x") for i in range(10)]).coalesce(1))
+    before = set(DeltaLog(src.path).snapshot().files)
+    src.upsert(_mk(spark, [(1, "U")]), keys=["k"])
+    src.delete_where(spark, F.col("k") == 2)
+    snap = DeltaLog(src.path).snapshot()
+    assert before <= set(snap.files)
+    assert len(snap.delete_files) == 2
+    got = {r.k: r.v for r in src.read(spark).collect()}
+    assert got[1] == "U" and 2 not in got and len(got) == 9
