@@ -29,16 +29,24 @@ def _maintained(spark, agg):
     }
 
 
-@pytest.fixture(params=["delta", "iceberg"])
+@pytest.fixture(
+    params=["delta", "iceberg", "delta-mor", "iceberg-mor"]
+)
 def src(request, tmp_path, spark):
-    if request.param == "delta":
+    """Both formats, both write postures — merge-on-read bases emit
+    their CDC slices from position-delete pairs + appended parts and
+    must maintain the aggregate identically to copy-on-write."""
+    mor = request.param.endswith("-mor")
+    if request.param.startswith("delta"):
         from aligned_spark.sources.delta import DeltaSource
 
-        s = DeltaSource(path=str(tmp_path / "base"))
+        s = DeltaSource(path=str(tmp_path / "base"), merge_on_read=mor)
     else:
         from aligned_spark.sources.iceberg import IcebergSource
 
-        s = IcebergSource(path=str(tmp_path / "base"))
+        s = IcebergSource(
+            path=str(tmp_path / "base"), merge_on_read=mor
+        )
     s.insert(spark.createDataFrame(_base_rows()).coalesce(1))
     return s
 
