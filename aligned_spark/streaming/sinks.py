@@ -35,6 +35,7 @@ def idempotent_delta_sink(
     keys: list[str] | None = None,
     app_id: str = "stream",
     partition_by: list[str] | None = None,
+    merge_on_read: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` callable with exactly-once semantics
     into a :class:`DeltaLog` table.
@@ -47,7 +48,10 @@ def idempotent_delta_sink(
     checkpoint recovery) is detected and skipped. ``app_id`` must be
     unique per logical stream writing to the table — two streams
     sharing an app_id would skip each other's batches.
-    """
+    ``merge_on_read=True`` upserts via position deletes — the
+    steady-small-batch posture: per micro-batch cost tracks the
+    batch, never the touched parts; schedule ``optimize`` to
+    compact."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         log = DeltaLog(table_path)
@@ -56,7 +60,14 @@ def idempotent_delta_sink(
             if last is not None and batch_id <= last:
                 return  # replay of an already-committed batch
             try:
-                if keys:
+                if keys and merge_on_read:
+                    log.merge_upsert_mor(
+                        batch_df,
+                        keys,
+                        partition_by,
+                        txn=(app_id, batch_id),
+                    )
+                elif keys:
                     log.merge_upsert(
                         batch_df,
                         keys,

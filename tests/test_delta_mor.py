@@ -169,3 +169,72 @@ def test_source_merge_on_read_routing(spark, tmp_path):
     assert len(snap.delete_files) == 2
     got = {r.k: r.v for r in src.read(spark).collect()}
     assert got[1] == "U" and 2 not in got and len(got) == 9
+
+
+def test_mor_streaming_sink_replay_guard(spark, tmp_path):
+    """Exactly-once MOR upsert sink: replayed batches skip, the
+    cursor rides the MOR commit atomically, parts never rewrite."""
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.streaming.sinks import idempotent_delta_sink
+
+    path = str(tmp_path / "t")
+    sink = idempotent_delta_sink(
+        path, keys=["k"], app_id="s", merge_on_read=True
+    )
+    sink(_mk(spark, [(1, "a"), (2, "b")]), 0)
+    files0 = set(DeltaLog(path).snapshot().files)
+    sink(_mk(spark, [(2, "B"), (3, "c")]), 1)
+    sink(_mk(spark, [(2, "WRONG")]), 1)  # forced replay — skipped
+    log = DeltaLog(path)
+    assert log.txn_version("s") == 1
+    assert files0 <= set(log.snapshot().files)  # appends only
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_store_materializes_into_mor_delta(spark, tmp_path):
+    """Store wiring: a view materialized into a merge-on-read
+    DeltaSource refreshes incrementally via MOR merges and feeds
+    changes_since with true row-level slices."""
+    import datetime as dt
+
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.file import ParquetSource
+    from aligned_spark.store import ContractStore
+
+    base = ParquetSource(path=str(tmp_path / "base.parquet"))
+    mat = DeltaSource(
+        path=str(tmp_path / "mat"), merge_on_read=True
+    )
+    schema = "user_id long, ts timestamp, value double"
+    t = dt.datetime(2024, 1, 5)
+    spark.createDataFrame(
+        [(i, t, float(i)) for i in range(1, 101)], schema
+    ).coalesce(1).write.parquet(base.path)
+
+    @feature_view(name="mor_mat", source=base, materialized_source=mat)
+    class MorMat:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+    store = ContractStore(spark)
+    store.add_view(MorMat)
+    store.materialize("mor_mat")
+    cursor = store.materialized_version("mor_mat")
+    spark.createDataFrame(
+        [(999, dt.datetime(2024, 1, 6), 5.0)], schema
+    ).write.mode("append").parquet(base.path)
+    store.materialize_incremental("mor_mat")
+    ch = store.changes_since("mor_mat", cursor)
+    counts = {
+        r["_change_type"]: r["count"]
+        for r in ch.groupBy("_change_type").count().collect()
+    }
+    assert counts == {"insert": 1}
