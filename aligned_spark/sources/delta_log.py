@@ -597,6 +597,7 @@ class DeltaLog:
                 evolved = merge_schemas(table_schema, df.schema)
             else:  # also validates no type drift on common columns
                 merge_schemas(table_schema, df.schema)
+        self._enforce_constraints(df, snap)
         adds = self._stage_parts(df, partition_by)
         actions: list[dict[str, Any]] = []
         if evolved is not None:
@@ -933,6 +934,102 @@ class DeltaLog:
                     out.append({"version": v, **action["commitInfo"]})
         return out
 
+    # ------------------------------------------- CHECK constraints
+
+    def constraints(self) -> dict[str, str]:
+        """Table CHECK constraints (protocol
+        ``delta.constraints.<name>`` metadata configuration)."""
+        snap = self.snapshot()
+        cfg = (snap.metadata or {}).get("configuration", {}) or {}
+        pfx = "delta.constraints."
+        return {
+            k[len(pfx):]: v for k, v in cfg.items() if k.startswith(pfx)
+        }
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr_sql: str
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT: existing rows must already
+        satisfy the expression (one validation scan, like
+        delta-spark), then the constraint rides the metadata and
+        every future write validates against it."""
+        bad = self.read(spark).filter(
+            ~F.coalesce(F.expr(expr_sql), F.lit(False))
+        )
+        n = bad.count()
+        if n:
+            raise ValueError(
+                f"cannot add constraint {name!r}: {n} existing "
+                f"row(s) violate ({expr_sql})"
+            )
+        snap = self.snapshot()
+        meta = dict(snap.metadata or {})
+        cfg = dict(meta.get("configuration", {}) or {})
+        cfg[f"delta.constraints.{name}"] = expr_sql
+        meta["configuration"] = cfg
+        return self.commit(
+            [{"metaData": meta}],
+            snap.version + 1,
+            "ADD CONSTRAINT",
+            {"name": name, "expr": expr_sql},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self.snapshot()
+        meta = dict(snap.metadata or {})
+        cfg = dict(meta.get("configuration", {}) or {})
+        if cfg.pop(f"delta.constraints.{name}", None) is None:
+            raise ValueError(f"no such constraint: {name}")
+        meta["configuration"] = cfg
+        return self.commit(
+            [{"metaData": meta}],
+            snap.version + 1,
+            "DROP CONSTRAINT",
+            {"name": name},
+        )
+
+    def _enforce_constraints(
+        self, df: DataFrame, snap: Snapshot
+    ) -> None:
+        """Writer-side CHECK enforcement (protocol requirement): a
+        violating batch fails the WHOLE write before any commit —
+        one scan of the incoming rows per constrained table, zero
+        cost on unconstrained ones."""
+        cfg = (snap.metadata or {}).get("configuration", {}) or {}
+        pfx = "delta.constraints."
+        checks = [
+            (k[len(pfx):], v)
+            for k, v in cfg.items()
+            if k.startswith(pfx)
+        ]
+        if not checks:
+            return
+        pred = None
+        for _, expr_sql in checks:
+            ok = F.coalesce(F.expr(expr_sql), F.lit(False))
+            pred = ok if pred is None else (pred & ok)
+        if not df.filter(~pred).isEmpty():
+            names = ", ".join(n for n, _ in checks)
+            raise ValueError(
+                f"write violates CHECK constraint(s) [{names}] on "
+                f"{self.table_path}"
+            )
+
+    def version_at(self, timestamp_ms: int) -> int:
+        """TIMESTAMP AS OF resolution (delta-spark semantics): the
+        latest version whose commit time is <= the timestamp —
+        driver-side metadata only."""
+        best: int | None = None
+        for h in self.history():
+            if h.get("timestamp", 0) <= timestamp_ms:
+                best = h["version"] if best is None else max(best, h["version"])
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp_ms} in "
+                f"{self.table_path}"
+            )
+        return best
+
     # ------------------------------------------------------ mutations
 
     def _touched_files(
@@ -977,6 +1074,7 @@ class DeltaLog:
             return self.write(df, "append", partition_by, txn=txn)
         spark = df.sparkSession
         snap = self.snapshot()
+        self._enforce_constraints(df, snap)
         src_keys = df.select(*keys).distinct()
         touched = self._touched_files(
             spark,
@@ -1044,6 +1142,7 @@ class DeltaLog:
                 )
             return self.write(df, "append")
         snap = self.snapshot()
+        self._enforce_constraints(df, snap)
         table_schema = snap.schema()
         known = {f.name for f in table_schema.fields}
         extra = [f.name for f in df.schema.fields if f.name not in known]
@@ -1217,6 +1316,7 @@ class DeltaLog:
             return self.write(df, "append", partition_by, txn=txn)
         spark = df.sparkSession
         snap = self.snapshot()
+        self._enforce_constraints(df, snap)
         src_keys = df.select(*keys).distinct()
         schema_cols = [f.name for f in snap.schema().fields]
         pairs = (

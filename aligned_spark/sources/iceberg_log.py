@@ -847,6 +847,21 @@ class IcebergLog:
             )
         return df if keep_meta else df.select(*cols)
 
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """TIMESTAMP AS OF resolution (Iceberg semantics): the
+        latest snapshot whose ``snapshot-log`` entry is <= the
+        timestamp — driver-side metadata only."""
+        best: int | None = None
+        for e in self.current_metadata().get("snapshot-log", []):
+            if e["timestamp-ms"] <= timestamp_ms:
+                best = e["snapshot-id"]  # log is append-ordered
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before timestamp {timestamp_ms} "
+                f"in {self.table_path}"
+            )
+        return best
+
     def snapshot_ids(self) -> list[int]:
         md = self.current_metadata()
         return [s["snapshot-id"] for s in md.get("snapshots", [])]

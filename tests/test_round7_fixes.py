@@ -165,3 +165,73 @@ def test_s3_read_survives_remote_rewrite(spark, tmp_path):
         # survives inside the grace window)
         assert df1.count() == 2
         assert df2.count() == 1
+
+
+# ---------------------------------- CHECK constraints + TIMESTAMP AS OF
+
+
+def test_delta_check_constraints_enforced(spark, tmp_path):
+    """Protocol delta.constraints.*: adding validates existing rows,
+    every later write path rejects violating batches whole, dropping
+    re-opens the gate."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame([Row(k=1, v=10.0), Row(k=2, v=20.0)]),
+        "append",
+    )
+    with pytest.raises(ValueError, match="existing row"):
+        log.add_constraint(spark, "v_big", "v > 15")
+    log.add_constraint(spark, "v_pos", "v > 0")
+    assert log.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        log.write(spark.createDataFrame([Row(k=3, v=-1.0)]), "append")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        log.merge_upsert(
+            spark.createDataFrame([Row(k=1, v=-5.0)]), ["k"]
+        )
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        log.merge_upsert_mor(
+            spark.createDataFrame([Row(k=1, v=-5.0)]), ["k"]
+        )
+    # NULL fails a CHECK (SQL semantics: not TRUE -> reject)
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        log.write(
+            spark.createDataFrame([(4, None)], "k long, v double"),
+            "append",
+        )
+    log.write(spark.createDataFrame([Row(k=5, v=5.0)]), "append")
+    log.drop_constraint("v_pos")
+    log.write(spark.createDataFrame([Row(k=6, v=-1.0)]), "append")
+    assert log.read(spark).count() == 4
+
+
+def test_timestamp_as_of_both_formats(spark, tmp_path):
+    import time
+
+    from pyspark.sql import Row
+
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    dlog = DeltaLog(str(tmp_path / "d"))
+    dlog.write(spark.createDataFrame([Row(k=1)]), "append")
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.01)
+    dlog.write(spark.createDataFrame([Row(k=2)]), "append")
+    assert dlog.version_at(t_mid) == 0
+    assert dlog.read(spark, version=dlog.version_at(t_mid)).count() == 1
+    assert dlog.version_at(int(time.time() * 1000)) == 1
+
+    ilog = IcebergLog(str(tmp_path / "i"))
+    s0 = ilog.write(spark.createDataFrame([Row(k=1)]), "append")
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.01)
+    ilog.write(spark.createDataFrame([Row(k=2)]), "append")
+    assert ilog.snapshot_as_of(t_mid) == s0
+    assert ilog.read(spark, snapshot_id=ilog.snapshot_as_of(t_mid)).count() == 1
