@@ -4128,6 +4128,68 @@ def _vector_index_ivf_probe(spark, sf_dir):
     )
 
 
+@q(
+    "vector_index_pq",
+    f"""WITH pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS id,
+                {_cosine_oracle('a.embedding', 'b.embedding')} AS raw_sim
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < 10
+       ),
+       ranked AS (
+         SELECT query_id, id, raw_sim,
+                row_number() OVER (
+                  PARTITION BY query_id ORDER BY raw_sim DESC, id
+                ) AS rank
+         FROM pairs
+       )
+       SELECT query_id, id,
+              {_O_R6.format(c='raw_sim')} AS sim, rank
+       FROM ranked WHERE rank <= 5""",
+)
+def _vector_index_pq(spark, sf_dir):
+    """Product quantization with a corpus-covering shortlist + exact
+    refine — degrades to exact brute force (the IVF trick), so the
+    FULL PQ machinery (seeded sample codebook training, distributed
+    Arrow encoding, per-batch ADC shortlists, point-lookup re-rank)
+    hash-matches the brute-force oracle. The compression scale path
+    (pure ADC over 16x-smaller codes) is `vector_index_pq_adc`.
+    PQ: Jégou et al. TPAMI 2011; reference LanceDB index family
+    (`aligned/sources/lancedb.py:158`)."""
+    from aligned_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, "embedding", m=16, k=64, sample=2000, seed=7)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    q_side = emb.filter(F.col("vec_id") < 10)
+    out = pq_topk(
+        q_side, codes, "vec_id", "embedding", books,
+        k=5, refine=500, corpus_vectors=emb,  # 2500 >= corpus: exact
+    )
+    return out.select(
+        "query_id", "id", _r6(F.col("sim")).alias("sim"), "rank"
+    )
+
+
+@q("vector_index_pq_adc")  # pure ADC over codes — approximate, rows-only
+def _vector_index_pq_adc(spark, sf_dir):
+    from aligned_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, "embedding", m=16, k=64, sample=2000, seed=7)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    q_side = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(q_side, codes, "vec_id", "embedding", books, k=5)
+
+
 def _lsh_ranked_ctes(
     num_planes: int = 6, num_tables: int = 4, dim: int = 64, seed: int = 42
 ) -> str:

@@ -811,3 +811,213 @@ def retrieval_metrics(
         .otherwise(F.lit(0.0))
         .alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the compression stage of IVF-PQ, the
+# standard web-scale ANN posture (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011; reference's LanceDB backend
+# exposes the same index family). Vectors are L2-normalized, split
+# into M subspaces, and each subspace is vector-quantized against its
+# own K-entry codebook — a D-dim float vector becomes M small codes
+# (64 floats -> 8 bytes at M=8), so the scan reads ~3% of the bytes
+# and scoring is M table lookups instead of D multiplies.
+# ---------------------------------------------------------------------------
+
+
+def _pq_normalize(v):
+    import numpy as np
+
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return v / n
+
+
+def pq_train(
+    corpus: DataFrame,
+    vector_col: str,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 50_000,
+    seed: int = 42,
+    iters: int = 15,
+):
+    """Train M sub-quantizer codebooks -> float64 array (m, k, d/m).
+
+    Codebooks train on a BOUNDED, deterministic sample (ordered
+    column-1 hash, ``limit sample``) with seeded Lloyd iterations —
+    the standard practice at any corpus size: quantizer quality
+    saturates long before the sample does, so training cost is
+    independent of the 100 TB corpus; only ENCODING touches every
+    row. Empty clusters re-seed deterministically from the farthest
+    points."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vector_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<double>").cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    x = _pq_normalize(np.asarray([r["v"] for r in rows], dtype=np.float64))
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for mi in range(m):
+        sub = x[:, mi * dsub : (mi + 1) * dsub]
+        cent = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cent[ci] = sub[mask].mean(0)
+                else:  # re-seed an empty cluster from the worst fit
+                    cent[ci] = sub[d2.min(1).argmax()]
+        books[mi] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vector_col: str, codebooks
+) -> DataFrame:
+    """Distributed encoding: each row's normalized vector becomes an
+    M-code array (the only full-corpus pass PQ ever makes). Arrow-
+    batched; the (m, k, dsub) codebook broadcasts in the closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = np.asarray(codebooks)
+    m, _, dsub = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(vs):
+        x = _pq_normalize(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        )
+        out = np.empty((len(x), m), dtype=np.int32)
+        for mi in range(m):
+            sub = x[:, mi * dsub : (mi + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+            out[:, mi] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return corpus.select(
+        F.col(id_col).alias("id"), _codes(F.col(vector_col)).alias("__pq_code")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    id_col: str,
+    vector_col: str,
+    codebooks,
+    k: int = 10,
+    refine: int = 0,
+    corpus_vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query a tiny (m, kc)
+    lookup table of sub-distances to every codebook entry is built
+    once and broadcast; scoring a corpus row is M table lookups.
+    Each Arrow batch emits only its LOCAL top-k per query, so the
+    shuffle carries partitions x queries x k candidate rows, never
+    the corpus — the per-partition-top-k-then-global pattern.
+    Returns (query_id, id, pq_dist, rank) with rank 1..k by
+    ascending quantized L2 on normalized vectors (= cosine order).
+
+    ``refine > 0`` adds the standard exact re-rank stage: ADC
+    shortlists ``k*refine`` candidates, then ``corpus_vectors``
+    (``id_col``/``vector_col``) are point-looked-up for ONLY those
+    ids (broadcast semi-join) and ranked by true cosine — recall
+    approaches exact while the full-corpus pass still reads only
+    codes."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, kc, dsub = books.shape
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vector_col).alias("qv")
+    ).collect()  # bounded query set — same convention as eval_ann_recall
+    qids = [r["qid"] for r in qrows]
+    qx = _pq_normalize(
+        np.asarray([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    )
+    nq = len(qids)
+    tables = np.empty((nq, m, kc))
+    for mi in range(m):
+        qsub = qx[:, mi * dsub : (mi + 1) * dsub]
+        tables[:, mi, :] = (
+            (qsub[:, None, :] - books[mi][None, :, :]) ** 2
+        ).sum(-1)
+
+    spark = queries.sparkSession
+    out_schema = "qix int, id long, pq_dist double"
+    cand_k = k * refine if refine else k
+
+    def _scan(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            c = np.asarray(list(pdf["__pq_code"]), dtype=np.int64)
+            # dist[q, row] = sum_m tables[q, m, c[row, m]]
+            dist = np.zeros((nq, len(ids)))
+            for mi in range(m):
+                dist += tables[:, mi, :][:, c[:, mi]]
+            kk = min(cand_k, len(ids))
+            top = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            res = {
+                "qix": np.repeat(np.arange(nq), kk),
+                "id": ids[top].ravel(),
+                "pq_dist": np.take_along_axis(dist, top, 1).ravel(),
+            }
+            yield pd.DataFrame(res)
+
+    cand = codes.mapInPandas(_scan, out_schema)
+    qmap = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)], "qix int, query_id long"
+    )
+    w = W.partitionBy("qix").orderBy(F.col("pq_dist").asc(), F.col("id").asc())
+    shortlist = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cand_k)
+        .join(F.broadcast(qmap), "qix")
+    )
+    if not refine:
+        return shortlist.select("query_id", "id", "pq_dist", "rank")
+    if corpus_vectors is None:
+        raise ValueError("refine > 0 needs corpus_vectors")
+    qvec = spark.createDataFrame(
+        [(i, [float(v) for v in qx[i]]) for i in range(nq)],
+        "qix int, __qv array<double>",
+    )
+    cands = shortlist.select("qix", "query_id", "id")
+    vecs = corpus_vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).cast("array<double>").alias("__cv"),
+    ).join(
+        cands.select("id").distinct(), "id", "left_semi"
+    )  # point lookups: only shortlisted ids leave the corpus scan
+    scored = (
+        cands.join(vecs, "id")
+        .join(F.broadcast(qvec), "qix")
+        .select(
+            "query_id",
+            "id",
+            cosine_double(F.col("__qv"), F.col("__cv")).alias("sim"),
+        )
+    )
+    rw = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "sim", "rank")
+    )

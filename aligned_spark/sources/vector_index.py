@@ -204,3 +204,103 @@ class IvfIndexSource:
             assigned=assigned,
             centers=self.centroids(spark),
         )
+
+
+@dataclass
+class PqIndexSource:
+    """Parquet-backed PQ index: codebooks trained on a bounded
+    sample at write time, the corpus stored as M-byte codes — a
+    64-float vector compresses ~32× and queries score via ADC table
+    lookups (`operators/similarity.py:pq_train/pq_encode/pq_topk`).
+    Compose with IVF (cluster-partitioned codes) for the full IVF-PQ
+    posture; standalone PQ already bounds scan bytes by the code
+    width instead of the vector width."""
+
+    path: str
+    id_col: str = "id"
+    vector_col: str = "embedding"
+    m: int = 8
+    k: int = 256
+    sample: int = 50_000
+    seed: int = 42
+
+    def _codes_path(self) -> str:
+        return f"{self.path}/codes"
+
+    def _books_path(self) -> str:
+        return f"{self.path}/codebooks"
+
+    def _vectors_path(self) -> str:
+        return f"{self.path}/vectors"
+
+    def overwrite(self, df: DataFrame) -> None:
+        from aligned_spark.operators.similarity import (
+            pq_encode,
+            pq_train,
+        )
+
+        books = pq_train(
+            df,
+            self.vector_col,
+            m=self.m,
+            k=self.k,
+            sample=self.sample,
+            seed=self.seed,
+        )
+        codes = pq_encode(df, self.id_col, self.vector_col, books)
+        codes.write.mode("overwrite").parquet(self._codes_path())
+        # raw vectors kept beside the codes for the refine stage's
+        # point lookups (only shortlisted ids are ever read back)
+        df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vector_col).alias("vec"),
+        ).write.mode("overwrite").parquet(self._vectors_path())
+        # flatten (m, k, dsub) into rows — trivially small
+        spark = df.sparkSession
+        mm, kk, dsub = books.shape
+        rows = [
+            (mi, ci, [float(v) for v in books[mi, ci]])
+            for mi in range(mm)
+            for ci in range(kk)
+        ]
+        spark.createDataFrame(
+            rows, "m int, c int, cent array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(self._books_path())
+
+    def codebooks(self, spark: SparkSession):
+        import numpy as np
+
+        rows = spark.read.parquet(self._books_path()).collect()
+        mm = max(r["m"] for r in rows) + 1
+        kk = max(r["c"] for r in rows) + 1
+        books = np.empty((mm, kk, len(rows[0]["cent"])))
+        for r in rows:
+            books[r["m"], r["c"]] = r["cent"]
+        return books
+
+    def nearest_n(
+        self, queries: DataFrame, n: int = 10, refine: int = 0
+    ) -> DataFrame:
+        """ADC top-n; ``refine=r`` re-ranks the ADC top ``n*r``
+        shortlist by true cosine against the stored vectors (point
+        lookups) — near-exact recall while the corpus pass still
+        reads only codes."""
+        from aligned_spark.operators.similarity import pq_topk
+
+        spark = queries.sparkSession
+        vectors = (
+            spark.read.parquet(self._vectors_path())
+            .withColumnsRenamed({"vec": self.vector_col, "id": self.id_col})
+            if refine
+            else None
+        )
+        return pq_topk(
+            queries,
+            spark.read.parquet(self._codes_path()),
+            self.id_col,
+            self.vector_col,
+            self.codebooks(spark),
+            k=n,
+            refine=refine,
+            corpus_vectors=vectors,
+        )
