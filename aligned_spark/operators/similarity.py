@@ -841,6 +841,7 @@ def pq_train(
     sample: int = 50_000,
     seed: int = 42,
     iters: int = 15,
+    normalize: bool = True,
 ):
     """Train M sub-quantizer codebooks -> float64 array (m, k, d/m).
 
@@ -859,7 +860,9 @@ def pq_train(
         .limit(sample)
         .collect()
     )
-    x = _pq_normalize(np.asarray([r["v"] for r in rows], dtype=np.float64))
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if normalize:
+        x = _pq_normalize(x)
     n, d = x.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -884,7 +887,11 @@ def pq_train(
 
 
 def pq_encode(
-    corpus: DataFrame, id_col: str, vector_col: str, codebooks
+    corpus: DataFrame,
+    id_col: str,
+    vector_col: str,
+    codebooks,
+    normalize: bool = True,
 ) -> DataFrame:
     """Distributed encoding: each row's normalized vector becomes an
     M-code array (the only full-corpus pass PQ ever makes). Arrow-
@@ -898,9 +905,9 @@ def pq_encode(
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _codes(vs):
-        x = _pq_normalize(
-            np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        )
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if normalize:
+            x = _pq_normalize(x)
         out = np.empty((len(x), m), dtype=np.int32)
         for mi in range(m):
             sub = x[:, mi * dsub : (mi + 1) * dsub]

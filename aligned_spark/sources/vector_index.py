@@ -304,3 +304,260 @@ class PqIndexSource:
             refine=refine,
             corpus_vectors=vectors,
         )
+
+
+@dataclass
+class IvfPqIndexSource:
+    """IVF-PQ — the standard web-scale ANN index (Jégou et al.;
+    FAISS `IVFx,PQy`; the reference's LanceDB `IVF_PQ` index):
+
+    - **IVF**: a KMeans coarse quantizer partitions the corpus by
+      nearest centroid; the codes table is WRITTEN partitioned by
+      cluster, so a query probing ``nprobe`` of ``num_centroids``
+      clusters prunes the rest at the FILE level.
+    - **PQ on residuals**: each vector's offset from its cluster
+      centroid is product-quantized (residuals are smaller and
+      better-conditioned than raw vectors — the textbook choice), so
+      the probed partitions scan M-byte codes, not D-float vectors.
+    - **ADC**: per (query, probed-cluster) a (m, k) lookup table of
+      sub-distances is built driver-side (tiny: nq x nprobe x m x k
+      floats) and broadcast; scoring a row is M lookups.
+    - ``refine=r`` re-ranks the top ``n*r`` by true cosine against
+      point-looked-up vectors.
+
+    Scan cost: ``nprobe/num_centroids`` of the corpus FILES x
+    ``m_bytes/d_floats`` of their bytes."""
+
+    path: str
+    id_col: str = "id"
+    vector_col: str = "embedding"
+    num_centroids: int = 16
+    m: int = 8
+    k: int = 256
+    sample: int = 50_000
+    seed: int = 42
+
+    def _p(self, sub: str) -> str:
+        return f"{self.path}/{sub}"
+
+    def overwrite(self, df: DataFrame) -> None:
+        import numpy as np
+
+        from aligned_spark.operators.similarity import (
+            ivf_assign,
+            pq_encode,
+            pq_train,
+        )
+
+        spark = df.sparkSession
+        assigned, centers = ivf_assign(
+            df, self.vector_col, self.num_centroids, self.seed
+        )
+        cent = np.asarray(centers)
+        # residual = normalized vector - its cluster centroid
+        norm = F.sqrt(
+            F.aggregate(
+                F.col(self.vector_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        )
+        cent_df = spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
+            "__ivf_cluster int, __cent array<double>",
+        )
+        resid = (
+            assigned.join(F.broadcast(cent_df), "__ivf_cluster")
+            .withColumn(
+                "__resid",
+                F.zip_with(
+                    F.col(self.vector_col).cast("array<double>"),
+                    F.col("__cent"),
+                    lambda v, c: v / F.greatest(norm, F.lit(1e-12)) - c,
+                ),
+            )
+        )
+        books = pq_train(
+            resid,
+            "__resid",
+            m=self.m,
+            k=self.k,
+            sample=self.sample,
+            seed=self.seed,
+            normalize=False,
+        )
+        codes = pq_encode(
+            resid, self.id_col, "__resid", books, normalize=False
+        ).join(
+            resid.select(
+                F.col(self.id_col).alias("id"), "__ivf_cluster"
+            ),
+            "id",
+        )
+        (
+            codes.repartition(F.col("__ivf_cluster"))
+            .write.mode("overwrite")
+            .partitionBy("__ivf_cluster")
+            .parquet(self._p("codes"))
+        )
+        cent_df.coalesce(1).write.mode("overwrite").parquet(
+            self._p("centroids")
+        )
+        mm, kk, dsub = books.shape
+        spark.createDataFrame(
+            [
+                (mi, ci, [float(v) for v in books[mi, ci]])
+                for mi in range(mm)
+                for ci in range(kk)
+            ],
+            "m int, c int, cent array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(self._p("books"))
+        df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vector_col).alias("vec"),
+        ).write.mode("overwrite").parquet(self._p("vectors"))
+
+    def _load(self, spark: SparkSession):
+        import numpy as np
+
+        cents = {
+            r["__ivf_cluster"]: np.asarray(r["__cent"])
+            for r in spark.read.parquet(self._p("centroids")).collect()
+        }
+        rows = spark.read.parquet(self._p("books")).collect()
+        mm = max(r["m"] for r in rows) + 1
+        kk = max(r["c"] for r in rows) + 1
+        books = np.empty((mm, kk, len(rows[0]["cent"])))
+        for r in rows:
+            books[r["m"], r["c"]] = r["cent"]
+        return cents, books
+
+    def nearest_n(
+        self,
+        queries: DataFrame,
+        n: int = 10,
+        nprobe: int = 4,
+        refine: int = 0,
+    ) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from aligned_spark.operators.similarity import (
+            _pq_normalize,
+            cosine_double,
+        )
+
+        spark = queries.sparkSession
+        cents, books = self._load(spark)
+        mm, kk, dsub = books.shape
+        qrows = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.vector_col).alias("qv"),
+        ).collect()
+        qids = [r["qid"] for r in qrows]
+        qx = _pq_normalize(
+            np.asarray(
+                [np.asarray(r["qv"], dtype=np.float64) for r in qrows]
+            )
+        )
+        nq = len(qids)
+        cid = sorted(cents)
+        cmat = np.stack([cents[c] for c in cid])
+        # nprobe nearest centroids per query (tiny driver matmul)
+        d2c = ((qx[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
+        probe_ix = np.argsort(d2c, axis=1)[:, :nprobe]
+        probes = {
+            int(cid[c]): [
+                qi for qi in range(nq) if c in probe_ix[qi]
+            ]
+            for c in set(probe_ix.ravel())
+        }
+        # per (query, probed cluster) ADC tables over RESIDUALS
+        tables = {}
+        for c, qlist in probes.items():
+            res = qx[qlist] - cents[c][None, :]
+            t = np.empty((len(qlist), mm, kk))
+            for mi in range(mm):
+                sub = res[:, mi * dsub : (mi + 1) * dsub]
+                t[:, mi, :] = (
+                    (sub[:, None, :] - books[mi][None, :, :]) ** 2
+                ).sum(-1)
+            tables[c] = (qlist, t)
+        cand_k = n * refine if refine else n
+
+        def _scan(batches):
+            for pdf in batches:
+                for c, grp in pdf.groupby("__ivf_cluster"):
+                    hit = tables.get(int(c))
+                    if hit is None:
+                        continue
+                    qlist, t = hit
+                    ids = grp["id"].to_numpy()
+                    codes = np.asarray(
+                        list(grp["__pq_code"]), dtype=np.int64
+                    )
+                    dist = np.zeros((len(qlist), len(ids)))
+                    for mi in range(mm):
+                        dist += t[:, mi, :][:, codes[:, mi]]
+                    kk_local = min(cand_k, len(ids))
+                    top = np.argpartition(
+                        dist, kk_local - 1, axis=1
+                    )[:, :kk_local]
+                    yield pd.DataFrame(
+                        {
+                            "qix": np.repeat(qlist, kk_local),
+                            "id": ids[top].ravel(),
+                            "pq_dist": np.take_along_axis(
+                                dist, top, 1
+                            ).ravel(),
+                        }
+                    )
+
+        codes_df = spark.read.parquet(self._p("codes"))
+        probed = codes_df.filter(
+            F.col("__ivf_cluster").isin([int(c) for c in probes])
+        )  # cluster-key filter -> partition pruning at the scan
+        cand = probed.mapInPandas(
+            _scan, "qix int, id long, pq_dist double"
+        )
+        qmap = spark.createDataFrame(
+            [(i, int(q)) for i, q in enumerate(qids)],
+            "qix int, query_id long",
+        )
+        w = W.partitionBy("qix").orderBy(
+            F.col("pq_dist").asc(), F.col("id").asc()
+        )
+        shortlist = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= cand_k)
+            .join(F.broadcast(qmap), "qix")
+        )
+        if not refine:
+            return shortlist.select("query_id", "id", "pq_dist", "rank")
+        qvec = spark.createDataFrame(
+            [(i, [float(v) for v in qx[i]]) for i in range(nq)],
+            "qix int, __qv array<double>",
+        )
+        vecs = spark.read.parquet(self._p("vectors")).join(
+            shortlist.select("id").distinct(), "id", "left_semi"
+        )
+        scored = (
+            shortlist.select("qix", "query_id", "id")
+            .join(vecs, "id")
+            .join(F.broadcast(qvec), "qix")
+            .select(
+                "query_id",
+                "id",
+                cosine_double(
+                    F.col("__qv"), F.col("vec").cast("array<double>")
+                ).alias("sim"),
+            )
+        )
+        rw = W.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= n)
+            .select("query_id", "id", "sim", "rank")
+        )

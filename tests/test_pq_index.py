@@ -92,3 +92,42 @@ def test_pq_index_source_roundtrip(spark, emb, tmp_path):
 
     f = glob.glob(f"{tmp_path}/pq/codes/*.parquet")
     assert f and pq_.read_schema(f[0]).names == ["id", "__pq_code"]
+
+
+def test_ivf_pq_index(spark, emb, tmp_path):
+    """IVF-PQ composition: cluster-partitioned residual codes,
+    probe-pruned ADC scan, refine re-rank — recall vs exact stays
+    high with all clusters probed and degrades gracefully pruned."""
+    from aligned_spark.operators.similarity import top_k_similar
+    from aligned_spark.sources.vector_index import IvfPqIndexSource
+
+    idx = IvfPqIndexSource(
+        path=str(tmp_path / "ivfpq"),
+        id_col="vec_id",
+        vector_col="embedding",
+        num_centroids=8,
+        m=16,
+        k=32,
+        sample=400,
+        seed=7,
+    )
+    idx.overwrite(emb)
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = top_k_similar(
+        queries, emb, "vec_id", "embedding", k=5, exclude_self=False
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # all clusters probed + refine: near-exact
+    full = idx.nearest_n(queries, n=5, nprobe=8, refine=8)
+    f = {(r["query_id"], r["id"]) for r in full.collect()}
+    assert len(f & e) / len(e) >= 0.85, len(f & e) / len(e)
+    # pruned probing still self-matches and returns full rank sets
+    pruned = idx.nearest_n(queries, n=5, nprobe=3, refine=4)
+    rows = pruned.collect()
+    assert len(rows) == 40
+    self_hits = sum(1 for r in rows if r["query_id"] == r["id"])
+    assert self_hits >= 7  # each query's own cluster is its nearest
+    # the codes table is physically partitioned by cluster
+    import glob
+
+    assert glob.glob(f"{tmp_path}/ivfpq/codes/__ivf_cluster=*")
