@@ -513,3 +513,81 @@ class ContractStore:
         return exposed.predict(
             inputs, feature_cols, output_col=f"{model_name}_prediction"
         )
+
+    # -- vector search (reference VectorIndexStore, feature_store.py:1733)
+
+    def vector_index(self, model_name: str) -> "VectorIndexStore":
+        """ANN search over a model's embedding output — the
+        reference's ``store.vector_index(name).nearest_n_to(...)``
+        surface. The model's ``output_source`` must be index-capable
+        (``VectorIndexSource`` / ``IvfIndexSource`` /
+        ``PqIndexSource`` / ``IvfPqIndexSource`` — anything with
+        ``nearest_n``)."""
+        model = self.models[model_name]
+        view = model.output_view
+        if view is None:
+            raise ValueError(
+                f"model {model_name!r} has no output_source"
+            )
+        src = view.materialized_source or view.source
+        if not hasattr(src, "nearest_n"):
+            raise ValueError(
+                f"model {model_name!r} output source "
+                f"{type(src).__name__} is not a vector index "
+                "(needs nearest_n)"
+            )
+        emb = [
+            f.name
+            for f in view.features
+            if f.dtype.name.startswith("embedding-")
+        ]
+        if len(emb) != 1:
+            raise ValueError(
+                f"need exactly one embedding feature to search, "
+                f"got {emb}"
+            )
+        return VectorIndexStore(self, model, src, emb[0])
+
+
+class VectorIndexStore:
+    """``store.vector_index(model).nearest_n_to(entities, n)``.
+
+    Entities carrying the embedding column search directly; entities
+    carrying only keys first resolve the embedding through the
+    model's predictor (``predict_over``) when one is exposed, else
+    through a feature lookup on the output view — the reference's
+    resolution order (``feature_store.py:1754-1798``)."""
+
+    def __init__(self, store, model, source, embedding_col: str):
+        self.store = store
+        self.model = model
+        self.source = source
+        self.embedding_col = embedding_col
+
+    def nearest_n_to(self, entities, n: int = 5, **kw) -> DataFrame:
+        df = (
+            entities
+            if isinstance(entities, DataFrame)
+            else self.store.spark.createDataFrame(entities)
+        )
+        view = self.model.output_view
+        if self.embedding_col not in df.columns:
+            if self.model.predictor is not None:
+                df = self.store.predict_over(self.model.name, df)
+                pred_col = f"{self.model.name}_prediction"
+                if self.embedding_col not in df.columns:
+                    df = df.withColumnRenamed(
+                        pred_col, self.embedding_col
+                    )
+            else:
+                df = self.store.features_for(
+                    df,
+                    [f"{view.name}:{self.embedding_col}"],
+                )
+        id_col = getattr(self.source, "id_col", None) or view.entities[0]
+        vec_col = getattr(self.source, "vector_col", self.embedding_col)
+        queries = df.select(
+            F.col(view.entities[0]).alias(id_col),
+            F.col(self.embedding_col).alias(vec_col),
+        )
+        return self.source.nearest_n(queries, n=n, **kw)
