@@ -1015,6 +1015,78 @@ class DeltaLog:
                 f"{self.table_path}"
             )
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — roll the table state
+        back to ``version`` as a NEW commit (history is preserved;
+        the rollback itself is time-travelable, exactly like
+        delta-spark's RESTORE). Data files are never touched: the
+        commit re-adds the old version's live set and tombstones the
+        rest, so it is pure metadata and VACUUM retention still
+        protects the rolled-back files."""
+        target = self.snapshot(version)
+        head = self.snapshot()
+        actions: list[dict[str, Any]] = []
+        if target.metadata != head.metadata:
+            actions.append({"metaData": target.metadata})
+        now = int(time.time() * 1000)
+        for p in sorted(set(head.files) - set(target.files)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for p in sorted(set(target.files) - set(head.files)):
+            actions.append({"add": target.files[p]})
+        # restore the delete-sidecar set too (merge-on-read state)
+        for p in sorted(set(head.delete_files) - set(target.delete_files)):
+            actions.append({"deleteFile": {"path": p, "add": False}})
+        for p in sorted(set(target.delete_files) - set(head.delete_files)):
+            actions.append({"deleteFile": target.delete_files[p]})
+        actions.append(
+            self._protocol_action(bool(target.delete_files))
+        )
+        return self.commit(
+            actions,
+            head.version + 1,
+            "RESTORE",
+            {"version": str(version)},
+        )
+
+    def detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL: table-level operational stats from
+        metadata alone (no data scan)."""
+        snap = self.snapshot()
+        return {
+            "format": "delta",
+            "id": (snap.metadata or {}).get("id"),
+            "numFiles": len(snap.files),
+            "sizeInBytes": sum(
+                a.get("size") or 0 for a in snap.files.values()
+            ),
+            "numRows": sum(
+                (a.get("stats") or {}).get("numRecords") or 0
+                for a in snap.files.values()
+            ),
+            "numDeleteFiles": len(snap.delete_files),
+            "numDeletedRows": sum(
+                d.get("cardinality") or 0
+                for d in snap.delete_files.values()
+            ),
+            "partitionColumns": snap.partition_columns,
+            "version": snap.version,
+            "constraints": {
+                k[len("delta.constraints."):]: v
+                for k, v in (
+                    (snap.metadata or {}).get("configuration") or {}
+                ).items()
+                if k.startswith("delta.constraints.")
+            },
+        }
+
     def version_at(self, timestamp_ms: int) -> int:
         """TIMESTAMP AS OF resolution (delta-spark semantics): the
         latest version whose commit time is <= the timestamp —

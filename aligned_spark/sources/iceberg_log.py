@@ -847,6 +847,53 @@ class IcebergLog:
             )
         return df if keep_meta else df.select(*cols)
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Iceberg rollback: point ``current-snapshot-id`` back at an
+        existing snapshot in a new metadata version (the spec's
+        rollback — snapshots are kept, the pointer moves; the
+        rollback is itself a versioned, time-travelable commit)."""
+        md = self.current_metadata()
+        ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+        if snapshot_id not in ids:
+            raise ValueError(f"unknown snapshot id {snapshot_id}")
+        new_md = dict(md)
+        new_md["current-snapshot-id"] = snapshot_id
+        now = int(time.time() * 1000)
+        new_md["last-updated-ms"] = now
+        new_md["snapshot-log"] = [
+            *md.get("snapshot-log", []),
+            {"timestamp-ms": now, "snapshot-id": snapshot_id},
+        ]
+        version = md[_READ_VERSION_KEY] + 1
+        self._commit_metadata(new_md, version)
+        return snapshot_id
+
+    def detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL twin: operational stats from manifests
+        alone (no data scan)."""
+        view = self._resolve()
+        md = self.current_metadata()
+        return {
+            "format": "iceberg",
+            "numFiles": len(view.files),
+            "sizeInBytes": sum(
+                f.get("file_size_in_bytes") or 0
+                for f in view.files.values()
+            ),
+            "numRows": sum(
+                f.get("record_count") or 0 for f in view.files.values()
+            ),
+            "numDeleteFiles": len(view.delete_files),
+            "numDeletedRows": sum(
+                f.get("record_count") or 0
+                for f in view.delete_files.values()
+            ),
+            "partitionColumns": view.partition_columns,
+            "currentSnapshotId": view.snapshot_id,
+            "numSnapshots": len(md.get("snapshots", [])),
+            "formatVersion": md.get("format-version", 1),
+        }
+
     def snapshot_as_of(self, timestamp_ms: int) -> int:
         """TIMESTAMP AS OF resolution (Iceberg semantics): the
         latest snapshot whose ``snapshot-log`` entry is <= the

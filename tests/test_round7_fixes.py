@@ -235,3 +235,48 @@ def test_timestamp_as_of_both_formats(spark, tmp_path):
     ilog.write(spark.createDataFrame([Row(k=2)]), "append")
     assert ilog.snapshot_as_of(t_mid) == s0
     assert ilog.read(spark, snapshot_id=ilog.snapshot_as_of(t_mid)).count() == 1
+
+
+def test_delta_restore_rolls_back_as_new_commit(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"))
+    log.write(spark.createDataFrame([Row(k=i) for i in range(5)]), "append")
+    log.merge_upsert(spark.createDataFrame([Row(k=99)]), ["k"])
+    log.delete_where(spark, F.col("k") < 2)
+    assert log.read(spark).count() == 4  # 2..4 + 99
+    v = log.restore(0)
+    assert v == log.latest_version()
+    assert sorted(r.k for r in log.read(spark).collect()) == [0, 1, 2, 3, 4]
+    # history preserved: the pre-restore head is still travelable
+    assert log.read(spark, version=v - 1).count() == 4
+    # restore interoperates with MOR state
+    log.delete_where_mor(spark, F.col("k") == 0)
+    v2 = log.restore(v)  # back to the un-deleted state
+    assert sorted(r.k for r in log.read(spark).collect()) == [0, 1, 2, 3, 4]
+    d = log.detail()
+    assert d["numRows"] == 5 and d["numDeleteFiles"] == 0
+    assert d["version"] == v2
+
+
+def test_iceberg_rollback_moves_pointer(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "t"))
+    s0 = log.write(spark.createDataFrame([Row(k=1)]), "append")
+    log.write(spark.createDataFrame([Row(k=2)]), "append")
+    assert log.read(spark).count() == 2
+    log.rollback_to(s0)
+    assert log.read(spark).count() == 1
+    d = log.detail()
+    assert d["numRows"] == 1 and d["currentSnapshotId"] == s0
+    assert d["numSnapshots"] == 2  # snapshots kept, pointer moved
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        log.rollback_to(123456)
