@@ -514,6 +514,64 @@ class ContractStore:
             inputs, feature_cols, output_col=f"{model_name}_prediction"
         )
 
+    # -- registry ergonomics (reference feature_store.py:331-1238) ------
+
+    def combined_with(self, other: "ContractStore") -> "ContractStore":
+        """Union of two stores (reference ``combined_with``); name
+        collisions resolve to ``other`` (latest wins, like the
+        reference's dict update)."""
+        out = ContractStore(self.spark)
+        out.views = {**self.views, **other.views}
+        out.models = {**self.models, **other.models}
+        return out
+
+    def source_for(self, name: str) -> Any:
+        """The batch source backing a view or a model's output view
+        (None if unregistered)."""
+        if name in self.views:
+            return self.views[name].source
+        m = self.models.get(name)
+        if m is not None and m.output_view is not None:
+            return m.output_view.source
+        return None
+
+    def remove(self, name: str) -> None:
+        if self.views.pop(name, None) is None and (
+            self.models.pop(name, None) is None
+        ):
+            raise KeyError(f"no view or model named {name!r}")
+
+    def update_source_for(self, name: str, source: Any) -> None:
+        """Swap a view's batch source in place (reference
+        ``update_source_for`` — the porting/testing hook: point a
+        contract at a new location without recompiling it)."""
+        import dataclasses
+
+        view = self.views.get(name)
+        if view is None:
+            raise KeyError(f"no view named {name!r}")
+        self.views[name] = dataclasses.replace(view, source=source)
+
+    def sources_of_type(self, source_type: type) -> "list[tuple[str, Any]]":
+        """(name, source) pairs whose batch or materialized source is
+        an instance of ``source_type`` — across views and model
+        output views."""
+        out = []
+        for name, v in self.views.items():
+            for s in (v.source, v.materialized_source):
+                if isinstance(s, source_type):
+                    out.append((name, s))
+                    break
+        for name, m in self.models.items():
+            ov = m.output_view
+            if ov is not None and isinstance(ov.source, source_type):
+                out.append((name, ov.source))
+        return out
+
+    def model(self, model_name: str) -> "ModelFeatureStore":
+        """Per-model accessor (reference ``store.model(name)``)."""
+        return ModelFeatureStore(self, self.models[model_name])
+
     # -- vector search (reference VectorIndexStore, feature_store.py:1733)
 
     def vector_index(self, model_name: str) -> "VectorIndexStore":
@@ -591,3 +649,26 @@ class VectorIndexStore:
             F.col(self.embedding_col).alias(vec_col),
         )
         return self.source.nearest_n(queries, n=n, **kw)
+
+
+class ModelFeatureStore:
+    """Thin per-model surface (reference ``ModelFeatureStore``):
+    input resolution, batch inference, output-view access."""
+
+    def __init__(self, store: ContractStore, model):
+        self.store = store
+        self.model = model
+
+    def input_features(self) -> list[str]:
+        return [r.identifier() for r in self.model.input_references]
+
+    def features_for(self, entities: Any) -> DataFrame:
+        """Just the model's input features for the given entities."""
+        return self.store.features_for(entities, self.input_features())
+
+    def predict_over(self, entities: Any) -> DataFrame:
+        return self.store.predict_over(self.model.name, entities)
+
+    def output_view_name(self) -> str | None:
+        ov = self.model.output_view
+        return ov.name if ov is not None else None

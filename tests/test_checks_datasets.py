@@ -114,3 +114,89 @@ def test_dataset_registry(spark):
     meta2 = registry.store_train_test("exp1", tmp, df, test_fraction=0.2, seed=3)
     assert meta2.train.row_count == meta.train.row_count
     assert len(registry.list_datasets()) == 2
+
+
+# --------------------------- registry ergonomics (r7, reference parity)
+
+
+def test_store_registry_ergonomics(spark, tmp_path):
+    from aligned_spark.contracts import Int64, feature_view, model_contract
+    from aligned_spark.sources.file import ParquetSource
+    from aligned_spark.store import ContractStore
+
+    a_src = ParquetSource(path=str(tmp_path / "a.parquet"))
+    b_src = ParquetSource(path=str(tmp_path / "b.parquet"))
+    spark.createDataFrame([(1,)], "user_id long").write.parquet(a_src.path)
+    spark.createDataFrame([(2,)], "user_id long").write.parquet(b_src.path)
+
+    @feature_view(name="va", source=a_src)
+    class Va:
+        user_id = Int64().as_entity()
+
+    @feature_view(name="vb", source=b_src)
+    class Vb:
+        user_id = Int64().as_entity()
+
+    s1 = ContractStore(spark)
+    s1.add_view(Va)
+    s2 = ContractStore(spark)
+    s2.add_view(Vb)
+    both = s1.combined_with(s2)
+    assert set(both.views) == {"va", "vb"}
+
+    assert both.source_for("va") is a_src
+    assert both.source_for("missing") is None
+    assert {n for n, _ in both.sources_of_type(ParquetSource)} == {
+        "va",
+        "vb",
+    }
+
+    both.update_source_for("va", b_src)
+    assert both.source_for("va") is b_src
+    assert both.feature_view("va").all().collect()[0][0] == 2
+
+    both.remove("va")
+    assert "va" not in both.views
+    import pytest
+
+    with pytest.raises(KeyError):
+        both.remove("va")
+
+
+def test_model_feature_store_accessor(spark, tmp_path):
+    from aligned_spark.contracts import (
+        Float64,
+        Int64,
+        feature_view,
+        model_contract,
+    )
+    from aligned_spark.sources.file import ParquetSource
+    from aligned_spark.store import ContractStore
+
+    src = ParquetSource(path=str(tmp_path / "f.parquet"))
+    spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "user_id long, x double"
+    ).write.parquet(src.path)
+
+    @feature_view(name="feats", source=src)
+    class Feats:
+        user_id = Int64().as_entity()
+        x = Float64()
+
+    @model_contract(
+        name="doubler",
+        input_features=["feats:x"],
+        predictor=lambda pdf: pdf["x"] * 2,
+    )
+    class Doubler:
+        user_id = Int64().as_entity()
+
+    store = ContractStore(spark)
+    store.add_view(Feats)
+    store.add_model(Doubler)
+    ms = store.model("doubler")
+    assert ms.input_features() == ["feats:x"]
+    feats = ms.features_for({"user_id": [1, 2]})
+    assert {r["x"] for r in feats.collect()} == {2.0, 3.0}
+    preds = ms.predict_over({"user_id": [1]})
+    assert preds.collect()[0]["doubler_prediction"] == 4.0
