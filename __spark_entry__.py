@@ -8113,18 +8113,26 @@ _PRIORITY: list[str] = [
     # Slot 1: corpus_mixture_plan — the one red r6 driver row; the
     # fix (integer-scaled rate_ppm/epochs_ppm BIGINTs on both engine
     # and oracle sides, no doubles left in the output) exact-passes
-    # the local gate at sf0.01 AND sf0.1 this round. Slots 2-3: the
-    # two new round-7 full-oracle queries (row-level CDC feeds for
-    # Delta and Iceberg). Slots 4-6: the three r2-era rows the r6
-    # window displaced. Remaining 44 slots: the r3-era staleness
-    # cohort, oldest-first policy — 44 of its 47; the three deferred
-    # to r8 (join_asof_bucketed, sim_topk_matmul,
-    # stream_interval_join_batch) are the ones whose semantic twins
-    # (join_asof, sim_topk_cosine, live stream-stream e2e) went green
-    # in r6, so they carry the least marginal re-verification value.
+    # the local gate at sf0.01 AND sf0.1 this round. Slots 2-7: the
+    # six new round-7 full-oracle queries (row-level CDC feeds,
+    # merge-on-read parity for both formats, CDC-driven incremental
+    # aggregate maintenance, PQ ANN) — each gated green locally at
+    # BOTH SFs, needing a first driver row. Slots 8-10: the three
+    # r2-era rows the r6 window displaced. Remaining 40 slots: the
+    # r3-era staleness cohort — 40 of its 47; the seven deferred to
+    # r8 are the ones whose family twins stay in this window
+    # (join_asof_bucketed/join_asof, sim_topk_matmul/sim_topk_cosine,
+    # stream_interval_join_batch/live e2e, sim_lsh_pairs/
+    # vector_index_lsh, splits_train/splits_temporal, corpus_sample_k/
+    # corpus_weighted_sample, dedup_simhash/dedup_simhash_pairs), so
+    # they carry the least marginal re-verification value.
     "corpus_mixture_plan",
     "source_delta_cdf",
     "source_iceberg_cdf",
+    "source_delta_mor",
+    "source_iceberg_mor",
+    "store_incremental_aggregate",
+    "vector_index_pq",
     # --- r2-era (displaced by the r6 window) ---
     "expr_arithmetic",
     "expr_comparison_logic",
@@ -8136,14 +8144,12 @@ _PRIORITY: list[str] = [
     "corpus_pack",
     "corpus_quantile_filter",
     "corpus_redact_pii",
-    "corpus_sample_k",
     "corpus_weighted_sample",
     "custom_agg_pandas",
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_lines",
     "dedup_semantic",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "embed_fake_text",
     "embed_pca_stats",
@@ -8155,10 +8161,8 @@ _PRIORITY: list[str] = [
     "multimodal_image_pipeline",
     "profile_histogram",
     "setop_intersect_except",
-    "sim_lsh_pairs",
     "source_partitioned_parquet",
     "splits_temporal",
-    "splits_train",
     "stream_late_data",
     "text_bm25",
     "text_decontaminate",
