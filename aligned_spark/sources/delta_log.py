@@ -697,9 +697,15 @@ class DeltaLog:
             + re.escape(os.path.abspath(self.table_path))
             + "/"
         )
+        # protect literal '+' before url_decode (form-decoding would
+        # turn it into a space; Hadoop URIs never '+'-encode spaces)
         return F.url_decode(
             F.regexp_replace(
-                F.col("_metadata.file_path"), prefix, ""
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), prefix, ""
+                ),
+                r"\+",
+                "%2B",
             )
         )
 

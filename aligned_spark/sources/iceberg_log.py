@@ -774,13 +774,24 @@ class IcebergLog:
 
     #: table-relative path of the file a row came from, derived from
     #: the scan's ``_metadata`` — matches the ``file_path`` values in
-    #: position-delete files
+    #: position-delete files and manifest entries. ``_metadata``
+    #: reports a percent-ENCODED URI (hive partition values can carry
+    #: spaces etc.); decode %XX back to the literal on-disk name, but
+    #: FIRST protect literal '+' (url_decode is form-decoding and
+    #: would turn it into a space — Hadoop URIs never encode spaces
+    #: as '+').
     @staticmethod
     def _rel_file_col():
         return F.concat(
             F.lit("data/"),
-            F.regexp_extract(
-                F.col("_metadata.file_path"), "/data/(.*)$", 1
+            F.url_decode(
+                F.regexp_replace(
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), "/data/(.*)$", 1
+                    ),
+                    r"\+",
+                    "%2B",
+                )
             ),
         )
 

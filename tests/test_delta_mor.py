@@ -238,3 +238,24 @@ def test_store_materializes_into_mor_delta(spark, tmp_path):
         for r in ch.groupBy("_change_type").count().collect()
     }
     assert counts == {"insert": 1}
+
+
+def test_mor_with_special_char_partition_values(spark, tmp_path):
+    """Same encoding trap on the Delta side: partitioned-by values
+    with spaces/'+' must round-trip the rel-path derivation."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [Row(k=i, p="NOT SPECIFIED" if i % 2 else "a+b", v=i)
+         for i in range(20)]
+    )
+    log.write(df.coalesce(1), "append", partition_by=["p"])
+    log.delete_where_mor(spark, F.col("k") < 4)
+    assert log.read(spark).count() == 16
+    log.merge_upsert(
+        spark.createDataFrame([Row(k=5, p="NOT SPECIFIED", v=99)]),
+        ["k"],
+    )
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got[5] == 99 and len(got) == 16

@@ -152,3 +152,28 @@ def test_source_merge_on_read_routing(spark, tmp_path):
     assert len(view.delete_files) == 2
     got = {r.k: r.v for r in src.read(spark).collect()}
     assert got[1] == "U" and 2 not in got and len(got) == 9
+
+
+def test_mor_with_special_char_partition_values(spark, tmp_path):
+    """Partition values with spaces and '+' percent-encode in
+    _metadata.file_path; the rel-path derivation must decode %XX
+    (and ONLY %XX — '+' stays literal) or CoW rewrites and delete
+    pairs point at nonexistent files."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [Row(k=i, p="NOT SPECIFIED" if i % 2 else "a+b", v=i)
+         for i in range(20)]
+    )
+    log.write(df.coalesce(1), "append", partition_by=["p"])
+    # MOR delete on the encoded-partition files
+    log.delete_where_mor(spark, F.col("k") < 4)
+    assert log.read(spark).count() == 16
+    # CoW merge over the same files (touched paths must decode)
+    log.merge_upsert(
+        spark.createDataFrame([Row(k=5, p="NOT SPECIFIED", v=99)]),
+        ["k"],
+    )
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert got[5] == 99 and len(got) == 16
