@@ -96,8 +96,12 @@ class IncrementalAggregate:
             return None
         log = self._target()
         if cursor is None:
+            # pin the read AT `current`: a base commit racing in
+            # after version() must not be absorbed now AND replayed
+            # by the next refresh (cursor says `current`) — the
+            # double-count the exactly-once contract forbids
             full = (
-                self.source.read(spark)
+                self._read_at(spark, current)
                 .groupBy(*self.group_keys)
                 .agg(
                     F.count(F.lit(1)).alias(COUNT_COL),
@@ -107,8 +111,10 @@ class IncrementalAggregate:
             self._reject_null_keys(full)
             log.write(full, "append", txn=(self.app_id, current))
             return current
+        # bounded slice (cursor, current] — commits racing in after
+        # version() belong to the NEXT refresh
         deltas = change_deltas(
-            self.source.read_changes(spark, cursor),
+            self.source.read_changes(spark, cursor, current),
             self.group_keys,
             self.sums,
         ).persist()
@@ -165,6 +171,14 @@ class IncrementalAggregate:
         finally:
             deltas.unpersist()
         return current
+
+    def _read_at(self, spark: SparkSession, version) -> DataFrame:
+        """Snapshot read pinned at a version/snapshot id (the two
+        formats name the parameter differently)."""
+        try:
+            return self.source.read(spark, version=version)
+        except TypeError:
+            return self.source.read(spark, snapshot_id=version)
 
     def _reject_null_keys(self, grouped: DataFrame) -> None:
         """NULL group keys never match under SQL MERGE semantics

@@ -130,6 +130,10 @@ class AzureBlobSource(WritableSource):
                 # paths (sources/spill.py)
                 evict_superseded(spill, f"*__{safe}", keep=local)
                 os.replace(tmp, local)
+            else:
+                # cache hit: shed any stale marker on the again-
+                # current generation (A→B→A rewrite pattern)
+                evict_superseded(spill, f"*__{safe}", keep=local)
             return local
 
         with ThreadPoolExecutor(_TRANSFER_THREADS) as pool:

@@ -206,43 +206,53 @@ class DeltaLog:
         if ck is not None and ck <= target:
             meta, files, txns, dels = self._read_checkpoint(ck)
             start = ck + 1
-        for v in range(start, target + 1):
-            for action in self._read_commit(v):
-                if "metaData" in action:
-                    meta = action["metaData"]
-                elif "deleteFile" in action:
-                    d = action["deleteFile"]
-                    if d.get("add", True):
-                        dels[d["path"]] = d
-                    else:
-                        dels.pop(d["path"], None)
-                elif "add" in action:
-                    add = action["add"]
-                    if isinstance(add.get("stats"), str):
-                        # wire form (protocol): stats is a serialized
-                        # JSON string; parse back to the in-memory
-                        # dict the skipping code consumes. Legacy
-                        # object-form commits pass through unchanged.
-                        try:
-                            add = {
-                                **add,
-                                "stats": json.loads(add["stats"]),
-                            }
-                        except json.JSONDecodeError:
-                            add = {**add, "stats": None}
-                    files[add["path"]] = add
-                elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
-                elif "txn" in action:
-                    t = action["txn"]
-                    txns[t["appId"]] = t["version"]
-        return Snapshot(
+        state = Snapshot(
             version=target,
             metadata=meta,
             files=files,
             txns=txns,
             delete_files=dels,
         )
+        for v in range(start, target + 1):
+            self._apply_commit(state, self._read_commit(v))
+        return state
+
+    @staticmethod
+    def _apply_commit(
+        state: Snapshot, actions: list[dict[str, Any]]
+    ) -> None:
+        """Apply one commit's actions to a snapshot state in place —
+        the single replay rule shared by :meth:`snapshot` and
+        :meth:`read_cdf`'s incremental walk."""
+        for action in actions:
+            if "metaData" in action:
+                state.metadata = action["metaData"]
+            elif "deleteFile" in action:
+                d = action["deleteFile"]
+                if d.get("add", True):
+                    state.delete_files[d["path"]] = d
+                else:
+                    state.delete_files.pop(d["path"], None)
+            elif "add" in action:
+                add = action["add"]
+                if isinstance(add.get("stats"), str):
+                    # wire form (protocol): stats is a serialized
+                    # JSON string; parse back to the in-memory
+                    # dict the skipping code consumes. Legacy
+                    # object-form commits pass through unchanged.
+                    try:
+                        add = {
+                            **add,
+                            "stats": json.loads(add["stats"]),
+                        }
+                    except json.JSONDecodeError:
+                        add = {**add, "stats": None}
+                state.files[add["path"]] = add
+            elif "remove" in action:
+                state.files.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                t = action["txn"]
+                state.txns[t["appId"]] = t["version"]
 
     # ----------------------------------------------------- committing
 
@@ -687,26 +697,31 @@ class DeltaLog:
             return spark.createDataFrame([], schema)
         return self._scan(spark, snap, paths)
 
-    def _rel_file_col(self):
+    @staticmethod
+    def _rel_file_col(n_partition_cols: int, data_subdir: int = 0):
         """Table-relative path of the file a row came from, derived
-        from ``_metadata.file_path`` (a percent-encoded URI; strip
-        scheme, strip the table dir, url-decode) — matches the add
-        actions' ``path`` and the delete sidecars' ``file_path``."""
-        prefix = (
-            "^[A-Za-z][A-Za-z0-9+.-]*:(//)?"
-            + re.escape(os.path.abspath(self.table_path))
-            + "/"
+        from ``_metadata.file_path`` — matches the add actions'
+        ``path`` and the delete sidecars' ``file_path``.
+
+        Derivation is by SEGMENT COUNT, not prefix matching: the rel
+        path is exactly the last ``n_partition_cols + 1`` URI
+        segments (+``data_subdir`` for formats with a data dir), so
+        it is immune to whatever the TABLE path contains ('/data/',
+        spaces, symlink divergence — prefix regexes break on all
+        three; partition VALUES never add segments because hive
+        %2F-encodes '/'). ``_metadata`` reports a percent-encoded
+        URI; %XX decodes back to the literal on-disk name, with
+        literal '+' protected first (url_decode is form-decoding and
+        would turn it into a space — Hadoop URIs never '+'-encode)."""
+        n = n_partition_cols + 1 + data_subdir
+        joined = F.array_join(
+            F.slice(
+                F.split(F.col("_metadata.file_path"), "/"), -n, n
+            ),
+            "/",
         )
-        # protect literal '+' before url_decode (form-decoding would
-        # turn it into a space; Hadoop URIs never '+'-encode spaces)
         return F.url_decode(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), prefix, ""
-                ),
-                r"\+",
-                "%2B",
-            )
+            F.regexp_replace(joined, r"\+", "%2B")
         )
 
     def _scan(
@@ -733,7 +748,9 @@ class DeltaLog:
         pairs = self._delete_pairs(spark, snap, paths)
         if pairs is None and not keep_meta:
             return df
-        df = df.withColumn("__file", self._rel_file_col()).withColumn(
+        df = df.withColumn(
+            "__file", self._rel_file_col(len(snap.partition_columns))
+        ).withColumn(
             "__pos", F.col("_metadata.row_index")
         )
         if pairs is not None:
@@ -839,12 +856,26 @@ class DeltaLog:
 
         pieces: list[DataFrame] = []
         empty = tagged(spark.createDataFrame([], schema), "insert", 0).limit(0)
+        # incremental snapshot walk: one full replay at from_version,
+        # then each commit's actions advance a COPY of the state —
+        # O(V) total instead of the O(V^2) of re-replaying the log
+        # for both sides of every commit
+        prev = self.snapshot(from_version)
         for v in range(from_version + 1, to + 1):
+            actions_v = self._read_commit(v)
+            cur = Snapshot(
+                version=v,
+                metadata=prev.metadata,
+                files=dict(prev.files),
+                txns=dict(prev.txns),
+                delete_files=dict(prev.delete_files),
+            )
+            self._apply_commit(cur, actions_v)
             adds: list[str] = []
             removes: list[str] = []
             del_adds: list[str] = []
             keys: list[str] | None = None
-            for action in self._read_commit(v):
+            for action in actions_v:
                 if "commitInfo" in action:
                     mk = (
                         action["commitInfo"]
@@ -864,13 +895,13 @@ class DeltaLog:
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"]["path"])
             if not adds and not removes and not del_adds:
+                prev = cur
                 continue
             if del_adds:
                 # merge-on-read commit: the rows its new pairs kill,
                 # read at the PARENT version (parent deletes applied
                 # so already-dead rows can't re-emit), scanning only
                 # the data files the pairs reference
-                prev = self.snapshot(v - 1)
                 ndp = spark.read.schema(
                     "file_path string, pos long"
                 ).parquet(*[self._abs(p) for p in sorted(del_adds)])
@@ -893,7 +924,7 @@ class DeltaLog:
                 if adds:  # MOR merge: pairs + appended parts
                     pieces += diff_rewrite(
                         dead,
-                        self._scan(spark, self.snapshot(v), adds),
+                        self._scan(spark, cur, adds),
                         cols,
                         keys,
                         "_commit_version",
@@ -901,30 +932,31 @@ class DeltaLog:
                     )
                 else:  # MOR delete
                     pieces.append(tagged(dead, "delete", v))
+                prev = cur
                 continue
             if not removes:  # pure append — no old content to diff
                 pieces.append(
                     tagged(
-                        self._scan(spark, self.snapshot(v), adds),
-                        "insert",
-                        v,
+                        self._scan(spark, cur, adds), "insert", v
                     )
                 )
+                prev = cur
                 continue
             # copy-on-write rewrite: old/new content of the touched
             # parts, each side with ITS version's position deletes
-            old = self._scan(spark, self.snapshot(v - 1), removes)
-            if not adds:  # pure remove: every old row deleted
+            old = self._scan(spark, prev, removes)
+            if adds:
+                pieces += diff_rewrite(
+                    old,
+                    self._scan(spark, cur, adds),
+                    cols,
+                    keys,
+                    "_commit_version",
+                    v,
+                )
+            else:  # pure remove: every old row deleted
                 pieces.append(tagged(old, "delete", v))
-                continue
-            pieces += diff_rewrite(
-                old,
-                self._scan(spark, self.snapshot(v), adds),
-                cols,
-                keys,
-                "_commit_version",
-                v,
-            )
+            prev = cur
         if not pieces:
             return empty
         out = pieces[0]
@@ -942,15 +974,20 @@ class DeltaLog:
 
     # ------------------------------------------- CHECK constraints
 
-    def constraints(self) -> dict[str, str]:
-        """Table CHECK constraints (protocol
-        ``delta.constraints.<name>`` metadata configuration)."""
-        snap = self.snapshot()
-        cfg = (snap.metadata or {}).get("configuration", {}) or {}
+    @staticmethod
+    def _constraints_of(
+        metadata: dict[str, Any] | None,
+    ) -> dict[str, str]:
+        cfg = (metadata or {}).get("configuration", {}) or {}
         pfx = "delta.constraints."
         return {
             k[len(pfx):]: v for k, v in cfg.items() if k.startswith(pfx)
         }
+
+    def constraints(self) -> dict[str, str]:
+        """Table CHECK constraints (protocol
+        ``delta.constraints.<name>`` metadata configuration)."""
+        return self._constraints_of(self.snapshot().metadata)
 
     def add_constraint(
         self, spark: SparkSession, name: str, expr_sql: str
@@ -1001,13 +1038,7 @@ class DeltaLog:
         violating batch fails the WHOLE write before any commit —
         one scan of the incoming rows per constrained table, zero
         cost on unconstrained ones."""
-        cfg = (snap.metadata or {}).get("configuration", {}) or {}
-        pfx = "delta.constraints."
-        checks = [
-            (k[len(pfx):], v)
-            for k, v in cfg.items()
-            if k.startswith(pfx)
-        ]
+        checks = list(self._constraints_of(snap.metadata).items())
         if not checks:
             return
         pred = None
@@ -1084,13 +1115,7 @@ class DeltaLog:
             ),
             "partitionColumns": snap.partition_columns,
             "version": snap.version,
-            "constraints": {
-                k[len("delta.constraints."):]: v
-                for k, v in (
-                    (snap.metadata or {}).get("configuration") or {}
-                ).items()
-                if k.startswith("delta.constraints.")
-            },
+            "constraints": self._constraints_of(snap.metadata),
         }
 
     def version_at(self, timestamp_ms: int) -> int:
@@ -1184,6 +1209,7 @@ class DeltaLog:
             }
             for p in touched
         ] + [{"add": a} for a in adds] + self._txn_action(txn)
+        actions += self._sidecar_prune_actions(snap, touched)
         return self.commit(
             actions,
             snap.version + 1,
@@ -1261,6 +1287,7 @@ class DeltaLog:
             }
             for p in touched
         ] + [{"add": a} for a in adds]
+        actions += self._sidecar_prune_actions(snap, touched)
         return self.commit(
             actions, snap.version + 1, "WRITE", {"mode": "replaceWhere"}
         )
@@ -1294,6 +1321,7 @@ class DeltaLog:
             }
             for p in touched
         ] + [{"add": a} for a in adds]
+        actions += self._sidecar_prune_actions(snap, touched)
         return self.commit(actions, snap.version + 1, "DELETE", {})
 
     # ------------------------------------------ merge-on-read writes
@@ -1329,6 +1357,39 @@ class DeltaLog:
             }
             for p in parts
         ]
+
+    def _sidecar_prune_actions(
+        self, snap: Snapshot, removed: list[str]
+    ) -> list[dict[str, Any]]:
+        """When a CoW rewrite removes data files, delete sidecars
+        whose pairs ALL reference removed files become dead weight —
+        drop them (and restore the base protocol once none remain)
+        so the table doesn't stay feature-gated forever. Sidecars
+        are small by design; the check reads only their
+        ``file_path`` column driver-side."""
+        if not snap.delete_files or not removed:
+            return []
+        import pyarrow.parquet as pq
+
+        removed_set = set(removed)
+        dropped = []
+        for rel in sorted(snap.delete_files):
+            try:
+                refs = set(
+                    pq.read_table(
+                        self._abs(rel), columns=["file_path"]
+                    )["file_path"].to_pylist()
+                )
+            except (OSError, KeyError):  # pragma: no cover
+                continue
+            if refs and refs <= removed_set:
+                dropped.append(rel)
+        actions: list[dict[str, Any]] = [
+            {"deleteFile": {"path": p, "add": False}} for p in dropped
+        ]
+        if dropped and len(dropped) == len(snap.delete_files):
+            actions.append(self._protocol_action(False))
+        return actions
 
     def delete_where_mor(
         self,

@@ -772,28 +772,18 @@ class IcebergLog:
 
     # ------------------------------------------- merge-on-read scans
 
-    #: table-relative path of the file a row came from, derived from
-    #: the scan's ``_metadata`` — matches the ``file_path`` values in
-    #: position-delete files and manifest entries. ``_metadata``
-    #: reports a percent-ENCODED URI (hive partition values can carry
-    #: spaces etc.); decode %XX back to the literal on-disk name, but
-    #: FIRST protect literal '+' (url_decode is form-decoding and
-    #: would turn it into a space — Hadoop URIs never encode spaces
-    #: as '+').
+    #: table-relative path of the file a row came from: the last
+    #: (1 + n_partition_cols + 1-for-'data') URI segments of the
+    #: scan's ``_metadata.file_path``, %XX-decoded — segment
+    #: counting, not prefix/anchor matching, so a TABLE path that
+    #: itself contains '/data/', spaces, or symlink divergence can't
+    #: corrupt the derivation (shared rule:
+    #: :meth:`DeltaLog._rel_file_col`).
     @staticmethod
-    def _rel_file_col():
-        return F.concat(
-            F.lit("data/"),
-            F.url_decode(
-                F.regexp_replace(
-                    F.regexp_extract(
-                        F.col("_metadata.file_path"), "/data/(.*)$", 1
-                    ),
-                    r"\+",
-                    "%2B",
-                )
-            ),
-        )
+    def _rel_file_col(n_partition_cols: int):
+        from aligned_spark.sources.delta_log import DeltaLog
+
+        return DeltaLog._rel_file_col(n_partition_cols, data_subdir=1)
 
     def _delete_pairs(
         self,
@@ -846,7 +836,10 @@ class IcebergLog:
         pairs = self._delete_pairs(spark, view, rels)
         if pairs is None and not keep_meta:
             return df.select(*cols)
-        df = df.withColumn("__file", self._rel_file_col()).withColumn(
+        df = df.withColumn(
+            "__file",
+            self._rel_file_col(len(view.partition_columns)),
+        ).withColumn(
             "__pos", F.col("_metadata.row_index")
         )
         if pairs is not None:

@@ -141,8 +141,19 @@ class S3LogStore:
                 Bucket=self.bucket, Key=self._key(name)
             )
             return True
-        except Exception:
-            return False
+        except Exception as exc:
+            # only a definitive not-found maps to False — a throttle
+            # or auth hiccup must NOT read as "table does not exist"
+            # (a writer would take the table-CREATE path and an
+            # incremental consumer would full-rebuild on top)
+            code = str(
+                (getattr(exc, "response", None) or {})
+                .get("Error", {})
+                .get("Code", "")
+            )
+            if code in ("404", "NoSuchKey", "NotFound"):
+                return False
+            raise
 
     def read_text(self, name: str) -> str:
         return self.read_bytes(name).decode("utf-8")

@@ -116,6 +116,13 @@ class S3Source(WritableSource):
                     spill, f"{self.bucket}__*__{safe}", keep=local
                 )
                 os.replace(tmp, local)
+            else:
+                # cache hit: still run eviction so a file that became
+                # current AGAIN sheds its stale .superseded marker
+                # (else the next rewrite deletes it with no grace)
+                evict_superseded(
+                    spill, f"{self.bucket}__*__{safe}", keep=local
+                )
             return local
 
         with ThreadPoolExecutor(_TRANSFER_THREADS) as pool:

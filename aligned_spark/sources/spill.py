@@ -40,6 +40,13 @@ def evict_superseded(
     ``grace_seconds``. Safe under concurrent callers (missing files
     are ignored; marker creation is idempotent)."""
     now = time.time()
+    # a file that BECAME current again (object rewritten A→B→A) must
+    # shed any stale marker, or the next supersession would see an
+    # already-aged clock and delete it with no grace at all
+    try:
+        os.unlink(keep + _MARKER_SUFFIX)
+    except FileNotFoundError:
+        pass
     for stale in glob.glob(os.path.join(spill_dir, pattern)):
         if stale == keep or stale.endswith(_MARKER_SUFFIX):
             continue

@@ -206,6 +206,33 @@ class IvfIndexSource:
         )
 
 
+def _save_codebooks(spark: SparkSession, books, path: str) -> None:
+    """Flatten an (m, k, dsub) codebook array into a tiny parquet."""
+    mm, kk, _ = books.shape
+    spark.createDataFrame(
+        [
+            (mi, ci, [float(v) for v in books[mi, ci]])
+            for mi in range(mm)
+            for ci in range(kk)
+        ],
+        "m int, c int, cent array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _load_codebooks(spark: SparkSession, path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"empty codebook table at {path}")
+    mm = max(r["m"] for r in rows) + 1
+    kk = max(r["c"] for r in rows) + 1
+    books = np.empty((mm, kk, len(rows[0]["cent"])))
+    for r in rows:
+        books[r["m"], r["c"]] = r["cent"]
+    return books
+
+
 @dataclass
 class PqIndexSource:
     """Parquet-backed PQ index: codebooks trained on a bounded
@@ -255,28 +282,10 @@ class PqIndexSource:
             F.col(self.id_col).alias("id"),
             F.col(self.vector_col).alias("vec"),
         ).write.mode("overwrite").parquet(self._vectors_path())
-        # flatten (m, k, dsub) into rows — trivially small
-        spark = df.sparkSession
-        mm, kk, dsub = books.shape
-        rows = [
-            (mi, ci, [float(v) for v in books[mi, ci]])
-            for mi in range(mm)
-            for ci in range(kk)
-        ]
-        spark.createDataFrame(
-            rows, "m int, c int, cent array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(self._books_path())
+        _save_codebooks(df.sparkSession, books, self._books_path())
 
     def codebooks(self, spark: SparkSession):
-        import numpy as np
-
-        rows = spark.read.parquet(self._books_path()).collect()
-        mm = max(r["m"] for r in rows) + 1
-        kk = max(r["c"] for r in rows) + 1
-        books = np.empty((mm, kk, len(rows[0]["cent"])))
-        for r in rows:
-            books[r["m"], r["c"]] = r["cent"]
-        return books
+        return _load_codebooks(spark, self._books_path())
 
     def nearest_n(
         self, queries: DataFrame, n: int = 10, refine: int = 0
@@ -341,8 +350,6 @@ class IvfPqIndexSource:
         return f"{self.path}/{sub}"
 
     def overwrite(self, df: DataFrame) -> None:
-        import numpy as np
-
         from aligned_spark.operators.similarity import (
             ivf_assign,
             pq_encode,
@@ -350,11 +357,10 @@ class IvfPqIndexSource:
         )
 
         spark = df.sparkSession
-        assigned, centers = ivf_assign(
-            df, self.vector_col, self.num_centroids, self.seed
-        )
-        cent = np.asarray(centers)
-        # residual = normalized vector - its cluster centroid
+        # assign clusters in NORMALIZED space — queries probe with
+        # normalized vectors, so a raw-space assignment would put a
+        # non-unit-norm corpus vector in a cluster its normalized
+        # twin never probes (pruned partition → silent recall loss)
         norm = F.sqrt(
             F.aggregate(
                 F.col(self.vector_col).cast("array<double>"),
@@ -362,20 +368,30 @@ class IvfPqIndexSource:
                 lambda a, x: a + x * x,
             )
         )
+        dfn = df.withColumn(
+            "__nvec",
+            F.transform(
+                F.col(self.vector_col).cast("array<double>"),
+                lambda x: x / F.greatest(norm, F.lit(1e-12)),
+            ),
+        )
+        assigned, centers = ivf_assign(
+            dfn, "__nvec", self.num_centroids, self.seed
+        )
         cent_df = spark.createDataFrame(
             [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
             "__ivf_cluster int, __cent array<double>",
         )
-        resid = (
-            assigned.join(F.broadcast(cent_df), "__ivf_cluster")
-            .withColumn(
-                "__resid",
-                F.zip_with(
-                    F.col(self.vector_col).cast("array<double>"),
-                    F.col("__cent"),
-                    lambda v, c: v / F.greatest(norm, F.lit(1e-12)) - c,
-                ),
-            )
+        # residual = normalized vector - its cluster centroid
+        resid = assigned.join(
+            F.broadcast(cent_df), "__ivf_cluster"
+        ).withColumn(
+            "__resid",
+            F.zip_with(
+                F.col("__nvec"),
+                F.col("__cent"),
+                lambda v, c: v - c,
+            ),
         )
         books = pq_train(
             resid,
@@ -403,15 +419,7 @@ class IvfPqIndexSource:
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             self._p("centroids")
         )
-        mm, kk, dsub = books.shape
-        spark.createDataFrame(
-            [
-                (mi, ci, [float(v) for v in books[mi, ci]])
-                for mi in range(mm)
-                for ci in range(kk)
-            ],
-            "m int, c int, cent array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(self._p("books"))
+        _save_codebooks(spark, books, self._p("books"))
         df.select(
             F.col(self.id_col).alias("id"),
             F.col(self.vector_col).alias("vec"),
@@ -424,13 +432,7 @@ class IvfPqIndexSource:
             r["__ivf_cluster"]: np.asarray(r["__cent"])
             for r in spark.read.parquet(self._p("centroids")).collect()
         }
-        rows = spark.read.parquet(self._p("books")).collect()
-        mm = max(r["m"] for r in rows) + 1
-        kk = max(r["c"] for r in rows) + 1
-        books = np.empty((mm, kk, len(rows[0]["cent"])))
-        for r in rows:
-            books[r["m"], r["c"]] = r["cent"]
-        return cents, books
+        return cents, _load_codebooks(spark, self._p("books"))
 
     def nearest_n(
         self,

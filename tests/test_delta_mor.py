@@ -259,3 +259,54 @@ def test_mor_with_special_char_partition_values(spark, tmp_path):
     )
     got = {r.k: r.v for r in log.read(spark).collect()}
     assert got[5] == 99 and len(got) == 16
+
+
+def test_cow_rewrite_prunes_fully_stale_sidecars(spark, log):
+    """A CoW rewrite that removes every file a sidecar references
+    drops the sidecar in the same commit and restores the base
+    protocol — the table doesn't stay feature-gated forever."""
+    log.write(
+        _mk(spark, [(i, "x") for i in range(20)]).coalesce(1),
+        "append",
+    )
+    log.delete_where_mor(spark, F.col("k") == 3)
+    assert log.snapshot().delete_files
+    # CoW delete touches (and removes) the only data file
+    log.delete_where(spark, F.col("k") == 7)
+    snap = log.snapshot()
+    assert not snap.delete_files  # stale sidecar dropped
+    proto = [
+        a["protocol"]
+        for a in log._read_commit(log.latest_version())
+        if "protocol" in a
+    ]
+    assert proto and "readerFeatures" not in proto[0]
+    got = sorted(r.k for r in log.read(spark).collect())
+    assert got == [i for i in range(20) if i not in (3, 7)]
+    # vacuum can now reclaim the orphaned sidecar bytes
+    doomed = log.vacuum(retention_seconds=0)
+    assert any(p.startswith("_position_deletes/") for p in doomed)
+
+
+def test_mor_table_path_containing_data_segment(spark, tmp_path):
+    """A TABLE rooted under a path containing '/data/' (or spaces)
+    must not corrupt the rel-path derivation — segment counting, not
+    prefix/anchor matching (code-review finding, round 7)."""
+    import os
+
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    for sub in ("data/wh/tbl", "my table/t"):
+        base = str(tmp_path / sub)
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        for log in (DeltaLog(base + "_d"), IcebergLog(base + "_i")):
+            log.write(
+                _mk(spark, [(i, "x") for i in range(30)]).coalesce(1),
+                "append",
+            )
+            log.delete_where_mor(spark, F.col("k") < 3)
+            assert log.read(spark).count() == 27, base
+            log.merge_upsert(_mk(spark, [(5, "U")]), ["k"])
+            got = {r.k: r.v for r in log.read(spark).collect()}
+            assert got[5] == "U" and len(got) == 27, base
