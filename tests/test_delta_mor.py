@@ -310,3 +310,40 @@ def test_mor_table_path_containing_data_segment(spark, tmp_path):
             log.merge_upsert(_mk(spark, [(5, "U")]), ["k"])
             got = {r.k: r.v for r in log.read(spark).collect()}
             assert got[5] == "U" and len(got) == 27, base
+
+
+def test_concurrent_mor_upserts_all_land(spark, tmp_path):
+    """Racing MOR writers coordinate through the same optimistic
+    commit loop as CoW: all updates land, none lost, version
+    sequence gap-free."""
+    import threading
+
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    src = DeltaSource(path=str(tmp_path / "t"), merge_on_read=True)
+    src.insert(
+        _mk(spark, [(i, "init") for i in range(20)]).coalesce(1)
+    )
+    errors = []
+
+    def writer(i):
+        try:
+            src.upsert(_mk(spark, [(i, f"w{i}")]), keys=["k"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(5)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    log = DeltaLog(src.path)
+    assert log.latest_version() == 5  # seed + 5 merges, no gaps
+    got = {r.k: r.v for r in log.read(spark).collect()}
+    assert len(got) == 20
+    for i in range(5):
+        assert got[i] == f"w{i}"
