@@ -650,6 +650,33 @@ class VectorIndexStore:
         )
         return self.source.nearest_n(queries, n=n, **kw)
 
+    def as_langchain_retriver(self, number_of_docs: int = 5):
+        """LangChain retriever adapter (reference
+        ``feature_store.py:1800``; the reference keeps the same
+        typo). Import-gated — langchain is not in this container;
+        the search surface it wraps is :meth:`nearest_n_to`."""
+        try:
+            from langchain_core.retrievers import (  # type: ignore
+                BaseRetriever,
+            )
+        except ImportError as exc:  # pragma: no cover - no langchain
+            raise ImportError(
+                "langchain-core is required for as_langchain_retriver; "
+                "use nearest_n_to(entities, n) directly otherwise"
+            ) from exc
+        store = self
+
+        class _Retriever(BaseRetriever):  # pragma: no cover
+            def _get_relevant_documents(self, query, **kwargs):
+                from langchain_core.documents import Document
+
+                rows = store.nearest_n_to(
+                    query, n=number_of_docs
+                ).collect()
+                return [Document(page_content=str(r.asDict())) for r in rows]
+
+        return _Retriever()
+
 
 class ModelFeatureStore:
     """Thin per-model surface (reference ``ModelFeatureStore``):

@@ -68,3 +68,32 @@ def test_vector_index_store_rejects_non_index(spark, tmp_path):
     store.add_model(Plain)
     with pytest.raises(ValueError, match="not a vector index"):
         store.vector_index("plain")
+
+
+def test_langchain_retriever_gated(spark, tmp_path):
+    """No langchain in this container: the adapter must raise a
+    clear ImportError pointing at nearest_n_to."""
+    import pytest
+
+    from aligned_spark.contracts import Embedding, Int64, model_contract
+    from aligned_spark.sources.vector_index import PqIndexSource
+    from aligned_spark.store import ContractStore
+
+    idx = PqIndexSource(path=str(tmp_path / "pq"), id_col="vec_id")
+
+    @model_contract(name="emb2", output_source=idx)
+    class Emb2:
+        vec_id = Int64().as_entity()
+        embedding = Embedding(8)
+
+    store = ContractStore(spark)
+    store.add_model(Emb2)
+    vix = store.vector_index("emb2")
+    try:
+        import langchain_core  # noqa: F401
+
+        pytest.skip("langchain present — gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="nearest_n_to"):
+        vix.as_langchain_retriver()
