@@ -851,6 +851,76 @@ class IcebergLog:
             )
         return df if keep_meta else df.select(*cols)
 
+    # ------------------------------------------- CHECK constraints
+
+    _CONSTRAINT_PFX = "aligned.constraints."
+
+    def constraints(self) -> dict[str, str]:
+        """Write-validation constraints carried in the table
+        PROPERTIES (Iceberg has no spec-level CHECK; engines layer
+        validation on properties — same posture here, mirroring
+        :meth:`DeltaLog.constraints`)."""
+        props = self.current_metadata().get("properties", {}) or {}
+        p = self._CONSTRAINT_PFX
+        return {
+            k[len(p):]: v for k, v in props.items() if k.startswith(p)
+        }
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr_sql: str
+    ) -> int:
+        """Existing rows must already satisfy the expression (one
+        validation scan), then the constraint rides the metadata and
+        every future write validates against it."""
+        bad = self.read(spark).filter(
+            ~F.coalesce(F.expr(expr_sql), F.lit(False))
+        )
+        n = bad.count()
+        if n:
+            raise ValueError(
+                f"cannot add constraint {name!r}: {n} existing "
+                f"row(s) violate ({expr_sql})"
+            )
+        md = self.current_metadata()
+        new_md = dict(md)
+        new_md["properties"] = {
+            **(md.get("properties") or {}),
+            f"{self._CONSTRAINT_PFX}{name}": expr_sql,
+        }
+        self._commit_metadata(new_md, md[_READ_VERSION_KEY] + 1)
+        return md[_READ_VERSION_KEY] + 1
+
+    def drop_constraint(self, name: str) -> int:
+        md = self.current_metadata()
+        props = dict(md.get("properties") or {})
+        if props.pop(f"{self._CONSTRAINT_PFX}{name}", None) is None:
+            raise ValueError(f"no such constraint: {name}")
+        new_md = dict(md)
+        new_md["properties"] = props
+        self._commit_metadata(new_md, md[_READ_VERSION_KEY] + 1)
+        return md[_READ_VERSION_KEY] + 1
+
+    def _enforce_constraints(
+        self, df: DataFrame, md: dict[str, Any]
+    ) -> None:
+        props = md.get("properties", {}) or {}
+        p = self._CONSTRAINT_PFX
+        checks = [
+            (k[len(p):], v) for k, v in props.items() if k.startswith(p)
+        ]
+        if not checks:
+            return
+        pred = None
+        for _, expr_sql in checks:
+            ok = F.coalesce(F.expr(expr_sql), F.lit(False))
+            pred = ok if pred is None else (pred & ok)
+        if not df.filter(~pred).isEmpty():
+            names = ", ".join(n for n, _ in checks)
+            raise ValueError(
+                f"write violates CHECK constraint(s) [{names}] on "
+                f"{self.table_path}"
+            )
+
     def rollback_to(self, snapshot_id: int) -> int:
         """Iceberg rollback: point ``current-snapshot-id`` back at an
         existing snapshot in a new metadata version (the spec's
@@ -1006,6 +1076,7 @@ class IcebergLog:
                     f"schema; pass merge_schema=True to evolve"
                 )
             md = evolved
+        self._enforce_constraints(df, md)
         view = self._resolve()
         part_cols = view.partition_columns
         parts = stage_parquet_parts(
@@ -1521,6 +1592,7 @@ class IcebergLog:
             return self.write(df, "append", txn=txn)
         spark = df.sparkSession
         md = self.current_metadata()
+        self._enforce_constraints(df, md)
         view = self._resolve()
         src_keys = df.select(*keys).distinct()
         touched = self._touched_files(
@@ -1646,6 +1718,7 @@ class IcebergLog:
             return self.write(df, "append", txn=txn)
         spark = df.sparkSession
         md = self.current_metadata()
+        self._enforce_constraints(df, md)
         view = self._resolve()
         if view.snapshot_id == -1:  # created but never written
             return self.write(df, "append", txn=txn)

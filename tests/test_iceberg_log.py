@@ -585,3 +585,27 @@ def test_iceberg_txn_version_and_sink_replay(spark, tmp_path):
     sink_u(_mk(spark, [(3, "WRONG")]), 5)  # replay skipped
     got = {r.k: r.v for r in log.read(spark).collect()}
     assert got[3] == "C"
+
+
+def test_iceberg_constraints_enforced(spark, log):
+    """Write-validation constraints in table properties — the
+    Delta CHECK twin: adding validates existing rows; append, CoW
+    merge and MOR merge all reject violating batches whole."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    log.write(_mk(spark, [(1, "a"), (2, "b")]), "append")
+    with pytest.raises(ValueError, match="existing row"):
+        log.add_constraint(spark, "big", "k > 1")
+    log.add_constraint(spark, "pos", "k > 0")
+    assert log.constraints() == {"pos": "k > 0"}
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        log.write(_mk(spark, [(-1, "x")]), "append")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        log.merge_upsert(_mk(spark, [(-5, "x")]), ["k"])
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        log.merge_upsert_mor(_mk(spark, [(-5, "x")]), ["k"])
+    log.write(_mk(spark, [(5, "ok")]), "append")
+    log.drop_constraint("pos")
+    log.write(_mk(spark, [(-1, "now ok")]), "append")
+    assert log.read(spark).count() == 4
