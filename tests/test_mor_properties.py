@@ -113,3 +113,87 @@ def test_mor_equals_cow_and_cdc_reconstructs(spark, tmp_dir, script):
 @pytest.fixture(scope="module")
 def tmp_dir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("morprop"))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(script=ops)
+def test_iceberg_mor_equals_cow_and_cdc_reconstructs(
+    spark, tmp_dir, script
+):
+    """The Iceberg twin of the Delta property: arbitrary op
+    sequences converge to the same logical state under MOR and CoW,
+    and read_changes replayed from the first snapshot reconstructs
+    it."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    base = f"{tmp_dir}/{uuid.uuid4().hex}"
+    cow = IcebergLog(f"{base}/cow")
+    mor = IcebergLog(f"{base}/mor")
+
+    def apply_ice(log, is_mor):
+        state: dict[int, str] = {}
+        log.write(
+            spark.createDataFrame(
+                [Row(k=i, v=f"init{i}") for i in range(10)]
+            ).coalesce(1),
+            "append",
+        )
+        state.update({i: f"init{i}" for i in range(10)})
+        for step, (op, keys) in enumerate(script):
+            tag = f"s{step}"
+            if op == "append":
+                fresh = [k for k in keys if k not in state]
+                if not fresh:
+                    continue
+                log.write(
+                    spark.createDataFrame(
+                        [Row(k=k, v=f"{tag}a{k}") for k in fresh]
+                    ),
+                    "append",
+                )
+                state.update({k: f"{tag}a{k}" for k in fresh})
+            elif op == "upsert":
+                df = spark.createDataFrame(
+                    [Row(k=k, v=f"{tag}u{k}") for k in keys]
+                )
+                if is_mor:
+                    log.merge_upsert_mor(df, ["k"])
+                else:
+                    log.merge_upsert(df, ["k"])
+                state.update({k: f"{tag}u{k}" for k in keys})
+            else:
+                pred = F.col("k").isin([int(k) for k in keys])
+                if is_mor:
+                    log.delete_where_mor(spark, pred)
+                else:
+                    log.delete_where(spark, pred)
+                for k in keys:
+                    state.pop(k, None)
+        return state
+
+    expect = apply_ice(cow, False)
+    assert apply_ice(mor, True) == expect
+    for log in (cow, mor):
+        got = {r.k: r.v for r in log.read(spark).collect()}
+        assert got == expect
+        # CDC replay from the first snapshot
+        ids = log.snapshot_ids()
+        state = {
+            r.k: r.v
+            for r in log.read(spark, snapshot_id=ids[0]).collect()
+        }
+        pos = {s: i for i, s in enumerate(ids)}
+        changes = sorted(
+            log.read_changes(spark, ids[0]).collect(),
+            key=lambda r: pos.get(r["_snapshot_id"], 1 << 60),
+        )
+        for r in changes:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[r.k] = r.v
+            elif r["_change_type"] == "delete":
+                state.pop(r.k, None)
+        assert state == expect, "CDC replay diverged from the table"
