@@ -76,6 +76,16 @@ QUERIES = [
     # round-6: steady-state re-measure of the r5 bench wobbles
     "corpus_domain_filter",
     "events_global_row_ids",
+    # round-7: table-format CDC reconstruction (both postures) and
+    # CDC-driven incremental aggregate maintenance — all build their
+    # tables from `orders`, which the 10x corpus replicates with
+    # disjoint key ranges (per-row change density constant, so the
+    # honest expectation is alpha ~= 1: output-cardinality-bound)
+    "source_delta_cdf",
+    "source_iceberg_cdf",
+    "source_delta_mor",
+    "source_iceberg_mor",
+    "store_incremental_aggregate",
 ]
 
 
@@ -213,8 +223,9 @@ def main() -> None:
     qs = entry.queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     rows = []
-    for name in QUERIES:
+    for name in (n for n in QUERIES if not only or n in only):
         t1 = timed(qs[name], spark, BASE)
         gc.collect()
         t10 = timed(qs[name], spark, BIG)
