@@ -243,6 +243,16 @@ class DeltaSource(WritableSource):
             df = df.withColumnsRenamed(self.mapping_keys)
         return df
 
+    def restore(self, spark: SparkSession, version: int) -> None:
+        """RESTORE TABLE ... TO VERSION AS OF (metadata-only
+        rollback; history preserved)."""
+        _retrying(lambda: self._log().restore(version))
+
+    def detail(self, spark: SparkSession | None = None) -> dict:
+        """DESCRIBE DETAIL: file/row/byte/delete counts from
+        metadata alone."""
+        return self._log().detail()
+
     def optimize_zorder(self, spark: SparkSession, columns: list[str]) -> None:
         """Cluster files by (entity, ts) for PIT-join data skipping."""
         if HAS_DELTA and self.log_store is None and not self.merge_on_read:

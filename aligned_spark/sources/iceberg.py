@@ -250,6 +250,17 @@ class IcebergSource(WritableSource):
                 lambda: self._log().delete_where(spark, predicate)
             )
 
+    def rollback_to(
+        self, spark: SparkSession, snapshot_id: int
+    ) -> None:
+        """Roll the table pointer back to an existing snapshot."""
+        _retrying(lambda: self._log().rollback_to(snapshot_id))
+
+    def detail(self, spark: SparkSession | None = None) -> dict:
+        """DESCRIBE DETAIL: file/row/byte/delete counts from
+        manifests alone."""
+        return self._log().detail()
+
     def optimize_zorder(
         self, spark: SparkSession, columns: list[str]
     ) -> None:

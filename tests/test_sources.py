@@ -249,3 +249,25 @@ def test_orc_roundtrip(spark, tmp_path):
     # pushdown reaches the ORC reader like parquet
     plan = back.filter("id = 2").select("s")._jdf.queryExecution().toString()
     assert "PushedFilters: [" in plan
+
+
+def test_source_level_restore_and_detail(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.iceberg import IcebergSource
+
+    d = DeltaSource(path=str(tmp_path / "d"))
+    d.insert(spark.createDataFrame([Row(k=1)]))
+    d.insert(spark.createDataFrame([Row(k=2)]))
+    assert d.detail()["numRows"] == 2
+    d.restore(spark, 0)
+    assert d.read(spark).count() == 1
+
+    i = IcebergSource(path=str(tmp_path / "i"))
+    i.insert(spark.createDataFrame([Row(k=1)]))
+    s0 = i.version()
+    i.insert(spark.createDataFrame([Row(k=2)]))
+    assert i.detail()["numRows"] == 2
+    i.rollback_to(spark, s0)
+    assert i.read(spark).count() == 1
