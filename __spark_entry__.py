@@ -1842,8 +1842,9 @@ def _source_csv_roundtrip(spark, sf_dir):
 
 @q(
     "source_in_memory",
-    """SELECT * FROM (VALUES (1, 'a', 10.0 * 2), (2, 'b', 20.0 * 2),
-                            (3, 'c', 30.0 * 2)) t(id, tag, doubled)""",
+    """SELECT id, tag, CAST(doubled AS DOUBLE) AS doubled
+       FROM (VALUES (1, 'a', 10.0 * 2), (2, 'b', 20.0 * 2),
+                    (3, 'c', 30.0 * 2)) t(id, tag, doubled)""",
 )
 def _source_in_memory(spark, sf_dir):
     from aligned_spark import expr as E
@@ -3382,13 +3383,13 @@ def _mixture_plan_oracle() -> str:
       FROM documents GROUP BY source
     ),
     tgt(source, target_tokens) AS (SELECT * FROM (VALUES {rows}) t)
-    SELECT tc.source, tc.n_tokens,
+    SELECT tc.source, CAST(tc.n_tokens AS BIGINT) AS n_tokens,
            CAST(tgt.target_tokens AS BIGINT) AS target_tokens,
-           least(CAST(1000000 AS BIGINT),
+           CAST(least(CAST(1000000 AS BIGINT),
                  (CAST(tgt.target_tokens AS BIGINT) * 1000000)
-                   // tc.n_tokens) AS rate_ppm,
-           (CAST(tgt.target_tokens AS BIGINT) * 1000000)
-             // tc.n_tokens AS epochs_ppm
+                   // tc.n_tokens) AS BIGINT) AS rate_ppm,
+           CAST((CAST(tgt.target_tokens AS BIGINT) * 1000000)
+             // tc.n_tokens AS BIGINT) AS epochs_ppm
     FROM tc JOIN tgt USING (source)
     WHERE tc.n_tokens > 0"""
 

@@ -1,0 +1,52 @@
+"""Registry-wide oracle output-type guard.
+
+The driver's value hash is type-sensitive: a DuckDB oracle emitting
+HUGEINT (int128, e.g. ``SUM(BIGINT)`` or ``//`` over it), UHUGEINT, or
+DECIMAL hashes differently from Spark's int64/double even when every
+value is identical. Two incidents cost verdict rounds: r2
+``custom_agg_pandas`` and r6/r7 ``corpus_mixture_plan`` (both
+``SUM(BIGINT) -> HUGEINT``; fixed with explicit BIGINT casts). This
+test types EVERY registered oracle against sf0.001 and fails on any
+hash-diverging output column, so a regression is caught before the
+driver sees it.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# DuckDB logical types whose driver-side hash encoding diverges from
+# the Spark result's (int128 / int128-unsigned / fixed-point).
+BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_no_hash_diverging_oracle_output_types(con):
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(b in t for b in BANNED):
+                offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, (
+        "oracle output columns with hash-diverging DuckDB types "
+        "(wrap in CAST(... AS BIGINT/DOUBLE)): " + "; ".join(offenders)
+    )
