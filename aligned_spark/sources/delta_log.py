@@ -362,6 +362,7 @@ class DeltaLog:
                 ("name", pa.string()),
                 ("schemaString", pa.string()),
                 ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
                 ("createdTime", pa.int64()),
             ]
         )
@@ -390,6 +391,12 @@ class DeltaLog:
             "name": md.get("name"),
             "schemaString": md.get("schemaString"),
             "partitionColumns": md.get("partitionColumns", []),
+            # table properties (delta.constraints.* etc.) must survive
+            # checkpoint-accelerated replay — delta-spark persists the
+            # full metaData action in checkpoints
+            "configuration": list(
+                (md.get("configuration") or {}).items()
+            ),
             "createdTime": md.get("createdTime"),
         }
         add_rows = [
@@ -489,6 +496,7 @@ class DeltaLog:
                     "name": m.get("name"),
                     "schemaString": m.get("schemaString"),
                     "partitionColumns": m.get("partitionColumns") or [],
+                    "configuration": dict(m.get("configuration") or []),
                     "createdTime": m.get("createdTime"),
                 }
             if r.get("add"):
@@ -654,7 +662,22 @@ class DeltaLog:
                     new_meta["metaData"]["createdTime"] = meta0[
                         "createdTime"
                     ]
+                # table properties (CHECK constraints etc.) survive an
+                # overwrite/overwriteSchema — delta-spark preserves
+                # configuration across data replacement; the batch was
+                # already validated against them above.
+                if meta0.get("configuration"):
+                    new_meta["metaData"]["configuration"] = dict(
+                        meta0["configuration"]
+                    )
                 actions.append(new_meta)
+            # every data part is tombstoned, so every position-delete
+            # sidecar is dead — prune them (and un-gate the protocol)
+            # instead of leaving the table reader-feature-gated with
+            # stale deleteFile entries
+            actions += self._sidecar_prune_actions(
+                snap, sorted(snap.files)
+            )
         actions += [{"add": a} for a in adds]
         actions += self._txn_action(txn)
         return self.commit(
@@ -781,6 +804,27 @@ class DeltaLog:
             )
         return pairs
 
+    def _sidecar_refs(self, sidecars: list[str]) -> set[str]:
+        """Data-file paths referenced by the given position-delete
+        sidecars — driver-side, reading only the small sidecars'
+        ``file_path`` column (same convention as
+        :meth:`_sidecar_prune_actions`)."""
+        if not sidecars:
+            return set()
+        import pyarrow.parquet as pq
+
+        refs: set[str] = set()
+        for rel in sidecars:
+            try:
+                refs |= set(
+                    pq.read_table(self._abs(rel), columns=["file_path"])[
+                        "file_path"
+                    ].to_pylist()
+                )
+            except (OSError, KeyError):  # pragma: no cover
+                continue
+        return refs
+
     def read_changes(
         self,
         spark: SparkSession,
@@ -874,6 +918,7 @@ class DeltaLog:
             adds: list[str] = []
             removes: list[str] = []
             del_adds: list[str] = []
+            del_drops: list[str] = []
             keys: list[str] | None = None
             for action in actions_v:
                 if "commitInfo" in action:
@@ -885,16 +930,67 @@ class DeltaLog:
                     if mk:
                         keys = mk.split(",")
                 elif "deleteFile" in action:
-                    # sidecar DROPS (compaction) are not row changes
                     if action["deleteFile"].get("add", True):
                         del_adds.append(action["deleteFile"]["path"])
+                    else:
+                        del_drops.append(action["deleteFile"]["path"])
                 elif "add" in action:
                     if action["add"].get("dataChange", True):
                         adds.append(action["add"]["path"])
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"]["path"])
-            if not adds and not removes and not del_adds:
+            # A dropped sidecar only changes rows when its pairs
+            # reference files STILL LIVE after the commit (RESTORE
+            # rolling back a MOR delete resurrects those rows);
+            # compaction/prune drops reference compacted-away or
+            # tombstoned parts and are pure metadata.
+            resurrect_refs = {
+                r
+                for r in self._sidecar_refs(del_drops)
+                if r in cur.files
+            }
+            if (
+                not adds
+                and not removes
+                and not del_adds
+                and not resurrect_refs
+            ):
+                prev = cur
+                continue
+            if (del_adds and removes) or resurrect_refs:
+                # mixed commit (RESTORE across MOR state: part swaps
+                # AND sidecar re-adds/drops in one commit): decompose-
+                # per-action logic would miss deletes in removed parts
+                # or resurrected rows, so diff the visible old vs new
+                # content of every touched part — each side scanned at
+                # ITS version with ITS position deletes applied. Cost
+                # stays proportional to the touched parts, never the
+                # table.
+                pair_refs = {
+                    r
+                    for r in self._sidecar_refs(del_adds)
+                    if r in cur.files
+                } | resurrect_refs
+                old_files = sorted(
+                    (set(removes) | pair_refs) & set(prev.files)
+                )
+                new_files = sorted(
+                    (set(adds) | pair_refs) & set(cur.files)
+                )
+                old = (
+                    self._scan(spark, prev, old_files)
+                    if old_files
+                    else spark.createDataFrame([], schema)
+                )
+                new = (
+                    self._scan(spark, cur, new_files)
+                    if new_files
+                    else spark.createDataFrame([], schema)
+                )
+                pieces += diff_rewrite(
+                    old, new, cols, keys, "_commit_version", v
+                )
                 prev = cur
                 continue
             if del_adds:

@@ -663,6 +663,17 @@ class IcebergLog:
         new_md["last-updated-ms"] = now
         new_md["current-snapshot-id"] = sid
         new_md["snapshots"] = [*md.get("snapshots", []), snap]
+        # persist the idempotent-writer watermark in table PROPERTIES
+        # too: snapshot summaries die with expire_snapshots, and a
+        # replay guard that forgets its high-water mark double-commits
+        se = summary_extra or {}
+        if "app-id" in se and "batch-id" in se:
+            props = dict(new_md.get("properties") or {})
+            key = f"txn.{se['app-id']}"
+            b = int(se["batch-id"])
+            if props.get(key) is None or int(props[key]) < b:
+                props[key] = str(b)
+                new_md["properties"] = props
         new_md["snapshot-log"] = [
             *md.get("snapshot-log", []),
             {"timestamp-ms": now, "snapshot-id": sid},
@@ -1121,8 +1132,14 @@ class IcebergLog:
         Driver-side metadata only, no Spark job."""
         if not self.exists():
             return None
+        md = self.current_metadata()
         best: int | None = None
-        for snap in self.current_metadata().get("snapshots", []):
+        # properties first: the commit-time watermark survives
+        # expire_snapshots, which may drop the summary that carried it
+        pb = (md.get("properties") or {}).get(f"txn.{app_id}")
+        if pb is not None:
+            best = int(pb)
+        for snap in md.get("snapshots", []):
             s = snap.get("summary", {})
             if s.get("operation") == "expired":  # pragma: no cover
                 continue
@@ -1464,6 +1481,20 @@ class IcebergLog:
             for e in md.get("snapshot-log", [])
             if e["snapshot-id"] in kept_ids
         ]
+        # fold expiring snapshots' idempotent-writer watermarks into
+        # properties (tables written before commit-time persistence
+        # carry them only in the summaries being dropped here)
+        props = dict(new_md.get("properties") or {})
+        for s_ in snaps:
+            if s_["snapshot-id"] in kept_ids:
+                continue
+            sm = s_.get("summary", {})
+            if "app-id" in sm and "batch-id" in sm:
+                key = f"txn.{sm['app-id']}"
+                b = int(sm["batch-id"])
+                if props.get(key) is None or int(props[key]) < b:
+                    props[key] = str(b)
+        new_md["properties"] = props
         version = md[_READ_VERSION_KEY] + 1
         self._commit_metadata(new_md, version)
         doomed: list[str] = []

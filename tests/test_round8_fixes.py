@@ -1,0 +1,192 @@
+"""Regression tests for the round-8 ADVICE fixes.
+
+1. Delta checkpoints persist ``metadata.configuration`` — CHECK
+   constraints survive checkpoint-accelerated replay (delta-spark
+   checkpoints carry the full metaData action).
+2. Delta ``overwrite`` with a schema/partition change carries table
+   properties (constraints) into the rebuilt metaData instead of
+   hardcoding ``configuration: {}``.
+3. Delta CDF over a RESTORE commit that mixes remove/add CoW actions
+   with sidecar re-adds/drops (MOR state) emits the full row diff —
+   including deletes for removed-part rows and inserts for rows a
+   dropped sidecar resurrects.
+4. Iceberg idempotent-writer watermarks survive ``expire_snapshots``
+   (persisted in table properties at commit time, folded in on
+   expiry for legacy tables).
+5. Delta ``overwrite`` prunes now-dead position-delete sidecars and
+   restores the base protocol (no stale reader-feature gate).
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def _log(tmp_path, **kw):
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    return DeltaLog(str(tmp_path / "tbl"), **kw)
+
+
+# ---------------------------------------------------------------- 1
+
+
+def test_constraints_survive_checkpoint(spark, tmp_path):
+    log = _log(tmp_path, checkpoint_interval=3)
+    log.write(spark.createDataFrame([Row(k=1, v=10)]), "append")
+    log.add_constraint(spark, "v_pos", "v > 0")
+    # cross the checkpoint boundary (interval 3 → checkpoint at v3)
+    log.write(spark.createDataFrame([Row(k=2, v=20)]), "append")
+    log.write(spark.createDataFrame([Row(k=3, v=30)]), "append")
+    assert log._last_checkpoint() is not None, "no checkpoint written"
+    # fresh log instance replays FROM the checkpoint
+    fresh = _log(tmp_path, checkpoint_interval=3)
+    assert fresh.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        fresh.write(spark.createDataFrame([Row(k=4, v=-1)]), "append")
+
+
+# ---------------------------------------------------------------- 2
+
+
+def test_overwrite_schema_change_preserves_constraints(spark, tmp_path):
+    log = _log(tmp_path)
+    log.write(spark.createDataFrame([Row(k=1, v=10)]), "append")
+    log.add_constraint(spark, "v_pos", "v > 0")
+    # overwriteSchema: adds a column — metaData is rebuilt
+    log.write(
+        spark.createDataFrame([Row(k=1, v=5, w="x")]),
+        "overwrite",
+        merge_schema=True,
+    )
+    assert log.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        log.write(
+            spark.createDataFrame([Row(k=2, v=-3, w="y")]), "append"
+        )
+
+
+def test_overwrite_batch_validated_against_constraints(spark, tmp_path):
+    log = _log(tmp_path)
+    log.write(spark.createDataFrame([Row(k=1, v=10)]), "append")
+    log.add_constraint(spark, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        log.write(spark.createDataFrame([Row(k=1, v=-1)]), "overwrite")
+
+
+# ---------------------------------------------------------------- 3
+
+
+def _cdf_rows(df):
+    return {
+        (r["k"], r["v"], r["_change_type"])
+        for r in df.select("k", "v", "_change_type").collect()
+    }
+
+
+def test_cdf_over_restore_across_mor_state(spark, tmp_path):
+    log = _log(tmp_path)
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v=i * 10) for i in range(1, 7)]
+        ),
+        "append",
+    )  # v0: rows 1..6
+    log.delete_where_mor(spark, F.col("k") <= 2)  # v1: kill 1, 2
+    v1 = log.latest_version()
+    assert {r["k"] for r in log.read(spark).collect()} == {3, 4, 5, 6}
+    # restore to v0: drops the sidecar — rows 1 and 2 RESURRECT
+    log.restore(0)
+    v2 = log.latest_version()
+    assert {r["k"] for r in log.read(spark).collect()} == set(
+        range(1, 7)
+    )
+    got = _cdf_rows(log.read_cdf(spark, from_version=v1, to_version=v2))
+    assert got == {(1, 10, "insert"), (2, 20, "insert")}
+    # and restoring BACK to the MOR state emits the deletes again
+    log.restore(v1)
+    v3 = log.latest_version()
+    got = _cdf_rows(log.read_cdf(spark, from_version=v2, to_version=v3))
+    assert got == {(1, 10, "delete"), (2, 20, "delete")}
+
+
+def test_cdf_over_restore_with_part_swap_and_sidecar(spark, tmp_path):
+    log = _log(tmp_path)
+    log.write(
+        spark.createDataFrame([Row(k=i, v=i * 10) for i in (1, 2, 3)]),
+        "append",
+    )  # v0
+    log.delete_where_mor(spark, F.col("k") == 1)  # v1: MOR-kill k=1
+    log.write(
+        spark.createDataFrame([Row(k=9, v=90)]), "append"
+    )  # v2: new part
+    v2 = log.latest_version()
+    # restore to v1: removes the k=9 part AND keeps the sidecar —
+    # the restore commit mixes removes with MOR state
+    log.restore(1)
+    v3 = log.latest_version()
+    assert {r["k"] for r in log.read(spark).collect()} == {2, 3}
+    got = _cdf_rows(log.read_cdf(spark, from_version=v2, to_version=v3))
+    assert got == {(9, 90, "delete")}
+
+
+# ---------------------------------------------------------------- 4
+
+
+def test_iceberg_txn_watermark_survives_expiry(spark, tmp_path):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "ice"))
+    log.write(
+        spark.createDataFrame([Row(k=1)]), "append", txn=("app", 7)
+    )
+    log.write(spark.createDataFrame([Row(k=2)]), "append")
+    log.write(spark.createDataFrame([Row(k=3)]), "append")
+    assert log.txn_version("app") == 7
+    # expire everything but the newest snapshot — the app watermark
+    # rode the FIRST (now expired) snapshot's summary
+    log.expire_snapshots(keep_last=1, retention_seconds=0)
+    assert log.txn_version("app") == 7
+
+
+def test_iceberg_expiry_folds_legacy_summary_watermarks(spark, tmp_path):
+    """A table written BEFORE commit-time property persistence (the
+    watermark lives only in a snapshot summary) still keeps it when
+    that snapshot expires — expire_snapshots folds it in."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "ice"))
+    log.write(
+        spark.createDataFrame([Row(k=1)]), "append", txn=("app", 4)
+    )
+    # simulate a legacy table: strip the property the commit wrote
+    md = log.current_metadata()
+    new_md = dict(md)
+    props = dict(new_md.get("properties") or {})
+    props.pop("txn.app", None)
+    new_md["properties"] = props
+    from aligned_spark.sources.iceberg_log import _READ_VERSION_KEY
+
+    log._commit_metadata(new_md, md[_READ_VERSION_KEY] + 1)
+    log.write(spark.createDataFrame([Row(k=2)]), "append")
+    log.expire_snapshots(keep_last=1, retention_seconds=0)
+    assert log.txn_version("app") == 4
+
+
+# ---------------------------------------------------------------- 5
+
+
+def test_overwrite_prunes_dead_sidecars(spark, tmp_path):
+    log = _log(tmp_path)
+    log.write(
+        spark.createDataFrame([Row(k=i) for i in range(1, 5)]),
+        "append",
+    )
+    log.delete_where_mor(spark, F.col("k") == 1)
+    assert log.snapshot().delete_files, "MOR delete left no sidecar"
+    log.write(spark.createDataFrame([Row(k=99)]), "overwrite")
+    snap = log.snapshot()
+    assert not snap.delete_files, "overwrite left stale sidecars"
+    # protocol back to base: a plain reader may read the table again
+    proto = log._protocol_action(bool(snap.delete_files))["protocol"]
+    assert not proto.get("readerFeatures")
+    assert {r["k"] for r in log.read(spark).collect()} == {99}
