@@ -128,18 +128,7 @@ class IncrementalAggregate:
             # picks the semi strategy: broadcast for a small slice,
             # shuffle for a backfill-sized one (the correct fallback).
             keys_df = deltas.select(*self.group_keys)
-            old = (
-                log.read(spark)
-                .join(keys_df, on=self.group_keys, how="left_semi")
-                .select(
-                    *self.group_keys,
-                    F.col(COUNT_COL).alias("__old_n"),
-                    *[
-                        F.col(c).alias(f"__old_{c}")
-                        for c in self.sums
-                    ],
-                )
-            )
+            old = self._semi_filtered_old(spark, log, keys_df)
             # persisted: staged once by the MERGE, probed again by
             # the emptied-group check — never recomputed through the
             # CDC read + semi-join chain
@@ -171,6 +160,22 @@ class IncrementalAggregate:
         finally:
             deltas.unpersist()
         return current
+
+    def _semi_filtered_old(
+        self, spark: SparkSession, log, keys_df: DataFrame
+    ) -> DataFrame:
+        """Current aggregate rows for ONLY the touched groups — the
+        left-semi plan the refresh's outer join consumes (plan-pinned
+        in ``tests/test_plan_properties.py``)."""
+        return (
+            log.read(spark)
+            .join(keys_df, on=self.group_keys, how="left_semi")
+            .select(
+                *self.group_keys,
+                F.col(COUNT_COL).alias("__old_n"),
+                *[F.col(c).alias(f"__old_{c}") for c in self.sums],
+            )
+        )
 
     def _read_at(self, spark: SparkSession, version) -> DataFrame:
         """Snapshot read pinned at a version/snapshot id (the two

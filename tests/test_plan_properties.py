@@ -546,3 +546,143 @@ def test_ewma_single_fused_window(lineitem):
     plan = plan_text(out, "simple")
     assert plan.count("Window") == 1, plan
     assert "SinglePartition" not in plan
+
+
+# ------------------------------------------------- round-7 audit pins
+
+
+def test_mor_read_is_broadcast_anti_join_no_corpus_exchange(
+    spark, tmp_path_factory
+):
+    """A merge-on-read table read applies the position-delete pairs
+    as a BROADCAST anti-join against the corpus scan — the corpus
+    never shuffles to drop its dead rows (at 100 TB a hash-exchange
+    of the data side just to apply a KB-sized sidecar is the failure
+    mode this pins against)."""
+    from pyspark.sql import Row
+
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(
+        str(tmp_path_factory.mktemp("morplan") / "tbl")
+    )
+    log.write(
+        spark.createDataFrame([Row(k=i, v=i * 2) for i in range(200)]),
+        "append",
+    )
+    log.delete_where_mor(spark, F.col("k") % 10 == 0)
+    df = log.read(spark)
+    assert df.count() == 180  # finalizes the adaptive plan
+    plan = plan_text(df)
+    assert "LeftAnti" in plan, plan
+    anti = plan.split("LeftAnti")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # the pair scan is file-restricted (isin pushed to the sidecar
+    # scan), not a full-sidecar-set read
+    assert "file_path" in plan
+
+
+def test_ivf_pq_probe_prunes_partitions(spark, tmp_path_factory):
+    """The IVF-PQ codes table is partitioned by ``__ivf_cluster``;
+    a probe of nprobe clusters must prune the rest at the FILE level
+    (PartitionFilters on the scan) — otherwise every query reads the
+    whole codes table."""
+    import random
+
+    from aligned_spark.sources.vector_index import IvfPqIndexSource
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    ix = IvfPqIndexSource(
+        str(tmp_path_factory.mktemp("ivfpqplan") / "ix"),
+        num_centroids=8,
+        m=4,
+        k=16,
+        sample=400,
+    )
+    ix.overwrite(df)
+    out = ix.nearest_n(df.limit(2), n=3, nprobe=2)
+    plan = plan_text(out)
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "__ivf_cluster" in pf, plan
+
+
+def test_ivm_refresh_semi_filters_aggregate_scan(
+    spark, tmp_path_factory
+):
+    """The IVM refresh must read the aggregate through a LEFT-SEMI
+    join on the delta keys BEFORE the outer join — at a billion
+    groups the alternative (sort-merge outer join of the whole
+    aggregate) is the scale failure the design exists to avoid."""
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    base_dir = tmp_path_factory.mktemp("ivmplan")
+    base = DeltaLog(str(base_dir / "base"))
+    base.write(
+        spark.createDataFrame(
+            [Row(g=i % 5, x=i) for i in range(100)]
+        ),
+        "append",
+    )
+
+    class _Src:
+        def version(self, spark):
+            return base.latest_version()
+
+        def read(self, spark, version=None, **kw):
+            return base.read(spark, version=version)
+
+        def read_changes(self, spark, frm, to):
+            return base.read_cdf(spark, frm, to)
+
+    agg = IncrementalAggregate(
+        _Src(), str(base_dir / "agg"), ["g"], ["x"]
+    )
+    agg.refresh(spark)  # full build
+    keys_df = spark.createDataFrame([Row(g=1), Row(g=3)])
+    old = agg._semi_filtered_old(spark, agg._target(), keys_df)
+    plan = plan_text(old)
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan or "LeftSemi" in plan.split(
+        "SortMergeJoin"
+    )[1].splitlines()[0], plan
+
+
+def test_cdf_scans_only_touched_parts(spark, tmp_path_factory):
+    """A rewrite commit's CDF diff must read ONLY the parts that
+    commit removed/added — a 1-row MERGE into a wide table reads a
+    handful of files twice, never the table."""
+    from pyspark.sql import Row
+
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path_factory.mktemp("cdfplan") / "tbl"))
+    # 8 separate append commits -> 8+ untouched parts
+    for i in range(8):
+        log.write(
+            spark.createDataFrame(
+                [Row(k=i * 10 + j, v=i) for j in range(10)]
+            ),
+            "append",
+        )
+    v_before = log.latest_version()
+    n_parts_before = len(log.snapshot().files)
+    log.merge_upsert(
+        spark.createDataFrame([Row(k=5, v=999)]), ["k"]
+    )
+    cdf = log.read_cdf(spark, from_version=v_before)
+    touched = {
+        f for f in cdf.inputFiles() if "/tbl/" in f or "tbl" in f
+    }
+    # the merge rewrote ONE part and added its replacement — the diff
+    # reads those two, not the other 7 untouched parts
+    assert 0 < len(touched) <= 3, sorted(touched)
+    assert len(touched) < n_parts_before
