@@ -155,12 +155,24 @@ class DeltaLog:
         return self._store.exists(_pad(0) + ".json")
 
     def _versions(self) -> list[int]:
-        out = []
-        for name in self._store.list_names():
-            m = _COMMIT_RE.match(name)
-            if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
+        while True:
+            out = []
+            for name in self._store.list_names():
+                m = _COMMIT_RE.match(name)
+                if m:
+                    out.append(int(m.group(1)))
+            out.sort()
+            # A store that memoizes LIST results (S3LogStore) can
+            # miss commits from OTHER writers. Commit versions are
+            # dense-sequential, so ONE existence probe (HEAD, not
+            # LIST) of the next expected commit detects external
+            # progress; only then is the cache dropped and re-listed.
+            if getattr(self._store, "_names_cache", None) is None:
+                return out
+            nxt = (out[-1] + 1) if out else 0
+            if not self._store.exists(_pad(nxt) + ".json"):
+                return out
+            self._store.invalidate()
 
     def latest_version(self) -> int:
         vs = self._versions()

@@ -529,12 +529,22 @@ class IcebergLog:
         return self._vstore.exists("v1.metadata.json")
 
     def _versions(self) -> list[int]:
-        out = []
-        for name in self._vstore.list_names():
-            m = _VERSION_RE.match(name)
-            if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
+        while True:
+            out = []
+            for name in self._vstore.list_names():
+                m = _VERSION_RE.match(name)
+                if m:
+                    out.append(int(m.group(1)))
+            out.sort()
+            # dense-version freshness probe against a LIST-memoizing
+            # store — one HEAD detects external commits the cache
+            # missed (same contract as DeltaLog._versions)
+            if getattr(self._vstore, "_names_cache", None) is None:
+                return out
+            nxt = (out[-1] + 1) if out else 1
+            if not self._vstore.exists(f"v{nxt}.metadata.json"):
+                return out
+            self._vstore.invalidate()
 
     def current_metadata(
         self, version: int | None = None

@@ -23,17 +23,20 @@ can host its transaction log on any store:
 
 Scale note (100 TB / 1000 executors): everything here is DRIVER-side
 metadata — commit files are a few KB of JSON and checkpoints one
-parquet object; data parts never flow through the log store. Commit
-listing is one LIST call per snapshot resolution (prefix-scoped,
-paginated), the same contour every production Delta-on-S3 deployment
-pays.
+parquet object; data parts never flow through the log store. The
+commit listing is memoized per store instance: N snapshot
+resolutions of an unchanged table cost ONE prefix-scoped LIST; the
+memo is kept current by this store's own puts, dropped when a
+conditional put loses (proof of a missed commit), and cross-checked
+against external writers by the log layer's dense-version HEAD probe
+(DeltaLog/IcebergLog ``_versions``).
 """
 
 from __future__ import annotations
 
 import os
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Callable
 
 
@@ -118,6 +121,14 @@ class S3LogStore:
     bucket: str
     prefix: str
     client_factory: Callable[[], Any] = _default_client_factory
+    #: memoized LIST result; None = no valid cache. Kept current by
+    #: this store's OWN puts; invalidated when a conditional put
+    #: loses (a 412 is proof a newer commit exists that the cache
+    #: missed). Readers detect EXTERNAL writers via the dense-version
+    #: probe in DeltaLog/IcebergLog._versions (one HEAD, no LIST).
+    _names_cache: list[str] | None = field(
+        default=None, init=False, repr=False, compare=False
+    )
 
     def _key(self, name: str) -> str:
         return f"{self.prefix.rstrip('/')}/{name}"
@@ -125,7 +136,17 @@ class S3LogStore:
     def _client(self):
         return self.client_factory()
 
+    def invalidate(self) -> None:
+        """Drop the memoized listing (next ``list_names`` re-LISTs)."""
+        self._names_cache = None
+
+    def _cache_add(self, name: str) -> None:
+        if self._names_cache is not None and name not in self._names_cache:
+            self._names_cache.append(name)
+
     def list_names(self) -> list[str]:
+        if self._names_cache is not None:
+            return list(self._names_cache)
         client = self._client()
         pfx = self.prefix.rstrip("/") + "/"
         names: list[str] = []
@@ -133,7 +154,8 @@ class S3LogStore:
         for page in paginator.paginate(Bucket=self.bucket, Prefix=pfx):
             for obj in page.get("Contents", []):
                 names.append(obj["Key"][len(pfx):])
-        return names
+        self._names_cache = names
+        return list(names)
 
     def exists(self, name: str) -> bool:
         try:
@@ -180,13 +202,17 @@ class S3LogStore:
                 # 412: another writer's commit landed first.
                 # 409: a concurrent conditional put on the same key is
                 # in flight — treat as lost race; retry re-resolves.
+                # Either way the memoized listing is provably stale.
+                self.invalidate()
                 raise ConcurrentCommitError(
                     f"{name} already committed at "
                     f"s3://{self.bucket}/{self._key(name)}"
                 ) from exc
             raise
+        self._cache_add(name)
 
     def put_atomic(self, name: str, data: bytes) -> None:
         self._client().put_object(
             Bucket=self.bucket, Key=self._key(name), Body=data
         )
+        self._cache_add(name)

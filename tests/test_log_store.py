@@ -240,3 +240,127 @@ def test_exactly_once_txn_survives_on_s3(spark, s3_client, tmp_path):
     )
     assert log.txn_version("app-1") == 7
     assert log.txn_version("other") is None
+
+
+# ------------------------------------------- LIST memoization (r8)
+
+
+class _CountingClient:
+    """boto3-client proxy counting LIST (via get_paginator) and HEAD
+    calls — the cache contract under test is about S3 round-trips."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.lists = 0
+        self.heads = 0
+
+    def get_paginator(self, op):
+        if op == "list_objects_v2":
+            self.lists += 1
+        return self._inner.get_paginator(op)
+
+    def head_object(self, **kw):
+        self.heads += 1
+        return self._inner.head_object(**kw)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _counting_store(client, prefix="tbl/_delta_log"):
+    from aligned_spark.sources.log_store import S3LogStore
+
+    counter = _CountingClient(client)
+    return (
+        S3LogStore(
+            bucket="lake",
+            prefix=prefix,
+            client_factory=lambda: counter,
+        ),
+        counter,
+    )
+
+
+def test_unchanged_table_reads_cost_one_list(spark, s3_client, tmp_path):
+    """N snapshot resolutions of an UNCHANGED table = 1 LIST (the
+    rest are memoized; freshness is one HEAD probe of the next dense
+    version, never a re-LIST)."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    seed = DeltaLog(str(tmp_path / "t"), log_store=_store(s3_client))
+    seed.write(spark.createDataFrame([Row(k=1, v="a")]), "append")
+    seed.write(spark.createDataFrame([Row(k=2, v="b")]), "append")
+
+    store, counter = _counting_store(s3_client)
+    log = DeltaLog(str(tmp_path / "t"), log_store=store)
+    for _ in range(5):
+        assert log.latest_version() == 1
+    assert counter.lists == 1, counter.lists
+    assert counter.heads >= 1  # dense-version freshness probes
+
+
+def test_external_commit_detected_despite_cache(
+    spark, s3_client, tmp_path
+):
+    """A reader holding a memoized listing still sees another
+    writer's commit: the HEAD probe of the next dense version hits,
+    the cache drops, and exactly one more LIST refreshes it."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    seed = DeltaLog(str(tmp_path / "t"), log_store=_store(s3_client))
+    seed.write(spark.createDataFrame([Row(k=1, v="a")]), "append")
+
+    store, counter = _counting_store(s3_client)
+    reader = DeltaLog(str(tmp_path / "t"), log_store=store)
+    assert reader.latest_version() == 0
+    assert counter.lists == 1
+    # external writer (separate store instance → separate cache)
+    seed.write(spark.createDataFrame([Row(k=2, v="b")]), "append")
+    assert reader.latest_version() == 1  # probe hit → re-list
+    assert counter.lists == 2
+    assert reader.read(spark).count() == 2
+
+
+def test_lost_conditional_put_invalidates_cache(
+    spark, s3_client, tmp_path
+):
+    """A writer whose conditional put loses re-resolves against a
+    FRESH listing (the 412 is proof the memo is stale)."""
+    from aligned_spark.sources.delta_log import (
+        ConcurrentCommitError,
+        DeltaLog,
+    )
+
+    store_a, _ = _counting_store(s3_client)
+    a = DeltaLog(str(tmp_path / "t"), log_store=store_a)
+    a.write(spark.createDataFrame([Row(k=0, v="seed")]), "append")
+    b = DeltaLog(str(tmp_path / "t"), log_store=_store(s3_client))
+    b.commit([], 1, "WRITE")  # interloper lands v1 first
+    with pytest.raises(ConcurrentCommitError):
+        a.commit([], 1, "WRITE")
+    assert store_a._names_cache is None  # provably-stale memo dropped
+    assert a.latest_version() == 1  # retry sees the winner
+
+
+def test_iceberg_unchanged_table_reads_cost_one_list(
+    spark, s3_client, tmp_path
+):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    seed = IcebergLog(
+        str(tmp_path / "ice"),
+        commit_store=_store(s3_client, prefix="ice/metadata"),
+    )
+    seed.write(spark.createDataFrame([Row(k=1)]), "append")
+    seed.write(spark.createDataFrame([Row(k=2)]), "append")
+
+    store, counter = _counting_store(s3_client, prefix="ice/metadata")
+    log = IcebergLog(str(tmp_path / "ice"), commit_store=store)
+    first = log.current_metadata()["current-snapshot-id"]
+    for _ in range(4):
+        assert log.current_metadata()["current-snapshot-id"] == first
+    assert counter.lists == 1, counter.lists
+    # external snapshot lands → probe detects, one more LIST
+    seed.write(spark.createDataFrame([Row(k=3)]), "append")
+    assert log.current_metadata()["current-snapshot-id"] != first
+    assert counter.lists == 2
