@@ -7803,6 +7803,106 @@ def _source_delta_cdf(spark, sf_dir):
     )
 
 
+# replaceWhere commits carry no keys of their own; the preceding
+# MERGE records the table's keys as a property, so the CDF of the
+# replacement is the keyed full-outer diff (true update pre/post
+# pairs), never the whole-row exceptAll fallback: partition rows
+# whose key survives re-valued emit update pairs, vanished keys
+# delete, new keys insert.
+_CDF_REPLACE_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM base
+    ),
+    p AS (SELECT * FROM merged WHERE o_orderpriority = '1-URGENT')
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS price_cents,
+           'update_preimage' AS change_type
+    FROM p WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 3 * 100 + 0.5) AS BIGINT),
+           'update_postimage'
+    FROM base
+    WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 'delete'
+    FROM p WHERE o_orderkey % 2 <> 0
+    UNION ALL
+    SELECT o_orderkey + 200000000,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 'insert'
+    FROM base
+    WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0"""
+
+
+@q("source_delta_cdf_replace", _CDF_REPLACE_SQL)
+def _source_delta_cdf_replace(spark, sf_dir):
+    """Keyed CDC for a keyless rewrite commit
+    (`delta_log.py:_keyed_cdf_params`, round-8): a MERGE records the
+    table's merge keys as the ``aligned.mergeKeys`` property; the
+    following ``replaceWhere`` (Delta's partition/date-range refresh,
+    reference sink semantics `aligned/sources/local.py:upsert`) rides
+    them, so its change feed is the keyed full-outer diff emitting
+    TRUE update pre/post pairs for re-valued keys — not the 2x-
+    heavier whole-row delete+insert fallback. Prices ride as scaled-
+    long cents (module float convention)."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
+    path = tempfile.mkdtemp(prefix="aligned_spark_delta_rw_")
+    log = DeltaLog(path)
+    log.write(
+        base.repartition(4),
+        "append",
+        partition_by=["o_orderpriority"],
+    )
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    log.merge_upsert(upd, ["o_orderkey"])
+    v1 = log.latest_version()
+    part = base.filter(F.col("o_orderpriority") == "1-URGENT")
+    repl = part.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        "o_orderpriority",
+    ).unionByName(
+        part.filter(F.col("o_orderkey") % 5 == 0).select(
+            (F.col("o_orderkey") + F.lit(200000000)).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+    log.replace_where(repl, F.col("o_orderpriority") == "1-URGENT")
+    return log.read_cdf(spark, v1).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 @q("source_iceberg_cdf", _CDF_CHANGES_SQL)
 def _source_iceberg_cdf(spark, sf_dir):
     """Iceberg twin of the change feed (`IcebergLog.read_changes`):

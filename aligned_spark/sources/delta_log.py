@@ -61,6 +61,9 @@ from pyspark.sql.types import StructField, StructType
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+#: table property recording the last MERGE's keys — lets keyless
+#: rewrite commits (DELETE/replaceWhere) take read_cdf's keyed diff
+_MERGE_KEYS_PROP = "aligned.mergeKeys"
 # hive null-partition marker, footer-stat harvesting, and part
 # staging live in aligned_spark.sources.parts (shared with Iceberg)
 
@@ -1267,6 +1270,18 @@ class DeltaLog:
             row_filter,
         )
 
+    def _keyed_cdf_params(self, snap: Snapshot) -> dict[str, str]:
+        """``mergeKeys`` commitInfo params for a keyless rewrite
+        commit, from the table's recorded merge-key history — the
+        keyed full-outer diff is ~2x cheaper than the whole-row
+        ``exceptAll`` fallback and emits true update pairs. Only
+        tables that have MERGEd (key discipline established) qualify;
+        genuinely keyless tables still fall back."""
+        mk = ((snap.metadata or {}).get("configuration", {}) or {}).get(
+            _MERGE_KEYS_PROP
+        )
+        return {"mergeKeys": mk} if mk else {}
+
     def merge_upsert(
         self,
         df: DataFrame,
@@ -1318,6 +1333,15 @@ class DeltaLog:
             for p in touched
         ] + [{"add": a} for a in adds] + self._txn_action(txn)
         actions += self._sidecar_prune_actions(snap, touched)
+        # record the merge keys as a table property too, so later
+        # DELETE/replaceWhere commits (which have no keys of their
+        # own) can take read_cdf's keyed diff path
+        cfg = dict((snap.metadata or {}).get("configuration", {}) or {})
+        if cfg.get(_MERGE_KEYS_PROP) != ",".join(keys):
+            meta = dict(snap.metadata or {})
+            cfg[_MERGE_KEYS_PROP] = ",".join(keys)
+            meta["configuration"] = cfg
+            actions.append({"metaData": meta})
         return self.commit(
             actions,
             snap.version + 1,
@@ -1397,7 +1421,10 @@ class DeltaLog:
         ] + [{"add": a} for a in adds]
         actions += self._sidecar_prune_actions(snap, touched)
         return self.commit(
-            actions, snap.version + 1, "WRITE", {"mode": "replaceWhere"}
+            actions,
+            snap.version + 1,
+            "WRITE",
+            {"mode": "replaceWhere", **self._keyed_cdf_params(snap)},
         )
 
     def delete_where(self, spark: SparkSession, predicate: Column) -> int:
@@ -1430,7 +1457,12 @@ class DeltaLog:
             for p in touched
         ] + [{"add": a} for a in adds]
         actions += self._sidecar_prune_actions(snap, touched)
-        return self.commit(actions, snap.version + 1, "DELETE", {})
+        return self.commit(
+            actions,
+            snap.version + 1,
+            "DELETE",
+            self._keyed_cdf_params(snap),
+        )
 
     # ------------------------------------------ merge-on-read writes
 

@@ -68,6 +68,9 @@ _VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 # process-local marker: the metadata version a snapshot was read at;
 # set by current_metadata, consumed by commits, never written to disk
 _READ_VERSION_KEY = "__read-version"
+#: table property recording the last MERGE's keys — lets keyless
+#: DELETE snapshots take the CDC keyed-diff path
+_MERGE_KEYS_PROP = "aligned.merge-keys"
 
 ADDED, EXISTING, DELETED = 1, 0, 2
 
@@ -1650,11 +1653,25 @@ class IcebergLog:
                 src_keys, keys, "left_anti"
             )
             out = survivors.unionByName(out)
+        # record the keys as a table property too, so later keyless
+        # DELETE snapshots can take the keyed CDC diff path
+        props = dict(md.get("properties") or {})
+        if props.get(_MERGE_KEYS_PROP) != ",".join(keys):
+            props[_MERGE_KEYS_PROP] = ",".join(keys)
+            md = {**md, "properties": props}
         return self._rewrite_commit(
             md, view, touched, out, "overwrite",
             # merge-keys let read_changes reconstruct update pairs
             {"merge-keys": ",".join(keys), **(self._txn_summary(txn) or {})},
         )
+
+    def _keyed_cdf_summary(self, md: dict[str, Any]) -> dict[str, str]:
+        """``merge-keys`` summary fields for a keyless rewrite
+        snapshot, from the table's recorded merge-key history — the
+        keyed diff beats the whole-row exceptAll fallback; genuinely
+        keyless tables still fall back."""
+        mk = (md.get("properties") or {}).get(_MERGE_KEYS_PROP)
+        return {"merge-keys": mk} if mk else {}
 
     def delete_where(
         self, spark: SparkSession, predicate: Column
@@ -1671,7 +1688,8 @@ class IcebergLog:
             return view.snapshot_id
         survivors = self._scan(spark, view, touched).filter(~cond)
         return self._rewrite_commit(
-            md, view, touched, survivors, "delete"
+            md, view, touched, survivors, "delete",
+            self._keyed_cdf_summary(md) or None,
         )
 
     # ------------------------------------------ merge-on-read writes

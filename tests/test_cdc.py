@@ -167,3 +167,117 @@ def test_store_changes_since_requires_capable_source(spark, tmp_path):
     store.add_view(Plain)
     with pytest.raises(ValueError, match="change-feed"):
         store.changes_since("plain", 0)
+
+
+# ---------------------------------------------- keyed keyless CDC (r8)
+
+
+def test_delta_delete_after_merge_takes_keyed_diff(spark, tmp_path):
+    """A MERGE records the table's keys as a property; a later
+    DELETE commit (keyless by itself) rides them — its CDF is the
+    keyed full-outer diff, not the 2x-heavier whole-row exceptAll."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(60)]
+        ).coalesce(1),
+        "append",
+    )
+    log.merge_upsert(spark.createDataFrame([Row(k=5, v="UPD")]), ["k"])
+    v1 = log.latest_version()
+    log.delete_where(spark, F.col("k") < 3)
+    # commitInfo carries the recorded keys
+    info = [
+        a["commitInfo"]
+        for a in log._read_commit(log.latest_version())
+        if "commitInfo" in a
+    ][0]
+    assert info["operationParameters"].get("mergeKeys") == "k"
+    assert _counts(log.read_cdf(spark, v1)) == {"delete": 3}
+
+
+def test_delta_replace_where_emits_true_update_pairs(spark, tmp_path):
+    """replaceWhere after a MERGE: rows whose key survives the
+    replacement with new values emit update pre/post pairs (keyed
+    diff), vanished keys emit delete, new keys insert."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, part="a" if i < 10 else "b", v=i)
+             for i in range(20)]
+        ).coalesce(1),
+        "append",
+    )
+    log.merge_upsert(
+        spark.createDataFrame([Row(k=0, part="a", v=100)]), ["k"]
+    )
+    v1 = log.latest_version()
+    # replace partition "a" (keys 0..9) with keys 0..4 re-valued and
+    # key 50 brand new: 5 updates (0..4), 5 deletes (5..9), 1 insert
+    repl = spark.createDataFrame(
+        [Row(k=i, part="a", v=i + 1000) for i in range(5)]
+        + [Row(k=50, part="a", v=1)]
+    )
+    log.replace_where(repl, F.col("part") == "a")
+    got = _counts(log.read_cdf(spark, v1))
+    assert got == {
+        "update_preimage": 5,
+        "update_postimage": 5,
+        "delete": 5,
+        "insert": 1,
+    }
+    # and the pairs really pair: postimage of k=3 is the new value
+    post = {
+        r["k"]: r["v"]
+        for r in log.read_cdf(spark, v1)
+        .filter(F.col("_change_type") == "update_postimage")
+        .collect()
+    }
+    assert post[3] == 1003
+
+
+def test_delta_delete_without_merge_still_falls_back(spark, tmp_path):
+    """No MERGE history -> no recorded keys -> whole-row fallback
+    still yields exactly-once deletes."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v="x") for i in range(30)]
+        ).coalesce(1),
+        "append",
+    )
+    v0 = log.latest_version()
+    log.delete_where(spark, F.col("k") < 4)
+    info = [
+        a["commitInfo"]
+        for a in log._read_commit(log.latest_version())
+        if "commitInfo" in a
+    ][0]
+    assert "mergeKeys" not in info["operationParameters"]
+    assert _counts(log.read_cdf(spark, v0)) == {"delete": 4}
+
+
+def test_iceberg_delete_after_merge_takes_keyed_diff(spark, tmp_path):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(40)]
+        ).coalesce(1),
+        "append",
+    )
+    log.merge_upsert(spark.createDataFrame([Row(k=7, v="UPD")]), ["k"])
+    s1 = log.snapshot_ids()[-1]
+    log.delete_where(spark, F.col("k") < 3)
+    md = log.current_metadata()
+    assert md["properties"].get("aligned.merge-keys") == "k"
+    last = md["snapshots"][-1]
+    assert last["summary"].get("merge-keys") == "k"
+    assert _counts(log.read_changes(spark, s1)) == {"delete": 3}
