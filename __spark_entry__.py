@@ -8076,6 +8076,81 @@ def _store_incremental_aggregate(spark, sf_dir):
 
 
 @q(
+    "store_incremental_aggregate_minmax",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS max_cents
+    FROM final GROUP BY o_orderpriority""",
+)
+def _store_incremental_aggregate_minmax(spark, sf_dir):
+    """HYBRID MIN/MAX view maintenance (round 8,
+    `operators/incremental.py:_apply_extrema_recompute`; reference
+    aggregation surface includes min/max,
+    `aligned/schemas/transformation.py:2435,2459`): extrema are
+    maintained incrementally for inserts (least/greatest — monotone)
+    and, on deletes, recomputed for ONLY the groups whose deleted
+    values touched the stored extremum, via the same semi-join
+    machinery — never a full-base re-aggregation. The sequence's
+    MERGE doubles prices (monotone max growth) and the DELETE removes
+    whole customers (some groups lose their extremum and recompute,
+    the rest stay incremental). The oracle is the direct min/max
+    group-by over the final state. Prices ride as scaled-long
+    cents."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.operators.incremental import (
+        IncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    cents = (
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents")
+    )
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="aligned_spark_ivm_mm_")
+    src = DeltaSource(path=f"{root}/base")
+    src.insert(base.withColumn("price_cents", cents).repartition(4))
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=f"{root}/agg",
+        group_keys=["o_orderpriority"],
+        sums=[],
+        mins=["price_cents"],
+        maxs=["price_cents"],
+    )
+    agg.refresh(spark)  # full build at version 0
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    src.upsert(
+        upd.unionByName(ins).withColumn("price_cents", cents),
+        keys=["o_orderkey"],
+    )
+    agg.refresh(spark)  # updates: old extrema die, new fold in
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    agg.refresh(spark)  # delete slice: touched-group recompute only
+    return agg.read(spark).select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("min_price_cents").alias("min_cents"),
+        F.col("max_price_cents").alias("max_cents"),
+    )
+
+
+@q(
     "source_delta_evolution",
     """SELECT s_suppkey, s_name,
               CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END

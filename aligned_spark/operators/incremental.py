@@ -11,10 +11,15 @@ costs one part-sized CDC read plus a 1-row aggregate merge — never a
 full group-by over the base (the classic self-maintainable-view
 result; e.g. Gupta & Mumick, "Maintenance of Materialized Views").
 
-Only SELF-MAINTAINABLE aggregates qualify: SUM and COUNT (and
-anything derivable at read time, e.g. AVG = sum/count). MIN/MAX are
-not maintainable under deletes without the full group and are
-deliberately out of scope.
+SUM and COUNT are fully self-maintainable (and anything derivable at
+read time, e.g. AVG = sum/count). MIN/MAX are maintained HYBRID:
+inserts fold in monotonically (``least``/``greatest`` — free), and a
+delete triggers a recompute of ONLY the groups whose deleted values
+touched the stored extremum (``deleted_min <= stored_min``), via the
+same semi-join machinery — never a full-base re-aggregation. The
+recompute reads the base once, filtered to the touched groups (a
+partition-pruned scan when the base partitions by a group key); a
+delete that never removes a group's extremum costs nothing extra.
 
 Exactly-once: the cursor (last applied base version/snapshot id) is
 recorded as a ``txn`` action in the AGGREGATE table's own log,
@@ -38,24 +43,42 @@ COUNT_COL = "__n"
 
 
 def change_deltas(
-    changes: DataFrame, group_keys: list[str], sums: list[str]
+    changes: DataFrame,
+    group_keys: list[str],
+    sums: list[str],
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
 ) -> DataFrame:
     """Signed per-group deltas of one CDC slice: inserts and update
     postimages count +1, deletes and update preimages −1 — a key that
     MOVES between groups (its group column changed) subtracts from
     the old group and adds to the new one with no special casing.
-    One map-side-combinable aggregation over only the changed rows."""
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"),
-        F.lit(1),
-    ).otherwise(F.lit(-1))
-    return changes.groupBy(*group_keys).agg(
+    One map-side-combinable aggregation over only the changed rows.
+
+    For hybrid MIN/MAX maintenance the slice also carries, per group:
+    the inserted-side extremum candidates (``__ins_min_<c>`` /
+    ``__ins_max_<c>``) and the deleted-side extrema (``__del_min_<c>``
+    / ``__del_max_<c>``) — the refresh recomputes a group from the
+    base only when a deleted value reaches the stored extremum."""
+    ins = F.col("_change_type").isin("insert", "update_postimage")
+    sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+    aggs = [
         F.sum(sign).cast("long").alias(COUNT_COL),
-        *[
-            F.sum(sign * F.col(c)).alias(c)
-            for c in sums
-        ],
-    )
+        *[F.sum(sign * F.col(c)).alias(c) for c in sums],
+    ]
+    for c in mins or []:
+        aggs.append(F.min(F.when(ins, F.col(c))).alias(f"__ins_min_{c}"))
+        aggs.append(F.min(F.when(~ins, F.col(c))).alias(f"__del_min_{c}"))
+    for c in maxs or []:
+        aggs.append(F.max(F.when(ins, F.col(c))).alias(f"__ins_max_{c}"))
+        aggs.append(F.max(F.when(~ins, F.col(c))).alias(f"__del_max_{c}"))
+    if mins or maxs:
+        aggs.append(
+            F.max(F.when(~ins, F.lit(1)).otherwise(F.lit(0))).alias(
+                "__has_del"
+            )
+        )
+    return changes.groupBy(*group_keys).agg(*aggs)
 
 
 @dataclass
@@ -70,6 +93,10 @@ class IncrementalAggregate:
     target_path: str
     group_keys: list[str]
     sums: list[str]
+    #: hybrid-maintained extrema (insert-monotone; delete-triggered
+    #: touched-group recompute) — see the module docstring
+    mins: list[str] = field(default_factory=list)
+    maxs: list[str] = field(default_factory=list)
     app_id: str = "ivm"
     #: optional commit-coordination override for the target log
     log_store: Any | None = None
@@ -106,6 +133,14 @@ class IncrementalAggregate:
                 .agg(
                     F.count(F.lit(1)).alias(COUNT_COL),
                     *[F.sum(c).alias(c) for c in self.sums],
+                    *[
+                        F.min(c).alias(f"__min_{c}")
+                        for c in self.mins
+                    ],
+                    *[
+                        F.max(c).alias(f"__max_{c}")
+                        for c in self.maxs
+                    ],
                 )
             )
             self._reject_null_keys(full)
@@ -117,6 +152,8 @@ class IncrementalAggregate:
             self.source.read_changes(spark, cursor, current),
             self.group_keys,
             self.sums,
+            self.mins,
+            self.maxs,
         ).persist()
         try:
             self._reject_null_keys(deltas)
@@ -129,12 +166,7 @@ class IncrementalAggregate:
             # shuffle for a backfill-sized one (the correct fallback).
             keys_df = deltas.select(*self.group_keys)
             old = self._semi_filtered_old(spark, log, keys_df)
-            # persisted: staged once by the MERGE, probed again by
-            # the emptied-group check — never recomputed through the
-            # CDC read + semi-join chain
-            merged = deltas.join(
-                old, on=self.group_keys, how="left"
-            ).select(
+            sel = [
                 *self.group_keys,
                 (
                     F.coalesce(F.col("__old_n"), F.lit(0))
@@ -147,10 +179,57 @@ class IncrementalAggregate:
                     ).alias(c)
                     for c in self.sums
                 ],
-            ).persist()
+            ]
+            # extrema: inserts fold in monotonically (least/greatest
+            # skip nulls); __recompute marks the groups where a
+            # DELETED value reaches the stored extremum — only those
+            # re-aggregate from the base
+            for c in self.mins:
+                sel.append(
+                    F.least(
+                        F.col(f"__old_min_{c}"),
+                        F.col(f"__ins_min_{c}"),
+                    ).alias(f"__min_{c}")
+                )
+            for c in self.maxs:
+                sel.append(
+                    F.greatest(
+                        F.col(f"__old_max_{c}"),
+                        F.col(f"__ins_max_{c}"),
+                    ).alias(f"__max_{c}")
+                )
+            if self.mins or self.maxs:
+                danger = F.col("__old_n").isNull()  # unseen group
+                for c in self.mins:
+                    danger = danger | (
+                        F.col(f"__del_min_{c}")
+                        <= F.col(f"__old_min_{c}")
+                    )
+                for c in self.maxs:
+                    danger = danger | (
+                        F.col(f"__del_max_{c}")
+                        >= F.col(f"__old_max_{c}")
+                    )
+                sel.append(
+                    (
+                        (F.col("__has_del") == 1)
+                        & F.coalesce(danger, F.lit(False))
+                    ).alias("__recompute")
+                )
+            # persisted: staged once by the MERGE, probed again by
+            # the recompute split and the emptied-group check — never
+            # recomputed through the CDC read + semi-join chain
+            merged = (
+                deltas.join(old, on=self.group_keys, how="left")
+                .select(*sel)
+                .persist()
+            )
+            final = self._apply_extrema_recompute(
+                spark, merged, current
+            )
             # cursor rides the MERGE commit: data+watermark atomic
             log.merge_upsert(
-                merged, self.group_keys, txn=(self.app_id, current)
+                final, self.group_keys, txn=(self.app_id, current)
             )
             # opportunistic tombstone of emptied groups — idempotent
             # and safe to lose (read() filters __n = 0 regardless)
@@ -160,6 +239,60 @@ class IncrementalAggregate:
         finally:
             deltas.unpersist()
         return current
+
+    def _apply_extrema_recompute(
+        self, spark: SparkSession, merged: DataFrame, current
+    ) -> DataFrame:
+        """Hybrid MIN/MAX delete path: re-aggregate ONLY the groups
+        whose deleted values touched the stored extremum, from the
+        base pinned at ``current`` (semi-joined to the touched keys —
+        partition-pruned when the base partitions by a group key),
+        and override the monotone candidates for those groups."""
+        if not (self.mins or self.maxs):
+            return merged
+        rc_keys = merged.filter(F.col("__recompute")).select(
+            *self.group_keys
+        )
+        if rc_keys.isEmpty():
+            return merged.drop("__recompute")
+        rec = (
+            self._read_at(spark, current)
+            .join(rc_keys, on=self.group_keys, how="left_semi")
+            .groupBy(*self.group_keys)
+            .agg(
+                *[
+                    F.min(c).alias(f"__rc_min_{c}")
+                    for c in self.mins
+                ],
+                *[
+                    F.max(c).alias(f"__rc_max_{c}")
+                    for c in self.maxs
+                ],
+            )
+        )
+        return merged.join(
+            rec, on=self.group_keys, how="left"
+        ).select(
+            *self.group_keys,
+            COUNT_COL,
+            *self.sums,
+            *[
+                F.when(
+                    F.col("__recompute"), F.col(f"__rc_min_{c}")
+                )
+                .otherwise(F.col(f"__min_{c}"))
+                .alias(f"__min_{c}")
+                for c in self.mins
+            ],
+            *[
+                F.when(
+                    F.col("__recompute"), F.col(f"__rc_max_{c}")
+                )
+                .otherwise(F.col(f"__max_{c}"))
+                .alias(f"__max_{c}")
+                for c in self.maxs
+            ],
+        )
 
     def _semi_filtered_old(
         self, spark: SparkSession, log, keys_df: DataFrame
@@ -174,6 +307,14 @@ class IncrementalAggregate:
                 *self.group_keys,
                 F.col(COUNT_COL).alias("__old_n"),
                 *[F.col(c).alias(f"__old_{c}") for c in self.sums],
+                *[
+                    F.col(f"__min_{c}").alias(f"__old_min_{c}")
+                    for c in self.mins
+                ],
+                *[
+                    F.col(f"__max_{c}").alias(f"__old_max_{c}")
+                    for c in self.maxs
+                ],
             )
         )
 
@@ -212,5 +353,13 @@ class IncrementalAggregate:
                 *self.group_keys,
                 F.col(COUNT_COL).alias("n_rows"),
                 *self.sums,
+                *[
+                    F.col(f"__min_{c}").alias(f"min_{c}")
+                    for c in self.mins
+                ],
+                *[
+                    F.col(f"__max_{c}").alias(f"max_{c}")
+                    for c in self.maxs
+                ],
             )
         )

@@ -143,3 +143,123 @@ def test_null_group_keys_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="null group keys"):
         agg.refresh(spark)
+
+
+# ------------------------------------------------ hybrid MIN/MAX (r8)
+
+
+def _direct_mm(spark, src):
+    return {
+        r.g: (r.n, r.x, r.mn, r.mx)
+        for r in src.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("x"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def _maintained_mm(spark, agg):
+    return {
+        r.g: (r.n_rows, r.x, r.min_x, r.max_x)
+        for r in agg.read(spark).collect()
+    }
+
+
+def test_minmax_hybrid_maintenance(spark, src, tmp_path):
+    """Inserts fold into MIN/MAX monotonically; deletes that touch a
+    group's extremum recompute ONLY that group; deletes that don't
+    touch it stay incremental. Maintained result always equals the
+    direct group-by, through a delete-heavy sequence."""
+    from aligned_spark.operators.incremental import IncrementalAggregate
+
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+        mins=["x"],
+        maxs=["x"],
+    )
+    agg.refresh(spark)
+    assert _maintained_mm(spark, agg) == _direct_mm(spark, src)
+
+    # monotone inserts: new max for 'a', new min for 'b'
+    src.upsert(
+        spark.createDataFrame(
+            [Row(k=100, g="a", x=999.0), Row(k=101, g="b", x=-5.0)]
+        ),
+        keys=["k"],
+    )
+    agg.refresh(spark)
+    assert _maintained_mm(spark, agg) == _direct_mm(spark, src)
+
+    # extremum-touching delete: k=100 WAS a's max, k=101 b's min
+    src.delete_where(spark, F.col("k").isin(100, 101))
+    agg.refresh(spark)
+    assert _maintained_mm(spark, agg) == _direct_mm(spark, src)
+
+    # non-extremum delete: interior values (a holds 0..18 even, so
+    # k=4/x=4.0 is interior) — incremental path, still exact
+    src.delete_where(spark, F.col("k") == 4)
+    agg.refresh(spark)
+    assert _maintained_mm(spark, agg) == _direct_mm(spark, src)
+
+    # update that MOVES a group's extremum value to another group
+    src.upsert(
+        spark.createDataFrame([Row(k=18, g="b", x=-50.0)]), keys=["k"]
+    )
+    agg.refresh(spark)
+    assert _maintained_mm(spark, agg) == _direct_mm(spark, src)
+
+    # delete-heavy: empty group 'b' entirely
+    src.delete_where(spark, F.col("g") == "b")
+    agg.refresh(spark)
+    assert _maintained_mm(spark, agg) == _direct_mm(spark, src)
+    assert "b" not in _maintained_mm(spark, agg)
+
+
+def test_minmax_interior_delete_skips_recompute(spark, tmp_path):
+    """The recompute set is exactly the extremum-touching groups: an
+    interior delete leaves __recompute false so the base is never
+    re-read (asserted via _apply_extrema_recompute's early return)."""
+    from aligned_spark.operators.incremental import (
+        IncrementalAggregate,
+        change_deltas,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    s = DeltaSource(path=str(tmp_path / "base"))
+    s.insert(spark.createDataFrame(_base_rows()).coalesce(1))
+    agg = IncrementalAggregate(
+        source=s,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+        mins=["x"],
+        maxs=["x"],
+    )
+    agg.refresh(spark)
+    calls = []
+    orig = agg._read_at
+
+    def spy(spark_, version):
+        calls.append(version)
+        return orig(spark_, version)
+
+    agg._read_at = spy
+    # interior delete for both groups (a: 0..18 even -> 4 interior;
+    # b: 1..19 odd -> 5 interior)
+    s.delete_where(spark, F.col("k").isin(4, 5))
+    agg.refresh(spark)
+    assert calls == [], "interior delete must not re-read the base"
+    assert _maintained_mm(spark, agg) == _direct_mm(spark, s)
+    # extremum delete DOES re-read (once)
+    s.delete_where(spark, F.col("k") == 0)  # a's min
+    agg.refresh(spark)
+    assert len(calls) == 1
+    assert _maintained_mm(spark, agg) == _direct_mm(spark, s)
