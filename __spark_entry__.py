@@ -8285,75 +8285,80 @@ def _model_ece(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-7 window (VERDICT r6 "Next round" tasks 1 and 6).
-    # Slot 1: corpus_mixture_plan — the one red r6 driver row; the
-    # fix (integer-scaled rate_ppm/epochs_ppm BIGINTs on both engine
-    # and oracle sides, no doubles left in the output) exact-passes
-    # the local gate at sf0.01 AND sf0.1 this round. Slots 2-7: the
-    # six new round-7 full-oracle queries (row-level CDC feeds,
-    # merge-on-read parity for both formats, CDC-driven incremental
-    # aggregate maintenance, PQ ANN) — each gated green locally at
-    # BOTH SFs, needing a first driver row. Slots 8-10: the three
-    # r2-era rows the r6 window displaced. Remaining 40 slots: the
-    # r3-era staleness cohort — 40 of its 47; the seven deferred to
-    # r8 are the ones whose family twins stay in this window
-    # (join_asof_bucketed/join_asof, sim_topk_matmul/sim_topk_cosine,
-    # stream_interval_join_batch/live e2e, sim_lsh_pairs/
-    # vector_index_lsh, splits_train/splits_temporal, corpus_sample_k/
-    # corpus_weighted_sample, dedup_simhash/dedup_simhash_pairs), so
-    # they carry the least marginal re-verification value.
+    # Round-8 window (VERDICT r7 "Next round" tasks 1, 4, 6, 7).
+    # Slot 1: corpus_mixture_plan — the one red r7 row, now with the
+    # judge-root-caused fix applied (the oracle's SUM(BIGINT)/`//`
+    # HUGEINT outputs cast to BIGINT; a registry-wide duckdb type
+    # guard in tests/test_oracle_types.py keeps the class extinct).
+    # Slots 2-8: the seven r3-era rows deferred from the r7 window.
+    # Slots 9-10: this round's new full-oracle queries — keyed CDC
+    # for a replaceWhere commit (true update pairs) and hybrid
+    # MIN/MAX incremental aggregate maintenance — both gated green
+    # locally at sf0.01 AND sf0.1. Slot 11: source_in_memory, whose
+    # oracle was retyped this round (DECIMAL literal -> DOUBLE cast)
+    # and needs a fresh row. Remaining 39 slots: the oldest r4-cohort
+    # rows — all 32 non-TPC-H plus the 7 structurally distinctive
+    # TPC-H shapes (q1 classic agg, q2/q17/q20/q21/q22 correlated-
+    # subquery decorrelation, q13 outer-join distribution); the 9
+    # deferred TPC-H rows (q3/q7/q8/q9/q11/q12/q15/q16/q19) are
+    # plain multi-join+agg shapes running the same execute_sql
+    # machinery as the greener q5/q6/q10/q14/q18 rows, so they carry
+    # the least marginal re-verification value and fill the r9
+    # window.
     "corpus_mixture_plan",
-    "source_delta_cdf",
-    "source_iceberg_cdf",
-    "source_delta_mor",
-    "source_iceberg_mor",
-    "store_incremental_aggregate",
-    "vector_index_pq",
-    # --- r2-era (displaced by the r6 window) ---
-    "expr_arithmetic",
-    "expr_comparison_logic",
-    "expr_conditionals",
-    # --- r3-era staleness cohort ---
-    "agg_hopping_offset",
-    "combine_two_views",
-    "corpus_filter",
-    "corpus_pack",
-    "corpus_quantile_filter",
-    "corpus_redact_pii",
-    "corpus_weighted_sample",
-    "custom_agg_pandas",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_lines",
-    "dedup_semantic",
-    "dedup_simhash_pairs",
-    "embed_fake_text",
-    "embed_pca_stats",
-    "encode_dates",
-    "events_sessionize",
-    "graph_connected_components",
-    "join_range_binned",
-    "multimodal_binary",
-    "multimodal_image_pipeline",
-    "profile_histogram",
-    "setop_intersect_except",
-    "source_partitioned_parquet",
-    "splits_temporal",
-    "stream_late_data",
-    "text_bm25",
-    "text_decontaminate",
-    "text_language_quality",
-    "text_line_dup_ratio",
-    "text_ngram_jaccard",
-    "text_perplexity",
-    "text_quality_score",
-    "text_top_ngram",
-    "vector_index_ivf",
-    "vector_index_lsh",
-    "vector_index_nearest",
-    "view_between_dates",
-    "view_materialized_fast_path",
-    "view_unique_entities",
+    # --- r3-era rows deferred from r7 ---
+    "corpus_sample_k",
+    "dedup_simhash",
+    "join_asof_bucketed",
+    "sim_lsh_pairs",
+    "sim_topk_matmul",
+    "splits_train",
+    "stream_interval_join_batch",
+    # --- new round-8 queries ---
+    "source_delta_cdf_replace",
+    "store_incremental_aggregate_minmax",
+    # --- retyped oracle needing a fresh row ---
+    "source_in_memory",
+    # --- r4-era staleness cohort (39 of 48) ---
+    "agg_cube",
+    "agg_group_basic",
+    "agg_pit_window",
+    "agg_rollup_cube",
+    "corpus_chunk_overlap",
+    "corpus_domain_filter",
+    "corpus_normalize_scores",
+    "corpus_ntile_bins",
+    "corpus_outliers_mad",
+    "corpus_pipeline_e2e",
+    "corpus_pipeline_quality",
+    "corpus_winsorize_cdf",
+    "dedup_incremental",
+    "dedup_substring_spans",
+    "events_global_row_ids",
+    "events_lag_features",
+    "events_pivot",
+    "events_resample",
+    "events_session_window",
+    "join_asof_bucketed_nearest",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_fuzzy_blocked",
+    "join_pit_ttl",
+    "splits_stratified",
+    "store_features_for",
+    "text_bigram_surprise",
+    "text_decontaminate_fuzzy",
+    "text_dup_ngram_chars",
+    "text_inverted_index",
+    "text_quality_classifier",
+    "text_token_entropy",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 

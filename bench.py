@@ -142,6 +142,12 @@ HEADLINE = [
     "source_delta_cdf",
     "source_iceberg_cdf",
     "store_incremental_aggregate",
+    # round-8 additions: keyed CDC for a keyless replaceWhere commit
+    # (true update pairs from the recorded merge-key history) and
+    # hybrid MIN/MAX incremental aggregate maintenance (insert-
+    # monotone extrema + delete-triggered touched-group recompute)
+    "source_delta_cdf_replace",
+    "store_incremental_aggregate_minmax",
 ]
 
 
