@@ -199,10 +199,10 @@ class IcebergSource(WritableSource):
                 df.writeTo(self.table).replace()
             return
         if predicate is not None:
-            raise NotImplementedError(
-                "predicate overwrite requires the iceberg jars; use "
-                "delete_where + insert with the pure-Python log"
+            _retrying(
+                lambda: self._log().replace_where(df, predicate)
             )
+            return
         _retrying(
             lambda: self._log().write(
                 df,

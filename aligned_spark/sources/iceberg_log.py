@@ -1673,6 +1673,58 @@ class IcebergLog:
         mk = (md.get("properties") or {}).get(_MERGE_KEYS_PROP)
         return {"merge-keys": mk} if mk else {}
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        predicate: Column,
+        validate: bool = True,
+    ) -> int:
+        """Delta-style ``replaceWhere`` for Iceberg (the engines'
+        ``overwrite(overwritePartitions/filter)``): atomically replace
+        exactly the rows matching ``predicate`` with ``df`` in ONE
+        snapshot — the idiomatic partition/date-range refresh
+        (delete_where + insert would be two snapshots with a visible
+        gap). Only parts containing a matching row rewrite, at
+        manifest granularity. ``validate`` enforces that every
+        inserted row satisfies the predicate; the schema never
+        evolves through this path (matching
+        :meth:`DeltaLog.replace_where`)."""
+        spark = df.sparkSession
+        cond = F.coalesce(predicate, F.lit(False))
+        if validate and df.filter(~cond).count():
+            raise ValueError(
+                "replaceWhere: inserted row(s) violate the predicate"
+            )
+        if not self.exists():
+            return self.write(df, "append")
+        md = self.current_metadata()
+        self._enforce_constraints(df, md)
+        view = self._resolve()
+        if view.snapshot_id == -1:  # created but never written
+            return self.write(df, "append")
+        cols = [f.name for f in view.schema.fields]
+        extra = [c for c in df.columns if c not in cols]
+        if extra:
+            raise ValueError(
+                f"replaceWhere has columns {extra} not in the table "
+                f"schema; replaceWhere never evolves the schema"
+            )
+        touched = self._touched_files(
+            spark, view, lambda cur: cur.filter(cond)
+        )
+        out = df.select(*cols)
+        if touched:
+            survivors = (
+                self._scan(spark, view, touched)
+                .select(*cols)
+                .filter(~cond)
+            )
+            out = survivors.unionByName(out)
+        return self._rewrite_commit(
+            md, view, touched, out, "overwrite",
+            {"mode": "replaceWhere", **self._keyed_cdf_summary(md)},
+        )
+
     def delete_where(
         self, spark: SparkSession, predicate: Column
     ) -> int:

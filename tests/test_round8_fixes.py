@@ -190,3 +190,104 @@ def test_overwrite_prunes_dead_sidecars(spark, tmp_path):
     proto = log._protocol_action(bool(snap.delete_files))["protocol"]
     assert not proto.get("readerFeatures")
     assert {r["k"] for r in log.read(spark).collect()} == {99}
+
+
+# ----------------------------------------- iceberg replaceWhere (r8)
+
+
+def test_iceberg_replace_where_atomic_region_swap(spark, tmp_path):
+    """Delta-parity replaceWhere on the pure-Python Iceberg log: one
+    snapshot replaces exactly the matching rows; non-matching rows in
+    touched parts survive; untouched parts never rewrite."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "ice"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, part="a" if i < 50 else "b", v=i)
+             for i in range(100)]
+        ).repartition(2),
+        "append",
+    )
+    snaps_before = len(log.current_metadata()["snapshots"])
+    repl = spark.createDataFrame(
+        [Row(k=i, part="a", v=i + 1000) for i in range(5)]
+    )
+    log.replace_where(repl, F.col("part") == "a")
+    md = log.current_metadata()
+    assert len(md["snapshots"]) == snaps_before + 1  # ONE snapshot
+    got = {r["k"]: r["v"] for r in log.read(spark).collect()}
+    assert {k for k in got if k < 50} == set(range(5))
+    assert got[0] == 1000
+    assert got[60] == 60  # region b untouched
+
+
+def test_iceberg_replace_where_validates_predicate(spark, tmp_path):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "ice"))
+    log.write(
+        spark.createDataFrame([Row(k=1, part="a", v=1)]), "append"
+    )
+    with pytest.raises(ValueError, match="violate the predicate"):
+        log.replace_where(
+            spark.createDataFrame([Row(k=2, part="b", v=2)]),
+            F.col("part") == "a",
+        )
+    with pytest.raises(ValueError, match="never evolves"):
+        log.replace_where(
+            spark.createDataFrame([Row(k=2, part="a", v=2, extra=1)]),
+            F.col("part") == "a",
+        )
+
+
+def test_iceberg_replace_where_keyed_cdc(spark, tmp_path):
+    """After a MERGE established key discipline, the replaceWhere
+    snapshot's change feed is the keyed diff: update pairs for
+    re-valued keys."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "ice"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, part="a", v=i) for i in range(10)]
+        ).coalesce(1),
+        "append",
+    )
+    log.merge_upsert(
+        spark.createDataFrame([Row(k=0, part="a", v=100)]), ["k"]
+    )
+    s1 = log.snapshot_ids()[-1]
+    log.replace_where(
+        spark.createDataFrame(
+            [Row(k=i, part="a", v=i + 1000) for i in range(10)]
+        ),
+        F.col("part") == "a",
+    )
+    ch = log.read_changes(spark, s1)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert counts == {"update_preimage": 10, "update_postimage": 10}
+
+
+def test_iceberg_source_overwrite_predicate_pure_python(spark, tmp_path):
+    """IcebergSource.overwrite(df, predicate) now routes to
+    replace_where on the pure-Python log instead of raising."""
+    from aligned_spark.sources.iceberg import IcebergSource
+
+    src = IcebergSource(path=str(tmp_path / "ice"))
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=1, part="a", v=1), Row(k=2, part="b", v=2)]
+        )
+    )
+    src.overwrite(
+        spark.createDataFrame([Row(k=9, part="a", v=9)]),
+        F.col("part") == "a",
+    )
+    got = {r["k"]: r["part"] for r in src.read(spark).collect()}
+    assert got == {9: "a", 2: "b"}
