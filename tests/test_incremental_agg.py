@@ -263,3 +263,132 @@ def test_minmax_interior_delete_skips_recompute(spark, tmp_path):
     agg.refresh(spark)
     assert len(calls) == 1
     assert _maintained_mm(spark, agg) == _direct_mm(spark, s)
+
+
+# ------------------------------------- IVM algebraic property (r8)
+
+
+import uuid as _uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ivm_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "upsert", "delete"]),
+        st.lists(
+            st.integers(min_value=0, max_value=24),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(script=_ivm_ops)
+def test_ivm_matches_direct_for_any_op_sequence(
+    spark, ivm_tmp_dir, script
+):
+    """Property: for ANY append/upsert/delete sequence — including
+    group moves, extremum churn, and emptied groups — the maintained
+    COUNT/SUM/MIN/MAX aggregate equals a direct group-by over the
+    base AFTER EVERY refresh (not just the final state)."""
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = f"{ivm_tmp_dir}/{_uuid.uuid4().hex}"
+    src = DeltaSource(path=f"{base}/base")
+    src.insert(
+        spark.createDataFrame(
+            [
+                Row(k=i, g="a" if i % 2 == 0 else "b", x=float(i))
+                for i in range(10)
+            ]
+        ).coalesce(1)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=f"{base}/agg",
+        group_keys=["g"],
+        sums=["x"],
+        mins=["x"],
+        maxs=["x"],
+    )
+    agg.refresh(spark)
+
+    def direct():
+        return {
+            r.g: (r.n, r.x, r.mn, r.mx)
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("x"),
+                F.min("x").alias("mn"),
+                F.max("x").alias("mx"),
+            )
+            .collect()
+        }
+
+    def maintained():
+        return {
+            r.g: (r.n_rows, r.x, r.min_x, r.max_x)
+            for r in agg.read(spark).collect()
+        }
+
+    assert maintained() == direct()
+    existing = set(range(10))
+    for step, (op, keys) in enumerate(script):
+        if op == "append":
+            fresh = [k for k in keys if k not in existing]
+            if not fresh:
+                continue
+            src.insert(
+                spark.createDataFrame(
+                    [
+                        Row(
+                            k=k,
+                            g="a" if (k + step) % 2 == 0 else "b",
+                            x=float(step * 100 - k),
+                        )
+                        for k in fresh
+                    ]
+                )
+            )
+            existing.update(fresh)
+        elif op == "upsert":
+            # may MOVE groups and churn extrema (large +/- values)
+            src.upsert(
+                spark.createDataFrame(
+                    [
+                        Row(
+                            k=k,
+                            g="b" if (k + step) % 2 == 0 else "a",
+                            x=float((step - 2) * 1000 + k),
+                        )
+                        for k in keys
+                    ]
+                ),
+                keys=["k"],
+            )
+            existing.update(keys)
+        else:
+            src.delete_where(
+                spark, F.col("k").isin([int(k) for k in keys])
+            )
+            existing -= set(keys)
+        agg.refresh(spark)
+        assert maintained() == direct(), (step, op, keys)
+
+
+@pytest.fixture(scope="module")
+def ivm_tmp_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ivmprop"))

@@ -86,6 +86,11 @@ QUERIES = [
     "source_delta_mor",
     "source_iceberg_mor",
     "store_incremental_aggregate",
+    # round-8: keyed replaceWhere CDC and hybrid MIN/MAX IVM — same
+    # orders-derived tables as the r7 entries (disjoint key ranges at
+    # 10x, per-row change density constant)
+    "source_delta_cdf_replace",
+    "store_incremental_aggregate_minmax",
 ]
 
 
