@@ -1251,24 +1251,60 @@ class DeltaLog:
         spark: SparkSession,
         snap: Snapshot,
         row_filter,
+        paths: list[str] | None = None,
     ) -> list[str]:
         """Relative paths of live parts holding ≥1 row matched by
         ``row_filter`` (shared machinery:
-        :func:`aligned_spark.sources.parts.touched_files`)."""
+        :func:`aligned_spark.sources.parts.touched_files`).
+        ``paths`` restricts the discovery scan to a pre-pruned
+        candidate set (must be a sound superset of the truly touched
+        files — see :meth:`_key_range_candidates`)."""
         from aligned_spark.sources.parts import touched_files
 
-        if not snap.files:
+        scan_paths = (
+            sorted(snap.files) if paths is None else sorted(paths)
+        )
+        if not scan_paths:
             return []
         # keep_meta carries the table-relative __file column through
         # the (possible) merge-on-read delete anti-join — _metadata
         # itself is unresolvable past that join
         return touched_files(
-            self._scan(
-                spark, snap, sorted(snap.files), keep_meta=True
-            ),
+            self._scan(spark, snap, scan_paths, keep_meta=True),
             self.table_path,
             row_filter,
         )
+
+    def _key_range_candidates(
+        self, snap: Snapshot, src_keys: DataFrame, keys: list[str]
+    ) -> list[str]:
+        """Dynamic file pruning for the MERGE touched-file discovery
+        (delta-spark's dynamic file pruning contour): one map-side-
+        combinable MIN/MAX over the source's first key column becomes
+        footer-stat range predicates, so a bounded-key-range merge
+        (the overwhelming 100 TB contour — recent keys into a
+        clustered/Z-ordered table) discovers its touched files by
+        scanning only range-overlapping parts, never the table.
+        Sound SUPERSET: files without stats on the key column always
+        remain candidates, and incomparable types skip pruning."""
+        paths = sorted(snap.files)
+        if not paths:
+            return paths
+        col = keys[0]
+        row = (
+            src_keys.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+        )
+        lo, hi = row["lo"], row["hi"]
+        if lo is None:  # empty or all-null source keys
+            return paths
+        preds = [(col, ">=", lo), (col, "<=", hi)]
+        return [
+            p
+            for p in paths
+            if _file_may_match(snap.files[p], preds)
+        ]
 
     def _keyed_cdf_params(self, snap: Snapshot) -> dict[str, str]:
         """``mergeKeys`` commitInfo params for a keyless rewrite
@@ -1306,6 +1342,7 @@ class DeltaLog:
             spark,
             snap,
             lambda cur: cur.join(src_keys, keys, "left_semi"),
+            paths=self._key_range_candidates(snap, src_keys, keys),
         )
         schema_cols = [f.name for f in snap.schema().fields]
         out = df.select(*schema_cols)
@@ -1598,10 +1635,13 @@ class DeltaLog:
         self._enforce_constraints(df, snap)
         src_keys = df.select(*keys).distinct()
         schema_cols = [f.name for f in snap.schema().fields]
+        # pair discovery scans only key-range-overlapping parts
+        # (same dynamic file pruning as the CoW MERGE)
+        cand = self._key_range_candidates(snap, src_keys, keys)
+        if not snap.files or not cand:
+            return self.write(df, "append", partition_by, txn=txn)
         pairs = (
-            self._scan(
-                spark, snap, sorted(snap.files), keep_meta=True
-            )
+            self._scan(spark, snap, cand, keep_meta=True)
             .join(src_keys, keys, "left_semi")
             .select(
                 F.col("__file").alias("file_path"),

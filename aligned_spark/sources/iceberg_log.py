@@ -1537,20 +1537,67 @@ class IcebergLog:
     # ----------------------------------------------------- mutations
 
     def _touched_files(
-        self, spark: SparkSession, view: IcebergSnapshotView, row_filter
+        self,
+        spark: SparkSession,
+        view: IcebergSnapshotView,
+        row_filter,
+        paths: list[str] | None = None,
     ) -> list[str]:
         from aligned_spark.sources.parts import touched_files
 
-        if not view.files:
+        scan_paths = (
+            sorted(view.files) if paths is None else sorted(paths)
+        )
+        if not scan_paths:
             return []
         # keep_meta carries the table-relative __file column through
         # the (possible) merge-on-read delete anti-join — _metadata
         # itself is unresolvable past that join
         return touched_files(
-            self._scan(spark, view, keep_meta=True),
+            self._scan(spark, view, scan_paths, keep_meta=True),
             self.table_path,
             row_filter,
         )
+
+    def _key_range_candidates(
+        self,
+        md: dict[str, Any],
+        view: IcebergSnapshotView,
+        src_keys: DataFrame,
+        keys: list[str],
+    ) -> list[str]:
+        """Dynamic file pruning for the MERGE touched-file discovery
+        (mirrors :meth:`DeltaLog._key_range_candidates`): MIN/MAX of
+        the source's first key column become manifest-bound range
+        predicates, so a bounded-key-range merge discovers its
+        touched files by scanning only range-overlapping parts.
+        Sound SUPERSET: entries without bounds on the key column
+        always remain candidates."""
+        paths = sorted(view.files)
+        if not paths:
+            return paths
+        col = keys[0]
+        row = (
+            src_keys.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+        )
+        lo, hi = row["lo"], row["hi"]
+        if lo is None:  # empty or all-null source keys
+            return paths
+        fields_by_id = {
+            f["id"]: f
+            for f in md["schema"]["fields"]
+            if isinstance(f.get("type"), str)
+        }
+        preds = [(col, ">=", lo), (col, "<=", hi)]
+        return [
+            p
+            for p in paths
+            if _iceberg_file_may_match(
+                view.files[p], fields_by_id, preds
+            )
+        ]
 
     def _rewrite_commit(
         self,
@@ -1643,6 +1690,9 @@ class IcebergLog:
             spark,
             view,
             lambda cur: cur.join(src_keys, keys, "left_semi"),
+            paths=self._key_range_candidates(
+                md, view, src_keys, keys
+            ),
         )
         cols = [f.name for f in view.schema.fields]
         out = df.select(*cols)
@@ -1835,8 +1885,11 @@ class IcebergLog:
             return self.write(df, "append", txn=txn)
         cols = [f.name for f in view.schema.fields]
         src_keys = df.select(*keys).distinct()
+        # pair discovery scans only key-range-overlapping parts
+        # (same dynamic file pruning as the CoW MERGE)
+        cand = self._key_range_candidates(md, view, src_keys, keys)
         pairs = (
-            self._scan(spark, view, keep_meta=True)
+            self._scan(spark, view, cand, keep_meta=True)
             .join(src_keys, keys, "left_semi")
             .select(
                 F.col("__file").alias("file_path"),

@@ -291,3 +291,137 @@ def test_iceberg_source_overwrite_predicate_pure_python(spark, tmp_path):
     )
     got = {r["k"]: r["part"] for r in src.read(spark).collect()}
     assert got == {9: "a", 2: "b"}
+
+
+# ------------------------------- MERGE dynamic file pruning (r8)
+
+
+def test_delta_merge_prunes_files_by_key_range(spark, tmp_path):
+    """A bounded-key-range MERGE discovers its touched files by
+    scanning only range-overlapping parts: two disjoint-range parts,
+    a merge into the second range must neither scan nor rewrite the
+    first."""
+    log = _log(tmp_path)
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v="lo") for i in range(100)]
+        ).coalesce(1),
+        "append",
+    )
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v="hi") for i in range(1000, 1100)]
+        ).coalesce(1),
+        "append",
+    )
+    snap = log.snapshot()
+    assert len(snap.files) == 2
+    src = spark.createDataFrame([Row(k=1050, v="UPD")])
+    cand = log._key_range_candidates(
+        snap, src.select("k").distinct(), ["k"]
+    )
+    assert len(cand) == 1, cand  # only the hi-range part
+    log.merge_upsert(src, ["k"])
+    removed = [
+        a["remove"]["path"]
+        for a in log._read_commit(log.latest_version())
+        if "remove" in a
+    ]
+    assert removed == cand  # the lo-range part never rewrote
+    got = {r["k"]: r["v"] for r in log.read(spark).collect()}
+    assert got[1050] == "UPD" and got[0] == "lo" and len(got) == 200
+
+
+def test_delta_merge_prune_is_sound_superset(spark, tmp_path):
+    """Files without stats and sources spanning every part stay
+    candidates — pruning never drops a truly touched file."""
+    import json as _json
+    import os as _os
+
+    log = _log(tmp_path)
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v="a") for i in range(50)]
+        ).coalesce(1),
+        "append",
+    )
+    # strip the stats from the commit on disk (legacy writer)
+    commit = _os.path.join(log.log_dir, "0" * 20 + ".json")
+    lines = []
+    for ln in open(commit, encoding="utf-8"):
+        d = _json.loads(ln)
+        if "add" in d:
+            d["add"].pop("stats", None)
+        lines.append(_json.dumps(d))
+    with open(commit, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    snap = log.snapshot()
+    src = spark.createDataFrame([Row(k=999999, v="z")])
+    # stats-less file stays a candidate even for a non-overlapping key
+    assert log._key_range_candidates(
+        snap, src.select("k").distinct(), ["k"]
+    ) == sorted(snap.files)
+    log.merge_upsert(spark.createDataFrame([Row(k=3, v="UPD")]), ["k"])
+    got = {r["k"]: r["v"] for r in log.read(spark).collect()}
+    assert got[3] == "UPD" and len(got) == 50
+
+
+def test_delta_mor_merge_prunes_pair_scan(spark, tmp_path):
+    """The MOR merge's pair discovery takes the same pruned path; a
+    source with NO range overlap degrades to a pure append (no
+    sidecar, no protocol gate)."""
+    log = _log(tmp_path)
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v="a") for i in range(100)]
+        ).coalesce(1),
+        "append",
+    )
+    base_files = set(log.snapshot().files)
+    log.merge_upsert_mor(
+        spark.createDataFrame([Row(k=5000, v="new")]), ["k"]
+    )
+    snap = log.snapshot()
+    assert not snap.delete_files  # nothing matched -> no sidecar
+    assert base_files <= set(snap.files)  # base part never rewrote
+    removed = [
+        a
+        for a in log._read_commit(log.latest_version())
+        if "remove" in a
+    ]
+    assert not removed
+    got = {r["k"] for r in log.read(spark).collect()}
+    assert 5000 in got and len(got) == 101
+
+
+def test_iceberg_merge_prunes_files_by_key_range(spark, tmp_path):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "ice"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v="lo") for i in range(100)]
+        ).coalesce(1),
+        "append",
+    )
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v="hi") for i in range(1000, 1100)]
+        ).coalesce(1),
+        "append",
+    )
+    md = log.current_metadata()
+    view = log._resolve()
+    assert len(view.files) == 2
+    src = spark.createDataFrame([Row(k=1050, v="UPD")])
+    cand = log._key_range_candidates(
+        md, view, src.select("k").distinct(), ["k"]
+    )
+    assert len(cand) == 1, cand
+    log.merge_upsert(src, ["k"])
+    new_view = log._resolve()
+    # the lo-range part carried over verbatim (same physical file)
+    lo_file = next(p for p in view.files if p not in cand)
+    assert lo_file in new_view.files
+    got = {r["k"]: r["v"] for r in log.read(spark).collect()}
+    assert got[1050] == "UPD" and got[0] == "lo" and len(got) == 200
