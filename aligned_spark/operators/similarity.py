@@ -272,6 +272,35 @@ def ivf_assign(
     return assigned, centers
 
 
+def ivf_assign_to(
+    df: DataFrame, vector_col: str, centers: "list[list[float]]"
+) -> DataFrame:
+    """Assign rows to the nearest of FIXED centroids (no training) —
+    the incremental-ingest path: new vectors join an existing IVF
+    index without re-running KMeans (FAISS ``add()`` semantics).
+    Pure projection, no join or shuffle: per row an array of C
+    squared distances and an argmin, JVM-side."""
+    v = F.col(vector_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centers
+        ]
+    )
+    return df.withColumn(
+        "__ivf_cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

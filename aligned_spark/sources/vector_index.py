@@ -171,6 +171,24 @@ class IvfIndexSource:
             "__ivf_cluster int, __cent array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(self._centroid_path())
 
+    def update(self, df: DataFrame) -> None:
+        """Incremental ingest: assign new vectors to the EXISTING
+        centroids (no KMeans re-run — FAISS ``add()`` semantics) and
+        append them to their cluster partitions. Frozen centroids
+        drift from the true cluster means as the corpus grows;
+        re-train with :meth:`overwrite` when recall degrades — the
+        standard IVF maintenance trade."""
+        from aligned_spark.operators.similarity import ivf_assign_to
+
+        centers = self.centroids(df.sparkSession)
+        assigned = ivf_assign_to(df, self.vector_col, centers)
+        (
+            assigned.repartition(F.col("__ivf_cluster"))
+            .write.mode("append")
+            .partitionBy("__ivf_cluster")
+            .parquet(self._data_path())
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._data_path())
 
@@ -433,6 +451,78 @@ class IvfPqIndexSource:
             for r in spark.read.parquet(self._p("centroids")).collect()
         }
         return cents, _load_codebooks(spark, self._p("books"))
+
+    def update(self, df: DataFrame) -> None:
+        """Incremental ingest: normalize, assign to the EXISTING
+        coarse centroids, product-quantize the residuals with the
+        EXISTING codebooks, and append codes + vectors to their
+        cluster partitions — no KMeans/PQ re-training (FAISS
+        ``add()`` semantics). Frozen quantizers drift as the corpus
+        grows; re-train with :meth:`overwrite` when recall
+        degrades."""
+        from aligned_spark.operators.similarity import (
+            ivf_assign_to,
+            pq_encode,
+        )
+
+        spark = df.sparkSession
+        cents, books = self._load(spark)
+        cid = sorted(cents)
+        centers = [list(cents[c]) for c in cid]
+        norm = F.sqrt(
+            F.aggregate(
+                F.col(self.vector_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        )
+        dfn = df.withColumn(
+            "__nvec",
+            F.transform(
+                F.col(self.vector_col).cast("array<double>"),
+                lambda x: x / F.greatest(norm, F.lit(1e-12)),
+            ),
+        )
+        assigned = ivf_assign_to(dfn, "__nvec", centers).withColumn(
+            # ivf_assign_to yields POSITIONS in `centers`; map back
+            # to the stored cluster ids (dense in practice, but the
+            # mapping keeps this correct for any id set)
+            "__ivf_cluster",
+            F.element_at(
+                F.array(*[F.lit(int(c)) for c in cid]),
+                F.col("__ivf_cluster") + 1,
+            ),
+        )
+        cent_df = spark.createDataFrame(
+            [(int(c), [float(v) for v in cents[c]]) for c in cid],
+            "__ivf_cluster int, __cent array<double>",
+        )
+        resid = assigned.join(
+            F.broadcast(cent_df), "__ivf_cluster"
+        ).withColumn(
+            "__resid",
+            F.zip_with(
+                F.col("__nvec"), F.col("__cent"), lambda v, c: v - c
+            ),
+        )
+        codes = pq_encode(
+            resid, self.id_col, "__resid", books, normalize=False
+        ).join(
+            resid.select(
+                F.col(self.id_col).alias("id"), "__ivf_cluster"
+            ),
+            "id",
+        )
+        (
+            codes.repartition(F.col("__ivf_cluster"))
+            .write.mode("append")
+            .partitionBy("__ivf_cluster")
+            .parquet(self._p("codes"))
+        )
+        df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vector_col).alias("vec"),
+        ).write.mode("append").parquet(self._p("vectors"))
 
     def nearest_n(
         self,
