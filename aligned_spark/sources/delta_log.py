@@ -1229,6 +1229,45 @@ class DeltaLog:
             "constraints": self._constraints_of(snap.metadata),
         }
 
+    def should_compact(
+        self,
+        max_deleted_ratio: float = 0.1,
+        max_delete_files: int = 8,
+    ) -> bool:
+        """Metadata-only OPTIMIZE trigger (no data scan): compact
+        when merge-on-read state crosses either threshold. The
+        defaults come from the measured read economics (PERF.md
+        round 8): a pairs-applied read costs ~4-5x a plain read
+        regardless of sidecar COUNT, and OPTIMIZE pays for itself in
+        ~2-3 full reads — so any sustained full-scan traffic
+        justifies compacting as soon as MOR state is non-trivial,
+        while tables serving only key-pruned point reads can raise
+        the thresholds."""
+        d = self.detail()
+        n_sidecars = d.get("numDeleteFiles") or 0
+        if not n_sidecars:
+            return False
+        rows = d.get("numRows") or 0
+        dead = d.get("numDeletedRows") or 0
+        return n_sidecars >= max_delete_files or (
+            rows > 0 and dead / rows >= max_deleted_ratio
+        )
+
+    def maybe_optimize(
+        self,
+        spark: SparkSession,
+        max_deleted_ratio: float = 0.1,
+        max_delete_files: int = 8,
+        zorder_by: list[str] | None = None,
+    ) -> bool:
+        """Run :meth:`optimize` iff :meth:`should_compact` — the
+        write-path hook an ingest job calls after its MOR commits so
+        compaction rides the pipeline instead of a separate cron."""
+        if not self.should_compact(max_deleted_ratio, max_delete_files):
+            return False
+        self.optimize(spark, zorder_by=zorder_by)
+        return True
+
     def version_at(self, timestamp_ms: int) -> int:
         """TIMESTAMP AS OF resolution (delta-spark semantics): the
         latest version whose commit time is <= the timestamp —

@@ -1454,6 +1454,36 @@ class IcebergLog:
     #: default orphan-file retention — matches Delta's vacuum window
     DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
 
+    def should_compact(
+        self,
+        max_deleted_ratio: float = 0.1,
+        max_delete_files: int = 8,
+    ) -> bool:
+        """Metadata-only rewriteDataFiles trigger — same policy and
+        measured rationale as :meth:`DeltaLog.should_compact`."""
+        d = self.detail()
+        n_sidecars = d.get("numDeleteFiles") or 0
+        if not n_sidecars:
+            return False
+        rows = d.get("numRows") or 0
+        dead = d.get("numDeletedRows") or 0
+        return n_sidecars >= max_delete_files or (
+            rows > 0 and dead / rows >= max_deleted_ratio
+        )
+
+    def maybe_optimize(
+        self,
+        spark: SparkSession,
+        max_deleted_ratio: float = 0.1,
+        max_delete_files: int = 8,
+        zorder_by: list[str] | None = None,
+    ) -> bool:
+        """Run :meth:`optimize` iff :meth:`should_compact`."""
+        if not self.should_compact(max_deleted_ratio, max_delete_files):
+            return False
+        self.optimize(spark, zorder_by=zorder_by)
+        return True
+
     def expire_snapshots(
         self,
         keep_last: int = 1,

@@ -425,3 +425,37 @@ def test_iceberg_merge_prunes_files_by_key_range(spark, tmp_path):
     assert lo_file in new_view.files
     got = {r["k"]: r["v"] for r in log.read(spark).collect()}
     assert got[1050] == "UPD" and got[0] == "lo" and len(got) == 200
+
+
+# ------------------------------------- compaction policy hook (r8)
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_maybe_optimize_policy(spark, tmp_path, fmt):
+    """should_compact is metadata-only and fires on either threshold;
+    maybe_optimize compacts exactly when it says so and restores a
+    sidecar-free table."""
+    if fmt == "delta":
+        log = _log(tmp_path)
+    else:
+        from aligned_spark.sources.iceberg_log import IcebergLog
+
+        log = IcebergLog(str(tmp_path / "ice"))
+    log.write(
+        spark.createDataFrame([Row(k=i) for i in range(100)]).coalesce(1),
+        "append",
+    )
+    assert not log.should_compact()  # no MOR state at all
+    assert log.maybe_optimize(spark) is False
+    log.delete_where_mor(spark, F.col("k") < 2)  # 2% dead, 1 sidecar
+    assert not log.should_compact()  # under both thresholds
+    log.delete_where_mor(spark, (F.col("k") >= 2) & (F.col("k") < 15))
+    assert log.should_compact()  # 15% >= 10% deleted ratio
+    assert log.maybe_optimize(spark) is True
+    d = log.detail()
+    assert d["numDeleteFiles"] == 0
+    assert log.read(spark).count() == 85
+    # sidecar-COUNT threshold fires even at tiny deleted ratios
+    for i in range(8):
+        log.delete_where_mor(spark, F.col("k") == 20 + i)
+    assert log.should_compact(max_deleted_ratio=0.99)
