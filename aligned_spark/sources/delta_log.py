@@ -1705,6 +1705,17 @@ class DeltaLog:
                 *actions,
                 *self._txn_action(txn),
             ]
+            # record the merge keys as a table property (same as the
+            # CoW MERGE) so later keyless DELETE/replaceWhere commits
+            # take read_cdf's keyed diff path
+            cfg = dict(
+                (snap.metadata or {}).get("configuration", {}) or {}
+            )
+            if cfg.get(_MERGE_KEYS_PROP) != ",".join(keys):
+                meta = dict(snap.metadata or {})
+                cfg[_MERGE_KEYS_PROP] = ",".join(keys)
+                meta["configuration"] = cfg
+                actions.append({"metaData": meta})
         finally:
             pairs.unpersist()
         return self.commit(

@@ -1958,6 +1958,12 @@ class IcebergLog:
         )
         manifests += self._manifests_of(snap)
         md = {**md, "format-version": 2}
+        # record the keys as a table property (same as the CoW MERGE)
+        # so later keyless DELETE snapshots take the keyed CDC path
+        props = dict(md.get("properties") or {})
+        if props.get(_MERGE_KEYS_PROP) != ",".join(keys):
+            props[_MERGE_KEYS_PROP] = ",".join(keys)
+            md = {**md, "properties": props}
         return self._next_commit(
             md,
             manifests,

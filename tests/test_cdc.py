@@ -281,3 +281,30 @@ def test_iceberg_delete_after_merge_takes_keyed_diff(spark, tmp_path):
     last = md["snapshots"][-1]
     assert last["summary"].get("merge-keys") == "k"
     assert _counts(log.read_changes(spark, s1)) == {"delete": 3}
+
+
+def test_mor_merge_also_records_keys_for_later_deletes(spark, tmp_path):
+    """An MOR-only table (never CoW-merged) still hands its keys to
+    later keyless DELETE commits — both write postures record the
+    merge-key property."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    log = DeltaLog(str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(40)]
+        ).coalesce(1),
+        "append",
+    )
+    log.merge_upsert_mor(
+        spark.createDataFrame([Row(k=5, v="UPD")]), ["k"]
+    )
+    v1 = log.latest_version()
+    log.delete_where(spark, F.col("k") < 3)
+    info = [
+        a["commitInfo"]
+        for a in log._read_commit(log.latest_version())
+        if "commitInfo" in a
+    ][0]
+    assert info["operationParameters"].get("mergeKeys") == "k"
+    assert _counts(log.read_cdf(spark, v1)) == {"delete": 3}
