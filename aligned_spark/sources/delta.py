@@ -253,6 +253,12 @@ class DeltaSource(WritableSource):
         metadata alone."""
         return self._log().detail()
 
+    def maybe_optimize(self, spark: SparkSession, **thresholds) -> bool:
+        """Compact iff merge-on-read state crosses the policy
+        thresholds (metadata-only decision) — the post-ingest hook;
+        see :meth:`DeltaLog.should_compact`."""
+        return self._log().maybe_optimize(spark, **thresholds)
+
     def optimize_zorder(self, spark: SparkSession, columns: list[str]) -> None:
         """Cluster files by (entity, ts) for PIT-join data skipping."""
         if HAS_DELTA and self.log_store is None and not self.merge_on_read:

@@ -261,6 +261,12 @@ class IcebergSource(WritableSource):
         manifests alone."""
         return self._log().detail()
 
+    def maybe_optimize(self, spark: SparkSession, **thresholds) -> bool:
+        """Compact iff merge-on-read state crosses the policy
+        thresholds (metadata-only decision) — the post-ingest hook;
+        see :meth:`IcebergLog.should_compact`."""
+        return self._log().maybe_optimize(spark, **thresholds)
+
     def optimize_zorder(
         self, spark: SparkSession, columns: list[str]
     ) -> None:

@@ -392,3 +392,83 @@ def test_ivm_matches_direct_for_any_op_sequence(
 @pytest.fixture(scope="module")
 def ivm_tmp_dir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("ivmprop"))
+
+
+# -------------------------------------- streaming ingest + IVM (r8)
+
+
+def test_ivm_rides_a_streaming_ingest(spark, tmp_path):
+    """The streaming-pipeline shape: each micro-batch lands in the
+    Delta base, then `refresh()` advances the aggregate — per batch
+    it reads ONLY that batch's CDC slice, and the maintained
+    COUNT/SUM/MIN/MAX equals the direct group-by after every batch
+    and at the end. The txn cursor makes a crashed-and-replayed
+    refresh a no-op."""
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=0, g="a", x=0.0), Row(k=1, g="b", x=1.0)]
+        )
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+        mins=["x"],
+        maxs=["x"],
+    )
+    agg.refresh(spark)
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "40")
+        .load()
+        .selectExpr(
+            "CAST(value + 100 AS BIGINT) AS k",
+            "CASE WHEN value % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+            "CAST(value * 1.5 AS DOUBLE) AS x",
+        )
+    )
+    n_batches = []
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        src.insert(batch_df)
+        agg.refresh(spark)
+        n_batches.append(batch_id)
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        while len(n_batches) < 2 and _t.time() < deadline:
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(n_batches) >= 2, "stream produced too few batches"
+    direct = {
+        r.g: (r.n, r.x, r.mn, r.mx)
+        for r in src.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("x"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    maintained = {
+        r.g: (r.n_rows, r.x, r.min_x, r.max_x)
+        for r in agg.read(spark).collect()
+    }
+    assert maintained == direct
+    # replayed refresh (same base version) is a no-op
+    assert agg.refresh(spark) is None
