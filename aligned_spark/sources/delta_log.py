@@ -1363,6 +1363,7 @@ class DeltaLog:
         keys: list[str],
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """MERGE: whenMatchedUpdateAll + whenNotMatchedInsertAll.
 
@@ -1370,12 +1371,43 @@ class DeltaLog:
         on ``_metadata.file_path`` finds them, their survivors
         (anti-join on the keys) are unioned with ALL source rows and
         rewritten; every untouched part is carried over by doing
-        nothing. Callers must pre-dedup the source on ``keys``."""
+        nothing. Callers must pre-dedup the source on ``keys``.
+
+        Source columns not in the table schema raise unless
+        ``merge_schema=True`` (delta-spark ``schema.autoMerge``),
+        which widens the table schema in the same commit — untouched
+        parts project NULL for the new columns via the explicit
+        reader schema."""
         if not self.exists():
             return self.write(df, "append", partition_by, txn=txn)
         spark = df.sparkSession
         snap = self.snapshot()
         self._enforce_constraints(df, snap)
+        table_schema = snap.schema()
+        evolved: StructType | None = None
+        if table_schema is not None:
+            known = {f.name for f in table_schema.fields}
+            extra = [
+                f.name for f in df.schema.fields if f.name not in known
+            ]
+            if extra and not merge_schema:
+                raise ValueError(
+                    f"MERGE source has columns {extra} not in the "
+                    f"table schema; pass merge_schema=True to evolve "
+                    f"(delta autoMerge semantics)"
+                )
+            if extra:
+                # additive evolution only, and the source must carry
+                # every EXISTING column: updateAll replaces matched
+                # rows whole, so a source missing old columns would
+                # silently null them on update — refuse instead
+                missing = sorted(known - set(df.columns))
+                if missing:
+                    raise ValueError(
+                        f"merge_schema MERGE source must carry every "
+                        f"existing table column; missing: {missing}"
+                    )
+                evolved = merge_schemas(table_schema, df.schema)
         src_keys = df.select(*keys).distinct()
         touched = self._touched_files(
             spark,
@@ -1383,17 +1415,23 @@ class DeltaLog:
             lambda cur: cur.join(src_keys, keys, "left_semi"),
             paths=self._key_range_candidates(snap, src_keys, keys),
         )
-        schema_cols = [f.name for f in snap.schema().fields]
+        schema_cols = [
+            f.name for f in (evolved or snap.schema()).fields
+        ]
         out = df.select(*schema_cols)
         if touched:
             # _scan applies any position deletes on the touched parts
-            # — a CoW rewrite must not resurrect MOR-deleted rows
+            # — a CoW rewrite must not resurrect MOR-deleted rows;
+            # under evolution the survivors project NULL for the new
+            # columns (allowMissingColumns)
             survivors = (
                 self._scan(spark, snap, touched)
-                .select(*schema_cols)
+                .select(*[f.name for f in snap.schema().fields])
                 .join(src_keys, keys, "left_anti")
             )
-            out = survivors.unionByName(out)
+            out = survivors.unionByName(
+                out, allowMissingColumns=evolved is not None
+            )
         adds = self._stage_parts(
             out, partition_by or snap.partition_columns
         )
@@ -1409,14 +1447,20 @@ class DeltaLog:
             for p in touched
         ] + [{"add": a} for a in adds] + self._txn_action(txn)
         actions += self._sidecar_prune_actions(snap, touched)
-        # record the merge keys as a table property too, so later
-        # DELETE/replaceWhere commits (which have no keys of their
-        # own) can take read_cdf's keyed diff path
+        # ONE metaData action folds both possible definition changes:
+        # schema evolution (autoMerge) and the merge-key property
+        # (recorded so later keyless DELETE/replaceWhere commits can
+        # take read_cdf's keyed diff path)
         cfg = dict((snap.metadata or {}).get("configuration", {}) or {})
+        meta_changed = evolved is not None
         if cfg.get(_MERGE_KEYS_PROP) != ",".join(keys):
-            meta = dict(snap.metadata or {})
             cfg[_MERGE_KEYS_PROP] = ",".join(keys)
+            meta_changed = True
+        if meta_changed:
+            meta = dict(snap.metadata or {})
             meta["configuration"] = cfg
+            if evolved is not None:
+                meta["schemaString"] = evolved.json()
             actions.append({"metaData": meta})
         return self.commit(
             actions,

@@ -453,6 +453,10 @@ def test_ivm_rides_a_streaming_ingest(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert len(n_batches) >= 2, "stream produced too few batches"
+    # q.stop() can interrupt a micro-batch between its insert and its
+    # refresh — exactly the crash the cursor exists for: one catch-up
+    # refresh converges (and is a no-op if nothing was interrupted)
+    agg.refresh(spark)
     direct = {
         r.g: (r.n, r.x, r.mn, r.mx)
         for r in src.read(spark)

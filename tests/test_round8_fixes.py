@@ -459,3 +459,52 @@ def test_maybe_optimize_policy(spark, tmp_path, fmt):
     for i in range(8):
         log.delete_where_mor(spark, F.col("k") == 20 + i)
     assert log.should_compact(max_deleted_ratio=0.99)
+
+
+# ------------------------------------ MERGE schema evolution (r8)
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """autoMerge parity: a MERGE source with a NEW column widens the
+    table in the same commit; untouched parts project NULL for it,
+    matched rows take the source values, and a plain MERGE with the
+    evolved schema keeps working."""
+    log = _log(tmp_path)
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(6)]
+        ).coalesce(1),
+        "append",
+    )
+    # separate part that the merge will NOT touch
+    log.write(
+        spark.createDataFrame([Row(k=100, v="far")]), "append"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        log.merge_upsert(
+            spark.createDataFrame([Row(k=1, v="U", w=9)]), ["k"]
+        )
+    with pytest.raises(ValueError, match="every existing"):
+        log.merge_upsert(
+            spark.createDataFrame([Row(k=1, w=9)]),
+            ["k"],
+            merge_schema=True,
+        )
+    log.merge_upsert(
+        spark.createDataFrame([Row(k=1, v="U", w=9)]),
+        ["k"],
+        merge_schema=True,
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in log.read(spark).collect()}
+    assert got[1] == ("U", 9)
+    assert got[0] == ("v0", None)  # rewritten survivor, NULL w
+    assert got[100] == ("far", None)  # untouched part projects NULL
+    # evolved schema is durable: a fresh instance sees it and a
+    # full-width merge keeps working
+    fresh = _log(tmp_path)
+    assert "w" in [f.name for f in fresh.snapshot().schema().fields]
+    fresh.merge_upsert(
+        spark.createDataFrame([Row(k=100, v="FAR", w=7)]), ["k"]
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in fresh.read(spark).collect()}
+    assert got[100] == ("FAR", 7)
