@@ -1703,17 +1703,44 @@ class IcebergLog:
         df: DataFrame,
         keys: list[str],
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """MERGE (copy-on-write): whenMatchedUpdateAll +
         whenNotMatchedInsertAll; only parts containing a matched key
         rewrite — same file-pruned plan as the Delta MERGE. Callers
         pre-dedup the source on ``keys``. ``txn`` as in
-        :meth:`write`."""
+        :meth:`write`.
+
+        Source columns unknown to the table raise unless
+        ``merge_schema=True``, which appends them with fresh field
+        ids in the same snapshot (the spec's evolution rule); the
+        source must then carry every existing column — updateAll
+        replaces matched rows whole, so a partial source would
+        silently null old values."""
         if not self.exists():
             return self.write(df, "append", txn=txn)
         spark = df.sparkSession
         md = self.current_metadata()
         self._enforce_constraints(df, md)
+        evolved_md = _evolve_iceberg_schema(md, df.schema)
+        if evolved_md is not None:
+            if not merge_schema:
+                known = {f["name"] for f in md["schema"]["fields"]}
+                extra = [c for c in df.columns if c not in known]
+                raise ValueError(
+                    f"MERGE source has columns {extra} not in the "
+                    f"table schema; pass merge_schema=True to evolve"
+                )
+            missing = sorted(
+                {f["name"] for f in md["schema"]["fields"]}
+                - set(df.columns)
+            )
+            if missing:
+                raise ValueError(
+                    f"merge_schema MERGE source must carry every "
+                    f"existing table column; missing: {missing}"
+                )
+            md = evolved_md
         view = self._resolve()
         src_keys = df.select(*keys).distinct()
         touched = self._touched_files(
@@ -1724,15 +1751,23 @@ class IcebergLog:
                 md, view, src_keys, keys
             ),
         )
-        cols = [f.name for f in view.schema.fields]
+        cols = (
+            [f["name"] for f in md["schema"]["fields"]]
+            if evolved_md is not None
+            else [f.name for f in view.schema.fields]
+        )
         out = df.select(*cols)
         if touched:
             # _scan applies any position deletes on the touched parts
-            # — a CoW rewrite must not resurrect MOR-deleted rows
+            # — a CoW rewrite must not resurrect MOR-deleted rows;
+            # under evolution the survivors project NULL for the new
+            # columns (allowMissingColumns)
             survivors = self._scan(spark, view, touched).join(
                 src_keys, keys, "left_anti"
             )
-            out = survivors.unionByName(out)
+            out = survivors.unionByName(
+                out, allowMissingColumns=evolved_md is not None
+            )
         # record the keys as a table property too, so later keyless
         # DELETE snapshots can take the keyed CDC diff path
         props = dict(md.get("properties") or {})

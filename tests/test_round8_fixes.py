@@ -508,3 +508,43 @@ def test_merge_schema_evolution(spark, tmp_path):
     )
     got = {r["k"]: (r["v"], r["w"]) for r in fresh.read(spark).collect()}
     assert got[100] == ("FAR", 7)
+
+
+def test_iceberg_merge_schema_evolution(spark, tmp_path):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(str(tmp_path / "ice"))
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(6)]
+        ).coalesce(1),
+        "append",
+    )
+    log.write(spark.createDataFrame([Row(k=100, v="far")]), "append")
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        log.merge_upsert(
+            spark.createDataFrame([Row(k=1, v="U", w=9)]), ["k"]
+        )
+    with pytest.raises(ValueError, match="every existing"):
+        log.merge_upsert(
+            spark.createDataFrame([Row(k=1, w=9)]),
+            ["k"],
+            merge_schema=True,
+        )
+    log.merge_upsert(
+        spark.createDataFrame([Row(k=1, v="U", w=9)]),
+        ["k"],
+        merge_schema=True,
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in log.read(spark).collect()}
+    assert got[1] == ("U", 9)
+    assert got[0] == ("v0", None)
+    assert got[100] == ("far", None)
+    # spec bookkeeping: fresh field id, bumped schema-id, history kept
+    md = log.current_metadata()
+    names = [f["name"] for f in md["schema"]["fields"]]
+    assert names == ["k", "v", "w"]
+    assert md["schema"]["schema-id"] >= 1
+    assert len(md["schemas"]) >= 2
+    w_field = next(f for f in md["schema"]["fields"] if f["name"] == "w")
+    assert w_field["id"] == md["last-column-id"]
