@@ -188,7 +188,10 @@ class DeltaSource(WritableSource):
         else:
             _retrying(
                 lambda: self._log().merge_upsert(
-                    df, keys, self.partition_by
+                    df,
+                    keys,
+                    self.partition_by,
+                    merge_schema=self.merge_schema,
                 )
             )
 

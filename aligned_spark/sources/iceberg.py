@@ -189,7 +189,11 @@ class IcebergSource(WritableSource):
         if self.merge_on_read:
             _retrying(lambda: self._log().merge_upsert_mor(df, keys))
         else:
-            _retrying(lambda: self._log().merge_upsert(df, keys))
+            _retrying(
+                lambda: self._log().merge_upsert(
+                    df, keys, merge_schema=self.merge_schema
+                )
+            )
 
     def overwrite(self, df: DataFrame, predicate: Column | None = None) -> None:
         if self._use_jars(df.sparkSession):
