@@ -93,6 +93,55 @@ class FileStreamSource:
 
 
 @dataclass
+class TableStreamSource:
+    """Streaming tail of one of the engine's Delta/Iceberg tables —
+    ``spark.readStream.format("aligned_table")`` over the commit log
+    (version offsets, per-part read tasks, replay-deterministic; see
+    :mod:`aligned_spark.streaming.table_stream`). The
+    CDC-ingest-to-stream bridge the reference polls for
+    (``aligned/worker.py:150-242``) expressed as a native Structured
+    Streaming source."""
+
+    path: str
+    table_format: str = "delta"  # "delta" | "iceberg"
+    #: delta: first commit version to include, or "latest" to tail
+    starting_version: int | str | None = None
+    #: iceberg: first snapshot id to include, or "latest" to tail
+    starting_snapshot_id: int | str | None = None
+    ignore_changes: bool = False
+    max_files_per_trigger: int | None = None
+    mapping_keys: dict[str, str] = field(default_factory=dict)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        from aligned_spark.streaming.table_stream import register
+
+        register(spark)
+        reader = (
+            spark.readStream.format("aligned_table")
+            .option("path", self.path)
+            .option("format", self.table_format)
+        )
+        if self.starting_version is not None:
+            reader = reader.option(
+                "startingVersion", str(self.starting_version)
+            )
+        if self.starting_snapshot_id is not None:
+            reader = reader.option(
+                "startingSnapshotId", str(self.starting_snapshot_id)
+            )
+        if self.ignore_changes:
+            reader = reader.option("ignoreChanges", "true")
+        if self.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
+        df = reader.load()
+        for old, new in self.mapping_keys.items():
+            df = df.withColumnRenamed(old, new)
+        return df
+
+
+@dataclass
 class RateStreamSource:
     """Deterministic synthetic stream over the built-in rate source —
     the test stand-in for Kafka (same role as the reference's in-memory
