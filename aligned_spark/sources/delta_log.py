@@ -369,6 +369,11 @@ class DeltaLog:
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
+                # bloom sidecar refs (JSON) — must survive
+                # checkpoint-accelerated replay or skipping silently
+                # dies after 10 commits (same class as the
+                # constraints-in-configuration bug)
+                ("bloomJson", pa.string()),
             ]
         )
         meta_t = pa.struct(
@@ -425,6 +430,9 @@ class DeltaLog:
                 "dataChange": False,
                 "stats": json.dumps(add.get("stats"))
                 if add.get("stats")
+                else None,
+                "bloomJson": json.dumps(add["bloomFilters"])
+                if add.get("bloomFilters")
                 else None,
             }
             for add in snap.files.values()
@@ -519,6 +527,10 @@ class DeltaLog:
                 a["partitionValues"] = dict(a.get("partitionValues") or [])
                 if a.get("stats"):
                     a["stats"] = json.loads(a["stats"])
+                if a.pop("bloomJson", None):
+                    a["bloomFilters"] = json.loads(
+                        r["add"]["bloomJson"]
+                    )
                 files[a["path"]] = a
         return meta, files, txns, dels
 
@@ -535,7 +547,7 @@ class DeltaLog:
         readers until their commit lands."""
         from aligned_spark.sources.parts import stage_parquet_parts
 
-        return [
+        adds = [
             {
                 "path": p.path,
                 "partitionValues": p.partition_values,
@@ -548,6 +560,42 @@ class DeltaLog:
                 df, self.table_path, partition_by
             )
         ]
+        self._attach_blooms(df, adds, partition_by)
+        return adds
+
+    def _attach_blooms(
+        self,
+        df: DataFrame,
+        adds: list[dict[str, Any]],
+        partition_by: list[str] | None,
+    ) -> None:
+        """Build bloom sidecars for staged parts when the table has
+        indexed columns (``aligned.bloomFilter`` property). Runs as
+        one distributed job per indexed column over ONLY the staged
+        parts; pre-property parts simply have no sidecar and stay
+        unprunable (sound)."""
+        if not adds or not self.exists():
+            return
+        from aligned_spark.sources.bloom import (
+            attach_blooms,
+            bloom_config_of,
+        )
+
+        cols, fpp = bloom_config_of(self.snapshot().metadata)
+        if not cols:
+            return
+        part_cols = set(partition_by or [])
+        attach_blooms(
+            df.sparkSession,
+            self.table_path,
+            adds,
+            [c for c in cols if c not in part_cols],
+            df.select(
+                *[c for c in df.columns if c not in part_cols]
+            ).schema,
+            len(part_cols),
+            fpp,
+        )
 
     def _metadata_action(
         self, df: DataFrame, partition_by: list[str] | None
@@ -725,6 +773,9 @@ class DeltaLog:
                 for p in paths
                 if _file_may_match(snap.files[p], skipping)
             ]
+            # equality probes additionally consult bloom sidecars —
+            # the pruning min/max can't do on uniform keys
+            paths = self._bloom_prune(spark, snap, paths, skipping)
         schema = snap.schema()
         if not paths:
             if schema is None:
@@ -1128,6 +1179,93 @@ class DeltaLog:
             {"name": name, "expr": expr_sql},
         )
 
+    def set_bloom_filter(
+        self, columns: list[str], fpp: float | None = None
+    ) -> int:
+        """Opt columns into per-part bloom sidecars
+        (``aligned.bloomFilter`` table property; the engine's
+        ``delta.bloomFilter.*`` analogue — see
+        :mod:`aligned_spark.sources.bloom`, incl. the fpp-vs-probe-set
+        sizing math). Applies to parts staged from now on; run
+        :meth:`optimize` afterwards to index existing data
+        (compaction re-stages every part)."""
+        snap = self.snapshot()
+        meta = dict(snap.metadata or {})
+        cfg = dict(meta.get("configuration", {}) or {})
+        from aligned_spark.sources.bloom import BLOOM_PROP
+
+        if columns:
+            spec: dict[str, Any] = {"columns": sorted(columns)}
+            if fpp is not None:
+                spec["fpp"] = fpp
+            cfg[BLOOM_PROP] = json.dumps(spec)
+        else:
+            cfg.pop(BLOOM_PROP, None)
+        meta["configuration"] = cfg
+        return self.commit(
+            [{"metaData": meta}],
+            snap.version + 1,
+            "SET TBLPROPERTIES",
+            {"bloomFilterColumns": json.dumps(sorted(columns))},
+        )
+
+    def _bloom_prune(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        paths: list[str],
+        predicates: list[tuple[str, str, Any]],
+    ) -> list[str]:
+        """Drop candidates whose bloom sidecars PROVE no equality
+        predicate value is present. Probe hashes are computed by the
+        same JVM xxhash64 the build used, with the literal cast to
+        the TABLE column type (a type-mismatched hash would prune
+        unsoundly, so the cast is mandatory, not cosmetic)."""
+        from aligned_spark.sources import bloom as B
+
+        eq = [(c, v) for c, op, v in predicates if op == "="]
+        if not eq or not paths:
+            return paths
+        schema = snap.schema()
+        if schema is None:
+            return paths
+        types = {f.name: f.dataType for f in schema.fields}
+        indexed = [
+            (c, v)
+            for c, v in eq
+            if c in types
+            and any(
+                (a.get("bloomFilters") or {}).get(c)
+                for a in snap.files.values()
+            )
+        ]
+        if not indexed:
+            return paths
+        probe = spark.range(1).select(
+            *[
+                x
+                for c, v in indexed
+                for x in B.hash_pair_lit(c, v, types[c])
+            ]
+        ).first()
+        import numpy as np
+
+        out = []
+        for p in paths:
+            add = snap.files[p]
+            keep = True
+            for i, (c, _) in enumerate(indexed):
+                h1, h2 = probe[2 * i], probe[2 * i + 1]
+                if h1 is None:
+                    continue  # null literal — bloom can't speak
+                pairs = np.array([[h1, h2]], dtype=np.int64)
+                if not B.probe_hashes(self.table_path, add, c, pairs):
+                    keep = False
+                    break
+            if keep:
+                out.append(p)
+        return out
+
     def drop_constraint(self, name: str) -> int:
         snap = self.snapshot()
         meta = dict(snap.metadata or {})
@@ -1339,10 +1477,63 @@ class DeltaLog:
         if lo is None:  # empty or all-null source keys
             return paths
         preds = [(col, ">=", lo), (col, "<=", hi)]
-        return [
+        paths = [
             p
             for p in paths
             if _file_may_match(snap.files[p], preds)
+        ]
+        return self._bloom_key_candidates(snap, src_keys, col, paths)
+
+    def _bloom_key_candidates(
+        self,
+        snap: Snapshot,
+        src_keys: DataFrame,
+        col: str,
+        paths: list[str],
+    ) -> list[str]:
+        """Second discovery stage: probe range-surviving candidates'
+        bloom sidecars with the source's distinct key hashes — the
+        pruning that works when keys are uniform and every part's
+        range overlaps every key. Engages only when (a) the column is
+        bloom-indexed on ≥1 candidate, (b) the source key dtype
+        EQUALS the table dtype (hash compatibility), and (c) the
+        distinct key set fits the driver probe cap; otherwise returns
+        ``paths`` unchanged (sound superset)."""
+        from aligned_spark.sources import bloom as B
+
+        if not paths:
+            return paths
+        have = [
+            p
+            for p in paths
+            if (snap.files[p].get("bloomFilters") or {}).get(col)
+        ]
+        if not have:
+            return paths
+        schema = snap.schema()
+        tbl_type = next(
+            (f.dataType for f in schema.fields if f.name == col), None
+        )
+        src_type = next(
+            (
+                f.dataType
+                for f in src_keys.schema.fields
+                if f.name == col
+            ),
+            None,
+        )
+        if tbl_type is None or src_type != tbl_type:
+            return paths
+        pairs = B.collect_probe_pairs(src_keys.select(col), col)
+        if pairs is None:
+            return paths  # key set over the cap — range-only
+        return [
+            p
+            for p in paths
+            if not (snap.files[p].get("bloomFilters") or {}).get(col)
+            or B.probe_hashes(
+                self.table_path, snap.files[p], col, pairs
+            )
         ]
 
     def _keyed_cdf_params(self, snap: Snapshot) -> dict[str, str]:
@@ -1861,6 +2052,12 @@ class DeltaLog:
         cutoff = time.time() - retention_seconds
         head = self.snapshot()
         live = set(head.files) | set(head.delete_files)
+        # bloom sidecars of live parts are live too
+        live |= {
+            m["path"]
+            for a in head.files.values()
+            for m in (a.get("bloomFilters") or {}).values()
+        }
         doomed: list[str] = []
         for root, dirs, names in os.walk(self.table_path):
             dirs[:] = [
@@ -1869,7 +2066,7 @@ class DeltaLog:
                 if d != "_delta_log" and not d.startswith("_staging-")
             ]
             for name in names:
-                if not name.endswith(".parquet"):
+                if not name.endswith((".parquet", ".bloom")):
                     continue
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.table_path).replace(
