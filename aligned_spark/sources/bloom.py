@@ -194,12 +194,19 @@ def attach_blooms(
     df = reader.parquet(*sorted(paths)).withColumn(
         "__file", DeltaLog._rel_file_col(n_partition_cols)
     )
-    n_by_file = {
-        a["path"]: int(
-            (a.get("stats") or {}).get("numRecords") or 0
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(
+            f"bloom fpp must be in (0, 1), got {fpp!r}"
         )
-        for a in adds
-    }
+    # a part without footer stats gets NO size entry: build_sidecars
+    # then sizes its bloom from the group's row count — an n=0 entry
+    # would emit a saturated 64-bit bloom that never prunes while the
+    # file still counts as indexed
+    n_by_file = {}
+    for a in adds:
+        nr = (a.get("stats") or {}).get("numRecords")
+        if nr:
+            n_by_file[a["path"]] = int(nr)
     for c in cols:
         built = build_sidecars(df, table_path, c, n_by_file, fpp)
         for a in adds:
@@ -277,7 +284,15 @@ def bloom_config_of(
         return [], DEFAULT_FPP
     if isinstance(parsed, dict):
         cols = parsed.get("columns") or []
-        fpp = float(parsed.get("fpp") or DEFAULT_FPP)
+        try:
+            fpp = float(parsed.get("fpp") or DEFAULT_FPP)
+        except (TypeError, ValueError):
+            fpp = DEFAULT_FPP
+        if not 0.0 < fpp < 1.0:
+            # a corrupt property must not crash every write (fpp<=0
+            # is a math domain error in bloom_params) nor silently
+            # emit degenerate 64-bit blooms (fpp>=1)
+            fpp = DEFAULT_FPP
     else:
         cols, fpp = parsed, DEFAULT_FPP
     return [c for c in cols if isinstance(c, str)], fpp

@@ -1189,6 +1189,10 @@ class DeltaLog:
         sizing math). Applies to parts staged from now on; run
         :meth:`optimize` afterwards to index existing data
         (compaction re-stages every part)."""
+        if fpp is not None and not 0.0 < fpp < 1.0:
+            raise ValueError(
+                f"bloom fpp must be in (0, 1), got {fpp!r}"
+            )
         snap = self.snapshot()
         meta = dict(snap.metadata or {})
         cfg = dict(meta.get("configuration", {}) or {})
@@ -2066,7 +2070,12 @@ class DeltaLog:
                 if d != "_delta_log" and not d.startswith("_staging-")
             ]
             for name in names:
-                if not name.endswith((".parquet", ".bloom")):
+                # .inprogress: bloom temp files a dead task left
+                # between open and os.replace — never referenced,
+                # reaped once past the retention window
+                if not name.endswith(
+                    (".parquet", ".bloom", ".bloom.inprogress")
+                ):
                     continue
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.table_path).replace(

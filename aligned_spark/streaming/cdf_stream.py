@@ -1,0 +1,497 @@
+"""Streaming change-data-feed over the engine's Delta commit log —
+``readStream.format("aligned_table").option("readChangeFeed", "true")``,
+the delta-spark ``readChangeFeed`` analog.
+
+Where the plain table stream (:mod:`aligned_spark.streaming
+.table_stream`) raises on MERGE/DELETE/UPDATE commits, this reader
+emits them as ROW-LEVEL changes with public Delta CDF columns
+(``_change_type`` in insert / update_preimage / update_postimage /
+delete, plus ``_commit_version``) — the piece that makes incremental
+view maintenance (:mod:`aligned_spark.operators.incremental`)
+continuous: commit log → CDF stream → ``foreachBatch`` →
+``IncrementalAggregate.apply_changes``. Reference anchor: the stream
+worker's poll-based aggregate-maintenance loop
+(``aligned/worker.py:172-209``); here the poll loop is Structured
+Streaming's trigger machinery with exactly-once replay.
+
+Semantics (matching the batch reconstruction ``DeltaLog.read_cdf`` /
+``sources/cdc.py`` — the stream ≡ batch-CDC parity is
+oracle-verified by the ``stream_table_cdf`` registry query):
+
+- default start = the CURRENT snapshot emitted as ``insert`` rows at
+  the pinned version, then true changes for later commits
+  (delta-spark CDF default);
+- ``startingVersion=N`` = changes from commit N (inclusive);
+- a copy-on-write rewrite does NOT re-emit surviving rows: the
+  removed parts' old content is diffed against the added parts' new
+  content — keyed (the ``mergeKeys`` the commit recorded) as
+  update pre/post pairs, else whole-row multiset difference
+  (delete+insert, still exactly-once);
+- merge-on-read commits emit exactly the rows their new position-
+  delete pairs kill (read at the parent version so already-dead rows
+  can't re-emit) plus their appended parts;
+- compaction (``dataChange=false``) is invisible.
+
+Scale contour: offsets are log versions (driver metadata reads);
+append commits plan ONE TASK PER PART like a batch scan; a rewrite
+commit's diff runs in one task over ONLY its touched parts — the
+right bound for streaming ingest, where commits are micro-batch
+sized. (A giant historical rewrite is a batch problem: backfill with
+``DeltaLog.read_cdf``, which diffs with full cluster parallelism,
+then stream from there. Writers materializing change files at commit
+time — upstream Delta's ``_change_data`` design — are the further
+optimization documented in PERF.md.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql.datasource import InputPartition
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from aligned_spark.streaming.table_stream import (
+    _align_batches,
+    _DeltaStreamReader,
+    _delta_log,
+)
+
+#: CDF column names — public Delta CDF semantics
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def cdf_schema(base: StructType) -> StructType:
+    """The stream's output schema: table columns + CDF columns."""
+    return StructType(
+        [
+            *base.fields,
+            StructField(CHANGE_TYPE_COL, StringType(), False),
+            StructField(COMMIT_VERSION_COL, LongType(), False),
+        ]
+    )
+
+
+class _CdfInsertPart(InputPartition):
+    """One parquet part whose every (live) row is an ``insert`` at
+    ``version`` — append commits and the initial snapshot."""
+
+    def __init__(
+        self,
+        abs_path: str,
+        partition_values: dict[str, Any],
+        base_schema_json: str,
+        version: int,
+        rel_path: str = "",
+        delete_sidecars: tuple = (),
+    ):
+        self.abs_path = abs_path
+        self.partition_values = partition_values
+        self.base_schema_json = base_schema_json
+        self.version = version
+        self.rel_path = rel_path
+        self.delete_sidecars = delete_sidecars
+
+
+class _CdfDiffPart(InputPartition):
+    """One rewrite commit's row-level diff: old side = touched parts
+    at the parent version (parent position deletes applied), new side
+    = touched parts at the commit version. ``files`` entries are
+    ``(abs_path, rel_path, partition_values)``; sidecars are absolute
+    paths of the side's live position-delete files."""
+
+    def __init__(
+        self,
+        old_files: tuple,
+        old_sidecars: tuple,
+        new_files: tuple,
+        new_sidecars: tuple,
+        keys: tuple,
+        base_schema_json: str,
+        version: int,
+    ):
+        self.old_files = old_files
+        self.old_sidecars = old_sidecars
+        self.new_files = new_files
+        self.new_sidecars = new_sidecars
+        self.keys = keys
+        self.base_schema_json = base_schema_json
+        self.version = version
+
+
+# ------------------------------------------------------------------
+# executor-side diff (arrow; one task per rewrite commit)
+# ------------------------------------------------------------------
+
+
+def _side_table(files, sidecars, base_schema_json: str):
+    """All live rows of one side, aligned to the table schema —
+    reuses the stream reader's batch alignment (position deletes
+    applied per file)."""
+    import json
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(base_schema_json))
+    )
+    batches = []
+    for abs_path, rel_path, pvals in files:
+        batches.extend(
+            _align_batches(
+                abs_path,
+                dict(pvals),
+                base_schema_json,
+                rel_path,
+                tuple(sidecars),
+            )
+        )
+    return pa.Table.from_batches(batches, schema=target)
+
+
+def _null_safe_eq(a, b):
+    """Elementwise null-safe (and NaN-safe, matching Spark's
+    ``eqNullSafe``/NaN-equality semantics) comparison → bool array
+    with no nulls. Falls back to python-object comparison for types
+    arrow compute can't equate (nested lists etc.)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+    try:
+        eq = pc.equal(a, b)
+        if pa.types.is_floating(a.type):
+            eq = pc.or_(
+                eq, pc.and_(pc.is_nan(a), pc.is_nan(b))
+            )
+        eq = pc.fill_null(eq, False)
+    except pa.ArrowNotImplementedError:
+        av, bv = a.to_pylist(), b.to_pylist()
+        eq = pa.array(
+            [x == y and x is not None for x, y in zip(av, bv)],
+            type=pa.bool_(),
+        )
+    return pc.or_(eq, both_null)
+
+
+def _keyed_diff(old, new, keys: list[str], cols: list[str]):
+    """Full-outer keyed diff of two arrow tables → list of
+    ``(table_of_base_cols, change_type)`` — update pairs for changed
+    keys, delete for vanished, insert for new; rows whose key AND
+    values survive are excluded (the CDF contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rest = [c for c in cols if c not in keys]
+    ones = pa.array([True] * len(old), type=pa.bool_())
+    o = old.select(keys + rest).rename_columns(
+        keys + [f"{c}__o" for c in rest]
+    ).append_column("__po", ones)
+    n_ones = pa.array([True] * len(new), type=pa.bool_())
+    n = new.select(keys + rest).rename_columns(
+        keys + [f"{c}__n" for c in rest]
+    ).append_column("__pn", n_ones)
+    j = o.join(n, keys=keys, join_type="full outer")
+    po = pc.fill_null(j["__po"], False)
+    pn = pc.fill_null(j["__pn"], False)
+    same = pa.array([True] * len(j), type=pa.bool_())
+    for c in rest:
+        same = pc.and_(
+            same, _null_safe_eq(j[f"{c}__o"], j[f"{c}__n"])
+        )
+    changed = pc.and_(pc.and_(po, pn), pc.invert(same))
+
+    def side(mask, suffix):
+        sub = j.filter(mask)
+        return pa.Table.from_arrays(
+            [
+                sub[c] if c in keys else sub[f"{c}{suffix}"]
+                for c in cols
+            ],
+            names=cols,
+        )
+
+    out = []
+    if pc.any(changed).as_py():
+        out.append((side(changed, "__o"), "update_preimage"))
+        out.append((side(changed, "__n"), "update_postimage"))
+    deleted = pc.and_(po, pc.invert(pn))
+    if pc.any(deleted).as_py():
+        out.append((side(deleted, "__o"), "delete"))
+    inserted = pc.and_(pn, pc.invert(po))
+    if pc.any(inserted).as_py():
+        out.append((side(inserted, "__n"), "insert"))
+    return out
+
+
+def _multiset_diff(old, new, cols: list[str]):
+    """Whole-row multiset difference (``exceptAll`` both ways) for
+    keyless rewrites: updates appear as delete+insert, surviving rows
+    cancel — still exactly-once. Row identity is python-object
+    equality over the aligned arrow values (bit-exact for floats,
+    like Spark's exceptAll)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    def rows(t):
+        pl = [tuple(r[c] for c in cols) for r in t.to_pylist()]
+        return pl
+
+    schema = old.schema
+    co, cn = Counter(rows(old)), Counter(rows(new))
+    out = []
+    for counter, other, ctype in ((co, cn, "delete"), (cn, co, "insert")):
+        surplus = []
+        for row, k in counter.items():
+            extra = k - other.get(row, 0)
+            if extra > 0:
+                surplus.extend([dict(zip(cols, row))] * extra)
+        if surplus:
+            out.append(
+                (pa.Table.from_pylist(surplus, schema=schema), ctype)
+            )
+    return out
+
+
+def _emit_cdf(tables, schema_json: str) -> Iterator[Any]:
+    """Append the CDF columns and cast to the stream's exact arrow
+    schema. ``tables`` is an iterable of
+    ``(base_cols_table, change_type, version)``."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(schema_json))
+    )
+    for tbl, ctype, version in tables:
+        n = tbl.num_rows
+        if not n:
+            continue
+        arrays = []
+        for field in target:
+            if field.name == CHANGE_TYPE_COL:
+                arrays.append(
+                    pa.array([ctype] * n, type=field.type)
+                )
+            elif field.name == COMMIT_VERSION_COL:
+                arrays.append(
+                    pa.array([version] * n, type=field.type)
+                )
+            else:
+                col = tbl.column(field.name)
+                if col.type != field.type:
+                    col = pc.cast(col, field.type)
+                arrays.append(col)
+        yield from pa.Table.from_arrays(
+            arrays, schema=target
+        ).to_batches()
+
+
+class DeltaCdfStreamReader(_DeltaStreamReader):
+    """Streaming CDF reader. Offset machinery (version offsets,
+    default-snapshot pinning, ``maxFilesPerTrigger`` admission)
+    inherits from the plain reader; only planning and reading
+    change."""
+
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        super().__init__(schema, options)
+        # the stream schema is the CDF schema; sides align to the
+        # BASE table schema
+        base = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name
+                not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+            ]
+        )
+        self._base_json = base.json()
+
+    # ---------------------------------------------------- planning
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        from aligned_spark.sources.delta_log import Snapshot
+
+        log = _delta_log(self._path)
+        self._last_end = dict(end)
+        parts: list[InputPartition] = []
+        if "snap_v" in end:
+            same_snap = start.get("snap_v") == end["snap_v"]
+            s_idx = int(start.get("idx", 0)) if same_snap else 0
+            e_idx = int(end.get("idx", 0))
+            if e_idx > s_idx:
+                _, files, snap = self._snapshot_plan(
+                    log, end["snap_v"]
+                )
+                sidecars = tuple(
+                    os.path.join(self._path, p)
+                    for p in sorted(snap.delete_files)
+                )
+                for rel in files[s_idx:e_idx]:
+                    add = snap.files[rel]
+                    parts.append(
+                        _CdfInsertPart(
+                            os.path.join(self._path, rel),
+                            dict(add.get("partitionValues") or {}),
+                            self._base_json,
+                            int(end["snap_v"]),
+                            rel_path=rel,
+                            delete_sidecars=sidecars,
+                        )
+                    )
+        start_v, end_v = int(start["version"]), int(end["version"])
+        if end_v <= start_v:
+            return parts
+        # incremental snapshot walk — same single replay rule as
+        # DeltaLog.read_cdf, O(V) for the trigger's version range
+        prev = log.snapshot(start_v)
+        for v in range(start_v + 1, end_v + 1):
+            actions = log._read_commit(v)
+            cur = Snapshot(
+                version=v,
+                metadata=prev.metadata,
+                files=dict(prev.files),
+                txns=dict(prev.txns),
+                delete_files=dict(prev.delete_files),
+            )
+            log._apply_commit(cur, actions)
+            adds: list[dict] = []
+            removes: list[str] = []
+            del_adds: list[str] = []
+            del_drops: list[str] = []
+            keys: list[str] = []
+            for action in actions:
+                if "commitInfo" in action:
+                    mk = (
+                        action["commitInfo"]
+                        .get("operationParameters", {})
+                        .get("mergeKeys")
+                    )
+                    if mk:
+                        keys = mk.split(",")
+                elif "deleteFile" in action:
+                    if action["deleteFile"].get("add", True):
+                        del_adds.append(action["deleteFile"]["path"])
+                    else:
+                        del_drops.append(action["deleteFile"]["path"])
+                elif "add" in action:
+                    if action["add"].get("dataChange", True):
+                        adds.append(action["add"])
+                elif "remove" in action:
+                    if action["remove"].get("dataChange", True):
+                        removes.append(action["remove"]["path"])
+            # only refs still LIVE after the commit change rows: a
+            # dropped sidecar whose data file is gone (compaction
+            # materialized the deletes) is pure metadata — same rule
+            # as DeltaLog.read_cdf
+            touched_refs = (
+                {
+                    r
+                    for r in log._sidecar_refs(del_adds + del_drops)
+                    if r in cur.files
+                }
+                if (del_adds or del_drops)
+                else set()
+            )
+            if not removes and not del_adds and not touched_refs:
+                # pure append: per-part insert tasks, batch-scan-like
+                for add in adds:
+                    parts.append(
+                        _CdfInsertPart(
+                            os.path.join(self._path, add["path"]),
+                            dict(add.get("partitionValues") or {}),
+                            self._base_json,
+                            v,
+                        )
+                    )
+                prev = cur
+                continue
+            old_files = sorted(
+                (set(removes) | touched_refs) & set(prev.files)
+            )
+            new_files = sorted(
+                ({a["path"] for a in adds} | touched_refs)
+                & set(cur.files)
+            )
+
+            def spec(snap: Snapshot, rels: list[str]) -> tuple:
+                return (
+                    tuple(
+                        (
+                            os.path.join(self._path, r),
+                            r,
+                            dict(
+                                snap.files[r].get("partitionValues")
+                                or {}
+                            ),
+                        )
+                        for r in rels
+                    ),
+                    tuple(
+                        os.path.join(self._path, p)
+                        for p in sorted(snap.delete_files)
+                    ),
+                )
+
+            of, osc = spec(prev, old_files)
+            nf, nsc = spec(cur, new_files)
+            parts.append(
+                _CdfDiffPart(
+                    of,
+                    osc,
+                    nf,
+                    nsc,
+                    tuple(keys),
+                    self._base_json,
+                    v,
+                )
+            )
+            prev = cur
+        return parts
+
+    # ---------------------------------------------------- reading
+    def read(self, partition) -> Iterator[Any]:
+        import json
+
+        if isinstance(partition, _CdfInsertPart):
+            import pyarrow as pa
+
+            base_batches = _align_batches(
+                partition.abs_path,
+                partition.partition_values,
+                partition.base_schema_json,
+                partition.rel_path,
+                partition.delete_sidecars,
+            )
+            tbl = None
+            for rb in base_batches:
+                tbl = pa.Table.from_batches([rb])
+                yield from _emit_cdf(
+                    [(tbl, "insert", partition.version)],
+                    self._schema_json,
+                )
+            return
+        p: _CdfDiffPart = partition
+        base = StructType.fromJson(json.loads(p.base_schema_json))
+        cols = [f.name for f in base.fields]
+        old = _side_table(p.old_files, p.old_sidecars, p.base_schema_json)
+        new = _side_table(p.new_files, p.new_sidecars, p.base_schema_json)
+        keys = [k for k in p.keys]
+        rest = [c for c in cols if c not in keys]
+        if keys and rest:
+            pieces = _keyed_diff(old, new, keys, cols)
+        else:
+            pieces = _multiset_diff(old, new, cols)
+        yield from _emit_cdf(
+            ((t, ctype, p.version) for t, ctype in pieces),
+            self._schema_json,
+        )

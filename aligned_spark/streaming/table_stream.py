@@ -23,16 +23,27 @@ Scale design:
   (exactly-once with the engine's idempotent sinks,
   ``streaming/sinks.py``).
 - **Admission control**: ``max_files_per_trigger`` caps each
-  micro-batch at version granularity (≥1 version per trigger so the
-  stream always advances).
+  micro-batch, including while serving the initial snapshot (≥1
+  file / ≥1 version per trigger so the stream always advances).
 
-Semantics match delta-spark's streaming source: append commits only;
-a commit that removes or rewrites live rows (MERGE/DELETE/UPDATE,
-copy-on-write or merge-on-read) raises unless ``ignoreChanges`` is
-set, in which case its re-added rows are emitted (consumers dedup on
-keys — documented delta behavior). Compaction commits
-(``dataChange=false`` / Iceberg ``replace``) are invisible, as they
-change no rows.
+Semantics match delta-spark's streaming source:
+
+- **Default start = the current snapshot, then tail.** With no
+  ``startingVersion`` the first micro-batch(es) serve the table's
+  LIVE rows at stream start (merge-on-read position deletes
+  applied), and only commits AFTER that snapshot are tailed — so a
+  table with a historical overwrite/MERGE/DELETE streams fine at
+  defaults. ``startingVersion=0`` explicitly replays the full
+  history; ``startingVersion=latest`` skips existing rows and
+  tails.
+- While tailing, append commits only: a commit that removes or
+  rewrites live rows (MERGE/DELETE/UPDATE, copy-on-write or
+  merge-on-read) raises unless ``ignoreChanges`` is set, in which
+  case its re-added rows are emitted (consumers dedup on keys —
+  documented delta behavior). For true row-level change streaming
+  use ``readChangeFeed`` (:mod:`aligned_spark.streaming.cdf_stream`).
+- Compaction commits (``dataChange=false`` / Iceberg ``replace``)
+  are invisible, as they change no rows.
 """
 
 from __future__ import annotations
@@ -56,11 +67,16 @@ FORMAT_NAME = "aligned_table"
 class _PartFile(InputPartition):
     """One parquet part of a micro-batch. ``partition_values`` carries
     hive partition-column values (absent from the file itself);
-    ``schema_json`` is the stream's output StructType."""
+    ``schema_json`` is the stream's output StructType. Initial-snapshot
+    parts of a merge-on-read table additionally carry ``rel_path`` and
+    the snapshot's position-delete sidecars (absolute paths) so the
+    executor can drop dead rows."""
 
     abs_path: str
     partition_values: dict[str, Any]
     schema_json: str
+    rel_path: str = ""
+    delete_sidecars: tuple = ()
 
 
 def _delta_log(path: str):
@@ -75,15 +91,41 @@ def _iceberg_log(path: str):
     return IcebergLog(path)
 
 
+def _dead_positions(
+    sidecars: Sequence[str], rel_path: str
+) -> "set[int]":
+    """Row positions of ``rel_path`` killed by the given position-
+    delete sidecar files — executor-side, reads only the (small)
+    sidecars' two columns."""
+    import pyarrow.parquet as pq
+
+    dead: set[int] = set()
+    for p in sidecars:
+        try:
+            t = pq.read_table(p, columns=["file_path", "pos"])
+        except (OSError, KeyError):  # pragma: no cover - corrupt
+            continue
+        import pyarrow.compute as pc
+
+        mask = pc.equal(t["file_path"], rel_path)
+        dead.update(t.filter(mask)["pos"].to_pylist())
+    return dead
+
+
 def _align_batches(
     abs_path: str,
     partition_values: dict[str, Any],
     schema_json: str,
+    rel_path: str = "",
+    delete_sidecars: Sequence[str] = (),
 ) -> Iterator[Any]:
     """Executor-side: stream a parquet part as arrow batches aligned
     to the table schema — missing (schema-evolved) columns project
     null, partition columns materialize from the log's metadata, and
-    everything casts to the exact arrow types Spark expects."""
+    everything casts to the exact arrow types Spark expects. When
+    ``delete_sidecars`` is given, rows at positions the sidecars kill
+    for ``rel_path`` are dropped (merge-on-read snapshot read)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -93,12 +135,30 @@ def _align_batches(
     spark_schema = StructType.fromJson(json.loads(schema_json))
     target = to_arrow_schema(spark_schema)
 
+    dead = (
+        _dead_positions(delete_sidecars, rel_path)
+        if delete_sidecars
+        else set()
+    )
+    dead_arr = (
+        np.fromiter(dead, dtype=np.int64) if dead else None
+    )
+
     pf = pq.ParquetFile(abs_path)
     present = set(pf.schema_arrow.names)
     read_cols = [n for n in target.names if n in present]
+    offset = 0
     for rb in pf.iter_batches(columns=read_cols):
         n = rb.num_rows
         tbl = pa.Table.from_batches([rb])
+        if dead_arr is not None:
+            keep = ~np.isin(
+                np.arange(offset, offset + n, dtype=np.int64),
+                dead_arr,
+            )
+            tbl = tbl.filter(pa.array(keep))
+        offset += n
+        m = tbl.num_rows
         arrays = []
         for field in target:
             if field.name in present:
@@ -108,13 +168,13 @@ def _align_batches(
             elif field.name in partition_values:
                 v = partition_values[field.name]
                 if v is None:
-                    arr = pa.nulls(n, field.type)
+                    arr = pa.nulls(m, field.type)
                 else:
                     # delta partitionValues are hive strings; iceberg
                     # manifest values are native — cast handles both
-                    arr = pc.cast(pa.array([v] * n), field.type)
+                    arr = pc.cast(pa.array([v] * m), field.type)
             else:
-                arr = pa.nulls(n, field.type)
+                arr = pa.nulls(m, field.type)
             arrays.append(arr)
         out = pa.Table.from_arrays(arrays, schema=target)
         yield from out.to_batches()
@@ -122,8 +182,12 @@ def _align_batches(
 
 class _DeltaStreamReader(DataSourceStreamReader):
     """Offsets: ``{"version": v}`` — last commit version PLANNED
-    (inclusive). All methods here run driver-side; only
-    :meth:`read` runs on executors."""
+    (inclusive). A default-start (snapshot-first) stream adds
+    ``{"snap_v": v0, "idx": k}``: the initial snapshot is pinned at
+    version ``v0`` and ``k`` of its (sorted) live files have been
+    planned; tailing resumes at ``v0 + 1`` once ``k`` reaches the
+    file count. All methods here run driver-side; only :meth:`read`
+    runs on executors."""
 
     def __init__(self, schema: StructType, options: dict[str, str]):
         self._path = options["path"]
@@ -133,30 +197,78 @@ class _DeltaStreamReader(DataSourceStreamReader):
         )
         mft = options.get("maxfilespertrigger")
         self._max_files = int(mft) if mft else None
-        self._starting = options.get("startingversion", "0")
-        self._last_end: int | None = None
+        self._starting = options.get("startingversion")
+        self._last_end: dict | None = None
+        #: (v0, sorted live rel paths, snapshot) — driver-side memo of
+        #: the pinned initial snapshot; deterministic from the
+        #: immutable log, so replay re-plans the same slices
+        self._snap_cache: tuple | None = None
 
     # -------------------------------------------------- offsets
     def initialOffset(self) -> dict:
         log = _delta_log(self._path)
-        if str(self._starting).lower() == "latest":
-            return {"version": log.latest_version()}
-        return {"version": int(self._starting) - 1}
+        if self._starting is None:
+            # delta-spark default: serve the CURRENT snapshot as the
+            # initial batch(es), then tail commits after it
+            v0 = log.latest_version()
+            off = {"version": v0, "snap_v": v0, "idx": 0}
+        elif str(self._starting).lower() == "latest":
+            off = {"version": log.latest_version()}
+        else:
+            off = {"version": int(self._starting) - 1}
+        if self._last_end is None:
+            # seed the throttle state so the FIRST latestOffset of a
+            # fresh query applies admission control to the initial
+            # backlog; never clobber progression partitions() seeded
+            self._last_end = dict(off)
+        return off
+
+    def _snapshot_plan(self, log: Any, v0: int) -> tuple:
+        if self._snap_cache is None or self._snap_cache[0] != v0:
+            snap = log.snapshot(v0)
+            self._snap_cache = (v0, sorted(snap.files), snap)
+        return self._snap_cache
 
     def latestOffset(self) -> dict:
         log = _delta_log(self._path)
         latest = log.latest_version()
-        if self._max_files is not None and self._last_end is not None:
-            v, budget = self._last_end, self._max_files
-            while v < latest:
-                n_files = len(self._commit_adds(log, v + 1)[0])
-                if n_files > budget and v > self._last_end:
-                    break
+        last = self._last_end
+        if last is None:
+            # Spark calls latestOffset BEFORE initialOffset on a
+            # fresh query (observed runner order), and restarts
+            # re-plan the last batch via partitions() first — so a
+            # None state here always means fresh-query semantics
+            last = self.initialOffset()
+        end = dict(last)
+        budget = self._max_files
+        if "snap_v" in end:
+            _, files, _ = self._snapshot_plan(log, end["snap_v"])
+            n = len(files)
+            if end["idx"] < n:
+                want = n - end["idx"]
+                take = want if budget is None else max(
+                    1, min(budget, want)
+                )
+                end["idx"] += take
+                if budget is not None:
+                    budget -= take
+                    if end["idx"] < n or budget <= 0:
+                        self._last_end = end
+                        return dict(end)
+        v = end["version"]
+        first = v
+        while v < latest:
+            n_files = len(self._commit_adds(log, v + 1)[0])
+            if budget is not None and n_files > budget and v > first:
+                break
+            v += 1
+            if budget is not None:
                 budget -= n_files
-                v += 1
-            latest = v
-        self._last_end = latest
-        return {"version": latest}
+                if budget <= 0:
+                    break
+        end["version"] = v
+        self._last_end = end
+        return dict(end)
 
     # -------------------------------------------------- planning
     def _commit_adds(
@@ -182,8 +294,31 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         log = _delta_log(self._path)
-        self._last_end = int(end["version"])
+        self._last_end = dict(end)
         parts: list[InputPartition] = []
+        if "snap_v" in end:
+            same_snap = start.get("snap_v") == end["snap_v"]
+            s_idx = int(start.get("idx", 0)) if same_snap else 0
+            e_idx = int(end.get("idx", 0))
+            if e_idx > s_idx:
+                _, files, snap = self._snapshot_plan(
+                    log, end["snap_v"]
+                )
+                sidecars = tuple(
+                    os.path.join(self._path, p)
+                    for p in sorted(snap.delete_files)
+                )
+                for rel in files[s_idx:e_idx]:
+                    add = snap.files[rel]
+                    parts.append(
+                        _PartFile(
+                            os.path.join(self._path, rel),
+                            dict(add.get("partitionValues") or {}),
+                            self._schema_json,
+                            rel_path=rel,
+                            delete_sidecars=sidecars,
+                        )
+                    )
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             adds, changes = self._commit_adds(log, v)
             if changes and not self._ignore_changes:
@@ -192,7 +327,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     "deletes existing rows; streaming reads require "
                     "append-only commits. Set ignoreChanges=true to "
                     "receive re-added rows instead (dedup on keys "
-                    "downstream)."
+                    "downstream), or stream the change feed with "
+                    "readChangeFeed=true."
                 )
             for add in adds:
                 parts.append(
@@ -210,6 +346,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
             partition.abs_path,
             partition.partition_values,
             partition.schema_json,
+            partition.rel_path,
+            partition.delete_sidecars,
         )
 
     def commit(self, end: dict) -> None:
@@ -218,9 +356,12 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
 class _IcebergStreamReader(DataSourceStreamReader):
     """Offsets: ``{"snapshot_id": id}`` (0 = before the first
-    snapshot). A consumed snapshot that was since expired raises —
-    the consumer's history is gone, same failure mode as Iceberg's
-    own streaming read."""
+    snapshot). Default start mirrors the delta reader: the CURRENT
+    snapshot's live files (position deletes applied) are the initial
+    batch (``{"snap_v": id, "idx": 0|1}`` — one slice, no iceberg
+    throttle option), then later snapshots are tailed. A consumed
+    snapshot that was since expired raises — the consumer's history
+    is gone, same failure mode as Iceberg's own streaming read."""
 
     def __init__(self, schema: StructType, options: dict[str, str]):
         self._path = options["path"]
@@ -229,25 +370,47 @@ class _IcebergStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self._starting = options.get("startingsnapshotid")
+        self._last_end: dict | None = None
 
     def initialOffset(self) -> dict:
         log = _iceberg_log(self._path)
         ids = log.snapshot_ids()
         if self._starting is None:
-            return {"snapshot_id": 0}
-        if str(self._starting).lower() == "latest":
-            return {"snapshot_id": ids[-1] if ids else 0}
-        sid = int(self._starting)
-        if sid not in ids:
-            raise ValueError(f"unknown starting snapshot id {sid}")
-        # startingSnapshotId is INCLUSIVE (iceberg convention): the
-        # offset is the snapshot before it
-        i = ids.index(sid)
-        return {"snapshot_id": ids[i - 1] if i else 0}
+            cur = ids[-1] if ids else 0
+            off = (
+                {"snapshot_id": cur, "snap_v": cur, "idx": 0}
+                if cur
+                else {"snapshot_id": 0}
+            )
+        elif str(self._starting).lower() == "latest":
+            off = {"snapshot_id": ids[-1] if ids else 0}
+        else:
+            sid = int(self._starting)
+            if sid not in ids:
+                raise ValueError(
+                    f"unknown starting snapshot id {sid}"
+                )
+            # startingSnapshotId is INCLUSIVE (iceberg convention):
+            # the offset is the snapshot before it
+            i = ids.index(sid)
+            off = {"snapshot_id": ids[i - 1] if i else 0}
+        if self._last_end is None:
+            self._last_end = dict(off)
+        return off
 
     def latestOffset(self) -> dict:
         ids = _iceberg_log(self._path).snapshot_ids()
-        return {"snapshot_id": ids[-1] if ids else 0}
+        last = self._last_end
+        if last is None:
+            # same runner-order rule as the delta reader: None state
+            # = fresh query; restarts re-seed via partitions()
+            last = self.initialOffset()
+        end = dict(last)
+        end["snapshot_id"] = ids[-1] if ids else 0
+        if "snap_v" in end:
+            end["idx"] = 1  # single snapshot slice (no throttle opt)
+        self._last_end = end
+        return dict(end)
 
     def _range(self, log: Any, start_id: int, end_id: int) -> list[dict]:
         md = log.current_metadata()
@@ -275,9 +438,32 @@ class _IcebergStreamReader(DataSourceStreamReader):
         from aligned_spark.sources.iceberg_log import ADDED
 
         log = _iceberg_log(self._path)
+        self._last_end = dict(end)
         parts: list[InputPartition] = []
+        tail_from = int(start["snapshot_id"])
+        if "snap_v" in end:
+            same = start.get("snap_v") == end["snap_v"]
+            s_idx = int(start.get("idx", 0)) if same else 0
+            if int(end.get("idx", 0)) > s_idx:
+                view = log._resolve(end["snap_v"])
+                sidecars = tuple(
+                    os.path.join(self._path, p)
+                    for p in sorted(view.delete_files)
+                )
+                for rel in sorted(view.files):
+                    rec = view.files[rel]
+                    parts.append(
+                        _PartFile(
+                            os.path.join(self._path, rel),
+                            dict(rec.get("partition") or {}),
+                            self._schema_json,
+                            rel_path=rel,
+                            delete_sidecars=sidecars,
+                        )
+                    )
+            tail_from = int(end["snap_v"])
         for snap in self._range(
-            log, int(start["snapshot_id"]), int(end["snapshot_id"])
+            log, tail_from, int(end["snapshot_id"])
         ):
             op = snap.get("summary", {}).get("operation")
             if op == "replace":  # compaction: no row changes
@@ -320,6 +506,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
             partition.abs_path,
             partition.partition_values,
             partition.schema_json,
+            partition.rel_path,
+            partition.delete_sidecars,
         )
 
     def commit(self, end: dict) -> None:
@@ -331,9 +519,12 @@ class TableStreamDataSource(DataSource):
     engine's Delta/Iceberg logs.
 
     Options: ``path`` (table root, required), ``format`` ("delta"
-    default | "iceberg"), ``startingVersion`` (delta: int | "latest"),
-    ``startingSnapshotId`` (iceberg: int, inclusive | "latest"),
-    ``ignoreChanges``, ``maxFilesPerTrigger`` (delta)."""
+    default | "iceberg"), ``startingVersion`` (delta: int | "latest";
+    unset = current snapshot first, then tail), ``startingSnapshotId``
+    (iceberg: int, inclusive | "latest"; unset = current snapshot
+    first), ``ignoreChanges``, ``maxFilesPerTrigger`` (delta),
+    ``readChangeFeed`` (delta: stream row-level changes with
+    ``_change_type``/``_commit_version`` columns)."""
 
     @classmethod
     def name(cls) -> str:
@@ -341,6 +532,11 @@ class TableStreamDataSource(DataSource):
 
     def _opts(self) -> dict[str, str]:
         return {str(k).lower(): v for k, v in self.options.items()}
+
+    def _cdf(self, opts: dict[str, str]) -> bool:
+        return (
+            str(opts.get("readchangefeed", "false")).lower() == "true"
+        )
 
     def schema(self) -> StructType:
         opts = self._opts()
@@ -352,6 +548,12 @@ class TableStreamDataSource(DataSource):
             schema = _delta_log(path).snapshot().schema()
             if schema is None:
                 raise ValueError(f"Delta table has no metaData: {path}")
+            if self._cdf(opts):
+                from aligned_spark.streaming.cdf_stream import (
+                    cdf_schema,
+                )
+
+                return cdf_schema(schema)
             return schema
         if fmt == "iceberg":
             from aligned_spark.sources.iceberg_log import _schema_to_spark
@@ -369,8 +571,19 @@ class TableStreamDataSource(DataSource):
         opts = self._opts()
         fmt = opts.get("format", "delta").lower()
         if fmt == "delta":
+            if self._cdf(opts):
+                from aligned_spark.streaming.cdf_stream import (
+                    DeltaCdfStreamReader,
+                )
+
+                return DeltaCdfStreamReader(schema, opts)
             return _DeltaStreamReader(schema, opts)
         if fmt == "iceberg":
+            if self._cdf(opts):
+                raise ValueError(
+                    "readChangeFeed streaming is delta-only; use "
+                    "IcebergSource.read_changes for batch CDC"
+                )
             return _IcebergStreamReader(schema, opts)
         raise ValueError(f"unknown table format {fmt!r}")
 

@@ -71,7 +71,12 @@ def test_delta_change_commit_raises_then_ignore_changes(spark, tmp_path):
         spark.createDataFrame([(3, 99)], "id long, v long"), ["id"]
     )
 
-    src = TableStreamSource(path=tbl, table_format="delta")
+    # explicit full-history replay (startingVersion=0) hits the MERGE
+    # commit and fails fast; the DEFAULT start (current snapshot)
+    # would serve the post-merge rows without replaying the rewrite
+    src = TableStreamSource(
+        path=tbl, table_format="delta", starting_version=0
+    )
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     q = (
         src.read_stream(spark)
@@ -85,7 +90,10 @@ def test_delta_change_commit_raises_then_ignore_changes(spark, tmp_path):
     q.stop()
 
     src2 = TableStreamSource(
-        path=tbl, table_format="delta", ignore_changes=True
+        path=tbl,
+        table_format="delta",
+        starting_version=0,
+        ignore_changes=True,
     )
     out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
     _drain(src2.read_stream(spark), out2, ckpt2)
