@@ -7998,6 +7998,55 @@ def _source_delta_cdf_replace(spark, sf_dir):
     )
 
 
+@q("stream_table_cdf", _CDF_CHANGES_SQL)
+def _stream_table_cdf(spark, sf_dir):
+    """STREAMING change-data-feed (`streaming/cdf_stream.py`,
+    round-9): the write/MERGE/DELETE sequence tailed through
+    ``readStream.format("aligned_table").option("readChangeFeed")``
+    — delta-spark's streaming CDF analog, version offsets, one diff
+    task per rewrite commit over only its touched parts — drained to
+    a sink must equal the same relational replay the batch
+    ``read_cdf`` oracle checks: stream ≡ batch-CDC parity. This is
+    the piece that makes IVM continuous (commit log → CDF stream →
+    ``IncrementalAggregate.apply_changes`` in foreachBatch; e2e
+    pinned in tests/test_cdf_stream.py). Reference anchor: the
+    worker's poll-based maintenance loop (aligned/worker.py:172-209)
+    expressed as Structured Streaming."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.streaming.table_stream import (  # noqa: PLC0415
+        register,
+    )
+
+    log = _delta_orders_table(spark, sf_dir)
+    register(spark)
+    sdf = (
+        spark.readStream.format("aligned_table")
+        .option("path", log.table_path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    tmp = tempfile.mkdtemp(prefix="aligned_cdf_stream_")
+    out = os.path.join(tmp, "sink")
+    query = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        query.awaitTermination()
+    changes = spark.read.schema(sdf.schema).parquet(out)
+    return _cdf_project(changes, F.col("_commit_version"))
+
+
 @q("source_iceberg_cdf", _CDF_CHANGES_SQL)
 def _source_iceberg_cdf(spark, sf_dir):
     """Iceberg twin of the change feed (`IcebergLog.read_changes`):

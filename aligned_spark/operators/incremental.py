@@ -148,8 +148,87 @@ class IncrementalAggregate:
             return current
         # bounded slice (cursor, current] — commits racing in after
         # version() belong to the NEXT refresh
-        deltas = change_deltas(
+        self._apply_slice(
+            spark,
             self.source.read_changes(spark, cursor, current),
+            pin=current,
+            txn_version=current,
+        )
+        return current
+
+    def apply_changes(
+        self, spark: SparkSession, changes: DataFrame
+    ) -> int | None:
+        """Fold one CDC slice carrying ``_change_type`` /
+        ``_commit_version`` columns — the ``foreachBatch`` body that
+        makes IVM CONTINUOUS over a ``readChangeFeed`` stream
+        (:mod:`aligned_spark.streaming.cdf_stream`): commit log →
+        change stream → this method, one micro-batch at a time.
+
+        Exactly-once: the cursor is the slice's max
+        ``_commit_version``, recorded as a ``txn`` atomically with
+        the merged deltas — a checkpoint-replayed micro-batch finds
+        the cursor already advanced and no-ops (micro-batch version
+        ranges never overlap, so max-version is a faithful cursor,
+        interchangeable with :meth:`refresh`'s). The first slice of a
+        default-start stream (the initial snapshot as inserts)
+        becomes the aggregate's full build; a delete arriving before
+        any build is an error (nothing to subtract from).
+
+        Returns the new cursor, or None for an empty/replayed
+        slice."""
+        row = changes.agg(
+            F.max("_commit_version").alias("v")
+        ).first()
+        vmax = row["v"]
+        if vmax is None:
+            return None  # empty micro-batch
+        vmax = int(vmax)
+        cursor = self.last_applied()
+        if cursor is not None and vmax <= cursor:
+            return None  # checkpoint replay of a committed batch
+        log = self._target()
+        if cursor is None:
+            ins = F.col("_change_type").isin(
+                "insert", "update_postimage"
+            )
+            if not changes.filter(~ins).isEmpty():
+                raise ValueError(
+                    "first CDC slice must be insert-only (no "
+                    "aggregate exists to subtract from) — start the "
+                    "change stream at the current snapshot (default) "
+                    "or refresh() once before streaming"
+                )
+            full = changes.groupBy(*self.group_keys).agg(
+                F.count(F.lit(1)).alias(COUNT_COL),
+                *[F.sum(c).alias(c) for c in self.sums],
+                *[F.min(c).alias(f"__min_{c}") for c in self.mins],
+                *[F.max(c).alias(f"__max_{c}") for c in self.maxs],
+            )
+            self._reject_null_keys(full)
+            log.write(full, "append", txn=(self.app_id, vmax))
+            return vmax
+        self._apply_slice(
+            spark, changes, pin=vmax, txn_version=vmax
+        )
+        return vmax
+
+    def _apply_slice(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        pin,
+        txn_version,
+    ) -> None:
+        """Merge one CDC slice into the existing aggregate (shared by
+        the poll-based :meth:`refresh` and the streaming
+        :meth:`apply_changes`): signed per-group deltas, semi-
+        filtered outer join, hybrid MIN/MAX with touched-group
+        recompute pinned at ``pin``, cursor ``txn_version`` riding
+        the MERGE commit."""
+        log = self._target()
+        deltas = change_deltas(
+            changes,
             self.group_keys,
             self.sums,
             self.mins,
@@ -225,11 +304,13 @@ class IncrementalAggregate:
                 .persist()
             )
             final = self._apply_extrema_recompute(
-                spark, merged, current
+                spark, merged, pin
             )
             # cursor rides the MERGE commit: data+watermark atomic
             log.merge_upsert(
-                final, self.group_keys, txn=(self.app_id, current)
+                final,
+                self.group_keys,
+                txn=(self.app_id, txn_version),
             )
             # opportunistic tombstone of emptied groups — idempotent
             # and safe to lose (read() filters __n = 0 regardless)
@@ -238,7 +319,6 @@ class IncrementalAggregate:
             merged.unpersist()
         finally:
             deltas.unpersist()
-        return current
 
     def _apply_extrema_recompute(
         self, spark: SparkSession, merged: DataFrame, current

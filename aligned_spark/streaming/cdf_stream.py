@@ -353,7 +353,14 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
             return parts
         # incremental snapshot walk — same single replay rule as
         # DeltaLog.read_cdf, O(V) for the trigger's version range
-        prev = log.snapshot(start_v)
+        # (startingVersion=0 streams from before the first commit)
+        prev = (
+            log.snapshot(start_v)
+            if start_v >= 0
+            else Snapshot(
+                version=-1, metadata=None, files={}, txns={}
+            )
+        )
         for v in range(start_v + 1, end_v + 1):
             actions = log._read_commit(v)
             cur = Snapshot(

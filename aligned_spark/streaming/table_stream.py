@@ -556,6 +556,11 @@ class TableStreamDataSource(DataSource):
                 return cdf_schema(schema)
             return schema
         if fmt == "iceberg":
+            if self._cdf(opts):
+                raise ValueError(
+                    "readChangeFeed streaming is delta-only; use "
+                    "IcebergSource.read_changes for batch CDC"
+                )
             from aligned_spark.sources.iceberg_log import _schema_to_spark
 
             log = _iceberg_log(path)

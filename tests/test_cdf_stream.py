@@ -1,0 +1,320 @@
+"""Streaming change-data-feed (`streaming/cdf_stream.py`) —
+``readChangeFeed`` on the native ``aligned_table`` source.
+
+The contract under test is STREAM ≡ BATCH-CDC: draining the change
+stream over any commit sequence must produce exactly
+``DeltaLog.read_cdf`` of the same version range (the oracle-verified
+batch reconstruction), with public Delta CDF columns. Plus: default
+start serves the current snapshot as ``insert`` rows then streams
+changes, checkpoint restart is exactly-once, and compaction stays
+invisible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aligned_spark.sources.delta_log import DeltaLog
+from aligned_spark.streaming.table_stream import register
+
+
+def _cdf_stream(spark, tbl, **opts):
+    register(spark)
+    r = (
+        spark.readStream.format("aligned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+    )
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def _drain(sdf, out: str, ckpt: str):
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return q
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_cdf_stream_equals_batch_cdc_cow_and_mor(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.range(0, 40).selectExpr(
+            "id", "id * 2 as v", "cast(id % 2 as string) as p"
+        ),
+        partition_by=["p"],
+    )
+    # keyed copy-on-write MERGE (update + insert)
+    log.merge_upsert(
+        spark.createDataFrame(
+            [(3, 99, "1"), (100, 1, "0")], "id long, v long, p string"
+        ),
+        ["id"],
+    )
+    # merge-on-read delete (position-delete sidecar)
+    log.delete_where_mor(spark, F.col("id") % 10 == 0)
+    # keyless copy-on-write partition replacement (rides the
+    # recorded merge keys -> true update pairs)
+    part = spark.range(0, 40).filter("id % 2 = 1")
+    log.replace_where(
+        part.selectExpr("id", "id * 5 as v", "'1' as p"),
+        F.col("p") == "1",
+    )
+    # merge-on-read MERGE (pairs + appended parts in one commit)
+    log.merge_upsert_mor(
+        spark.createDataFrame(
+            [(5, -5, "1"), (200, 7, "0")], "id long, v long, p string"
+        ),
+        ["id"],
+    )
+
+    sdf = _cdf_stream(spark, tbl, startingVersion=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+    got = spark.read.schema(sdf.schema).parquet(out)
+    batch = log.read_cdf(spark, 0)
+    assert _rows(got) == _rows(batch)
+    # sanity: every change family appeared
+    kinds = {r["_change_type"] for r in got.select("_change_type").collect()}
+    assert kinds == {
+        "insert",
+        "delete",
+        "update_preimage",
+        "update_postimage",
+    }
+
+
+def test_cdf_stream_default_serves_snapshot_then_changes(
+    spark, tmp_path
+):
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(spark.range(0, 10).selectExpr("id", "id as v"))
+    log.merge_upsert(
+        spark.createDataFrame([(3, 99)], "id long, v long"), ["id"]
+    )
+    v0 = log.latest_version()
+
+    sdf = _cdf_stream(spark, tbl)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+    got = spark.read.schema(sdf.schema).parquet(out)
+    # initial snapshot: live rows as inserts at the pinned version
+    live = log.read(spark).withColumn(
+        "_change_type", F.lit("insert")
+    ).withColumn("_commit_version", F.lit(v0).cast("long"))
+    assert _rows(got) == _rows(live)
+
+    # later commits stream as true row-level changes
+    log.delete_where(spark, F.col("id") == 5)
+    _drain(_cdf_stream(spark, tbl), out, ckpt)
+    got2 = spark.read.schema(sdf.schema).parquet(out)
+    tail = log.read_cdf(spark, v0)
+    assert _rows(got2) == sorted(_rows(live) + _rows(tail))
+
+
+def test_cdf_stream_exactly_once_restart_and_throttle(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(spark.range(0, 10).selectExpr("id", "id as v"))
+    for lo in (10, 20, 30):
+        log.write(spark.range(lo, lo + 10).selectExpr("id", "id as v"))
+    log.merge_upsert(
+        spark.createDataFrame([(7, -7)], "id long, v long"), ["id"]
+    )
+
+    sdf = _cdf_stream(
+        spark, tbl, startingVersion=1, maxFilesPerTrigger=1
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = _drain(sdf, out, ckpt)
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    assert n_batches >= 4  # one version per trigger over the backlog
+    got = spark.read.schema(sdf.schema).parquet(out)
+    assert _rows(got) == _rows(log.read_cdf(spark, 0))
+
+    # restart from the checkpoint: new commits only, no replays
+    log.delete_where(spark, F.col("id") == 0)
+    _drain(_cdf_stream(spark, tbl, startingVersion=1), out, ckpt)
+    got2 = spark.read.schema(sdf.schema).parquet(out)
+    assert _rows(got2) == _rows(log.read_cdf(spark, 0))
+
+
+def test_cdf_stream_skips_compaction(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(spark.range(0, 20).selectExpr("id", "id as v"))
+    log.delete_where_mor(spark, F.col("id") < 5)
+    sdf = _cdf_stream(spark, tbl, startingVersion=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+    before = _rows(spark.read.schema(sdf.schema).parquet(out))
+
+    # OPTIMIZE rewrites every part and materializes the MOR deletes
+    # (dataChange=false): the change stream must emit NOTHING
+    log.optimize(spark)
+    _drain(_cdf_stream(spark, tbl, startingVersion=1), out, ckpt)
+    after = _rows(spark.read.schema(sdf.schema).parquet(out))
+    assert after == before
+
+
+def test_cdf_stream_unkeyed_rewrite_delete_insert(spark, tmp_path):
+    # no MERGE ever ran -> no recorded keys: the rewrite falls back
+    # to whole-row multiset difference (delete+insert, exactly-once)
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(spark.range(0, 30).selectExpr("id", "id as v"))
+    log.delete_where(spark, F.col("id") % 3 == 0)
+    sdf = _cdf_stream(spark, tbl, startingVersion=1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+    got = spark.read.schema(sdf.schema).parquet(out)
+    assert _rows(got) == _rows(log.read_cdf(spark, 0))
+    assert (
+        got.filter("_change_type = 'delete'").count() == 10
+        and got.count() == 10
+    )
+
+
+def test_cdf_stream_iceberg_rejected(spark, tmp_path):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    import pytest
+
+    tbl = str(tmp_path / "i")
+    IcebergLog(tbl).write(spark.range(0, 5).selectExpr("id"))
+    register(spark)
+    with pytest.raises(Exception, match="delta-only"):
+        (
+            spark.readStream.format("aligned_table")
+            .option("path", tbl)
+            .option("format", "iceberg")
+            .option("readChangeFeed", "true")
+            .load()
+        )
+
+
+# ------------------------------------------------------------------
+# continuous IVM: commit log -> CDF stream -> foreachBatch ->
+# IncrementalAggregate.apply_changes (VERDICT r8 task 2)
+# ------------------------------------------------------------------
+
+
+def test_continuous_ivm_over_cdf_stream(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = str(tmp_path / "base")
+    src = DeltaSource(path=base)
+    src.insert(
+        spark.createDataFrame(
+            [
+                Row(k=1, g="a", x=10.0),
+                Row(k=2, g="a", x=3.0),
+                Row(k=3, g="b", x=7.0),
+                Row(k=4, g="b", x=20.0),
+            ]
+        ).coalesce(1)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+        mins=["x"],
+        maxs=["x"],
+    )
+
+    def direct():
+        return sorted(
+            map(
+                tuple,
+                src.read(spark)
+                .groupBy("g")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum("x").alias("x"),
+                    F.min("x").alias("min_x"),
+                    F.max("x").alias("max_x"),
+                )
+                .collect(),
+            )
+        )
+
+    def maintained():
+        return sorted(
+            map(
+                tuple,
+                agg.read(spark)
+                .select("g", "n_rows", "x", "min_x", "max_x")
+                .collect(),
+            )
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    sdf = _cdf_stream(spark, base)  # default: snapshot, then tail
+
+    def run_stream():
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda bdf, bid: agg.apply_changes(spark, bdf)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    # micro-batch 1: the initial snapshot becomes the full build
+    run_stream()
+    assert maintained() == direct()
+
+    # micro-batch 2: append folds in monotonically
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=5, g="a", x=1.0), Row(k=6, g="c", x=4.0)]
+        ).coalesce(1)
+    )
+    run_stream()
+    assert maintained() == direct()
+
+    # micro-batch 3: keyed MERGE (update pre/post pair)
+    src.upsert(
+        spark.createDataFrame([Row(k=4, g="b", x=2.0)]), keys=["k"]
+    )
+    run_stream()
+    assert maintained() == direct()
+
+    # micro-batch 4: delete removes group-a's stored MIN (x=1.0) ->
+    # the hybrid path must recompute that group's extrema from base
+    src.delete_where(spark, F.col("k") == 5)
+    run_stream()
+    assert maintained() == direct()
+
+    # replay safety: re-running the drained stream changes nothing
+    before = maintained()
+    run_stream()
+    assert maintained() == before
