@@ -100,6 +100,12 @@ class IncrementalAggregate:
     app_id: str = "ivm"
     #: optional commit-coordination override for the target log
     log_store: Any | None = None
+    #: compact the AGGREGATE table when its MERGE churn crosses the
+    #: metadata-only policy thresholds (rides each refresh — a
+    #: long-running maintenance loop otherwise accumulates rewrite
+    #: small-files forever); compaction commits are dataChange=False
+    #: and invisible to any stream tailing the aggregate
+    auto_compact: bool = True
 
     def _target(self):
         from aligned_spark.sources.delta_log import DeltaLog
@@ -319,6 +325,15 @@ class IncrementalAggregate:
             merged.unpersist()
         finally:
             deltas.unpersist()
+        if self.auto_compact:
+            from aligned_spark.sources.delta_log import (
+                ConcurrentCommitError,
+            )
+
+            try:
+                log.maybe_optimize(spark)
+            except ConcurrentCommitError:
+                pass  # a racing writer; the next refresh re-checks
 
     def _apply_extrema_recompute(
         self, spark: SparkSession, merged: DataFrame, current

@@ -1371,28 +1371,128 @@ class DeltaLog:
             "constraints": self._constraints_of(snap.metadata),
         }
 
+    #: small-file policy defaults: a part under 32 MiB is "small"
+    #: (a quarter of the classic 128 MiB scan target), and 16 of
+    #: them warrant a bin-pack — at one trickle commit per
+    #: micro-batch that bounds steady-state table file count while
+    #: amortizing each compaction over ≥16 ingested batches
+    SMALL_FILE_BYTES = 32 << 20
+    MAX_SMALL_FILES = 16
+
+    def _compact_reason(
+        self,
+        max_deleted_ratio: float,
+        max_delete_files: int,
+        max_small_files: int,
+        small_file_bytes: int,
+    ) -> str | None:
+        """'mor' | 'small' | None — which policy threshold fired
+        (metadata-only, no data scan)."""
+        snap = self.snapshot()
+        n_sidecars = len(snap.delete_files)
+        if n_sidecars:
+            rows = sum(
+                (a.get("stats") or {}).get("numRecords") or 0
+                for a in snap.files.values()
+            )
+            dead = sum(
+                d.get("cardinality") or 0
+                for d in snap.delete_files.values()
+            )
+            if n_sidecars >= max_delete_files or (
+                rows > 0 and dead / rows >= max_deleted_ratio
+            ):
+                return "mor"
+        n_small = sum(
+            1
+            for a in snap.files.values()
+            if (a.get("size") or 0) < small_file_bytes
+        )
+        if n_small >= max_small_files:
+            return "small"
+        return None
+
     def should_compact(
         self,
         max_deleted_ratio: float = 0.1,
         max_delete_files: int = 8,
+        max_small_files: int | None = None,
+        small_file_bytes: int | None = None,
     ) -> bool:
         """Metadata-only OPTIMIZE trigger (no data scan): compact
-        when merge-on-read state crosses either threshold. The
-        defaults come from the measured read economics (PERF.md
-        round 8): a pairs-applied read costs ~4-5x a plain read
-        regardless of sidecar COUNT, and OPTIMIZE pays for itself in
-        ~2-3 full reads — so any sustained full-scan traffic
-        justifies compacting as soon as MOR state is non-trivial,
-        while tables serving only key-pruned point reads can raise
-        the thresholds."""
-        d = self.detail()
-        n_sidecars = d.get("numDeleteFiles") or 0
-        if not n_sidecars:
-            return False
-        rows = d.get("numRows") or 0
-        dead = d.get("numDeletedRows") or 0
-        return n_sidecars >= max_delete_files or (
-            rows > 0 and dead / rows >= max_deleted_ratio
+        when merge-on-read state OR small-file accumulation crosses a
+        threshold. The MOR defaults come from the measured read
+        economics (PERF.md round 8): a pairs-applied read costs
+        ~4-5x a plain read regardless of sidecar COUNT, and OPTIMIZE
+        pays for itself in ~2-3 full reads — so any sustained
+        full-scan traffic justifies compacting as soon as MOR state
+        is non-trivial. The small-file trigger is the trickle-ingest
+        counterpart: a streaming sink appending one small part per
+        micro-batch degrades scans linearly in file count; 16 parts
+        under 32 MiB fire a bin-pack of ONLY those parts
+        (:meth:`compact_small`)."""
+        return (
+            self._compact_reason(
+                max_deleted_ratio,
+                max_delete_files,
+                max_small_files
+                if max_small_files is not None
+                else self.MAX_SMALL_FILES,
+                small_file_bytes
+                if small_file_bytes is not None
+                else self.SMALL_FILE_BYTES,
+            )
+            is not None
+        )
+
+    def compact_small(
+        self,
+        spark: SparkSession,
+        small_file_bytes: int | None = None,
+    ) -> int | None:
+        """Bin-pack ONLY the live parts under ``small_file_bytes``
+        into ~128 MiB files (delta-spark OPTIMIZE's minFileSize
+        semantics): big, well-sized parts are never rewritten, so the
+        cost tracks the trickle backlog, not the table. Sound with
+        merge-on-read state — the rewrite read applies the position
+        deletes of the compacted parts (materializing them), and
+        sidecar pairs referencing the removed parts dangle harmlessly
+        (scans filter pairs to scanned files). ``dataChange=False``:
+        invisible to streams and change feeds."""
+        if small_file_bytes is None:
+            small_file_bytes = self.SMALL_FILE_BYTES
+        snap = self.snapshot()
+        small = sorted(
+            p
+            for p, a in snap.files.items()
+            if (a.get("size") or 0) < small_file_bytes
+        )
+        if len(small) < 2:
+            return None
+        total = sum(
+            snap.files[p].get("size") or 0 for p in small
+        )
+        n_out = max(1, total // (128 << 20) + 1)
+        df = self._scan(spark, snap, small).coalesce(int(n_out))
+        adds = self._stage_parts(df, snap.partition_columns)
+        for a in adds:
+            a["dataChange"] = False
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+            for p in small
+        ] + [{"add": a} for a in adds]
+        return self.commit(
+            actions,
+            snap.version + 1,
+            "OPTIMIZE",
+            {"binPacked": "true", "numSmallFiles": str(len(small))},
         )
 
     def maybe_optimize(
@@ -1400,13 +1500,34 @@ class DeltaLog:
         spark: SparkSession,
         max_deleted_ratio: float = 0.1,
         max_delete_files: int = 8,
+        max_small_files: int | None = None,
+        small_file_bytes: int | None = None,
         zorder_by: list[str] | None = None,
     ) -> bool:
-        """Run :meth:`optimize` iff :meth:`should_compact` — the
-        write-path hook an ingest job calls after its MOR commits so
-        compaction rides the pipeline instead of a separate cron."""
-        if not self.should_compact(max_deleted_ratio, max_delete_files):
+        """Run compaction iff :meth:`should_compact` — the write-path
+        hook the streaming sinks and IVM refresh call after their
+        commits so compaction rides the pipeline instead of a
+        separate cron. MOR-triggered state takes the full
+        :meth:`optimize` (drops the sidecars, restores the base
+        protocol); small-file-triggered state takes the bounded
+        :meth:`compact_small` bin-pack."""
+        sfb = (
+            small_file_bytes
+            if small_file_bytes is not None
+            else self.SMALL_FILE_BYTES
+        )
+        reason = self._compact_reason(
+            max_deleted_ratio,
+            max_delete_files,
+            max_small_files
+            if max_small_files is not None
+            else self.MAX_SMALL_FILES,
+            sfb,
+        )
+        if reason is None:
             return False
+        if reason == "small":
+            return self.compact_small(spark, sfb) is not None
         self.optimize(spark, zorder_by=zorder_by)
         return True
 

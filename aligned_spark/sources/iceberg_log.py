@@ -1454,21 +1454,103 @@ class IcebergLog:
     #: default orphan-file retention — matches Delta's vacuum window
     DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
 
+    #: small-file policy — same measured defaults as
+    #: :attr:`DeltaLog.SMALL_FILE_BYTES` / ``MAX_SMALL_FILES``
+    SMALL_FILE_BYTES = 32 << 20
+    MAX_SMALL_FILES = 16
+
+    def _compact_reason(
+        self,
+        max_deleted_ratio: float,
+        max_delete_files: int,
+        max_small_files: int,
+        small_file_bytes: int,
+    ) -> str | None:
+        """'mor' | 'small' | None (manifest metadata only)."""
+        view = self._resolve()
+        n_sidecars = len(view.delete_files)
+        if n_sidecars:
+            rows = sum(
+                f.get("record_count") or 0
+                for f in view.files.values()
+            )
+            dead = sum(
+                f.get("record_count") or 0
+                for f in view.delete_files.values()
+            )
+            if n_sidecars >= max_delete_files or (
+                rows > 0 and dead / rows >= max_deleted_ratio
+            ):
+                return "mor"
+        n_small = sum(
+            1
+            for f in view.files.values()
+            if (f.get("file_size_in_bytes") or 0) < small_file_bytes
+        )
+        if n_small >= max_small_files:
+            return "small"
+        return None
+
     def should_compact(
         self,
         max_deleted_ratio: float = 0.1,
         max_delete_files: int = 8,
+        max_small_files: int | None = None,
+        small_file_bytes: int | None = None,
     ) -> bool:
         """Metadata-only rewriteDataFiles trigger — same policy and
-        measured rationale as :meth:`DeltaLog.should_compact`."""
-        d = self.detail()
-        n_sidecars = d.get("numDeleteFiles") or 0
-        if not n_sidecars:
-            return False
-        rows = d.get("numRows") or 0
-        dead = d.get("numDeletedRows") or 0
-        return n_sidecars >= max_delete_files or (
-            rows > 0 and dead / rows >= max_deleted_ratio
+        measured rationale as :meth:`DeltaLog.should_compact`,
+        including the trickle-ingest small-file criterion."""
+        return (
+            self._compact_reason(
+                max_deleted_ratio,
+                max_delete_files,
+                max_small_files
+                if max_small_files is not None
+                else self.MAX_SMALL_FILES,
+                small_file_bytes
+                if small_file_bytes is not None
+                else self.SMALL_FILE_BYTES,
+            )
+            is not None
+        )
+
+    def compact_small(
+        self,
+        spark: SparkSession,
+        small_file_bytes: int | None = None,
+    ) -> int | None:
+        """Bin-pack ONLY the small live data files (Iceberg
+        ``rewriteDataFiles`` with a min-file-size filter): rides
+        :meth:`_rewrite_commit`, so manifests with no touched file
+        carry over verbatim and the snapshot commits as ``replace``
+        (invisible to the change feeds)."""
+        if small_file_bytes is None:
+            small_file_bytes = self.SMALL_FILE_BYTES
+        md = self.current_metadata()
+        view = self._resolve()
+        small = sorted(
+            p
+            for p, f in view.files.items()
+            if (f.get("file_size_in_bytes") or 0) < small_file_bytes
+        )
+        if len(small) < 2:
+            return None
+        total = sum(
+            view.files[p].get("file_size_in_bytes") or 0
+            for p in small
+        )
+        n_out = max(1, total // (128 << 20) + 1)
+        replacement = self._scan(spark, view, small).coalesce(
+            int(n_out)
+        )
+        return self._rewrite_commit(
+            md,
+            view,
+            small,
+            replacement,
+            "replace",
+            {"bin-packed": "true", "num-small-files": str(len(small))},
         )
 
     def maybe_optimize(
@@ -1476,11 +1558,31 @@ class IcebergLog:
         spark: SparkSession,
         max_deleted_ratio: float = 0.1,
         max_delete_files: int = 8,
+        max_small_files: int | None = None,
+        small_file_bytes: int | None = None,
         zorder_by: list[str] | None = None,
     ) -> bool:
-        """Run :meth:`optimize` iff :meth:`should_compact`."""
-        if not self.should_compact(max_deleted_ratio, max_delete_files):
+        """Run compaction iff :meth:`should_compact` — full
+        :meth:`optimize` for MOR state, bounded :meth:`compact_small`
+        for small-file accumulation (same split as
+        :meth:`DeltaLog.maybe_optimize`)."""
+        sfb = (
+            small_file_bytes
+            if small_file_bytes is not None
+            else self.SMALL_FILE_BYTES
+        )
+        reason = self._compact_reason(
+            max_deleted_ratio,
+            max_delete_files,
+            max_small_files
+            if max_small_files is not None
+            else self.MAX_SMALL_FILES,
+            sfb,
+        )
+        if reason is None:
             return False
+        if reason == "small":
+            return self.compact_small(spark, sfb) is not None
         self.optimize(spark, zorder_by=zorder_by)
         return True
 

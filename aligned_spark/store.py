@@ -381,6 +381,7 @@ class ContractStore:
         self,
         view_name: str,
         since: dt.datetime | None = None,
+        auto_compact: bool = True,
     ) -> None:
         """Refresh only what changed since the last materialization.
 
@@ -430,6 +431,11 @@ class ContractStore:
             ms.overwrite_partitions(full)
         else:
             ms.upsert(new_rows, view.entities + [ts_col])
+        if auto_compact and hasattr(ms, "maybe_optimize"):
+            # refresh churn (upsert rewrites, small refresh parts)
+            # crosses the metadata-only policy eventually — compact
+            # as part of the pipeline, not a separate cron
+            ms.maybe_optimize(self.spark)
 
     def materialized_version(self, view_name: str) -> int:
         """Cursor for :meth:`changes_since`: the materialized table's

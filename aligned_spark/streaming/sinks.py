@@ -36,6 +36,8 @@ def idempotent_delta_sink(
     app_id: str = "stream",
     partition_by: list[str] | None = None,
     merge_on_read: bool = False,
+    auto_compact: bool = True,
+    compact_thresholds: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` callable with exactly-once semantics
     into a :class:`DeltaLog` table.
@@ -50,8 +52,16 @@ def idempotent_delta_sink(
     sharing an app_id would skip each other's batches.
     ``merge_on_read=True`` upserts via position deletes — the
     steady-small-batch posture: per micro-batch cost tracks the
-    batch, never the touched parts; schedule ``optimize`` to
-    compact."""
+    batch, never the touched parts.
+
+    ``auto_compact`` (default on) makes compaction ride the ingest
+    pipeline: after each committed batch the sink consults the
+    metadata-only policy (:meth:`DeltaLog.should_compact` — MOR
+    sidecar state OR trickle small-file accumulation) and runs at
+    most one bounded compaction. Compaction commits are
+    ``dataChange=False``, so downstream streams and change feeds
+    never see them, and the replay guard is untouched (the txn rides
+    the DATA commit)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         log = DeltaLog(table_path)
@@ -81,14 +91,28 @@ def idempotent_delta_sink(
                         partition_by,
                         txn=(app_id, batch_id),
                     )
-                return
+                break
             except ConcurrentCommitError:
                 if attempt == _MAX_RETRIES - 1:
                     raise
                 # another writer landed a version; re-read (it may
                 # even have been our own replayed twin) and retry
+        if auto_compact:
+            _maybe_compact(log, batch_df, compact_thresholds)
 
     return sink
+
+
+def _maybe_compact(
+    log, batch_df: DataFrame, thresholds: dict | None = None
+) -> None:
+    """Post-commit compaction hook shared by the sinks: policy check
+    is a driver-side metadata read per micro-batch; a lost race with
+    a concurrent writer just defers to the next batch."""
+    try:
+        log.maybe_optimize(batch_df.sparkSession, **(thresholds or {}))
+    except ConcurrentCommitError:
+        pass  # someone else is writing; the next batch re-checks
 
 
 def idempotent_iceberg_sink(
@@ -96,12 +120,16 @@ def idempotent_iceberg_sink(
     keys: list[str] | None = None,
     app_id: str = "stream",
     partition_by: list[str] | None = None,
+    auto_compact: bool = True,
+    compact_thresholds: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Iceberg twin of :func:`idempotent_delta_sink`: the replay
     guard rides in the snapshot summary (``app-id``/``batch-id``,
     the Flink-on-Iceberg ``max-committed-checkpoint-id`` pattern),
     committed atomically with the data in one metadata version —
-    :meth:`IcebergLog.txn_version` reads it back driver-side."""
+    :meth:`IcebergLog.txn_version` reads it back driver-side.
+    ``auto_compact`` mirrors the delta sink (``replace`` snapshots,
+    invisible to change feeds)."""
     from aligned_spark.sources.iceberg_log import IcebergLog
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -122,9 +150,11 @@ def idempotent_iceberg_sink(
                         partition_by,
                         txn=(app_id, batch_id),
                     )
-                return
+                break
             except ConcurrentCommitError:
                 if attempt == _MAX_RETRIES - 1:
                     raise
+        if auto_compact:
+            _maybe_compact(log, batch_df, compact_thresholds)
 
     return sink
