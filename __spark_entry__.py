@@ -7998,6 +7998,82 @@ def _source_delta_cdf_replace(spark, sf_dir):
     )
 
 
+# Needle-in-haystack point lookups on a HASH-LAID-OUT table: every
+# part's (min, max) o_orderkey range spans ~the whole key domain, so
+# footer-range skipping prunes nothing and only the per-part bloom
+# sidecars can drop files. Probes: the min key, the max key, a
+# mid-domain key, and a guaranteed miss (min-1) — each resolved by
+# both engines from the data itself.
+_BLOOM_LOOKUP_SQL = """
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    ),
+    probes AS (
+      SELECT lo AS k FROM b
+      UNION ALL SELECT hi FROM b
+      UNION ALL
+      SELECT MIN(o_orderkey) FROM orders
+      WHERE o_orderkey >= (SELECT (lo + hi) // 2 FROM b)
+      UNION ALL SELECT lo - 1 FROM b
+    )
+    SELECT o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN probes p ON o.o_orderkey = p.k"""
+
+
+@q("source_delta_bloom_lookup", _BLOOM_LOOKUP_SQL)
+def _source_delta_bloom_lookup(spark, sf_dir):
+    """Bloom-sidecar point-lookup skipping (`sources/bloom.py`,
+    `DeltaLog._bloom_prune` — the engine's delta.bloomFilter analog):
+    orders laid out by HASH (every part's key range covers every
+    key, so min/max footer stats prune nothing), o_orderkey
+    bloom-indexed at write, then four point reads go through the
+    skipping path — present keys scan ~1 file instead of all 8,
+    the miss key scans zero (file-count plan pin:
+    tests/test_bloom.py::test_lookup_scans_one_file). Kirsch-
+    Mitzenmacher double hashing over JVM xxhash64; sound superset."""
+    import tempfile  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="aligned_spark_bloom_")
+    log = DeltaLog(path)
+    log.write(base.repartition(8))  # hash layout: ranges can't prune
+    log.set_bloom_filter(["o_orderkey"], fpp=1e-6)
+    log.optimize(spark)  # re-stage -> every part indexed
+    row = base.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    mid = int(
+        base.filter(F.col("o_orderkey") >= (lo + hi) // 2)
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    out = None
+    for k in (lo, hi, mid, lo - 1):
+        hit = (
+            log.read(spark, skipping=[("o_orderkey", "=", k)])
+            .filter(F.col("o_orderkey") == k)
+            .select(
+                "o_orderkey",
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("price_cents"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
 @q("stream_table_cdf", _CDF_CHANGES_SQL)
 def _stream_table_cdf(spark, sf_dir):
     """STREAMING change-data-feed (`streaming/cdf_stream.py`,

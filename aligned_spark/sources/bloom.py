@@ -63,6 +63,20 @@ MAX_PROBE_KEYS = 100_000
 
 _LN2 = math.log(2.0)
 
+#: self-describing sidecar header (Iceberg variant): the manifest
+#: entry record schema is fixed Avro, so instead of riding metadata
+#: refs like Delta's add actions, iceberg sidecars carry their own
+#: (k) in a tiny header — magic + uint32 k; m = 8 * payload bytes
+#: (a power of two by construction)
+SIDECAR_MAGIC = b"ABLM1"
+
+
+def sidecar_name(rel_part_path: str, column: str) -> str:
+    """Conventional sidecar file name for a part+column — shared by
+    the Delta builder (which ALSO records refs in add actions) and
+    the Iceberg convention-addressed probe."""
+    return rel_part_path.replace("/", "%2F") + f".{column}.bloom"
+
 
 def bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
     """(m_bits power-of-two, k hashes) for ``n_rows`` keys at
@@ -111,6 +125,7 @@ def build_sidecars(
     column: str,
     n_by_file: dict[str, int],
     fpp: float = DEFAULT_FPP,
+    header: bool = False,
 ) -> dict[str, dict[str, Any]]:
     """Build one bloom sidecar per part for ``column``.
 
@@ -144,10 +159,15 @@ def build_sidecars(
                 np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)
             ),
         )
-        name = rel.replace("/", "%2F") + f".{column}.bloom"
+        name = sidecar_name(rel, column)
         final = os.path.join(table_path, "_bloom", name)
         tmp = final + ".inprogress"
         with open(tmp, "wb") as fh:
+            if header:
+                import struct  # noqa: PLC0415
+
+                fh.write(SIDECAR_MAGIC)
+                fh.write(struct.pack("<I", k))
             fh.write(bits.tobytes())
         os.replace(tmp, final)  # idempotent across task retries
         return pd.DataFrame(
@@ -244,6 +264,38 @@ def probe_hashes(
     ) & 1
     # a key is maybe-present iff ALL its k bits are set; the file
     # survives iff ANY key is maybe-present
+    return bool(hit.all(axis=1).any())
+
+
+def probe_sidecar_path(
+    abs_path: str, pairs: np.ndarray
+) -> bool:
+    """Probe a SELF-DESCRIBING sidecar (header variant) by path —
+    the Iceberg probe, where sidecars are found by the
+    :func:`sidecar_name` convention instead of metadata refs. True
+    (cannot prune) for missing, unreadable, or header-less files."""
+    import struct  # noqa: PLC0415
+
+    if pairs.size == 0:
+        return True
+    try:
+        with open(abs_path, "rb") as fh:
+            raw = fh.read()
+    except OSError:
+        return True
+    hdr = len(SIDECAR_MAGIC) + 4
+    if len(raw) <= hdr or not raw.startswith(SIDECAR_MAGIC):
+        return True
+    k = struct.unpack("<I", raw[len(SIDECAR_MAGIC):hdr])[0]
+    bits = np.frombuffer(raw, dtype=np.uint8, offset=hdr)
+    m = bits.size << 3
+    if m == 0 or m & (m - 1):
+        return True  # not a power of two — corrupt, never prune
+    idx = _bit_indices(pairs[:, 0], pairs[:, 1], m, k)
+    hit = (
+        bits[(idx >> np.uint64(3)).astype(np.int64)]
+        >> (idx & np.uint64(7)).astype(np.uint8)
+    ) & 1
     return bool(hit.all(axis=1).any())
 
 

@@ -945,6 +945,159 @@ class IcebergLog:
                 f"{self.table_path}"
             )
 
+    # ------------------------------------------------ bloom sidecars
+
+    def set_bloom_filter(
+        self, columns: list[str], fpp: float | None = None
+    ) -> int:
+        """Opt columns into per-part bloom sidecars — the Iceberg
+        parity of :meth:`DeltaLog.set_bloom_filter` (same
+        ``aligned.bloomFilter`` key, carried in the table PROPERTIES;
+        same sizing math, :mod:`aligned_spark.sources.bloom`). Parts
+        staged from now on get SELF-DESCRIBING sidecars (the Avro
+        manifest-entry schema is fixed, so refs ride a tiny file
+        header instead of metadata); run :meth:`optimize` to index
+        existing data."""
+        import json as _json
+
+        from aligned_spark.sources.bloom import BLOOM_PROP
+
+        if fpp is not None and not 0.0 < fpp < 1.0:
+            raise ValueError(
+                f"bloom fpp must be in (0, 1), got {fpp!r}"
+            )
+        md = self.current_metadata()
+        props = dict(md.get("properties") or {})
+        if columns:
+            spec: dict[str, Any] = {"columns": sorted(columns)}
+            if fpp is not None:
+                spec["fpp"] = fpp
+            props[BLOOM_PROP] = _json.dumps(spec)
+        else:
+            props.pop(BLOOM_PROP, None)
+        new_md = dict(md)
+        new_md["properties"] = props
+        self._commit_metadata(new_md, md[_READ_VERSION_KEY] + 1)
+        return md[_READ_VERSION_KEY] + 1
+
+    def _bloom_config(
+        self, md: dict[str, Any]
+    ) -> tuple[list[str], float]:
+        from aligned_spark.sources.bloom import bloom_config_of
+
+        return bloom_config_of(
+            {"configuration": md.get("properties") or {}}
+        )
+
+    def _attach_blooms(
+        self,
+        df: DataFrame,
+        parts: list[Any],
+        part_cols: list[str],
+        md: dict[str, Any],
+    ) -> None:
+        """Build self-describing bloom sidecars for freshly staged
+        parts (one distributed job per indexed column over ONLY those
+        parts — the delta builder with ``header=True``). Pre-property
+        parts simply have no sidecar and stay unprunable (sound)."""
+        from aligned_spark.sources.bloom import build_sidecars
+
+        cols, fpp = self._bloom_config(md)
+        if not cols or not parts:
+            return
+        pset = set(part_cols or [])
+        file_schema = T.StructType(
+            [
+                f
+                for f in _schema_to_spark(md["schema"]).fields
+                if f.name not in pset
+            ]
+        )
+        cols = [c for c in cols if c in file_schema.fieldNames()]
+        if not cols:
+            return
+        spark = df.sparkSession
+        scan = (
+            spark.read.schema(file_schema)
+            .option(
+                "basePath", os.path.join(self.table_path, "data")
+            )
+            .parquet(
+                *sorted(
+                    os.path.join(self.table_path, p.path)
+                    for p in parts
+                )
+            )
+            .withColumn(
+                "__file", self._rel_file_col(len(pset))
+            )
+        )
+        n_by_file = {}
+        for p in parts:
+            nr = (p.stats or {}).get("numRecords")
+            if nr:
+                n_by_file[p.path] = int(nr)
+        for c in cols:
+            build_sidecars(
+                scan, self.table_path, c, n_by_file, fpp, header=True
+            )
+
+    def _bloom_prune(
+        self,
+        spark: SparkSession,
+        view: IcebergSnapshotView,
+        md: dict[str, Any],
+        paths: list[str],
+        predicates: list[tuple[str, str, Any]],
+    ) -> list[str]:
+        """Drop candidates whose (convention-addressed,
+        self-describing) sidecar PROVES no equality-predicate value
+        is present — :meth:`DeltaLog._bloom_prune` with file-header
+        metadata instead of add-action refs. Sound superset: files
+        without a sidecar always survive."""
+        from aligned_spark.sources import bloom as B
+
+        eq = [(c, v) for c, op, v in predicates if op == "="]
+        cols, _ = self._bloom_config(md)
+        eq = [(c, v) for c, v in eq if c in cols]
+        if not eq or not paths:
+            return paths
+        types = {
+            f.name: f.dataType
+            for f in _schema_to_spark(md["schema"]).fields
+        }
+        eq = [(c, v) for c, v in eq if c in types]
+        if not eq:
+            return paths
+        probe = spark.range(1).select(
+            *[
+                x
+                for c, v in eq
+                for x in B.hash_pair_lit(c, v, types[c])
+            ]
+        ).first()
+        import numpy as np
+
+        out = []
+        for p in paths:
+            keep = True
+            for i, (c, _) in enumerate(eq):
+                h1, h2 = probe[2 * i], probe[2 * i + 1]
+                if h1 is None:
+                    continue  # null literal — bloom can't speak
+                sidecar = os.path.join(
+                    self.table_path,
+                    "_bloom",
+                    B.sidecar_name(p, c),
+                )
+                pairs = np.array([[h1, h2]], dtype=np.int64)
+                if not B.probe_sidecar_path(sidecar, pairs):
+                    keep = False
+                    break
+            if keep:
+                out.append(p)
+        return out
+
     def rollback_to(self, snapshot_id: int) -> int:
         """Iceberg rollback: point ``current-snapshot-id`` back at an
         existing snapshot in a new metadata version (the spec's
@@ -1106,6 +1259,7 @@ class IcebergLog:
         parts = stage_parquet_parts(
             df, self.table_path, part_cols or None, data_subdir="data"
         )
+        self._attach_blooms(df, parts, part_cols, md)
         spec_fields = md["partition-specs"][0]["fields"]
         manifests = [
             self._write_manifest(
@@ -1201,6 +1355,7 @@ class IcebergLog:
         parts = stage_parquet_parts(
             df, self.table_path, part_cols or None, data_subdir="data"
         )
+        self._attach_blooms(df, parts, part_cols, md)
         spec_fields = md["partition-specs"][0]["fields"]
         manifests = [
             self._write_manifest(
@@ -1244,6 +1399,12 @@ class IcebergLog:
                 for p, e in view.files.items()
                 if _iceberg_file_may_match(e, fields_by_id, skipping)
             }
+            # equality probes additionally consult the bloom
+            # sidecars — the pruning bounds can't do on uniform keys
+            kept = self._bloom_prune(
+                spark, view, md, sorted(view.files), skipping
+            )
+            view.files = {p: view.files[p] for p in kept}
         # explicit reader schema inside _scan: fixes column
         # order/types (hive partition dirs would infer), projects
         # NULL for evolved columns absent from old parts, and applies
@@ -1664,6 +1825,31 @@ class IcebergLog:
                     os.unlink(full)
                 except FileNotFoundError:
                     pass
+        # bloom sidecars are convention-addressed by data-file path:
+        # reap those of expired parts (+ stale .inprogress temps)
+        bloom_dir = os.path.join(self.table_path, "_bloom")
+        if os.path.isdir(bloom_dir):
+            live_names = {
+                rel.replace("/", "%2F") for rel in referenced
+            }
+            for name in os.listdir(bloom_dir):
+                # "<rel %2F-encoded>.<col>.bloom[...]" — the encoded
+                # rel runs through the last ".parquet"
+                cut = name.rfind(".parquet")
+                stem = name[: cut + 8] if cut != -1 else name
+                if stem in live_names:
+                    continue
+                full = os.path.join(bloom_dir, name)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                except FileNotFoundError:
+                    continue
+                doomed.append(f"_bloom/{name}")
+                try:
+                    os.unlink(full)
+                except FileNotFoundError:
+                    pass
         return sorted(doomed)
 
     # ----------------------------------------------------- mutations
@@ -1723,11 +1909,64 @@ class IcebergLog:
             if isinstance(f.get("type"), str)
         }
         preds = [(col, ">=", lo), (col, "<=", hi)]
-        return [
+        paths = [
             p
             for p in paths
             if _iceberg_file_may_match(
                 view.files[p], fields_by_id, preds
+            )
+        ]
+        return self._bloom_key_candidates(md, src_keys, col, paths)
+
+    def _bloom_key_candidates(
+        self,
+        md: dict[str, Any],
+        src_keys: DataFrame,
+        col: str,
+        paths: list[str],
+    ) -> list[str]:
+        """Second MERGE-discovery stage — probe range-surviving
+        candidates' self-describing sidecars with the source's
+        distinct key hashes (:meth:`DeltaLog._bloom_key_candidates`
+        with convention-addressed files). Engages only when the
+        column is indexed, the source dtype equals the table dtype
+        (hash compatibility), and the key set fits the probe cap."""
+        from aligned_spark.sources import bloom as B
+
+        if not paths:
+            return paths
+        cols, _ = self._bloom_config(md)
+        if col not in cols:
+            return paths
+        tbl_type = next(
+            (
+                f.dataType
+                for f in _schema_to_spark(md["schema"]).fields
+                if f.name == col
+            ),
+            None,
+        )
+        src_type = next(
+            (
+                f.dataType
+                for f in src_keys.schema.fields
+                if f.name == col
+            ),
+            None,
+        )
+        if tbl_type is None or src_type != tbl_type:
+            return paths
+        pairs = B.collect_probe_pairs(src_keys.select(col), col)
+        if pairs is None:
+            return paths  # key set over the cap — range-only
+        return [
+            p
+            for p in paths
+            if B.probe_sidecar_path(
+                os.path.join(
+                    self.table_path, "_bloom", B.sidecar_name(p, col)
+                ),
+                pairs,
             )
         ]
 
@@ -1751,6 +1990,9 @@ class IcebergLog:
             self.table_path,
             view.partition_columns or None,
             data_subdir="data",
+        )
+        self._attach_blooms(
+            replacement, parts, view.partition_columns, md
         )
         manifests = [
             self._write_manifest(

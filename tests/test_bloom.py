@@ -165,3 +165,25 @@ def test_vacuum_reaps_orphaned_sidecars(spark, tmp_path):
     }
     assert after == live  # orphans gone, live sidecars kept
     assert len(after) < len(before)
+
+
+def test_lookup_scans_one_file(spark, bloom_table):
+    """File-count plan pin for the `source_delta_bloom_lookup`
+    driver query's claim: a present-key point read plans ~1 input
+    file (vs every file under range-only stats on a hash layout),
+    and a miss plans ZERO."""
+    log = bloom_table
+    snap = log.snapshot()
+    n_all = len(snap.files)
+    key = log.read(spark).select("k").first()["k"]
+    hit = log.read(spark, skipping=[("k", "=", key)])
+    assert len(hit.inputFiles()) == 1 < n_all
+    miss = log.read(spark, skipping=[("k", "=", 123_456_789)])
+    assert miss.inputFiles() == []
+    # range-only control: stats alone keep every file a candidate
+    range_only = [
+        p
+        for p in sorted(snap.files)
+        if _file_may_match(snap.files[p], [("k", "=", key)])
+    ]
+    assert len(range_only) == n_all
