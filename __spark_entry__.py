@@ -4212,6 +4212,69 @@ def _vector_index_ivf(spark, sf_dir):
     return out.select("query_id", "neighbor_id", _r6(F.col("sim")).alias("sim"))
 
 
+@q(
+    "vector_index_ivf_deletes",
+    f"""WITH live AS (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % 7 <> 0
+       ),
+       pairs AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                {_cosine_oracle('a.embedding', 'b.embedding')} AS raw_sim
+         FROM live a, live b
+         WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id, raw_sim,
+                row_number() OVER (
+                  PARTITION BY query_id ORDER BY raw_sim DESC, neighbor_id
+                ) AS rk
+         FROM pairs
+       )
+       SELECT query_id, neighbor_id,
+              {_O_R6.format(c='raw_sim')} AS sim
+       FROM ranked WHERE rk <= 5""",
+)
+def _vector_index_ivf_deletes(spark, sf_dir):
+    """CDC-maintained IVF index under DELETES (round-9,
+    `IvfIndexSource.delete`/`apply_changes`; reference
+    ``UpdateVectorIndexJob`` aligned/retrieval_job.py:2131-2164): the
+    index is built over ALL embeddings, then a CDC slice deletes
+    vec_id % 7 == 0 — anti-joined out of ONLY the touched cluster
+    partitions (untouched partition files stay byte-identical,
+    pinned in tests/test_vector_index_deletes.py). Queried at full
+    probe, the maintained index must hash-match brute force over the
+    SURVIVING corpus — a deleted key surfacing anywhere fails the
+    oracle."""
+    import tempfile  # noqa: PLC0415
+
+    from aligned_spark.sources.vector_index import IvfIndexSource
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="aligned_ivf_del_")
+    ivf = IvfIndexSource(
+        path=f"{tmp}/ivf",
+        id_col="vec_id",
+        vector_col="embedding",
+        num_centroids=8,
+        seed=42,
+    )
+    ivf.overwrite(emb.select("vec_id", "embedding"))
+    changes = (
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id", "embedding")
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    ivf.apply_changes(changes)
+    queries = emb.filter(
+        (F.col("vec_id") < 10) & (F.col("vec_id") % 7 != 0)
+    ).select("vec_id", "embedding")
+    out = ivf.nearest_n(queries, n=5, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("sim")).alias("sim")
+    )
+
+
 @q("vector_index_ivf_probe")  # pruned probing — approximate, rows-only
 def _vector_index_ivf_probe(spark, sf_dir):
     from aligned_spark.operators.similarity import ivf_topk

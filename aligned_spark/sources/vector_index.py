@@ -26,6 +26,122 @@ from aligned_spark.operators.similarity import cosine_double, lsh_bucket
 from aligned_spark.sources.file import ParquetSource
 
 
+def _delete_from_clustered(
+    spark: SparkSession,
+    data_path: str,
+    id_col: str,
+    ids: DataFrame,
+    cluster_col: str = "__ivf_cluster",
+) -> int:
+    """Anti-join deleted keys out of a cluster-partitioned parquet
+    store, rewriting ONLY the touched cluster partitions (dynamic
+    partition overwrite — the same touched-group discipline as the
+    MIN/MAX IVM): a delete hitting 2 of 1024 clusters reads and
+    rewrites 2 partitions, never the corpus. Fully-emptied
+    partitions (dynamic overwrite leaves them untouched) are removed
+    explicitly. Falls back to a full anti-join rewrite for
+    un-partitioned legacy stores. Returns the deleted row count."""
+    import os
+    import shutil
+
+    data = spark.read.parquet(data_path)
+    ids = ids.select(id_col).distinct()
+    if cluster_col not in data.columns:
+        survivors = data.join(F.broadcast(ids), id_col, "left_anti")
+        n_del = data.count() - survivors.count()
+        if n_del:
+            tmp = data_path + ".rewrite"
+            survivors.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(data_path)
+            os.replace(tmp, data_path)
+        return int(n_del)
+    hits = (
+        data.select(id_col, cluster_col)
+        .join(F.broadcast(ids), id_col, "left_semi")
+        .groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
+        return 0
+    touched = [r[cluster_col] for r in hits]
+    n_del = int(sum(r["n"] for r in hits))
+    sub = data.filter(F.col(cluster_col).isin(touched))
+    survivors = sub.join(F.broadcast(ids), id_col, "left_anti")
+    # stage survivors OUT of the store first (Spark refuses to
+    # overwrite a path it is reading), then dynamic-overwrite only
+    # the touched partitions from the staging copy
+    staging = data_path + ".rewrite"
+    survivors.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    (
+        staged.repartition(F.col(cluster_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(cluster_col)
+        .parquet(data_path)
+    )
+    remaining = {
+        r[cluster_col]
+        for r in staged.select(cluster_col).distinct().collect()
+    }
+    shutil.rmtree(staging, ignore_errors=True)
+    for c in set(touched) - remaining:
+        shutil.rmtree(
+            os.path.join(data_path, f"{cluster_col}={c}"),
+            ignore_errors=True,
+        )
+    return n_del
+
+
+class _MaintenanceMeta:
+    """Tiny JSON sidecar tracking delete churn since the last
+    quantizer training — the staleness counter behind
+    ``should_retrain`` (same metadata-only-policy shape as the table
+    logs' ``should_compact``)."""
+
+    def __init__(self, index_path: str):
+        import os
+
+        self._file = os.path.join(index_path, "_maintenance.json")
+
+    def load(self) -> dict:
+        import json
+        import os
+
+        if not os.path.exists(self._file):
+            return {"deleted_since_train": 0}
+        try:
+            with open(self._file) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {"deleted_since_train": 0}
+
+    def add_deleted(self, n: int) -> None:
+        import json
+        import os
+
+        meta = self.load()
+        meta["deleted_since_train"] = (
+            int(meta.get("deleted_since_train") or 0) + int(n)
+        )
+        os.makedirs(os.path.dirname(self._file), exist_ok=True)
+        tmp = self._file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._file)
+
+    def reset(self) -> None:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(self._file), exist_ok=True)
+        tmp = self._file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"deleted_since_train": 0}, fh)
+        os.replace(tmp, self._file)
+
+
 @dataclass
 class VectorIndexSource:
     """Parquet-backed vector index with write-time LSH bucketing."""
@@ -170,6 +286,7 @@ class IvfIndexSource:
             [(i, c) for i, c in enumerate(centers)],
             "__ivf_cluster int, __cent array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(self._centroid_path())
+        _MaintenanceMeta(self.path).reset()  # fresh quantizer
 
     def update(self, df: DataFrame) -> None:
         """Incremental ingest: assign new vectors to the EXISTING
@@ -188,6 +305,79 @@ class IvfIndexSource:
             .partitionBy("__ivf_cluster")
             .parquet(self._data_path())
         )
+
+    def delete(self, ids: DataFrame) -> int:
+        """CDC-driven index maintenance, delete side (reference:
+        ``UpdateVectorIndexJob``, aligned/retrieval_job.py:2131-2164
+        keeps the index in sync on writes): anti-join the deleted
+        keys out of the cluster partitions, rewriting ONLY the
+        touched clusters. Tracks churn for :meth:`should_retrain`."""
+        n = _delete_from_clustered(
+            ids.sparkSession, self._data_path(), self.id_col, ids
+        )
+        if n:
+            _MaintenanceMeta(self.path).add_deleted(n)
+        return n
+
+    def apply_changes(self, changes: DataFrame) -> None:
+        """Fold a CDC slice (``_change_type`` column — e.g. a
+        ``readChangeFeed`` micro-batch) into the index: deleted keys
+        and update preimages leave their cluster partitions, inserts
+        and update postimages assign to the frozen centroids and
+        append — so an updated vector moves cluster correctly.
+        Pair with :meth:`maybe_retrain` for drift control."""
+        ins = F.col("_change_type").isin(
+            "insert", "update_postimage"
+        )
+        dels = changes.filter(~ins).select(self.id_col)
+        if not dels.isEmpty():
+            self.delete(dels)
+        adds = changes.filter(ins).select(
+            self.id_col, self.vector_col
+        )
+        if not adds.isEmpty():
+            self.update(adds)
+
+    def should_retrain(
+        self, spark: SparkSession, max_deleted_ratio: float = 0.2
+    ) -> bool:
+        """True when delete churn since the last KMeans training
+        crosses the threshold — frozen centroids (and their cluster
+        balance) degrade as the corpus they were fit on erodes. One
+        metadata read + one count of the index."""
+        dead = int(
+            _MaintenanceMeta(self.path).load().get(
+                "deleted_since_train"
+            )
+            or 0
+        )
+        if not dead:
+            return False
+        live = self.read(spark).count()
+        return dead / max(1, live + dead) >= max_deleted_ratio
+
+    def maybe_retrain(
+        self, spark: SparkSession, max_deleted_ratio: float = 0.2
+    ) -> bool:
+        """Re-cluster from the surviving corpus iff
+        :meth:`should_retrain` — the compaction-policy shape applied
+        to quantizer drift."""
+        import shutil
+        import tempfile
+
+        if not self.should_retrain(spark, max_deleted_ratio):
+            return False
+        # materialize the survivors OUT of the store first: the
+        # retrain overwrite targets the path being read
+        staging = tempfile.mkdtemp(prefix="ivf_retrain_")
+        self.read(spark).select(
+            self.id_col, self.vector_col
+        ).write.mode("overwrite").parquet(staging)
+        try:
+            self.overwrite(spark.read.parquet(staging))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return True
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._data_path())
@@ -438,10 +628,22 @@ class IvfPqIndexSource:
             self._p("centroids")
         )
         _save_codebooks(spark, books, self._p("books"))
-        df.select(
-            F.col(self.id_col).alias("id"),
-            F.col(self.vector_col).alias("vec"),
-        ).write.mode("overwrite").parquet(self._p("vectors"))
+        # refinement vectors ride the SAME cluster partitioning as
+        # the codes, so a delete rewrites only touched partitions of
+        # both stores (the refine join is unaffected — it semi-joins
+        # by id)
+        (
+            resid.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.vector_col).alias("vec"),
+                "__ivf_cluster",
+            )
+            .repartition(F.col("__ivf_cluster"))
+            .write.mode("overwrite")
+            .partitionBy("__ivf_cluster")
+            .parquet(self._p("vectors"))
+        )
+        _MaintenanceMeta(self.path).reset()  # fresh quantizers
 
     def _load(self, spark: SparkSession):
         import numpy as np
@@ -519,10 +721,97 @@ class IvfPqIndexSource:
             .partitionBy("__ivf_cluster")
             .parquet(self._p("codes"))
         )
-        df.select(
-            F.col(self.id_col).alias("id"),
-            F.col(self.vector_col).alias("vec"),
-        ).write.mode("append").parquet(self._p("vectors"))
+        (
+            resid.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.vector_col).alias("vec"),
+                "__ivf_cluster",
+            )
+            .repartition(F.col("__ivf_cluster"))
+            .write.mode("append")
+            .partitionBy("__ivf_cluster")
+            .parquet(self._p("vectors"))
+        )
+
+    def delete(self, ids: DataFrame) -> int:
+        """Delete keys from BOTH cluster-partitioned stores (codes +
+        refinement vectors), rewriting only touched cluster
+        partitions — :meth:`IvfIndexSource.delete` discipline.
+        Legacy un-partitioned vector stores fall back to a full
+        anti-join rewrite (sound either way)."""
+        spark = ids.sparkSession
+        keyed = ids.select(
+            F.col(self.id_col).alias("id")
+        ).distinct()
+        n = _delete_from_clustered(
+            spark, self._p("codes"), "id", keyed
+        )
+        _delete_from_clustered(
+            spark, self._p("vectors"), "id", keyed
+        )
+        if n:
+            _MaintenanceMeta(self.path).add_deleted(n)
+        return n
+
+    def apply_changes(self, changes: DataFrame) -> None:
+        """Fold a CDC slice into the index — deletes/update
+        preimages leave their partitions, inserts/update postimages
+        quantize against the frozen codebooks and append
+        (:meth:`IvfIndexSource.apply_changes` semantics)."""
+        ins = F.col("_change_type").isin(
+            "insert", "update_postimage"
+        )
+        dels = changes.filter(~ins).select(self.id_col)
+        if not dels.isEmpty():
+            self.delete(dels)
+        adds = changes.filter(ins).select(
+            self.id_col, self.vector_col
+        )
+        if not adds.isEmpty():
+            self.update(adds)
+
+    def should_retrain(
+        self, spark: SparkSession, max_deleted_ratio: float = 0.2
+    ) -> bool:
+        """Quantizer-drift trigger: delete churn since the last
+        KMeans/PQ training vs the live corpus (metadata + one
+        count)."""
+        dead = int(
+            _MaintenanceMeta(self.path).load().get(
+                "deleted_since_train"
+            )
+            or 0
+        )
+        if not dead:
+            return False
+        live = spark.read.parquet(self._p("codes")).count()
+        return dead / max(1, live + dead) >= max_deleted_ratio
+
+    def maybe_retrain(
+        self, spark: SparkSession, max_deleted_ratio: float = 0.2
+    ) -> bool:
+        """Re-train coarse centroids + codebooks from the surviving
+        vectors iff :meth:`should_retrain`."""
+        import shutil
+        import tempfile
+
+        if not self.should_retrain(spark, max_deleted_ratio):
+            return False
+        staging = tempfile.mkdtemp(prefix="ivfpq_retrain_")
+        (
+            spark.read.parquet(self._p("vectors"))
+            .select(
+                F.col("id").alias(self.id_col),
+                F.col("vec").alias(self.vector_col),
+            )
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        try:
+            self.overwrite(spark.read.parquet(staging))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return True
 
     def nearest_n(
         self,
