@@ -8434,6 +8434,77 @@ def _store_incremental_aggregate_minmax(spark, sf_dir):
 
 
 @q(
+    "store_incremental_aggregate_distinct",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey % 100) AS BIGINT)
+             AS n_custmod
+    FROM final GROUP BY o_orderpriority""",
+)
+def _store_incremental_aggregate_distinct(spark, sf_dir):
+    """Exact COUNT DISTINCT view maintenance (round 9; reference
+    aggregation surface includes CountDistinctAggregation,
+    `aligned/schemas/transformation.py:2507`): the classic dual-view
+    construction — an auxiliary per-(group, value) multiplicity
+    table is fully self-maintainable under inserts AND deletes, and
+    the distinct count changes exactly when a multiplicity crosses
+    zero — so a refresh touches only the changed (group, value)
+    pairs, never the base. The distinct column is o_custkey%100
+    (heavy duplication, so the MERGE/DELETE sequence exercises both
+    a-copy-survives and last-copy-dies transitions). Oracle = direct
+    COUNT(DISTINCT) over the final state. The approximate
+    no-aux-state twin is the HLL sketch (`events_distinct_sketch`)."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.operators.incremental import (
+        IncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="aligned_spark_ivm_cd_")
+    src = DeltaSource(path=f"{root}/base")
+    src.insert(
+        base.withColumn(
+            "custmod", (F.col("o_custkey") % 100).cast("long")
+        ).repartition(4)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=f"{root}/agg",
+        group_keys=["o_orderpriority"],
+        sums=[],
+        distincts=["custmod"],
+    )
+    agg.refresh(spark)  # full build (+ aux per-(group,value) table)
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    src.upsert(
+        upd.unionByName(ins).withColumn(
+            "custmod", (F.col("o_custkey") % 100).cast("long")
+        ),
+        keys=["o_orderkey"],
+    )
+    agg.refresh(spark)  # incremental: multiplicity deltas only
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    agg.refresh(spark)  # deletes: zero-crossings drop the count
+    return agg.read(spark).select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("n_distinct_custmod").alias("n_custmod"),
+    )
+
+
+@q(
     "source_delta_evolution",
     """SELECT s_suppkey, s_name,
               CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END
@@ -8568,84 +8639,74 @@ def _model_ece(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-8 window (VERDICT r7 "Next round" tasks 1, 4, 6, 7).
-    # Slot 1: corpus_mixture_plan — the one red r7 row, now with the
-    # judge-root-caused fix applied (the oracle's SUM(BIGINT)/`//`
-    # HUGEINT outputs cast to BIGINT; a registry-wide duckdb type
-    # guard in tests/test_oracle_types.py keeps the class extinct).
-    # Slots 2-8: the seven r3-era rows deferred from the r7 window.
-    # Slots 9-10: this round's new full-oracle queries — keyed CDC
-    # for a replaceWhere commit (true update pairs) and hybrid
-    # MIN/MAX incremental aggregate maintenance — both gated green
-    # locally at sf0.01 AND sf0.1. Slot 11: source_in_memory, whose
-    # oracle was retyped this round (DECIMAL literal -> DOUBLE cast)
-    # and needs a fresh row. Remaining 39 slots: the oldest r4-cohort
-    # rows — all 32 non-TPC-H plus the 7 structurally distinctive
-    # TPC-H shapes (q1 classic agg, q2/q17/q20/q21/q22 correlated-
-    # subquery decorrelation, q13 outer-join distribution); the 9
-    # deferred TPC-H rows (q3/q7/q8/q9/q11/q12/q15/q16/q19) are
-    # plain multi-join+agg shapes running the same execute_sql
-    # machinery as the greener q5/q6/q10/q14/q18 rows, so they carry
-    # the least marginal re-verification value and fill the r9
-    # window.
-    "corpus_mixture_plan",
-    # --- r3-era rows deferred from r7 ---
-    "corpus_sample_k",
-    "dedup_simhash",
-    "join_asof_bucketed",
-    "sim_lsh_pairs",
-    "sim_topk_matmul",
-    "splits_train",
-    "stream_interval_join_batch",
-    # --- new round-8 queries ---
-    "source_delta_cdf_replace",
-    "store_incremental_aggregate_minmax",
-    # native streaming table source (late round-8): stream-equals-
-    # batch over 3 delta append commits; takes the slot of tpch_q17,
-    # whose correlated-subquery shape the window still covers four
-    # times over (q2/q20/q21/q22) and whose last green row stays r4
-    "stream_table_source",
-    # --- retyped oracle needing a fresh row ---
-    "source_in_memory",
-    # --- r4-era staleness cohort (39 of 48) ---
-    "agg_cube",
-    "agg_group_basic",
-    "agg_pit_window",
-    "agg_rollup_cube",
-    "corpus_chunk_overlap",
-    "corpus_domain_filter",
-    "corpus_normalize_scores",
-    "corpus_ntile_bins",
-    "corpus_outliers_mad",
-    "corpus_pipeline_e2e",
-    "corpus_pipeline_quality",
-    "corpus_winsorize_cdf",
-    "dedup_incremental",
-    "dedup_substring_spans",
-    "events_global_row_ids",
-    "events_lag_features",
-    "events_pivot",
-    "events_resample",
-    "events_session_window",
-    "join_asof_bucketed_nearest",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_fuzzy_blocked",
-    "join_pit_ttl",
-    "splits_stratified",
-    "store_features_for",
-    "text_bigram_surprise",
-    "text_decontaminate_fuzzy",
-    "text_dup_ngram_chars",
-    "text_inverted_index",
-    "text_quality_classifier",
-    "text_token_entropy",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q13",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
+    # Round-9 window (VERDICT r8 "Next round" task 1): close the
+    # driver-verification loop. Slots 1-10: the ten TPC-H rows whose
+    # last green driver row is r4 — the builder's own rotation plan
+    # deferred them to exactly this window. Slot 11:
+    # stream_table_source_iceberg, the single registry query that
+    # never had a driver row (registered late in r8; judge-sweep
+    # green). Slots 12-15: this round's new full-oracle queries —
+    # the streaming change feed (stream == batch-CDC parity), bloom
+    # point-lookup skipping, exact COUNT DISTINCT maintenance, and
+    # CDC-maintained IVF deletes — each gated green locally at
+    # sf0.01 AND sf0.1. Remaining 35 slots: the oldest (r5-cohort)
+    # full-oracle rows, alphabetical; the 15 r5 rows that don't fit
+    # stay r5-green, satisfying the "no full-oracle query older than
+    # r5" criterion. After this window every full-oracle query has a
+    # driver row, none older than r5.
+    "tpch_q3",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    # --- never driver-verified (late r8 registration) ---
+    "stream_table_source_iceberg",
+    # --- new round-9 queries ---
+    "stream_table_cdf",
+    "source_delta_bloom_lookup",
+    "store_incremental_aggregate_distinct",
+    "vector_index_ivf_deletes",
+    # --- r5-era staleness cohort (35 of 50, alphabetical) ---
+    "agg_group_stats",
+    "agg_percentiles_counting",
+    "agg_rolling_window",
+    "agg_top_frequent",
+    "corpus_collapse_rare",
+    "corpus_jsd_slices",
+    "corpus_pack_wordpiece",
+    "corpus_shrunk_domain_means",
+    "corpus_strip_markup",
+    "corpus_temperature_sample",
+    "corpus_weighted_reservoir",
+    "dedup_minhash",
+    "dedup_remove_spans",
+    "embed_prototypicality",
+    "eval_ann_recall",
+    "events_anomaly_mad",
+    "events_cohort_retention",
+    "events_distinct_sketch",
+    "events_drift_ks",
+    "events_drift_psi",
+    "events_ewma",
+    "events_feature_cross",
+    "events_funnel",
+    "events_resample_linear",
+    "graph_pagerank",
+    "graph_pagerank_dangling",
+    "graph_triangles",
+    "join_interval_overlap",
+    "join_scd2",
+    "layout_zorder_key",
+    "multimodal_audio_windows",
+    "multimodal_frame_sample",
+    "multimodal_image_dedup",
+    "profile_corr_matrix",
+    "profile_table_stats",
 ]
 
 

@@ -97,6 +97,18 @@ class IncrementalAggregate:
     #: touched-group recompute) — see the module docstring
     mins: list[str] = field(default_factory=list)
     maxs: list[str] = field(default_factory=list)
+    #: exact COUNT(DISTINCT c) maintenance via the classic dual-view
+    #: construction (Gupta & Mumick): per column an AUXILIARY Delta
+    #: table ``<target>__dist_<c>`` holds per-(group, value)
+    #: multiplicities — self-maintainable under inserts AND deletes —
+    #: and the distinct count changes exactly when a multiplicity
+    #: crosses zero (0→+ = +1, +→0 = −1). No base recompute, ever:
+    #: a refresh touches only the changed (group, value) pairs. The
+    #: approximate twin (no aux table, mergeable, ~2% error) is an
+    #: HLL sketch via `events_distinct_sketch`
+    #: (`operators/aggregate.py` approx_count_distinct); use it when
+    #: per-(group, value) state is too hot for exactness to matter.
+    distincts: list[str] = field(default_factory=list)
     app_id: str = "ivm"
     #: optional commit-coordination override for the target log
     log_store: Any | None = None
@@ -125,6 +137,12 @@ class IncrementalAggregate:
         Returns the new cursor, or None if already current."""
         cursor = self.last_applied()
         current = self.source.version(spark)
+        if cursor is not None:
+            # crash recovery: the main table commits BEFORE the
+            # distinct aux tables, so an aux may lag one slice —
+            # catch it up (idempotent via its own txn) before
+            # computing anything against its state
+            self._sync_distinct_aux(spark, cursor)
         if cursor is not None and cursor == current:
             return None
         log = self._target()
@@ -147,10 +165,15 @@ class IncrementalAggregate:
                         F.max(c).alias(f"__max_{c}")
                         for c in self.maxs
                     ],
+                    *[
+                        F.countDistinct(c).alias(f"__dist_{c}")
+                        for c in self.distincts
+                    ],
                 )
             )
             self._reject_null_keys(full)
             log.write(full, "append", txn=(self.app_id, current))
+            self._sync_distinct_aux(spark, current)
             return current
         # bounded slice (cursor, current] — commits racing in after
         # version() belong to the NEXT refresh
@@ -192,6 +215,12 @@ class IncrementalAggregate:
         vmax = int(vmax)
         cursor = self.last_applied()
         if cursor is not None and vmax <= cursor:
+            if vmax == cursor:
+                # the replayed batch IS the slice a lagging distinct
+                # aux (crash between main and aux commits) is missing
+                self._sync_distinct_aux(
+                    spark, cursor, changes=changes
+                )
             return None  # checkpoint replay of a committed batch
         log = self._target()
         if cursor is None:
@@ -210,14 +239,135 @@ class IncrementalAggregate:
                 *[F.sum(c).alias(c) for c in self.sums],
                 *[F.min(c).alias(f"__min_{c}") for c in self.mins],
                 *[F.max(c).alias(f"__max_{c}") for c in self.maxs],
+                *[
+                    F.countDistinct(c).alias(f"__dist_{c}")
+                    for c in self.distincts
+                ],
             )
             self._reject_null_keys(full)
             log.write(full, "append", txn=(self.app_id, vmax))
+            self._sync_distinct_aux(spark, vmax, changes=changes)
             return vmax
+        self._sync_distinct_aux(spark, cursor)
         self._apply_slice(
             spark, changes, pin=vmax, txn_version=vmax
         )
         return vmax
+
+    # ------------------------------------------ COUNT DISTINCT aux
+
+    def _aux_log(self, c: str):
+        from aligned_spark.sources.delta_log import DeltaLog
+
+        return DeltaLog(
+            f"{self.target_path}__dist_{c}", log_store=self.log_store
+        )
+
+    def _aux_app(self, c: str) -> str:
+        return f"{self.app_id}.dist.{c}"
+
+    def _aux_transitions(
+        self, spark: SparkSession, c: str, changes: DataFrame
+    ) -> DataFrame:
+        """Per-(group, value) multiplicity updates of one CDC slice
+        against the aux table's PRE-state: columns = group keys, c,
+        ``__n`` (new multiplicity) and ``__t`` (the zero-crossing
+        indicator whose per-group sum IS the distinct-count
+        delta)."""
+        ins = F.col("_change_type").isin(
+            "insert", "update_postimage"
+        )
+        sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+        per_val = (
+            changes.filter(F.col(c).isNotNull())
+            .groupBy(*self.group_keys, c)
+            .agg(F.sum(sign).cast("long").alias("__dn"))
+        )
+        aux = self._aux_log(c)
+        on = [*self.group_keys, c]
+        if aux.exists():
+            old = (
+                aux.read(spark)
+                .join(
+                    per_val.select(*on), on=on, how="left_semi"
+                )
+                .select(*on, F.col("__n").alias("__old"))
+            )
+            j = per_val.join(old, on=on, how="left")
+        else:
+            j = per_val.withColumn("__old", F.lit(None).cast("long"))
+        new_n = F.coalesce(F.col("__old"), F.lit(0)) + F.col("__dn")
+        was = (F.coalesce(F.col("__old"), F.lit(0)) > 0).cast("int")
+        now = (new_n > 0).cast("int")
+        return j.select(
+            *on,
+            new_n.alias("__n"),
+            (now - was).cast("long").alias("__t"),
+        )
+
+    def _commit_aux(
+        self,
+        spark: SparkSession,
+        c: str,
+        trans: DataFrame,
+        txn_version,
+    ) -> None:
+        aux = self._aux_log(c)
+        app = self._aux_app(c)
+        last = aux.txn_version(app) if aux.exists() else None
+        if last is not None and txn_version <= last:
+            return  # replay — already folded in
+        on = [*self.group_keys, c]
+        rows = trans.select(*on, "__n")
+        if not aux.exists():
+            aux.write(rows, "append", txn=(app, txn_version))
+            return
+        aux.merge_upsert(rows, on, txn=(app, txn_version))
+        if not trans.filter(F.col("__n") <= 0).isEmpty():
+            # vanished values are logically absent; tombstone them
+            # opportunistically (idempotent, safe to lose — the
+            # transition math treats __n<=0 as absent regardless)
+            aux.delete_where(spark, F.col("__n") <= 0)
+
+    def _sync_distinct_aux(
+        self,
+        spark: SparkSession,
+        main_cursor,
+        changes: DataFrame | None = None,
+    ) -> None:
+        """Bring every distinct aux table up to the MAIN cursor. The
+        main merge commits first, so after a crash an aux lags by at
+        most the last slice — re-derivable from the base CDC (or the
+        replayed micro-batch) and idempotent via the aux's own
+        txn."""
+        for c in self.distincts:
+            aux = self._aux_log(c)
+            app = self._aux_app(c)
+            last = aux.txn_version(app) if aux.exists() else None
+            if last is not None and last >= main_cursor:
+                continue
+            if last is None and changes is None:
+                # no aux yet: full per-(group, value) build from the
+                # base pinned at the cursor
+                full = (
+                    self._read_at(spark, main_cursor)
+                    .filter(F.col(c).isNotNull())
+                    .groupBy(*self.group_keys, c)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                )
+                aux.write(
+                    full, "append", txn=(app, main_cursor)
+                )
+                continue
+            slice_df = (
+                changes
+                if changes is not None
+                else self.source.read_changes(
+                    spark, last, main_cursor
+                )
+            )
+            trans = self._aux_transitions(spark, c, slice_df)
+            self._commit_aux(spark, c, trans, main_cursor)
 
     def _apply_slice(
         self,
@@ -240,6 +390,12 @@ class IncrementalAggregate:
             self.mins,
             self.maxs,
         ).persist()
+        # distinct transitions read the aux tables' PRE-state, so
+        # they are computed (and pinned) before any commit lands
+        trans_by_c = {
+            c: self._aux_transitions(spark, c, changes).persist()
+            for c in self.distincts
+        }
         try:
             self._reject_null_keys(deltas)
             # Semi-filter the aggregate by the delta keys BEFORE the
@@ -301,14 +457,28 @@ class IncrementalAggregate:
                         & F.coalesce(danger, F.lit(False))
                     ).alias("__recompute")
                 )
+            joined = deltas.join(old, on=self.group_keys, how="left")
+            for c, trans in trans_by_c.items():
+                dd = trans.groupBy(*self.group_keys).agg(
+                    F.sum("__t").cast("long").alias(f"__dd_{c}")
+                )
+                joined = joined.join(
+                    dd, on=self.group_keys, how="left"
+                )
+                sel.append(
+                    (
+                        F.coalesce(
+                            F.col(f"__old_dist_{c}"), F.lit(0)
+                        )
+                        + F.coalesce(F.col(f"__dd_{c}"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias(f"__dist_{c}")
+                )
             # persisted: staged once by the MERGE, probed again by
             # the recompute split and the emptied-group check — never
             # recomputed through the CDC read + semi-join chain
-            merged = (
-                deltas.join(old, on=self.group_keys, how="left")
-                .select(*sel)
-                .persist()
-            )
+            merged = joined.select(*sel).persist()
             final = self._apply_extrema_recompute(
                 spark, merged, pin
             )
@@ -318,6 +488,11 @@ class IncrementalAggregate:
                 self.group_keys,
                 txn=(self.app_id, txn_version),
             )
+            # aux tables commit AFTER the main merge (recovery rule:
+            # an aux lags by at most the last slice, re-synced from
+            # CDC at the next call — each has its own txn guard)
+            for c, trans in trans_by_c.items():
+                self._commit_aux(spark, c, trans, txn_version)
             # opportunistic tombstone of emptied groups — idempotent
             # and safe to lose (read() filters __n = 0 regardless)
             if not merged.filter(F.col(COUNT_COL) == 0).isEmpty():
@@ -325,6 +500,8 @@ class IncrementalAggregate:
             merged.unpersist()
         finally:
             deltas.unpersist()
+            for trans in trans_by_c.values():
+                trans.unpersist()
         if self.auto_compact:
             from aligned_spark.sources.delta_log import (
                 ConcurrentCommitError,
@@ -371,6 +548,7 @@ class IncrementalAggregate:
             *self.group_keys,
             COUNT_COL,
             *self.sums,
+            *[f"__dist_{c}" for c in self.distincts],
             *[
                 F.when(
                     F.col("__recompute"), F.col(f"__rc_min_{c}")
@@ -410,6 +588,10 @@ class IncrementalAggregate:
                     F.col(f"__max_{c}").alias(f"__old_max_{c}")
                     for c in self.maxs
                 ],
+                *[
+                    F.col(f"__dist_{c}").alias(f"__old_dist_{c}")
+                    for c in self.distincts
+                ],
             )
         )
 
@@ -437,6 +619,37 @@ class IncrementalAggregate:
                 f"{self.group_keys}"
             )
 
+    def maintain_continuously(
+        self,
+        spark: SparkSession,
+        checkpoint: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Wire the whole continuous-IVM pipeline in one call:
+        commit log → ``readChangeFeed`` stream → ``foreachBatch`` →
+        :meth:`apply_changes`. Returns the started
+        ``StreamingQuery`` (caller stops it / awaits termination).
+        The default stream start (current snapshot as inserts)
+        doubles as the aggregate's bootstrap full build; the
+        checkpoint + txn cursor make restarts exactly-once."""
+        from aligned_spark.streaming.sources import TableStreamSource
+
+        src = TableStreamSource(
+            path=getattr(self.source, "path", None)
+            or self.source.table_path,
+            table_format="delta",
+            read_change_feed=True,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return (
+            src.read_stream(spark)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: self.apply_changes(spark, bdf)
+            )
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
         """The maintained aggregate (groups with no surviving rows
         excluded), identical to a fresh group-by over the base."""
@@ -455,6 +668,10 @@ class IncrementalAggregate:
                 *[
                     F.col(f"__max_{c}").alias(f"max_{c}")
                     for c in self.maxs
+                ],
+                *[
+                    F.col(f"__dist_{c}").alias(f"n_distinct_{c}")
+                    for c in self.distincts
                 ],
             )
         )

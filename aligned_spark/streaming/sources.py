@@ -110,6 +110,11 @@ class TableStreamSource:
     starting_snapshot_id: int | str | None = None
     ignore_changes: bool = False
     max_files_per_trigger: int | None = None
+    #: delta only: stream row-level changes with public CDF columns
+    #: (``_change_type``/``_commit_version``) instead of raising on
+    #: MERGE/DELETE commits — see
+    #: :mod:`aligned_spark.streaming.cdf_stream`
+    read_change_feed: bool = False
     mapping_keys: dict[str, str] = field(default_factory=dict)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
@@ -121,6 +126,8 @@ class TableStreamSource:
             .option("path", self.path)
             .option("format", self.table_format)
         )
+        if self.read_change_feed:
+            reader = reader.option("readChangeFeed", "true")
         if self.starting_version is not None:
             reader = reader.option(
                 "startingVersion", str(self.starting_version)

@@ -148,7 +148,47 @@ HEADLINE = [
     # monotone extrema + delete-triggered touched-group recompute)
     "source_delta_cdf_replace",
     "store_incremental_aggregate_minmax",
+    # round-9 additions: streaming change feed (stream == batch-CDC
+    # over the write/MERGE/DELETE sequence), bloom point-lookup
+    # skipping on a hash layout, exact COUNT DISTINCT maintenance
+    # (dual-view aux table), and CDC-maintained IVF deletes
+    "stream_table_cdf",
+    "source_delta_bloom_lookup",
+    "store_incremental_aggregate_distinct",
+    "vector_index_ivf_deletes",
 ]
+
+
+def _previous_bench_queries() -> dict:
+    """Per-query numbers from the newest BENCH_r*.json next to this
+    file (the driver's archived compact line) — the 2x
+    contention-detection baseline. Missing/corrupt files mean no
+    baseline, never a failure."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return {}
+    try:
+        with open(best) as fh:
+            rec = json.load(fh)
+        parsed = rec.get("parsed") or {}
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        cur_sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        if float(parsed.get("sf") or -1) != cur_sf:
+            return {}  # different scale factor — not comparable
+        q = parsed.get("queries") or {}
+        return {k: float(v) for k, v in q.items() if v}
+    except (OSError, ValueError, TypeError):
+        return {}
 
 
 def _force(df) -> None:
@@ -209,8 +249,17 @@ def main() -> None:
     # compute honest (operator-internal persists rebuild each time).
     import gc
 
+    # Previous round's reported numbers (r8 verdict task 7): a query
+    # whose fresh min exceeds 2x its previous value is presumed
+    # contended (driver-box load, not a regression — three r8
+    # "regressions" were all re-measured at/below their r7 values)
+    # and gets ONE extra timed run to self-correct; if it still
+    # exceeds 2x it is flagged in the compact line for the judge.
+    prev = _previous_bench_queries()
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    contended: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
         _force(fn(spark, sf_dir))
@@ -221,6 +270,13 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             samples.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
+        if name in prev and min(samples) > 2 * prev[name]:
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            samples.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+            if min(samples) > 2 * prev[name]:
+                contended.append(name)
         runs[name] = samples
         timings[name] = min(samples)
         # drop Python-side refs NOW so the async ContextCleaner can
@@ -253,9 +309,14 @@ def main() -> None:
     )
     # Compact machine-readable line, guaranteed to fit the driver's
     # 2000-char tail window: headline total + the slowest queries
-    # (as many as fit in ~1500 chars), 2-dp rounding.
+    # (as many as fit in ~1500 chars), 2-dp rounding. Each reported
+    # query carries its SPREAD (max/min over its timed samples) so a
+    # contended box is visible in the compact record itself, and
+    # queries still >2x their previous-round value after the extra
+    # run are flagged.
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     compact: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     base = {
         "metric": "headline_total",
         "value": total,
@@ -263,13 +324,20 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "calibration": calibration,
+        "contended": contended,
     }
     for name, sec in slowest:
-        trial = dict(base, queries=dict(compact, **{name: round(sec, 2)}))
+        spr = round(max(runs[name]) / max(min(runs[name]), 1e-9), 2)
+        trial = dict(
+            base,
+            queries=dict(compact, **{name: round(sec, 2)}),
+            spread=dict(spreads, **{name: spr}),
+        )
         if len(json.dumps(trial)) > 1500:
             break
         compact[name] = round(sec, 2)
-    print(json.dumps(dict(base, queries=compact)))
+        spreads[name] = spr
+    print(json.dumps(dict(base, queries=compact, spread=spreads)))
     spark.stop()
 
 

@@ -243,6 +243,7 @@ def test_continuous_ivm_over_cdf_stream(spark, tmp_path):
         sums=["x"],
         mins=["x"],
         maxs=["x"],
+        distincts=["x"],
     )
 
     def direct():
@@ -256,6 +257,7 @@ def test_continuous_ivm_over_cdf_stream(spark, tmp_path):
                     F.sum("x").alias("x"),
                     F.min("x").alias("min_x"),
                     F.max("x").alias("max_x"),
+                    F.countDistinct("x").alias("n_distinct_x"),
                 )
                 .collect(),
             )
@@ -266,7 +268,10 @@ def test_continuous_ivm_over_cdf_stream(spark, tmp_path):
             map(
                 tuple,
                 agg.read(spark)
-                .select("g", "n_rows", "x", "min_x", "max_x")
+                .select(
+                    "g", "n_rows", "x", "min_x", "max_x",
+                    "n_distinct_x",
+                )
                 .collect(),
             )
         )
@@ -318,3 +323,57 @@ def test_continuous_ivm_over_cdf_stream(spark, tmp_path):
     before = maintained()
     run_stream()
     assert maintained() == before
+
+
+def test_maintain_continuously_one_call(spark, tmp_path):
+    """The one-call wiring: maintain_continuously starts the CDF
+    stream + foreachBatch pipeline; bootstrap, folds, and restarts
+    are exactly-once."""
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=i, g=str(i % 2), x=float(i)) for i in range(8)]
+        ).coalesce(1)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = agg.maintain_continuously(spark, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    drain()
+    src.upsert(
+        spark.createDataFrame([Row(k=2, g="1", x=99.0)]), keys=["k"]
+    )
+    drain()
+    direct = sorted(
+        map(
+            tuple,
+            src.read(spark)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("x"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            agg.read(spark).select("g", "n_rows", "x").collect(),
+        )
+    )
+    assert got == direct

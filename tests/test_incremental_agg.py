@@ -476,3 +476,210 @@ def test_ivm_rides_a_streaming_ingest(spark, tmp_path):
     assert maintained == direct
     # replayed refresh (same base version) is a no-op
     assert agg.refresh(spark) is None
+
+
+# ------------------------------------------------------------------
+# exact COUNT DISTINCT maintenance (round 9 — dual-view aux table)
+# ------------------------------------------------------------------
+
+
+def _rows_u():
+    # u duplicates heavily inside groups so both transition kinds
+    # (a-copy-survives, last-copy-dies) occur under deletes
+    return [
+        Row(k=i, g="a" if i % 2 == 0 else "b", x=float(i), u=i % 4)
+        for i in range(20)
+    ]
+
+
+def _direct_cd(spark, src):
+    return {
+        r.g: (r.n, r.d)
+        for r in src.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("u").alias("d"),
+        )
+        .collect()
+    }
+
+
+def _maintained_cd(spark, agg):
+    return {
+        r.g: (r.n_rows, r.n_distinct_u)
+        for r in agg.read(spark).collect()
+    }
+
+
+def test_count_distinct_maintenance(spark, tmp_path):
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(spark.createDataFrame(_rows_u()).coalesce(1))
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=[],
+        distincts=["u"],
+    )
+    agg.refresh(spark)
+    assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
+
+    # insert a brand-new value (+1) and a duplicate (+0)
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=100, g="a", x=0.0, u=99), Row(k=101, g="a", x=0.0, u=0)]
+        ).coalesce(1)
+    )
+    agg.refresh(spark)
+    assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
+
+    # delete ONE copy of a duplicated value (count unchanged) and
+    # the ONLY copy of u=99 (count drops)
+    src.delete_where(spark, F.col("k").isin(100, 101))
+    agg.refresh(spark)
+    assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
+
+    # update that changes a key's VALUE and moves it across groups
+    src.upsert(
+        spark.createDataFrame([Row(k=3, g="a", x=3.0, u=77)]),
+        keys=["k"],
+    )
+    agg.refresh(spark)
+    assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
+
+    # kill every odd key: group b empties, its aux rows tombstone
+    src.delete_where(spark, F.col("k") % 2 == 1)
+    agg.refresh(spark)
+    assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
+    assert "b" not in _maintained_cd(spark, agg)
+
+
+def test_count_distinct_aux_lag_recovery(spark, tmp_path):
+    """Crash between the main merge and the aux merge: the aux lags
+    one slice; the next refresh re-syncs it from CDC before using its
+    state (the commit-order recovery rule)."""
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(spark.createDataFrame(_rows_u()).coalesce(1))
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+        distincts=["u"],
+    )
+    agg.refresh(spark)
+
+    # simulate the crash: apply a slice with the aux commit disabled
+    src.upsert(
+        spark.createDataFrame(
+            [Row(k=0, g="a", x=0.0, u=55), Row(k=200, g="b", x=1.0, u=56)]
+        ),
+        keys=["k"],
+    )
+    orig = IncrementalAggregate._commit_aux
+    IncrementalAggregate._commit_aux = lambda *a, **k: None
+    try:
+        agg.refresh(spark)
+    finally:
+        IncrementalAggregate._commit_aux = orig
+    aux = agg._aux_log("u")
+    assert aux.txn_version(agg._aux_app("u")) < agg.last_applied()
+
+    # next refresh first catches the aux up, then applies the new
+    # slice — the maintained count stays exact
+    src.delete_where(spark, F.col("u") == 55)
+    agg.refresh(spark)
+    assert aux.txn_version(agg._aux_app("u")) == agg.last_applied()
+    assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(script=_ivm_ops)
+def test_count_distinct_matches_direct_for_any_op_sequence(
+    spark, ivm_tmp_dir, script
+):
+    """Property: for ANY append/upsert/delete sequence the
+    maintained exact COUNT(DISTINCT) equals a direct
+    countDistinct over the base after EVERY refresh."""
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = f"{ivm_tmp_dir}/{_uuid.uuid4().hex}"
+    src = DeltaSource(path=f"{base}/base")
+    src.insert(
+        spark.createDataFrame(
+            [
+                Row(
+                    k=i,
+                    g="a" if i % 2 == 0 else "b",
+                    x=float(i),
+                    u=i % 3,
+                )
+                for i in range(10)
+            ]
+        ).coalesce(1)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=f"{base}/agg",
+        group_keys=["g"],
+        sums=["x"],
+        distincts=["u"],
+    )
+    agg.refresh(spark)
+    assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
+    existing = set(range(10))
+    for step, (op, keys) in enumerate(script):
+        if op == "append":
+            fresh = [k for k in keys if k not in existing]
+            if not fresh:
+                continue
+            src.insert(
+                spark.createDataFrame(
+                    [
+                        Row(
+                            k=k,
+                            g="a" if (k + step) % 2 == 0 else "b",
+                            x=float(step * 100 - k),
+                            u=(k + step) % 5,
+                        )
+                        for k in fresh
+                    ]
+                ).coalesce(1)
+            )
+            existing |= set(fresh)
+        elif op == "upsert":
+            src.upsert(
+                spark.createDataFrame(
+                    [
+                        Row(
+                            k=k,
+                            g="b" if (k + step) % 3 == 0 else "a",
+                            x=float(step - 10 * k),
+                            u=(k * 7 + step) % 5,
+                        )
+                        for k in keys
+                    ]
+                ),
+                keys=["k"],
+            )
+            existing |= set(keys)
+        else:
+            hit = [k for k in keys if k in existing]
+            if not hit:
+                continue
+            src.delete_where(spark, F.col("k").isin(hit))
+            existing -= set(hit)
+        agg.refresh(spark)
+        assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
