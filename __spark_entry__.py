@@ -8205,6 +8205,58 @@ def _source_iceberg_cdf(spark, sf_dir):
     return _cdf_project(log.read_changes(spark, sids[0]), seq)
 
 
+@q("stream_table_cdf_iceberg", _CDF_CHANGES_SQL)
+def _stream_table_cdf_iceberg(spark, sf_dir):
+    """Iceberg twin of ``stream_table_cdf``
+    (`streaming/cdf_stream.py:IcebergCdfStreamReader`): the
+    write/MERGE/DELETE snapshot sequence tailed through
+    ``readChangeFeed`` with snapshot-id offsets — per snapshot the
+    file set is diffed against its parent exactly like the batch
+    ``IcebergLog.read_changes``, so stream ≡ batch-CDC ≡ the same
+    relational oracle. Random snapshot ids normalize to their
+    position in the snapshot list for determinism."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.streaming.table_stream import (  # noqa: PLC0415
+        register,
+    )
+
+    log = _iceberg_orders_table(spark, sf_dir)
+    sids = log.snapshot_ids()
+    register(spark)
+    sdf = (
+        spark.readStream.format("aligned_table")
+        .option("path", log.table_path)
+        .option("format", "iceberg")
+        .option("readChangeFeed", "true")
+        .option("startingSnapshotId", str(sids[1]))
+        .load()
+    )
+    tmp = tempfile.mkdtemp(prefix="aligned_cdf_stream_ice_")
+    out = os.path.join(tmp, "sink")
+    query = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        query.awaitTermination()
+    changes = spark.read.schema(sdf.schema).parquet(out)
+    seq = F.col("_snapshot_id")
+    for i, sid in enumerate(sids):
+        seq = F.when(F.col("_snapshot_id") == sid, F.lit(i)).otherwise(
+            seq
+        )
+    return _cdf_project(changes, seq)
+
+
 @q(
     "source_delta_mor",
     f"""WITH {_DELTA_MERGED_SQL}
@@ -8668,6 +8720,7 @@ _PRIORITY: list[str] = [
     "stream_table_source_iceberg",
     # --- new round-9 queries ---
     "stream_table_cdf",
+    "stream_table_cdf_iceberg",
     "source_delta_bloom_lookup",
     "store_incremental_aggregate_distinct",
     "vector_index_ivf_deletes",
@@ -8706,7 +8759,6 @@ _PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_image_dedup",
     "profile_corr_matrix",
-    "profile_table_stats",
 ]
 
 

@@ -1,6 +1,8 @@
-"""Streaming change-data-feed over the engine's Delta commit log —
+"""Streaming change-data-feed over the engine's table commit logs —
 ``readStream.format("aligned_table").option("readChangeFeed", "true")``,
-the delta-spark ``readChangeFeed`` analog.
+the delta-spark ``readChangeFeed`` analog, for BOTH formats (the
+iceberg twin uses snapshot-id offsets and the ``_snapshot_id``
+version column, matching ``IcebergLog.read_changes``).
 
 Where the plain table stream (:mod:`aligned_spark.streaming
 .table_stream`) raises on MERGE/DELETE/UPDATE commits, this reader
@@ -55,20 +57,26 @@ from aligned_spark.streaming.table_stream import (
     _align_batches,
     _DeltaStreamReader,
     _delta_log,
+    _IcebergStreamReader,
 )
 
-#: CDF column names — public Delta CDF semantics
+#: CDF column names — public Delta CDF semantics; the iceberg twin
+#: uses ``_snapshot_id`` (matching ``IcebergLog.read_changes``)
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
+SNAPSHOT_ID_COL = "_snapshot_id"
+_VERSION_COLS = (COMMIT_VERSION_COL, SNAPSHOT_ID_COL)
 
 
-def cdf_schema(base: StructType) -> StructType:
+def cdf_schema(
+    base: StructType, version_col: str = COMMIT_VERSION_COL
+) -> StructType:
     """The stream's output schema: table columns + CDF columns."""
     return StructType(
         [
             *base.fields,
             StructField(CHANGE_TYPE_COL, StringType(), False),
-            StructField(COMMIT_VERSION_COL, LongType(), False),
+            StructField(version_col, LongType(), False),
         ]
     )
 
@@ -281,7 +289,7 @@ def _emit_cdf(tables, schema_json: str) -> Iterator[Any]:
                 arrays.append(
                     pa.array([ctype] * n, type=field.type)
                 )
-            elif field.name == COMMIT_VERSION_COL:
+            elif field.name in _VERSION_COLS:
                 arrays.append(
                     pa.array([version] * n, type=field.type)
                 )
@@ -467,38 +475,195 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
 
     # ---------------------------------------------------- reading
     def read(self, partition) -> Iterator[Any]:
-        import json
+        return read_cdf_partition(partition, self._schema_json)
 
-        if isinstance(partition, _CdfInsertPart):
-            import pyarrow as pa
 
-            base_batches = _align_batches(
-                partition.abs_path,
-                partition.partition_values,
-                partition.base_schema_json,
-                partition.rel_path,
-                partition.delete_sidecars,
-            )
-            tbl = None
-            for rb in base_batches:
-                tbl = pa.Table.from_batches([rb])
-                yield from _emit_cdf(
-                    [(tbl, "insert", partition.version)],
-                    self._schema_json,
-                )
-            return
-        p: _CdfDiffPart = partition
-        base = StructType.fromJson(json.loads(p.base_schema_json))
-        cols = [f.name for f in base.fields]
-        old = _side_table(p.old_files, p.old_sidecars, p.base_schema_json)
-        new = _side_table(p.new_files, p.new_sidecars, p.base_schema_json)
-        keys = [k for k in p.keys]
-        rest = [c for c in cols if c not in keys]
-        if keys and rest:
-            pieces = _keyed_diff(old, new, keys, cols)
-        else:
-            pieces = _multiset_diff(old, new, cols)
-        yield from _emit_cdf(
-            ((t, ctype, p.version) for t, ctype in pieces),
-            self._schema_json,
+def read_cdf_partition(partition, schema_json: str) -> Iterator[Any]:
+    """Executor-side CDF partition read, shared by the delta and
+    iceberg readers (the parts are format-agnostic: absolute file
+    paths + partition values + position-delete sidecar paths)."""
+    import json
+
+    if isinstance(partition, _CdfInsertPart):
+        import pyarrow as pa
+
+        base_batches = _align_batches(
+            partition.abs_path,
+            partition.partition_values,
+            partition.base_schema_json,
+            partition.rel_path,
+            partition.delete_sidecars,
         )
+        for rb in base_batches:
+            tbl = pa.Table.from_batches([rb])
+            yield from _emit_cdf(
+                [(tbl, "insert", partition.version)],
+                schema_json,
+            )
+        return
+    p: _CdfDiffPart = partition
+    base = StructType.fromJson(json.loads(p.base_schema_json))
+    cols = [f.name for f in base.fields]
+    old = _side_table(p.old_files, p.old_sidecars, p.base_schema_json)
+    new = _side_table(p.new_files, p.new_sidecars, p.base_schema_json)
+    keys = [k for k in p.keys]
+    rest = [c for c in cols if c not in keys]
+    if keys and rest:
+        pieces = _keyed_diff(old, new, keys, cols)
+    else:
+        pieces = _multiset_diff(old, new, cols)
+    yield from _emit_cdf(
+        ((t, ctype, p.version) for t, ctype in pieces),
+        schema_json,
+    )
+
+
+class IcebergCdfStreamReader(_IcebergStreamReader):
+    """Iceberg twin of :class:`DeltaCdfStreamReader`: snapshot-id
+    offsets inherit from the plain reader; per snapshot the file set
+    is diffed against its parent's EXACTLY as the batch
+    ``IcebergLog.read_changes`` does (operation ``replace`` skipped,
+    ``merge-keys`` from the snapshot summary, merge-on-read pair
+    kills read at the parent view), so stream ≡ batch-CDC. Version
+    column: ``_snapshot_id`` (the iceberg CDC convention)."""
+
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        super().__init__(schema, options)
+        base = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in (CHANGE_TYPE_COL, SNAPSHOT_ID_COL)
+            ]
+        )
+        self._base_json = base.json()
+
+    def _refs(self, rels) -> set:
+        """Data files referenced by position-delete sidecars —
+        driver-side, reads only the small files' file_path column."""
+        import pyarrow.parquet as pq
+
+        refs: set = set()
+        for rel in rels:
+            try:
+                refs |= set(
+                    pq.read_table(
+                        os.path.join(self._path, rel),
+                        columns=["file_path"],
+                    )["file_path"].to_pylist()
+                )
+            except (OSError, KeyError):  # pragma: no cover
+                continue
+        return refs
+
+    def partitions(self, start: dict, end: dict) -> Sequence:
+        from aligned_spark.streaming.table_stream import _iceberg_log
+
+        log = _iceberg_log(self._path)
+        self._last_end = dict(end)
+        parts: list = []
+        tail_from = int(start["snapshot_id"])
+        if "snap_v" in end:
+            same = start.get("snap_v") == end["snap_v"]
+            s_idx = int(start.get("idx", 0)) if same else 0
+            if int(end.get("idx", 0)) > s_idx:
+                view = log._resolve(end["snap_v"])
+                sidecars = tuple(
+                    os.path.join(self._path, p)
+                    for p in sorted(view.delete_files)
+                )
+                for rel in sorted(view.files):
+                    rec = view.files[rel]
+                    parts.append(
+                        _CdfInsertPart(
+                            os.path.join(self._path, rel),
+                            dict(rec.get("partition") or {}),
+                            self._base_json,
+                            int(end["snap_v"]),
+                            rel_path=rel,
+                            delete_sidecars=sidecars,
+                        )
+                    )
+            tail_from = int(end["snap_v"])
+        snaps = self._range(log, tail_from, int(end["snapshot_id"]))
+        if not snaps:
+            return parts
+        prev = log._resolve(tail_from if tail_from else None)
+        if tail_from == 0:
+            from aligned_spark.sources.iceberg_log import (
+                IcebergSnapshotView,
+            )
+
+            md = log.current_metadata()
+            from aligned_spark.sources.iceberg_log import (
+                _schema_to_spark,
+            )
+
+            prev = IcebergSnapshotView(
+                -1, _schema_to_spark(md["schema"]), [], {}
+            )
+        for snap in snaps:
+            sid = snap["snapshot-id"]
+            cur = log._resolve(sid)
+            added = sorted(set(cur.files) - set(prev.files))
+            removed = sorted(set(prev.files) - set(cur.files))
+            new_del = sorted(
+                set(cur.delete_files) - set(prev.delete_files)
+            )
+            old_view, prev = prev, cur
+            if not added and not removed and not new_del:
+                continue
+            if snap.get("summary", {}).get("operation") == "replace":
+                continue  # compaction — no logical row changes
+            mk = snap.get("summary", {}).get("merge-keys")
+            keys = tuple(mk.split(",")) if mk else ()
+            if not removed and not new_del:
+                for rel in added:
+                    parts.append(
+                        _CdfInsertPart(
+                            os.path.join(self._path, rel),
+                            dict(
+                                cur.files[rel].get("partition") or {}
+                            ),
+                            self._base_json,
+                            sid,
+                        )
+                    )
+                continue
+            touched = {
+                r for r in self._refs(new_del) if r in cur.files
+            }
+            old_files = sorted(
+                (set(removed) | touched) & set(old_view.files)
+            )
+            new_files = sorted((set(added) | touched) & set(cur.files))
+
+            def spec(view, rels):
+                return (
+                    tuple(
+                        (
+                            os.path.join(self._path, r),
+                            r,
+                            dict(
+                                view.files[r].get("partition") or {}
+                            ),
+                        )
+                        for r in rels
+                    ),
+                    tuple(
+                        os.path.join(self._path, p)
+                        for p in sorted(view.delete_files)
+                    ),
+                )
+
+            of, osc = spec(old_view, old_files)
+            nf, nsc = spec(cur, new_files)
+            parts.append(
+                _CdfDiffPart(
+                    of, osc, nf, nsc, keys, self._base_json, sid
+                )
+            )
+        return parts
+
+    def read(self, partition) -> Iterator[Any]:
+        return read_cdf_partition(partition, self._schema_json)

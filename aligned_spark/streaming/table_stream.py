@@ -556,11 +556,6 @@ class TableStreamDataSource(DataSource):
                 return cdf_schema(schema)
             return schema
         if fmt == "iceberg":
-            if self._cdf(opts):
-                raise ValueError(
-                    "readChangeFeed streaming is delta-only; use "
-                    "IcebergSource.read_changes for batch CDC"
-                )
             from aligned_spark.sources.iceberg_log import _schema_to_spark
 
             log = _iceberg_log(path)
@@ -569,7 +564,15 @@ class TableStreamDataSource(DataSource):
             ice = next(
                 s for s in md["schemas"] if s["schema-id"] == cur
             )
-            return _schema_to_spark(ice)
+            base = _schema_to_spark(ice)
+            if self._cdf(opts):
+                from aligned_spark.streaming.cdf_stream import (
+                    SNAPSHOT_ID_COL,
+                    cdf_schema,
+                )
+
+                return cdf_schema(base, SNAPSHOT_ID_COL)
+            return base
         raise ValueError(f"unknown table format {fmt!r}")
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
@@ -585,10 +588,11 @@ class TableStreamDataSource(DataSource):
             return _DeltaStreamReader(schema, opts)
         if fmt == "iceberg":
             if self._cdf(opts):
-                raise ValueError(
-                    "readChangeFeed streaming is delta-only; use "
-                    "IcebergSource.read_changes for batch CDC"
+                from aligned_spark.streaming.cdf_stream import (
+                    IcebergCdfStreamReader,
                 )
+
+                return IcebergCdfStreamReader(schema, opts)
             return _IcebergStreamReader(schema, opts)
         raise ValueError(f"unknown table format {fmt!r}")
 

@@ -153,6 +153,7 @@ HEADLINE = [
     # skipping on a hash layout, exact COUNT DISTINCT maintenance
     # (dual-view aux table), and CDC-maintained IVF deletes
     "stream_table_cdf",
+    "stream_table_cdf_iceberg",
     "source_delta_bloom_lookup",
     "store_incremental_aggregate_distinct",
     "vector_index_ivf_deletes",

@@ -194,22 +194,100 @@ def test_cdf_stream_unkeyed_rewrite_delete_insert(spark, tmp_path):
     )
 
 
-def test_cdf_stream_iceberg_rejected(spark, tmp_path):
+def _ice_cdf_stream(spark, tbl, **opts):
+    register(spark)
+    r = (
+        spark.readStream.format("aligned_table")
+        .option("path", tbl)
+        .option("format", "iceberg")
+        .option("readChangeFeed", "true")
+    )
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_cdf_stream_iceberg_equals_batch_cdc(spark, tmp_path):
     from aligned_spark.sources.iceberg_log import IcebergLog
 
-    import pytest
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    log.write(
+        spark.range(0, 40).selectExpr(
+            "id", "id * 2 as v", "cast(id % 2 as int) as p"
+        ),
+        partition_by=["p"],
+    )
+    first = log.snapshot_ids()[0]
+    # keyed copy-on-write MERGE
+    log.merge_upsert(
+        spark.createDataFrame(
+            [(3, 99, 1), (100, 1, 0)], "id long, v long, p int"
+        ),
+        keys=["id"],
+    )
+    # merge-on-read delete (position-delete file)
+    log.delete_where_mor(spark, F.col("id") % 10 == 0)
+    # compaction must stay invisible
+    log.optimize(spark)
+    # post-compaction append
+    log.write(
+        spark.createDataFrame([(200, 7, 0)], "id long, v long, p int"),
+        mode="append",
+        partition_by=["p"],
+    )
+    second = log.snapshot_ids()[1]
+
+    sdf = _ice_cdf_stream(spark, tbl, startingSnapshotId=second)
+    assert "_snapshot_id" in sdf.schema.fieldNames()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+    got = spark.read.schema(sdf.schema).parquet(out)
+    batch = log.read_changes(spark, first)
+    assert _rows(got) == _rows(batch)
+    kinds = {
+        r["_change_type"]
+        for r in got.select("_change_type").collect()
+    }
+    assert kinds == {
+        "insert",
+        "delete",
+        "update_preimage",
+        "update_postimage",
+    }
+
+
+def test_cdf_stream_iceberg_default_snapshot_then_changes(
+    spark, tmp_path
+):
+    from aligned_spark.sources.iceberg_log import IcebergLog
 
     tbl = str(tmp_path / "i")
-    IcebergLog(tbl).write(spark.range(0, 5).selectExpr("id"))
-    register(spark)
-    with pytest.raises(Exception, match="delta-only"):
-        (
-            spark.readStream.format("aligned_table")
-            .option("path", tbl)
-            .option("format", "iceberg")
-            .option("readChangeFeed", "true")
-            .load()
-        )
+    log = IcebergLog(tbl)
+    log.write(spark.range(0, 12).selectExpr("id", "id as v"))
+    log.merge_upsert(
+        spark.createDataFrame([(3, 99)], "id long, v long"),
+        keys=["id"],
+    )
+    cur = log.snapshot_ids()[-1]
+
+    sdf = _ice_cdf_stream(spark, tbl)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+    got = spark.read.schema(sdf.schema).parquet(out)
+    live = (
+        log.read(spark)
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_snapshot_id", F.lit(cur).cast("long"))
+    )
+    assert _rows(got) == _rows(live)
+
+    # later snapshots stream as true row-level changes
+    log.delete_where(spark, F.col("id") == 5)
+    _drain(_ice_cdf_stream(spark, tbl), out, ckpt)
+    got2 = spark.read.schema(sdf.schema).parquet(out)
+    tail = log.read_changes(spark, cur)
+    assert _rows(got2) == sorted(_rows(live) + _rows(tail))
 
 
 # ------------------------------------------------------------------
