@@ -178,8 +178,16 @@ def test_mor_streaming_sink_replay_guard(spark, tmp_path):
     from aligned_spark.streaming.sinks import idempotent_delta_sink
 
     path = str(tmp_path / "t")
+    # auto_compact off: this test pins that the MOR MERGE itself
+    # never rewrites parts — the (round-9, default-on) post-commit
+    # compaction legitimately would once sidecar churn crosses the
+    # policy (covered by tests/test_auto_compact.py)
     sink = idempotent_delta_sink(
-        path, keys=["k"], app_id="s", merge_on_read=True
+        path,
+        keys=["k"],
+        app_id="s",
+        merge_on_read=True,
+        auto_compact=False,
     )
     sink(_mk(spark, [(1, "a"), (2, "b")]), 0)
     files0 = set(DeltaLog(path).snapshot().files)

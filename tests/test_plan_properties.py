@@ -686,3 +686,85 @@ def test_cdf_scans_only_touched_parts(spark, tmp_path_factory):
     # reads those two, not the other 7 untouched parts
     assert 0 < len(touched) <= 3, sorted(touched)
     assert len(touched) < n_parts_before
+
+
+def test_cdf_stream_diff_plans_only_touched_parts(
+    spark, tmp_path_factory
+):
+    """Round-9 CDF STREAM twin of the batch pin above: the streaming
+    planner emits per-commit diff partitions whose file sets are the
+    commit's TOUCHED parts only — a 1-key MERGE into an 8-part table
+    plans a diff over ~2 files, and the earlier append commit plans
+    one insert part per file with no diff task at all."""
+    from pyspark.sql import Row
+
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.streaming.cdf_stream import (
+        DeltaCdfStreamReader,
+        _CdfDiffPart,
+        _CdfInsertPart,
+        cdf_schema,
+    )
+
+    tbl = str(tmp_path_factory.mktemp("cdfsplan") / "t")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.createDataFrame(
+            [Row(k=i, v=i * 2) for i in range(400)]
+        ).repartition(8)
+    )
+    n_parts = len(log.snapshot().files)
+    assert n_parts >= 8
+    log.merge_upsert(
+        spark.createDataFrame([(3, -3)], "k long, v long"), ["k"]
+    )
+    schema = cdf_schema(log.snapshot().schema())
+    r = DeltaCdfStreamReader(
+        schema, {"path": tbl, "startingversion": "0"}
+    )
+    parts = r.partitions({"version": -1}, {"version": 1})
+    inserts = [p for p in parts if isinstance(p, _CdfInsertPart)]
+    diffs = [p for p in parts if isinstance(p, _CdfDiffPart)]
+    # append commit: one parallel insert part per file, no diffing
+    assert len(inserts) == n_parts
+    assert len(diffs) == 1
+    d = diffs[0]
+    assert 0 < len(d.old_files) <= 2
+    assert 0 < len(d.new_files) <= 2
+    assert list(d.keys) == ["k"]
+
+
+def test_distinct_aux_transitions_semi_filter_aux_scan(
+    spark, tmp_path_factory
+):
+    """The COUNT DISTINCT aux maintenance reads the aux table
+    through a LEFT-SEMI join on the slice's (group, value) keys
+    before the outer join — at a billion distinct pairs the aux scan
+    stays one semi-filtered pass, never a full sort-merge outer
+    join."""
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    root = tmp_path_factory.mktemp("distplan")
+    src = DeltaSource(path=str(root / "base"))
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=i, g=str(i % 3), u=i % 5) for i in range(60)]
+        ).coalesce(1)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(root / "agg"),
+        group_keys=["g"],
+        sums=[],
+        distincts=["u"],
+    )
+    agg.refresh(spark)
+    changes = spark.createDataFrame(
+        [Row(g="1", u=99, _change_type="insert")]
+    )
+    trans = agg._aux_transitions(spark, "u", changes)
+    plan = plan_text(trans)
+    assert "LeftSemi" in plan, plan
