@@ -319,24 +319,91 @@ class IvfIndexSource:
             _MaintenanceMeta(self.path).add_deleted(n)
         return n
 
-    def apply_changes(self, changes: DataFrame) -> None:
+    def apply_changes(
+        self, changes: DataFrame, auto_retrain: bool = True
+    ) -> None:
         """Fold a CDC slice (``_change_type`` column — e.g. a
         ``readChangeFeed`` micro-batch) into the index: deleted keys
         and update preimages leave their cluster partitions, inserts
         and update postimages assign to the frozen centroids and
         append — so an updated vector moves cluster correctly.
-        Pair with :meth:`maybe_retrain` for drift control."""
+        ``auto_retrain`` (default on) runs :meth:`maybe_retrain`
+        after delete churn, so quantizer drift control rides the
+        maintenance pipeline instead of a separate cron (the same
+        policy-with-a-trigger discipline as table auto-compaction)."""
+        import os
+
         ins = F.col("_change_type").isin(
             "insert", "update_postimage"
         )
-        dels = changes.filter(~ins).select(self.id_col)
-        if not dels.isEmpty():
-            self.delete(dels)
         adds = changes.filter(ins).select(
             self.id_col, self.vector_col
         )
+        if not os.path.exists(self._centroid_path()):
+            # bootstrap: the first slice of a default-start change
+            # stream is the current snapshot as inserts — it IS the
+            # corpus, so it trains the quantizer
+            if not changes.filter(~ins).isEmpty():
+                raise ValueError(
+                    "no index exists to apply deletes to — build "
+                    "with overwrite() or start the change stream at "
+                    "the current snapshot (default)"
+                )
+            if not adds.isEmpty():
+                self.overwrite(adds)
+            return
+        dels = changes.filter(~ins).select(self.id_col)
+        had_dels = not dels.isEmpty()
+        if had_dels:
+            self.delete(dels)
         if not adds.isEmpty():
-            self.update(adds)
+            # replay safety: a checkpoint-replayed micro-batch must
+            # not re-append rows the previous attempt landed — keys
+            # already present are skipped (id-column-pruned scan;
+            # preimage deletes already removed genuinely-updated
+            # keys, so this never swallows a real update)
+            spark = changes.sparkSession
+            fresh = adds.join(
+                self.read(spark).select(self.id_col),
+                self.id_col,
+                "left_anti",
+            )
+            if not fresh.isEmpty():
+                self.update(fresh)
+        if auto_retrain and had_dels:
+            self.maybe_retrain(changes.sparkSession)
+
+    def maintain_continuously(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        checkpoint: str,
+        auto_retrain: bool = True,
+    ):
+        """One-call wiring of CONTINUOUS index maintenance: the base
+        table's commit log → ``readChangeFeed`` stream →
+        ``foreachBatch`` → :meth:`apply_changes` (+ drift-triggered
+        retrain). Returns the started ``StreamingQuery``; the
+        checkpoint makes restarts exactly-once at the micro-batch
+        level (apply_changes is idempotent per key for replayed
+        delete/upsert slices)."""
+        from aligned_spark.streaming.sources import TableStreamSource
+
+        src = TableStreamSource(
+            path=table_path,
+            table_format="delta",
+            read_change_feed=True,
+        )
+        return (
+            src.read_stream(spark)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: self.apply_changes(
+                    bdf, auto_retrain=auto_retrain
+                )
+            )
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
 
     def should_retrain(
         self, spark: SparkSession, max_deleted_ratio: float = 0.2
@@ -753,22 +820,49 @@ class IvfPqIndexSource:
             _MaintenanceMeta(self.path).add_deleted(n)
         return n
 
-    def apply_changes(self, changes: DataFrame) -> None:
+    def apply_changes(
+        self, changes: DataFrame, auto_retrain: bool = True
+    ) -> None:
         """Fold a CDC slice into the index — deletes/update
         preimages leave their partitions, inserts/update postimages
         quantize against the frozen codebooks and append
-        (:meth:`IvfIndexSource.apply_changes` semantics)."""
+        (:meth:`IvfIndexSource.apply_changes` semantics, incl.
+        bootstrap-from-snapshot, replayed-batch dedup, and
+        drift-triggered retrain)."""
+        import os
+
         ins = F.col("_change_type").isin(
             "insert", "update_postimage"
         )
-        dels = changes.filter(~ins).select(self.id_col)
-        if not dels.isEmpty():
-            self.delete(dels)
         adds = changes.filter(ins).select(
             self.id_col, self.vector_col
         )
+        if not os.path.exists(self._p("centroids")):
+            if not changes.filter(~ins).isEmpty():
+                raise ValueError(
+                    "no index exists to apply deletes to — build "
+                    "with overwrite() or start the change stream at "
+                    "the current snapshot (default)"
+                )
+            if not adds.isEmpty():
+                self.overwrite(adds)
+            return
+        dels = changes.filter(~ins).select(self.id_col)
+        had_dels = not dels.isEmpty()
+        if had_dels:
+            self.delete(dels)
         if not adds.isEmpty():
-            self.update(adds)
+            spark = changes.sparkSession
+            fresh = adds.join(
+                spark.read.parquet(self._p("codes"))
+                .select(F.col("id").alias(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
+            if not fresh.isEmpty():
+                self.update(fresh)
+        if auto_retrain and had_dels:
+            self.maybe_retrain(changes.sparkSession)
 
     def should_retrain(
         self, spark: SparkSession, max_deleted_ratio: float = 0.2

@@ -235,29 +235,48 @@ def _keyed_diff(old, new, keys: list[str], cols: list[str]):
     return out
 
 
+def _freeze(v):
+    """Hashable stand-in for a row value (lists/maps recurse)."""
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    return v
+
+
 def _multiset_diff(old, new, cols: list[str]):
     """Whole-row multiset difference (``exceptAll`` both ways) for
     keyless rewrites: updates appear as delete+insert, surviving rows
     cancel — still exactly-once. Row identity is python-object
     equality over the aligned arrow values (bit-exact for floats,
-    like Spark's exceptAll)."""
+    like Spark's exceptAll); nested arrays/maps hash via a frozen
+    twin while the ORIGINAL values rebuild the output rows."""
     from collections import Counter
 
     import pyarrow as pa
 
     def rows(t):
-        pl = [tuple(r[c] for c in cols) for r in t.to_pylist()]
-        return pl
+        originals: dict = {}
+        counter: Counter = Counter()
+        for r in t.to_pylist():
+            key = tuple(_freeze(r[c]) for c in cols)
+            counter[key] += 1
+            originals.setdefault(key, r)
+        return counter, originals
 
     schema = old.schema
-    co, cn = Counter(rows(old)), Counter(rows(new))
+    co, oo = rows(old)
+    cn, on = rows(new)
     out = []
-    for counter, other, ctype in ((co, cn, "delete"), (cn, co, "insert")):
+    for counter, originals, other, ctype in (
+        (co, oo, cn, "delete"),
+        (cn, on, co, "insert"),
+    ):
         surplus = []
-        for row, k in counter.items():
-            extra = k - other.get(row, 0)
+        for key, k in counter.items():
+            extra = k - other.get(key, 0)
             if extra > 0:
-                surplus.extend([dict(zip(cols, row))] * extra)
+                surplus.extend([originals[key]] * extra)
         if surplus:
             out.append(
                 (pa.Table.from_pylist(surplus, schema=schema), ctype)

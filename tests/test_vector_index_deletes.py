@@ -248,3 +248,71 @@ def test_ivfpq_delete_and_recall(spark, tmp_path):
         spark.read.parquet(pq._p("vectors")).count()
         == survivors.count()
     )
+
+
+def test_index_maintain_continuously_from_cdf_stream(spark, tmp_path):
+    """The full story: base Delta table -> readChangeFeed stream ->
+    foreachBatch -> IvfIndexSource.apply_changes. The default-start
+    stream's snapshot slice BOOTSTRAPS the index (trains the
+    quantizer), appends fold in, deletes leave touched partitions,
+    and a drained-stream replay adds nothing twice."""
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = str(tmp_path / "base")
+    src = DeltaSource(path=base)
+    emb = _corpus(spark, n=200)
+    src.insert(emb.coalesce(1))
+    ivf = IvfIndexSource(
+        path=str(tmp_path / "ivf"),
+        id_col="vec_id",
+        vector_col="embedding",
+        num_centroids=4,
+        seed=3,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = ivf.maintain_continuously(spark, base, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    drain()  # micro-batch 1: snapshot -> bootstrap build
+    assert len(ivf.centroids(spark)) == 4
+    assert ivf.read(spark).count() == 200
+
+    src.insert(
+        spark.createDataFrame(
+            [(500, [2.0] * 8)], "vec_id long, embedding array<float>"
+        )
+    )
+    src.delete_where(spark, F.col("vec_id") % 4 == 0)
+    drain()  # micro-batches 2-3: append + delete
+    got = ivf.read(spark)
+    want = (
+        emb.filter(F.col("vec_id") % 4 != 0)
+        .unionByName(
+            spark.createDataFrame(
+                [(500, [2.0] * 8)],
+                "vec_id long, embedding array<float>",
+            )
+        )
+    )
+    assert sorted(
+        r["vec_id"] for r in got.select("vec_id").collect()
+    ) == sorted(r["vec_id"] for r in want.collect())
+
+    # replay: a fresh checkpoint over the same commits is a no-op
+    # (replayed inserts dedupe against present keys)
+    q = ivf.maintain_continuously(
+        spark, base, str(tmp_path / "ckpt2")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got2 = ivf.read(spark)
+    assert got2.count() == got2.select("vec_id").distinct().count()
