@@ -8557,6 +8557,76 @@ def _store_incremental_aggregate_distinct(spark, sf_dir):
 
 
 @q(
+    "store_incremental_aggregate_hll",
+    f"""WITH {_DELTA_MERGED_SQL}
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey % 100) AS BIGINT)
+             AS n_custmod
+    FROM final GROUP BY o_orderpriority""",
+)
+def _store_incremental_aggregate_hll(spark, sf_dir):
+    """APPROXIMATE distinct-count view maintenance (round 9): the
+    mergeable-HLL twin of `store_incremental_aggregate_distinct` —
+    NO auxiliary table; each group stores one Datasketches HLL
+    binary (Spark 3.5+ hll_sketch_agg family). Inserts UNION into
+    the sketch (monotone, like MIN/MAX); deletes recompute only the
+    touched groups' sketches from the base via the same semi-join.
+    At ≤100 distinct values per group the sketch is in sparse mode
+    and the estimate is EXACT, so the direct COUNT(DISTINCT) oracle
+    hash-matches — the same query at web-scale cardinalities trades
+    ~2% error for per-group state that never grows past the sketch
+    size."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.operators.incremental import (
+        IncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="aligned_spark_ivm_hll_")
+    src = DeltaSource(path=f"{root}/base")
+    src.insert(
+        base.withColumn(
+            "custmod", (F.col("o_custkey") % 100).cast("long")
+        ).repartition(4)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=f"{root}/agg",
+        group_keys=["o_orderpriority"],
+        sums=[],
+        approx_distincts=["custmod"],
+    )
+    agg.refresh(spark)
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    src.upsert(
+        upd.unionByName(ins).withColumn(
+            "custmod", (F.col("o_custkey") % 100).cast("long")
+        ),
+        keys=["o_orderkey"],
+    )
+    agg.refresh(spark)  # sketch-union path (updates touch groups)
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    agg.refresh(spark)  # deleted groups recompute their sketches
+    return agg.read(spark).select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("approx_distinct_custmod").alias("n_custmod"),
+    )
+
+
+@q(
     "source_delta_evolution",
     """SELECT s_suppkey, s_name,
               CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END
@@ -8723,6 +8793,7 @@ _PRIORITY: list[str] = [
     "stream_table_cdf_iceberg",
     "source_delta_bloom_lookup",
     "store_incremental_aggregate_distinct",
+    "store_incremental_aggregate_hll",
     "vector_index_ivf_deletes",
     # --- r5-era staleness cohort (35 of 50, alphabetical) ---
     "agg_group_stats",
@@ -8758,7 +8829,6 @@ _PRIORITY: list[str] = [
     "multimodal_audio_windows",
     "multimodal_frame_sample",
     "multimodal_image_dedup",
-    "profile_corr_matrix",
 ]
 
 

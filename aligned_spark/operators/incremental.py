@@ -48,6 +48,7 @@ def change_deltas(
     sums: list[str],
     mins: list[str] | None = None,
     maxs: list[str] | None = None,
+    approx_distincts: list[str] | None = None,
 ) -> DataFrame:
     """Signed per-group deltas of one CDC slice: inserts and update
     postimages count +1, deletes and update preimages −1 — a key that
@@ -72,7 +73,17 @@ def change_deltas(
     for c in maxs or []:
         aggs.append(F.max(F.when(ins, F.col(c))).alias(f"__ins_max_{c}"))
         aggs.append(F.max(F.when(~ins, F.col(c))).alias(f"__del_max_{c}"))
-    if mins or maxs:
+    for c in approx_distincts or []:
+        # inserted-side HLL sketch: unions monotonically into the
+        # stored sketch; deletes can't subtract from a sketch, so
+        # the refresh recomputes any DELETED group's sketch from the
+        # base (hybrid, like MIN/MAX)
+        aggs.append(
+            F.hll_sketch_agg(F.when(ins, F.col(c))).alias(
+                f"__ins_hll_{c}"
+            )
+        )
+    if mins or maxs or approx_distincts:
         aggs.append(
             F.max(F.when(~ins, F.lit(1)).otherwise(F.lit(0))).alias(
                 "__has_del"
@@ -109,6 +120,15 @@ class IncrementalAggregate:
     #: (`operators/aggregate.py` approx_count_distinct); use it when
     #: per-(group, value) state is too hot for exactness to matter.
     distincts: list[str] = field(default_factory=list)
+    #: APPROXIMATE distinct counts with NO aux table: a mergeable
+    #: HLL sketch (binary column) per group — inserts union in
+    #: monotonically (Datasketches hll_union, the Spark 3.5+
+    #: hll_sketch_agg family); a sketch can't subtract, so any
+    #: DELETED group's sketch recomputes from the base via the same
+    #: touched-group semi-join as MIN/MAX. Choose this over
+    #: ``distincts`` when per-(group, value) aux state is too big
+    #: and ~2% error is acceptable.
+    approx_distincts: list[str] = field(default_factory=list)
     app_id: str = "ivm"
     #: optional commit-coordination override for the target log
     log_store: Any | None = None
@@ -168,6 +188,10 @@ class IncrementalAggregate:
                     *[
                         F.countDistinct(c).alias(f"__dist_{c}")
                         for c in self.distincts
+                    ],
+                    *[
+                        F.hll_sketch_agg(c).alias(f"__hll_{c}")
+                        for c in self.approx_distincts
                     ],
                 )
             )
@@ -242,6 +266,10 @@ class IncrementalAggregate:
                 *[
                     F.countDistinct(c).alias(f"__dist_{c}")
                     for c in self.distincts
+                ],
+                *[
+                    F.hll_sketch_agg(c).alias(f"__hll_{c}")
+                    for c in self.approx_distincts
                 ],
             )
             self._reject_null_keys(full)
@@ -389,6 +417,7 @@ class IncrementalAggregate:
             self.sums,
             self.mins,
             self.maxs,
+            self.approx_distincts,
         ).persist()
         # distinct transitions read the aux tables' PRE-state, so
         # they are computed (and pinned) before any commit lands
@@ -439,8 +468,21 @@ class IncrementalAggregate:
                         F.col(f"__ins_max_{c}"),
                     ).alias(f"__max_{c}")
                 )
-            if self.mins or self.maxs:
+            for c in self.approx_distincts:
+                old_h = F.col(f"__old_hll_{c}")
+                ins_h = F.col(f"__ins_hll_{c}")
+                sel.append(
+                    F.when(old_h.isNull(), ins_h)
+                    .when(ins_h.isNull(), old_h)
+                    .otherwise(F.hll_union(old_h, ins_h))
+                    .alias(f"__hll_{c}")
+                )
+            if self.mins or self.maxs or self.approx_distincts:
                 danger = F.col("__old_n").isNull()  # unseen group
+                if self.approx_distincts:
+                    # a sketch can't subtract: ANY delete in the
+                    # group forces its recompute
+                    danger = danger | F.lit(True)
                 for c in self.mins:
                     danger = danger | (
                         F.col(f"__del_min_{c}")
@@ -520,7 +562,7 @@ class IncrementalAggregate:
         base pinned at ``current`` (semi-joined to the touched keys —
         partition-pruned when the base partitions by a group key),
         and override the monotone candidates for those groups."""
-        if not (self.mins or self.maxs):
+        if not (self.mins or self.maxs or self.approx_distincts):
             return merged
         rc_keys = merged.filter(F.col("__recompute")).select(
             *self.group_keys
@@ -539,6 +581,10 @@ class IncrementalAggregate:
                 *[
                     F.max(c).alias(f"__rc_max_{c}")
                     for c in self.maxs
+                ],
+                *[
+                    F.hll_sketch_agg(c).alias(f"__rc_hll_{c}")
+                    for c in self.approx_distincts
                 ],
             )
         )
@@ -564,6 +610,14 @@ class IncrementalAggregate:
                 .otherwise(F.col(f"__max_{c}"))
                 .alias(f"__max_{c}")
                 for c in self.maxs
+            ],
+            *[
+                F.when(
+                    F.col("__recompute"), F.col(f"__rc_hll_{c}")
+                )
+                .otherwise(F.col(f"__hll_{c}"))
+                .alias(f"__hll_{c}")
+                for c in self.approx_distincts
             ],
         )
 
@@ -591,6 +645,10 @@ class IncrementalAggregate:
                 *[
                     F.col(f"__dist_{c}").alias(f"__old_dist_{c}")
                     for c in self.distincts
+                ],
+                *[
+                    F.col(f"__hll_{c}").alias(f"__old_hll_{c}")
+                    for c in self.approx_distincts
                 ],
             )
         )
@@ -672,6 +730,11 @@ class IncrementalAggregate:
                 *[
                     F.col(f"__dist_{c}").alias(f"n_distinct_{c}")
                     for c in self.distincts
+                ],
+                *[
+                    F.hll_sketch_estimate(F.col(f"__hll_{c}"))
+                    .alias(f"approx_distinct_{c}")
+                    for c in self.approx_distincts
                 ],
             )
         )

@@ -156,6 +156,7 @@ HEADLINE = [
     "stream_table_cdf_iceberg",
     "source_delta_bloom_lookup",
     "store_incremental_aggregate_distinct",
+    "store_incremental_aggregate_hll",
     "vector_index_ivf_deletes",
 ]
 

@@ -683,3 +683,163 @@ def test_count_distinct_matches_direct_for_any_op_sequence(
             existing -= set(hit)
         agg.refresh(spark)
         assert _maintained_cd(spark, agg) == _direct_cd(spark, src)
+
+
+# ------------------------------------------------------------------
+# approximate distinct maintenance (round 9 — mergeable HLL sketch)
+# ------------------------------------------------------------------
+
+
+def _direct_hll(spark, src):
+    return {
+        r.g: (r.n, r.ad)
+        for r in src.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("ad"),
+        )
+        .collect()
+    }
+
+
+def _maintained_hll(spark, agg):
+    return {
+        r.g: (r.n_rows, r.approx_distinct_u)
+        for r in agg.read(spark).collect()
+    }
+
+
+def test_approx_distinct_hll_maintenance(spark, tmp_path):
+    """Inserts UNION into the stored sketch (mergeable, no aux
+    state); any deleted group's sketch recomputes from the base —
+    maintained estimate equals a direct hll_sketch_agg over the base
+    after every refresh (sketches are deterministic)."""
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(spark.createDataFrame(_rows_u()).coalesce(1))
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=[],
+        approx_distincts=["u"],
+    )
+    agg.refresh(spark)
+    assert _maintained_hll(spark, agg) == _direct_hll(spark, src)
+
+    # monotone union path: new values, duplicate values
+    src.insert(
+        spark.createDataFrame(
+            [
+                Row(k=100, g="a", x=0.0, u=77),
+                Row(k=101, g="b", x=0.0, u=1),
+            ]
+        ).coalesce(1)
+    )
+    agg.refresh(spark)
+    assert _maintained_hll(spark, agg) == _direct_hll(spark, src)
+
+    # deletes: the touched group recomputes, the other stays
+    src.delete_where(spark, F.col("k") == 100)
+    agg.refresh(spark)
+    assert _maintained_hll(spark, agg) == _direct_hll(spark, src)
+
+    # group-moving update + emptied group
+    src.upsert(
+        spark.createDataFrame([Row(k=1, g="a", x=1.0, u=66)]),
+        keys=["k"],
+    )
+    agg.refresh(spark)
+    assert _maintained_hll(spark, agg) == _direct_hll(spark, src)
+    src.delete_where(spark, F.col("g") == "b")
+    agg.refresh(spark)
+    assert _maintained_hll(spark, agg) == _direct_hll(spark, src)
+    assert "b" not in _maintained_hll(spark, agg)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(script=_ivm_ops)
+def test_approx_distinct_matches_direct_for_any_op_sequence(
+    spark, ivm_tmp_dir, script
+):
+    """Property: the maintained HLL estimate equals a direct
+    hll_sketch_agg estimate over the base after EVERY refresh, for
+    any append/upsert/delete sequence."""
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = f"{ivm_tmp_dir}/{_uuid.uuid4().hex}"
+    src = DeltaSource(path=f"{base}/base")
+    src.insert(
+        spark.createDataFrame(
+            [
+                Row(
+                    k=i,
+                    g="a" if i % 2 == 0 else "b",
+                    x=float(i),
+                    u=i % 3,
+                )
+                for i in range(10)
+            ]
+        ).coalesce(1)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=f"{base}/agg",
+        group_keys=["g"],
+        sums=["x"],
+        approx_distincts=["u"],
+    )
+    agg.refresh(spark)
+    assert _maintained_hll(spark, agg) == _direct_hll(spark, src)
+    existing = set(range(10))
+    for step, (op, keys) in enumerate(script):
+        if op == "append":
+            fresh = [k for k in keys if k not in existing]
+            if not fresh:
+                continue
+            src.insert(
+                spark.createDataFrame(
+                    [
+                        Row(
+                            k=k,
+                            g="a" if (k + step) % 2 == 0 else "b",
+                            x=float(step * 100 - k),
+                            u=(k + step) % 5,
+                        )
+                        for k in fresh
+                    ]
+                ).coalesce(1)
+            )
+            existing |= set(fresh)
+        elif op == "upsert":
+            src.upsert(
+                spark.createDataFrame(
+                    [
+                        Row(
+                            k=k,
+                            g="b" if (k + step) % 3 == 0 else "a",
+                            x=float(step - 10 * k),
+                            u=(k * 7 + step) % 5,
+                        )
+                        for k in keys
+                    ]
+                ),
+                keys=["k"],
+            )
+            existing |= set(keys)
+        else:
+            hit = [k for k in keys if k in existing]
+            if not hit:
+                continue
+            src.delete_where(spark, F.col("k").isin(hit))
+            existing -= set(hit)
+        agg.refresh(spark)
+        assert _maintained_hll(spark, agg) == _direct_hll(spark, src)
