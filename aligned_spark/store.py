@@ -472,6 +472,34 @@ class ContractStore:
             )
         return ms.read_changes(self.spark, version, to_version)
 
+    def stream_changes(self, view_name: str) -> DataFrame:
+        """STREAMING twin of :meth:`changes_since` — the view's
+        materialized table tailed as a live row-level change feed
+        (``readChangeFeed`` on the native table stream source,
+        :mod:`aligned_spark.streaming.cdf_stream`): downstream
+        consumers get every refresh's true changes pushed through
+        Structured Streaming (checkpointed, exactly-once) instead of
+        polling :meth:`materialized_version` + :meth:`changes_since`
+        — the reference worker's poll loop (aligned/worker.py:172-209)
+        with the polling deleted. Default start = the current
+        snapshot as inserts, then live changes."""
+        from aligned_spark.streaming.sources import TableStreamSource
+
+        ms = self.views[view_name].materialized_source
+        if ms is None or not hasattr(ms, "read_changes"):
+            raise ValueError(
+                f"view {view_name!r} has no change-feed-capable "
+                "materialized source (Delta/Iceberg)"
+            )
+        fmt = (
+            "iceberg"
+            if type(ms).__name__.lower().startswith("iceberg")
+            else "delta"
+        )
+        return TableStreamSource(
+            path=ms.path, table_format=fmt, read_change_feed=True
+        ).read_stream(self.spark)
+
     def drop_invalid(self, view_name: str, df: DataFrame | None = None) -> DataFrame:
         from aligned_spark.constraints import drop_invalid as _drop
 

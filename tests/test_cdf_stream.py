@@ -455,3 +455,65 @@ def test_maintain_continuously_one_call(spark, tmp_path):
         )
     )
     assert got == direct
+
+
+def test_store_stream_changes_live_feed(spark, tmp_path):
+    """store.stream_changes: the materialized view's table tailed as
+    a LIVE row-level change feed — a drained stream sees the
+    snapshot as inserts, and a later materialize_incremental's
+    upsert arrives as true changes (never the surviving
+    co-residents of rewritten parts)."""
+    import datetime as dt
+
+    from aligned_spark.contracts import (
+        EventTimestamp,
+        Float64,
+        Int64,
+        feature_view,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.file import ParquetSource
+    from aligned_spark.store import ContractStore
+
+    base = ParquetSource(path=str(tmp_path / "base.parquet"))
+    mat = DeltaSource(path=str(tmp_path / "mat"))
+    schema = "user_id long, ts timestamp, value double"
+    t = dt.datetime(2024, 1, 5)
+    spark.createDataFrame(
+        [(i, t, float(i)) for i in range(1, 51)], schema
+    ).coalesce(1).write.parquet(base.path)
+
+    @feature_view(
+        name="live_mat", source=base, materialized_source=mat
+    )
+    class LiveMat:
+        user_id = Int64().as_entity()
+        ts = EventTimestamp()
+        value = Float64()
+
+    store = ContractStore(spark)
+    store.add_view(LiveMat)
+    store.materialize("live_mat")
+
+    sdf = store.stream_changes("live_mat")
+    assert sdf.isStreaming
+    assert "_change_type" in sdf.schema.fieldNames()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+    got = spark.read.schema(sdf.schema).parquet(out)
+    assert got.count() == 50
+    assert (
+        got.select("_change_type").distinct().collect()[0][0]
+        == "insert"
+    )
+
+    # one late row -> incremental refresh -> the live feed carries
+    # exactly that row, not the rewritten part's co-residents
+    spark.createDataFrame(
+        [(999, dt.datetime(2024, 1, 6), 5.0)], schema
+    ).write.mode("append").parquet(base.path)
+    store.materialize_incremental("live_mat")
+    _drain(store.stream_changes("live_mat"), out, ckpt)
+    got2 = spark.read.schema(sdf.schema).parquet(out)
+    assert got2.count() == 51
+    assert got2.filter("user_id = 999").count() == 1
