@@ -356,6 +356,17 @@ class IncrementalAggregate:
             # opportunistically (idempotent, safe to lose — the
             # transition math treats __n<=0 as absent regardless)
             aux.delete_where(spark, F.col("__n") <= 0)
+        if self.auto_compact:
+            from aligned_spark.sources.delta_log import (
+                ConcurrentCommitError,
+            )
+
+            try:
+                # the aux churns a MERGE per refresh: same policy as
+                # the main aggregate, or small files pile up forever
+                aux.maybe_optimize(spark)
+            except ConcurrentCommitError:
+                pass
 
     def _sync_distinct_aux(
         self,
