@@ -517,3 +517,36 @@ def test_store_stream_changes_live_feed(spark, tmp_path):
     got2 = spark.read.schema(sdf.schema).parquet(out)
     assert got2.count() == 51
     assert got2.filter("user_id = 999").count() == 1
+
+
+def test_cdf_stream_schema_evolution_mid_stream(spark, tmp_path):
+    """Schema pins at query start (delta-spark streaming semantics):
+    an evolved commit's NEW column is invisible until the query
+    restarts with the fresh schema, but its rows still stream
+    correctly projected to the pinned columns; a restart reads the
+    evolved schema with NULLs for old parts."""
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(spark.range(0, 5).selectExpr("id", "id as v"))
+    sdf = _cdf_stream(spark, tbl, startingVersion=0)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+
+    log.write(
+        spark.range(5, 8).selectExpr("id", "id as v", "id * 10 as extra"),
+        merge_schema=True,
+    )
+    _drain(_cdf_stream(spark, tbl, startingVersion=0), out, ckpt)
+    got = spark.read.schema(sdf.schema).parquet(out)
+    assert got.count() == 8  # evolved rows arrive, pinned columns
+    assert "extra" not in got.columns
+
+    # a fresh query sees the evolved schema; old rows project NULL
+    sdf2 = _cdf_stream(spark, tbl, startingVersion=0)
+    assert "extra" in sdf2.schema.fieldNames()
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _drain(sdf2, out2, ckpt2)
+    got2 = spark.read.schema(sdf2.schema).parquet(out2)
+    assert got2.count() == 8
+    assert got2.filter("extra is not null").count() == 3
+    assert got2.filter("id < 5 and extra is null").count() == 5
