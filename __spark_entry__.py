@@ -8767,15 +8767,16 @@ _PRIORITY: list[str] = [
     # deferred them to exactly this window. Slot 11:
     # stream_table_source_iceberg, the single registry query that
     # never had a driver row (registered late in r8; judge-sweep
-    # green). Slots 12-15: this round's new full-oracle queries —
-    # the streaming change feed (stream == batch-CDC parity), bloom
-    # point-lookup skipping, exact COUNT DISTINCT maintenance, and
-    # CDC-maintained IVF deletes — each gated green locally at
-    # sf0.01 AND sf0.1. Remaining 35 slots: the oldest (r5-cohort)
-    # full-oracle rows, alphabetical; the 15 r5 rows that don't fit
-    # stay r5-green, satisfying the "no full-oracle query older than
-    # r5" criterion. After this window every full-oracle query has a
-    # driver row, none older than r5.
+    # green). Slots 12-17: this round's six new full-oracle queries
+    # — the streaming change feed for BOTH formats (stream ==
+    # batch-CDC parity), bloom point-lookup skipping, exact COUNT
+    # DISTINCT + approx-HLL maintenance, and CDC-maintained IVF
+    # deletes — each gated green locally at sf0.01 AND sf0.1.
+    # Remaining 33 slots: the oldest (r5-cohort) full-oracle rows,
+    # alphabetical; the 17 r5 rows that don't fit stay r5-green,
+    # satisfying the "no full-oracle query older than r5" criterion.
+    # After this window every full-oracle query has a driver row,
+    # none older than r5.
     "tpch_q3",
     "tpch_q7",
     "tpch_q8",

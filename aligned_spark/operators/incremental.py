@@ -488,12 +488,16 @@ class IncrementalAggregate:
                     .otherwise(F.hll_union(old_h, ins_h))
                     .alias(f"__hll_{c}")
                 )
-            if self.mins or self.maxs or self.approx_distincts:
+            if self.approx_distincts:
+                # a sketch can't subtract: ANY delete in the group
+                # forces its recompute (any configured extrema ride
+                # the same semi-joined base scan for free, so the
+                # per-column danger test below would be dead weight)
+                sel.append(
+                    (F.col("__has_del") == 1).alias("__recompute")
+                )
+            elif self.mins or self.maxs:
                 danger = F.col("__old_n").isNull()  # unseen group
-                if self.approx_distincts:
-                    # a sketch can't subtract: ANY delete in the
-                    # group forces its recompute
-                    danger = danger | F.lit(True)
                 for c in self.mins:
                     danger = danger | (
                         F.col(f"__del_min_{c}")
@@ -700,9 +704,22 @@ class IncrementalAggregate:
         ``StreamingQuery`` (caller stops it / awaits termination).
         The default stream start (current snapshot as inserts)
         doubles as the aggregate's bootstrap full build; the
-        checkpoint + txn cursor make restarts exactly-once."""
+        checkpoint + txn cursor make restarts exactly-once.
+
+        Delta bases only: the exactly-once cursor is the slice's max
+        ``_commit_version`` (monotone); iceberg snapshot IDS are
+        random, so a streamed iceberg feed has no monotone cursor —
+        keep iceberg aggregates fresh with polled :meth:`refresh`,
+        whose cursor is the snapshot POSITION."""
         from aligned_spark.streaming.sources import TableStreamSource
 
+        if type(self.source).__name__.lower().startswith("iceberg"):
+            raise ValueError(
+                "maintain_continuously requires a Delta base "
+                "(monotone commit versions for the exactly-once "
+                "cursor); for Iceberg, poll refresh() — its cursor "
+                "is the snapshot position"
+            )
         src = TableStreamSource(
             path=getattr(self.source, "path", None)
             or self.source.table_path,

@@ -1834,11 +1834,17 @@ class IcebergLog:
             }
             for name in os.listdir(bloom_dir):
                 # "<rel %2F-encoded>.<col>.bloom[...]" — the encoded
-                # rel runs through the last ".parquet"
-                cut = name.rfind(".parquet")
-                stem = name[: cut + 8] if cut != -1 else name
-                if stem in live_names:
-                    continue
+                # rel runs through the last ".parquet". An
+                # .inprogress temp is NEVER referenced (a finished
+                # build os.replace'd it away), so it is age-gated
+                # regardless of whether its data file is live —
+                # otherwise a dead task's temp for a still-live part
+                # leaks forever.
+                if not name.endswith(".inprogress"):
+                    cut = name.rfind(".parquet")
+                    stem = name[: cut + 8] if cut != -1 else name
+                    if stem in live_names:
+                        continue
                 full = os.path.join(bloom_dir, name)
                 try:
                     if os.path.getmtime(full) > cutoff:

@@ -58,6 +58,7 @@ from aligned_spark.streaming.table_stream import (
     _DeltaStreamReader,
     _delta_log,
     _IcebergStreamReader,
+    _sidecar_map,
 )
 
 #: CDF column names — public Delta CDF semantics; the iceberg twin
@@ -179,10 +180,32 @@ def _null_safe_eq(a, b):
     except pa.ArrowNotImplementedError:
         av, bv = a.to_pylist(), b.to_pylist()
         eq = pa.array(
-            [x == y and x is not None for x, y in zip(av, bv)],
+            [
+                x is not None and _py_eq(x, y)
+                for x, y in zip(av, bv)
+            ],
             type=pa.bool_(),
         )
     return pc.or_(eq, both_null)
+
+
+#: NaN identity sentinel: Spark's eqNullSafe / exceptAll treat NaN
+#: as EQUAL to NaN (documented NaN semantics), while python equality
+#: does not — every row-identity path here must agree with Spark
+_NAN = object()
+
+
+def _py_eq(x, y) -> bool:
+    """Python-object row-value equality under Spark NaN semantics."""
+    if isinstance(x, float) and isinstance(y, float):
+        return x == y or (x != x and y != y)
+    if isinstance(x, list) and isinstance(y, list):
+        return len(x) == len(y) and all(
+            (a is None and b is None)
+            or (a is not None and b is not None and _py_eq(a, b))
+            for a, b in zip(x, y)
+        )
+    return x == y
 
 
 def _keyed_diff(old, new, keys: list[str], cols: list[str]):
@@ -236,7 +259,11 @@ def _keyed_diff(old, new, keys: list[str], cols: list[str]):
 
 
 def _freeze(v):
-    """Hashable stand-in for a row value (lists/maps recurse)."""
+    """Hashable stand-in for a row value (lists/maps recurse; float
+    NaN maps to a sentinel so NaN rows hash equal — Spark's
+    exceptAll NaN semantics)."""
+    if isinstance(v, float) and v != v:
+        return _NAN
     if isinstance(v, list):
         return tuple(_freeze(x) for x in v)
     if isinstance(v, dict):
@@ -359,10 +386,7 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
                 _, files, snap = self._snapshot_plan(
                     log, end["snap_v"]
                 )
-                sidecars = tuple(
-                    os.path.join(self._path, p)
-                    for p in sorted(snap.delete_files)
-                )
+                smap = _sidecar_map(self._path, snap.delete_files)
                 for rel in files[s_idx:e_idx]:
                     add = snap.files[rel]
                     parts.append(
@@ -372,7 +396,7 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
                             self._base_json,
                             int(end["snap_v"]),
                             rel_path=rel,
-                            delete_sidecars=sidecars,
+                            delete_sidecars=smap.get(rel, ()),
                         )
                     )
         start_v, end_v = int(start["version"]), int(end["version"])
@@ -581,16 +605,17 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
         log = _iceberg_log(self._path)
         self._last_end = dict(end)
         parts: list = []
+        # see _IcebergStreamReader.partitions: tailing resumes from
+        # the START offset's snapshot, never the pinned snap_v (that
+        # override replayed consumed snapshots after the first tail
+        # batch)
         tail_from = int(start["snapshot_id"])
         if "snap_v" in end:
             same = start.get("snap_v") == end["snap_v"]
             s_idx = int(start.get("idx", 0)) if same else 0
             if int(end.get("idx", 0)) > s_idx:
                 view = log._resolve(end["snap_v"])
-                sidecars = tuple(
-                    os.path.join(self._path, p)
-                    for p in sorted(view.delete_files)
-                )
+                smap = _sidecar_map(self._path, view.delete_files)
                 for rel in sorted(view.files):
                     rec = view.files[rel]
                     parts.append(
@@ -600,10 +625,9 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
                             self._base_json,
                             int(end["snap_v"]),
                             rel_path=rel,
-                            delete_sidecars=sidecars,
+                            delete_sidecars=smap.get(rel, ()),
                         )
                     )
-            tail_from = int(end["snap_v"])
         snaps = self._range(log, tail_from, int(end["snapshot_id"]))
         if not snaps:
             return parts

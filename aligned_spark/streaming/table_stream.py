@@ -91,6 +91,31 @@ def _iceberg_log(path: str):
     return IcebergLog(path)
 
 
+def _sidecar_map(
+    table_path: str, delete_files
+) -> "dict[str, tuple[str, ...]]":
+    """rel data-file path → absolute position-delete sidecars that
+    REFERENCE it — driver-side, one read of each small sidecar's
+    ``file_path`` column. Snapshot-slice planning attaches only a
+    part's own sidecars, so executor sidecar I/O is O(relevant
+    pairs), not O(files x sidecars). An unreadable sidecar raises
+    (attaching nothing would resurrect its dead rows; the batch scan
+    fails the same way)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[str]] = {}
+    for rel in sorted(delete_files):
+        absd = os.path.join(table_path, rel)
+        refs = set(
+            pq.read_table(absd, columns=["file_path"])[
+                "file_path"
+            ].to_pylist()
+        )
+        for r in refs:
+            out.setdefault(r, []).append(absd)
+    return {k: tuple(v) for k, v in out.items()}
+
+
 def _dead_positions(
     sidecars: Sequence[str], rel_path: str
 ) -> "set[int]":
@@ -304,10 +329,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 _, files, snap = self._snapshot_plan(
                     log, end["snap_v"]
                 )
-                sidecars = tuple(
-                    os.path.join(self._path, p)
-                    for p in sorted(snap.delete_files)
-                )
+                smap = _sidecar_map(self._path, snap.delete_files)
                 for rel in files[s_idx:e_idx]:
                     add = snap.files[rel]
                     parts.append(
@@ -316,7 +338,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             dict(add.get("partitionValues") or {}),
                             self._schema_json,
                             rel_path=rel,
-                            delete_sidecars=sidecars,
+                            delete_sidecars=smap.get(rel, ()),
                         )
                     )
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
@@ -440,16 +462,18 @@ class _IcebergStreamReader(DataSourceStreamReader):
         log = _iceberg_log(self._path)
         self._last_end = dict(end)
         parts: list[InputPartition] = []
+        # tailing ALWAYS resumes from the start offset's snapshot —
+        # start.snapshot_id equals snap_v on the snapshot-serving
+        # batch and the true consumed watermark afterwards (an
+        # end-side snap_v override here replayed already-consumed
+        # snapshots on every later batch)
         tail_from = int(start["snapshot_id"])
         if "snap_v" in end:
             same = start.get("snap_v") == end["snap_v"]
             s_idx = int(start.get("idx", 0)) if same else 0
             if int(end.get("idx", 0)) > s_idx:
                 view = log._resolve(end["snap_v"])
-                sidecars = tuple(
-                    os.path.join(self._path, p)
-                    for p in sorted(view.delete_files)
-                )
+                smap = _sidecar_map(self._path, view.delete_files)
                 for rel in sorted(view.files):
                     rec = view.files[rel]
                     parts.append(
@@ -458,10 +482,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
                             dict(rec.get("partition") or {}),
                             self._schema_json,
                             rel_path=rel,
-                            delete_sidecars=sidecars,
+                            delete_sidecars=smap.get(rel, ()),
                         )
                     )
-            tail_from = int(end["snap_v"])
         for snap in self._range(
             log, tail_from, int(end["snapshot_id"])
         ):

@@ -255,3 +255,125 @@ def test_vacuum_reaps_inprogress_bloom_temps(spark, tmp_path):
     # inside the retention window: a concurrent build may still be
     # writing it
     assert os.path.exists(fresh)
+
+
+# ------------------------------------------------------------------
+# round-9 self-review fixes
+# ------------------------------------------------------------------
+
+
+def test_iceberg_stream_multi_tail_batches_exactly_once(
+    spark, tmp_path
+):
+    """Default-start iceberg stream across MULTIPLE tail
+    micro-batches: tailing must resume from the consumed watermark
+    (start offset), never re-plan from the pinned snapshot — the
+    review-verified replay bug delivered earlier appends twice."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    log.write(spark.range(0, 10).selectExpr("id"))
+    src = TableStreamSource(path=tbl, table_format="iceberg")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(src.read_stream(spark), out, ckpt)  # snapshot batch
+    log.write(spark.range(10, 20).selectExpr("id"), mode="append")
+    _drain(src.read_stream(spark), out, ckpt)  # tail batch 1
+    log.write(spark.range(20, 30).selectExpr("id"), mode="append")
+    _drain(src.read_stream(spark), out, ckpt)  # tail batch 2
+    got = spark.read.schema("id long").parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(30))
+    assert got.count() == got.distinct().count()
+
+
+def test_iceberg_cdf_stream_multi_tail_batches_exactly_once(
+    spark, tmp_path
+):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+    from aligned_spark.streaming.table_stream import register
+
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    log.write(spark.range(0, 10).selectExpr("id", "id as v"))
+    register(spark)
+
+    def stream():
+        return (
+            spark.readStream.format("aligned_table")
+            .option("path", tbl)
+            .option("format", "iceberg")
+            .option("readChangeFeed", "true")
+            .load()
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(stream(), out, ckpt)  # snapshot as inserts
+    log.merge_upsert(
+        spark.createDataFrame([(3, 99)], "id long, v long"),
+        keys=["id"],
+    )
+    _drain(stream(), out, ckpt)  # tail batch 1 (update pair)
+    log.write(
+        spark.createDataFrame([(100, 1)], "id long, v long"),
+        mode="append",
+    )
+    _drain(stream(), out, ckpt)  # tail batch 2 (insert)
+    sch = stream().schema
+    got = spark.read.schema(sch).parquet(out)
+    # 10 snapshot inserts + update pre/post pair + 1 insert, no dups
+    assert got.count() == 13
+    assert (
+        got.groupBy(
+            "id", "v", "_change_type", "_snapshot_id"
+        ).count().filter("count > 1").count()
+        == 0
+    )
+
+
+def test_cdf_multiset_diff_nan_rows_match_spark_semantics(
+    spark, tmp_path
+):
+    """Spark's exceptAll treats NaN = NaN; the stream's whole-row
+    multiset diff must too — an unchanged NaN row is NOT a
+    delete+insert pair (review-verified divergence)."""
+    from aligned_spark.streaming.table_stream import register
+
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 2.0), (3, float("nan"))],
+            "id long, v double",
+        ).coalesce(1)
+    )
+    log.delete_where(
+        spark,
+        __import__("pyspark").sql.functions.col("id") == 2,
+    )
+    register(spark)
+    sdf = (
+        spark.readStream.format("aligned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.read.schema(sdf.schema).parquet(out)
+    rows = [tuple(r) for r in got.collect()]
+    # exactly ONE change: the deleted (2, 2.0) — the surviving NaN
+    # rows must not round-trip as delete+insert noise
+    assert len(rows) == 1 and rows[0][0] == 2
+    batch = log.read_cdf(spark, 0)
+    assert batch.count() == 1
