@@ -59,6 +59,7 @@ from aligned_spark.streaming.table_stream import (
     _delta_log,
     _IcebergStreamReader,
     _sidecar_map,
+    _slice_range,
 )
 
 #: CDF column names — public Delta CDF semantics; the iceberg twin
@@ -378,27 +379,24 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
         log = _delta_log(self._path)
         self._last_end = dict(end)
         parts: list[InputPartition] = []
-        if "snap_v" in end:
-            same_snap = start.get("snap_v") == end["snap_v"]
-            s_idx = int(start.get("idx", 0)) if same_snap else 0
-            e_idx = int(end.get("idx", 0))
-            if e_idx > s_idx:
-                _, files, snap = self._snapshot_plan(
-                    log, end["snap_v"]
-                )
-                smap = _sidecar_map(self._path, snap.delete_files)
-                for rel in files[s_idx:e_idx]:
-                    add = snap.files[rel]
-                    parts.append(
-                        _CdfInsertPart(
-                            os.path.join(self._path, rel),
-                            dict(add.get("partitionValues") or {}),
-                            self._base_json,
-                            int(end["snap_v"]),
-                            rel_path=rel,
-                            delete_sidecars=smap.get(rel, ()),
-                        )
+        s_idx, e_idx = _slice_range(start, end)
+        if e_idx:
+            _, files, snap = self._snapshot_plan(
+                log, end["snap_v"]
+            )
+            smap = _sidecar_map(self._path, snap.delete_files)
+            for rel in files[s_idx:e_idx]:
+                add = snap.files[rel]
+                parts.append(
+                    _CdfInsertPart(
+                        os.path.join(self._path, rel),
+                        dict(add.get("partitionValues") or {}),
+                        self._base_json,
+                        int(end["snap_v"]),
+                        rel_path=rel,
+                        delete_sidecars=smap.get(rel, ()),
                     )
+                )
         start_v, end_v = int(start["version"]), int(end["version"])
         if end_v <= start_v:
             return parts
@@ -610,24 +608,22 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
         # override replayed consumed snapshots after the first tail
         # batch)
         tail_from = int(start["snapshot_id"])
-        if "snap_v" in end:
-            same = start.get("snap_v") == end["snap_v"]
-            s_idx = int(start.get("idx", 0)) if same else 0
-            if int(end.get("idx", 0)) > s_idx:
-                view = log._resolve(end["snap_v"])
-                smap = _sidecar_map(self._path, view.delete_files)
-                for rel in sorted(view.files):
-                    rec = view.files[rel]
-                    parts.append(
-                        _CdfInsertPart(
-                            os.path.join(self._path, rel),
-                            dict(rec.get("partition") or {}),
-                            self._base_json,
-                            int(end["snap_v"]),
-                            rel_path=rel,
-                            delete_sidecars=smap.get(rel, ()),
-                        )
+        s_idx, e_idx = _slice_range(start, end)
+        if e_idx:
+            view = log._resolve(end["snap_v"])
+            smap = _sidecar_map(self._path, view.delete_files)
+            for rel in sorted(view.files):
+                rec = view.files[rel]
+                parts.append(
+                    _CdfInsertPart(
+                        os.path.join(self._path, rel),
+                        dict(rec.get("partition") or {}),
+                        self._base_json,
+                        int(end["snap_v"]),
+                        rel_path=rel,
+                        delete_sidecars=smap.get(rel, ()),
                     )
+                )
         snaps = self._range(log, tail_from, int(end["snapshot_id"]))
         if not snaps:
             return parts

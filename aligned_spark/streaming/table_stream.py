@@ -116,6 +116,24 @@ def _sidecar_map(
     return {k: tuple(v) for k, v in out.items()}
 
 
+def _slice_range(start: dict, end: dict) -> "tuple[int, int]":
+    """The initial-snapshot file-index window to plan for this batch
+    — THE shared guard for all four stream readers (delta/iceberg ×
+    plain/CDF), so its two subtleties live in exactly one place:
+    the slice is driven by the END offset's progress but only counts
+    from the START's index when both pin the SAME snapshot (an old
+    checkpoint or a fabricated fallback offset must never replant a
+    different snapshot's files), and (0, 0) means nothing to plan.
+    Tailing, by contrast, always resumes from the START offset's
+    version/snapshot watermark — never the pinned snap_v."""
+    if "snap_v" not in end:
+        return (0, 0)
+    same = start.get("snap_v") == end["snap_v"]
+    s_idx = int(start.get("idx", 0)) if same else 0
+    e_idx = int(end.get("idx", 0))
+    return (s_idx, e_idx) if e_idx > s_idx else (0, 0)
+
+
 def _dead_positions(
     sidecars: Sequence[str], rel_path: str
 ) -> "set[int]":
@@ -321,26 +339,23 @@ class _DeltaStreamReader(DataSourceStreamReader):
         log = _delta_log(self._path)
         self._last_end = dict(end)
         parts: list[InputPartition] = []
-        if "snap_v" in end:
-            same_snap = start.get("snap_v") == end["snap_v"]
-            s_idx = int(start.get("idx", 0)) if same_snap else 0
-            e_idx = int(end.get("idx", 0))
-            if e_idx > s_idx:
-                _, files, snap = self._snapshot_plan(
-                    log, end["snap_v"]
-                )
-                smap = _sidecar_map(self._path, snap.delete_files)
-                for rel in files[s_idx:e_idx]:
-                    add = snap.files[rel]
-                    parts.append(
-                        _PartFile(
-                            os.path.join(self._path, rel),
-                            dict(add.get("partitionValues") or {}),
-                            self._schema_json,
-                            rel_path=rel,
-                            delete_sidecars=smap.get(rel, ()),
-                        )
+        s_idx, e_idx = _slice_range(start, end)
+        if e_idx:
+            _, files, snap = self._snapshot_plan(
+                log, end["snap_v"]
+            )
+            smap = _sidecar_map(self._path, snap.delete_files)
+            for rel in files[s_idx:e_idx]:
+                add = snap.files[rel]
+                parts.append(
+                    _PartFile(
+                        os.path.join(self._path, rel),
+                        dict(add.get("partitionValues") or {}),
+                        self._schema_json,
+                        rel_path=rel,
+                        delete_sidecars=smap.get(rel, ()),
                     )
+                )
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             adds, changes = self._commit_adds(log, v)
             if changes and not self._ignore_changes:
@@ -468,23 +483,21 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # end-side snap_v override here replayed already-consumed
         # snapshots on every later batch)
         tail_from = int(start["snapshot_id"])
-        if "snap_v" in end:
-            same = start.get("snap_v") == end["snap_v"]
-            s_idx = int(start.get("idx", 0)) if same else 0
-            if int(end.get("idx", 0)) > s_idx:
-                view = log._resolve(end["snap_v"])
-                smap = _sidecar_map(self._path, view.delete_files)
-                for rel in sorted(view.files):
-                    rec = view.files[rel]
-                    parts.append(
-                        _PartFile(
-                            os.path.join(self._path, rel),
-                            dict(rec.get("partition") or {}),
-                            self._schema_json,
-                            rel_path=rel,
-                            delete_sidecars=smap.get(rel, ()),
-                        )
+        s_idx, e_idx = _slice_range(start, end)
+        if e_idx:
+            view = log._resolve(end["snap_v"])
+            smap = _sidecar_map(self._path, view.delete_files)
+            for rel in sorted(view.files):
+                rec = view.files[rel]
+                parts.append(
+                    _PartFile(
+                        os.path.join(self._path, rel),
+                        dict(rec.get("partition") or {}),
+                        self._schema_json,
+                        rel_path=rel,
+                        delete_sidecars=smap.get(rel, ()),
                     )
+                )
         for snap in self._range(
             log, tail_from, int(end["snapshot_id"])
         ):
