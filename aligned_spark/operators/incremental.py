@@ -209,8 +209,14 @@ class IncrementalAggregate:
         )
         return current
 
+    def _batch_app(self) -> str:
+        return f"{self.app_id}.batch"
+
     def apply_changes(
-        self, spark: SparkSession, changes: DataFrame
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        batch_id: int | None = None,
     ) -> int | None:
         """Fold one CDC slice carrying ``_change_type`` /
         ``_commit_version`` columns — the ``foreachBatch`` body that
@@ -218,18 +224,42 @@ class IncrementalAggregate:
         (:mod:`aligned_spark.streaming.cdf_stream`): commit log →
         change stream → this method, one micro-batch at a time.
 
-        Exactly-once: the cursor is the slice's max
-        ``_commit_version``, recorded as a ``txn`` atomically with
-        the merged deltas — a checkpoint-replayed micro-batch finds
-        the cursor already advanced and no-ops (micro-batch version
-        ranges never overlap, so max-version is a faithful cursor,
-        interchangeable with :meth:`refresh`'s). The first slice of a
-        default-start stream (the initial snapshot as inserts)
-        becomes the aggregate's full build; a delete arriving before
-        any build is an error (nothing to subtract from).
+        Exactly-once: when ``batch_id`` (the monotone ``foreachBatch``
+        micro-batch id) is given, it is the replay cursor — recorded
+        as its own ``txn`` atomically with the merged deltas, so a
+        checkpoint-replayed micro-batch no-ops. This is REQUIRED for
+        correctness under ``maxFilesPerTrigger``: a throttled
+        default-start stream serves the initial snapshot as several
+        micro-batches that all carry the SAME ``_commit_version``
+        (the pinned snapshot version), so version-keyed replay
+        detection would silently drop every continuation slice.
+        Without ``batch_id`` (direct poll-style calls) the cursor
+        falls back to the slice's max ``_commit_version`` — faithful
+        only when each version appears in exactly one slice. The
+        base-version ``txn`` is always recorded too, keeping the
+        cursor interchangeable with :meth:`refresh`'s. The first
+        slice of a default-start stream (the initial snapshot as
+        inserts) becomes the aggregate's full build; a delete
+        arriving before any build is an error (nothing to subtract
+        from).
 
         Returns the new cursor, or None for an empty/replayed
         slice."""
+        log = self._target()
+        if batch_id is not None and log.exists():
+            bcur = log.txn_version(self._batch_app())
+            if bcur is not None and batch_id <= bcur:
+                if batch_id == bcur:
+                    # the replayed batch IS the slice a lagging
+                    # distinct aux (crash between the main and aux
+                    # commits) is missing
+                    self._sync_distinct_aux(
+                        spark,
+                        self.last_applied(),
+                        changes=changes,
+                        batch_id=batch_id,
+                    )
+                return None  # checkpoint replay of a committed batch
         row = changes.agg(
             F.max("_commit_version").alias("v")
         ).first()
@@ -238,7 +268,7 @@ class IncrementalAggregate:
             return None  # empty micro-batch
         vmax = int(vmax)
         cursor = self.last_applied()
-        if cursor is not None and vmax <= cursor:
+        if batch_id is None and cursor is not None and vmax <= cursor:
             if vmax == cursor:
                 # the replayed batch IS the slice a lagging distinct
                 # aux (crash between main and aux commits) is missing
@@ -246,7 +276,9 @@ class IncrementalAggregate:
                     spark, cursor, changes=changes
                 )
             return None  # checkpoint replay of a committed batch
-        log = self._target()
+        txns: Any = (self.app_id, vmax)
+        if batch_id is not None:
+            txns = [(self.app_id, vmax), (self._batch_app(), batch_id)]
         if cursor is None:
             ins = F.col("_change_type").isin(
                 "insert", "update_postimage"
@@ -273,12 +305,19 @@ class IncrementalAggregate:
                 ],
             )
             self._reject_null_keys(full)
-            log.write(full, "append", txn=(self.app_id, vmax))
-            self._sync_distinct_aux(spark, vmax, changes=changes)
+            log.write(full, "append", txn=txns)
+            self._sync_distinct_aux(
+                spark, vmax, changes=changes, batch_id=batch_id
+            )
             return vmax
-        self._sync_distinct_aux(spark, cursor)
+        if batch_id is None:
+            self._sync_distinct_aux(spark, cursor)
         self._apply_slice(
-            spark, changes, pin=vmax, txn_version=vmax
+            spark,
+            changes,
+            pin=vmax,
+            txn_version=vmax,
+            batch_id=batch_id,
         )
         return vmax
 
@@ -339,18 +378,36 @@ class IncrementalAggregate:
         c: str,
         trans: DataFrame,
         txn_version,
+        batch_id: int | None = None,
     ) -> None:
         aux = self._aux_log(c)
         app = self._aux_app(c)
-        last = aux.txn_version(app) if aux.exists() else None
-        if last is not None and txn_version <= last:
-            return  # replay — already folded in
+        if batch_id is not None:
+            # batch-keyed replay guard: snapshot-continuation slices
+            # share txn_version (the pinned snapshot version), so the
+            # micro-batch id is the only faithful cursor
+            last_b = (
+                aux.txn_version(f"{app}.batch")
+                if aux.exists()
+                else None
+            )
+            if last_b is not None and batch_id <= last_b:
+                return  # replay — already folded in
+            txns: Any = [
+                (app, txn_version),
+                (f"{app}.batch", batch_id),
+            ]
+        else:
+            last = aux.txn_version(app) if aux.exists() else None
+            if last is not None and txn_version <= last:
+                return  # replay — already folded in
+            txns = (app, txn_version)
         on = [*self.group_keys, c]
         rows = trans.select(*on, "__n")
         if not aux.exists():
-            aux.write(rows, "append", txn=(app, txn_version))
+            aux.write(rows, "append", txn=txns)
             return
-        aux.merge_upsert(rows, on, txn=(app, txn_version))
+        aux.merge_upsert(rows, on, txn=txns)
         if not trans.filter(F.col("__n") <= 0).isEmpty():
             # vanished values are logically absent; tombstone them
             # opportunistically (idempotent, safe to lose — the
@@ -373,12 +430,32 @@ class IncrementalAggregate:
         spark: SparkSession,
         main_cursor,
         changes: DataFrame | None = None,
+        batch_id: int | None = None,
     ) -> None:
         """Bring every distinct aux table up to the MAIN cursor. The
         main merge commits first, so after a crash an aux lags by at
         most the last slice — re-derivable from the base CDC (or the
         replayed micro-batch) and idempotent via the aux's own
-        txn."""
+        txn. In batch mode (``batch_id`` given) the lag is always
+        repaired from the replayed micro-batch itself, keyed on the
+        aux's batch txn — snapshot-continuation slices share the
+        main cursor's version, so version comparison can't tell a
+        folded slice from a missing one."""
+        if batch_id is not None:
+            for c in self.distincts:
+                aux = self._aux_log(c)
+                last_b = (
+                    aux.txn_version(f"{self._aux_app(c)}.batch")
+                    if aux.exists()
+                    else None
+                )
+                if last_b is not None and last_b >= batch_id:
+                    continue
+                trans = self._aux_transitions(spark, c, changes)
+                self._commit_aux(
+                    spark, c, trans, main_cursor, batch_id=batch_id
+                )
+            return
         for c in self.distincts:
             aux = self._aux_log(c)
             app = self._aux_app(c)
@@ -414,14 +491,21 @@ class IncrementalAggregate:
         changes: DataFrame,
         pin,
         txn_version,
+        batch_id: int | None = None,
     ) -> None:
         """Merge one CDC slice into the existing aggregate (shared by
         the poll-based :meth:`refresh` and the streaming
         :meth:`apply_changes`): signed per-group deltas, semi-
         filtered outer join, hybrid MIN/MAX with touched-group
-        recompute pinned at ``pin``, cursor ``txn_version`` riding
-        the MERGE commit."""
+        recompute pinned at ``pin``, cursor ``txn_version`` (plus the
+        micro-batch id in streaming mode) riding the MERGE commit."""
         log = self._target()
+        txns: Any = (self.app_id, txn_version)
+        if batch_id is not None:
+            txns = [
+                (self.app_id, txn_version),
+                (self._batch_app(), batch_id),
+            ]
         deltas = change_deltas(
             changes,
             self.group_keys,
@@ -430,10 +514,14 @@ class IncrementalAggregate:
             self.maxs,
             self.approx_distincts,
         ).persist()
-        # distinct transitions read the aux tables' PRE-state, so
-        # they are computed (and pinned) before any commit lands
+        # distinct transitions read the aux tables' PRE-state;
+        # localCheckpoint EAGERLY materializes them (not just a
+        # persist hint) — a cache eviction after _commit_aux has
+        # merged would otherwise recompute them against POST-commit
+        # aux files and corrupt multiplicities/zero-crossings
         trans_by_c = {
-            c: self._aux_transitions(spark, c, changes).persist()
+            c: self._aux_transitions(spark, c, changes)
+            .localCheckpoint(eager=True)
             for c in self.distincts
         }
         try:
@@ -543,13 +631,15 @@ class IncrementalAggregate:
             log.merge_upsert(
                 final,
                 self.group_keys,
-                txn=(self.app_id, txn_version),
+                txn=txns,
             )
             # aux tables commit AFTER the main merge (recovery rule:
             # an aux lags by at most the last slice, re-synced from
             # CDC at the next call — each has its own txn guard)
             for c, trans in trans_by_c.items():
-                self._commit_aux(spark, c, trans, txn_version)
+                self._commit_aux(
+                    spark, c, trans, txn_version, batch_id=batch_id
+                )
             # opportunistic tombstone of emptied groups — idempotent
             # and safe to lose (read() filters __n = 0 regardless)
             if not merged.filter(F.col(COUNT_COL) == 0).isEmpty():
@@ -557,8 +647,6 @@ class IncrementalAggregate:
             merged.unpersist()
         finally:
             deltas.unpersist()
-            for trans in trans_by_c.values():
-                trans.unpersist()
         if self.auto_compact:
             from aligned_spark.sources.delta_log import (
                 ConcurrentCommitError,
@@ -730,7 +818,13 @@ class IncrementalAggregate:
         return (
             src.read_stream(spark)
             .writeStream.foreachBatch(
-                lambda bdf, _bid: self.apply_changes(spark, bdf)
+                # the micro-batch id is the exactly-once cursor:
+                # a throttled initial snapshot arrives as SEVERAL
+                # batches sharing one _commit_version, which a
+                # version-keyed cursor would misread as replays
+                lambda bdf, bid: self.apply_changes(
+                    spark, bdf, batch_id=bid
+                )
             )
             .option("checkpointLocation", checkpoint)
             .start()

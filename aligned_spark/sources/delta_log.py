@@ -612,10 +612,16 @@ class DeltaLog:
         }
 
     @staticmethod
-    def _txn_action(txn: tuple[str, int] | None) -> list[dict[str, Any]]:
+    def _txn_action(
+        txn: "tuple[str, int] | list[tuple[str, int]] | None",
+    ) -> list[dict[str, Any]]:
+        """One or several writer-transaction actions for a commit —
+        a list records multiple (appId, version) cursors ATOMICALLY
+        with the data (e.g. the IVM cursor pair: base version +
+        micro-batch id)."""
         if txn is None:
             return []
-        app_id, version = txn
+        txns = [txn] if isinstance(txn, tuple) else list(txn)
         return [
             {
                 "txn": {
@@ -624,6 +630,7 @@ class DeltaLog:
                     "lastUpdated": int(time.time() * 1000),
                 }
             }
+            for app_id, version in txns
         ]
 
     def txn_version(self, app_id: str) -> int | None:

@@ -117,29 +117,44 @@ class _MaintenanceMeta:
         except (OSError, ValueError):
             return {"deleted_since_train": 0}
 
-    def add_deleted(self, n: int) -> None:
+    def _write(self, meta: dict) -> None:
         import json
         import os
 
-        meta = self.load()
-        meta["deleted_since_train"] = (
-            int(meta.get("deleted_since_train") or 0) + int(n)
-        )
         os.makedirs(os.path.dirname(self._file), exist_ok=True)
         tmp = self._file + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
         os.replace(tmp, self._file)
 
-    def reset(self) -> None:
-        import json
-        import os
+    def add_deleted(self, n: int) -> None:
+        meta = self.load()
+        meta["deleted_since_train"] = (
+            int(meta.get("deleted_since_train") or 0) + int(n)
+        )
+        self._write(meta)
 
-        os.makedirs(os.path.dirname(self._file), exist_ok=True)
-        tmp = self._file + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"deleted_since_train": 0}, fh)
-        os.replace(tmp, self._file)
+    def last_folded_batch(self) -> int | None:
+        """Micro-batch id of the last CDC slice whose churn was
+        counted — the idempotency cursor that keeps a checkpoint-
+        replayed batch (its deletes/appends are key-idempotent) from
+        inflating ``deleted_since_train`` and firing a premature
+        retrain."""
+        b = self.load().get("last_folded_batch")
+        return int(b) if b is not None else None
+
+    def mark_batch(self, batch_id: int) -> None:
+        meta = self.load()
+        meta["last_folded_batch"] = int(batch_id)
+        self._write(meta)
+
+    def reset(self) -> None:
+        # retrain zeroes the churn counter but must keep the batch
+        # cursor: a replay arriving right after a retrain would
+        # otherwise re-count its deletes against the fresh quantizer
+        meta = self.load()
+        meta["deleted_since_train"] = 0
+        self._write(meta)
 
 
 @dataclass
@@ -306,21 +321,28 @@ class IvfIndexSource:
             .parquet(self._data_path())
         )
 
-    def delete(self, ids: DataFrame) -> int:
+    def delete(
+        self, ids: DataFrame, count_churn: bool = True
+    ) -> int:
         """CDC-driven index maintenance, delete side (reference:
         ``UpdateVectorIndexJob``, aligned/retrieval_job.py:2131-2164
         keeps the index in sync on writes): anti-join the deleted
         keys out of the cluster partitions, rewriting ONLY the
-        touched clusters. Tracks churn for :meth:`should_retrain`."""
+        touched clusters. Tracks churn for :meth:`should_retrain`
+        unless ``count_churn`` is off (checkpoint-replayed batches —
+        the delete itself is key-idempotent, the counter is not)."""
         n = _delete_from_clustered(
             ids.sparkSession, self._data_path(), self.id_col, ids
         )
-        if n:
+        if n and count_churn:
             _MaintenanceMeta(self.path).add_deleted(n)
         return n
 
     def apply_changes(
-        self, changes: DataFrame, auto_retrain: bool = True
+        self,
+        changes: DataFrame,
+        auto_retrain: bool = True,
+        batch_id: int | None = None,
     ) -> None:
         """Fold a CDC slice (``_change_type`` column — e.g. a
         ``readChangeFeed`` micro-batch) into the index: deleted keys
@@ -351,11 +373,24 @@ class IvfIndexSource:
                 )
             if not adds.isEmpty():
                 self.overwrite(adds)
+            if batch_id is not None:
+                _MaintenanceMeta(self.path).mark_batch(batch_id)
             return
+        meta = _MaintenanceMeta(self.path)
+        last_b = meta.last_folded_batch()
+        replayed = (
+            batch_id is not None
+            and last_b is not None
+            and batch_id <= last_b
+        )
         dels = changes.filter(~ins).select(self.id_col)
         had_dels = not dels.isEmpty()
         if had_dels:
-            self.delete(dels)
+            # a replayed batch's deletes are key-idempotent (the
+            # prior attempt's re-appends get re-deleted, then
+            # re-appended below) but must NOT re-count churn —
+            # double-counting fires should_retrain prematurely
+            self.delete(dels, count_churn=not replayed)
         if not adds.isEmpty():
             # replay safety: a checkpoint-replayed micro-batch must
             # not re-append rows the previous attempt landed — keys
@@ -370,6 +405,8 @@ class IvfIndexSource:
             )
             if not fresh.isEmpty():
                 self.update(fresh)
+        if batch_id is not None and not replayed:
+            meta.mark_batch(batch_id)
         if auto_retrain and had_dels:
             self.maybe_retrain(changes.sparkSession)
 
@@ -397,8 +434,9 @@ class IvfIndexSource:
         return (
             src.read_stream(spark)
             .writeStream.foreachBatch(
-                lambda bdf, _bid: self.apply_changes(
-                    bdf, auto_retrain=auto_retrain
+                # batch id = churn-counter idempotency cursor
+                lambda bdf, bid: self.apply_changes(
+                    bdf, auto_retrain=auto_retrain, batch_id=bid
                 )
             )
             .option("checkpointLocation", checkpoint)
@@ -800,7 +838,9 @@ class IvfPqIndexSource:
             .parquet(self._p("vectors"))
         )
 
-    def delete(self, ids: DataFrame) -> int:
+    def delete(
+        self, ids: DataFrame, count_churn: bool = True
+    ) -> int:
         """Delete keys from BOTH cluster-partitioned stores (codes +
         refinement vectors), rewriting only touched cluster
         partitions — :meth:`IvfIndexSource.delete` discipline.
@@ -816,19 +856,23 @@ class IvfPqIndexSource:
         _delete_from_clustered(
             spark, self._p("vectors"), "id", keyed
         )
-        if n:
+        if n and count_churn:
             _MaintenanceMeta(self.path).add_deleted(n)
         return n
 
     def apply_changes(
-        self, changes: DataFrame, auto_retrain: bool = True
+        self,
+        changes: DataFrame,
+        auto_retrain: bool = True,
+        batch_id: int | None = None,
     ) -> None:
         """Fold a CDC slice into the index — deletes/update
         preimages leave their partitions, inserts/update postimages
         quantize against the frozen codebooks and append
         (:meth:`IvfIndexSource.apply_changes` semantics, incl.
-        bootstrap-from-snapshot, replayed-batch dedup, and
-        drift-triggered retrain)."""
+        bootstrap-from-snapshot, replayed-batch dedup, churn-counter
+        idempotency keyed on ``batch_id``, and drift-triggered
+        retrain)."""
         import os
 
         ins = F.col("_change_type").isin(
@@ -846,11 +890,20 @@ class IvfPqIndexSource:
                 )
             if not adds.isEmpty():
                 self.overwrite(adds)
+            if batch_id is not None:
+                _MaintenanceMeta(self.path).mark_batch(batch_id)
             return
+        meta = _MaintenanceMeta(self.path)
+        last_b = meta.last_folded_batch()
+        replayed = (
+            batch_id is not None
+            and last_b is not None
+            and batch_id <= last_b
+        )
         dels = changes.filter(~ins).select(self.id_col)
         had_dels = not dels.isEmpty()
         if had_dels:
-            self.delete(dels)
+            self.delete(dels, count_churn=not replayed)
         if not adds.isEmpty():
             spark = changes.sparkSession
             fresh = adds.join(
@@ -861,6 +914,8 @@ class IvfPqIndexSource:
             )
             if not fresh.isEmpty():
                 self.update(fresh)
+        if batch_id is not None and not replayed:
+            meta.mark_batch(batch_id)
         if auto_retrain and had_dels:
             self.maybe_retrain(changes.sparkSession)
 
