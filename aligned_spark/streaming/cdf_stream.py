@@ -370,6 +370,22 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
         )
         self._base_json = base.json()
 
+    def _commit_splittable(self, log: Any, version: int) -> bool:
+        """Only pure-append commits may split across triggers: their
+        parts are independent insert tasks. A rewrite commit plans
+        ONE diff unit, so it is admitted whole."""
+        return not self._commit_adds(log, version)[1]
+
+    def _append_adds(self, log: Any, version: int) -> list[dict]:
+        """Path-sorted dataChange add actions of one (append) commit
+        — the stable ordering the split indices (cidx) address."""
+        adds = [
+            a["add"]
+            for a in log._read_commit(version)
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        return sorted(adds, key=lambda a: a["path"])
+
     # ---------------------------------------------------- planning
     def partitions(
         self, start: dict, end: dict
@@ -398,6 +414,25 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
                     )
                 )
         start_v, end_v = int(start["version"]), int(end["version"])
+        s_cidx = start.get("cidx")
+        e_cidx = end.get("cidx")
+        if s_cidx is not None:
+            # resume the partially-planned append commit start_v
+            adds = self._append_adds(log, start_v)
+            hi = (
+                e_cidx
+                if (end_v == start_v and e_cidx is not None)
+                else len(adds)
+            )
+            for add in adds[s_cidx:hi]:
+                parts.append(
+                    _CdfInsertPart(
+                        os.path.join(self._path, add["path"]),
+                        dict(add.get("partitionValues") or {}),
+                        self._base_json,
+                        start_v,
+                    )
+                )
         if end_v <= start_v:
             return parts
         # incremental snapshot walk — same single replay rule as
@@ -460,7 +495,14 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
             )
             if not removes and not del_adds and not touched_refs:
                 # pure append: per-part insert tasks, batch-scan-like
-                for add in adds:
+                # (path-sorted so a split commit's cidx is stable)
+                adds = sorted(adds, key=lambda a: a["path"])
+                hi = (
+                    e_cidx
+                    if (v == end_v and e_cidx is not None)
+                    else len(adds)
+                )
+                for add in adds[:hi]:
                     parts.append(
                         _CdfInsertPart(
                             os.path.join(self._path, add["path"]),
@@ -610,9 +652,9 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
         tail_from = int(start["snapshot_id"])
         s_idx, e_idx = _slice_range(start, end)
         if e_idx:
-            view = log._resolve(end["snap_v"])
+            _, files, view = self._snapshot_plan(log, end["snap_v"])
             smap = _sidecar_map(self._path, view.delete_files)
-            for rel in sorted(view.files):
+            for rel in files[s_idx:e_idx]:
                 rec = view.files[rel]
                 parts.append(
                     _CdfInsertPart(

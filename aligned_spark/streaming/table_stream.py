@@ -229,8 +229,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
     ``{"snap_v": v0, "idx": k}``: the initial snapshot is pinned at
     version ``v0`` and ``k`` of its (sorted) live files have been
     planned; tailing resumes at ``v0 + 1`` once ``k`` reaches the
-    file count. All methods here run driver-side; only :meth:`read`
-    runs on executors."""
+    file count. An oversized SPLITTABLE commit (a pure append whose
+    file count exceeds the remaining ``maxFilesPerTrigger`` budget)
+    is served across triggers via ``{"version": v, "cidx": k}`` —
+    commit ``v`` planned through its first ``k`` path-sorted add
+    files — so a 10k-file bulk append never lands as one micro-batch.
+    All methods here run driver-side; only :meth:`read` runs on
+    executors."""
 
     def __init__(self, schema: StructType, options: dict[str, str]):
         self._path = options["path"]
@@ -284,6 +289,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
             last = self.initialOffset()
         end = dict(last)
         budget = self._max_files
+        took = False
         if "snap_v" in end:
             _, files, _ = self._snapshot_plan(log, end["snap_v"])
             n = len(files)
@@ -293,18 +299,52 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     1, min(budget, want)
                 )
                 end["idx"] += take
+                took = True
                 if budget is not None:
                     budget -= take
                     if end["idx"] < n or budget <= 0:
                         self._last_end = end
                         return dict(end)
         v = end["version"]
-        first = v
+        cidx = end.get("cidx")
+        if cidx is not None:
+            # finish the partially-planned commit v first
+            n = len(self._commit_adds(log, v)[0])
+            want = n - cidx
+            if want > 0:
+                take = want if budget is None else max(
+                    1, min(budget, want)
+                )
+                cidx += take
+                took = True
+                if budget is not None:
+                    budget -= take
+            if cidx < n:
+                end["cidx"] = cidx
+                self._last_end = end
+                return dict(end)
+            end.pop("cidx", None)
+            if budget is not None and budget <= 0:
+                self._last_end = end
+                return dict(end)
         while v < latest:
             n_files = len(self._commit_adds(log, v + 1)[0])
-            if budget is not None and n_files > budget and v > first:
-                break
+            if budget is not None and n_files > budget:
+                if self._commit_splittable(log, v + 1):
+                    # start the oversized append commit: plan its
+                    # first `budget` path-sorted files, carry the
+                    # rest to later triggers via cidx
+                    end["version"] = v + 1
+                    end["cidx"] = budget
+                    self._last_end = end
+                    return dict(end)
+                if took:
+                    break
+                # oversized UNSPLITTABLE commit (e.g. a CDF rewrite
+                # diff, one planning unit): take it whole — the
+                # stream must advance ≥1 commit per trigger
             v += 1
+            took = True
             if budget is not None:
                 budget -= n_files
                 if budget <= 0:
@@ -333,6 +373,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 changes = True
         return adds, changes
 
+    def _commit_splittable(self, log: Any, version: int) -> bool:
+        """Whether an oversized commit may be served across several
+        triggers by slicing its path-sorted add files. The plain
+        reader plans every add as an independent part, so always —
+        a rewrite commit either raised already or (ignoreChanges)
+        emits its re-added rows per file anyway."""
+        return True
+
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
@@ -356,7 +404,11 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         delete_sidecars=smap.get(rel, ()),
                     )
                 )
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        start_v, end_v = int(start["version"]), int(end["version"])
+        s_cidx = start.get("cidx")
+        e_cidx = end.get("cidx")
+        first_commit = start_v if s_cidx is not None else start_v + 1
+        for v in range(first_commit, end_v + 1):
             adds, changes = self._commit_adds(log, v)
             if changes and not self._ignore_changes:
                 raise ValueError(
@@ -367,7 +419,16 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     "downstream), or stream the change feed with "
                     "readChangeFeed=true."
                 )
-            for add in adds:
+            # path-sorted: the split indices (cidx) must address the
+            # SAME ordering across triggers and replays
+            adds = sorted(adds, key=lambda a: a["path"])
+            lo = s_cidx if (v == start_v and s_cidx is not None) else 0
+            hi = (
+                e_cidx
+                if (v == end_v and e_cidx is not None)
+                else len(adds)
+            )
+            for add in adds[lo:hi]:
                 parts.append(
                     _PartFile(
                         os.path.join(self._path, add["path"]),
@@ -395,10 +456,15 @@ class _IcebergStreamReader(DataSourceStreamReader):
     """Offsets: ``{"snapshot_id": id}`` (0 = before the first
     snapshot). Default start mirrors the delta reader: the CURRENT
     snapshot's live files (position deletes applied) are the initial
-    batch (``{"snap_v": id, "idx": 0|1}`` — one slice, no iceberg
-    throttle option), then later snapshots are tailed. A consumed
-    snapshot that was since expired raises — the consumer's history
-    is gone, same failure mode as Iceberg's own streaming read."""
+    batch(es) — ``{"snap_v": id, "idx": k}`` pins the snapshot and
+    counts its (sorted) planned files, so ``maxFilesPerTrigger``
+    slices a 100 TB initial snapshot across triggers exactly like
+    the delta reader instead of serving it as one giant micro-batch.
+    While tailing, the same budget admits whole snapshots by their
+    ADDED-data-file counts (manifest metadata reads; ≥1 snapshot per
+    trigger so the stream always advances). A consumed snapshot that
+    was since expired raises — the consumer's history is gone, same
+    failure mode as Iceberg's own streaming read."""
 
     def __init__(self, schema: StructType, options: dict[str, str]):
         self._path = options["path"]
@@ -407,7 +473,15 @@ class _IcebergStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self._starting = options.get("startingsnapshotid")
+        mft = options.get("maxfilespertrigger")
+        self._max_files = int(mft) if mft else None
         self._last_end: dict | None = None
+        #: (snap_id, sorted live rel paths, view) — driver-side memo
+        #: of the pinned initial snapshot (deterministic from the
+        #: immutable metadata, so replay re-plans the same slices)
+        self._snap_cache: tuple | None = None
+        #: snapshot id -> ADDED data-file count (manifest reads memo)
+        self._count_cache: dict[int, int] = {}
 
     def initialOffset(self) -> dict:
         log = _iceberg_log(self._path)
@@ -435,17 +509,92 @@ class _IcebergStreamReader(DataSourceStreamReader):
             self._last_end = dict(off)
         return off
 
+    def _snapshot_plan(self, log: Any, sid: int) -> tuple:
+        if self._snap_cache is None or self._snap_cache[0] != sid:
+            view = log._resolve(sid)
+            self._snap_cache = (sid, sorted(view.files), view)
+        return self._snap_cache
+
+    def _added_count(self, log: Any, snap: dict) -> int:
+        """ADDED data files of one snapshot — the tail-admission
+        unit. Driver-side manifest metadata reads, memoized (the
+        planner reads the same manifests again)."""
+        from aligned_spark.sources.avro_io import read_container
+        from aligned_spark.sources.iceberg_log import ADDED
+
+        sid = snap["snapshot-id"]
+        if sid in self._count_cache:
+            return self._count_cache[sid]
+        n = 0
+        _, manifests = read_container(
+            os.path.join(self._path, snap["manifest-list"])
+        )
+        for m in manifests:
+            if m["added_snapshot_id"] != sid:
+                continue
+            if m.get("content", 0) == 1:  # position deletes
+                continue
+            _, entries = read_container(
+                os.path.join(self._path, m["manifest_path"])
+            )
+            n += sum(1 for e in entries if e["status"] == ADDED)
+        self._count_cache[sid] = n
+        return n
+
     def latestOffset(self) -> dict:
-        ids = _iceberg_log(self._path).snapshot_ids()
+        log = _iceberg_log(self._path)
+        ids = log.snapshot_ids()
+        latest = ids[-1] if ids else 0
         last = self._last_end
         if last is None:
             # same runner-order rule as the delta reader: None state
             # = fresh query; restarts re-seed via partitions()
             last = self.initialOffset()
         end = dict(last)
-        end["snapshot_id"] = ids[-1] if ids else 0
+        budget = self._max_files
+        took = False
         if "snap_v" in end:
-            end["idx"] = 1  # single snapshot slice (no throttle opt)
+            _, files, _ = self._snapshot_plan(log, end["snap_v"])
+            n = len(files)
+            if end["idx"] < n:
+                want = n - end["idx"]
+                take = want if budget is None else max(
+                    1, min(budget, want)
+                )
+                end["idx"] += take
+                took = True
+                if budget is not None:
+                    budget -= take
+                    if end["idx"] < n or budget <= 0:
+                        self._last_end = end
+                        return dict(end)
+        cur = int(end["snapshot_id"])
+        if cur != latest:
+            md = log.current_metadata()
+            snaps = md["snapshots"]
+            sids = [s["snapshot-id"] for s in snaps]
+            if cur == 0:
+                pos = 0
+            elif cur in sids:
+                pos = sids.index(cur) + 1
+            else:
+                raise ValueError(
+                    f"streaming offset snapshot {cur} of "
+                    f"{self._path} has been expired; restart the "
+                    "query from a live snapshot"
+                )
+            while pos < len(sids):
+                n_files = self._added_count(log, snaps[pos])
+                if budget is not None and n_files > budget and took:
+                    break
+                cur = sids[pos]
+                pos += 1
+                took = True
+                if budget is not None:
+                    budget -= n_files
+                    if budget <= 0:
+                        break
+            end["snapshot_id"] = cur
         self._last_end = end
         return dict(end)
 
@@ -485,9 +634,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
         tail_from = int(start["snapshot_id"])
         s_idx, e_idx = _slice_range(start, end)
         if e_idx:
-            view = log._resolve(end["snap_v"])
+            _, files, view = self._snapshot_plan(log, end["snap_v"])
             smap = _sidecar_map(self._path, view.delete_files)
-            for rel in sorted(view.files):
+            for rel in files[s_idx:e_idx]:
                 rec = view.files[rel]
                 parts.append(
                     _PartFile(
@@ -558,9 +707,12 @@ class TableStreamDataSource(DataSource):
     default | "iceberg"), ``startingVersion`` (delta: int | "latest";
     unset = current snapshot first, then tail), ``startingSnapshotId``
     (iceberg: int, inclusive | "latest"; unset = current snapshot
-    first), ``ignoreChanges``, ``maxFilesPerTrigger`` (delta),
-    ``readChangeFeed`` (delta: stream row-level changes with
-    ``_change_type``/``_commit_version`` columns)."""
+    first), ``ignoreChanges``, ``maxFilesPerTrigger`` (both formats:
+    slices the initial snapshot across triggers, admits tail commits/
+    snapshots by file count, and — delta — splits oversized append
+    commits by file index), ``readChangeFeed`` (both formats: stream
+    row-level changes with ``_change_type`` +
+    ``_commit_version``/``_snapshot_id`` columns)."""
 
     @classmethod
     def name(cls) -> str:

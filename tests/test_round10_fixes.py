@@ -273,3 +273,198 @@ def test_multi_txn_commit_atomicity(tmp_path, spark):
     )
     assert log.txn_version("app") == 8
     assert log.txn_version("app.batch") == 4
+
+
+# ------------------------------------------------------------------
+# r9 VERDICT tasks 2 & 6: iceberg stream admission control + delta
+# oversized-append-commit splitting
+# ------------------------------------------------------------------
+
+
+def _drain_q(sdf, out: str, ckpt: str):
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return q
+
+
+def _n_batches(q) -> int:
+    return len([p for p in q.recentProgress if p["numInputRows"] > 0])
+
+
+def test_iceberg_max_files_per_trigger_initial_snapshot(
+    spark, tmp_path
+):
+    """The r9 gap: the iceberg reader served the ENTIRE initial
+    snapshot as one slice regardless of maxFilesPerTrigger."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    log.write(spark.range(0, 80).repartition(8).selectExpr("id"))
+    src = TableStreamSource(
+        path=tbl, table_format="iceberg", max_files_per_trigger=2
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = _drain_q(src.read_stream(spark), out, ckpt)
+    got = spark.read.schema("id long").parquet(out)
+    assert got.count() == 80 == got.distinct().count()
+    assert _n_batches(q) >= 4  # 8 snapshot files / 2 per trigger
+
+
+def test_iceberg_max_files_per_trigger_fresh_backlog(spark, tmp_path):
+    """Tail admission: a 4-snapshot backlog with 1 file each drains
+    one snapshot per trigger under maxFilesPerTrigger=1."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    for lo in (0, 10, 20, 30):
+        log.write(
+            spark.range(lo, lo + 10).coalesce(1).selectExpr("id")
+        )
+    first = log.snapshot_ids()[0]
+    src = TableStreamSource(
+        path=tbl,
+        table_format="iceberg",
+        starting_snapshot_id=first,
+        max_files_per_trigger=1,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = _drain_q(src.read_stream(spark), out, ckpt)
+    got = spark.read.schema("id long").parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(40))
+    assert _n_batches(q) >= 4
+
+
+def test_iceberg_cdf_throttled_snapshot_then_tail(spark, tmp_path):
+    """readChangeFeed + maxFilesPerTrigger on iceberg: the initial
+    snapshot arrives as several insert micro-batches, a MERGE tail
+    still lands exactly-once."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+    from aligned_spark.streaming.table_stream import register
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    log.write(
+        spark.range(0, 40)
+        .repartition(4)
+        .selectExpr("id", "id as v")
+    )
+    src = TableStreamSource(
+        path=tbl,
+        table_format="iceberg",
+        read_change_feed=True,
+        max_files_per_trigger=1,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = _drain_q(src.read_stream(spark), out, ckpt)
+    assert _n_batches(q) >= 4  # 4 snapshot files / 1 per trigger
+    log.merge_upsert(
+        spark.createDataFrame([(3, 99)], "id long, v long"),
+        keys=["id"],
+    )
+    _drain_q(src.read_stream(spark), out, ckpt)
+    sch = src.read_stream(spark).schema
+    got = spark.read.schema(sch).parquet(out)
+    # 40 snapshot inserts + one update pre/post pair, no dups
+    assert got.count() == 42
+    assert (
+        got.groupBy("id", "v", "_change_type", "_snapshot_id")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+    assert (
+        got.filter("_change_type = 'update_postimage'").first()["v"]
+        == 99
+    )
+
+
+def test_delta_oversized_append_commit_splits(spark, tmp_path):
+    """r9 VERDICT task 6: a 100-file append commit with
+    maxFilesPerTrigger=10 drains in ~10 micro-batches instead of
+    one."""
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(spark.range(0, 10).coalesce(1).selectExpr("id"))
+    # ONE commit with 100 files (range partitioning: none empty)
+    log.write(
+        spark.range(10, 110)
+        .repartitionByRange(100, "id")
+        .selectExpr("id")
+    )
+    src = TableStreamSource(
+        path=tbl,
+        table_format="delta",
+        starting_version=0,
+        max_files_per_trigger=10,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = _drain_q(src.read_stream(spark), out, ckpt)
+    got = spark.read.schema("id long").parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(110))
+    # 1 small commit + 100-file commit / 10 per trigger ≈ 11
+    assert _n_batches(q) >= 10
+
+
+def test_delta_cdf_oversized_append_splits_rewrite_whole(
+    spark, tmp_path
+):
+    """CDF stream: an oversized append commit splits by file index;
+    a rewrite commit (one diff unit) is admitted whole — and a
+    restart replays the split exactly-once."""
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.range(0, 4).coalesce(1).selectExpr("id", "id as v")
+    )
+    src = TableStreamSource(
+        path=tbl,
+        table_format="delta",
+        read_change_feed=True,
+        max_files_per_trigger=2,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain_q(src.read_stream(spark), out, ckpt)  # snapshot batch
+    # oversized append (6 files) + keyed rewrite in the backlog
+    log.write(
+        spark.range(4, 10).repartition(6).selectExpr("id", "id as v")
+    )
+    log.merge_upsert(
+        spark.createDataFrame([(0, 77)], "id long, v long"),
+        ["id"],
+    )
+    q = _drain_q(src.read_stream(spark), out, ckpt)
+    assert _n_batches(q) >= 3  # 6-file append / 2 + rewrite batch
+    sch = src.read_stream(spark).schema
+    got = spark.read.schema(sch).parquet(out)
+    # 4 snapshot + 6 appended inserts + update pre/post pair
+    assert got.count() == 12
+    assert (
+        got.groupBy("id", "v", "_change_type", "_commit_version")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+    ins = got.filter("_change_type = 'insert'")
+    assert sorted(r.id for r in ins.collect()) == list(range(10))
