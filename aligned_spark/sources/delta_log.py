@@ -57,13 +57,26 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 #: table property recording the last MERGE's keys — lets keyless
 #: rewrite commits (DELETE/replaceWhere) take read_cdf's keyed diff
 _MERGE_KEYS_PROP = "aligned.mergeKeys"
+
+#: Touched-file count at/above which a CoW rewrite commit
+#: PRE-MATERIALIZES its row-level changes as ``_change_data/``
+#: parquet recorded via ``cdc`` actions — upstream Delta's CDF
+#: design (the writer already has both sides of the diff at MERGE
+#: time). CDF readers (batch ``read_cdf`` and the change stream)
+#: prefer these: a large historical MERGE replays as a plain
+#: per-part scan with full cluster parallelism instead of a
+#: read-time diff. Below the threshold the read-time diff stays
+#: cheaper than the extra write amplification. Override per table
+#: with the ``aligned.changeData.thresholdFiles`` property.
+CHANGE_DATA_THRESHOLD_PROP = "aligned.changeData.thresholdFiles"
+CHANGE_DATA_FILE_THRESHOLD = 8
 # hive null-partition marker, footer-stat harvesting, and part
 # staging live in aligned_spark.sources.parts (shared with Iceberg)
 
@@ -563,6 +576,49 @@ class DeltaLog:
         self._attach_blooms(df, adds, partition_by)
         return adds
 
+    def _cdc_threshold(self, snap: Snapshot) -> int:
+        cfg = (snap.metadata or {}).get("configuration") or {}
+        try:
+            return int(
+                cfg.get(
+                    CHANGE_DATA_THRESHOLD_PROP,
+                    CHANGE_DATA_FILE_THRESHOLD,
+                )
+            )
+        except (TypeError, ValueError):
+            return CHANGE_DATA_FILE_THRESHOLD
+
+    def _stage_change_data(
+        self, changes: DataFrame, cols: list[str]
+    ) -> list[dict[str, Any]]:
+        """Stage one rewrite commit's row-level changes (base columns
+        + ``_change_type``; the version column is the commit's, added
+        at read time) as ``_change_data/`` parquet and return their
+        ``cdc`` actions. The actions ride the rewrite commit
+        atomically; snapshot state ignores them (they are CDF-reader
+        metadata, not table data), and vacuum reaps the files once
+        they age out of the retention window like any other
+        unreferenced part — the same trade as time travel."""
+        from aligned_spark.sources.parts import stage_parquet_parts
+
+        parts = stage_parquet_parts(
+            changes.select(*cols, "_change_type"),
+            self.table_path,
+            None,
+            data_subdir="_change_data",
+        )
+        return [
+            {
+                "cdc": {
+                    "path": p.path,
+                    "partitionValues": p.partition_values,
+                    "size": p.size,
+                    "dataChange": False,
+                }
+            }
+            for p in parts
+        ]
+
     def _attach_blooms(
         self,
         df: DataFrame,
@@ -992,6 +1048,7 @@ class DeltaLog:
             removes: list[str] = []
             del_adds: list[str] = []
             del_drops: list[str] = []
+            cdc_paths: list[str] = []
             keys: list[str] | None = None
             for action in actions_v:
                 if "commitInfo" in action:
@@ -1002,6 +1059,8 @@ class DeltaLog:
                     )
                     if mk:
                         keys = mk.split(",")
+                elif "cdc" in action:
+                    cdc_paths.append(action["cdc"]["path"])
                 elif "deleteFile" in action:
                     if action["deleteFile"].get("add", True):
                         del_adds.append(action["deleteFile"]["path"])
@@ -1013,6 +1072,33 @@ class DeltaLog:
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"]["path"])
+            if cdc_paths:
+                # the writer pre-materialized this commit's changes
+                # (_change_data parquet): a plain per-part scan, no
+                # read-time diff — upstream Delta CDF semantics
+                ch_schema = StructType(
+                    [
+                        *schema.fields,
+                        StructField(
+                            "_change_type", StringType(), False
+                        ),
+                    ]
+                )
+                pieces.append(
+                    spark.read.schema(ch_schema)
+                    .parquet(
+                        *[self._abs(p) for p in sorted(cdc_paths)]
+                    )
+                    .select(
+                        *cols,
+                        "_change_type",
+                        F.lit(v).cast("long").alias(
+                            "_commit_version"
+                        ),
+                    )
+                )
+                prev = cur
+                continue
             # A dropped sidecar only changes rows when its pairs
             # reference files STILL LIVE after the commit (RESTORE
             # rolling back a MOR delete resurrects those rows);
@@ -1184,6 +1270,27 @@ class DeltaLog:
             snap.version + 1,
             "ADD CONSTRAINT",
             {"name": name, "expr": expr_sql},
+        )
+
+    def set_properties(self, props: dict[str, Any]) -> int:
+        """SET TBLPROPERTIES: merge ``props`` into the table
+        configuration in one metaData commit (a None value unsets
+        the key) — e.g. ``aligned.changeData.thresholdFiles`` to
+        tune when rewrites pre-materialize change files."""
+        snap = self.snapshot()
+        meta = dict(snap.metadata or {})
+        cfg = dict(meta.get("configuration", {}) or {})
+        for k, val in props.items():
+            if val is None:
+                cfg.pop(k, None)
+            else:
+                cfg[k] = str(val)
+        meta["configuration"] = cfg
+        return self.commit(
+            [{"metaData": meta}],
+            snap.version + 1,
+            "SET TBLPROPERTIES",
+            {"properties": json.dumps(props, default=str)},
         )
 
     def set_bloom_filter(
@@ -1758,6 +1865,46 @@ class DeltaLog:
         adds = self._stage_parts(
             out, partition_by or snap.partition_columns
         )
+        cdc_actions: list[dict[str, Any]] = []
+        if (
+            touched
+            and evolved is None
+            and len(touched) >= self._cdc_threshold(snap)
+        ):
+            # large rewrite: pre-materialize the commit's row-level
+            # changes (the writer has both sides anyway) so CDF
+            # readers scan change files with per-part parallelism
+            # instead of diffing this many-file commit at read time.
+            # Old side = touched parts at the parent (its position
+            # deletes applied); new side = the STAGED parts' actual
+            # bytes — byte-faithful to what a read-time diff sees.
+            from aligned_spark.sources.cdc import diff_rewrite
+
+            staged = Snapshot(
+                version=snap.version,
+                metadata=snap.metadata,
+                files={a["path"]: a for a in adds},
+            )
+            new_side = (
+                self._scan(spark, staged, sorted(staged.files))
+                .select(*schema_cols)
+                if staged.files
+                else spark.createDataFrame([], snap.schema())
+            )
+            pieces = diff_rewrite(
+                self._scan(spark, snap, touched).select(*schema_cols),
+                new_side,
+                schema_cols,
+                keys,
+                "_commit_version",
+                0,
+            )
+            changes = pieces[0]
+            for piece in pieces[1:]:
+                changes = changes.unionByName(piece)
+            cdc_actions = self._stage_change_data(
+                changes, schema_cols
+            )
         now = int(time.time() * 1000)
         actions = [
             {
@@ -1768,7 +1915,7 @@ class DeltaLog:
                 }
             }
             for p in touched
-        ] + [{"add": a} for a in adds] + self._txn_action(txn)
+        ] + [{"add": a} for a in adds] + cdc_actions + self._txn_action(txn)
         actions += self._sidecar_prune_actions(snap, touched)
         # ONE metaData action folds both possible definition changes:
         # schema evolution (autoMerge) and the merge-key property
@@ -1851,6 +1998,40 @@ class DeltaLog:
             )
             out = survivors.unionByName(out)
         adds = self._stage_parts(out, snap.partition_columns)
+        cdc_actions: list[dict[str, Any]] = []
+        if touched and len(touched) >= self._cdc_threshold(snap):
+            # large replaceWhere: materialize changes at commit time
+            # (diff against the staged parts' actual bytes) — same
+            # scale path as merge_upsert; keyed when the table has
+            # recorded merge keys, matching read_cdf's fallback
+            from aligned_spark.sources.cdc import diff_rewrite
+
+            mk = self._keyed_cdf_params(snap).get("mergeKeys")
+            staged = Snapshot(
+                version=snap.version,
+                metadata=snap.metadata,
+                files={a["path"]: a for a in adds},
+            )
+            new_side = (
+                self._scan(spark, staged, sorted(staged.files))
+                .select(*schema_cols)
+                if staged.files
+                else spark.createDataFrame([], snap.schema())
+            )
+            pieces = diff_rewrite(
+                self._scan(spark, snap, touched).select(*schema_cols),
+                new_side,
+                schema_cols,
+                mk.split(",") if mk else None,
+                "_commit_version",
+                0,
+            )
+            changes = pieces[0]
+            for piece in pieces[1:]:
+                changes = changes.unionByName(piece)
+            cdc_actions = self._stage_change_data(
+                changes, schema_cols
+            )
         now = int(time.time() * 1000)
         actions = [
             {
@@ -1861,7 +2042,7 @@ class DeltaLog:
                 }
             }
             for p in touched
-        ] + [{"add": a} for a in adds]
+        ] + [{"add": a} for a in adds] + cdc_actions
         actions += self._sidecar_prune_actions(snap, touched)
         return self.commit(
             actions,
@@ -1888,6 +2069,19 @@ class DeltaLog:
             .filter(~cond)
         )
         adds = self._stage_parts(survivors, snap.partition_columns)
+        cdc_actions: list[dict[str, Any]] = []
+        if len(touched) >= self._cdc_threshold(snap):
+            # large DELETE: materialize the deleted rows as change
+            # files so CDF readers never diff this many-file commit
+            deleted = (
+                self._scan(spark, snap, touched)
+                .select(*schema_cols)
+                .filter(cond)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_actions = self._stage_change_data(
+                deleted, schema_cols
+            )
         now = int(time.time() * 1000)
         actions = [
             {
@@ -1898,7 +2092,7 @@ class DeltaLog:
                 }
             }
             for p in touched
-        ] + [{"add": a} for a in adds]
+        ] + [{"add": a} for a in adds] + cdc_actions
         actions += self._sidecar_prune_actions(snap, touched)
         return self.commit(
             actions,

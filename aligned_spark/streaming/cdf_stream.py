@@ -35,14 +35,16 @@ oracle-verified by the ``stream_table_cdf`` registry query):
 - compaction (``dataChange=false``) is invisible.
 
 Scale contour: offsets are log versions (driver metadata reads);
-append commits plan ONE TASK PER PART like a batch scan; a rewrite
-commit's diff runs in one task over ONLY its touched parts — the
-right bound for streaming ingest, where commits are micro-batch
-sized. (A giant historical rewrite is a batch problem: backfill with
-``DeltaLog.read_cdf``, which diffs with full cluster parallelism,
-then stream from there. Writers materializing change files at commit
-time — upstream Delta's ``_change_data`` design — are the further
-optimization documented in PERF.md.)
+append commits plan ONE TASK PER PART like a batch scan. A rewrite
+commit that touched >= ``CHANGE_DATA_FILE_THRESHOLD`` files carries
+writer-materialized ``_change_data/`` parquet (``cdc`` actions —
+upstream Delta's CDF design), which both this stream and the batch
+``read_cdf`` plan as plain per-file scan tasks: a giant historical
+MERGE replays with full cluster parallelism. Only SMALL rewrite
+commits (below the threshold, or written before the feature) fall
+back to the read-time diff, which runs in one task over only the
+commit's touched parts — the right bound for micro-batch-sized
+commits.
 """
 
 from __future__ import annotations
@@ -102,6 +104,24 @@ class _CdfInsertPart(InputPartition):
         self.version = version
         self.rel_path = rel_path
         self.delete_sidecars = delete_sidecars
+
+
+class _CdfChangeFilePart(InputPartition):
+    """One pre-materialized ``_change_data/`` parquet part (a ``cdc``
+    action — upstream Delta's CDF design): rows already carry
+    ``_change_type``; the commit's version column materializes as a
+    constant. One task per change file, so a large rewrite commit's
+    CDF is a plain parallel scan — never a one-task diff."""
+
+    def __init__(
+        self,
+        abs_path: str,
+        version_col: str,
+        version: int,
+    ):
+        self.abs_path = abs_path
+        self.version_col = version_col
+        self.version = version
 
 
 class _CdfDiffPart(InputPartition):
@@ -459,6 +479,7 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
             removes: list[str] = []
             del_adds: list[str] = []
             del_drops: list[str] = []
+            cdc_rels: list[str] = []
             keys: list[str] = []
             for action in actions:
                 if "commitInfo" in action:
@@ -469,6 +490,8 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
                     )
                     if mk:
                         keys = mk.split(",")
+                elif "cdc" in action:
+                    cdc_rels.append(action["cdc"]["path"])
                 elif "deleteFile" in action:
                     if action["deleteFile"].get("add", True):
                         del_adds.append(action["deleteFile"]["path"])
@@ -480,6 +503,19 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"]["path"])
+            if cdc_rels:
+                # writer-materialized change files: per-file tasks,
+                # full parallelism — the scale path for big rewrites
+                for rel in sorted(cdc_rels):
+                    parts.append(
+                        _CdfChangeFilePart(
+                            os.path.join(self._path, rel),
+                            COMMIT_VERSION_COL,
+                            v,
+                        )
+                    )
+                prev = cur
+                continue
             # only refs still LIVE after the commit change rows: a
             # dropped sidecar whose data file is gone (compaction
             # materialized the deletes) is pure metadata — same rule
@@ -567,6 +603,16 @@ def read_cdf_partition(partition, schema_json: str) -> Iterator[Any]:
     paths + partition values + position-delete sidecar paths)."""
     import json
 
+    if isinstance(partition, _CdfChangeFilePart):
+        # change file: base cols + _change_type in-file; the version
+        # column materializes as a constant via the partition-values
+        # path of the shared alignment kernel
+        yield from _align_batches(
+            partition.abs_path,
+            {partition.version_col: partition.version},
+            schema_json,
+        )
+        return
     if isinstance(partition, _CdfInsertPart):
         import pyarrow as pa
 

@@ -1,0 +1,248 @@
+"""Commit-time change files (``cdc`` actions — upstream Delta's
+``_change_data`` CDF design; reference role: the change feeds the
+worker maintains views from, aligned/worker.py:172-209).
+
+A CoW rewrite touching >= the threshold file count pre-materializes
+its row-level changes at commit time; the batch ``read_cdf`` AND the
+``readChangeFeed`` stream then plan plain per-file scan tasks instead
+of a read-time diff — the r9 VERDICT's one genuine 100x-scale hole
+(a giant historical MERGE funneled through a single executor's
+arrow diff)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aligned_spark.sources.delta_log import (
+    CHANGE_DATA_THRESHOLD_PROP,
+    DeltaLog,
+)
+
+
+def _commit_actions(tbl: str, v: int) -> list[dict]:
+    with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _cdc_paths(tbl: str, v: int) -> list[str]:
+    return [
+        a["cdc"]["path"]
+        for a in _commit_actions(tbl, v)
+        if "cdc" in a
+    ]
+
+
+def _big_table(spark, tbl: str, n_files: int = 24) -> DeltaLog:
+    log = DeltaLog(tbl)
+    log.write(
+        spark.range(0, n_files * 5)
+        .repartitionByRange(n_files, "id")
+        .selectExpr("id", "id as v")
+    )
+    return log
+
+
+def test_large_merge_writes_change_files_and_read_cdf_scans(
+    spark, tmp_path
+):
+    tbl = str(tmp_path / "t")
+    log = _big_table(spark, tbl)
+    # touch every file: update all multiples of 5 (one per file),
+    # plus one genuine insert and one NO-OP update (same values)
+    src = spark.range(0, 120, 5).selectExpr(
+        "id", "id + 1000 as v"
+    ).union(
+        spark.createDataFrame(
+            [(999, 999), (1, 1)], "id long, v long"
+        )
+    )
+    log.merge_upsert(src, ["id"])
+    paths = _cdc_paths(tbl, 1)
+    assert paths, "large MERGE must carry cdc actions"
+    assert all(p.startswith("_change_data/") for p in paths)
+
+    cdf = log.read_cdf(spark, 0, 1)
+    rows = {
+        (r.id, r.v, r._change_type) for r in cdf.collect()
+    }
+    # 24 updated keys -> pre+post pairs; 999 inserted; the no-op
+    # update of id=1 must NOT appear (CDF contract)
+    assert (999, 999, "insert") in rows
+    assert (0, 0, "update_preimage") in rows
+    assert (0, 1000, "update_postimage") in rows
+    assert not any(r[0] == 1 for r in rows)
+    assert len([r for r in rows if r[2] == "update_preimage"]) == 24
+    assert cdf.count() == 24 * 2 + 1
+    # and the scan really came from the change files: drop them and
+    # the read fails (no silent diff fallback once cdc is recorded)
+    for p in paths:
+        os.unlink(os.path.join(tbl, p))
+    with pytest.raises(Exception):
+        log.read_cdf(spark, 0, 1).collect()
+
+
+def test_small_merge_still_diffs_at_read_time(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.range(0, 20).coalesce(2).selectExpr("id", "id as v")
+    )
+    log.merge_upsert(
+        spark.createDataFrame([(3, 99)], "id long, v long"), ["id"]
+    )
+    assert _cdc_paths(tbl, 1) == []  # below threshold: no cdc
+    rows = {
+        (r.id, r.v, r._change_type)
+        for r in log.read_cdf(spark, 0, 1).collect()
+    }
+    assert rows == {
+        (3, 3, "update_preimage"),
+        (3, 99, "update_postimage"),
+    }
+
+
+def test_threshold_property_override(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.range(0, 20).coalesce(2).selectExpr("id", "id as v")
+    )
+    log.set_properties({CHANGE_DATA_THRESHOLD_PROP: 1})
+    log.merge_upsert(
+        spark.createDataFrame([(3, 99)], "id long, v long"), ["id"]
+    )
+    assert _cdc_paths(tbl, 2), "threshold=1 materializes every rewrite"
+    rows = {
+        (r.id, r.v, r._change_type)
+        for r in log.read_cdf(spark, 1, 2).collect()
+    }
+    assert rows == {
+        (3, 3, "update_preimage"),
+        (3, 99, "update_postimage"),
+    }
+
+
+def test_large_delete_writes_change_files(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    log = _big_table(spark, tbl)
+    log.delete_where(spark, F.col("id") % 5 == 0)
+    assert _cdc_paths(tbl, 1)
+    cdf = log.read_cdf(spark, 0, 1)
+    assert (
+        cdf.select("_change_type").distinct().collect()[0][0]
+        == "delete"
+    )
+    assert cdf.count() == 24
+    assert set(r.id for r in cdf.collect()) == set(range(0, 120, 5))
+
+
+def test_large_replace_where_writes_change_files(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    log = _big_table(spark, tbl)
+    repl = spark.range(0, 60).selectExpr("id", "id * 10 as v")
+    log.replace_where(repl, F.col("id") < 60)
+    assert _cdc_paths(tbl, 1)
+    cdf = log.read_cdf(spark, 0, 1)
+    got = {(r.id, r.v, r._change_type) for r in cdf.collect()}
+    direct = log.read(spark)
+    assert direct.count() == 120
+    # unkeyed diff: replaced rows appear as delete+insert; id=0
+    # (v unchanged: 0 -> 0) cancels
+    assert (5, 5, "delete") in got and (5, 50, "insert") in got
+    assert not any(r[0] == 0 for r in got)
+
+
+def test_cdf_stream_plans_change_file_tasks_not_one_diff(
+    spark, tmp_path
+):
+    """The plan pin for the r9 VERDICT 'done' criterion: a >=20-part
+    rewrite streams as per-change-file tasks, never a single-task
+    diff."""
+    from aligned_spark.streaming.cdf_stream import (
+        DeltaCdfStreamReader,
+        _CdfChangeFilePart,
+        _CdfDiffPart,
+        cdf_schema,
+    )
+
+    tbl = str(tmp_path / "t")
+    log = _big_table(spark, tbl)
+    assert len(log.snapshot().files) >= 20
+    log.merge_upsert(
+        spark.range(0, 120, 5).selectExpr("id", "id + 1000 as v"),
+        ["id"],
+    )
+    reader = DeltaCdfStreamReader(
+        cdf_schema(log.snapshot().schema()), {"path": tbl}
+    )
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert parts, "rewrite commit must plan partitions"
+    assert not any(isinstance(p, _CdfDiffPart) for p in parts)
+    assert all(isinstance(p, _CdfChangeFilePart) for p in parts)
+    assert len(parts) > 1, "distributed: more than one task"
+
+
+def test_cdf_stream_large_merge_end_to_end_matches_batch(
+    spark, tmp_path
+):
+    """Stream ≡ batch read_cdf over a change-file commit."""
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "t")
+    log = _big_table(spark, tbl)
+    src = TableStreamSource(
+        path=tbl, table_format="delta", read_change_feed=True
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            src.read_stream(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    drain()  # snapshot as inserts
+    log.merge_upsert(
+        spark.range(0, 120, 5).selectExpr("id", "id + 1000 as v"),
+        ["id"],
+    )
+    drain()  # the change-file commit
+    sch = src.read_stream(spark).schema
+    got = spark.read.schema(sch).parquet(out)
+    tail = got.filter("_commit_version = 1")
+    batch = log.read_cdf(spark, 0, 1)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in tail.collect()
+    ) == sorted(
+        (r.id, r.v, r._change_type) for r in batch.collect()
+    )
+    # exactly-once across the whole stream output
+    assert (
+        got.groupBy("id", "v", "_change_type", "_commit_version")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+
+
+def test_vacuum_reaps_expired_change_files(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    log = _big_table(spark, tbl)
+    log.delete_where(spark, F.col("id") % 5 == 0)
+    paths = _cdc_paths(tbl, 1)
+    assert paths
+    doomed = log.vacuum(dry_run=True, retention_seconds=0)
+    assert set(paths) <= set(doomed)
