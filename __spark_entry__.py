@@ -8627,6 +8627,100 @@ def _store_incremental_aggregate_hll(spark, sf_dir):
 
 
 @q(
+    "store_incremental_aggregate_windowed",
+    """WITH base AS (
+      SELECT event_id, ts, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM events
+    ),
+    upd AS (
+      SELECT event_id, ts + INTERVAL 36 HOUR AS ts, event_type,
+             value_cents * 2 AS value_cents
+      FROM base WHERE event_id % 5 = 0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b WHERE NOT (b.event_id % 5 = 0)
+    ),
+    final AS (
+      SELECT * FROM merged WHERE NOT (event_id % 7 = 0)
+    )
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+             AS window_start_s,
+           COUNT(*) AS n_rows,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(value_cents) AS BIGINT) AS min_cents
+    FROM final
+    GROUP BY event_type, window_start_s""",
+)
+def _store_incremental_aggregate_windowed(spark, sf_dir):
+    """TIME-WINDOWED view maintenance (round 10,
+    `operators/incremental.py:WindowedIncrementalAggregate`;
+    reference flagship materialization `AggregationTimeWindow`,
+    aligned/schemas/derivied_feature.py:80-88 — whose stream worker
+    RE-AGGREGATES whole windows per batch,
+    aligned/retrieval_job.py:2541-2650; here window maintenance is
+    INCREMENTAL): a per-(event_type, 1-day tumbling window)
+    COUNT/SUM/MIN stays fresh across a write → MERGE (rows MOVE
+    windows: ts shifts +36 h, and values double) → DELETE sequence,
+    purely from CDC slices — inserts fold into their exploded window
+    buckets, deletes recompute only the (entity, window) pairs whose
+    stored extremum was hit. The oracle re-derives the final state
+    and windows it relationally (epoch-aligned buckets, matching
+    `F.window`). Values ride as scaled-long cents; window starts as
+    epoch seconds."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.operators.incremental import (
+        WindowedIncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="aligned_spark_ivm_win_")
+    src = DeltaSource(path=f"{root}/base")
+    src.insert(base.repartition(4))
+    agg = WindowedIncrementalAggregate(
+        source=src,
+        target_path=f"{root}/agg",
+        group_keys=["event_type"],
+        sums=["value_cents"],
+        mins=["value_cents"],
+        ts_col="ts",
+        window_seconds=86400.0,
+    )
+    agg.refresh(spark)  # full windowed build at version 0
+    upd = base.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias("ts"),
+        "event_type",
+        (F.col("value_cents") * 2).alias("value_cents"),
+    )
+    src.upsert(upd, keys=["event_id"])
+    agg.refresh(spark)  # rows move windows: -old bucket, +new bucket
+    src.delete_where(spark, F.col("event_id") % 7 == 0)
+    agg.refresh(spark)  # touched-(entity, window) recompute only
+    return agg.read(spark).select(
+        "event_type",
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "n_rows",
+        F.col("value_cents").alias("sum_cents"),
+        F.col("min_value_cents").alias("min_cents"),
+    )
+
+
+@q(
     "source_delta_evolution",
     """SELECT s_suppkey, s_name,
               CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END

@@ -245,6 +245,7 @@ class IncrementalAggregate:
 
         Returns the new cursor, or None for an empty/replayed
         slice."""
+        changes = self._transform_slice(changes)
         log = self._target()
         if batch_id is not None and log.exists():
             bcur = log.txn_version(self._batch_app())
@@ -780,6 +781,11 @@ class IncrementalAggregate:
                 f"{self.group_keys}"
             )
 
+    def _transform_slice(self, changes: DataFrame) -> DataFrame:
+        """Hook: subclasses may derive extra group-key columns on a
+        raw CDC slice (e.g. window bucketing) before it folds."""
+        return changes
+
     def maintain_continuously(
         self,
         spark: SparkSession,
@@ -801,7 +807,10 @@ class IncrementalAggregate:
         whose cursor is the snapshot POSITION."""
         from aligned_spark.streaming.sources import TableStreamSource
 
-        if type(self.source).__name__.lower().startswith("iceberg"):
+        # unwrap adapters (e.g. the window-bucketing source) for the
+        # format check and the stream path
+        inner = getattr(self.source, "source", self.source)
+        if type(inner).__name__.lower().startswith("iceberg"):
             raise ValueError(
                 "maintain_continuously requires a Delta base "
                 "(monotone commit versions for the exactly-once "
@@ -810,7 +819,8 @@ class IncrementalAggregate:
             )
         src = TableStreamSource(
             path=getattr(self.source, "path", None)
-            or self.source.table_path,
+            or getattr(inner, "path", None)
+            or inner.table_path,
             table_format="delta",
             read_change_feed=True,
             max_files_per_trigger=max_files_per_trigger,
@@ -859,4 +869,127 @@ class IncrementalAggregate:
                     for c in self.approx_distincts
                 ],
             )
+        )
+
+
+# ---------------------------------------------------------------------
+# time-windowed IVM
+# ---------------------------------------------------------------------
+
+
+def bucketize_windows(
+    df: DataFrame, ts_col: str, window_us: int, slide_us: int
+) -> DataFrame:
+    """Explode each row into the epoch-aligned hopping-window START(s)
+    containing its event time — pure integer arithmetic + one
+    ``sequence``/``explode`` generator, all JVM-side, matching
+    ``F.window(ts, period, slide)`` bucket boundaries ([start, end)
+    half-open). A row lands in ``window/slide`` buckets (one for a
+    tumbling window); NULL timestamps drop (they belong to no
+    window)."""
+    us = F.unix_micros(F.col(ts_col))
+    # pmod keeps floor semantics for pre-epoch timestamps too
+    last = us - F.pmod(us, F.lit(slide_us))
+    prev = us - F.lit(window_us)
+    first = prev - F.pmod(prev, F.lit(slide_us)) + F.lit(slide_us)
+    return df.withColumn(
+        "__w_start",
+        F.explode(F.sequence(first, last, F.lit(slide_us))),
+    ).withColumn("__w_start", F.timestamp_micros(F.col("__w_start")))
+
+
+class _BucketedSource:
+    """Source adapter for windowed IVM: every snapshot read and CDC
+    slice gains the exploded ``__w_start`` bucket column, so the
+    generic per-group machinery (counts, sums, hybrid MIN/MAX,
+    distinct aux, HLL) maintains per-(entity, window) state
+    unchanged. Version/cursor semantics pass through."""
+
+    def __init__(self, source: Any, ts_col: str, window_us: int, slide_us: int):
+        self.source = source
+        self.ts_col = ts_col
+        self.window_us = window_us
+        self.slide_us = slide_us
+        p = getattr(source, "path", None) or getattr(
+            source, "table_path", None
+        )
+        if p:
+            #: maintain_continuously resolves the stream path here
+            self.path = p
+
+    def _b(self, df: DataFrame) -> DataFrame:
+        return bucketize_windows(
+            df, self.ts_col, self.window_us, self.slide_us
+        )
+
+    def version(self, spark: SparkSession | None = None):
+        return self.source.version(spark)
+
+    def read(self, spark: SparkSession, **kw) -> DataFrame:
+        return self._b(self.source.read(spark, **kw))
+
+    def read_changes(self, spark: SparkSession, lo, hi=None) -> DataFrame:
+        return self._b(self.source.read_changes(spark, lo, hi))
+
+
+@dataclass
+class WindowedIncrementalAggregate(IncrementalAggregate):
+    """TIME-WINDOWED incremental view maintenance — the reference's
+    flagship materialization shape (``AggregationTimeWindow``,
+    aligned/schemas/derivied_feature.py:80-88; its stream worker
+    RE-AGGREGATES whole windows per batch,
+    aligned/retrieval_job.py:2541-2650 — here window maintenance is
+    INCREMENTAL): a materialized hopping/tumbling window aggregate
+    stays fresh from the CDC feed. Bucketizing each slice (a row
+    explodes into its ``window/slide`` window starts) reduces window
+    maintenance to plain group-by IVM over (entity, window_start)
+    keys: inserts fold into their buckets; deletes ride the exact
+    touched-group discipline as MIN/MAX — only (entity, window)
+    pairs whose extremum was hit recompute, against the bucketized
+    base pinned at the cursor. At 100 TB a 1-row change touches
+    ``window/slide`` aggregate rows, never a window rescan."""
+
+    ts_col: str = "ts"
+    window_seconds: float = 3600.0
+    #: None = tumbling (slide == window)
+    slide_seconds: float | None = None
+
+    def __post_init__(self) -> None:
+        window_us = int(self.window_seconds * 1_000_000)
+        slide_us = int(
+            (self.slide_seconds or self.window_seconds) * 1_000_000
+        )
+        if window_us <= 0 or slide_us <= 0:
+            raise ValueError("window/slide must be positive")
+        if window_us % slide_us:
+            raise ValueError(
+                "window_seconds must be a multiple of slide_seconds "
+                "(epoch-aligned hopping windows)"
+            )
+        if "__w_start" not in self.group_keys:
+            self.group_keys = [*self.group_keys, "__w_start"]
+        if not isinstance(self.source, _BucketedSource):
+            self.source = _BucketedSource(
+                self.source, self.ts_col, window_us, slide_us
+            )
+
+    def _transform_slice(self, changes: DataFrame) -> DataFrame:
+        # raw stream micro-batches lack the bucket column; slices
+        # from the adapter (refresh path) already carry it
+        if "__w_start" in changes.columns:
+            return changes
+        return bucketize_windows(
+            changes,
+            self.ts_col,
+            self.source.window_us,
+            self.source.slide_us,
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Maintained windowed aggregate with the public
+        ``window_start`` column."""
+        return (
+            super()
+            .read(spark)
+            .withColumnRenamed("__w_start", "window_start")
         )

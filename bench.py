@@ -157,6 +157,7 @@ HEADLINE = [
     "source_delta_bloom_lookup",
     "store_incremental_aggregate_distinct",
     "store_incremental_aggregate_hll",
+    "store_incremental_aggregate_windowed",
     "vector_index_ivf_deletes",
 ]
 
