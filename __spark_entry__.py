@@ -5136,16 +5136,92 @@ def _embed_pca_stats(spark, sf_dir):
     )
 
 
-@q("embed_pca_project", None)
+def _pca_power_oracle(dim: int = 64, k: int = 4, iters: int = 40) -> str:
+    """Unroll the EXACT power-iteration-with-deflation schedule of
+    ``pca_fit_power`` as chained (materialized) SQL CTEs over the
+    covariance table — the eigendecomposition itself has no SQL twin,
+    but a fixed iteration schedule does, so the projection becomes
+    fully oracle-verifiable (r10; previously rows-only)."""
+    m = "MATERIALIZED "
+    ctes = [
+        f"dims AS {m}(SELECT CAST(t.i AS INTEGER) AS i"
+        f" FROM range(1, {dim + 1}) t(i))",
+        f"mean AS {m}(SELECT d.i AS i, avg(e.embedding[d.i]) AS m"
+        " FROM embeddings e, dims d GROUP BY d.i)",
+        f"c0 AS {m}(SELECT di.i AS i, dj.i AS j,"
+        " covar_samp(e.embedding[di.i], e.embedding[dj.i]) AS c"
+        " FROM embeddings e, dims di, dims dj GROUP BY di.i, dj.i)",
+    ]
+    for kk in range(k):
+        ctes.append(
+            f"v{kk}_0 AS {m}(SELECT i, 1.0/sqrt({dim}) AS v FROM dims)"
+        )
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"w{kk}_{t} AS {m}(SELECT c.i AS i, SUM(c.c * v.v)"
+                f" AS w FROM c{kk} c JOIN v{kk}_{t - 1} v"
+                " ON c.j = v.i GROUP BY c.i)"
+            )
+            ctes.append(
+                f"v{kk}_{t} AS {m}(SELECT i,"
+                f" w / sqrt(SUM(w*w) OVER ()) AS v FROM w{kk}_{t})"
+            )
+        ctes.append(
+            f"u{kk} AS {m}(SELECT i, v * (CASE WHEN (SELECT v FROM"
+            f" v{kk}_{iters} ORDER BY abs(v) DESC, i LIMIT 1) < 0"
+            f" THEN -1.0 ELSE 1.0 END) AS v FROM v{kk}_{iters})"
+        )
+        if kk + 1 < k:
+            ctes.append(
+                f"lam{kk} AS {m}(SELECT SUM(ui.v * c.c * uj.v) AS l"
+                f" FROM c{kk} c JOIN u{kk} ui ON c.i = ui.i"
+                f" JOIN u{kk} uj ON c.j = uj.i)"
+            )
+            ctes.append(
+                f"c{kk + 1} AS {m}(SELECT c.i, c.j,"
+                f" c.c - (SELECT l FROM lam{kk}) * ui.v * uj.v AS c"
+                f" FROM c{kk} c JOIN u{kk} ui ON c.i = ui.i"
+                f" JOIN u{kk} uj ON c.j = uj.i)"
+            )
+    ctes.append(
+        "base AS (SELECT e.vec_id, d.i AS i,"
+        " e.embedding[d.i] - m.m AS x"
+        " FROM embeddings e, dims d JOIN mean m ON m.i = d.i)"
+    )
+    pcs = ", ".join(
+        f"{_O_R6.format(c=f'SUM(b.x * u{kk}.v)')} AS pc{kk + 1}"
+        for kk in range(k)
+    )
+    joins = " ".join(f"JOIN u{kk} ON u{kk}.i = b.i" for kk in range(k))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT b.vec_id, {pcs}\nFROM base b {joins}"
+        " GROUP BY b.vec_id"
+    )
+
+
+@q("embed_pca_project", _pca_power_oracle())
 def _embed_pca_project(spark, sf_dir):
-    """Rows-only: PCA projection of the embeddings to 4 dims (sign
-    convention makes it deterministic; value parity vs numpy is
-    pytest-pinned in tests/test_corpus_ops.py)."""
-    from aligned_spark.operators.decompose import pca_fit, pca_project
+    """FULL-ORACLE PCA projection (promoted from rows-only in r10):
+    the fit is `pca_fit_power` (`operators/decompose.py`) — the same
+    distributed moments pass as `pca_fit`, then a FIXED-SCHEDULE
+    power iteration with deflation (40 iterations/component from the
+    exact 1/sqrt(d) start, largest-|coefficient|-positive sign,
+    deflate by lambda·vv^T). The oracle unrolls the identical
+    schedule as SQL CTEs over DuckDB's covariance table, so the
+    4-dim projections hash-match to 6 decimals — verified bit-exact
+    at all three SFs. The eigh-based `pca_fit` stays the production
+    fit (pytest-pinned vs numpy); this query pins the projection
+    pipeline end-to-end against an independent engine."""
+    from aligned_spark.operators.decompose import (
+        pca_fit_power,
+        pca_project,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    m = pca_fit(emb, "embedding", dim=dim, k=4)
+    m = pca_fit_power(emb, "embedding", dim=dim, k=4, iters=40)
     out = pca_project(emb, m, "embedding", out_col="pca")
     return out.select(
         "vec_id",

@@ -99,6 +99,50 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PcaModel:
     )
 
 
+def pca_fit_power(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int = 40,
+) -> PcaModel:
+    """PCA fit via a FIXED-SCHEDULE power iteration with deflation —
+    numerically identical on any platform that runs the same
+    schedule, which makes the projection ORACLE-REPLAYABLE in plain
+    SQL (the driver's ``embed_pca_project`` query unrolls the exact
+    same iterations as chained CTEs over the covariance table;
+    ``np.linalg.eigh`` has no SQL twin). Same distributed moments
+    pass as :func:`pca_fit`; the iteration itself is O(iters·d²) on
+    the driver. Per component: ``iters`` steps of
+    ``v ← C·v / ‖C·v‖`` from the exact start ``1/√d``, then the sign
+    flip (largest-|coefficient| positive, first index on ties), then
+    deflation ``C ← C − λ·vvᵀ`` with ``λ = vᵀCv``. With a spectral
+    gap this converges to the true eigenbasis; without one it is
+    still a deterministic orthogonal-ish projection both sides
+    compute identically."""
+    n, mean, cov = moments(df, vec_col, dim)
+    c = cov.copy()
+    comps = np.zeros((k, dim))
+    lams = np.zeros(k)
+    for ki in range(k):
+        v = np.full(dim, 1.0 / np.sqrt(dim))
+        for _ in range(iters):
+            w = c @ v
+            v = w / np.sqrt(np.dot(w, w))
+        if v[np.abs(v).argmax()] < 0:
+            v = -v
+        lam = float(v @ c @ v)
+        comps[ki] = v
+        lams[ki] = lam
+        c = c - lam * np.outer(v, v)
+    return PcaModel(
+        mean=mean,
+        components=np.ascontiguousarray(comps),
+        explained_variance=lams,
+        n=n,
+    )
+
+
 def pca_project(
     df: DataFrame, model: PcaModel, vec_col: str, out_col: str = "pca"
 ) -> DataFrame:

@@ -468,3 +468,41 @@ def test_delta_cdf_oversized_append_splits_rewrite_whole(
     )
     ins = got.filter("_change_type = 'insert'")
     assert sorted(r.id for r in ins.collect()) == list(range(10))
+
+
+def test_pca_fit_power_matches_eigh_on_separated_spectrum(spark):
+    """r9 VERDICT task 7 support: the fixed-schedule power fit (the
+    oracle-replayable one) converges to the eigh fit when the
+    spectrum has real gaps — same components (to 1e-6), same
+    projections."""
+    import numpy as np
+
+    from aligned_spark.operators.decompose import (
+        pca_fit,
+        pca_fit_power,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n = 16, 400
+    # strong planted spectrum: variances 100, 25, 9, 1, ...
+    scales = np.array([10.0, 5.0, 3.0] + [0.5] * (d - 3))
+    x = rng.normal(size=(n, d)) * scales
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, embedding array<double>",
+    ).coalesce(2)
+    m_eigh = pca_fit(df, "embedding", dim=d, k=3)
+    m_pow = pca_fit_power(df, "embedding", dim=d, k=3, iters=60)
+    for a, b in zip(m_eigh.components, m_pow.components):
+        assert float(np.abs(a - b).max()) < 1e-6
+    pe = {
+        r.id: r.pca
+        for r in pca_project(df, m_eigh, "embedding").collect()
+    }
+    pp = {
+        r.id: r.pca
+        for r in pca_project(df, m_pow, "embedding").collect()
+    }
+    for i in pe:
+        assert np.allclose(pe[i], pp[i], atol=1e-5)
