@@ -91,20 +91,99 @@ def _iceberg_log(path: str):
     return IcebergLog(path)
 
 
+#: sidecar count above which snapshot planning switches from exact
+#: column reads to footer-stats range mapping — keeps the planner
+#: light as MOR state grows between compactions (r9 VERDICT note 5;
+#: a Spark job is not an option here: the Python streaming source
+#: planner runs in a worker process with no SparkSession)
+SIDECAR_FOOTER_THRESHOLD = 64
+
+
+class _SidecarRangeMap:
+    """Footer-stats sidecar map: sidecar → [min, max] ``file_path``
+    range from its parquet footer (sidecars are range-clustered by
+    file_path at write time, so ranges are near-disjoint). ``get``
+    returns a SOUND SUPERSET of the exact referencing sidecars —
+    executors drop non-matching pairs per file anyway
+    (:func:`_dead_positions` filters on file_path). Backward scan
+    stops at the running-max-hi prefix bound, so lookups cost
+    O(matches) for near-disjoint ranges."""
+
+    def __init__(self, ranges, always):
+        import bisect  # noqa: F401
+
+        self._ranges = sorted(ranges)  # (lo, hi, abs_path)
+        self._los = [r[0] for r in self._ranges]
+        self._max_hi = []
+        run = ""
+        for _, hi, _p in self._ranges:
+            run = max(run, hi)
+            self._max_hi.append(run)
+        #: sidecars with no usable stats attach to every file (sound)
+        self._always = tuple(always)
+
+    def get(self, rel: str, default=()):
+        import bisect
+
+        out = list(self._always)
+        i = bisect.bisect_right(self._los, rel) - 1
+        while i >= 0 and self._max_hi[i] >= rel:
+            lo, hi, p = self._ranges[i]
+            if hi >= rel:
+                out.append(p)
+            i -= 1
+        return tuple(out) if out else default
+
+
 def _sidecar_map(
-    table_path: str, delete_files
-) -> "dict[str, tuple[str, ...]]":
+    table_path: str,
+    delete_files,
+    footer_threshold: int | None = None,
+):
     """rel data-file path → absolute position-delete sidecars that
-    REFERENCE it — driver-side, one read of each small sidecar's
-    ``file_path`` column. Snapshot-slice planning attaches only a
-    part's own sidecars, so executor sidecar I/O is O(relevant
+    (may) REFERENCE it. Below the threshold: exact — one read of
+    each small sidecar's ``file_path`` column. Above: footer-stats
+    ranges only (:class:`_SidecarRangeMap`) — O(sidecars) metadata
+    reads with zero column data, trading exactness for a sound
+    superset so planning stays cheap however much MOR state has
+    accumulated. Snapshot-slice planning attaches only a part's own
+    (candidate) sidecars, so executor sidecar I/O stays O(relevant
     pairs), not O(files x sidecars). An unreadable sidecar raises
     (attaching nothing would resurrect its dead rows; the batch scan
     fails the same way)."""
     import pyarrow.parquet as pq
 
+    if footer_threshold is None:
+        footer_threshold = int(
+            os.environ.get(
+                "ALIGNED_SIDECAR_FOOTER_THRESHOLD",
+                SIDECAR_FOOTER_THRESHOLD,
+            )
+        )
+    rels = sorted(delete_files)
+    if len(rels) > footer_threshold:
+        ranges: list[tuple[str, str, str]] = []
+        always: list[str] = []
+        for rel in rels:
+            absd = os.path.join(table_path, rel)
+            md = pq.ParquetFile(absd)
+            idx = md.schema_arrow.names.index("file_path")
+            lo = hi = None
+            ok = True
+            for rg in range(md.metadata.num_row_groups):
+                st = md.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                ranges.append((lo, hi, absd))
+            else:
+                always.append(absd)
+        return _SidecarRangeMap(ranges, always)
     out: dict[str, list[str]] = {}
-    for rel in sorted(delete_files):
+    for rel in rels:
         absd = os.path.join(table_path, rel)
         refs = set(
             pq.read_table(absd, columns=["file_path"])[

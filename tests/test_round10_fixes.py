@@ -506,3 +506,72 @@ def test_pca_fit_power_matches_eigh_on_separated_spectrum(spark):
     }
     for i in pe:
         assert np.allclose(pe[i], pp[i], atol=1e-5)
+
+
+# ------------------------------------------------------------------
+# r9 VERDICT task 5: sidecar-map ceiling (footer-stats range mode)
+# ------------------------------------------------------------------
+
+
+def _mor_table_with_sidecars(spark, tmp_path, n_deletes=5):
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    tbl = str(tmp_path / "mor")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.range(0, 100)
+        .repartitionByRange(10, "id")
+        .selectExpr("id", "id as v")
+    )
+    for i in range(n_deletes):
+        log.delete_where_mor(spark, F.col("id") % 17 == i)
+    return tbl, log
+
+
+def test_sidecar_footer_map_superset_of_exact(spark, tmp_path):
+    from aligned_spark.streaming.table_stream import (
+        _SidecarRangeMap,
+        _sidecar_map,
+    )
+
+    tbl, log = _mor_table_with_sidecars(spark, tmp_path)
+    snap = log.snapshot()
+    assert snap.delete_files
+    exact = _sidecar_map(tbl, snap.delete_files, footer_threshold=10**9)
+    ranged = _sidecar_map(tbl, snap.delete_files, footer_threshold=0)
+    assert isinstance(ranged, _SidecarRangeMap)
+    for rel in snap.files:
+        assert set(exact.get(rel, ())) <= set(ranged.get(rel, ()))
+
+
+def test_stream_snapshot_correct_in_footer_map_mode(
+    spark, tmp_path, monkeypatch
+):
+    """Default-start stream over a MOR table with the footer-map
+    ceiling forced on: identical rows to the batch read (the range
+    map is a sound superset; executors drop non-matching pairs)."""
+    import os
+
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    monkeypatch.setenv("ALIGNED_SIDECAR_FOOTER_THRESHOLD", "0")
+    tbl, log = _mor_table_with_sidecars(spark, tmp_path)
+    src = TableStreamSource(path=tbl, table_format="delta")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        src.read_stream(spark)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.read.schema("id long, v long").parquet(out)
+    direct = log.read(spark)
+    assert sorted((r.id, r.v) for r in got.collect()) == sorted(
+        (r.id, r.v) for r in direct.collect()
+    )
