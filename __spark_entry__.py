@@ -8931,75 +8931,72 @@ def _model_ece(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-9 window (VERDICT r8 "Next round" task 1): close the
-    # driver-verification loop. Slots 1-10: the ten TPC-H rows whose
-    # last green driver row is r4 — the builder's own rotation plan
-    # deferred them to exactly this window. Slot 11:
-    # stream_table_source_iceberg, the single registry query that
-    # never had a driver row (registered late in r8; judge-sweep
-    # green). Slots 12-17: this round's six new full-oracle queries
-    # — the streaming change feed for BOTH formats (stream ==
-    # batch-CDC parity), bloom point-lookup skipping, exact COUNT
-    # DISTINCT + approx-HLL maintenance, and CDC-maintained IVF
-    # deletes — each gated green locally at sf0.01 AND sf0.1.
-    # Remaining 33 slots: the oldest (r5-cohort) full-oracle rows,
-    # alphabetical; the 17 r5 rows that don't fit stay r5-green,
-    # satisfying the "no full-oracle query older than r5" criterion.
-    # After this window every full-oracle query has a driver row,
-    # none older than r5.
-    "tpch_q3",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    # --- never driver-verified (late r8 registration) ---
-    "stream_table_source_iceberg",
-    # --- new round-9 queries ---
-    "stream_table_cdf",
-    "stream_table_cdf_iceberg",
-    "source_delta_bloom_lookup",
-    "store_incremental_aggregate_distinct",
-    "store_incremental_aggregate_hll",
-    "vector_index_ivf_deletes",
-    # --- r5-era staleness cohort (35 of 50, alphabetical) ---
-    "agg_group_stats",
-    "agg_percentiles_counting",
-    "agg_rolling_window",
-    "agg_top_frequent",
-    "corpus_collapse_rare",
-    "corpus_jsd_slices",
-    "corpus_pack_wordpiece",
-    "corpus_shrunk_domain_means",
-    "corpus_strip_markup",
-    "corpus_temperature_sample",
-    "corpus_weighted_reservoir",
-    "dedup_minhash",
-    "dedup_remove_spans",
-    "embed_prototypicality",
-    "eval_ann_recall",
-    "events_anomaly_mad",
-    "events_cohort_retention",
-    "events_distinct_sketch",
-    "events_drift_ks",
-    "events_drift_psi",
-    "events_ewma",
-    "events_feature_cross",
-    "events_funnel",
-    "events_resample_linear",
-    "graph_pagerank",
-    "graph_pagerank_dangling",
-    "graph_triangles",
-    "join_interval_overlap",
-    "join_scd2",
-    "layout_zorder_key",
-    "multimodal_audio_windows",
-    "multimodal_frame_sample",
-    "multimodal_image_dedup",
+    # Round-10 window (VERDICT r9 "Next round" task 3): slots 1-17 =
+    # the 17 r5-stale rows the judge enumerated (their last green
+    # driver row is r5 — the oldest cohort). Slots 18-19: this
+    # round's additions — the new time-windowed IVM query and
+    # embed_pca_project, PROMOTED from rows-only to full oracle
+    # (power-iteration fit replayed in SQL); both gated green
+    # locally at sf0.001/0.01/0.1. Slots 20-50: 31 of the 48
+    # r6-cohort rows (alphabetical), with source_delta_merge
+    # force-included because its write path changed this round
+    # (commit-time change files). The 17 r6 rows that don't fit
+    # stay r6-green — after this window no full-oracle query's last
+    # green driver row is older than r6, the verdict's criterion;
+    # they head the r11 rotation.
+    "profile_corr_matrix",
+    "profile_table_stats",
+    "sim_prefix_jaccard_pairs",
+    "snapshot_diff_orders",
+    "store_sql",
+    "text_decontaminate_bloom",
+    "text_readability",
+    "text_trigram_backoff",
+    "text_wordpiece_counts",
+    "text_wordpiece_real_vocab",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "view_agg_rolling",
+    # --- new in r10 / promoted to full oracle in r10 ---
+    "store_incremental_aggregate_windowed",
+    "embed_pca_project",
+    # --- r6-era staleness cohort (31 of 48, alphabetical;
+    #     source_delta_merge force-included: cdc write path changed) ---
+    "agg_concat_sorted",
+    "agg_cube_weekly",
+    "agg_hopping_window",
+    "constraints_drop_invalid",
+    "dedup_embedding",
+    "drop_duplicates",
+    "embed_dot_product",
+    "ensure_types_cast",
+    "events_twap",
+    "expr_date_components",
+    "expr_euclidean",
+    "expr_hash_distinct",
+    "expr_json",
+    "expr_math_funcs",
+    "expr_ordinal_replace",
+    "expr_split_array",
+    "expr_string_ops",
+    "expr_time_diff",
+    "filter_project",
+    "freshness",
+    "join_anti",
+    "join_asof",
+    "join_equi_multi",
+    "join_salted",
+    "join_semi",
+    "model_calibration_bins",
+    "model_ece",
+    "model_predict_over",
+    "privacy_k_anonymity",
+    "rename_columns",
+    "source_delta_merge",
 ]
 
 
