@@ -61,7 +61,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aligned_spark.sources.avro_io import read_container, write_container
-from aligned_spark.sources.delta_log import ConcurrentCommitError
+from aligned_spark.sources.delta_log import (
+    CHANGE_DATA_FILE_THRESHOLD,
+    CHANGE_DATA_THRESHOLD_PROP,
+    ConcurrentCommitError,
+)
 from aligned_spark.sources.parts import StagedPart, stage_parquet_parts
 
 _VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
@@ -1519,6 +1523,35 @@ class IcebergLog:
             # delete+insert noise for every surviving row
             if snap.get("summary", {}).get("operation") == "replace":
                 continue
+            cdf = snap.get("summary", {}).get("change-data-files")
+            if cdf:
+                # commit-time change files (r10): plain per-part
+                # scan, no read-time diff — Delta cdc-action parity
+                ch_schema = T.StructType(
+                    [
+                        *view.schema.fields,
+                        T.StructField(
+                            "_change_type", T.StringType(), False
+                        ),
+                    ]
+                )
+                pieces.append(
+                    spark.read.schema(ch_schema)
+                    .parquet(
+                        *[
+                            os.path.join(self.table_path, p)
+                            for p in sorted(json.loads(cdf))
+                        ]
+                    )
+                    .select(
+                        *cols,
+                        "_change_type",
+                        F.lit(sid)
+                        .cast("long")
+                        .alias("_snapshot_id"),
+                    )
+                )
+                continue
             mk = snap.get("summary", {}).get("merge-keys")
             keys = mk.split(",") if mk else None
             if new_del:
@@ -1780,6 +1813,11 @@ class IcebergLog:
             view = self._resolve(s_["snapshot-id"])
             referenced |= set(view.files)
             referenced |= set(view.delete_files)
+            # retained snapshots' commit-time change files stay
+            # CDC-readable; expired ones become orphans below
+            cdf = s_.get("summary", {}).get("change-data-files")
+            if cdf:
+                referenced |= set(json.loads(cdf))
         new_md = dict(md)
         new_md["snapshots"] = kept_snaps
         new_md["snapshot-log"] = [
@@ -1804,8 +1842,16 @@ class IcebergLog:
         version = md[_READ_VERSION_KEY] + 1
         self._commit_metadata(new_md, version)
         doomed: list[str] = []
-        data_dir = os.path.join(self.table_path, "data")
-        for root, _dirs, names in os.walk(data_dir):
+        walk_dirs = [
+            os.path.join(self.table_path, "data"),
+            # commit-time change files of expired snapshots
+            os.path.join(self.table_path, "_change_data"),
+        ]
+        for root, _dirs, names in (
+            entry
+            for d in walk_dirs
+            for entry in os.walk(d)
+        ):
             for name in names:
                 if not name.endswith(".parquet"):
                     continue
@@ -1976,6 +2022,79 @@ class IcebergLog:
             )
         ]
 
+    def _cdc_threshold(self, md: dict[str, Any]) -> int:
+        props = md.get("properties") or {}
+        try:
+            return int(
+                props.get(
+                    CHANGE_DATA_THRESHOLD_PROP,
+                    CHANGE_DATA_FILE_THRESHOLD,
+                )
+            )
+        except (TypeError, ValueError):
+            return CHANGE_DATA_FILE_THRESHOLD
+
+    def _maybe_stage_change_data(
+        self,
+        md: dict[str, Any],
+        view: IcebergSnapshotView,
+        touched: list[str],
+        parts: list[StagedPart],
+        summary_extra: dict[str, str] | None,
+        spark: SparkSession,
+    ) -> dict[str, str] | None:
+        """Delta-parity commit-time change files for large CoW
+        rewrites (r10): when a rewrite touches >= the threshold file
+        count, diff the touched parts' old content against the STAGED
+        parts' actual bytes and write the row-level changes as
+        ``_change_data/`` parquet, recording their rel paths in the
+        snapshot summary (``change-data-files`` — summaries are the
+        iceberg analog of Delta ``cdc`` actions). Batch
+        ``read_changes`` and the CDF stream prefer them: a giant
+        historical MERGE replays as plain per-file scans."""
+        if not touched or len(touched) < self._cdc_threshold(md):
+            return summary_extra
+        cols = [f.name for f in view.schema.fields]
+        if {f["name"] for f in md["schema"]["fields"]} != set(cols):
+            return summary_extra  # evolving commit: keep read-time diff
+        from aligned_spark.sources.cdc import diff_rewrite
+
+        staged_view = IcebergSnapshotView(
+            -1,
+            view.schema,
+            view.partition_columns,
+            {
+                p.path: {"partition": p.partition_values}
+                for p in parts
+            },
+        )
+        mk = (summary_extra or {}).get("merge-keys")
+        pieces = diff_rewrite(
+            self._scan(spark, view, touched).select(*cols),
+            self._scan(
+                spark, staged_view, sorted(staged_view.files)
+            ).select(*cols),
+            cols,
+            mk.split(",") if mk else None,
+            "_snapshot_id",
+            0,
+        )
+        changes = pieces[0]
+        for piece in pieces[1:]:
+            changes = changes.unionByName(piece)
+        cparts = stage_parquet_parts(
+            changes.select(*cols, "_change_type"),
+            self.table_path,
+            None,
+            data_subdir="_change_data",
+        )
+        return {
+            **(summary_extra or {}),
+            "change-data-files": json.dumps(
+                [p.path for p in cparts]
+            ),
+        }
+
     def _rewrite_commit(
         self,
         md: dict[str, Any],
@@ -1999,6 +2118,14 @@ class IcebergLog:
         )
         self._attach_blooms(
             replacement, parts, view.partition_columns, md
+        )
+        summary_extra = self._maybe_stage_change_data(
+            md,
+            view,
+            touched,
+            parts,
+            summary_extra,
+            replacement.sparkSession,
         )
         manifests = [
             self._write_manifest(

@@ -742,6 +742,21 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
                 continue
             if snap.get("summary", {}).get("operation") == "replace":
                 continue  # compaction — no logical row changes
+            cdf = snap.get("summary", {}).get("change-data-files")
+            if cdf:
+                import json as _json
+
+                # commit-time change files: per-file tasks, full
+                # parallelism — same scale path as the delta reader
+                for rel in sorted(_json.loads(cdf)):
+                    parts.append(
+                        _CdfChangeFilePart(
+                            os.path.join(self._path, rel),
+                            SNAPSHOT_ID_COL,
+                            sid,
+                        )
+                    )
+                continue
             mk = snap.get("summary", {}).get("merge-keys")
             keys = tuple(mk.split(",")) if mk else ()
             if not removed and not new_del:

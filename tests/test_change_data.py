@@ -246,3 +246,147 @@ def test_vacuum_reaps_expired_change_files(spark, tmp_path):
     assert paths
     doomed = log.vacuum(dry_run=True, retention_seconds=0)
     assert set(paths) <= set(doomed)
+
+
+# ------------------------------------------------------------------
+# iceberg twins (change files recorded in the snapshot summary)
+# ------------------------------------------------------------------
+
+
+def _iceberg_cdf_rels(log) -> list[str]:
+    snap = log.current_metadata()["snapshots"][-1]
+    cdf = snap.get("summary", {}).get("change-data-files")
+    return json.loads(cdf) if cdf else []
+
+
+def _big_iceberg(spark, tbl: str, n_files: int = 24):
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    log = IcebergLog(tbl)
+    log.write(
+        spark.range(0, n_files * 5)
+        .repartitionByRange(n_files, "id")
+        .selectExpr("id", "id as v")
+    )
+    return log
+
+
+def test_iceberg_large_merge_change_files(spark, tmp_path):
+    tbl = str(tmp_path / "i")
+    log = _big_iceberg(spark, tbl)
+    first = log.current_metadata()["snapshots"][0]["snapshot-id"]
+    log.merge_upsert(
+        spark.range(0, 120, 5).selectExpr("id", "id + 1000 as v"),
+        ["id"],
+    )
+    rels = _iceberg_cdf_rels(log)
+    assert rels and all(p.startswith("_change_data/") for p in rels)
+    cdf = log.read_changes(spark, first)
+    rows = {(r.id, r.v, r._change_type) for r in cdf.collect()}
+    assert (0, 0, "update_preimage") in rows
+    assert (0, 1000, "update_postimage") in rows
+    assert cdf.count() == 24 * 2
+    # the scan really uses the change files
+    for p in rels:
+        os.unlink(os.path.join(tbl, p))
+    with pytest.raises(Exception):
+        log.read_changes(spark, first).collect()
+
+
+def test_iceberg_cdf_stream_plans_change_file_tasks(spark, tmp_path):
+    from aligned_spark.streaming.cdf_stream import (
+        IcebergCdfStreamReader,
+        SNAPSHOT_ID_COL,
+        _CdfChangeFilePart,
+        _CdfDiffPart,
+        cdf_schema,
+    )
+    from aligned_spark.sources.iceberg_log import _schema_to_spark
+
+    tbl = str(tmp_path / "i")
+    log = _big_iceberg(spark, tbl)
+    ids0 = log.snapshot_ids()
+    log.merge_upsert(
+        spark.range(0, 120, 5).selectExpr("id", "id + 1000 as v"),
+        ["id"],
+    )
+    ids = log.snapshot_ids()
+    md = log.current_metadata()
+    ice = next(
+        s for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
+    reader = IcebergCdfStreamReader(
+        cdf_schema(_schema_to_spark(ice), SNAPSHOT_ID_COL),
+        {"path": tbl},
+    )
+    parts = reader.partitions(
+        {"snapshot_id": ids0[-1]}, {"snapshot_id": ids[-1]}
+    )
+    assert parts
+    assert not any(isinstance(p, _CdfDiffPart) for p in parts)
+    assert all(isinstance(p, _CdfChangeFilePart) for p in parts)
+    assert len(parts) > 1
+
+
+def test_iceberg_stream_change_files_end_to_end(spark, tmp_path):
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "i")
+    log = _big_iceberg(spark, tbl)
+    first = log.current_metadata()["snapshots"][0]["snapshot-id"]
+    src = TableStreamSource(
+        path=tbl, table_format="iceberg", read_change_feed=True
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            src.read_stream(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    drain()  # snapshot as inserts
+    log.merge_upsert(
+        spark.range(0, 120, 5).selectExpr("id", "id + 1000 as v"),
+        ["id"],
+    )
+    drain()  # the change-file snapshot
+    sch = src.read_stream(spark).schema
+    got = spark.read.schema(sch).parquet(out)
+    batch = log.read_changes(spark, first)
+    tail = got.join(
+        batch.select("_snapshot_id").distinct(), "_snapshot_id"
+    )
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in tail.collect()
+    ) == sorted(
+        (r.id, r.v, r._change_type) for r in batch.collect()
+    )
+
+
+def test_iceberg_expire_reaps_expired_change_files(spark, tmp_path):
+    tbl = str(tmp_path / "i")
+    log = _big_iceberg(spark, tbl)
+    log.merge_upsert(
+        spark.range(0, 120, 5).selectExpr("id", "id + 1000 as v"),
+        ["id"],
+    )
+    rels = _iceberg_cdf_rels(log)
+    assert rels
+    # keep only the newest snapshot: the merge snapshot stays ->
+    # its change files survive even with zero retention
+    log.expire_snapshots(keep_last=1, retention_seconds=0)
+    assert all(os.path.exists(os.path.join(tbl, p)) for p in rels)
+    # another rewrite, then expire the merge snapshot away
+    log.delete_where(spark, F.col("id") % 5 == 0)
+    log.expire_snapshots(keep_last=1, retention_seconds=0)
+    assert not any(os.path.exists(os.path.join(tbl, p)) for p in rels)
