@@ -77,6 +77,12 @@ _MERGE_KEYS_PROP = "aligned.mergeKeys"
 #: with the ``aligned.changeData.thresholdFiles`` property.
 CHANGE_DATA_THRESHOLD_PROP = "aligned.changeData.thresholdFiles"
 CHANGE_DATA_FILE_THRESHOLD = 8
+#: ... AND at least this many touched BYTES (log metadata sum): a
+#: 20-file rewrite of tiny parts diffs at read time in well under the
+#: extra write cost, while a 20-file rewrite of 128 MB parts is
+#: exactly the one-task-diff hazard the change files exist for.
+CHANGE_DATA_BYTES_PROP = "aligned.changeData.thresholdBytes"
+CHANGE_DATA_BYTES_THRESHOLD = 32 << 20
 # hive null-partition marker, footer-stat harvesting, and part
 # staging live in aligned_spark.sources.parts (shared with Iceberg)
 
@@ -576,17 +582,37 @@ class DeltaLog:
         self._attach_blooms(df, adds, partition_by)
         return adds
 
-    def _cdc_threshold(self, snap: Snapshot) -> int:
-        cfg = (snap.metadata or {}).get("configuration") or {}
+    @staticmethod
+    def _prop_int(cfg: dict, key: str, default: int) -> int:
         try:
-            return int(
-                cfg.get(
-                    CHANGE_DATA_THRESHOLD_PROP,
-                    CHANGE_DATA_FILE_THRESHOLD,
-                )
-            )
+            return int(cfg.get(key, default))
         except (TypeError, ValueError):
-            return CHANGE_DATA_FILE_THRESHOLD
+            return default
+
+    def _cdc_materialize(
+        self, snap: Snapshot, touched: list[str]
+    ) -> bool:
+        """Whether this rewrite is big enough to pre-materialize its
+        change files: touched FILE COUNT and touched BYTES (both from
+        log metadata, no I/O) must cross their thresholds — small
+        rewrites diff at read time in well under the extra write
+        cost."""
+        if not touched:
+            return False
+        cfg = (snap.metadata or {}).get("configuration") or {}
+        f_thr = self._prop_int(
+            cfg, CHANGE_DATA_THRESHOLD_PROP, CHANGE_DATA_FILE_THRESHOLD
+        )
+        b_thr = self._prop_int(
+            cfg, CHANGE_DATA_BYTES_PROP, CHANGE_DATA_BYTES_THRESHOLD
+        )
+        if len(touched) < f_thr:
+            return False
+        size = sum(
+            int((snap.files.get(p) or {}).get("size") or 0)
+            for p in touched
+        )
+        return size >= b_thr
 
     def _stage_change_data(
         self, changes: DataFrame, cols: list[str]
@@ -1867,9 +1893,8 @@ class DeltaLog:
         )
         cdc_actions: list[dict[str, Any]] = []
         if (
-            touched
-            and evolved is None
-            and len(touched) >= self._cdc_threshold(snap)
+            evolved is None
+            and self._cdc_materialize(snap, touched)
         ):
             # large rewrite: pre-materialize the commit's row-level
             # changes (the writer has both sides anyway) so CDF
@@ -1999,7 +2024,7 @@ class DeltaLog:
             out = survivors.unionByName(out)
         adds = self._stage_parts(out, snap.partition_columns)
         cdc_actions: list[dict[str, Any]] = []
-        if touched and len(touched) >= self._cdc_threshold(snap):
+        if self._cdc_materialize(snap, touched):
             # large replaceWhere: materialize changes at commit time
             # (diff against the staged parts' actual bytes) — same
             # scale path as merge_upsert; keyed when the table has
@@ -2070,7 +2095,7 @@ class DeltaLog:
         )
         adds = self._stage_parts(survivors, snap.partition_columns)
         cdc_actions: list[dict[str, Any]] = []
-        if len(touched) >= self._cdc_threshold(snap):
+        if self._cdc_materialize(snap, touched):
             # large DELETE: materialize the deleted rows as change
             # files so CDF readers never diff this many-file commit
             deleted = (

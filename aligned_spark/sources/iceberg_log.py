@@ -62,6 +62,8 @@ from pyspark.sql import types as T
 
 from aligned_spark.sources.avro_io import read_container, write_container
 from aligned_spark.sources.delta_log import (
+    CHANGE_DATA_BYTES_PROP,
+    CHANGE_DATA_BYTES_THRESHOLD,
     CHANGE_DATA_FILE_THRESHOLD,
     CHANGE_DATA_THRESHOLD_PROP,
     ConcurrentCommitError,
@@ -951,6 +953,22 @@ class IcebergLog:
 
     # ------------------------------------------------ bloom sidecars
 
+    def set_properties(self, props: dict[str, Any]) -> int:
+        """Merge ``props`` into the table properties in one metadata
+        commit (None unsets) — :meth:`DeltaLog.set_properties`
+        parity; e.g. the ``aligned.changeData.*`` thresholds."""
+        md = self.current_metadata()
+        cur = dict(md.get("properties") or {})
+        for k, val in props.items():
+            if val is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = str(val)
+        new_md = dict(md)
+        new_md["properties"] = cur
+        self._commit_metadata(new_md, md[_READ_VERSION_KEY] + 1)
+        return md[_READ_VERSION_KEY] + 1
+
     def set_bloom_filter(
         self, columns: list[str], fpp: float | None = None
     ) -> int:
@@ -1523,8 +1541,8 @@ class IcebergLog:
             # delete+insert noise for every surviving row
             if snap.get("summary", {}).get("operation") == "replace":
                 continue
-            cdf = snap.get("summary", {}).get("change-data-files")
-            if cdf:
+            cdf_dir = snap.get("summary", {}).get("change-data-dir")
+            if cdf_dir:
                 # commit-time change files (r10): plain per-part
                 # scan, no read-time diff — Delta cdc-action parity
                 ch_schema = T.StructType(
@@ -1537,12 +1555,7 @@ class IcebergLog:
                 )
                 pieces.append(
                     spark.read.schema(ch_schema)
-                    .parquet(
-                        *[
-                            os.path.join(self.table_path, p)
-                            for p in sorted(json.loads(cdf))
-                        ]
-                    )
+                    .parquet(os.path.join(self.table_path, cdf_dir))
                     .select(
                         *cols,
                         "_change_type",
@@ -1809,15 +1822,16 @@ class IcebergLog:
             kept_snaps = snaps[-keep_last:]
         kept_ids = {s["snapshot-id"] for s in kept_snaps}
         referenced: set[str] = set()
+        #: retained snapshots' commit-time change-data dirs stay
+        #: CDC-readable; expired commits' dirs become orphans below
+        kept_cdf_dirs: set[str] = set()
         for s_ in kept_snaps:
             view = self._resolve(s_["snapshot-id"])
             referenced |= set(view.files)
             referenced |= set(view.delete_files)
-            # retained snapshots' commit-time change files stay
-            # CDC-readable; expired ones become orphans below
-            cdf = s_.get("summary", {}).get("change-data-files")
-            if cdf:
-                referenced |= set(json.loads(cdf))
+            cdf_dir = s_.get("summary", {}).get("change-data-dir")
+            if cdf_dir:
+                kept_cdf_dirs.add(cdf_dir.rstrip("/") + "/")
         new_md = dict(md)
         new_md["snapshots"] = kept_snaps
         new_md["snapshot-log"] = [
@@ -1858,7 +1872,9 @@ class IcebergLog:
                 rel = os.path.relpath(
                     os.path.join(root, name), self.table_path
                 ).replace(os.sep, "/")
-                if rel in referenced:
+                if rel in referenced or any(
+                    rel.startswith(d) for d in kept_cdf_dirs
+                ):
                     continue
                 full = os.path.join(self.table_path, rel)
                 try:
@@ -2022,17 +2038,40 @@ class IcebergLog:
             )
         ]
 
-    def _cdc_threshold(self, md: dict[str, Any]) -> int:
-        props = md.get("properties") or {}
+    @staticmethod
+    def _prop_int(props: dict, key: str, default: int) -> int:
         try:
-            return int(
-                props.get(
-                    CHANGE_DATA_THRESHOLD_PROP,
-                    CHANGE_DATA_FILE_THRESHOLD,
-                )
-            )
+            return int(props.get(key, default))
         except (TypeError, ValueError):
-            return CHANGE_DATA_FILE_THRESHOLD
+            return default
+
+    def _cdc_materialize(
+        self,
+        md: dict[str, Any],
+        view: IcebergSnapshotView,
+        touched: list[str],
+    ) -> bool:
+        """Same dual (files AND bytes) materialization policy as
+        :meth:`DeltaLog._cdc_materialize` — manifest metadata only."""
+        if not touched:
+            return False
+        props = md.get("properties") or {}
+        f_thr = self._prop_int(
+            props, CHANGE_DATA_THRESHOLD_PROP, CHANGE_DATA_FILE_THRESHOLD
+        )
+        b_thr = self._prop_int(
+            props, CHANGE_DATA_BYTES_PROP, CHANGE_DATA_BYTES_THRESHOLD
+        )
+        if len(touched) < f_thr:
+            return False
+        size = sum(
+            int(
+                (view.files.get(p) or {}).get("file_size_in_bytes")
+                or 0
+            )
+            for p in touched
+        )
+        return size >= b_thr
 
     def _maybe_stage_change_data(
         self,
@@ -2052,7 +2091,7 @@ class IcebergLog:
         iceberg analog of Delta ``cdc`` actions). Batch
         ``read_changes`` and the CDF stream prefer them: a giant
         historical MERGE replays as plain per-file scans."""
-        if not touched or len(touched) < self._cdc_threshold(md):
+        if not self._cdc_materialize(md, view, touched):
             return summary_extra
         cols = [f.name for f in view.schema.fields]
         if {f["name"] for f in md["schema"]["fields"]} != set(cols):
@@ -2082,17 +2121,22 @@ class IcebergLog:
         changes = pieces[0]
         for piece in pieces[1:]:
             changes = changes.unionByName(piece)
+        # one directory per commit: the summary carries ONE short
+        # prefix however many change files the rewrite produced —
+        # metadata.json accumulates every snapshot's summary, so a
+        # per-file list would bloat it at 10k-file-rewrite scale
+        subdir = f"_change_data/{uuid.uuid4().hex}"
         cparts = stage_parquet_parts(
             changes.select(*cols, "_change_type"),
             self.table_path,
             None,
-            data_subdir="_change_data",
+            data_subdir=subdir,
         )
+        if not cparts:
+            return summary_extra  # zero-change rewrite: no marker
         return {
             **(summary_extra or {}),
-            "change-data-files": json.dumps(
-                [p.path for p in cparts]
-            ),
+            "change-data-dir": subdir,
         }
 
     def _rewrite_commit(

@@ -742,16 +742,17 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
                 continue
             if snap.get("summary", {}).get("operation") == "replace":
                 continue  # compaction — no logical row changes
-            cdf = snap.get("summary", {}).get("change-data-files")
-            if cdf:
-                import json as _json
-
+            cdf_dir = snap.get("summary", {}).get("change-data-dir")
+            if cdf_dir:
                 # commit-time change files: per-file tasks, full
                 # parallelism — same scale path as the delta reader
-                for rel in sorted(_json.loads(cdf)):
+                absdir = os.path.join(self._path, cdf_dir)
+                for name in sorted(os.listdir(absdir)):
+                    if not name.endswith(".parquet"):
+                        continue
                     parts.append(
                         _CdfChangeFilePart(
-                            os.path.join(self._path, rel),
+                            os.path.join(absdir, name),
                             SNAPSHOT_ID_COL,
                             sid,
                         )

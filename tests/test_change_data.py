@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from aligned_spark.sources.delta_log import (
+    CHANGE_DATA_BYTES_PROP,
     CHANGE_DATA_THRESHOLD_PROP,
     DeltaLog,
 )
@@ -43,6 +44,8 @@ def _big_table(spark, tbl: str, n_files: int = 24) -> DeltaLog:
         .repartitionByRange(n_files, "id")
         .selectExpr("id", "id as v")
     )
+    # test data is tiny; the file-count axis is what these tests pin
+    log.set_properties({CHANGE_DATA_BYTES_PROP: 0})
     return log
 
 
@@ -61,11 +64,11 @@ def test_large_merge_writes_change_files_and_read_cdf_scans(
         )
     )
     log.merge_upsert(src, ["id"])
-    paths = _cdc_paths(tbl, 1)
+    paths = _cdc_paths(tbl, 2)
     assert paths, "large MERGE must carry cdc actions"
     assert all(p.startswith("_change_data/") for p in paths)
 
-    cdf = log.read_cdf(spark, 0, 1)
+    cdf = log.read_cdf(spark, 1, 2)
     rows = {
         (r.id, r.v, r._change_type) for r in cdf.collect()
     }
@@ -82,7 +85,7 @@ def test_large_merge_writes_change_files_and_read_cdf_scans(
     for p in paths:
         os.unlink(os.path.join(tbl, p))
     with pytest.raises(Exception):
-        log.read_cdf(spark, 0, 1).collect()
+        log.read_cdf(spark, 1, 2).collect()
 
 
 def test_small_merge_still_diffs_at_read_time(spark, tmp_path):
@@ -111,7 +114,9 @@ def test_threshold_property_override(spark, tmp_path):
     log.write(
         spark.range(0, 20).coalesce(2).selectExpr("id", "id as v")
     )
-    log.set_properties({CHANGE_DATA_THRESHOLD_PROP: 1})
+    log.set_properties(
+        {CHANGE_DATA_THRESHOLD_PROP: 1, CHANGE_DATA_BYTES_PROP: 0}
+    )
     log.merge_upsert(
         spark.createDataFrame([(3, 99)], "id long, v long"), ["id"]
     )
@@ -130,8 +135,8 @@ def test_large_delete_writes_change_files(spark, tmp_path):
     tbl = str(tmp_path / "t")
     log = _big_table(spark, tbl)
     log.delete_where(spark, F.col("id") % 5 == 0)
-    assert _cdc_paths(tbl, 1)
-    cdf = log.read_cdf(spark, 0, 1)
+    assert _cdc_paths(tbl, 2)
+    cdf = log.read_cdf(spark, 1, 2)
     assert (
         cdf.select("_change_type").distinct().collect()[0][0]
         == "delete"
@@ -145,8 +150,8 @@ def test_large_replace_where_writes_change_files(spark, tmp_path):
     log = _big_table(spark, tbl)
     repl = spark.range(0, 60).selectExpr("id", "id * 10 as v")
     log.replace_where(repl, F.col("id") < 60)
-    assert _cdc_paths(tbl, 1)
-    cdf = log.read_cdf(spark, 0, 1)
+    assert _cdc_paths(tbl, 2)
+    cdf = log.read_cdf(spark, 1, 2)
     got = {(r.id, r.v, r._change_type) for r in cdf.collect()}
     direct = log.read(spark)
     assert direct.count() == 120
@@ -179,7 +184,7 @@ def test_cdf_stream_plans_change_file_tasks_not_one_diff(
     reader = DeltaCdfStreamReader(
         cdf_schema(log.snapshot().schema()), {"path": tbl}
     )
-    parts = reader.partitions({"version": 0}, {"version": 1})
+    parts = reader.partitions({"version": 1}, {"version": 2})
     assert parts, "rewrite commit must plan partitions"
     assert not any(isinstance(p, _CdfDiffPart) for p in parts)
     assert all(isinstance(p, _CdfChangeFilePart) for p in parts)
@@ -221,8 +226,8 @@ def test_cdf_stream_large_merge_end_to_end_matches_batch(
     drain()  # the change-file commit
     sch = src.read_stream(spark).schema
     got = spark.read.schema(sch).parquet(out)
-    tail = got.filter("_commit_version = 1")
-    batch = log.read_cdf(spark, 0, 1)
+    tail = got.filter("_commit_version = 2")
+    batch = log.read_cdf(spark, 1, 2)
     assert sorted(
         (r.id, r.v, r._change_type) for r in tail.collect()
     ) == sorted(
@@ -242,7 +247,7 @@ def test_vacuum_reaps_expired_change_files(spark, tmp_path):
     tbl = str(tmp_path / "t")
     log = _big_table(spark, tbl)
     log.delete_where(spark, F.col("id") % 5 == 0)
-    paths = _cdc_paths(tbl, 1)
+    paths = _cdc_paths(tbl, 2)
     assert paths
     doomed = log.vacuum(dry_run=True, retention_seconds=0)
     assert set(paths) <= set(doomed)
@@ -255,8 +260,15 @@ def test_vacuum_reaps_expired_change_files(spark, tmp_path):
 
 def _iceberg_cdf_rels(log) -> list[str]:
     snap = log.current_metadata()["snapshots"][-1]
-    cdf = snap.get("summary", {}).get("change-data-files")
-    return json.loads(cdf) if cdf else []
+    d = snap.get("summary", {}).get("change-data-dir")
+    if not d:
+        return []
+    absdir = os.path.join(log.table_path, d)
+    return [
+        f"{d}/{n}"
+        for n in sorted(os.listdir(absdir))
+        if n.endswith(".parquet")
+    ]
 
 
 def _big_iceberg(spark, tbl: str, n_files: int = 24):
@@ -268,6 +280,7 @@ def _big_iceberg(spark, tbl: str, n_files: int = 24):
         .repartitionByRange(n_files, "id")
         .selectExpr("id", "id as v")
     )
+    log.set_properties({CHANGE_DATA_BYTES_PROP: 0})
     return log
 
 
@@ -286,9 +299,11 @@ def test_iceberg_large_merge_change_files(spark, tmp_path):
     assert (0, 0, "update_preimage") in rows
     assert (0, 1000, "update_postimage") in rows
     assert cdf.count() == 24 * 2
-    # the scan really uses the change files
-    for p in rels:
-        os.unlink(os.path.join(tbl, p))
+    # the scan really uses the change files: remove the commit's
+    # change-data dir and the read fails (no silent diff fallback)
+    import shutil
+
+    shutil.rmtree(os.path.dirname(os.path.join(tbl, rels[0])))
     with pytest.raises(Exception):
         log.read_changes(spark, first).collect()
 
@@ -390,3 +405,27 @@ def test_iceberg_expire_reaps_expired_change_files(spark, tmp_path):
     log.delete_where(spark, F.col("id") % 5 == 0)
     log.expire_snapshots(keep_last=1, retention_seconds=0)
     assert not any(os.path.exists(os.path.join(tbl, p)) for p in rels)
+
+
+def test_bytes_threshold_gates_materialization(spark, tmp_path):
+    """The dual policy: many touched files of TINY parts do not
+    materialize (read-time diff is cheaper than the write
+    amplification); dropping the bytes threshold flips it."""
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.range(0, 120)
+        .repartitionByRange(24, "id")
+        .selectExpr("id", "id as v")
+    )
+    log.merge_upsert(
+        spark.range(0, 120, 5).selectExpr("id", "id + 1 as v"),
+        ["id"],
+    )
+    assert _cdc_paths(tbl, 1) == []  # 24 files but ~KB of bytes
+    log.set_properties({CHANGE_DATA_BYTES_PROP: 0})
+    log.merge_upsert(
+        spark.range(0, 120, 5).selectExpr("id", "id + 2 as v"),
+        ["id"],
+    )
+    assert _cdc_paths(tbl, 3)
