@@ -247,20 +247,27 @@ class IncrementalAggregate:
         slice."""
         changes = self._transform_slice(changes)
         log = self._target()
-        if batch_id is not None and log.exists():
-            bcur = log.txn_version(self._batch_app())
-            if bcur is not None and batch_id <= bcur:
-                if batch_id == bcur:
-                    # the replayed batch IS the slice a lagging
-                    # distinct aux (crash between the main and aux
-                    # commits) is missing
-                    self._sync_distinct_aux(
-                        spark,
-                        self.last_applied(),
-                        changes=changes,
-                        batch_id=batch_id,
-                    )
-                return None  # checkpoint replay of a committed batch
+        bcur = (
+            log.txn_version(self._batch_app())
+            if batch_id is not None and log.exists()
+            else None
+        )
+        if (
+            batch_id is not None
+            and bcur is not None
+            and batch_id <= bcur
+        ):
+            if batch_id == bcur:
+                # the replayed batch IS the slice a lagging
+                # distinct aux (crash between the main and aux
+                # commits) is missing
+                self._sync_distinct_aux(
+                    spark,
+                    self.last_applied(),
+                    changes=changes,
+                    batch_id=batch_id,
+                )
+            return None  # checkpoint replay of a committed batch
         row = changes.agg(
             F.max("_commit_version").alias("v")
         ).first()
@@ -277,6 +284,29 @@ class IncrementalAggregate:
                     spark, cursor, changes=changes
                 )
             return None  # checkpoint replay of a committed batch
+        if batch_id is not None and cursor is not None:
+            # version sanity even in batch mode: the batch txn only
+            # protects against THIS stream's replays, not against a
+            # poll refresh() having advanced the aggregate past the
+            # slice (mixing modes is out of contract, but these two
+            # cases are cheap to catch exactly)
+            if vmax < cursor:
+                return None  # refresh() already covered this slice
+            if vmax == cursor:
+                ins = F.col("_change_type").isin(
+                    "insert", "update_postimage"
+                )
+                if bcur is None or not changes.filter(
+                    ~ins
+                ).isEmpty():
+                    # vmax == cursor is legitimate ONLY for an
+                    # initial-snapshot CONTINUATION slice: insert-only
+                    # rows at the pinned snapshot version, on an
+                    # aggregate the STREAM bootstrapped (batch txn
+                    # present). A refresh()-built aggregate already
+                    # contains the snapshot — folding the stream's
+                    # default-start inserts would double-count.
+                    return None
         txns: Any = (self.app_id, vmax)
         if batch_id is not None:
             txns = [(self.app_id, vmax), (self._batch_app(), batch_id)]

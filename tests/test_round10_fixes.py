@@ -575,3 +575,93 @@ def test_stream_snapshot_correct_in_footer_map_mode(
     assert sorted((r.id, r.v) for r in got.collect()) == sorted(
         (r.id, r.v) for r in direct.collect()
     )
+
+
+def test_refresh_built_aggregate_skips_stream_bootstrap(
+    spark, tmp_path
+):
+    """Mixing guard (r10 self-review): an aggregate first built by
+    refresh(), then attached to a default-start change stream, must
+    NOT re-fold the snapshot-as-inserts bootstrap (vmax == cursor
+    with no batch txn = already-applied state, not a continuation
+    slice)."""
+    from aligned_spark.operators.incremental import (
+        IncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=i, g=str(i % 2), x=float(i)) for i in range(8)]
+        ).coalesce(1)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+    )
+    agg.refresh(spark)  # poll-built at the current version
+    ckpt = str(tmp_path / "ckpt")
+    _drain(agg.maintain_continuously(spark, ckpt))
+    assert _agg_rows(agg, spark, ["g", "n_rows", "x"]) == sorted(
+        map(
+            tuple,
+            src.read(spark)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("x"))
+            .collect(),
+        )
+    )
+    # and live tail changes still fold through the stream
+    src.upsert(
+        spark.createDataFrame([Row(k=1, g="1", x=100.0)]),
+        keys=["k"],
+    )
+    _drain(agg.maintain_continuously(spark, ckpt))
+    assert _agg_rows(agg, spark, ["g", "n_rows", "x"]) == sorted(
+        map(
+            tuple,
+            src.read(spark)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("x"))
+            .collect(),
+        )
+    )
+
+
+def test_stale_slice_below_cursor_skipped(spark, tmp_path):
+    """vmax < cursor in batch mode = a poll refresh ran ahead of the
+    stream; folding would double-apply the commits."""
+    from aligned_spark.operators.incremental import (
+        IncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=i, g="a", x=1.0) for i in range(4)]
+        ).coalesce(1)
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+    )
+    agg.refresh(spark)
+    src.insert(
+        spark.createDataFrame([Row(k=9, g="a", x=5.0)]).coalesce(1)
+    )
+    agg.refresh(spark)  # cursor now at version 1
+    stale = (
+        src.read(spark)
+        .filter(F.col("k") < 4)
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(0))
+    )
+    assert agg.apply_changes(spark, stale, batch_id=0) is None
+    got = agg.read(spark).select("n_rows", "x").first()
+    assert (got["n_rows"], got["x"]) == (5, 9.0)
