@@ -543,7 +543,14 @@ class _IcebergStreamReader(DataSourceStreamReader):
     ADDED-data-file counts (manifest metadata reads; ≥1 snapshot per
     trigger so the stream always advances). A consumed snapshot that
     was since expired raises — the consumer's history is gone, same
-    failure mode as Iceberg's own streaming read."""
+    failure mode as Iceberg's own streaming read.
+
+    Offset-format note: before r10 a default-start checkpoint used
+    ``idx: 1`` to mean "whole snapshot planned"; ``idx`` now counts
+    planned FILES. A pre-r10 checkpoint that stopped mid-bootstrap
+    would re-serve files past the first — restart such streams from
+    a fresh checkpoint (none exist in this repo's test/driver flows;
+    production systems version their offset formats)."""
 
     def __init__(self, schema: StructType, options: dict[str, str]):
         self._path = options["path"]
