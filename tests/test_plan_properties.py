@@ -768,3 +768,58 @@ def test_distinct_aux_transitions_semi_filter_aux_scan(
     trans = agg._aux_transitions(spark, "u", changes)
     plan = plan_text(trans)
     assert "LeftSemi" in plan, plan
+
+
+def test_change_file_cdf_read_is_pure_scan(spark, tmp_path_factory):
+    """Round-10: read_cdf over a commit that carries writer-
+    materialized change files plans a PLAIN SCAN — no join, no
+    exceptAll — where the same commit without them plans the
+    read-time diff (a join)."""
+    from aligned_spark.sources.delta_log import (
+        CHANGE_DATA_BYTES_PROP,
+        DeltaLog,
+    )
+
+    tbl = str(tmp_path_factory.mktemp("cdcplan") / "t")
+    log = DeltaLog(tbl)
+    log.write(
+        spark.range(0, 120)
+        .repartitionByRange(12, "id")
+        .selectExpr("id", "id as v")
+    )
+    log.set_properties({CHANGE_DATA_BYTES_PROP: 0})
+    log.merge_upsert(
+        spark.range(0, 120, 10).selectExpr("id", "id + 1 as v"),
+        ["id"],
+    )
+    plan = (
+        log.read_cdf(spark, 1, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "_change_data" in plan
+
+
+def test_windowed_bucketize_stays_jvm_side(spark):
+    """Round-10: the window-bucket explode is pure JVM generate
+    (sequence/explode/pmod) — no Python UDF in the slice plan."""
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.incremental import (
+        bucketize_windows,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="a", ts=__import__("datetime").datetime(2024, 1, 1), x=1.0)]
+    )
+    plan = (
+        bucketize_windows(df, "ts", 600_000_000, 300_000_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the explode
