@@ -8078,6 +8078,72 @@ _CDF_REPLACE_SQL = """
     WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0"""
 
 
+@q("source_delta_cdf_changefiles", _CDF_CHANGES_SQL)
+def _source_delta_cdf_changefiles(spark, sf_dir):
+    """Commit-time change files END-TO-END under the oracle gate
+    (round 10, `delta_log.py:_stage_change_data`; upstream Delta's
+    `_change_data` CDF design): the same write → MERGE → DELETE
+    sequence as `source_delta_cdf`, but with the materialization
+    thresholds forced down so BOTH rewrites stage `_change_data/`
+    parquet recorded as `cdc` actions — `read_cdf` then plans pure
+    per-file scans (plan-pinned in tests/test_plan_properties.py)
+    and must reproduce the identical relational change feed the
+    read-time diff produces. One oracle, two physical paths: this
+    query and `source_delta_cdf` hash-match the same SQL."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.delta import DeltaSource
+    from aligned_spark.sources.delta_log import (
+        CHANGE_DATA_BYTES_PROP,
+        CHANGE_DATA_THRESHOLD_PROP,
+        DeltaLog,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
+    path = tempfile.mkdtemp(prefix="aligned_spark_delta_cf_")
+    src = DeltaSource(path=path, partition_by=["o_orderpriority"])
+    src.insert(base.repartition(4))
+    DeltaLog(path).set_properties(
+        {CHANGE_DATA_THRESHOLD_PROP: 1, CHANGE_DATA_BYTES_PROP: 0}
+    )
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    src.upsert(upd.unionByName(ins), keys=["o_orderkey"])
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    # the MERGE and DELETE commits must actually carry cdc actions
+    # (otherwise this query silently re-tests the diff path)
+    for v in (2, 3):
+        with open(
+            _os.path.join(path, "_delta_log", f"{v:020d}.json")
+        ) as fh:
+            acts = [_json.loads(ln) for ln in fh if ln.strip()]
+        if not any("cdc" in a for a in acts):
+            raise AssertionError(
+                f"commit {v} wrote no change files; the query "
+                "would not exercise the materialized path"
+            )
+    # commit 1 is SET TBLPROPERTIES (no row changes); sequence the
+    # CDF versions back to the oracle's 1=MERGE / 2=DELETE numbering
+    return _cdf_project(
+        DeltaLog(path).read_cdf(spark, 1),
+        F.col("_commit_version") - F.lit(1),
+    )
+
+
 @q("source_delta_cdf_replace", _CDF_REPLACE_SQL)
 def _source_delta_cdf_replace(spark, sf_dir):
     """Keyed CDC for a keyless rewrite commit
@@ -8278,6 +8344,64 @@ def _source_iceberg_cdf(spark, sf_dir):
         seq = F.when(F.col("_snapshot_id") == sid, F.lit(i)).otherwise(
             seq
         )
+    return _cdf_project(log.read_changes(spark, sids[0]), seq)
+
+
+@q("source_iceberg_cdf_changefiles", _CDF_CHANGES_SQL)
+def _source_iceberg_cdf_changefiles(spark, sf_dir):
+    """Iceberg twin of `source_delta_cdf_changefiles` (round 10):
+    materialization thresholds forced down so the MERGE and DELETE
+    snapshots stage `_change_data/<uuid>/` parquet recorded as the
+    `change-data-dir` summary prefix; `read_changes` then scans the
+    change files (no read-time diff) and must reproduce the same
+    relational feed. Snapshot ids normalize to list position."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.sources.delta_log import (
+        CHANGE_DATA_BYTES_PROP,
+        CHANGE_DATA_THRESHOLD_PROP,
+    )
+    from aligned_spark.sources.iceberg import IcebergSource
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
+    path = tempfile.mkdtemp(prefix="aligned_spark_iceberg_cf_")
+    src = IcebergSource(path=path, partition_by=["o_orderpriority"])
+    src.insert(base.repartition(4))
+    IcebergLog(path).set_properties(
+        {CHANGE_DATA_THRESHOLD_PROP: 1, CHANGE_DATA_BYTES_PROP: 0}
+    )
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    ins = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    src.upsert(upd.unionByName(ins), keys=["o_orderkey"])
+    src.delete_where(spark, F.col("o_custkey") % 10 == 0)
+    log = IcebergLog(path)
+    snaps = log.current_metadata()["snapshots"]
+    for s in snaps[1:]:  # the MERGE and DELETE snapshots
+        if not s.get("summary", {}).get("change-data-dir"):
+            raise AssertionError(
+                f"snapshot {s['snapshot-id']} wrote no change "
+                "files; the query would not exercise the "
+                "materialized path"
+            )
+    sids = log.snapshot_ids()
+    seq = F.col("_snapshot_id")
+    for i, sid in enumerate(sids):
+        seq = F.when(
+            F.col("_snapshot_id") == sid, F.lit(i)
+        ).otherwise(seq)
     return _cdf_project(log.read_changes(spark, sids[0]), seq)
 
 
