@@ -110,12 +110,26 @@ class _MaintenanceMeta:
         import os
 
         if not os.path.exists(self._file):
+            # genuinely missing = a fresh index: zero churn, no
+            # batch cursor
             return {"deleted_since_train": 0}
         try:
             with open(self._file) as fh:
                 return json.load(fh)
-        except (OSError, ValueError):
-            return {"deleted_since_train": 0}
+        except (OSError, ValueError) as e:
+            # an EXISTING but unreadable/corrupt meta must not
+            # silently reset to defaults: that would drop both the
+            # accumulated churn counter AND the last_folded_batch
+            # replay cursor — the next replayed micro-batch would
+            # re-count its churn (the exact bug the cursor fixed).
+            # The file is written atomically (tmp + os.replace), so
+            # corruption means real damage — fail fast.
+            raise ValueError(
+                f"vector-index maintenance metadata {self._file} "
+                "exists but is unreadable; refusing to reset the "
+                "churn counter and replay cursor — repair or delete "
+                "the file explicitly to start fresh"
+            ) from e
 
     def _write(self, meta: dict) -> None:
         import json

@@ -393,8 +393,36 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
     def _commit_splittable(self, log: Any, version: int) -> bool:
         """Only pure-append commits may split across triggers: their
         parts are independent insert tasks. A rewrite commit plans
-        ONE diff unit, so it is admitted whole."""
-        return not self._commit_adds(log, version)[1]
+        ONE diff unit, so it is admitted whole.
+
+        This predicate must mirror :meth:`partitions`' pure-append
+        test EXACTLY (no dataChange removes, no new delete sidecars,
+        AND no dropped sidecar whose referenced data file is still
+        live after the commit) — a RESTORE-style commit (re-adds +
+        ``deleteFile add=false`` of a sidecar referencing a live
+        file, no removes) is planned as ONE diff unit, so handing it
+        a ``{version, cidx}`` split offset would make the next
+        trigger's cidx resume re-emit ``adds[cidx:]`` as duplicate
+        inserts."""
+        del_drops: list[str] = []
+        for action in log._read_commit(version):
+            rm = action.get("remove")
+            if rm is not None and rm.get("dataChange", True):
+                return False
+            dl = action.get("deleteFile")
+            if dl is not None:
+                if dl.get("add", True):
+                    return False  # new MOR sidecar: diff commit
+                del_drops.append(dl["path"])
+        if not del_drops:
+            return True
+        # a dropped sidecar only changes rows if its data file
+        # survives the commit (otherwise compaction materialized the
+        # deletes — pure metadata); same rule as partitions()
+        live = log.snapshot(version).files
+        return not any(
+            r in live for r in log._sidecar_refs(del_drops)
+        )
 
     def _append_adds(self, log: Any, version: int) -> list[dict]:
         """Path-sorted dataChange add actions of one (append) commit

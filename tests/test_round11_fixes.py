@@ -135,3 +135,117 @@ def test_snapshot_continuation_still_folds(spark, tmp_path):
         )
     )
     assert _agg_rows(agg, spark, ["g", "n_rows", "x"]) == direct
+
+def test_restore_commit_with_live_sidecar_drop_not_split(
+    spark, tmp_path
+):
+    """ADVICE medium (cdf_stream.py:393): a RESTORE-style commit —
+    many re-adds plus a dropped sidecar whose data file is STILL
+    LIVE, no removes — is planned as one diff unit by partitions(),
+    so latestOffset must not hand it a {version, cidx} split offset
+    (the cidx resume would re-emit adds[cidx:] as duplicate
+    inserts). Before r11 _commit_splittable only looked at removes
+    and NEW sidecars, so exactly this commit split."""
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    # v0: 8 single-file partitions (partition-aligned so the CoW
+    # delete below removes WHOLE files — a straddling file would
+    # rewrite and give the restore commit a remove action, dodging
+    # the bug under test)
+    log.write(
+        spark.range(0, 80)
+        .selectExpr("id", "id as v", "id div 10 as b")
+        .repartition(8, "b"),
+        partition_by=["b"],
+    )
+    src = TableStreamSource(
+        path=tbl,
+        table_format="delta",
+        read_change_feed=True,
+        max_files_per_trigger=2,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        src.read_stream(spark)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # v1: CoW delete drops 6 whole parts; v2: MOR delete leaves a
+    # sidecar on a SURVIVING part; v3: RESTORE to v0 = 6 re-adds +
+    # deleteFile add=false of that sidecar (its data file is live
+    # in the restored state), zero removes — splittable by the old
+    # file-count predicate, but planned as ONE diff unit
+    log.delete_where(spark, F.col("b") >= 2)
+    log.delete_where_mor(spark, F.col("id") == 3)
+    log.restore(0)
+    acts = log._read_commit(3)
+    assert not any("remove" in a for a in acts)  # shape guard
+    assert sum("add" in a for a in acts) == 6
+    assert any(
+        "deleteFile" in a and not a["deleteFile"].get("add", True)
+        for a in acts
+    )
+    q = (
+        src.read_stream(spark)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    sch = src.read_stream(spark).schema
+    got = spark.read.schema(sch).parquet(out)
+    # exactly-once: no (row, change, version) appears twice
+    assert (
+        got.groupBy("id", "v", "_change_type", "_commit_version")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+    # and the stream equals the batch CDC feed from the start
+    batch = log.read_cdf(spark, 0)
+    assert sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in got.filter("_commit_version > 0").collect()
+    ) == sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in batch.filter("_commit_version > 0").collect()
+    )
+
+def test_corrupt_maintenance_meta_raises_missing_defaults(tmp_path):
+    """ADVICE low (vector_index.py:108): a MISSING maintenance file
+    means a fresh index (defaults); a CORRUPT one must raise instead
+    of silently zeroing the churn counter and dropping the
+    last_folded_batch replay cursor."""
+    from aligned_spark.sources.vector_index import _MaintenanceMeta
+
+    meta = _MaintenanceMeta(str(tmp_path / "idx"))
+    # missing -> defaults
+    assert meta.load() == {"deleted_since_train": 0}
+    assert meta.last_folded_batch() is None
+    meta.add_deleted(3)
+    meta.mark_batch(5)
+    assert meta.load()["deleted_since_train"] == 3
+    assert meta.last_folded_batch() == 5
+    # corrupt -> ValueError, state preserved on disk
+    with open(meta._file, "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="unreadable"):
+        meta.load()
+    with pytest.raises(ValueError):
+        meta.last_folded_batch()
