@@ -713,10 +713,23 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
                 continue
         return refs
 
+    def _empty_view(self, log: Any):
+        from aligned_spark.sources.iceberg_log import (
+            IcebergSnapshotView,
+            _schema_to_spark,
+        )
+
+        md = log.current_metadata()
+        return IcebergSnapshotView(
+            -1, _schema_to_spark(md["schema"]), [], {}
+        )
+
     def partitions(self, start: dict, end: dict) -> Sequence:
         from aligned_spark.streaming.table_stream import _iceberg_log
 
         log = _iceberg_log(self._path)
+        self._check_offset(start)
+        self._check_offset(end)
         self._last_end = dict(end)
         parts: list = []
         # see _IcebergStreamReader.partitions: tailing resumes from
@@ -740,23 +753,27 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
                         delete_sidecars=smap.get(rel, ()),
                     )
                 )
-        snaps = self._range(log, tail_from, int(end["snapshot_id"]))
+        s_cidx = start.get("cidx")
+        e_cidx = end.get("cidx")
+        end_id = int(end["snapshot_id"])
+        snaps = self._tail_snaps(log, start, end)
         if not snaps:
             return parts
-        prev = log._resolve(tail_from if tail_from else None)
-        if tail_from == 0:
-            from aligned_spark.sources.iceberg_log import (
-                IcebergSnapshotView,
-            )
-
+        if s_cidx is not None:
+            # resume a split snapshot: diff against its PARENT, not
+            # against itself (the start watermark is mid-snapshot)
             md = log.current_metadata()
-            from aligned_spark.sources.iceberg_log import (
-                _schema_to_spark,
+            sids = [s["snapshot-id"] for s in md["snapshots"]]
+            i = sids.index(tail_from)
+            prev = (
+                log._resolve(sids[i - 1])
+                if i
+                else self._empty_view(log)
             )
-
-            prev = IcebergSnapshotView(
-                -1, _schema_to_spark(md["schema"]), [], {}
-            )
+        elif tail_from == 0:
+            prev = self._empty_view(log)
+        else:
+            prev = log._resolve(tail_from)
         for snap in snaps:
             sid = snap["snapshot-id"]
             cur = log._resolve(sid)
@@ -789,7 +806,20 @@ class IcebergCdfStreamReader(_IcebergStreamReader):
             mk = snap.get("summary", {}).get("merge-keys")
             keys = tuple(mk.split(",")) if mk else ()
             if not removed and not new_del:
-                for rel in added:
+                # pure append: per-file insert tasks. `added` is
+                # path-sorted, so an oversized snapshot's cidx slices
+                # address the SAME ordering across triggers/replays
+                lo = (
+                    s_cidx
+                    if (sid == tail_from and s_cidx is not None)
+                    else 0
+                )
+                hi = (
+                    e_cidx
+                    if (sid == end_id and e_cidx is not None)
+                    else len(added)
+                )
+                for rel in added[lo:hi]:
                     parts.append(
                         _CdfInsertPart(
                             os.path.join(self._path, rel),

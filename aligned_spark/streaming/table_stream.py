@@ -541,16 +541,24 @@ class _IcebergStreamReader(DataSourceStreamReader):
     the delta reader instead of serving it as one giant micro-batch.
     While tailing, the same budget admits whole snapshots by their
     ADDED-data-file counts (manifest metadata reads; ≥1 snapshot per
-    trigger so the stream always advances). A consumed snapshot that
-    was since expired raises — the consumer's history is gone, same
-    failure mode as Iceberg's own streaming read.
+    trigger so the stream always advances), and an oversized
+    SPLITTABLE snapshot (a pure append whose ADDED-file count
+    exceeds the remaining budget) is served across triggers via
+    ``{"snapshot_id": sid, "cidx": k}`` — snapshot ``sid`` planned
+    through its first ``k`` path-sorted added files — so a 10k-file
+    Iceberg bulk append never lands as one micro-batch (r11; the
+    delta ``cidx`` mechanism). A consumed snapshot that was since
+    expired raises — the consumer's history is gone, same failure
+    mode as Iceberg's own streaming read.
 
-    Offset-format note: before r10 a default-start checkpoint used
-    ``idx: 1`` to mean "whole snapshot planned"; ``idx`` now counts
-    planned FILES. A pre-r10 checkpoint that stopped mid-bootstrap
-    would re-serve files past the first — restart such streams from
-    a fresh checkpoint (none exist in this repo's test/driver flows;
-    production systems version their offset formats)."""
+    Offset format is VERSIONED from r11: every emitted offset
+    carries ``"fmt": 2``. Before r10 a default-start checkpoint used
+    ``idx: 1`` to mean "whole snapshot planned"; ``idx`` then
+    changed to count planned FILES without a marker — so an
+    UNVERSIONED offset carrying ``idx >= 1`` is ambiguous and now
+    raises instead of silently re-serving files (pre-r10 checkpoints
+    must restart fresh; unversioned offsets without ``idx`` are
+    unambiguous and stay accepted)."""
 
     def __init__(self, schema: StructType, options: dict[str, str]):
         self._path = options["path"]
@@ -568,6 +576,31 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self._snap_cache: tuple | None = None
         #: snapshot id -> ADDED data-file count (manifest reads memo)
         self._count_cache: dict[int, int] = {}
+
+    #: offset format version stamped on every emitted offset (r11;
+    #: 1 = the implicit unversioned formats of r9/r10)
+    OFFSET_FMT = 2
+
+    @staticmethod
+    def _check_offset(off: dict) -> dict:
+        """Fail fast on ambiguous UNVERSIONED offsets: pre-r10
+        checkpoints used ``idx: 1`` for "whole snapshot planned",
+        r10 reinterpreted ``idx`` as a planned-file count without a
+        marker — silently re-planning such an offset re-serves every
+        snapshot file past the first (duplicate rows, not an
+        error). ``cidx`` never existed unversioned."""
+        if "fmt" not in off and (
+            int(off.get("idx") or 0) >= 1 or "cidx" in off
+        ):
+            raise ValueError(
+                f"unversioned iceberg stream offset {off!r} carries "
+                "a planned-file index whose meaning changed across "
+                "releases (pre-r10 'idx: 1' meant the WHOLE snapshot "
+                "was planned; it now counts files) — re-planning it "
+                "would duplicate rows. Restart the query from a "
+                "fresh checkpoint."
+            )
+        return off
 
     def initialOffset(self) -> dict:
         log = _iceberg_log(self._path)
@@ -591,9 +624,28 @@ class _IcebergStreamReader(DataSourceStreamReader):
             # the offset is the snapshot before it
             i = ids.index(sid)
             off = {"snapshot_id": ids[i - 1] if i else 0}
+        off["fmt"] = self.OFFSET_FMT
         if self._last_end is None:
             self._last_end = dict(off)
         return off
+
+    def _snapshot_by_id(self, log: Any, sid: int) -> dict:
+        for s in log.current_metadata()["snapshots"]:
+            if s["snapshot-id"] == sid:
+                return s
+        raise ValueError(
+            f"streaming offset snapshot {sid} of {self._path} has "
+            "been expired; restart the query from a live snapshot"
+        )
+
+    def _snapshot_splittable(self, snap: dict) -> bool:
+        """Only pure-append snapshots may be served across triggers
+        by slicing their path-sorted ADDED files: each added file is
+        an independent insert task. Every other operation
+        (overwrite/delete/replace, incl. change-data commits) is one
+        planning unit and admits whole — the same rule as the delta
+        readers' `_commit_splittable`."""
+        return snap.get("summary", {}).get("operation") == "append"
 
     def _snapshot_plan(self, log: Any, sid: int) -> tuple:
         if self._snap_cache is None or self._snap_cache[0] != sid:
@@ -636,7 +688,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
             # same runner-order rule as the delta reader: None state
             # = fresh query; restarts re-seed via partitions()
             last = self.initialOffset()
-        end = dict(last)
+        end = dict(self._check_offset(last))
+        end["fmt"] = self.OFFSET_FMT
         budget = self._max_files
         took = False
         if "snap_v" in end:
@@ -655,6 +708,27 @@ class _IcebergStreamReader(DataSourceStreamReader):
                         self._last_end = end
                         return dict(end)
         cur = int(end["snapshot_id"])
+        cidx = end.get("cidx")
+        if cidx is not None:
+            # finish the partially-planned split snapshot first
+            n = self._added_count(log, self._snapshot_by_id(log, cur))
+            want = n - cidx
+            if want > 0:
+                take = want if budget is None else max(
+                    1, min(budget, want)
+                )
+                cidx += take
+                took = True
+                if budget is not None:
+                    budget -= take
+            if cidx < n:
+                end["cidx"] = cidx
+                self._last_end = end
+                return dict(end)
+            end.pop("cidx", None)
+            if budget is not None and budget <= 0:
+                self._last_end = end
+                return dict(end)
         if cur != latest:
             md = log.current_metadata()
             snaps = md["snapshots"]
@@ -671,8 +745,20 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 )
             while pos < len(sids):
                 n_files = self._added_count(log, snaps[pos])
-                if budget is not None and n_files > budget and took:
-                    break
+                if budget is not None and n_files > budget:
+                    if self._snapshot_splittable(snaps[pos]):
+                        # start the oversized append snapshot: plan
+                        # its first `budget` path-sorted added files,
+                        # carry the rest to later triggers via cidx
+                        end["snapshot_id"] = sids[pos]
+                        end["cidx"] = budget
+                        self._last_end = end
+                        return dict(end)
+                    if took:
+                        break
+                    # oversized UNSPLITTABLE snapshot (rewrite = one
+                    # planning unit): take it whole — the stream
+                    # must advance ≥1 snapshot per trigger
                 cur = sids[pos]
                 pos += 1
                 took = True
@@ -703,13 +789,51 @@ class _IcebergStreamReader(DataSourceStreamReader):
         hi = ids.index(end_id) + 1
         return snaps[lo:hi]
 
-    def partitions(
-        self, start: dict, end: dict
-    ) -> Sequence[InputPartition]:
+    def _added_records(self, log: Any, snap: dict) -> list[dict]:
+        """Path-sorted ADDED data-file records of one snapshot — the
+        stable ordering the split indices (cidx) address across
+        triggers and replays."""
         from aligned_spark.sources.avro_io import read_container
         from aligned_spark.sources.iceberg_log import ADDED
 
+        recs: list[dict] = []
+        _, manifests = read_container(
+            os.path.join(self._path, snap["manifest-list"])
+        )
+        for m in manifests:
+            if m["added_snapshot_id"] != snap["snapshot-id"]:
+                continue
+            if m.get("content", 0) == 1:  # position deletes
+                continue
+            _, entries = read_container(
+                os.path.join(self._path, m["manifest_path"])
+            )
+            recs.extend(
+                e["data_file"]
+                for e in entries
+                if e["status"] == ADDED
+            )
+        return sorted(recs, key=lambda r: r["file_path"])
+
+    def _tail_snaps(
+        self, log: Any, start: dict, end: dict
+    ) -> list[dict]:
+        """Snapshot dicts one batch plans while tailing: the
+        (tail_from, end] range, PLUS tail_from itself when the start
+        offset carries a cidx resume (the snapshot was partially
+        planned by an earlier trigger)."""
+        tail_from = int(start["snapshot_id"])
+        snaps = self._range(log, tail_from, int(end["snapshot_id"]))
+        if start.get("cidx") is not None:
+            snaps = [self._snapshot_by_id(log, tail_from)] + snaps
+        return snaps
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
         log = _iceberg_log(self._path)
+        self._check_offset(start)
+        self._check_offset(end)
         self._last_end = dict(end)
         parts: list[InputPartition] = []
         # tailing ALWAYS resumes from the start offset's snapshot —
@@ -733,43 +857,42 @@ class _IcebergStreamReader(DataSourceStreamReader):
                         delete_sidecars=smap.get(rel, ()),
                     )
                 )
-        for snap in self._range(
-            log, tail_from, int(end["snapshot_id"])
-        ):
+        s_cidx = start.get("cidx")
+        e_cidx = end.get("cidx")
+        end_id = int(end["snapshot_id"])
+        for snap in self._tail_snaps(log, start, end):
+            sid = snap["snapshot-id"]
             op = snap.get("summary", {}).get("operation")
             if op == "replace":  # compaction: no row changes
                 continue
             if op != "append" and not self._ignore_changes:
                 raise ValueError(
-                    f"Iceberg snapshot {snap['snapshot-id']} of "
+                    f"Iceberg snapshot {sid} of "
                     f"{self._path} is a {op!r} commit; streaming "
                     "reads require append-only snapshots. Set "
                     "ignoreChanges=true to receive re-added rows."
                 )
-            _, manifests = read_container(
-                os.path.join(self._path, snap["manifest-list"])
+            recs = self._added_records(log, snap)
+            lo = (
+                s_cidx
+                if (sid == tail_from and s_cidx is not None)
+                else 0
             )
-            for m in manifests:
-                if m["added_snapshot_id"] != snap["snapshot-id"]:
-                    continue
-                if m.get("content", 0) == 1:  # position deletes
-                    continue
-                _, entries = read_container(
-                    os.path.join(self._path, m["manifest_path"])
-                )
-                for e in entries:
-                    if e["status"] != ADDED:
-                        continue
-                    df_rec = e["data_file"]
-                    parts.append(
-                        _PartFile(
-                            os.path.join(
-                                self._path, df_rec["file_path"]
-                            ),
-                            dict(df_rec.get("partition") or {}),
-                            self._schema_json,
-                        )
+            hi = (
+                e_cidx
+                if (sid == end_id and e_cidx is not None)
+                else len(recs)
+            )
+            for df_rec in recs[lo:hi]:
+                parts.append(
+                    _PartFile(
+                        os.path.join(
+                            self._path, df_rec["file_path"]
+                        ),
+                        dict(df_rec.get("partition") or {}),
+                        self._schema_json,
                     )
+                )
         return parts
 
     def read(self, partition: _PartFile) -> Iterator[Any]:
