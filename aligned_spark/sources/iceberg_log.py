@@ -62,6 +62,8 @@ from pyspark.sql import types as T
 
 from aligned_spark.sources.avro_io import read_container, write_container
 from aligned_spark.sources.delta_log import (
+    CHANGE_DATA_BYTES_LARGE_PROP,
+    CHANGE_DATA_BYTES_LARGE_THRESHOLD,
     CHANGE_DATA_BYTES_PROP,
     CHANGE_DATA_BYTES_THRESHOLD,
     CHANGE_DATA_FILE_THRESHOLD,
@@ -2051,8 +2053,11 @@ class IcebergLog:
         view: IcebergSnapshotView,
         touched: list[str],
     ) -> bool:
-        """Same dual (files AND bytes) materialization policy as
-        :meth:`DeltaLog._cdc_materialize` — manifest metadata only."""
+        """Same materialization policy as
+        :meth:`DeltaLog._cdc_materialize` — manifest metadata only:
+        (files AND bytes cross the small thresholds) OR bytes alone
+        cross the large threshold (few-huge-parts rewrites must not
+        fall back to a one-task stream diff)."""
         if not touched:
             return False
         props = md.get("properties") or {}
@@ -2062,8 +2067,11 @@ class IcebergLog:
         b_thr = self._prop_int(
             props, CHANGE_DATA_BYTES_PROP, CHANGE_DATA_BYTES_THRESHOLD
         )
-        if len(touched) < f_thr:
-            return False
+        b_large = self._prop_int(
+            props,
+            CHANGE_DATA_BYTES_LARGE_PROP,
+            CHANGE_DATA_BYTES_LARGE_THRESHOLD,
+        )
         size = sum(
             int(
                 (view.files.get(p) or {}).get("file_size_in_bytes")
@@ -2071,7 +2079,9 @@ class IcebergLog:
             )
             for p in touched
         )
-        return size >= b_thr
+        if size >= b_large:
+            return True
+        return len(touched) >= f_thr and size >= b_thr
 
     def _maybe_stage_change_data(
         self,

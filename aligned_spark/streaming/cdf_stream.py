@@ -606,6 +606,19 @@ class DeltaCdfStreamReader(_DeltaStreamReader):
 
             of, osc = spec(prev, old_files)
             nf, nsc = spec(cur, new_files)
+            # INVARIANT (r11): a rewrite commit reaching this branch
+            # carries no cdc actions, which means the writer's
+            # _cdc_materialize gate said no — its touched bytes are
+            # < thresholdBytesLarge (default 256 MB) AND it fails the
+            # (files >= 8 AND bytes >= 32 MB) small gate. So the ONE
+            # _CdfDiffPart below reads < thresholdBytesLarge through
+            # a single task, survivable by construction; anything
+            # bigger was materialized at commit time and planned as
+            # per-file _CdfChangeFilePart tasks above. Pinned by
+            # test_below_threshold_rewrite_single_diff_task_bounded.
+            # (External writers that never materialize are the
+            # documented exception — set thresholdBytesLarge on the
+            # table they write.)
             parts.append(
                 _CdfDiffPart(
                     of,
