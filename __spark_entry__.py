@@ -8921,6 +8921,105 @@ def _store_incremental_aggregate_windowed(spark, sf_dir):
 
 
 @q(
+    "store_incremental_aggregate_rolling",
+    """WITH base AS (
+      SELECT event_id, ts, user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM events
+    ),
+    upd AS (
+      SELECT event_id, ts + INTERVAL 36 HOUR AS ts, user_id,
+             value_cents * 2 AS value_cents
+      FROM base WHERE event_id % 5 = 0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b WHERE NOT (b.event_id % 5 = 0)
+    ),
+    final AS (
+      SELECT * FROM merged WHERE NOT (event_id % 7 = 0)
+    )
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(SUM(value_cents) OVER w AS BIGINT) AS sum_7d,
+           COUNT(value_cents) OVER w AS cnt_7d,
+           CAST(MIN(value_cents) OVER w AS BIGINT) AS min_7d
+    FROM final
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                 AND CURRENT ROW)""",
+)
+def _store_incremental_aggregate_rolling(spark, sf_dir):
+    """ROLLING-WINDOW view maintenance (round 11,
+    `operators/incremental.py:RollingIncrementalAggregate`;
+    reference rolling regime aligned/local/job.py:97-166, which
+    re-aggregates in full — here maintained incrementally): the
+    per-row trailing-7-day SUM/COUNT/MIN per user stays fresh across
+    a write → MERGE (rows MOVE: ts shifts +36 h, values double) →
+    DELETE sequence, purely from CDC slices. Each refresh recomputes
+    ONLY per-entity touched spans [lo - w, hi + w] via the exact
+    batch rolling operator and MERGEs them; deleted rows tombstone
+    in the same commit. The oracle re-derives the final state and
+    windows it relationally (RANGE frame = Spark rangeBetween).
+    At 100 TB a refresh costs |changes| x window density, never a
+    base rescan. Values ride as scaled-long cents."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aligned_spark.operators.aggregate import AggSpec
+    from aligned_spark.operators.incremental import (
+        RollingIncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="aligned_spark_ivm_roll_")
+    src = DeltaSource(path=f"{root}/base")
+    src.insert(base.repartition(4))
+    agg = RollingIncrementalAggregate(
+        source=src,
+        target_path=f"{root}/agg",
+        row_keys=["event_id"],
+        group_keys=["user_id"],
+        ts_col="ts",
+        window_seconds=7 * 86400.0,
+        aggs=[
+            AggSpec("sum_7d", "sum", "value_cents"),
+            AggSpec("cnt_7d", "count", "value_cents"),
+            AggSpec("min_7d", "min", "value_cents"),
+        ],
+    )
+    agg.refresh(spark)  # full rolling build at version 0
+    upd = base.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias("ts"),
+        "user_id",
+        (F.col("value_cents") * 2).alias("value_cents"),
+    )
+    src.upsert(upd, keys=["event_id"])
+    agg.refresh(spark)  # spans recompute: old + new neighborhoods
+    src.delete_where(spark, F.col("event_id") % 7 == 0)
+    agg.refresh(spark)  # delete slice: spans + tombstones
+    return agg.read(spark).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "sum_7d",
+        "cnt_7d",
+        "min_7d",
+    )
+
+
+@q(
     "source_delta_evolution",
     """SELECT s_suppkey, s_name,
               CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END

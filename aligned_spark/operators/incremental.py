@@ -1090,3 +1090,240 @@ class WindowedIncrementalAggregate(IncrementalAggregate):
             .read(spark)
             .withColumnRenamed("__w_start", "window_start")
         )
+
+
+# ---------------------------------------------------------------------
+# rolling-window (per-row trailing frame) IVM
+# ---------------------------------------------------------------------
+
+
+LIVE_COL = "__live"
+
+
+@dataclass
+class RollingIncrementalAggregate:
+    """PER-ROW rolling-window view maintenance — the reference's
+    rolling ``over(days=...)`` regime (aligned/local/job.py:97-166,
+    Polars ``rolling``), which it keeps fresh only by full
+    re-aggregation; here maintained incrementally from the CDC feed.
+
+    The maintained view has ONE ROW PER BASE ROW: each row carries
+    its entity's aggregates over the trailing ``[ts - w, ts]``
+    (inclusive) frame ending at its own event time — exactly
+    :func:`aligned_spark.operators.aggregate.rolling_aggregate`,
+    which the refresh re-uses verbatim so batch and maintained
+    results cannot drift.
+
+    Maintenance exploits window locality: a change at time ``t``
+    can only move the aggregate of SAME-ENTITY rows with ts in
+    ``[t, t + w]``. Each refresh therefore
+
+    1. computes per-entity touched spans ``[lo, hi]`` from the CDC
+       slice (pre- AND post-images both contribute: an update that
+       moves a row re-aggregates both neighborhoods),
+    2. reads base CONTEXT rows in ``[lo - w, hi + w]`` — scan-pruned
+       by the slice's global time bounds, then entity-exact via a
+       join on the span frame (broadcast-sized: one row per touched
+       entity),
+    3. re-runs the batch rolling operator over just that context and
+       keeps rows in ``[lo, hi + w]`` (context-only rows below
+       ``lo`` are unchanged by construction),
+    4. MERGEs the recomputed rows into the target keyed by
+       ``row_keys``; rows deleted from the base ride the SAME commit
+       as ``__live = false`` tombstones (MERGE cannot delete) that
+       :meth:`read` filters and the refresh reaps opportunistically.
+
+    The refresh cost tracks |changes| x the entity's row density in
+    one window span — never the base size. Exactly-once: the cursor
+    rides the MERGE commit as a ``txn`` action, the same guard as
+    :class:`IncrementalAggregate`.
+    """
+
+    source: Any
+    target_path: str
+    #: unique base-row identity (MERGE key of the maintained view)
+    row_keys: list[str]
+    #: entity partition of the rolling window
+    group_keys: list[str]
+    ts_col: str
+    window_seconds: float
+    aggs: list[Any]  # list[AggSpec]
+    app_id: str = "rolling_ivm"
+    log_store: Any | None = None
+
+    def __post_init__(self) -> None:
+        if self.window_seconds <= 0:
+            raise ValueError("window_seconds must be positive")
+        reserved = {LIVE_COL, *(a.name for a in self.aggs)}
+        clash = reserved & set(self.row_keys) | reserved & set(
+            self.group_keys
+        )
+        if clash:
+            raise ValueError(f"reserved column clash: {sorted(clash)}")
+
+    # -- shared idioms with IncrementalAggregate -------------------
+    def _target(self):
+        from aligned_spark.sources.delta_log import DeltaLog
+
+        return DeltaLog(self.target_path, log_store=self.log_store)
+
+    def last_applied(self) -> int | None:
+        log = self._target()
+        return log.txn_version(self.app_id) if log.exists() else None
+
+    def _read_at(self, spark: SparkSession, version) -> DataFrame:
+        try:
+            return self.source.read(spark, version=version)
+        except TypeError:
+            return self.source.read(spark, snapshot_id=version)
+
+    def _rolling(self, df: DataFrame) -> DataFrame:
+        from aligned_spark.operators.aggregate import (
+            rolling_aggregate,
+        )
+
+        return rolling_aggregate(
+            df,
+            self.group_keys,
+            self.ts_col,
+            self.window_seconds,
+            self.aggs,
+        )
+
+    def refresh(self, spark: SparkSession) -> int | None:
+        """Advance the view to the base's current version. First call
+        = one full rolling pass (no cheaper correct start); later
+        calls recompute only the touched spans. Returns the new
+        cursor, or None when already current / the slice is empty."""
+        cursor = self.last_applied()
+        current = self.source.version(spark)
+        if cursor is not None and cursor == current:
+            return None
+        log = self._target()
+        if cursor is None:
+            full = self._rolling(
+                self._read_at(spark, current)
+            ).withColumn(LIVE_COL, F.lit(True))
+            log.write(full, "append", txn=(self.app_id, current))
+            return current
+        changes = self.source.read_changes(spark, cursor, current)
+        self._apply_slice(spark, changes, pin=current)
+        return current
+
+    # ---------------------------------------------------- the slice
+    def _apply_slice(
+        self, spark: SparkSession, changes: DataFrame, pin
+    ) -> None:
+        ts = F.col(self.ts_col)
+        w_us = int(self.window_seconds * 1_000_000)
+        dead_pred = F.col("_change_type").isin(
+            "delete", "update_preimage"
+        )
+        null_pred = ts.isNull()
+        for k in self.group_keys:
+            null_pred = null_pred | F.col(k).isNull()
+        changes = changes.persist()
+        try:
+            # ONE driver probe per slice (the r10->r11 probe-collapse
+            # discipline): global span bounds for scan pruning + the
+            # has-deletes and null-key flags
+            probe = changes.agg(
+                F.min(ts).alias("lo"),
+                F.max(ts).alias("hi"),
+                F.max(dead_pred.cast("int")).alias("dead"),
+                F.max(null_pred.cast("int")).alias("nk"),
+            ).first()
+            if probe["lo"] is None:
+                if probe["nk"]:
+                    raise ValueError(
+                        "rolling IVM cannot maintain rows with NULL "
+                        f"ts or group keys ({self.ts_col}, "
+                        f"{self.group_keys}): every changed row "
+                        "must locate in a window span"
+                    )
+                return  # empty slice: nothing to fold
+            if probe["nk"]:
+                raise ValueError(
+                    "rolling IVM cannot maintain rows with NULL ts "
+                    f"or group keys ({self.ts_col}, "
+                    f"{self.group_keys}): fill or filter them in "
+                    "the base"
+                )
+            g_lo, g_hi = probe["lo"], probe["hi"]
+            has_dead = bool(probe["dead"])
+
+            # per-entity touched spans (one row per touched entity —
+            # the broadcast side of the context join)
+            spans = changes.groupBy(*self.group_keys).agg(
+                F.unix_micros(F.min(ts)).alias("__lo"),
+                F.unix_micros(F.max(ts)).alias("__hi"),
+            )
+            base = self._read_at(spark, pin)
+            # global bounds prune the scan (partition/row-group
+            # skipping); the span join then makes it entity-exact
+            ctx = (
+                base.filter(
+                    (
+                        F.unix_micros(ts)
+                        >= F.unix_micros(F.lit(g_lo)) - w_us
+                    )
+                    & (
+                        F.unix_micros(ts)
+                        <= F.unix_micros(F.lit(g_hi)) + w_us
+                    )
+                )
+                .join(F.broadcast(spans), self.group_keys)
+                .filter(
+                    (F.unix_micros(ts) >= F.col("__lo") - w_us)
+                    & (F.unix_micros(ts) <= F.col("__hi") + w_us)
+                )
+            )
+            rec = (
+                self._rolling(ctx)
+                .filter(F.unix_micros(ts) >= F.col("__lo"))
+                .drop("__lo", "__hi")
+                .withColumn(LIVE_COL, F.lit(True))
+            )
+            if has_dead:
+                # tombstones for rows gone from the base: preimage
+                # rows whose key is not live anywhere in the
+                # recomputed spans (a moved/re-inserted key IS in
+                # rec — rec wins). NULL agg columns: read() never
+                # surfaces a dead row.
+                dead = (
+                    changes.filter(dead_pred)
+                    .select(*ctx.drop("__lo", "__hi").columns)
+                    .dropDuplicates(self.row_keys)
+                    .join(
+                        rec.select(*self.row_keys),
+                        self.row_keys,
+                        "left_anti",
+                    )
+                )
+                for a in self.aggs:
+                    dead = dead.withColumn(
+                        a.name,
+                        F.lit(None).cast(
+                            dict(rec.dtypes)[a.name]
+                        ),
+                    )
+                dead = dead.withColumn(LIVE_COL, F.lit(False))
+                rec = rec.unionByName(dead)
+            log = self._target()
+            log.merge_upsert(
+                rec, self.row_keys, txn=(self.app_id, int(pin))
+            )
+            if has_dead:
+                # idempotent, safe to lose: read() filters regardless
+                log.delete_where(spark, ~F.col(LIVE_COL))
+        finally:
+            changes.unpersist()
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The maintained per-row rolling view (live rows only)."""
+        return (
+            self._target()
+            .read(spark)
+            .filter(F.col(LIVE_COL))
+            .drop(LIVE_COL)
+        )
