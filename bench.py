@@ -164,14 +164,16 @@ HEADLINE = [
 ]
 
 
-def _previous_bench_queries() -> dict:
-    """Per-query numbers from the newest BENCH_r*.json next to this
-    file (the driver's archived compact line) — the 2x
-    contention-detection baseline. Missing/corrupt files mean no
-    baseline, never a failure."""
+def _previous_bench() -> dict:
+    """Per-query numbers AND the calibration min from the newest
+    BENCH_r*.json next to this file (the driver's archived compact
+    line) — the contention-detection baseline. Missing/corrupt files
+    mean no baseline, never a failure. Returns
+    ``{"queries": {name: sec}, "cal_min": float | None}``."""
     import glob
     import re
 
+    empty = {"queries": {}, "cal_min": None}
     here = os.path.dirname(os.path.abspath(__file__))
     best, best_n = None, -1
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -179,7 +181,7 @@ def _previous_bench_queries() -> dict:
         if m and int(m.group(1)) > best_n:
             best, best_n = p, int(m.group(1))
     if best is None:
-        return {}
+        return empty
     try:
         with open(best) as fh:
             rec = json.load(fh)
@@ -189,11 +191,37 @@ def _previous_bench_queries() -> dict:
         )
         cur_sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
         if float(parsed.get("sf") or -1) != cur_sf:
-            return {}  # different scale factor — not comparable
+            return empty  # different scale factor — not comparable
         q = parsed.get("queries") or {}
-        return {k: float(v) for k, v in q.items() if v}
+        cal = (parsed.get("calibration") or {}).get("min")
+        return {
+            "queries": {k: float(v) for k, v in q.items() if v},
+            "cal_min": float(cal) if cal else None,
+        }
     except (OSError, ValueError, TypeError):
-        return {}
+        return empty
+
+
+def calibration_drift(
+    cal_min: float, prev_cal_min: float | None
+) -> float | None:
+    """This box's speed relative to the previous round's bench box,
+    measured on the fixed calibration query (r10 verdict task 6:
+    SUSTAINED load inflates every query ~proportionally and slips
+    past the per-query spiky-contention heuristic — pagerank 1.40x
+    and ann_recall 1.27x in the r10 driver bench were both ~=1.0 on
+    a quiet box). None when no comparable previous round exists."""
+    if not prev_cal_min or prev_cal_min <= 0 or cal_min <= 0:
+        return None
+    return round(cal_min / prev_cal_min, 3)
+
+
+def contention_bound(prev_sec: float, drift: float | None) -> float:
+    """A query is presumed contended when its fresh min exceeds 2x
+    its previous-round value AFTER discounting sustained box slowdown
+    (the calibration drift, floored at 1.0 so a faster box never
+    loosens the bound)."""
+    return 2.0 * prev_sec * max(drift or 1.0, 1.0)
 
 
 def _force(df) -> None:
@@ -260,7 +288,17 @@ def main() -> None:
     # "regressions" were all re-measured at/below their r7 values)
     # and gets ONE extra timed run to self-correct; if it still
     # exceeds 2x it is flagged in the compact line for the judge.
-    prev = _previous_bench_queries()
+    prev_rec = _previous_bench()
+    prev = prev_rec["queries"]
+    # sustained-load factor vs the previous round's box (task 6):
+    # >~1.1 means every ratio the judge computes against last round
+    # carries this inflation — stamped into both output lines, and
+    # the 2x contention bound scales by it so sustained load doesn't
+    # mass-flag (or mass-miss) queries
+    drift = calibration_drift(
+        calibration["min"], prev_rec["cal_min"]
+    )
+    calibration["drift"] = drift
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -275,12 +313,14 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             samples.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
-        if name in prev and min(samples) > 2 * prev[name]:
+        if name in prev and min(samples) > contention_bound(
+            prev[name], drift
+        ):
             t0 = time.time()
             _force(fn(spark, sf_dir))
             samples.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
-            if min(samples) > 2 * prev[name]:
+            if min(samples) > contention_bound(prev[name], drift):
                 contended.append(name)
         runs[name] = samples
         timings[name] = min(samples)
@@ -329,6 +369,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "calibration": calibration,
+        "calibration_drift": drift,
         "contended": contended,
     }
     for name, sec in slowest:

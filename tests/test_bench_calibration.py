@@ -1,0 +1,89 @@
+"""Bench calibration-drift guard (r10 verdict task 6): sustained
+box load inflates every query ~proportionally and must neither
+mass-flag phantom regressions nor hide real ones. Pure-function
+tests — no Spark session."""
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def _load_bench(tmp_path, prev: dict | None = None):
+    """Import bench.py fresh from a COPY in tmp_path so
+    _previous_bench() sees exactly the BENCH_r*.json we plant."""
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py",
+    )
+    dst = tmp_path / "bench.py"
+    dst.write_text(open(src).read())
+    if prev is not None:
+        (tmp_path / "BENCH_r99.json").write_text(json.dumps(prev))
+    spec = importlib.util.spec_from_file_location(
+        f"bench_under_test_{tmp_path.name}", str(dst)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_drift_computed_against_previous_round(tmp_path):
+    b = _load_bench(tmp_path)
+    assert b.calibration_drift(1.2, 0.9) == 1.333
+    assert b.calibration_drift(0.8, 0.9) == 0.889
+    # no / broken baseline -> None, never a crash
+    assert b.calibration_drift(1.0, None) is None
+    assert b.calibration_drift(1.0, 0.0) is None
+    assert b.calibration_drift(0.0, 1.0) is None
+
+
+def test_sustained_load_scales_the_contention_bound(tmp_path):
+    b = _load_bench(tmp_path)
+    # quiet box: plain 2x
+    assert b.contention_bound(3.0, 1.0) == 6.0
+    assert b.contention_bound(3.0, None) == 6.0
+    # the r10 phantom shape: box uniformly 1.4x slower -> a query at
+    # 1.4x its previous value is NOT contended (bound rises to 2.8x)
+    drift = 1.4
+    assert 3.0 * 1.4 < b.contention_bound(3.0, drift)
+    # but a REAL 3x regression still flags through the drift
+    assert 3.0 * 3.0 > b.contention_bound(3.0, drift)
+    # a faster box never loosens the bound below 2x
+    assert b.contention_bound(3.0, 0.7) == 6.0
+
+
+def test_previous_bench_reads_queries_and_cal_min(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    prev = {
+        "parsed": {
+            "sf": 0.1,
+            "queries": {"q_a": 2.5},
+            "calibration": {"min": 0.9},
+        }
+    }
+    b = _load_bench(tmp_path, prev)
+    rec = b._previous_bench()
+    assert rec == {"queries": {"q_a": 2.5}, "cal_min": 0.9}
+
+
+def test_previous_bench_ignores_other_sf_and_corrupt(
+    tmp_path, monkeypatch
+):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    b = _load_bench(
+        tmp_path,
+        {"parsed": {"sf": 0.01, "queries": {"q_a": 1.0}}},
+    )
+    assert b._previous_bench() == {"queries": {}, "cal_min": None}
+    (tmp_path / "BENCH_r99.json").write_text("{not json")
+    assert b._previous_bench() == {"queries": {}, "cal_min": None}
+    # pre-r11 records have no calibration block: queries still load
+    (tmp_path / "BENCH_r99.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q_a": 1.0}}})
+    )
+    assert b._previous_bench() == {
+        "queries": {"q_a": 1.0},
+        "cal_min": None,
+    }
