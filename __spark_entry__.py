@@ -9154,72 +9154,75 @@ def _model_ece(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-10 window (VERDICT r9 "Next round" task 3): slots 1-17 =
-    # the 17 r5-stale rows the judge enumerated (their last green
-    # driver row is r5 — the oldest cohort). Slots 18-19: this
-    # round's additions — the new time-windowed IVM query and
-    # embed_pca_project, PROMOTED from rows-only to full oracle
-    # (power-iteration fit replayed in SQL); both gated green
-    # locally at sf0.001/0.01/0.1. Slots 20-50: 31 of the 48
-    # r6-cohort rows (alphabetical), with source_delta_merge
-    # force-included because its write path changed this round
-    # (commit-time change files). The 17 r6 rows that don't fit
-    # stay r6-green — after this window no full-oracle query's last
-    # green driver row is older than r6, the verdict's criterion;
-    # they head the r11 rotation.
-    "profile_corr_matrix",
-    "profile_table_stats",
-    "sim_prefix_jaccard_pairs",
-    "snapshot_diff_orders",
-    "store_sql",
-    "text_decontaminate_bloom",
-    "text_readability",
-    "text_trigram_backoff",
-    "text_wordpiece_counts",
-    "text_wordpiece_real_vocab",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "view_agg_rolling",
-    # --- new in r10 / promoted to full oracle in r10 ---
-    "store_incremental_aggregate_windowed",
-    "embed_pca_project",
-    # --- r6-era staleness cohort (31 of 48, alphabetical;
-    #     source_delta_merge force-included: cdc write path changed) ---
-    "agg_concat_sorted",
-    "agg_cube_weekly",
-    "agg_hopping_window",
-    "constraints_drop_invalid",
-    "dedup_embedding",
-    "drop_duplicates",
-    "embed_dot_product",
-    "ensure_types_cast",
-    "events_twap",
-    "expr_date_components",
-    "expr_euclidean",
-    "expr_hash_distinct",
-    "expr_json",
-    "expr_math_funcs",
-    "expr_ordinal_replace",
-    "expr_split_array",
-    "expr_string_ops",
-    "expr_time_diff",
-    "filter_project",
-    "freshness",
-    "join_anti",
-    "join_asof",
-    "join_equi_multi",
-    "join_salted",
-    "join_semi",
-    "model_calibration_bins",
-    "model_ece",
-    "model_predict_over",
-    "privacy_k_anonymity",
-    "rename_columns",
-    "source_delta_merge",
+    # Round-11 window (VERDICT r10 "Next round" task 4): slots 1-17 =
+    # the 17 r6-stale rows the judge enumerated (their last green
+    # driver row is r6 — the oldest cohort). Slot 18: this round's
+    # addition — the new rolling-window IVM query (gated green
+    # locally at sf0.001/0.01/0.1). Slots 19-50: 32 of the 49
+    # r7-cohort rows — 7 FORCE-INCLUDED because round 11 touched
+    # their code paths (source_delta_cdf / source_iceberg_cdf: the
+    # change-file gate + split-predicate fixes in delta_log/
+    # iceberg_log/cdf_stream; store_incremental_aggregate: the
+    # probe-collapse rework in incremental.py; vector_index_ivf/
+    # lsh/nearest/pq: the corrupt-meta fail-fast in
+    # vector_index.py), then the 25 alphabetically-oldest of the
+    # rest. The 17 r7 rows that don't fit stay r7-green — after
+    # this window no full-oracle query's last green driver row is
+    # older than r7, the verdict's criterion; they head the r12
+    # rotation.
+    "sim_topk_cosine",
+    "source_csv_roundtrip",
+    "source_delta_evolution",
+    "source_delta_time_travel",
+    "source_filtered",
+    "source_iceberg_merge",
+    "source_iceberg_time_travel",
+    "stack_union",
+    "store_features_windowed",
+    "store_lineage",
+    "store_load_feature",
+    "text_bpe_counts",
+    "text_token_counts",
+    "top_k",
+    "unique_rows_latest",
+    "view_agg_plain",
+    "view_derived_features",
+    # --- new in r11 ---
+    "store_incremental_aggregate_rolling",
+    # --- r7 cohort: code paths touched this round ---
+    "source_delta_cdf",
+    "source_iceberg_cdf",
+    "store_incremental_aggregate",
+    "vector_index_ivf",
+    "vector_index_lsh",
+    "vector_index_nearest",
+    "vector_index_pq",
+    # --- r7 cohort: 25 alphabetically-oldest of the rest ---
+    "agg_hopping_offset",
+    "combine_two_views",
+    "corpus_filter",
+    "corpus_pack",
+    "corpus_quantile_filter",
+    "corpus_redact_pii",
+    "corpus_weighted_sample",
+    "custom_agg_pandas",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_lines",
+    "dedup_semantic",
+    "dedup_simhash_pairs",
+    "embed_fake_text",
+    "embed_pca_stats",
+    "encode_dates",
+    "events_sessionize",
+    "expr_arithmetic",
+    "expr_comparison_logic",
+    "expr_conditionals",
+    "graph_connected_components",
+    "join_range_binned",
+    "multimodal_binary",
+    "multimodal_image_pipeline",
+    "profile_histogram",
 ]
 
 

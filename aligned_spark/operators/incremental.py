@@ -1123,8 +1123,8 @@ class RollingIncrementalAggregate:
        moves a row re-aggregates both neighborhoods),
     2. reads base CONTEXT rows in ``[lo - w, hi + w]`` — scan-pruned
        by the slice's global time bounds, then entity-exact via a
-       join on the span frame (broadcast-sized: one row per touched
-       entity),
+       join on the span frame (one row per touched entity — AQE
+       broadcasts it when small; a full-backfill slice may shuffle),
     3. re-runs the batch rolling operator over just that context and
        keeps rows in ``[lo, hi + w]`` (context-only rows below
        ``lo`` are unchanged by construction),
@@ -1272,7 +1272,11 @@ class RollingIncrementalAggregate:
                         <= F.unix_micros(F.lit(g_hi)) + w_us
                     )
                 )
-                .join(F.broadcast(spans), self.group_keys)
+                # no broadcast hint: spans is one row per touched
+                # entity — usually tiny (AQE broadcasts it), but a
+                # full-table backfill slice can touch every entity
+                # and must be allowed to shuffle-join
+                .join(spans, self.group_keys)
                 .filter(
                     (F.unix_micros(ts) >= F.col("__lo") - w_us)
                     & (F.unix_micros(ts) <= F.col("__hi") + w_us)
