@@ -158,6 +158,8 @@ HEADLINE = [
     "store_incremental_aggregate_distinct",
     "store_incremental_aggregate_hll",
     "store_incremental_aggregate_windowed",
+    # round-11: rolling-window (per-row trailing frame) IVM
+    "store_incremental_aggregate_rolling",
     "source_delta_cdf_changefiles",
     "source_iceberg_cdf_changefiles",
     "vector_index_ivf_deletes",
