@@ -1210,9 +1210,111 @@ class RollingIncrementalAggregate:
         self._apply_slice(spark, changes, pin=current)
         return current
 
+    def _batch_app(self) -> str:
+        return f"{self.app_id}.batch"
+
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        batch_id: int | None = None,
+    ) -> int | None:
+        """Fold one CDC slice — the ``foreachBatch`` body that makes
+        rolling IVM CONTINUOUS over a ``readChangeFeed`` stream.
+
+        Unlike the additive group-by classes, the rolling slice is
+        IDEMPOTENT by construction: it recomputes touched spans from
+        the base PINNED at the slice's max ``_commit_version``, so
+        re-applying a slice converges to the same state instead of
+        double-counting. The guards here are therefore cost guards
+        (skip work a poll :meth:`refresh` already covered, skip
+        checkpoint replays via the monotone ``foreachBatch`` batch-id
+        txn), not correctness guards — a continuation slice of a
+        throttled initial snapshot (same ``_commit_version`` as the
+        first) simply re-applies and is safe. The first slice of a
+        default-start stream bootstraps the view: its spans cover
+        the whole snapshot, so the span recompute IS the full build.
+
+        Returns the new cursor, or None for an empty/skipped
+        slice."""
+        log = self._target()
+        bcur = (
+            log.txn_version(self._batch_app())
+            if batch_id is not None and log.exists()
+            else None
+        )
+        if (
+            batch_id is not None
+            and bcur is not None
+            and batch_id <= bcur
+        ):
+            return None  # checkpoint replay of a committed batch
+        row = changes.agg(
+            F.max("_commit_version").alias("v")
+        ).first()
+        if row["v"] is None:
+            return None  # empty micro-batch
+        vmax = int(row["v"])
+        cursor = self.last_applied()
+        if cursor is not None and vmax < cursor:
+            return None  # refresh() already covered this slice
+        if batch_id is None and cursor is not None and vmax == cursor:
+            return None  # poll replay of the committed version
+        txns: Any = (self.app_id, vmax)
+        if batch_id is not None:
+            txns = [
+                (self.app_id, vmax),
+                (self._batch_app(), batch_id),
+            ]
+        self._apply_slice(spark, changes, pin=vmax, txns=txns)
+        return vmax
+
+    def maintain_continuously(
+        self,
+        spark: SparkSession,
+        checkpoint: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Commit log → ``readChangeFeed`` stream → ``foreachBatch``
+        → :meth:`apply_changes`; returns the started
+        ``StreamingQuery``. Delta bases only — same monotone-cursor
+        contract as :meth:`IncrementalAggregate.
+        maintain_continuously` (iceberg snapshot ids are random;
+        poll :meth:`refresh` there)."""
+        from aligned_spark.streaming.sources import TableStreamSource
+
+        if type(self.source).__name__.lower().startswith("iceberg"):
+            raise ValueError(
+                "maintain_continuously requires a Delta base "
+                "(monotone commit versions for the cursor); for "
+                "Iceberg, poll refresh() — its cursor is the "
+                "snapshot position"
+            )
+        src = TableStreamSource(
+            path=getattr(self.source, "path", None)
+            or self.source.table_path,
+            table_format="delta",
+            read_change_feed=True,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return (
+            src.read_stream(spark)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: self.apply_changes(
+                    spark, bdf, batch_id=bid
+                )
+            )
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
     # ---------------------------------------------------- the slice
     def _apply_slice(
-        self, spark: SparkSession, changes: DataFrame, pin
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        pin,
+        txns: Any = None,
     ) -> None:
         ts = F.col(self.ts_col)
         w_us = int(self.window_seconds * 1_000_000)
@@ -1315,7 +1417,11 @@ class RollingIncrementalAggregate:
                 rec = rec.unionByName(dead)
             log = self._target()
             log.merge_upsert(
-                rec, self.row_keys, txn=(self.app_id, int(pin))
+                rec,
+                self.row_keys,
+                txn=txns
+                if txns is not None
+                else (self.app_id, int(pin)),
             )
             if has_dead:
                 # idempotent, safe to lose: read() filters regardless

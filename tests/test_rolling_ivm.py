@@ -198,6 +198,85 @@ def test_rolling_ivm_untouched_entity_parts_not_rewritten(
     assert _maintained(spark, agg) == _direct(spark, src)
 
 
+def test_rolling_maintain_continuously_e2e(spark, tmp_path):
+    """Continuous rolling IVM over the CDF stream: the throttled
+    initial snapshot bootstraps the view (span recompute IS the full
+    build — idempotent across continuation slices), later
+    micro-batches fold mutations, replays no-op via the batch-id
+    txn."""
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            _mk_rows(
+                [
+                    (i, "a" if i % 2 else "b", i * 3, float(i))
+                    for i in range(8)
+                ]
+            )
+        ).repartition(4)
+    )
+    agg = _mk_agg(src, str(tmp_path / "agg"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = agg.maintain_continuously(
+            spark, ckpt, max_files_per_trigger=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    drain()  # 4-file snapshot drains as several micro-batches
+    assert _maintained(spark, agg) == _direct(spark, src)
+    src.upsert(
+        spark.createDataFrame(_mk_rows([(3, "a", 45, 99.0)])),
+        keys=["k"],
+    )
+    src.delete_where(spark, F.col("k") == 2)
+    drain()
+    assert _maintained(spark, agg) == _direct(spark, src)
+    # replay: nothing changes
+    before = _maintained(spark, agg)
+    drain()
+    assert _maintained(spark, agg) == before
+
+
+def test_rolling_stream_then_poll_refresh(spark, tmp_path):
+    """A poll refresh() after streaming picks up from the stream's
+    cursor (interchangeable txns), and a later stream drain skips
+    the refresh-covered slice (vmax < cursor is a cost guard; a
+    redelivered equal-version slice is idempotent regardless)."""
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            _mk_rows([(0, "a", 1, 1.0), (1, "a", 5, 2.0)])
+        ).coalesce(1)
+    )
+    agg = _mk_agg(src, str(tmp_path / "agg"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = agg.maintain_continuously(spark, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    drain()
+    src.insert(spark.createDataFrame(_mk_rows([(2, "a", 7, 3.0)])))
+    assert agg.refresh(spark) is not None  # poll covers the insert
+    assert _maintained(spark, agg) == _direct(spark, src)
+    drain()  # stream redelivers the refresh-covered commit: no-op
+    assert _maintained(spark, agg) == _direct(spark, src)
+
+
 # ------------------------------------------------ hypothesis property
 
 from hypothesis import HealthCheck, given, settings
