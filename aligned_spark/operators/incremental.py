@@ -1308,6 +1308,53 @@ class RollingIncrementalAggregate:
             .start()
         )
 
+    def _touched_spans(
+        self, changes: DataFrame, g_lo, g_hi, w_us: int
+    ) -> DataFrame:
+        """Per-entity touched span frame ``(group_keys, __lo, __hi)``
+        — the context join's build side, bounds in unix micros of the
+        raw change timestamps.
+
+        Default: ONE span per touched entity (a plain group-by — no
+        sort). When the slice's GLOBAL time range exceeds 2w (a
+        backfill shape: the same entity may carry changes months
+        apart, and a single [min, max] span would recompute the
+        whole gap between them), spans split into ISLANDS instead:
+        same-entity changes more than 2w apart land in separate
+        spans, because their context/recompute regions
+        ``[t - w, t + w]`` are then disjoint. Costs one
+        slice-proportional window sort, paid only when the probe's
+        global bounds say the gap hazard exists; merged islands stay
+        disjoint even after the ±w context extension, so a base row
+        joins at most one span."""
+        from pyspark.sql import Window as W
+
+        ts_us = F.unix_micros(F.col(self.ts_col))
+        # the hazard heuristic only needs the DIFFERENCE of the two
+        # probe timestamps, so the naive-datetime tz assumption
+        # cancels; and it is a pure cost knob — both branches are
+        # correct
+        span_us = (g_hi - g_lo).total_seconds() * 1_000_000
+        if span_us <= 2 * w_us:
+            return changes.groupBy(*self.group_keys).agg(
+                F.min(ts_us).alias("__lo"),
+                F.max(ts_us).alias("__hi"),
+            )
+        w_ord = W.partitionBy(*self.group_keys).orderBy(ts_us)
+        gap = ts_us - F.lag(ts_us).over(w_ord)
+        island = F.sum(
+            F.when(gap > 2 * w_us, 1).otherwise(0)
+        ).over(w_ord)
+        return (
+            changes.withColumn("__island", island)
+            .groupBy(*self.group_keys, "__island")
+            .agg(
+                F.min(ts_us).alias("__lo"),
+                F.max(ts_us).alias("__hi"),
+            )
+            .drop("__island")
+        )
+
     # ---------------------------------------------------- the slice
     def _apply_slice(
         self,
@@ -1353,13 +1400,7 @@ class RollingIncrementalAggregate:
                 )
             g_lo, g_hi = probe["lo"], probe["hi"]
             has_dead = bool(probe["dead"])
-
-            # per-entity touched spans (one row per touched entity —
-            # the broadcast side of the context join)
-            spans = changes.groupBy(*self.group_keys).agg(
-                F.unix_micros(F.min(ts)).alias("__lo"),
-                F.unix_micros(F.max(ts)).alias("__hi"),
-            )
+            spans = self._touched_spans(changes, g_lo, g_hi, w_us)
             base = self._read_at(spark, pin)
             # global bounds prune the scan (partition/row-group
             # skipping); the span join then makes it entity-exact

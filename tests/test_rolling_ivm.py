@@ -198,6 +198,55 @@ def test_rolling_ivm_untouched_entity_parts_not_rewritten(
     assert _maintained(spark, agg) == _direct(spark, src)
 
 
+def test_rolling_ivm_distant_changes_split_into_islands(
+    spark, tmp_path
+):
+    """Backfill shape: same-entity changes far apart in one slice
+    must produce SEPARATE spans (gap > 2w) — the [min, max] span
+    would recompute the whole gap between them — and the refresh
+    must stay exact."""
+    import datetime as dt
+
+    from aligned_spark.sources.delta import DeltaSource
+
+    def _t(day, minute):
+        return dt.datetime(2024, 1, day, 0, minute, 0)
+
+    rows = [
+        Row(k=k, g="a", ts=_t(d, m), x=float(k))
+        for k, (d, m) in enumerate(
+            [(1, 0), (1, 5), (10, 0), (10, 5), (20, 0)]
+        )
+    ]
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(spark.createDataFrame(rows).coalesce(1))
+    agg = _mk_agg(src, str(tmp_path / "agg"))
+    agg.refresh(spark)
+    # one slice touching day 1 AND day 20 (gap >> 2w = 20 min)
+    src.upsert(
+        spark.createDataFrame(
+            [
+                Row(k=0, g="a", ts=_t(1, 2), x=100.0),
+                Row(k=4, g="a", ts=_t(20, 1), x=200.0),
+            ]
+        ),
+        keys=["k"],
+    )
+    # the span frame itself: two islands for entity a
+    changes = src.read_changes(spark, 0, 1).filter(
+        F.col("_commit_version") == 1
+    )
+    spans = agg._touched_spans(
+        changes,
+        dt.datetime(2024, 1, 1, 0, 2),
+        dt.datetime(2024, 1, 20, 0, 1),
+        int(_W * 1_000_000),
+    )
+    assert spans.count() >= 2, "distant changes must split spans"
+    agg.refresh(spark)
+    assert _maintained(spark, agg) == _direct(spark, src)
+
+
 def test_rolling_maintain_continuously_e2e(spark, tmp_path):
     """Continuous rolling IVM over the CDF stream: the throttled
     initial snapshot bootstraps the view (span recompute IS the full
