@@ -70,10 +70,29 @@ def _maintained(spark, agg):
     }
 
 
-def test_rolling_ivm_mixed_ops(spark, tmp_path):
-    from aligned_spark.sources.delta import DeltaSource
+@pytest.fixture(
+    params=["delta", "iceberg", "delta-mor", "iceberg-mor"]
+)
+def any_src(request, tmp_path, spark):
+    """Both formats, both write postures — rolling maintenance reads
+    the base pinned at the slice version, so CoW and MOR CDC slices
+    must produce the identical view."""
+    mor = request.param.endswith("-mor")
+    if request.param.startswith("delta"):
+        from aligned_spark.sources.delta import DeltaSource
 
-    src = DeltaSource(path=str(tmp_path / "base"))
+        s = DeltaSource(path=str(tmp_path / "base"), merge_on_read=mor)
+    else:
+        from aligned_spark.sources.iceberg import IcebergSource
+
+        s = IcebergSource(
+            path=str(tmp_path / "base"), merge_on_read=mor
+        )
+    return s
+
+
+def test_rolling_ivm_mixed_ops(spark, any_src, tmp_path):
+    src = any_src
     src.insert(
         spark.createDataFrame(
             _mk_rows(
