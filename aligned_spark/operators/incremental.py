@@ -1403,16 +1403,24 @@ class RollingIncrementalAggregate:
             spans = self._touched_spans(changes, g_lo, g_hi, w_us)
             base = self._read_at(spark, pin)
             # global bounds prune the scan (partition/row-group
-            # skipping); the span join then makes it entity-exact
+            # skipping); the span join then makes it entity-exact.
+            # The comparison must stay on the RAW ts column (RHS
+            # constant-folds to a timestamp literal) — wrapping ts in
+            # unix_micros() would block parquet filter pushdown
+            # (plan-pinned in test_plan_properties.py r11 block)
             ctx = (
                 base.filter(
                     (
-                        F.unix_micros(ts)
-                        >= F.unix_micros(F.lit(g_lo)) - w_us
+                        ts
+                        >= F.timestamp_micros(
+                            F.unix_micros(F.lit(g_lo)) - F.lit(w_us)
+                        )
                     )
                     & (
-                        F.unix_micros(ts)
-                        <= F.unix_micros(F.lit(g_hi)) + w_us
+                        ts
+                        <= F.timestamp_micros(
+                            F.unix_micros(F.lit(g_hi)) + F.lit(w_us)
+                        )
                     )
                 )
                 # no broadcast hint: spans is one row per touched

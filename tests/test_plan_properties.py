@@ -823,3 +823,80 @@ def test_windowed_bucketize_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_rolling_ivm_context_scan_pushes_time_bounds(
+    spark, tmp_path_factory
+):
+    """Round-11: the rolling-IVM context read must push the slice's
+    global time bounds INTO the base parquet scan (partition /
+    row-group skipping) — at 100 TB the context is a sliver of the
+    base and the scan must see that. The comparison stays on the raw
+    ts column; a unix_micros(ts) wrapper silently blocks pushdown
+    (caught while pinning this)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.aggregate import AggSpec
+    from aligned_spark.operators.incremental import (
+        RollingIncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    d = tmp_path_factory.mktemp("rivmplan")
+    src = DeltaSource(path=str(d / "base"))
+    src.insert(
+        spark.createDataFrame(
+            [
+                Row(
+                    k=i,
+                    g="a",
+                    ts=dt.datetime(2024, 1, 1, 0, i),
+                    x=float(i),
+                )
+                for i in range(30)
+            ]
+        ).coalesce(1)
+    )
+    agg = RollingIncrementalAggregate(
+        source=src,
+        target_path=str(d / "agg"),
+        row_keys=["k"],
+        group_keys=["g"],
+        ts_col="ts",
+        window_seconds=300.0,
+        aggs=[AggSpec("s", "sum", "x")],
+    )
+    agg.refresh(spark)
+    src.upsert(
+        spark.createDataFrame(
+            [Row(k=5, g="a", ts=dt.datetime(2024, 1, 1, 0, 5), x=99.0)]
+        ),
+        keys=["k"],
+    )
+
+    captured: list[str] = []
+    orig = agg._target().__class__.merge_upsert
+
+    def spy(self, df, keys, **kw):
+        captured.append(plan_text(df))
+        return orig(self, df, keys, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        agg._target().__class__, "merge_upsert", spy
+    ):
+        agg.refresh(spark)
+    assert captured, "refresh must merge"
+    plan = captured[0]
+    # the pushable bound reached the scan
+    assert "GreaterThanOrEqual(ts," in plan, plan
+    assert "LessThanOrEqual(ts," in plan, plan
+    # the rolling Window is entity-partitioned, never a global sort
+    assert "Window" in plan, plan
+    assert "partitionBy" not in plan or "g#" in plan
+    # and no Python in the maintenance plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
