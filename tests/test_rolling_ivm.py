@@ -217,6 +217,65 @@ def test_rolling_ivm_untouched_entity_parts_not_rewritten(
     assert _maintained(spark, agg) == _direct(spark, src)
 
 
+def test_rolling_ivm_supports_every_batch_agg_kind(spark, tmp_path):
+    """The refresh re-uses the batch rolling operator verbatim, so
+    every AggSpec kind it supports over a moving frame (exact
+    count_distinct via collect_list, approx percentile) maintains
+    for free — pin that with a mixed-kind spec."""
+    from aligned_spark.operators.aggregate import (
+        AggSpec,
+        rolling_aggregate,
+    )
+    from aligned_spark.operators.incremental import (
+        RollingIncrementalAggregate,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    aggs = [
+        AggSpec("nd", "count_distinct", "x"),
+        AggSpec("p50", "percentile", "x", percentile=0.5, approx=True),
+        AggSpec("s", "sum", "x"),
+    ]
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            _mk_rows(
+                [
+                    (0, "a", 1, 1.0),
+                    (1, "a", 5, 2.0),
+                    (2, "a", 8, 2.0),
+                    (3, "a", 12, 3.0),
+                ]
+            )
+        ).coalesce(1)
+    )
+    agg = RollingIncrementalAggregate(
+        source=src,
+        target_path=str(tmp_path / "agg"),
+        row_keys=["k"],
+        group_keys=["g"],
+        ts_col="ts",
+        window_seconds=_W,
+        aggs=aggs,
+    )
+    agg.refresh(spark)
+    src.upsert(
+        spark.createDataFrame(_mk_rows([(1, "a", 6, 9.0)])),
+        keys=["k"],
+    )
+    src.delete_where(spark, F.col("k") == 2)
+    agg.refresh(spark)
+
+    def snap(df):
+        return {
+            r.k: (r.nd, r.p50, r.s) for r in df.collect()
+        }
+
+    assert snap(agg.read(spark)) == snap(
+        rolling_aggregate(src.read(spark), ["g"], "ts", _W, aggs)
+    )
+
+
 def test_rolling_ivm_distant_changes_split_into_islands(
     spark, tmp_path
 ):
