@@ -379,3 +379,99 @@ def test_unversioned_ambiguous_iceberg_offset_raises(
     # and every emitted offset is versioned
     assert rdr.initialOffset()["fmt"] == 2
     assert rdr.latestOffset()["fmt"] == 2
+
+
+def _run_once(spark, src, out: str, ckpt: str) -> None:
+    """One trigger-once micro-batch against a shared checkpoint —
+    every call is a FRESH query instance, so each batch boundary is
+    also a restart boundary (offset resume from the checkpoint)."""
+    q = (
+        src.read_stream(spark)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_iceberg_mid_split_checkpoint_restart_exactly_once(
+    spark, tmp_path
+):
+    """The subtlest r11 state machine: a {snapshot_id, cidx} offset
+    persisted MID-split must resume exactly where it stopped on a
+    fresh query instance. Drive the whole backlog with trigger-once
+    runs (restart at EVERY batch boundary) and pin exactly-once."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    log.write(spark.range(0, 1).coalesce(1).selectExpr("id"))
+    src = TableStreamSource(
+        path=tbl,
+        table_format="iceberg",
+        starting_snapshot_id="latest",
+        max_files_per_trigger=2,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_once(spark, src, out, ckpt)  # latest-start: tail only
+    # ONE oversized snapshot: 9 files, 2 per trigger -> 5 splits
+    log.write(
+        spark.range(1, 10)
+        .repartitionByRange(9, "id")
+        .selectExpr("id")
+    )
+    _run_once(spark, src, out, ckpt)
+    assert (
+        spark.read.schema("id long").parquet(out).count() == 2
+    ), "trigger-once must serve ONE split window, else no restart"
+    for _ in range(6):  # a couple of no-op tails are fine
+        _run_once(spark, src, out, ckpt)
+        got = spark.read.schema("id long").parquet(out)
+        assert got.count() == got.distinct().count(), (
+            "duplicate rows after a mid-split restart"
+        )
+    got = spark.read.schema("id long").parquet(out)
+    # latest-start serves only the appended snapshot's rows
+    assert sorted(r.id for r in got.collect()) == list(range(1, 10))
+
+
+def test_delta_mid_split_checkpoint_restart_exactly_once(
+    spark, tmp_path
+):
+    """Delta {version, cidx} twin of the mid-split restart pin."""
+    from aligned_spark.sources.delta_log import DeltaLog
+    from aligned_spark.streaming.sources import TableStreamSource
+
+    tbl = str(tmp_path / "d")
+    log = DeltaLog(tbl)
+    log.write(spark.range(0, 1).coalesce(1).selectExpr("id"))
+    src = TableStreamSource(
+        path=tbl,
+        table_format="delta",
+        starting_version="latest",
+        max_files_per_trigger=2,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_once(spark, src, out, ckpt)
+    log.write(
+        spark.range(1, 10)
+        .repartitionByRange(9, "id")
+        .selectExpr("id"),
+        "append",
+    )
+    _run_once(spark, src, out, ckpt)
+    assert (
+        spark.read.schema("id long").parquet(out).count() == 2
+    ), "trigger-once must serve ONE split window, else no restart"
+    for _ in range(6):
+        _run_once(spark, src, out, ckpt)
+        got = spark.read.schema("id long").parquet(out)
+        assert got.count() == got.distinct().count(), (
+            "duplicate rows after a mid-split restart"
+        )
+    got = spark.read.schema("id long").parquet(out)
+    # latest-start serves only the appended commit's rows
+    assert sorted(r.id for r in got.collect()) == list(range(1, 10))
