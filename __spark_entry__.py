@@ -594,6 +594,32 @@ def _embed_dot_product(spark, sf_dir):
     return out.select("vec_id", "norm_sq")
 
 
+_O_UNPACK = ", ".join(
+    f"CAST(embedding[{i + 1}] AS FLOAT) AS embedding_{i}"
+    for i in range(64)
+)
+
+
+@q(
+    "embed_unpack",
+    f"SELECT vec_id, {_O_UNPACK}, label FROM embeddings",
+)
+def _embed_unpack(spark, sf_dir):
+    """Embedding feature widening (`operators/core.py:
+    unpack_embeddings`; reference `UnpackEmbedding`,
+    aligned/retrieval_job.py:3297-3318 — polars list->struct
+    max-width + unnest): the 64-dim `array<float>` column becomes 64
+    scalar columns `embedding_0..embedding_63`, the classical-ML
+    feature shape. The width probes as ONE max(size) aggregate; the
+    unpack itself is a pure codegen element_at projection — no
+    explode, no UDF, no shuffle, a map-only pass at 100 TB. The
+    oracle replays the 1-based DuckDB list indexing."""
+    from aligned_spark.operators import core as ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops.unpack_embeddings(emb, ["embedding"])
+
+
 def _cosine_oracle(a: str, b: str) -> str:
     dot = (
         f"list_reduce(list_transform(generate_series(1, len({a})), "

@@ -127,6 +127,49 @@ def fill_missing_columns(
     return df.withColumns(additions) if additions else df
 
 
+def unpack_embeddings(
+    df: DataFrame,
+    columns: Mapping[str, int | None] | list[str],
+    prefix_sep: str = "_",
+) -> DataFrame:
+    """Widen embedding ``array`` columns into one scalar column per
+    dimension — ``emb`` → ``emb_0 .. emb_{d-1}`` — the classical-ML
+    feature-widening step (``UnpackEmbedding``,
+    ``retrieval_job.py:3297-3318``: polars list→struct with the
+    max-width strategy, then unnest).
+
+    ``columns`` maps column → dimension; a ``None`` (or list form)
+    probes ``max(size(col))`` in ONE aggregate over all unsized
+    columns. The unpack itself is a pure codegen projection
+    (``col[i]`` element_at per dimension — no explode, no UDF, no
+    shuffle), so it scales as a map-only pass; rows whose array is
+    shorter than the width project NULL for the missing tail, same
+    as the reference's max-width struct."""
+    if not isinstance(columns, Mapping):
+        columns = {c: None for c in columns}
+    unsized = [c for c, d in columns.items() if d is None]
+    widths = dict(columns)
+    if unsized:
+        row = df.agg(
+            *[
+                F.max(F.size(F.col(c))).alias(c)
+                for c in unsized
+            ]
+        ).first()
+        for c in unsized:
+            widths[c] = int(row[c] or 0)
+    out_cols: list[Column] = []
+    for name in df.columns:
+        if name in widths:
+            out_cols.extend(
+                F.col(name)[i].alias(f"{name}{prefix_sep}{i}")
+                for i in range(int(widths[name]))
+            )
+        else:
+            out_cols.append(F.col(name))
+    return df.select(*out_cols)
+
+
 def validate_entities(df: DataFrame, entities: list[str]) -> DataFrame:
     """Empty result when an entity column is missing
     (``ValidateEntitiesJob``, ``retrieval_job.py:2464-2484``) — a

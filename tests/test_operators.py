@@ -1473,3 +1473,34 @@ def test_resample_linear_hand_checked(spark):
     # grid ends at the last event (02:30 → last tick 02:00); nothing
     # past it — matches resample()'s span rule
     assert len(out) == 3
+
+
+def test_unpack_embeddings(spark):
+    """UnpackEmbedding parity (retrieval_job.py:3297-3318): array ->
+    one scalar column per dimension; max-width probe; short arrays
+    project NULL tails; explicit width truncates; non-array columns
+    pass through in place."""
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.core import unpack_embeddings
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, emb=[1.0, 2.0, 3.0], tag="a"),
+            Row(k=2, emb=[4.0, 5.0], tag="b"),
+        ]
+    )
+    out = unpack_embeddings(df, ["emb"])
+    assert out.columns == ["k", "emb_0", "emb_1", "emb_2", "tag"]
+    rows = {r.k: (r.emb_0, r.emb_1, r.emb_2) for r in out.collect()}
+    assert rows[1] == (1.0, 2.0, 3.0)
+    assert rows[2] == (4.0, 5.0, None)  # max-width NULL tail
+    # explicit width skips the probe and truncates
+    out2 = unpack_embeddings(df, {"emb": 2})
+    assert out2.columns == ["k", "emb_0", "emb_1", "tag"]
+    # plan: pure projection — no explode, no Python
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
