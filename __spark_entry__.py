@@ -9213,8 +9213,11 @@ _PRIORITY: list[str] = [
     "unique_rows_latest",
     "view_agg_plain",
     "view_derived_features",
-    # --- new in r11 ---
+    # --- new in r11 (embed_unpack takes the 50th slot; the last
+    #     alphabetical r7 row it displaces, profile_histogram, stays
+    #     r7-green and heads the r12 rotation with the other 18) ---
     "store_incremental_aggregate_rolling",
+    "embed_unpack",
     # --- r7 cohort: code paths touched this round ---
     "source_delta_cdf",
     "source_iceberg_cdf",
@@ -9248,7 +9251,6 @@ _PRIORITY: list[str] = [
     "join_range_binned",
     "multimodal_binary",
     "multimodal_image_pipeline",
-    "profile_histogram",
 ]
 
 
