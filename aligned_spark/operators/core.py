@@ -144,7 +144,13 @@ def unpack_embeddings(
     (``col[i]`` element_at per dimension — no explode, no UDF, no
     shuffle), so it scales as a map-only pass; rows whose array is
     shorter than the width project NULL for the missing tail, same
-    as the reference's max-width struct."""
+    as the reference's max-width struct.
+
+    A probed width of 0 (empty input, or every array NULL/empty)
+    raises instead of silently dropping the column: the output
+    schema must not be data-dependent — an empty incremental batch
+    would otherwise lose its feature columns. Pass the expected
+    dimension explicitly for inputs that can be empty."""
     if not isinstance(columns, Mapping):
         columns = {c: None for c in columns}
     unsized = [c for c, d in columns.items() if d is None]
@@ -157,7 +163,22 @@ def unpack_embeddings(
             ]
         ).first()
         for c in unsized:
-            widths[c] = int(row[c] or 0)
+            w = row[c]
+            # size(NULL) = -1, so all-NULL probes come back negative
+            if w is None or int(w) <= 0:
+                raise ValueError(
+                    f"unpack_embeddings: probed width of {c!r} is "
+                    f"{w} (empty input or all-NULL/empty arrays) — "
+                    "the output schema would become data-dependent; "
+                    "pass an explicit width for this column"
+                )
+            widths[c] = int(w)
+    for c, w in widths.items():
+        if int(w) <= 0:
+            raise ValueError(
+                f"unpack_embeddings: width {w} for {c!r} must be "
+                "positive (a zero width silently drops the column)"
+            )
     out_cols: list[Column] = []
     for name in df.columns:
         if name in widths:

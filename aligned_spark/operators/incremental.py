@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 #: maintained row-count column on the aggregate table
 COUNT_COL = "__n"
 
+#: CDC version columns (public Delta CDF names; iceberg slices carry
+#: the random ``_snapshot_id`` and gain a mapped ``_commit_version``)
+COMMIT_VERSION_COL = "_commit_version"
+SNAPSHOT_ID_COL = "_snapshot_id"
+
 
 def change_deltas(
     changes: DataFrame,
@@ -92,13 +97,144 @@ def change_deltas(
     return changes.groupBy(*group_keys).agg(*aggs)
 
 
+def _inner_source(source: Any) -> Any:
+    """Unwrap one source-adapter level (e.g. the window-bucketing
+    wrapper) to reach the format-bearing source."""
+    return getattr(source, "source", source)
+
+
+class _CursorDomain:
+    """Cursor-domain translation shared by the IVM classes.
+
+    Delta commit versions are already monotone, so every hook here is
+    the identity. Iceberg snapshot IDS are random
+    (``IcebergLog._snapshot_id`` draws 63 bits), so the ordered
+    replay guards (``vmax <= cursor``, batch skipping, the
+    continuation-slice disambiguation) key on the table's monotone
+    ``sequence-number`` instead (:meth:`IcebergLog.sequence_numbers`
+    — Iceberg v2's commit sequence, stamped by the engine's writer):
+    txn cursors STORE sequence numbers, base reads translate back to
+    snapshot ids at the boundary, and CDC slices gain a
+    ``_commit_version`` column mapped from ``_snapshot_id`` via a
+    broadcast of the (tiny) snapshot→sequence assignment. Aggregates
+    persisted before this change stored raw snapshot ids; those are
+    recognized on read (63-bit ids never collide with small sequence
+    numbers) and translated, so old aggregates keep refreshing."""
+
+    @property
+    def _iceberg(self) -> bool:
+        return (
+            type(_inner_source(self.source))
+            .__name__.lower()
+            .startswith("iceberg")
+        )
+
+    def _seq_maps(self) -> tuple[dict[int, int], dict[int, int]]:
+        """(snapshot_id→seq, seq→snapshot_id) — one driver-side
+        metadata read; snapshot counts are log-bounded."""
+        s2q = _inner_source(self.source).sequence_numbers()
+        return s2q, {q: s for s, q in s2q.items()}
+
+    def _cursor_seq(self, txn_val):
+        """Normalize a stored txn cursor into sequence domain
+        (legacy iceberg aggregates recorded the snapshot id)."""
+        if txn_val is None or not self._iceberg:
+            return txn_val
+        s2q, q2s = self._seq_maps()
+        if txn_val in q2s:
+            return txn_val
+        if txn_val in s2q:
+            return s2q[txn_val]  # pre-seq aggregate: translate
+        raise ValueError(
+            f"IVM cursor {txn_val} matches neither a sequence "
+            "number nor a live snapshot id of the base table "
+            "(snapshots expired under the cursor?) — rebuild the "
+            "aggregate"
+        )
+
+    def _current_cursor(self, spark: SparkSession):
+        """The base's current position in cursor domain (-1 = no
+        commits yet, both formats)."""
+        raw = self.source.version(spark)
+        if not self._iceberg or raw == -1:
+            return raw
+        return self._seq_maps()[0][raw]
+
+    def _raw_version(self, cursor):
+        """Cursor domain → the source's native version argument."""
+        if not self._iceberg or cursor == -1:
+            return cursor
+        _, q2s = self._seq_maps()
+        if cursor not in q2s:
+            raise ValueError(
+                f"no live snapshot at sequence number {cursor} "
+                "(expired?) — the IVM cursor cannot pin its base "
+                "read; rebuild the aggregate"
+            )
+        return q2s[cursor]
+
+    def _read_at(self, spark: SparkSession, cursor) -> DataFrame:
+        """Snapshot read pinned at a cursor (the two formats name
+        the parameter differently)."""
+        version = self._raw_version(cursor)
+        try:
+            return self.source.read(spark, version=version)
+        except TypeError:
+            return self.source.read(spark, snapshot_id=version)
+
+    def _read_changes(
+        self, spark: SparkSession, lo, hi
+    ) -> DataFrame:
+        """CDC slice ``(lo, hi]`` with cursor-domain bounds."""
+        return self.source.read_changes(
+            spark, self._raw_version(lo), self._raw_version(hi)
+        )
+
+    def _with_monotone_version(
+        self, changes: DataFrame
+    ) -> DataFrame:
+        """Attach the monotone ``_commit_version`` to an iceberg CDC
+        slice (which carries random ``_snapshot_id``s) — a broadcast
+        join against the snapshot→sequence map; delta slices (and
+        already-mapped slices) pass through. A snapshot id absent
+        from the map yields NULL, which the caller's probe rejects
+        (metadata expired mid-stream must fail loudly, not drop
+        slices)."""
+        if not self._iceberg or COMMIT_VERSION_COL in changes.columns:
+            return changes
+        s2q, _ = self._seq_maps()
+        mp = changes.sparkSession.createDataFrame(
+            [(int(s), int(q)) for s, q in s2q.items()],
+            f"{SNAPSHOT_ID_COL} long, {COMMIT_VERSION_COL} long",
+        )
+        return changes.join(
+            F.broadcast(mp), SNAPSHOT_ID_COL, "left"
+        )
+
+    def _stream_source(self, max_files_per_trigger: int | None):
+        """The CDF stream over the base table — format-aware."""
+        from aligned_spark.streaming.sources import TableStreamSource
+
+        inner = _inner_source(self.source)
+        return TableStreamSource(
+            path=getattr(self.source, "path", None)
+            or getattr(inner, "path", None)
+            or inner.table_path,
+            table_format="iceberg" if self._iceberg else "delta",
+            read_change_feed=True,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+
+
 @dataclass
-class IncrementalAggregate:
+class IncrementalAggregate(_CursorDomain):
     """A SUM/COUNT aggregate over a CDC-capable base table,
     maintained incrementally into its own Delta table.
 
     ``source`` must expose ``version()``/``read_changes()`` (Delta or
-    Iceberg source) and ``read()`` for the first full build."""
+    Iceberg source) and ``read()`` for the first full build. Cursors
+    live in the monotone domain :class:`_CursorDomain` defines —
+    delta commit versions as-is, iceberg sequence numbers."""
 
     source: Any
     target_path: str
@@ -145,10 +281,14 @@ class IncrementalAggregate:
         return DeltaLog(self.target_path, log_store=self.log_store)
 
     def last_applied(self) -> int | None:
-        """Base version/snapshot id the aggregate reflects (None
-        before the first refresh)."""
+        """Cursor-domain base position the aggregate reflects (None
+        before the first refresh): the delta commit version, or the
+        iceberg snapshot's sequence number (legacy snapshot-id
+        cursors are translated)."""
         log = self._target()
-        return log.txn_version(self.app_id) if log.exists() else None
+        return self._cursor_seq(
+            log.txn_version(self.app_id) if log.exists() else None
+        )
 
     def refresh(self, spark: SparkSession) -> int | None:
         """Advance the aggregate to the base table's current
@@ -156,7 +296,7 @@ class IncrementalAggregate:
         correct start); every later call touches only changed rows.
         Returns the new cursor, or None if already current."""
         cursor = self.last_applied()
-        current = self.source.version(spark)
+        current = self._current_cursor(spark)
         if cursor is not None:
             # crash recovery: the main table commits BEFORE the
             # distinct aux tables, so an aux may lag one slice —
@@ -203,7 +343,7 @@ class IncrementalAggregate:
         # version() belong to the NEXT refresh
         self._apply_slice(
             spark,
-            self.source.read_changes(spark, cursor, current),
+            self._read_changes(spark, cursor, current),
             pin=current,
             txn_version=current,
         )
@@ -257,7 +397,9 @@ class IncrementalAggregate:
 
         Returns the new cursor, or None for an empty/replayed
         slice."""
-        changes = self._transform_slice(changes)
+        changes = self._with_monotone_version(
+            self._transform_slice(changes)
+        )
         log = self._target()
         bcur = (
             log.txn_version(self._batch_app())
@@ -283,13 +425,25 @@ class IncrementalAggregate:
         ins = F.col("_change_type").isin(
             "insert", "update_postimage"
         )
-        # ONE pass computes both driver-side facts the guards below
+        # ONE pass computes every driver-side fact the guards below
         # need (r10 ran the non-insert test as a separate filter+
-        # isEmpty job per slice — r11 VERDICT task 2)
+        # isEmpty job per slice — r11 VERDICT task 2); "unk" flags an
+        # iceberg snapshot id the sequence map couldn't order —
+        # silently treating those rows as absent would drop slices
         row = changes.agg(
-            F.max("_commit_version").alias("v"),
+            F.max(COMMIT_VERSION_COL).alias("v"),
             F.max((~ins).cast("int")).alias("noni"),
+            F.max(
+                F.col(COMMIT_VERSION_COL).isNull().cast("int")
+            ).alias("unk"),
         ).first()
+        if row["unk"]:
+            raise ValueError(
+                "CDC slice carries snapshot ids absent from the "
+                "base's snapshot->sequence map (snapshots expired "
+                "mid-stream?) — the exactly-once cursor cannot "
+                "order this slice"
+            )
         vmax = row["v"]
         if vmax is None:
             return None  # empty micro-batch
@@ -450,7 +604,9 @@ class IncrementalAggregate:
                 (f"{app}.batch", batch_id),
             ]
         else:
-            last = aux.txn_version(app) if aux.exists() else None
+            last = self._cursor_seq(
+                aux.txn_version(app) if aux.exists() else None
+            )
             if last is not None and txn_version <= last:
                 return  # replay — already folded in
             txns = (app, txn_version)
@@ -511,7 +667,9 @@ class IncrementalAggregate:
         for c in self.distincts:
             aux = self._aux_log(c)
             app = self._aux_app(c)
-            last = aux.txn_version(app) if aux.exists() else None
+            last = self._cursor_seq(
+                aux.txn_version(app) if aux.exists() else None
+            )
             if last is not None and last >= main_cursor:
                 continue
             if last is None and changes is None:
@@ -530,9 +688,7 @@ class IncrementalAggregate:
             slice_df = (
                 changes
                 if changes is not None
-                else self.source.read_changes(
-                    spark, last, main_cursor
-                )
+                else self._read_changes(spark, last, main_cursor)
             )
             trans = self._aux_transitions(spark, c, slice_df)
             self._commit_aux(spark, c, trans, main_cursor)
@@ -854,14 +1010,6 @@ class IncrementalAggregate:
             )
         )
 
-    def _read_at(self, spark: SparkSession, version) -> DataFrame:
-        """Snapshot read pinned at a version/snapshot id (the two
-        formats name the parameter differently)."""
-        try:
-            return self.source.read(spark, version=version)
-        except TypeError:
-            return self.source.read(spark, snapshot_id=version)
-
     def _reject_null_keys(self, grouped: DataFrame) -> None:
         """NULL group keys never match under SQL MERGE semantics
         (upstream Delta behaves identically), so maintaining them
@@ -897,31 +1045,11 @@ class IncrementalAggregate:
         doubles as the aggregate's bootstrap full build; the
         checkpoint + txn cursor make restarts exactly-once.
 
-        Delta bases only: the exactly-once cursor is the slice's max
-        ``_commit_version`` (monotone); iceberg snapshot IDS are
-        random, so a streamed iceberg feed has no monotone cursor —
-        keep iceberg aggregates fresh with polled :meth:`refresh`,
-        whose cursor is the snapshot POSITION."""
-        from aligned_spark.streaming.sources import TableStreamSource
-
-        # unwrap adapters (e.g. the window-bucketing source) for the
-        # format check and the stream path
-        inner = getattr(self.source, "source", self.source)
-        if type(inner).__name__.lower().startswith("iceberg"):
-            raise ValueError(
-                "maintain_continuously requires a Delta base "
-                "(monotone commit versions for the exactly-once "
-                "cursor); for Iceberg, poll refresh() — its cursor "
-                "is the snapshot position"
-            )
-        src = TableStreamSource(
-            path=getattr(self.source, "path", None)
-            or getattr(inner, "path", None)
-            or inner.table_path,
-            table_format="delta",
-            read_change_feed=True,
-            max_files_per_trigger=max_files_per_trigger,
-        )
+        Both formats: the exactly-once cursor is the slice's max
+        ``_commit_version`` — the delta commit version as-is, or for
+        an iceberg base the monotone SEQUENCE NUMBER the slice's
+        random ``_snapshot_id``s map to (:class:`_CursorDomain`)."""
+        src = self._stream_source(max_files_per_trigger)
         return (
             src.read_stream(spark)
             .writeStream.foreachBatch(
@@ -1101,7 +1229,7 @@ LIVE_COL = "__live"
 
 
 @dataclass
-class RollingIncrementalAggregate:
+class RollingIncrementalAggregate(_CursorDomain):
     """PER-ROW rolling-window view maintenance — the reference's
     rolling ``over(days=...)`` regime (aligned/local/job.py:97-166,
     Polars ``rolling``), which it keeps fresh only by full
@@ -1112,7 +1240,25 @@ class RollingIncrementalAggregate:
     (inclusive) frame ending at its own event time — exactly
     :func:`aligned_spark.operators.aggregate.rolling_aggregate`,
     which the refresh re-uses verbatim so batch and maintained
-    results cannot drift.
+    results cannot drift. Boundary note: that frame is CLOSED on
+    both ends (Spark ``rangeBetween(-w, 0)``, matching this repo's
+    batch operator and the DuckDB oracle); the reference's polars
+    rolling default is ``closed='right'`` — half-open ``(ts-w, ts]``
+    — so a row exactly ``w`` before another is included here but
+    excluded there. Internal batch/maintained/oracle parity holds;
+    only the exact-reference claim diverges at that one boundary.
+
+    SINGLE MAINTAINER REQUIRED: poll :meth:`refresh` and a running
+    :meth:`maintain_continuously` stream use interchangeable
+    cursors, but must not run CONCURRENTLY — a refresh that pins an
+    older base version while the stream applies a newer slice could
+    merge stale span recomputes over newer rows (the stream's
+    checkpoint has already consumed those commits, so they would
+    never be re-applied). :meth:`_apply_slice` re-checks the target
+    cursor immediately before its MERGE and skips when another
+    maintainer has already advanced past the slice's pin — a
+    best-effort guard, not a substitute for single-writer
+    deployment.
 
     Maintenance exploits window locality: a change at time ``t``
     can only move the aggregate of SAME-ENTITY rows with ts in
@@ -1154,10 +1300,13 @@ class RollingIncrementalAggregate:
     def __post_init__(self) -> None:
         if self.window_seconds <= 0:
             raise ValueError("window_seconds must be positive")
-        reserved = {LIVE_COL, *(a.name for a in self.aggs)}
-        clash = reserved & set(self.row_keys) | reserved & set(
-            self.group_keys
-        )
+        # the span-frame working columns are reserved too: an agg
+        # named __lo/__hi would be silently dropped with the frame,
+        # one named __live would collide with the tombstone flag
+        internal = {LIVE_COL, "__lo", "__hi"}
+        names = {a.name for a in self.aggs}
+        keys = set(self.row_keys) | set(self.group_keys) | {self.ts_col}
+        clash = ((names | internal) & keys) | (names & internal)
         if clash:
             raise ValueError(f"reserved column clash: {sorted(clash)}")
 
@@ -1169,19 +1318,25 @@ class RollingIncrementalAggregate:
 
     def last_applied(self) -> int | None:
         log = self._target()
-        return log.txn_version(self.app_id) if log.exists() else None
-
-    def _read_at(self, spark: SparkSession, version) -> DataFrame:
-        try:
-            return self.source.read(spark, version=version)
-        except TypeError:
-            return self.source.read(spark, snapshot_id=version)
+        return self._cursor_seq(
+            log.txn_version(self.app_id) if log.exists() else None
+        )
 
     def _rolling(self, df: DataFrame) -> DataFrame:
         from aligned_spark.operators.aggregate import (
             rolling_aggregate,
         )
 
+        # an agg named like a BASE column would silently overwrite
+        # it in the maintained view (rolling_aggregate withColumns
+        # over the frame) — only detectable once a frame exists
+        bad = {a.name for a in self.aggs} & (
+            set(df.columns) - {"__lo", "__hi"}
+        )
+        if bad:
+            raise ValueError(
+                f"agg names collide with base columns: {sorted(bad)}"
+            )
         return rolling_aggregate(
             df,
             self.group_keys,
@@ -1196,7 +1351,7 @@ class RollingIncrementalAggregate:
         calls recompute only the touched spans. Returns the new
         cursor, or None when already current / the slice is empty."""
         cursor = self.last_applied()
-        current = self.source.version(spark)
+        current = self._current_cursor(spark)
         if cursor is not None and cursor == current:
             return None
         log = self._target()
@@ -1206,7 +1361,7 @@ class RollingIncrementalAggregate:
             ).withColumn(LIVE_COL, F.lit(True))
             log.write(full, "append", txn=(self.app_id, current))
             return current
-        changes = self.source.read_changes(spark, cursor, current)
+        changes = self._read_changes(spark, cursor, current)
         self._apply_slice(spark, changes, pin=current)
         return current
 
@@ -1235,36 +1390,59 @@ class RollingIncrementalAggregate:
         default-start stream bootstraps the view: its spans cover
         the whole snapshot, so the span recompute IS the full build.
 
+        Because slices are idempotent, a STALE batch id alone never
+        skips NEW data: after a checkpoint reset the stream's batch
+        ids restart at 0 while the target's batch txn keeps the old
+        high watermark — the guard falls through to the version
+        comparison, so a reset-checkpoint slice carrying a newer
+        ``vmax`` still applies (the view must not stall in
+        streaming-only deployments) while a true replay (``vmax``
+        already covered) no-ops.
+
         Returns the new cursor, or None for an empty/skipped
         slice."""
+        changes = self._with_monotone_version(changes)
         log = self._target()
         bcur = (
             log.txn_version(self._batch_app())
             if batch_id is not None and log.exists()
             else None
         )
-        if (
+        stale_batch = (
             batch_id is not None
             and bcur is not None
             and batch_id <= bcur
-        ):
-            return None  # checkpoint replay of a committed batch
+        )
         row = changes.agg(
-            F.max("_commit_version").alias("v")
+            F.max(COMMIT_VERSION_COL).alias("v"),
+            F.max(
+                F.col(COMMIT_VERSION_COL).isNull().cast("int")
+            ).alias("unk"),
         ).first()
+        if row["unk"]:
+            raise ValueError(
+                "CDC slice carries snapshot ids absent from the "
+                "base's snapshot->sequence map (snapshots expired "
+                "mid-stream?) — the exactly-once cursor cannot "
+                "order this slice"
+            )
         if row["v"] is None:
             return None  # empty micro-batch
         vmax = int(row["v"])
         cursor = self.last_applied()
         if cursor is not None and vmax < cursor:
             return None  # refresh() already covered this slice
+        if stale_batch and cursor is not None and vmax <= cursor:
+            return None  # checkpoint replay of a committed batch
         if batch_id is None and cursor is not None and vmax == cursor:
             return None  # poll replay of the committed version
         txns: Any = (self.app_id, vmax)
         if batch_id is not None:
+            # keep the batch txn monotone even when a reset
+            # checkpoint's small ids apply through the version path
             txns = [
                 (self.app_id, vmax),
-                (self._batch_app(), batch_id),
+                (self._batch_app(), max(batch_id, bcur or 0)),
             ]
         self._apply_slice(spark, changes, pin=vmax, txns=txns)
         return vmax
@@ -1277,26 +1455,13 @@ class RollingIncrementalAggregate:
     ):
         """Commit log → ``readChangeFeed`` stream → ``foreachBatch``
         → :meth:`apply_changes`; returns the started
-        ``StreamingQuery``. Delta bases only — same monotone-cursor
+        ``StreamingQuery``. Both formats — same monotone-cursor
         contract as :meth:`IncrementalAggregate.
-        maintain_continuously` (iceberg snapshot ids are random;
-        poll :meth:`refresh` there)."""
-        from aligned_spark.streaming.sources import TableStreamSource
-
-        if type(self.source).__name__.lower().startswith("iceberg"):
-            raise ValueError(
-                "maintain_continuously requires a Delta base "
-                "(monotone commit versions for the cursor); for "
-                "Iceberg, poll refresh() — its cursor is the "
-                "snapshot position"
-            )
-        src = TableStreamSource(
-            path=getattr(self.source, "path", None)
-            or self.source.table_path,
-            table_format="delta",
-            read_change_feed=True,
-            max_files_per_trigger=max_files_per_trigger,
-        )
+        maintain_continuously` (iceberg slices order on the
+        sequence number their ``_snapshot_id``s map to). Do not run
+        a poll :meth:`refresh` concurrently — see the class
+        docstring's single-maintainer requirement."""
+        src = self._stream_source(max_files_per_trigger)
         return (
             src.read_stream(spark)
             .writeStream.foreachBatch(
@@ -1465,6 +1630,16 @@ class RollingIncrementalAggregate:
                 dead = dead.withColumn(LIVE_COL, F.lit(False))
                 rec = rec.unionByName(dead)
             log = self._target()
+            # best-effort concurrent-maintainer guard (class
+            # docstring): if another maintainer advanced the target
+            # PAST this slice's pin while we recomputed, our span
+            # rows are stale — merging would regress rows whose
+            # commits the other maintainer's checkpoint has already
+            # consumed (never re-applied). Re-check at the last
+            # moment and skip; single-writer remains the contract.
+            latest = self.last_applied()
+            if latest is not None and latest > int(pin):
+                return
             log.merge_upsert(
                 rec,
                 self.row_keys,

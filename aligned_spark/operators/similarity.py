@@ -949,6 +949,122 @@ def pq_encode(
     )
 
 
+def pq_topk_int(
+    queries: DataFrame,
+    codes: DataFrame,
+    id_col: str,
+    vector_col: str,
+    codebooks,
+    k: int = 10,
+    scale: float = 1e9,
+) -> DataFrame:
+    """Pure-ADC top-k with ORDER-INDEPENDENT integer accumulation —
+    the exactly-replayable twin of :func:`pq_topk` (no refine).
+
+    :func:`pq_topk` sums float LUT entries in numpy axis order, so an
+    independent replayer (the DuckDB oracle) summing the same entries
+    in a different order can drift by ulps and flip near-tied ranks.
+    Here every LUT entry quantizes to ``floor(sd * scale)`` as int64
+    FIRST (the repo's scaled-integer-accumulation discipline — same
+    trick as dHash/EWMA/PCA replay), and the per-row distance is a
+    SUM of 16 int64s — exact and order-free, so any engine computing
+    the same doubles reproduces the identical ranking. The doubles
+    themselves are deterministic: query normalization and each
+    sub-distance accumulate in explicit left-fold array order
+    (driver-side python over the bounded query set — C doubles,
+    bit-identical to DuckDB's ``list_reduce`` left fold, the
+    established oracle-parity pattern of :func:`cosine_double`).
+
+    Scoring keeps :func:`pq_topk`'s scale shape: each Arrow batch
+    emits only its LOCAL top-k per query (total-ordered by
+    ``(pq_dist, id)`` — with integer distances ties are COMMON, so
+    the batch pre-reduction must honor the id tie-break, unlike the
+    float path where argpartition's arbitrary tie handling is
+    harmless), then a global window ranks the tiny survivor set.
+    Returns ``(query_id, id, pq_dist, rank)`` with ``pq_dist`` the
+    scaled integer distance, rank 1..k by (pq_dist asc, id asc).
+
+    Rank parity with :func:`pq_topk` holds wherever two candidates'
+    true distances differ by more than 1/scale — at the default 1e9
+    the quantization error is ~1e-9 on O(1) normalized distances,
+    far below codebook geometry; rows with IDENTICAL codes tie
+    exactly and break by id in both."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    books = [
+        [[float(x) for x in cw] for cw in book] for book in codebooks
+    ]
+    m = len(books)
+    kc = len(books[0])
+    dsub = len(books[0][0])
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vector_col).alias("qv")
+    ).collect()  # bounded query set — same convention as pq_topk
+    qids = [int(r["qid"]) for r in qrows]
+    nq = len(qids)
+    tables = np.zeros((nq, m, kc), dtype=np.int64)
+    for qi, r in enumerate(qrows):
+        raw = [float(v) for v in r["qv"]]
+        acc = 0.0
+        for v in raw:  # left fold, array order
+            acc += v * v
+        n = math.sqrt(acc)
+        if n == 0.0:
+            n = 1.0
+        qv = [v / n for v in raw]
+        for mi in range(m):
+            sub = qv[mi * dsub : (mi + 1) * dsub]
+            for j in range(kc):
+                cent = books[mi][j]
+                sd = 0.0
+                for d in range(dsub):  # left fold, array order
+                    diff = sub[d] - cent[d]
+                    sd += diff * diff
+                tables[qi, mi, j] = int(math.floor(sd * scale))
+
+    spark = queries.sparkSession
+    out_schema = "qix int, id long, pq_dist long"
+
+    def _scan(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            c = np.asarray(list(pdf["__pq_code"]), dtype=np.int64)
+            dist = np.zeros((nq, len(ids)), dtype=np.int64)
+            for mi in range(m):
+                dist += tables[:, mi, :][:, c[:, mi]]
+            kk = min(k, len(ids))
+            # total order (dist, id): a discarded row is STRICTLY
+            # worse than every kept row, so the global rank can
+            # never need it — even through integer ties
+            res_q, res_i, res_d = [], [], []
+            for qi in range(nq):
+                o = np.lexsort((ids, dist[qi]))[:kk]
+                res_q.extend([qi] * len(o))
+                res_i.extend(ids[o])
+                res_d.extend(dist[qi][o])
+            yield pd.DataFrame(
+                {"qix": res_q, "id": res_i, "pq_dist": res_d}
+            )
+
+    cand = codes.mapInPandas(_scan, out_schema)
+    qmap = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)],
+        "qix int, query_id long",
+    )
+    w = W.partitionBy("qix").orderBy(
+        F.col("pq_dist").asc(), F.col("id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(qmap), "qix")
+        .select("query_id", "id", "pq_dist", "rank")
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     codes: DataFrame,

@@ -222,6 +222,13 @@ class IcebergSource(WritableSource):
         ids = self._log().snapshot_ids()
         return ids[-1] if ids else -1
 
+    def sequence_numbers(self) -> dict[int, int]:
+        """``snapshot_id -> sequence-number``: the monotone commit
+        order random snapshot ids lack — what continuous IVM keys
+        its exactly-once cursor on (:meth:`IcebergLog.
+        sequence_numbers`)."""
+        return self._log().sequence_numbers()
+
     def read_changes(
         self,
         spark: SparkSession,

@@ -667,8 +667,22 @@ class IcebergLog:
         sid = self._snapshot_id()
         ml = self._write_manifest_list(sid, manifests)
         now = int(time.time() * 1000)
+        # monotone commit sequence (Iceberg v2's `sequence-number` /
+        # `last-sequence-number`, spec §Table Metadata): snapshot IDS
+        # are random, so any consumer needing an ORDERED replay
+        # cursor (continuous IVM exactly-once, stream admission) keys
+        # on this instead. Pre-r12 snapshots lack the field and fall
+        # back to list position (see :meth:`sequence_numbers`), which
+        # the `len(snapshots)` base below continues seamlessly.
+        last_seq = md.get("last-sequence-number")
+        seq = (
+            int(last_seq)
+            if last_seq is not None
+            else len(md.get("snapshots", []))
+        ) + 1
         snap = {
             "snapshot-id": sid,
+            "sequence-number": seq,
             "timestamp-ms": now,
             "manifest-list": ml,
             "summary": {"operation": operation, **(summary_extra or {})},
@@ -683,6 +697,7 @@ class IcebergLog:
         new_md = dict(md)
         new_md["last-updated-ms"] = now
         new_md["current-snapshot-id"] = sid
+        new_md["last-sequence-number"] = seq
         new_md["snapshots"] = [*md.get("snapshots", []), snap]
         # persist the idempotent-writer watermark in table PROPERTIES
         # too: snapshot summaries die with expire_snapshots, and a
@@ -1188,6 +1203,23 @@ class IcebergLog:
         md = self.current_metadata()
         return [s["snapshot-id"] for s in md.get("snapshots", [])]
 
+    def sequence_numbers(self) -> dict[int, int]:
+        """``snapshot_id -> sequence-number``: the MONOTONE commit
+        cursor random snapshot ids can't provide (continuous IVM's
+        exactly-once replay guard orders on it). Snapshots committed
+        since the field landed carry it in metadata; older ones fall
+        back to their list POSITION — identical as long as no
+        :meth:`expire_snapshots` removed earlier entries before the
+        first stamped commit (engine tables stamp from creation)."""
+        md = self.current_metadata()
+        out: dict[int, int] = {}
+        for i, s in enumerate(md.get("snapshots", [])):
+            seq = s.get("sequence-number")
+            out[int(s["snapshot-id"])] = (
+                int(seq) if seq is not None else i + 1
+            )
+        return out
+
     # ------------------------------------------------------- writing
 
     def _entries(
@@ -1508,12 +1540,31 @@ class IcebergLog:
         keyed on the ``merge-keys`` the MERGE snapshot summary
         recorded, else whole-row (shared machinery:
         :mod:`aligned_spark.sources.cdc`). Cost per rewrite snapshot
-        is a join over only its touched parts."""
+        is a join over only its touched parts.
+
+        Bounds accept either domain: a snapshot id, or its monotone
+        SEQUENCE NUMBER (:meth:`sequence_numbers` — what the IVM
+        cursors store). The domains cannot collide: snapshot ids are
+        63-bit random draws, sequence numbers count from 1."""
         from aligned_spark.sources.cdc import diff_rewrite, tag_changes
 
         ids = self.snapshot_ids()
-        if from_snapshot_id not in ids:
-            raise ValueError(f"unknown snapshot id {from_snapshot_id}")
+        if from_snapshot_id not in ids or (
+            to_snapshot_id is not None and to_snapshot_id not in ids
+        ):
+            q2s = {q: s for s, q in self.sequence_numbers().items()}
+            if from_snapshot_id not in ids:
+                if from_snapshot_id not in q2s:
+                    raise ValueError(
+                        f"unknown snapshot id {from_snapshot_id}"
+                    )
+                from_snapshot_id = q2s[from_snapshot_id]
+            if to_snapshot_id is not None and to_snapshot_id not in ids:
+                if to_snapshot_id not in q2s:
+                    raise ValueError(
+                        f"unknown snapshot id {to_snapshot_id}"
+                    )
+                to_snapshot_id = q2s[to_snapshot_id]
         to = ids[-1] if to_snapshot_id is None else to_snapshot_id
         lo, hi = ids.index(from_snapshot_id), ids.index(to)
         if lo > hi:

@@ -226,6 +226,23 @@ def contention_bound(prev_sec: float, drift: float | None) -> float:
     return 2.0 * prev_sec * max(drift or 1.0, 1.0)
 
 
+def norm_vs_prev(
+    sec: float, prev_sec: float | None, drift: float | None
+) -> float | None:
+    """Drift-NORMALIZED cross-round ratio: ``min / (prev_min x
+    drift)`` (r11 verdict task 5). ~=1.0 means no real movement —
+    the raw ratio the judge used to divide by drift manually now
+    ships pre-divided, so sustained box load can't masquerade as a
+    per-query regression (r11's CDF family read 1.4-1.7x raw and
+    ~=1.0 normalized). Unlike the contention bound, drift is NOT
+    floored: a faster box must also normalize, or real regressions
+    hide behind it. None when no comparable previous number
+    exists."""
+    if not prev_sec or prev_sec <= 0 or sec is None:
+        return None
+    return round(sec / (prev_sec * (drift or 1.0)), 2)
+
+
 def _force(df) -> None:
     """Force full computation of every output column.
 
@@ -336,6 +353,23 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    # normalized HEADLINE over the query intersection with last round
+    # (new queries would otherwise read as a fleet-wide regression)
+    common = [n for n in timings if n in prev]
+    norm_headline = (
+        norm_vs_prev(
+            sum(timings[n] for n in common),
+            sum(prev[n] for n in common),
+            drift,
+        )
+        if common
+        else None
+    )
+    norms = {
+        n: norm_vs_prev(timings[n], prev.get(n), drift)
+        for n in timings
+        if n in prev
+    }
     # Verbose archival record (all three per-run samples, so the file
     # shows the contention spread alongside the steady-state min).
     # This line outgrew the driver's 2000-char tail capture in round 4
@@ -350,6 +384,8 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "calibration": calibration,
+                "norm_vs_prev": norms,
+                "norm_headline": norm_headline,
                 "sf": float(sf),
             }
         )
@@ -364,6 +400,7 @@ def main() -> None:
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     compact: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    cnorms: dict[str, float] = {}
     base = {
         "metric": "headline_total",
         "value": total,
@@ -372,20 +409,31 @@ def main() -> None:
         "n_queries": len(timings),
         "calibration": calibration,
         "calibration_drift": drift,
+        "norm_headline": norm_headline,
         "contended": contended,
     }
     for name, sec in slowest:
         spr = round(max(runs[name]) / max(min(runs[name]), 1e-9), 2)
+        nrm = norms.get(name)
         trial = dict(
             base,
             queries=dict(compact, **{name: round(sec, 2)}),
             spread=dict(spreads, **{name: spr}),
+            norm=dict(
+                cnorms, **({name: nrm} if nrm is not None else {})
+            ),
         )
         if len(json.dumps(trial)) > 1500:
             break
         compact[name] = round(sec, 2)
         spreads[name] = spr
-    print(json.dumps(dict(base, queries=compact, spread=spreads)))
+        if nrm is not None:
+            cnorms[name] = nrm
+    print(
+        json.dumps(
+            dict(base, queries=compact, spread=spreads, norm=cnorms)
+        )
+    )
     spark.stop()
 
 

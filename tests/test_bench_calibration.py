@@ -87,3 +87,20 @@ def test_previous_bench_ignores_other_sf_and_corrupt(
         "queries": {"q_a": 1.0},
         "cal_min": None,
     }
+
+
+def test_norm_vs_prev_arithmetic(tmp_path):
+    """r11 verdict task 5: the compact line ships pre-divided
+    drift-normalized ratios so false movers never reach a verdict."""
+    b = _load_bench(tmp_path)
+    # the r11 shape: raw 1.4x on a 1.4x-slower box -> normalized 1.0
+    assert b.norm_vs_prev(7.0, 5.0, 1.4) == 1.0
+    # a REAL 2x regression survives normalization
+    assert b.norm_vs_prev(14.0, 5.0, 1.4) == 2.0
+    # a FASTER box is normalized too (drift not floored): matching
+    # raw times on a 0.8x box is a real 1.25x slowdown
+    assert b.norm_vs_prev(4.0, 4.0, 0.8) == 1.25
+    # missing baseline / drift -> graceful
+    assert b.norm_vs_prev(4.0, None, 1.2) is None
+    assert b.norm_vs_prev(4.0, 0.0, 1.2) is None
+    assert b.norm_vs_prev(4.0, 2.0, None) == 2.0
