@@ -4301,15 +4301,96 @@ def _vector_index_ivf_deletes(spark, sf_dir):
     )
 
 
-@q("vector_index_ivf_probe")  # pruned probing — approximate, rows-only
+#: artifact root the PRUNED-index oracles read back (r11 verdict task
+#: 4): the spark query persists its index (centroids/assignment —
+#: KMeans output no SQL can re-derive) immediately before the driver
+#: runs the paired oracle, which then replays probe selection and
+#: ranking INDEPENDENTLY from those artifacts + the embeddings view.
+#: Index CONSTRUCTION stays pinned by the exact-path twins
+#: (`vector_index_ivf` / `vector_index_pq` degrade to brute force).
+_ORACLE_ART = "/tmp/aligned_spark_oracle"
+
+
+@q(
+    "vector_index_ivf_probe",
+    f"""WITH cents AS (
+         SELECT cluster, cent
+         FROM '{_ORACLE_ART}/ivf_probe/centroids/*.parquet'
+       ),
+       asgn AS (
+         SELECT vec_id, cluster
+         FROM '{_ORACLE_ART}/ivf_probe/assigned/*.parquet'
+       ),
+       q AS (
+         SELECT vec_id AS query_id, embedding
+         FROM embeddings WHERE vec_id < 10
+       ),
+       probes AS (
+         SELECT query_id, cluster FROM (
+           SELECT q.query_id, c.cluster,
+                  row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY {_cosine_oracle('q.embedding', 'c.cent')}
+                      DESC, c.cluster
+                  ) AS pk
+           FROM q CROSS JOIN cents c
+         ) WHERE pk <= 3
+       ),
+       pairs AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id,
+                {_cosine_oracle('qe.embedding', 'ce.embedding')} AS raw_sim
+         FROM probes p
+         JOIN asgn a ON a.cluster = p.cluster
+         JOIN embeddings ce ON ce.vec_id = a.vec_id
+         JOIN embeddings qe ON qe.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id, raw_sim,
+                row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY raw_sim DESC, neighbor_id
+                ) AS rk
+         FROM pairs
+       )
+       SELECT query_id, neighbor_id,
+              {_O_R6.format(c='raw_sim')} AS sim
+       FROM ranked WHERE rk <= 5""",
+)
 def _vector_index_ivf_probe(spark, sf_dir):
-    from aligned_spark.operators.similarity import ivf_topk
+    """PRUNED IVF probing (nprobe=3 of 8) — promoted from rows-only
+    to full oracle (r11 verdict task 4): probe selection (exact
+    centroid cosines, 3 highest, ties by cluster id) and
+    within-cluster ranking are deterministic GIVEN the persisted
+    index, so the oracle reads the centroids/assignment back as
+    parquet and replays both stages independently. Hash parity rides
+    the proven `cosine_double` <-> `_cosine_oracle` left-fold
+    bit-identity; construction stays pinned by `vector_index_ivf`
+    (full probe == brute force)."""
+    from aligned_spark.operators.similarity import ivf_assign, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q_side = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
-    return ivf_topk(
-        q_side, emb, "vec_id", "embedding",
-        k=5, num_centroids=8, nprobe=3, seed=42,
+    corpus = emb.select("vec_id", "embedding")
+    assigned, centers = ivf_assign(
+        corpus, "embedding", num_centroids=8, seed=42
+    )
+    root = f"{_ORACLE_ART}/ivf_probe"
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cluster int, cent array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+    assigned.select(
+        "vec_id", F.col("__ivf_cluster").alias("cluster")
+    ).write.mode("overwrite").parquet(f"{root}/assigned")
+    q_side = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", "embedding"
+    )
+    out = ivf_topk(
+        q_side, corpus, "vec_id", "embedding",
+        k=5, nprobe=3, assigned=assigned, centers=centers,
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("sim")).alias("sim")
     )
 
 
@@ -4360,19 +4441,96 @@ def _vector_index_pq(spark, sf_dir):
     )
 
 
-@q("vector_index_pq_adc")  # pure ADC over codes — approximate, rows-only
+@q(
+    "vector_index_pq_adc",
+    f"""WITH books AS (
+         SELECT m, j, cent
+         FROM '{_ORACLE_ART}/pq_adc/books/*.parquet'
+       ),
+       codes AS (
+         SELECT id, __pq_code AS code
+         FROM '{_ORACLE_ART}/pq_adc/codes/*.parquet'
+       ),
+       qn0 AS (
+         SELECT vec_id AS query_id, embedding,
+                sqrt(list_reduce(list_transform(
+                  generate_series(1, len(embedding)),
+                  i -> CAST(embedding[i] AS DOUBLE)
+                       * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+         FROM embeddings WHERE vec_id < 10
+       ),
+       qn AS (
+         SELECT query_id,
+                list_transform(
+                  embedding, v -> CAST(v AS DOUBLE) / nrm
+                ) AS qv
+         FROM qn0
+       ),
+       lut AS (
+         SELECT q.query_id, b.m, b.j,
+                CAST(floor(list_reduce(list_transform(
+                  generate_series(1, 4),
+                  d -> (q.qv[b.m * 4 + d] - b.cent[d])
+                       * (q.qv[b.m * 4 + d] - b.cent[d])),
+                  (x, y) -> x + y) * 1000000000.0) AS BIGINT) AS li
+         FROM qn q CROSS JOIN books b
+       ),
+       cexp AS (
+         SELECT id, g.mi - 1 AS m, code[g.mi] AS j
+         FROM codes CROSS JOIN generate_series(1, 16) AS g(mi)
+       ),
+       dist AS (
+         SELECT l.query_id, c.id, SUM(l.li) AS pq_dist
+         FROM cexp c JOIN lut l ON l.m = c.m AND l.j = c.j
+         GROUP BY l.query_id, c.id
+       )
+       SELECT query_id, id, CAST(pq_dist AS BIGINT) AS pq_dist,
+              CAST(rk AS INT) AS rank
+       FROM (
+         SELECT query_id, id, pq_dist,
+                row_number() OVER (
+                  PARTITION BY query_id ORDER BY pq_dist, id
+                ) AS rk
+         FROM dist
+       ) WHERE rk <= 5""",
+)
 def _vector_index_pq_adc(spark, sf_dir):
+    """Pure ADC over 16x-smaller codes — promoted from rows-only to
+    full oracle (r11 verdict task 4) via the scaled-integer
+    discipline: every (query, subspace, codeword) LUT entry
+    quantizes to ``floor(sd * 1e9)`` int64 (the sub-distance doubles
+    are left-fold deterministic, so DuckDB reproduces them
+    bit-exactly), and per-row distances are order-free int64 sums —
+    `pq_topk_int`. The oracle reads the persisted codebooks + codes
+    back as parquet and replays LUT construction + ADC ranking
+    independently; codebook/encoding construction stays pinned by
+    `vector_index_pq` (corpus-covering shortlist == brute force)."""
     from aligned_spark.operators.similarity import (
         pq_encode,
-        pq_topk,
+        pq_topk_int,
         pq_train,
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = pq_train(emb, "embedding", m=16, k=64, sample=2000, seed=7)
     codes = pq_encode(emb, "vec_id", "embedding", books)
+    root = f"{_ORACLE_ART}/pq_adc"
+    spark.createDataFrame(
+        [
+            (mi, j, [float(x) for x in books[mi][j]])
+            for mi in range(books.shape[0])
+            for j in range(books.shape[1])
+        ],
+        "m int, j int, cent array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/books")
+    codes.write.mode("overwrite").parquet(f"{root}/codes")
+    # score exactly the artifact the oracle reads
+    codes = spark.read.parquet(f"{root}/codes")
     q_side = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(q_side, codes, "vec_id", "embedding", books, k=5)
+    return pq_topk_int(
+        q_side, codes, "vec_id", "embedding", books, k=5
+    )
 
 
 def _lsh_ranked_ctes(

@@ -203,3 +203,38 @@ def test_ivf_pq_index_incremental_update(spark, emb, tmp_path):
         if r["query_id"] == r["id"]
     }
     assert self_hits == {r["vec_id"] for r in probe.collect()}
+
+
+def test_pq_topk_int_matches_float_adc(spark, emb):
+    """`pq_topk_int` (order-free scaled-integer ADC — the r12
+    oracle-replayable twin) must produce the same neighbor sets and
+    ranking as the float `pq_topk` wherever candidates aren't within
+    the 1e-9 quantization band; on this corpus that's everywhere."""
+    from aligned_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_int,
+        pq_train,
+    )
+
+    books = pq_train(emb, "embedding", m=8, k=16, sample=400, seed=7)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    q_side = emb.filter(F.col("vec_id") < 5)
+    flt = {
+        (r.query_id, r.rank): r.id
+        for r in pq_topk(
+            q_side, codes, "vec_id", "embedding", books, k=5
+        ).collect()
+    }
+    i = pq_topk_int(q_side, codes, "vec_id", "embedding", books, k=5)
+    rows = i.collect()
+    assert {(r.query_id, r.rank): r.id for r in rows} == flt
+    # scaled distances recover the float magnitudes to ~1e-9
+    f_d = {
+        (r.query_id, r.id): r.pq_dist
+        for r in pq_topk(
+            q_side, codes, "vec_id", "embedding", books, k=5
+        ).collect()
+    }
+    for r in rows:
+        assert abs(r.pq_dist / 1e9 - f_d[(r.query_id, r.id)]) < 2e-8
