@@ -406,22 +406,30 @@ class IncrementalAggregate(_CursorDomain):
             if batch_id is not None and log.exists()
             else None
         )
-        if (
+        stale_batch = (
             batch_id is not None
             and bcur is not None
             and batch_id <= bcur
-        ):
-            if batch_id == bcur:
-                # the replayed batch IS the slice a lagging
-                # distinct aux (crash between the main and aux
-                # commits) is missing
-                self._sync_distinct_aux(
-                    spark,
-                    self.last_applied(),
-                    changes=changes,
-                    batch_id=batch_id,
-                )
+        )
+        if stale_batch and batch_id == bcur:
+            # Spark redelivers exactly the LAST batch after a crash —
+            # the replayed batch IS the slice a lagging distinct aux
+            # (crash between the main and aux commits) is missing
+            self._sync_distinct_aux(
+                spark,
+                self.last_applied(),
+                changes=changes,
+                batch_id=batch_id,
+            )
             return None  # checkpoint replay of a committed batch
+        # batch_id < bcur can only mean the stream's CHECKPOINT WAS
+        # RESET (ids restarted at 0 under the old watermark) — fall
+        # through to the version probe: a covered slice no-ops, but
+        # one carrying NEW versions must fail LOUDLY below, because
+        # additive slices are not idempotent (a reset-checkpoint
+        # bootstrap redelivers the full snapshot as inserts — folding
+        # it would double-count; the rolling family re-applies
+        # instead, its slices being span recomputes)
         ins = F.col("_change_type").isin(
             "insert", "update_postimage"
         )
@@ -450,6 +458,18 @@ class IncrementalAggregate(_CursorDomain):
         vmax = int(vmax)
         has_non_insert = bool(row["noni"])
         cursor = self.last_applied()
+        if stale_batch:
+            if cursor is not None and vmax <= cursor:
+                return None  # reset-checkpoint redelivery, covered
+            raise ValueError(
+                "stream checkpoint reset detected (micro-batch id "
+                f"{batch_id} below the recorded watermark {bcur}) "
+                f"with UNAPPLIED base versions (slice max {vmax} > "
+                f"cursor {cursor}): additive IVM slices are not "
+                "idempotent, so this stream cannot safely resume — "
+                "refresh() to catch up, then restart the stream, or "
+                "rebuild the aggregate"
+            )
         if batch_id is None and cursor is not None and vmax <= cursor:
             if vmax == cursor:
                 # the replayed batch IS the slice a lagging distinct

@@ -601,3 +601,43 @@ def test_windowed_maintain_continuously_iceberg_e2e(spark, tmp_path):
     before = maintained()
     drain()
     assert maintained() == before
+
+
+def test_plain_ivm_checkpoint_reset_fails_loudly(spark, tmp_path):
+    """Additive counterpart of the rolling reset fix: plain IVM
+    slices are NOT idempotent, so a reset checkpoint whose slices
+    carry unapplied base versions must RAISE (silently dropping them
+    was the inherited stall; silently applying would double-count).
+    A reset with nothing new no-ops."""
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            _rows([(i, "a", i, float(i)) for i in range(4)])
+        ).repartition(4)
+    )
+    agg = _mk_plain(src, str(tmp_path / "agg"))
+    _drain(
+        agg.maintain_continuously(
+            spark, str(tmp_path / "ckpt1"), max_files_per_trigger=1
+        )
+    )
+    assert _plain_maintained(spark, agg) == _plain_direct(spark, src)
+    # reset with NO new data: bootstrap redelivery no-ops
+    _drain(agg.maintain_continuously(spark, str(tmp_path / "ckpt2")))
+    assert _plain_maintained(spark, agg) == _plain_direct(spark, src)
+    # reset WITH new data: loud failure instead of stall/double-count
+    src.insert(spark.createDataFrame(_rows([(9, "b", 9, 9.0)])))
+    q = agg.maintain_continuously(spark, str(tmp_path / "ckpt3"))
+    with pytest.raises(Exception, match="checkpoint reset detected"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    # the prescribed recovery: poll refresh, then a fresh stream
+    agg.refresh(spark)
+    assert _plain_maintained(spark, agg) == _plain_direct(spark, src)
+    _drain(agg.maintain_continuously(spark, str(tmp_path / "ckpt4")))
+    assert _plain_maintained(spark, agg) == _plain_direct(spark, src)
