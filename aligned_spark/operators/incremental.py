@@ -199,7 +199,12 @@ class _CursorDomain:
         already-mapped slices) pass through. A snapshot id absent
         from the map yields NULL, which the caller's probe rejects
         (metadata expired mid-stream must fail loudly, not drop
-        slices)."""
+        slices). Plan shape (pinned in test_plan_properties): the
+        map side always broadcasts; stream slices hash-join on the
+        real ``_snapshot_id`` column, while a batch ``read_changes``
+        slice whose ids constant-fold may plan a broadcast
+        nested-loop over the metadata-bounded build side — fine, the
+        slice side never shuffles either way."""
         if not self._iceberg or COMMIT_VERSION_COL in changes.columns:
             return changes
         s2q, _ = self._seq_maps()

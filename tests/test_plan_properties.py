@@ -900,3 +900,53 @@ def test_rolling_ivm_context_scan_pushes_time_bounds(
     # and no Python in the maintenance plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_iceberg_ivm_seq_map_join_broadcasts(spark, tmp_path_factory):
+    """Round-12: the iceberg CDC slice gains its monotone
+    `_commit_version` via a join against the snapshot->sequence map —
+    that map is metadata-bounded (one row per snapshot) and the join
+    must plan as a BROADCAST, never a shuffle of the slice."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.incremental import IncrementalAggregate
+    from aligned_spark.sources.iceberg import IcebergSource
+
+    d = tmp_path_factory.mktemp("iseqplan")
+    src = IcebergSource(path=str(d / "base"))
+    src.insert(
+        spark.createDataFrame(
+            [
+                Row(k=i, g="a", ts=dt.datetime(2024, 1, 1), x=float(i))
+                for i in range(10)
+            ]
+        ).coalesce(1)
+    )
+    src.insert(
+        spark.createDataFrame(
+            [Row(k=99, g="b", ts=dt.datetime(2024, 1, 2), x=1.0)]
+        )
+    )
+    agg = IncrementalAggregate(
+        source=src,
+        target_path=str(d / "agg"),
+        group_keys=["g"],
+        sums=["x"],
+    )
+    sid2seq = src.sequence_numbers()
+    first_sid = [s for s, q in sid2seq.items() if q == 1][0]
+    slice_df = src.read_changes(spark, first_sid)
+    mapped = agg._with_monotone_version(slice_df)
+    plan = plan_text(mapped)
+    # the build side must BROADCAST. A batch slice whose
+    # _snapshot_id constant-folds (read_changes unions per-snapshot
+    # literals) plans BroadcastNestedLoop over the metadata-bounded
+    # map — harmless; a STREAM slice's column is real data and
+    # hash-joins. Either way the slice side must never shuffle.
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # the version column materialized
+    assert "_commit_version" in mapped.columns
