@@ -641,3 +641,34 @@ def test_plain_ivm_checkpoint_reset_fails_loudly(spark, tmp_path):
     assert _plain_maintained(spark, agg) == _plain_direct(spark, src)
     _drain(agg.maintain_continuously(spark, str(tmp_path / "ckpt4")))
     assert _plain_maintained(spark, agg) == _plain_direct(spark, src)
+
+
+def test_ivm_cursor_under_expired_snapshot_raises(spark, tmp_path):
+    """Retention edge: expire_snapshots under an IVM cursor removes
+    the slice the refresh would need — the cursor must fail LOUDLY
+    ('rebuild the aggregate'), never misorder or silently full-scan.
+    Sequence stamps on the SURVIVING snapshots are preserved by
+    expiry, so a cursor still covered by retention keeps working."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    src = _iceberg_src(tmp_path)
+    src.insert(spark.createDataFrame(_rows([(0, "a", 1, 1.0)])))
+    agg = _mk_plain(src, str(tmp_path / "agg"))
+    agg.refresh(spark)
+    assert agg.last_applied() == 1
+    src.insert(spark.createDataFrame(_rows([(1, "a", 2, 2.0)])))
+    src.insert(spark.createDataFrame(_rows([(2, "b", 3, 3.0)])))
+    log = IcebergLog(str(tmp_path / "base"))
+    log.expire_snapshots(keep_last=1, retention_seconds=0)
+    # surviving snapshot keeps its stamped sequence number (3)
+    assert list(log.sequence_numbers().values()) == [3]
+    with pytest.raises(ValueError, match="rebuild the aggregate"):
+        agg.refresh(spark)
+    # a cursor still inside retention keeps refreshing
+    src2 = _iceberg_src(tmp_path, "base2")
+    src2.insert(spark.createDataFrame(_rows([(0, "a", 1, 1.0)])))
+    agg2 = _mk_plain(src2, str(tmp_path / "agg2"))
+    agg2.refresh(spark)
+    src2.insert(spark.createDataFrame(_rows([(1, "b", 2, 2.0)])))
+    assert agg2.refresh(spark) == 2
+    assert _plain_maintained(spark, agg2) == _plain_direct(spark, src2)
