@@ -3817,6 +3817,24 @@ def _splits_temporal(spark, sf_dir):
 
 
 @q(
+    "splits_subset_range",
+    """SELECT event_id, user_id, ts FROM events
+       QUALIFY percent_rank() OVER (ORDER BY ts) >= 0.25
+          AND percent_rank() OVER (ORDER BY ts) < 0.75""",
+)
+def _splits_subset_range(spark, sf_dir):
+    """Ratio-window subset — the reference's ``SubsetJob``
+    (aligned/retrieval_job.py:1580-1601: sort, then slice
+    [start_ratio, end_ratio)). percent_rank is (rank-1)/(n-1) with
+    competition ranking in both engines, so ts ties land identically
+    on both sides of each boundary."""
+    from aligned_spark.operators.splits import subset_range
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return subset_range(e, 0.25, 0.75, sort_column="ts")
+
+
+@q(
     "splits_stratified",
     """SELECT event_id, event_type, ts FROM events
        QUALIFY percent_rank()

@@ -101,6 +101,39 @@ def train_test_split(
     return train, test
 
 
+def subset_range(
+    df: DataFrame,
+    start_ratio: float,
+    end_ratio: float,
+    sort_column: str | None = None,
+    seed: int = 42,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Ratio-window subset — the reference's ``SubsetJob``
+    (``aligned/retrieval_job.py:1580-1601``): the rows whose split
+    coordinate falls in ``[start_ratio, end_ratio)`` (``end_ratio ==
+    1.0`` closes the interval so the maximal row is reachable). With
+    ``sort_column`` the coordinate is ``percent_rank`` in that order
+    (the reference sorts then slices — a global window, inherent to a
+    total order; stratify or pre-bucket at scale); without it the
+    stateless hash coordinate (``key_cols`` → the SQL-mirrorable
+    multiplicative hash), the no-sort no-shuffle scale path."""
+    if not 0.0 <= start_ratio <= end_ratio <= 1.0:
+        raise ValueError(
+            f"need 0 <= start <= end <= 1, got "
+            f"[{start_ratio}, {end_ratio})"
+        )
+    ranked = _ranked(df, None, sort_column, seed, key_cols)
+    hi = (
+        F.col("__pr") <= F.lit(1.0)
+        if end_ratio == 1.0
+        else F.col("__pr") < F.lit(end_ratio)
+    )
+    return ranked.filter(
+        (F.col("__pr") >= F.lit(start_ratio)) & hi
+    ).drop("__pr")
+
+
 def train_test_validate_split(
     df: DataFrame,
     test_fraction: float,

@@ -1504,3 +1504,38 @@ def test_unpack_embeddings(spark):
     )
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_subset_range_partitions_exactly(spark):
+    """`subset_range` (reference SubsetJob, retrieval_job.py:1580):
+    adjacent ratio windows partition the frame exactly — no row lost
+    or duplicated across boundaries — end=1.0 closes the interval so
+    the maximal row is reachable, and the sorted path slices in
+    ts order."""
+    from pyspark.sql import Row
+
+    from aligned_spark.operators.splits import subset_range
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=i * 2) for i in range(101)]
+    )
+    parts = [
+        subset_range(df, lo, hi, sort_column="k")
+        for lo, hi in ((0.0, 0.3), (0.3, 0.7), (0.7, 1.0))
+    ]
+    ks = [sorted(r.k for r in p.collect()) for p in parts]
+    assert sum(len(x) for x in ks) == 101
+    assert sorted(sum(ks, [])) == list(range(101))
+    assert ks[0][0] == 0 and ks[-1][-1] == 100  # 1.0 is inclusive
+    assert max(ks[0]) < min(ks[1]) < max(ks[1]) < min(ks[2])
+    # hash path: same partition property, no sort
+    hparts = [
+        subset_range(df, lo, hi, seed=9)
+        for lo, hi in ((0.0, 0.5), (0.5, 1.0))
+    ]
+    hk = [sorted(r.k for r in p.collect()) for p in hparts]
+    assert sorted(hk[0] + hk[1]) == list(range(101))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="start <= end"):
+        subset_range(df, 0.7, 0.3)
