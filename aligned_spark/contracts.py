@@ -142,6 +142,27 @@ class FeatureFactory:
         self._tags.append(tag)
         return self
 
+    # measurement-level markers (reference
+    # ``feature_factory.py:554-594``): documentation tags recording
+    # the statistical level of a feature — no compute semantics, but
+    # part of the contract surface tooling reads (e.g. to pick
+    # encoders: nominal → one-hot, ordinal → ordinal codes)
+    def is_nominal(self) -> "FeatureFactory":
+        """Categories without order (reference :554)."""
+        return self.with_tag("is_nominal")
+
+    def is_ordinal(self) -> "FeatureFactory":
+        """Ordered categories without scale (reference :564)."""
+        return self.with_tag("is_ordinal")
+
+    def is_interval(self) -> "FeatureFactory":
+        """Equal intervals, no true zero (reference :574)."""
+        return self.with_tag("is_interval")
+
+    def is_ratio(self) -> "FeatureFactory":
+        """Equal intervals with a true zero (reference :584)."""
+        return self.with_tag("is_ratio")
+
     # -- constraints -------------------------------------------------------
     def _constrained(self, c: Constraint) -> "FeatureFactory":
         self.constraints.append(c)

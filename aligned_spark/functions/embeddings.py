@@ -75,3 +75,40 @@ def fake_text_embedding(text: Column, size: int = 16) -> Column:
     )
     safe_norm = F.when(norm > 0, norm).otherwise(F.lit(1.0))
     return F.transform(counts, lambda x: (x / safe_norm).cast("float"))
+
+
+def word_vectorise(
+    df: "DataFrame",
+    text_col: str,
+    output_col: str,
+    model: "Callable[[list[str]], Any] | None" = None,
+    dim: int = 16,
+) -> "DataFrame":
+    """Sentence/word embedding of a text column — the reference's
+    ``WordVectoriser`` transformation (``aligned/schemas/
+    transformation.py:2179-2197``; DSL ``sentence_vector`` /
+    ``word_vectoriser``, ``feature_factory.py:2118-2126``): an
+    injectable EMBEDDING MODEL applied batch-wise to the column.
+
+    ``model`` is any callable ``list[str] -> iterable of float
+    vectors`` and runs as an Arrow-batched pandas UDF — the same
+    batch contract as the reference's ``model.vectorise_pandas``;
+    plug a sentence-transformers encoder or an API client there in
+    production (neither ships in this container). The default is the
+    deterministic :func:`fake_text_embedding` — pure JVM, no Python
+    stage at all, and the column contract (``string →
+    array<float>``) is identical, so tests and plumbing exercise the
+    real shape."""
+    if model is None:
+        return df.withColumn(
+            output_col, fake_text_embedding(F.col(text_col), dim)
+        )
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _vec(s):
+        vecs = model(s.fillna("").tolist())
+        return pd.Series([[float(x) for x in v] for v in vecs])
+
+    return df.withColumn(output_col, _vec(F.col(text_col)))

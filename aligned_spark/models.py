@@ -136,6 +136,54 @@ class SparkMLModel(ExposedModel):
         out = out.withColumn(output_col, F.col(self.prediction_output))
         return out.drop(*(drop - {output_col}))
 
+    def predict_proba_of(
+        self,
+        df,
+        feature_cols,
+        class_value,
+        output_col: str = "probability",
+    ):
+        """Class-probability feature — the reference's
+        ``TargetProbability`` (``target.probability_of(1)``,
+        ``aligned/compiler/feature_factory.py:334-352``, compiled
+        into the model contract as ``ClassTargetProbability``): the
+        probability the classifier assigns to ``class_value``, as
+        its own column. MLlib classifiers emit a probability VECTOR
+        indexed by label (labels are the 0..k-1 doubles the fit
+        produced); ``vector_to_array`` + ``element_at`` projects the
+        class' entry — a codegen projection over the scored frame,
+        no Python."""
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.functions import vector_to_array
+
+        model = self.model
+        if hasattr(model, "setFeaturesCol"):
+            model = model.copy()
+            model.setFeaturesCol(self.features_col)
+        assembled = VectorAssembler(
+            inputCols=list(feature_cols),
+            outputCol=self.features_col,
+            handleInvalid="keep",
+        ).transform(df)
+        out = model.transform(assembled)
+        if "probability" not in out.columns:
+            raise TypeError(
+                "predict_proba_of needs a probabilistic classifier "
+                "(no `probability` column in the model output)"
+            )
+        idx = int(class_value)
+        out = out.withColumn(
+            output_col,
+            F.element_at(vector_to_array("probability"), idx + 1),
+        )
+        drop = {
+            self.features_col,
+            "rawPrediction",
+            "probability",
+            self.prediction_output,
+        } & set(out.columns)
+        return out.drop(*(drop - {output_col}))
+
 
 @dataclass
 class PartitionedModel(ExposedModel):

@@ -173,3 +173,63 @@ def test_prediction_view_feeds_features_for(spark, tmp_path):
     )
     got = {r.user_id: r.scorer_prediction for r in out.collect()}
     assert got == {1: 200.0, 2: 300.0}
+
+
+def test_sparkml_probability_of_class(spark):
+    """`predict_proba_of` — the reference's TargetProbability
+    (`target.probability_of(1)`, feature_factory.py:334-352): the
+    classifier's probability for ONE class as its own column,
+    complementary across a binary pair, JVM-only plan."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from aligned_spark.models import SparkMLModel
+
+    train = spark.createDataFrame(
+        [(float(n), float(p), 1.0 if n > 50 and p < 0.2 else 0.0)
+         for n in (10, 30, 60, 90, 120) for p in (0.05, 0.15, 0.4)],
+        "n_tokens double, punct_ratio double, label double",
+    )
+    assembled = VectorAssembler(
+        inputCols=["n_tokens", "punct_ratio"], outputCol="__features"
+    ).transform(train)
+    lr = LogisticRegression(
+        featuresCol="__features", labelCol="label"
+    ).fit(assembled)
+    m = SparkMLModel(model=lr)
+    score = spark.createDataFrame(
+        [(1, 100.0, 0.1), (2, 15.0, 0.5)],
+        "doc_id long, n_tokens double, punct_ratio double",
+    )
+    p1 = m.predict_proba_of(
+        score, ["n_tokens", "punct_ratio"], 1, output_col="p_good"
+    )
+    p0 = m.predict_proba_of(
+        score, ["n_tokens", "punct_ratio"], 0, output_col="p_bad"
+    )
+    r1 = {r.doc_id: r.p_good for r in p1.collect()}
+    r0 = {r.doc_id: r.p_bad for r in p0.collect()}
+    assert r1[1] > 0.5 > r1[2]
+    for k in (1, 2):
+        assert abs(r1[k] + r0[k] - 1.0) < 1e-9
+    assert set(p1.columns) == {
+        "doc_id", "n_tokens", "punct_ratio", "p_good"
+    }
+    plan = p1._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "EvalPython" not in plan
+    # non-probabilistic models fail loudly
+    from pyspark.ml.regression import LinearRegression
+
+    lin = LinearRegression(
+        featuresCol="__features", labelCol="label"
+    ).fit(assembled)
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="probabilistic"):
+        SparkMLModel(model=lin).predict_proba_of(
+            score, ["n_tokens", "punct_ratio"], 1
+        )

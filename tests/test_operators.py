@@ -1539,3 +1539,44 @@ def test_subset_range_partitions_exactly(spark):
 
     with _pytest.raises(ValueError, match="start <= end"):
         subset_range(df, 0.7, 0.3)
+
+
+def test_word_vectorise_and_measurement_tags(spark):
+    """`word_vectorise` (reference WordVectoriser,
+    transformation.py:2179; DSL sentence_vector) embeds a text column
+    via an injectable batch model — default = the JVM-side fake
+    embedder; a custom callable runs Arrow-batched. Measurement
+    markers (feature_factory.py:554-594) land as tags."""
+    from pyspark.sql import Row
+
+    from aligned_spark.functions.embeddings import (
+        fake_text_embedding,
+        word_vectorise,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=1, text="hello world"), Row(id=2, text=None)]
+    )
+    out = word_vectorise(df, "text", "emb", dim=8)
+    rows = {r.id: r.emb for r in out.collect()}
+    assert len(rows[1]) == 8
+    assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-5
+    direct = {
+        r.id: r.e
+        for r in df.select(
+            "id", fake_text_embedding(F.col("text"), 8).alias("e")
+        ).collect()
+    }
+    assert rows == direct  # default model == the JVM fake embedder
+
+    def toy_model(texts):
+        return [[float(len(t)), 1.0] for t in texts]
+
+    out2 = word_vectorise(df, "text", "emb", model=toy_model)
+    rows2 = {r.id: r.emb for r in out2.collect()}
+    assert rows2 == {1: [11.0, 1.0], 2: [0.0, 1.0]}
+
+    from aligned_spark.contracts import Float32
+
+    f = Float32().is_ratio().is_interval()
+    assert {"is_ratio", "is_interval"} <= set(f._tags)
