@@ -586,6 +586,35 @@ class ContractStore:
             raise KeyError(f"no view named {name!r}")
         self.views[name] = dataclasses.replace(view, source=source)
 
+    def predict_when_missing(self) -> "ContractStore":
+        """A store copy where every model WITH a predictor serves its
+        output view by COMPUTING predictions at read time (reference
+        ``predict_when_missing``, ``feature_store.py:335-352``, via
+        ``PredictModelSource``): reading the output view loads the
+        input view's rows, runs the exposed model, and returns fresh
+        predictions — nothing materialized, nothing stale. Models
+        without a predictor or output view pass through unchanged;
+        the original store keeps its materialized sources (swap back
+        with :meth:`update_source_for` for caching)."""
+        import dataclasses
+
+        out = ContractStore(self.spark)
+        out.views = dict(self.views)
+        out.models = dict(self.models)
+        for name, model in self.models.items():
+            if model.predictor is None or model.output_view is None:
+                continue
+            ov = dataclasses.replace(
+                model.output_view,
+                source=PredictModelSource(out, name),
+            )
+            out.models[name] = dataclasses.replace(
+                model, output_view=ov
+            )
+            if ov.name in out.views:
+                out.views[ov.name] = ov
+        return out
+
     def sources_of_type(self, source_type: type) -> "list[tuple[str, Any]]":
         """(name, source) pairs whose batch or materialized source is
         an instance of ``source_type`` — across views and model
@@ -733,3 +762,42 @@ class ModelFeatureStore:
     def output_view_name(self) -> str | None:
         ov = self.model.output_view
         return ov.name if ov is not None else None
+
+
+class PredictModelSource:
+    """Computed batch source: reading a model's OUTPUT VIEW runs the
+    model over its input view's current rows — predictions are
+    computed at read time, never stale (reference
+    ``PredictModelSource``, ``aligned/data_source/model_predictor.py:
+    14-58``; wired store-wide by :meth:`ContractStore.
+    predict_when_missing`, ``feature_store.py:335-352``).
+    Single-input-view models only, the same restriction the
+    reference's ``all_data`` enforces."""
+
+    def __init__(self, store: ContractStore, model_name: str):
+        self.store = store
+        self.model_name = model_name
+
+    def job_group_key(self) -> str:
+        return f"model_pred:{self.model_name}"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        model = self.store.models[self.model_name]
+        names: list[str] = []
+        for r in model.input_references:
+            n = r.location.name
+            if n not in names:
+                names.append(n)
+        if len(names) != 1:
+            raise NotImplementedError(
+                "PredictModelSource serves single-input-view models "
+                f"(inputs span {names}) — the reference raises the "
+                "same way for multi-source fact loads"
+            )
+        view = self.store.views[names[0]]
+        ents = (
+            self.store.feature_view(names[0])
+            .all()
+            .select(*view.entities)
+        )
+        return self.store.predict_over(self.model_name, ents)

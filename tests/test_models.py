@@ -233,3 +233,64 @@ def test_sparkml_probability_of_class(spark):
         SparkMLModel(model=lin).predict_proba_of(
             score, ["n_tokens", "punct_ratio"], 1
         )
+
+
+def test_predict_when_missing_serves_fresh_predictions(spark, tmp_path):
+    """`predict_when_missing` (reference feature_store.py:335-352 via
+    PredictModelSource): the store copy serves a model's OUTPUT VIEW
+    by computing predictions from the input view at read time — no
+    materialization, never stale — while the original store still
+    points at the (empty) materialized source."""
+    from aligned_spark.contracts import (
+        Float64,
+        Int64,
+        feature_view,
+        model_contract,
+    )
+    from aligned_spark.models import CodePredictor
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    base = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "user_id long, x double"
+    ).write.parquet(base)
+
+    @feature_view(name="base", source=FileSource.parquet(base))
+    class Base:
+        user_id = Int64().as_entity()
+        x = Float64()
+
+    @model_contract(
+        name="scorer",
+        input_features=["base:x"],
+        output_source=FileSource.parquet(str(tmp_path / "preds")),
+        predictor=CodePredictor(lambda pdf: pdf["x"] * 100),
+    )
+    class Scorer:
+        user_id = Int64().as_entity()
+        scorer_prediction = Float64()
+
+    store = ContractStore(spark)
+    store.add_view(Base)
+    store.add_model(Scorer)
+
+    live = store.predict_when_missing()
+    out = live.feature_view("scorer_predictions").all()
+    got = {
+        r.user_id: r.scorer_prediction
+        for r in out.select("user_id", "scorer_prediction").collect()
+    }
+    assert got == {1: 200.0, 2: 300.0}
+    # base mutations surface immediately (read-time compute)
+    spark.createDataFrame(
+        [(3, 5.0)], "user_id long, x double"
+    ).write.mode("append").parquet(base)
+    out2 = live.feature_view("scorer_predictions").all()
+    assert out2.count() == 3
+    # the ORIGINAL store still points at the materialized source
+    from aligned_spark.sources.file import FileSource as FS
+
+    assert not isinstance(
+        store.views["scorer_predictions"].source, type(live.views["scorer_predictions"].source)
+    )
