@@ -370,6 +370,51 @@ def logged(df: DataFrame, log_fn=print, label: str = "") -> DataFrame:
     return df
 
 
+def timed(df: DataFrame, callback, label: str = "") -> DataFrame:
+    """Wall-clock a materialization (``TimeMetricLoggerJob`` /
+    ``monitor_time_used``, ``retrieval_job.py:1086,2843``): forces
+    the frame ONCE (cache + count — the cache keeps the paid compute
+    for the caller), reports elapsed seconds to ``callback(seconds)``
+    (or ``callback(seconds, label)`` if it takes two), and returns
+    the cached frame. Spark is lazy, so unlike the reference's eager
+    jobs this is an explicit boundary the caller opts into."""
+    import time as _time
+
+    from pyspark.storagelevel import StorageLevel
+
+    t0 = _time.time()
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    elapsed = _time.time() - t0
+    try:
+        callback(elapsed, label)
+    except TypeError:
+        callback(elapsed)
+    return out
+
+
+def chunked(df: DataFrame, size: int):
+    """Driver-side chunk iterator (``DataLoaderJob`` via
+    ``.chunked(size)``, ``retrieval_job.py:894``): yields pandas
+    frames of at most ``size`` rows — the feed-an-API / write-in-
+    batches escape hatch. Streams through ``toLocalIterator`` so at
+    most one partition (plus the pending chunk) is ever resident on
+    the driver; the cluster-side plan is untouched."""
+    if size <= 0:
+        raise ValueError("chunk size must be positive")
+    import pandas as pd
+
+    cols = df.columns
+    buf: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) == size:
+            yield pd.DataFrame.from_records(buf, columns=cols)
+            buf = []
+    if buf:
+        yield pd.DataFrame.from_records(buf, columns=cols)
+
+
 def with_loaded_at(df: DataFrame, column: str = "loaded_at") -> DataFrame:
     """Append a load-timestamp column (``LoadedAtSource``,
     ``batch_data_source.py:1289``; ``LoadedAtJob`` ``retrieval_job.py:2733``)."""

@@ -1580,3 +1580,28 @@ def test_word_vectorise_and_measurement_tags(spark):
 
     f = Float32().is_ratio().is_interval()
     assert {"is_ratio", "is_interval"} <= set(f._tags)
+
+
+def test_timed_and_chunked_helpers(spark):
+    """`timed` (TimeMetricLoggerJob / monitor_time_used) reports
+    elapsed seconds and returns the cached frame; `chunked`
+    (DataLoaderJob) yields bounded pandas frames covering every row
+    exactly once."""
+    from aligned_spark.operators.core import chunked, timed
+
+    df = spark.range(0, 25).selectExpr("id", "id * 2 AS v")
+    seen = []
+    out = timed(df, lambda s, label: seen.append((s, label)), "t1")
+    assert out.count() == 25
+    assert len(seen) == 1 and seen[0][0] >= 0 and seen[0][1] == "t1"
+    out.unpersist()
+
+    chunks = list(chunked(df.orderBy("id"), 10))
+    assert [len(c) for c in chunks] == [10, 10, 5]
+    assert [c["id"].tolist() for c in chunks] == [
+        list(range(10)), list(range(10, 20)), list(range(20, 25))
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        list(chunked(df, 0))
