@@ -243,6 +243,79 @@ class ShadowModel(ExposedModel):
 
 
 @dataclass
+class ABTestModel(ExposedModel):
+    """Weighted A/B routing between exposed models (reference
+    ``ABTestModel``, ``exposed_model/interface.py:566-622``: runs the
+    arm a weighted random draw picks).
+
+    The reference draws ONE random number per batch; here routing is
+    a deterministic PER-ROW hash of ``hash_cols`` (default: all
+    feature columns) mapped to [0, 1) — the property a real A/B needs
+    (the same entity always lands in the same arm, and the split is
+    replayable offline), and the whole thing stays codegen: a
+    ``when/otherwise`` chain over the arms' prediction expressions,
+    the :class:`PartitionedModel` pattern with a hash coordinate
+    instead of a partition value. Weights need not sum to 1 — they
+    normalize."""
+
+    models: list  # [(ExposedModel, weight), ...]
+    hash_cols: list | None = None
+    seed: int = 0
+
+    def prediction_column(self, df, feature_cols):
+        if not self.models:
+            raise ValueError("ABTestModel has no arms")
+        total = float(sum(w for _, w in self.models))
+        if total <= 0:
+            raise ValueError("ABTestModel weights must sum > 0")
+        cols = list(self.hash_cols or feature_cols)
+        buckets = 1 << 20
+        coord = F.pmod(
+            F.xxhash64(*[F.col(c) for c in cols], F.lit(self.seed)),
+            F.lit(buckets),
+        ).cast("double") / F.lit(float(buckets))
+        expr: Column | None = None
+        acc = 0.0
+        for model, w in self.models[:-1]:
+            acc += float(w) / total
+            pred = model.prediction_column(df, feature_cols)
+            cond = coord < F.lit(acc)
+            expr = (
+                F.when(cond, pred)
+                if expr is None
+                else expr.when(cond, pred)
+            )
+        last = self.models[-1][0].prediction_column(df, feature_cols)
+        # the final arm takes the residual mass — no float-boundary
+        # row can ever fall through
+        return last if expr is None else expr.otherwise(last)
+
+    def arm_column(self, df, feature_cols) -> Column:
+        """Which arm (index) each row routes to — materialize it next
+        to the prediction for the offline uplift analysis an A/B
+        exists for."""
+        total = float(sum(w for _, w in self.models))
+        cols = list(self.hash_cols or feature_cols)
+        buckets = 1 << 20
+        coord = F.pmod(
+            F.xxhash64(*[F.col(c) for c in cols], F.lit(self.seed)),
+            F.lit(buckets),
+        ).cast("double") / F.lit(float(buckets))
+        expr: Column | None = None
+        acc = 0.0
+        for i, (_, w) in enumerate(self.models[:-1]):
+            acc += float(w) / total
+            cond = coord < F.lit(acc)
+            expr = (
+                F.when(cond, F.lit(i))
+                if expr is None
+                else expr.when(cond, F.lit(i))
+            )
+        last = F.lit(len(self.models) - 1)
+        return last if expr is None else expr.otherwise(last)
+
+
+@dataclass
 class ApiModel(ExposedModel):
     """API-backed generate/embed predictor (reference ollama/openai
     exposed models, ``exposed_model/ollama.py:29,262``,

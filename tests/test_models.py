@@ -294,3 +294,44 @@ def test_predict_when_missing_serves_fresh_predictions(spark, tmp_path):
     assert not isinstance(
         store.views["scorer_predictions"].source, type(live.views["scorer_predictions"].source)
     )
+
+
+def test_abtest_model_deterministic_weighted_routing(spark):
+    """ABTestModel (reference exposed_model/interface.py:566): rows
+    route to arms by a deterministic per-row hash honoring the
+    weights; the same row always lands in the same arm (replayable —
+    unlike the reference's per-batch random draw), the split tracks
+    the weights, and arm_column agrees with the served prediction."""
+    from aligned_spark.models import ABTestModel, CodePredictor
+
+    m = ABTestModel(
+        models=[
+            (CodePredictor(lambda pdf: pdf["x"] * 0 + 1.0), 3.0),
+            (CodePredictor(lambda pdf: pdf["x"] * 0 + 2.0), 1.0),
+        ],
+        hash_cols=["uid"],
+        seed=5,
+    )
+    df = spark.range(0, 2000).selectExpr(
+        "id AS uid", "CAST(id AS DOUBLE) AS x"
+    )
+    out = df.withColumn("pred", m.prediction_column(df, ["x"])).withColumn(
+        "arm", m.arm_column(df, ["x"])
+    )
+    rows = out.groupBy("arm", "pred").count().collect()
+    by_arm = {int(r.arm): (r.pred, r["count"]) for r in rows}
+    assert set(by_arm) == {0, 1}
+    assert by_arm[0][0] == 1.0 and by_arm[1][0] == 2.0
+    frac0 = by_arm[0][1] / 2000
+    assert 0.70 < frac0 < 0.80  # 3:1 weights -> ~75%
+    # replayable: a second evaluation routes identically
+    again = df.withColumn("arm", m.arm_column(df, ["x"]))
+    assert (
+        out.select("uid", "arm")
+        .exceptAll(again.select("uid", "arm"))
+        .isEmpty()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no arms"):
+        ABTestModel(models=[]).prediction_column(df, ["x"])
