@@ -116,3 +116,73 @@ class CustomMethodSource(BatchSource):
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self.all_data_fn(spark)
+
+
+@dataclass
+class JoinedSource(BatchSource):
+    """Equi-join two sources at scan time (``JoinDataSource``,
+    ``batch_data_source.py:1342-1380``: left/right key lists +
+    method). Right keys rename onto the left's so the join condition
+    is a plain column list — Catalyst then picks broadcast vs
+    shuffle; at 100 TB broadcast the small side or pre-bucket both
+    on the keys."""
+
+    left: BatchSource
+    right: BatchSource
+    left_on: list[str] = field(default_factory=list)
+    right_on: list[str] = field(default_factory=list)
+    method: str = "inner"  # "inner" | "left" | "outer"
+
+    def job_group_key(self) -> str:
+        return (
+            f"join:{self.left.job_group_key()}"
+            f":{self.right.job_group_key()}"
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if len(self.left_on) != len(self.right_on) or not self.left_on:
+            raise ValueError(
+                "left_on/right_on must be equal-length, non-empty"
+            )
+        ldf = self.left.read(spark)
+        rdf = self.right.read(spark)
+        for lo, ro in zip(self.left_on, self.right_on):
+            if ro != lo:
+                rdf = rdf.withColumnRenamed(ro, lo)
+        return ldf.join(rdf, on=list(self.left_on), how=self.method)
+
+
+def _camel_to_snake(name: str) -> str:
+    import re
+
+    s = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s).lower()
+
+
+def _snake_to_camel(name: str) -> str:
+    parts = name.split("_")
+    return parts[0] + "".join(p.title() for p in parts[1:])
+
+
+def _snake_to_pascal(name: str) -> str:
+    return "".join(p.title() for p in name.split("_"))
+
+
+def rename_convention(df: DataFrame, renamer_type: str) -> DataFrame:
+    """Column-naming-convention renamer (reference ``Renamer``,
+    ``aligned/sources/renamer.py:29-60``: the CSV-source hook that
+    maps external camelCase headers onto snake_case contracts and
+    back on write). Pure metadata — no job runs."""
+    fns = {
+        "camel_to_snake": _camel_to_snake,
+        "snake_to_camel": _snake_to_camel,
+        "snake_to_pascal": _snake_to_pascal,
+        "noop": lambda n: n,
+    }
+    if renamer_type not in fns:
+        raise ValueError(
+            f"unknown renamer {renamer_type!r}; pick from {sorted(fns)}"
+        )
+    fn = fns[renamer_type]
+    mapping = {c: fn(c) for c in df.columns if fn(c) != c}
+    return df.withColumnsRenamed(mapping) if mapping else df

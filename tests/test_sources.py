@@ -271,3 +271,47 @@ def test_source_level_restore_and_detail(spark, tmp_path):
     assert i.detail()["numRows"] == 2
     i.rollback_to(spark, s0)
     assert i.read(spark).count() == 1
+
+
+def test_joined_source_and_rename_convention(spark):
+    """JoinedSource (reference JoinDataSource,
+    batch_data_source.py:1342) equi-joins two sources at scan time
+    with key renaming; rename_convention (reference Renamer,
+    sources/renamer.py:29) maps column naming conventions."""
+    from pyspark.sql import Row
+
+    from aligned_spark.sources.combinators import (
+        JoinedSource,
+        rename_convention,
+    )
+    from aligned_spark.sources.in_memory import InMemorySource
+
+    left = InMemorySource(
+        [Row(k=1, a=10.0), Row(k=2, a=20.0), Row(k=3, a=30.0)]
+    )
+    right = InMemorySource([Row(rk=1, b="x"), Row(rk=2, b="y")])
+    j = JoinedSource(
+        left, right, left_on=["k"], right_on=["rk"], method="left"
+    )
+    rows = {r.k: (r.a, r.b) for r in j.read(spark).collect()}
+    assert rows == {1: (10.0, "x"), 2: (20.0, "y"), 3: (30.0, None)}
+    inner = JoinedSource(
+        left, right, left_on=["k"], right_on=["rk"], method="inner"
+    )
+    assert inner.read(spark).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="equal-length"):
+        JoinedSource(left, right, left_on=["k"], right_on=[]).read(spark)
+
+    df = spark.createDataFrame(
+        [Row(userId=1, eventType="a", ts=2)]
+    )
+    out = rename_convention(df, "camel_to_snake")
+    assert out.columns == ["user_id", "event_type", "ts"]
+    back = rename_convention(out, "snake_to_camel")
+    assert back.columns == ["userId", "eventType", "ts"]
+    pas = rename_convention(out, "snake_to_pascal")
+    assert pas.columns == ["UserId", "EventType", "Ts"]
+    with _pytest.raises(ValueError, match="unknown renamer"):
+        rename_convention(df, "kebab")
