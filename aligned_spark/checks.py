@@ -140,3 +140,42 @@ def _walk(e):
                     and isinstance(item[1], Expr)
                 ):
                     yield from _walk(item[1])
+
+
+@dataclass
+class EventTrigger:
+    """Write-side event publication (reference ``EventTrigger``,
+    ``aligned/schemas/event_trigger.py:21-80``; resolved per view by
+    ``ContractStore.event_triggers_for``, ``feature_store.py:806``):
+    rows of a write batch matching ``condition`` publish their
+    (entity + payload) columns to an event sink.
+
+    ``condition`` is a Spark ``Column`` predicate (or the engine's
+    expression IR — anything with ``to_spark()``); ``sink`` is any
+    source exposing ``insert(df)`` (the in-memory source in tests, a
+    Kafka/file sink in production). One filter + one write per
+    checked batch — the filter rides the batch's plan, no extra scan
+    of the base."""
+
+    condition: "object"
+    sink: "object"
+    payload: list[str] | None = None
+
+    def check(self, df) -> int:
+        """Publish matching rows; returns how many were sent (0 =
+        nothing matched, no write issued)."""
+        from aligned_spark import expr as _E
+
+        cond = self.condition
+        # NOT hasattr(): a Spark Column fabricates any attribute
+        # access as a field accessor, so only the engine IR converts
+        if isinstance(cond, _E.Expr):
+            cond = cond.to_spark()
+        events = df.filter(cond)
+        if self.payload:
+            events = events.select(*self.payload)
+        # one pass: land the matches, count what landed
+        n = events.count()
+        if n:
+            self.sink.insert(events)
+        return n

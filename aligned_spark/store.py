@@ -349,9 +349,19 @@ class ContractStore:
             return None
         return view.source.freshness(self.spark, view.event_timestamp.name)
 
-    def insert_into(self, view_name: str, data: Any) -> None:
+    def insert_into(
+        self, view_name: str, data: Any, triggers: Any = None
+    ) -> None:
+        """Write a batch into a view's source; any
+        :class:`~aligned_spark.checks.EventTrigger` in ``triggers``
+        then publishes its matching rows (reference: writes flow
+        through ``FeatureViewStore`` which checks the view's event
+        triggers, ``feature_store.py:1018`` + ``event_trigger.py``)."""
         view = self.views[view_name]
-        view.source.insert(self._entities_df(data))
+        df = self._entities_df(data)
+        view.source.insert(df)
+        for t in triggers or []:
+            t.check(df)
 
     def upsert_into(self, view_name: str, data: Any) -> None:
         view = self.views[view_name]

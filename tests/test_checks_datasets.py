@@ -200,3 +200,52 @@ def test_model_feature_store_accessor(spark, tmp_path):
     assert {r["x"] for r in feats.collect()} == {2.0, 3.0}
     preds = ms.predict_over({"user_id": [1]})
     assert preds.collect()[0]["doubler_prediction"] == 4.0
+
+
+def test_event_trigger_publishes_matching_rows(spark, tmp_path):
+    """EventTrigger (reference event_trigger.py:21): rows of a write
+    matching the condition publish entity+payload columns to the
+    event sink; non-matching writes publish nothing."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aligned_spark.checks import EventTrigger
+    from aligned_spark.contracts import Float64, Int64, feature_view
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.sources.in_memory import InMemorySource
+    from aligned_spark.store import ContractStore
+
+    @feature_view(
+        name="readings",
+        source=FileSource.parquet(str(tmp_path / "readings")),
+    )
+    class Readings:
+        sensor_id = Int64().as_entity()
+        value = Float64()
+
+    store = ContractStore(spark)
+    store.add_view(Readings)
+    # empty in-memory sink: start from an empty frame
+    sink = InMemorySource(
+        spark.createDataFrame([], "sensor_id long, value double")
+    )
+    trig = EventTrigger(
+        condition=F.col("value") > 100.0,
+        sink=sink,
+        payload=["sensor_id", "value"],
+    )
+    store.insert_into(
+        "readings",
+        spark.createDataFrame(
+            [Row(sensor_id=1, value=50.0), Row(sensor_id=2, value=150.0)]
+        ),
+        triggers=[trig],
+    )
+    got = {(r.sensor_id, r.value) for r in sink.read(spark).collect()}
+    assert got == {(2, 150.0)}
+    # a batch with no matches publishes nothing
+    n = trig.check(
+        spark.createDataFrame([Row(sensor_id=3, value=10.0)])
+    )
+    assert n == 0
+    assert sink.read(spark).count() == 1
