@@ -174,7 +174,10 @@ class EventTrigger:
         events = df.filter(cond)
         if self.payload:
             events = events.select(*self.payload)
-        # one pass: land the matches, count what landed
+        # count first, publish only when non-empty: two driver
+        # actions over the (tiny) filtered match set — the empty
+        # case must not touch the sink at all (a no-match write
+        # would still create files on file-backed sinks)
         n = events.count()
         if n:
             self.sink.insert(events)
