@@ -672,3 +672,69 @@ def test_ivm_cursor_under_expired_snapshot_raises(spark, tmp_path):
     src2.insert(spark.createDataFrame(_rows([(1, "b", 2, 2.0)])))
     assert agg2.refresh(spark) == 2
     assert _plain_maintained(spark, agg2) == _plain_direct(spark, src2)
+
+
+@pytest.mark.parametrize("seed", [3, 11, 27])
+def test_iceberg_stream_ivm_random_op_soak(spark, tmp_path, seed):
+    """Seeded random op sequences (insert/upsert/delete) maintained
+    over an ICEBERG base ENTIRELY by the CDF stream: after every
+    drain the aggregate equals a direct group-by — the
+    sequence-domain cursor survives arbitrary interleavings, not
+    just the scripted e2e scenario."""
+    import random
+
+    rng = random.Random(seed)
+    src = _iceberg_src(tmp_path)
+    rows = {
+        k: ("a" if k % 2 else "b", float(k)) for k in range(6)
+    }
+    src.insert(
+        spark.createDataFrame(
+            _rows([(k, g, k, x) for k, (g, x) in rows.items()])
+        ).coalesce(1)
+    )
+    agg = _mk_plain(src, str(tmp_path / "agg"), mins=["x"])
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        _drain(agg.maintain_continuously(spark, ckpt))
+
+    drain()
+    next_k = 100
+    for _ in range(3):
+        op = rng.choice(["insert", "upsert", "delete"])
+        if op == "insert":
+            k = next_k
+            next_k += 1
+            g = rng.choice(["a", "b", "c"])
+            x = float(rng.randint(-50, 50))
+            rows[k] = (g, x)
+            src.insert(
+                spark.createDataFrame(_rows([(k, g, k % 59, x)]))
+            )
+        elif op == "upsert" and rows:
+            k = rng.choice(sorted(rows))
+            g = rng.choice(["a", "b", "c"])
+            x = float(rng.randint(-50, 50))
+            rows[k] = (g, x)
+            src.upsert(
+                spark.createDataFrame(_rows([(k, g, k % 59, x)])),
+                keys=["k"],
+            )
+        elif rows:
+            k = rng.choice(sorted(rows))
+            del rows[k]
+            src.delete_where(spark, F.col("k") == k)
+        drain()
+        assert _plain_maintained(spark, agg) == _plain_direct(
+            spark, src
+        ), f"diverged after {op} (seed {seed})"
+        mins = {r.g: r.min_x for r in agg.read(spark).collect()}
+        direct_min = {
+            r.g: r.mn
+            for r in src.read(spark)
+            .groupBy("g")
+            .agg(F.min("x").alias("mn"))
+            .collect()
+        }
+        assert mins == direct_min, f"min diverged (seed {seed})"
