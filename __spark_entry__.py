@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
@@ -4326,7 +4327,15 @@ def _vector_index_ivf_deletes(spark, sf_dir):
 #: ranking INDEPENDENTLY from those artifacts + the embeddings view.
 #: Index CONSTRUCTION stays pinned by the exact-path twins
 #: (`vector_index_ivf` / `vector_index_pq` degrade to brute force).
-_ORACLE_ART = "/tmp/aligned_spark_oracle"
+#: The root is namespaced PER IMPORT (pid + fresh token, substituted
+#: into the oracle SQL at registration time): two concurrent driver
+#: runs can never read each other's artifacts, and an oracle replay
+#: without the paired spark query having run in THIS process fails
+#: loudly on a missing path instead of silently comparing against
+#: leftovers from another run or scale factor.
+_ORACLE_ART = (
+    f"/tmp/aligned_spark_oracle_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+)
 
 
 @q(

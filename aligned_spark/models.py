@@ -262,12 +262,26 @@ class ABTestModel(ExposedModel):
     hash_cols: list | None = None
     seed: int = 0
 
-    def prediction_column(self, df, feature_cols):
-        if not self.models:
-            raise ValueError("ABTestModel has no arms")
+    def _validated_total(self) -> float:
+        """Weight sanity shared by prediction and arm routing: a
+        negative weight would make the cumulative when-chain
+        boundaries non-monotone — that arm silently gets zero
+        traffic and every later arm's mass skews away from its
+        declared weight, so reject it as loudly as total<=0."""
+        bad = [w for _, w in self.models if float(w) < 0]
+        if bad:
+            raise ValueError(
+                f"ABTestModel weights must be >= 0, got {bad}"
+            )
         total = float(sum(w for _, w in self.models))
         if total <= 0:
             raise ValueError("ABTestModel weights must sum > 0")
+        return total
+
+    def prediction_column(self, df, feature_cols):
+        if not self.models:
+            raise ValueError("ABTestModel has no arms")
+        total = self._validated_total()
         cols = list(self.hash_cols or feature_cols)
         buckets = 1 << 20
         coord = F.pmod(
@@ -294,7 +308,7 @@ class ABTestModel(ExposedModel):
         """Which arm (index) each row routes to — materialize it next
         to the prediction for the offline uplift analysis an A/B
         exists for."""
-        total = float(sum(w for _, w in self.models))
+        total = self._validated_total()
         cols = list(self.hash_cols or feature_cols)
         buckets = 1 << 20
         coord = F.pmod(

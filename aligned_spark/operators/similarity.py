@@ -1003,7 +1003,11 @@ def pq_topk_int(
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vector_col).alias("qv")
     ).collect()  # bounded query set — same convention as pq_topk
-    qids = [int(r["qid"]) for r in qrows]
+    # id dtypes follow the input frames (string/decimal ids work the
+    # same as the float twin's) instead of a hardcoded `long`
+    corpus_id_dt = codes.schema["id"].dataType.simpleString()
+    query_id_dt = queries.schema[id_col].dataType.simpleString()
+    qids = [r["qid"] for r in qrows]
     nq = len(qids)
     tables = np.zeros((nq, m, kc), dtype=np.int64)
     for qi, r in enumerate(qrows):
@@ -1026,7 +1030,7 @@ def pq_topk_int(
                 tables[qi, mi, j] = int(math.floor(sd * scale))
 
     spark = queries.sparkSession
-    out_schema = "qix int, id long, pq_dist long"
+    out_schema = f"qix int, id {corpus_id_dt}, pq_dist long"
 
     def _scan(batches):
         for pdf in batches:
@@ -1052,7 +1056,7 @@ def pq_topk_int(
     cand = codes.mapInPandas(_scan, out_schema)
     qmap = spark.createDataFrame(
         [(i, q) for i, q in enumerate(qids)],
-        "qix int, query_id long",
+        f"qix int, query_id {query_id_dt}",
     )
     w = W.partitionBy("qix").orderBy(
         F.col("pq_dist").asc(), F.col("id").asc()

@@ -185,4 +185,21 @@ def rename_convention(df: DataFrame, renamer_type: str) -> DataFrame:
         )
     fn = fns[renamer_type]
     mapping = {c: fn(c) for c in df.columns if fn(c) != c}
+    # collision guard: 'userId' and 'user_id' both map to 'user_id';
+    # withColumnsRenamed would happily return a frame with duplicate
+    # column names that only blows up (ambiguous reference) at first
+    # use downstream — fail here with the clashing source columns
+    final = [mapping.get(c, c) for c in df.columns]
+    seen: dict[str, list[str]] = {}
+    for src, tgt in zip(df.columns, final):
+        seen.setdefault(tgt, []).append(src)
+    clashes = {t: srcs for t, srcs in seen.items() if len(srcs) > 1}
+    if clashes:
+        detail = "; ".join(
+            f"{srcs} -> {t!r}" for t, srcs in sorted(clashes.items())
+        )
+        raise ValueError(
+            f"rename_convention({renamer_type!r}) produces duplicate "
+            f"column names: {detail}"
+        )
     return df.withColumnsRenamed(mapping) if mapping else df

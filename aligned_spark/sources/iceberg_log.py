@@ -657,6 +657,30 @@ class IcebergLog:
     def _snapshot_id() -> int:
         return uuid.uuid4().int >> 65  # positive, fits a long
 
+    @staticmethod
+    def _stamp_legacy_sequences(
+        snaps: list[dict[str, Any]],
+    ) -> tuple[list[dict[str, Any]], bool]:
+        """Back-stamp position-inferred ``sequence-number``s into
+        legacy (pre-field) snapshot entries as REAL metadata fields.
+
+        :meth:`sequence_numbers` infers a missing field from list
+        position — sound only while the list never loses a prefix.
+        ``expire_snapshots`` removes entries, so an unstamped table
+        that expires history silently renumbers: a stored IVM cursor
+        would re-resolve to a DIFFERENT snapshot and corrupt the
+        aggregate with no error. Every commit and every expiration
+        therefore persists the inferred positions first (one-time
+        migration per table); once on disk they can never shift."""
+        out: list[dict[str, Any]] = []
+        changed = False
+        for i, s in enumerate(snaps):
+            if s.get("sequence-number") is None:
+                s = {**s, "sequence-number": i + 1}
+                changed = True
+            out.append(s)
+        return out, changed
+
     def _next_commit(
         self,
         md: dict[str, Any],
@@ -671,14 +695,21 @@ class IcebergLog:
         # `last-sequence-number`, spec §Table Metadata): snapshot IDS
         # are random, so any consumer needing an ORDERED replay
         # cursor (continuous IVM exactly-once, stream admission) keys
-        # on this instead. Pre-r12 snapshots lack the field and fall
-        # back to list position (see :meth:`sequence_numbers`), which
-        # the `len(snapshots)` base below continues seamlessly.
+        # on this instead. Legacy snapshots lacking the field are
+        # BACK-STAMPED with their current list position here (first
+        # commit on the table migrates them), so a later
+        # expire_snapshots can never shift the inferred sequence
+        # under a stored cursor.
+        snaps_stamped, _ = self._stamp_legacy_sequences(
+            md.get("snapshots", [])
+        )
         last_seq = md.get("last-sequence-number")
         seq = (
             int(last_seq)
             if last_seq is not None
-            else len(md.get("snapshots", []))
+            else max(
+                [int(s["sequence-number"]) for s in snaps_stamped] or [0]
+            )
         ) + 1
         snap = {
             "snapshot-id": sid,
@@ -698,7 +729,7 @@ class IcebergLog:
         new_md["last-updated-ms"] = now
         new_md["current-snapshot-id"] = sid
         new_md["last-sequence-number"] = seq
-        new_md["snapshots"] = [*md.get("snapshots", []), snap]
+        new_md["snapshots"] = [*snaps_stamped, snap]
         # persist the idempotent-writer watermark in table PROPERTIES
         # too: snapshot summaries die with expire_snapshots, and a
         # replay guard that forgets its high-water mark double-commits
@@ -1208,9 +1239,11 @@ class IcebergLog:
         cursor random snapshot ids can't provide (continuous IVM's
         exactly-once replay guard orders on it). Snapshots committed
         since the field landed carry it in metadata; older ones fall
-        back to their list POSITION — identical as long as no
-        :meth:`expire_snapshots` removed earlier entries before the
-        first stamped commit (engine tables stamp from creation)."""
+        back to their list POSITION. The fallback is safe against
+        history truncation because every commit AND every
+        :meth:`expire_snapshots` first back-stamps the inferred
+        positions as real fields (:meth:`_stamp_legacy_sequences`) —
+        positions persist before any entry can be removed."""
         md = self.current_metadata()
         out: dict[int, int] = {}
         for i, s in enumerate(md.get("snapshots", [])):
@@ -1868,7 +1901,11 @@ class IcebergLog:
             retention_seconds = self.DEFAULT_RETENTION_SECONDS
         cutoff = time.time() - retention_seconds
         md = self.current_metadata()
-        snaps = md.get("snapshots", [])
+        # Stamp position-inferred sequence-numbers into legacy
+        # entries BEFORE dropping any: positions are computed over
+        # the full pre-expiry list, so a stored IVM cursor resolves
+        # to the same snapshot after history is truncated.
+        snaps, _ = self._stamp_legacy_sequences(md.get("snapshots", []))
         if len(snaps) <= keep_last:
             kept_snaps = snaps
         else:
@@ -1887,6 +1924,12 @@ class IcebergLog:
                 kept_cdf_dirs.add(cdf_dir.rstrip("/") + "/")
         new_md = dict(md)
         new_md["snapshots"] = kept_snaps
+        if md.get("last-sequence-number") is None and snaps:
+            # a legacy table's next commit must continue the FULL
+            # pre-expiry sequence, not restart at len(kept)+1
+            new_md["last-sequence-number"] = max(
+                int(s["sequence-number"]) for s in snaps
+            )
         new_md["snapshot-log"] = [
             e
             for e in md.get("snapshot-log", [])

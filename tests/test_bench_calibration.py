@@ -65,7 +65,11 @@ def test_previous_bench_reads_queries_and_cal_min(tmp_path, monkeypatch):
     }
     b = _load_bench(tmp_path, prev)
     rec = b._previous_bench()
-    assert rec == {"queries": {"q_a": 2.5}, "cal_min": 0.9}
+    assert rec == {
+        "queries": {"q_a": 2.5},
+        "cal_min": 0.9,
+        "anchor_mins": {},
+    }
 
 
 def test_previous_bench_ignores_other_sf_and_corrupt(
@@ -76,9 +80,10 @@ def test_previous_bench_ignores_other_sf_and_corrupt(
         tmp_path,
         {"parsed": {"sf": 0.01, "queries": {"q_a": 1.0}}},
     )
-    assert b._previous_bench() == {"queries": {}, "cal_min": None}
+    empty = {"queries": {}, "cal_min": None, "anchor_mins": {}}
+    assert b._previous_bench() == empty
     (tmp_path / "BENCH_r99.json").write_text("{not json")
-    assert b._previous_bench() == {"queries": {}, "cal_min": None}
+    assert b._previous_bench() == empty
     # pre-r11 records have no calibration block: queries still load
     (tmp_path / "BENCH_r99.json").write_text(
         json.dumps({"parsed": {"sf": 0.1, "queries": {"q_a": 1.0}}})
@@ -86,6 +91,7 @@ def test_previous_bench_ignores_other_sf_and_corrupt(
     assert b._previous_bench() == {
         "queries": {"q_a": 1.0},
         "cal_min": None,
+        "anchor_mins": {},
     }
 
 
@@ -104,3 +110,47 @@ def test_norm_vs_prev_arithmetic(tmp_path):
     assert b.norm_vs_prev(4.0, None, 1.2) is None
     assert b.norm_vs_prev(4.0, 0.0, 1.2) is None
     assert b.norm_vs_prev(4.0, 2.0, None) == 2.0
+
+
+def test_median_anchor_drift(tmp_path):
+    """r12 verdict task 3: drift = MEDIAN over plan-diverse anchors,
+    so one anchor's calibration noise (the r12 phantom `_minmax`
+    1.24) can't tilt every normalized ratio."""
+    b = _load_bench(tmp_path)
+    cur = {"tpch_q6": 1.2, "tpch_q3": 2.2, "store_incremental_aggregate": 3.3}
+    prev = {"tpch_q6": 1.0, "tpch_q3": 2.0, "store_incremental_aggregate": 3.0}
+    med, per = b.median_anchor_drift(cur, prev)
+    assert per == {
+        "tpch_q6": 1.2,
+        "tpch_q3": 1.1,
+        "store_incremental_aggregate": 1.1,
+    }
+    assert med == 1.1  # the odd-one-out 1.2 is absorbed
+    # even split -> mean of the middle two
+    med2, _ = b.median_anchor_drift(
+        {"a": 1.0, "b": 2.0}, {"a": 1.0, "b": 1.0}
+    )
+    assert med2 == 1.5
+    # a single wildly-noisy anchor cannot move the median
+    med3, _ = b.median_anchor_drift(
+        {"tpch_q6": 5.0, "tpch_q3": 1.0, "x": 1.02},
+        {"tpch_q6": 1.0, "tpch_q3": 1.0, "x": 1.0},
+    )
+    assert med3 == 1.02
+
+
+def test_median_anchor_drift_legacy_fallback(tmp_path):
+    """Previous rounds persisted only calibration.min (tpch_q6): the
+    median path falls back to it so r13's first run still normalizes,
+    and anchors without any baseline are skipped, not crashed."""
+    b = _load_bench(tmp_path)
+    med, per = b.median_anchor_drift(
+        {"tpch_q6": 1.3, "tpch_q3": 9.9}, {}, prev_cal_min=1.0
+    )
+    assert per == {"tpch_q6": 1.3}
+    assert med == 1.3
+    # no baseline at all -> (None, {})
+    assert b.median_anchor_drift({"tpch_q6": 1.0}, {}, None) == (
+        None,
+        {},
+    )
