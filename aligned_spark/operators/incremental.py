@@ -32,6 +32,8 @@ refresh tombstones them opportunistically.
 
 from __future__ import annotations
 
+import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -1252,6 +1254,14 @@ class WindowedIncrementalAggregate(IncrementalAggregate):
 
 LIVE_COL = "__live"
 
+#: separates the view's app id from the lease owner token in the
+#: lease's writer-transaction appId
+LEASE_MARK = ".maintainer."
+
+
+class MaintainerLeaseError(RuntimeError):
+    """Another maintainer holds this view's single-writer lease."""
+
 
 @dataclass
 class RollingIncrementalAggregate(_CursorDomain):
@@ -1273,17 +1283,26 @@ class RollingIncrementalAggregate(_CursorDomain):
     excluded there. Internal batch/maintained/oracle parity holds;
     only the exact-reference claim diverges at that one boundary.
 
-    SINGLE MAINTAINER REQUIRED: poll :meth:`refresh` and a running
-    :meth:`maintain_continuously` stream use interchangeable
+    SINGLE MAINTAINER, ENFORCED BY LEASE: poll :meth:`refresh` and a
+    running :meth:`maintain_continuously` stream use interchangeable
     cursors, but must not run CONCURRENTLY — a refresh that pins an
     older base version while the stream applies a newer slice could
     merge stale span recomputes over newer rows (the stream's
     checkpoint has already consumed those commits, so they would
-    never be re-applied). :meth:`_apply_slice` re-checks the target
-    cursor immediately before its MERGE and skips when another
-    maintainer has already advanced past the slice's pin — a
-    best-effort guard, not a substitute for single-writer
-    deployment.
+    never be re-applied). Both paths therefore take a TTL'd lease on
+    the target log at start (a writer-``txn`` action
+    ``<app_id>.maintainer.<token>`` whose version is the wall-clock
+    expiry in epoch millis, committed through the log's
+    put-if-absent concurrency control) and the LATE acquirer fails
+    fast with :class:`MaintainerLeaseError` instead of racing. The
+    token is PER INSTANCE: the supported stream→stop→poll
+    interchange on one maintainer object never self-blocks, while a
+    second maintainer (another process, another instance) is locked
+    out until the lease expires (``lease_ttl_seconds``, renewed by
+    every applied stream slice; a crashed holder's lease simply
+    lapses). :meth:`_apply_slice` additionally re-checks the target
+    cursor and the lease immediately before its MERGE, shrinking the
+    in-flight window to the commit itself.
 
     Maintenance exploits window locality: a change at time ``t``
     can only move the aggregate of SAME-ENTITY rows with ts in
@@ -1321,6 +1340,10 @@ class RollingIncrementalAggregate(_CursorDomain):
     aggs: list[Any]  # list[AggSpec]
     app_id: str = "rolling_ivm"
     log_store: Any | None = None
+    #: single-maintainer lease lifetime; a holder that stops renewing
+    #: (crash, stopped stream) blocks other maintainers at most this
+    #: long. Streams renew on every applied slice.
+    lease_ttl_seconds: float = 900.0
 
     def __post_init__(self) -> None:
         if self.window_seconds <= 0:
@@ -1334,6 +1357,111 @@ class RollingIncrementalAggregate(_CursorDomain):
         clash = ((names | internal) & keys) | (names & internal)
         if clash:
             raise ValueError(f"reserved column clash: {sorted(clash)}")
+        if self.lease_ttl_seconds <= 0:
+            raise ValueError("lease_ttl_seconds must be positive")
+        # lease owner identity — per maintainer INSTANCE, so the
+        # supported sequential stream→poll interchange on one object
+        # never self-blocks (see class docstring)
+        self._lease_token = uuid.uuid4().hex[:12]
+
+    # -- single-maintainer lease (r12 verdict task 4) ---------------
+    def _lease_app(self) -> str:
+        return f"{self.app_id}{LEASE_MARK}{self._lease_token}"
+
+    def _lease_renewal(self) -> tuple[str, int]:
+        """(appId, version) txn entry holding the lease until
+        now + TTL — rides data commits for free renewal."""
+        return (
+            self._lease_app(),
+            int((time.time() + self.lease_ttl_seconds) * 1000),
+        )
+
+    def _foreign_lease(self, snap) -> tuple[str, int] | None:
+        """(token, expiry_ms) of a LIVE lease owned by another
+        maintainer, or None. Expired leases are ignored (crashed
+        holders must not wedge the view forever)."""
+        prefix = f"{self.app_id}{LEASE_MARK}"
+        now_ms = int(time.time() * 1000)
+        mine = self._lease_app()
+        for app, ver in snap.txns.items():
+            if (
+                app.startswith(prefix)
+                and app != mine
+                and int(ver) > now_ms
+            ):
+                return app[len(prefix):], int(ver)
+        return None
+
+    def _acquire_lease(self) -> None:
+        """Take (or renew) the single-maintainer lease as its own
+        txn-only commit. The log's put-if-absent commit protocol
+        makes acquisition race-free: of two concurrent acquirers one
+        lands its lease commit, the other collides
+        (ConcurrentCommitError), re-reads, sees the winner's live
+        lease and raises :class:`MaintainerLeaseError` —
+        deterministic fail-fast, never a silent interleave."""
+        from aligned_spark.sources.delta_log import (
+            ConcurrentCommitError,
+        )
+
+        log = self._target()
+        if not log.exists():
+            return  # bootstrap: v0's exclusive create is the lock
+        for _ in range(5):
+            snap = log.snapshot()
+            held = self._foreign_lease(snap)
+            if held:
+                token, expiry = held
+                raise MaintainerLeaseError(
+                    f"maintainer lease for {self.app_id!r} on "
+                    f"{self.target_path} is held by {token!r} until "
+                    f"epoch-ms {expiry}; run ONE maintainer (poll or "
+                    "stream) per view, or wait for the lease to "
+                    "expire"
+                )
+            try:
+                log.commit(
+                    log._txn_action(self._lease_renewal()),
+                    snap.version + 1,
+                    "MAINTAINER LEASE",
+                    {
+                        "appId": self.app_id,
+                        "ttlSeconds": str(self.lease_ttl_seconds),
+                    },
+                )
+                return
+            except ConcurrentCommitError:
+                continue  # interloper commit — re-read, re-check
+        raise MaintainerLeaseError(
+            f"could not acquire maintainer lease for {self.app_id!r} "
+            f"on {self.target_path}: sustained commit contention"
+        )
+
+    def _release_lease(self) -> None:
+        """Expire this instance's lease (version=0). Best-effort:
+        on sustained contention the lease simply lapses at TTL."""
+        from aligned_spark.sources.delta_log import (
+            ConcurrentCommitError,
+        )
+
+        log = self._target()
+        if not log.exists():
+            return
+        for _ in range(5):
+            snap = log.snapshot()
+            held = snap.txns.get(self._lease_app())
+            if not held:  # never acquired, or already expired
+                return
+            try:
+                log.commit(
+                    log._txn_action((self._lease_app(), 0)),
+                    snap.version + 1,
+                    "MAINTAINER LEASE RELEASE",
+                    {"appId": self.app_id},
+                )
+                return
+            except ConcurrentCommitError:
+                continue
 
     # -- shared idioms with IncrementalAggregate -------------------
     def _target(self):
@@ -1379,16 +1507,20 @@ class RollingIncrementalAggregate(_CursorDomain):
         current = self._current_cursor(spark)
         if cursor is not None and cursor == current:
             return None
-        log = self._target()
-        if cursor is None:
-            full = self._rolling(
-                self._read_at(spark, current)
-            ).withColumn(LIVE_COL, F.lit(True))
-            log.write(full, "append", txn=(self.app_id, current))
+        self._acquire_lease()  # fail fast vs a live foreign stream
+        try:
+            log = self._target()
+            if cursor is None:
+                full = self._rolling(
+                    self._read_at(spark, current)
+                ).withColumn(LIVE_COL, F.lit(True))
+                log.write(full, "append", txn=(self.app_id, current))
+                return current
+            changes = self._read_changes(spark, cursor, current)
+            self._apply_slice(spark, changes, pin=current)
             return current
-        changes = self._read_changes(spark, cursor, current)
-        self._apply_slice(spark, changes, pin=current)
-        return current
+        finally:
+            self._release_lease()
 
     def _batch_app(self) -> str:
         return f"{self.app_id}.batch"
@@ -1461,14 +1593,16 @@ class RollingIncrementalAggregate(_CursorDomain):
             return None  # checkpoint replay of a committed batch
         if batch_id is None and cursor is not None and vmax == cursor:
             return None  # poll replay of the committed version
-        txns: Any = (self.app_id, vmax)
+        # every applied slice RENEWS the maintainer lease in the same
+        # commit — a healthy stream's lease never lapses, a stopped
+        # one expires after lease_ttl_seconds
+        txns: Any = [(self.app_id, vmax), self._lease_renewal()]
         if batch_id is not None:
             # keep the batch txn monotone even when a reset
             # checkpoint's small ids apply through the version path
-            txns = [
-                (self.app_id, vmax),
-                (self._batch_app(), max(batch_id, bcur or 0)),
-            ]
+            txns.append(
+                (self._batch_app(), max(batch_id, bcur or 0))
+            )
         self._apply_slice(spark, changes, pin=vmax, txns=txns)
         return vmax
 
@@ -1483,9 +1617,13 @@ class RollingIncrementalAggregate(_CursorDomain):
         ``StreamingQuery``. Both formats — same monotone-cursor
         contract as :meth:`IncrementalAggregate.
         maintain_continuously` (iceberg slices order on the
-        sequence number their ``_snapshot_id``s map to). Do not run
-        a poll :meth:`refresh` concurrently — see the class
-        docstring's single-maintainer requirement."""
+        sequence number their ``_snapshot_id``s map to). Takes the
+        single-maintainer lease before starting (fail-fast
+        :class:`MaintainerLeaseError` when another maintainer is
+        live — see the class docstring); every applied slice renews
+        it, so the lease lapses ``lease_ttl_seconds`` after the
+        stream stops."""
+        self._acquire_lease()
         src = self._stream_source(max_files_per_trigger)
         return (
             src.read_stream(spark)
@@ -1655,13 +1793,25 @@ class RollingIncrementalAggregate(_CursorDomain):
                 dead = dead.withColumn(LIVE_COL, F.lit(False))
                 rec = rec.unionByName(dead)
             log = self._target()
-            # best-effort concurrent-maintainer guard (class
-            # docstring): if another maintainer advanced the target
-            # PAST this slice's pin while we recomputed, our span
-            # rows are stale — merging would regress rows whose
-            # commits the other maintainer's checkpoint has already
-            # consumed (never re-applied). Re-check at the last
-            # moment and skip; single-writer remains the contract.
+            # concurrent-maintainer guards (class docstring): the
+            # LEASE is the primary lock — a live lease under another
+            # token means a foreign maintainer is active RIGHT NOW
+            # and this slice must fail loudly, not interleave. The
+            # cursor re-check below additionally skips slices a
+            # prior maintainer already covered (its lease may have
+            # expired; merging stale span recomputes would regress
+            # rows whose commits that maintainer's checkpoint has
+            # consumed and will never re-apply).
+            if log.exists():
+                held = self._foreign_lease(log.snapshot())
+                if held:
+                    raise MaintainerLeaseError(
+                        f"maintainer lease for {self.app_id!r} on "
+                        f"{self.target_path} is held by "
+                        f"{held[0]!r} until epoch-ms {held[1]}; "
+                        "refusing to merge a slice under a foreign "
+                        "live lease"
+                    )
             latest = self.last_applied()
             if latest is not None and latest > int(pin):
                 return

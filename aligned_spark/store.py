@@ -781,8 +781,16 @@ class PredictModelSource:
     ``PredictModelSource``, ``aligned/data_source/model_predictor.py:
     14-58``; wired store-wide by :meth:`ContractStore.
     predict_when_missing`, ``feature_store.py:335-352``).
-    Single-input-view models only, the same restriction the
-    reference's ``all_data`` enforces."""
+
+    EXCEEDS the reference for models whose inputs span SEVERAL
+    views: the reference's ``all_data`` raises there, but this
+    engine already owns the cross-view join (``features_for``), so
+    serving is the distinct union of the input views' entity keys
+    fed through ``predict_over`` — which assembles each view's
+    features and runs the predictor. The input views must agree on
+    their entity key set (there is no principled row grain
+    otherwise). Single-input models keep the reference's exact
+    row-per-input-row grain."""
 
     def __init__(self, store: ContractStore, model_name: str):
         self.store = store
@@ -798,16 +806,33 @@ class PredictModelSource:
             n = r.location.name
             if n not in names:
                 names.append(n)
-        if len(names) != 1:
-            raise NotImplementedError(
-                "PredictModelSource serves single-input-view models "
-                f"(inputs span {names}) — the reference raises the "
-                "same way for multi-source fact loads"
+        if len(names) == 1:
+            # reference grain: one prediction per input-view row
+            view = self.store.views[names[0]]
+            ents = (
+                self.store.feature_view(names[0])
+                .all()
+                .select(*view.entities)
             )
-        view = self.store.views[names[0]]
-        ents = (
-            self.store.feature_view(names[0])
-            .all()
-            .select(*view.entities)
+            return self.store.predict_over(self.model_name, ents)
+        key_sets = {
+            tuple(sorted(self.store.views[n].entities)) for n in names
+        }
+        if len(key_sets) != 1:
+            raise NotImplementedError(
+                "PredictModelSource over several input views needs "
+                "them to agree on entity keys; got "
+                f"{sorted(key_sets)} across {names}"
+            )
+        keys = list(self.store.views[names[0]].entities)
+        ents = None
+        for n in names:
+            e = self.store.feature_view(n).all().select(*keys)
+            ents = e if ents is None else ents.unionByName(e)
+        # distinct union: serve every entity ANY input view knows;
+        # features_for left-joins, so a key absent from one view
+        # predicts over that view's NULL features (the model's
+        # missing-value policy applies, same as batch predict_over)
+        return self.store.predict_over(
+            self.model_name, ents.dropDuplicates(keys)
         )
-        return self.store.predict_over(self.model_name, ents)

@@ -232,3 +232,247 @@ def test_oracle_artifact_root_is_run_namespaced():
     sql = entry.oracle_sql()
     for name in ("vector_index_ivf_probe", "vector_index_pq_adc"):
         assert root in sql[name], name
+
+
+# --------------------------------------- maintainer lease (task 4)
+
+
+import datetime as _dt
+import time as _time
+
+
+def _lease_rows(spec):
+    """spec: list of (k, g, minute, x)."""
+    return [
+        Row(k=k, g=g, ts=_dt.datetime(2024, 3, 5, 0, m, 0), x=float(x))
+        for k, g, m, x in spec
+    ]
+
+
+def _mk_lease_rolling(src, target, **kw):
+    from aligned_spark.operators.aggregate import AggSpec
+    from aligned_spark.operators.incremental import (
+        RollingIncrementalAggregate,
+    )
+
+    return RollingIncrementalAggregate(
+        source=src,
+        target_path=target,
+        row_keys=["k"],
+        group_keys=["g"],
+        ts_col="ts",
+        window_seconds=600.0,
+        aggs=[AggSpec("s", "sum", "x")],
+        **kw,
+    )
+
+
+def test_rolling_lease_locks_out_second_maintainer(spark, tmp_path):
+    """VERDICT task 4: with a stream RUNNING (live lease), a second
+    maintainer's refresh / stream start / direct slice merge all
+    raise MaintainerLeaseError deterministically — the r12 guard
+    hardened from best-effort skip to a lock. The SAME instance's
+    sequential stream->stop->poll interchange stays allowed."""
+    from aligned_spark.operators.incremental import (
+        MaintainerLeaseError,
+    )
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            _lease_rows([(0, "a", 1, 1.0), (1, "a", 5, 2.0)])
+        ).coalesce(1)
+    )
+    a = _mk_lease_rolling(src, str(tmp_path / "agg"))
+    b = _mk_lease_rolling(src, str(tmp_path / "agg"))
+    a.refresh(spark)  # bootstrap; poll lease acquired AND released
+    q = a.maintain_continuously(spark, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        src.insert(
+            spark.createDataFrame(_lease_rows([(2, "a", 7, 3.0)]))
+        )
+        with pytest.raises(MaintainerLeaseError, match="held by"):
+            b.refresh(spark)
+        with pytest.raises(MaintainerLeaseError, match="held by"):
+            b.maintain_continuously(spark, str(tmp_path / "ckpt_b"))
+        # the merge-time check refuses too (a stale foreign slice
+        # can't sneak in under a live lease)
+        stale = src.read_changes(spark, 0, 1)
+        with pytest.raises(MaintainerLeaseError, match="foreign"):
+            b._apply_slice(spark, stale, pin=1)
+        q.processAllAvailable()  # the running stream covers the row
+    finally:
+        q.stop()
+        q.awaitTermination()
+    from aligned_spark.operators.aggregate import (
+        AggSpec,
+        rolling_aggregate,
+    )
+
+    direct = {
+        (r.k, r.s)
+        for r in rolling_aggregate(
+            src.read(spark), ["g"], "ts", 600.0,
+            [AggSpec("s", "sum", "x")],
+        ).collect()
+    }
+    got = {(r.k, r.s) for r in a.read(spark).collect()}
+    assert got == direct
+    # same-instance interchange after stop: allowed (one maintainer)
+    src.insert(
+        spark.createDataFrame(_lease_rows([(3, "a", 9, 4.0)]))
+    )
+    assert a.refresh(spark) is not None
+    got2 = {(r.k, r.s) for r in a.read(spark).collect()}
+    direct2 = {
+        (r.k, r.s)
+        for r in rolling_aggregate(
+            src.read(spark), ["g"], "ts", 600.0,
+            [AggSpec("s", "sum", "x")],
+        ).collect()
+    }
+    assert got2 == direct2
+
+
+def test_rolling_lease_expires_after_ttl(spark, tmp_path):
+    """A crashed/stopped holder's lease lapses after
+    lease_ttl_seconds — a new maintainer is never wedged forever."""
+    from aligned_spark.sources.delta import DeltaSource
+
+    src = DeltaSource(path=str(tmp_path / "base"))
+    src.insert(
+        spark.createDataFrame(
+            _lease_rows([(0, "a", 1, 1.0)])
+        ).coalesce(1)
+    )
+    a = _mk_lease_rolling(
+        src, str(tmp_path / "agg"), lease_ttl_seconds=1.0
+    )
+    a.refresh(spark)
+    q = a.maintain_continuously(spark, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # "crash": a never releases. After TTL a NEW maintainer proceeds.
+    _time.sleep(1.3)
+    src.insert(spark.createDataFrame(_lease_rows([(1, "a", 5, 2.0)])))
+    b = _mk_lease_rolling(src, str(tmp_path / "agg"))
+    assert b.refresh(spark) is not None
+
+
+# ------------------------------- multi-input predict_when_missing
+
+
+def test_predict_when_missing_multi_input_views(spark, tmp_path):
+    """VERDICT task 5 (exceed-the-reference): a model whose inputs
+    span TWO views is served at read time by PredictModelSource —
+    distinct union of the views' entity keys through the existing
+    cross-view features_for + predict_over composition. The
+    reference raises for this shape."""
+    from aligned_spark.contracts import (
+        Float64,
+        Int64,
+        feature_view,
+        model_contract,
+    )
+    from aligned_spark.models import CodePredictor
+    from aligned_spark.sources.file import FileSource
+    from aligned_spark.store import ContractStore
+
+    base = str(tmp_path / "base")
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "user_id long, x double"
+    ).write.parquet(base)
+    # entity 3 exists ONLY in the second view — the union grain
+    # must still serve it (x arrives NULL)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)],
+        "user_id long, y double",
+    ).write.parquet(extra)
+
+    @feature_view(name="m_base", source=FileSource.parquet(base))
+    class Base:
+        user_id = Int64().as_entity()
+        x = Float64()
+
+    @feature_view(name="m_extra", source=FileSource.parquet(extra))
+    class Extra:
+        user_id = Int64().as_entity()
+        y = Float64()
+
+    @model_contract(
+        name="pair_scorer",
+        input_features=["m_base:x", "m_extra:y"],
+        output_source=FileSource.parquet(str(tmp_path / "preds")),
+        predictor=CodePredictor(
+            lambda pdf: pdf["x"].fillna(0.0) + pdf["y"]
+        ),
+    )
+    class PairScorer:
+        user_id = Int64().as_entity()
+        pair_scorer_prediction = Float64()
+
+    store = ContractStore(spark)
+    store.add_view(Base)
+    store.add_view(Extra)
+    store.add_model(PairScorer)
+
+    live = store.predict_when_missing()
+    out = live.feature_view("pair_scorer_predictions").all()
+    got = {
+        r.user_id: r.pair_scorer_prediction
+        for r in out.select(
+            "user_id", "pair_scorer_prediction"
+        ).collect()
+    }
+    assert got == {1: 12.0, 2: 23.0, 3: 30.0}
+    # single-input serving is untouched (grain = input rows)
+    @model_contract(
+        name="solo",
+        input_features=["m_base:x"],
+        output_source=FileSource.parquet(str(tmp_path / "preds2")),
+        predictor=CodePredictor(lambda pdf: pdf["x"] * 2),
+    )
+    class Solo:
+        user_id = Int64().as_entity()
+        solo_prediction = Float64()
+
+    store.add_model(Solo)
+    live2 = store.predict_when_missing()
+    got2 = {
+        r.user_id: r.solo_prediction
+        for r in live2.feature_view("solo_predictions")
+        .all()
+        .collect()
+    }
+    assert got2 == {1: 4.0, 2: 6.0}
+    # disagreeing entity keys fail loudly
+    @feature_view(name="m_other", source=FileSource.parquet(extra))
+    class Other:
+        other_id = Int64().as_entity()
+        y = Float64()
+
+    store2 = ContractStore(spark)
+    store2.add_view(Base)
+    store2.add_view(Other)
+
+    @model_contract(
+        name="bad_pair",
+        input_features=["m_base:x", "m_other:y"],
+        output_source=FileSource.parquet(str(tmp_path / "preds3")),
+        predictor=CodePredictor(lambda pdf: pdf["x"]),
+    )
+    class BadPair:
+        user_id = Int64().as_entity()
+        bad_pair_prediction = Float64()
+
+    store2.add_model(BadPair)
+    with pytest.raises(NotImplementedError, match="entity keys"):
+        store2.predict_when_missing().feature_view(
+            "bad_pair_predictions"
+        ).all().collect()
