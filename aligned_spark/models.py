@@ -64,6 +64,52 @@ class CodePredictor(ExposedModel):
 
 
 @dataclass
+class PickledPredictor(ExposedModel):
+    """Serialized-callable predictor — the reference's
+    ``DillPredictor`` (exposed_model/interface.py:251-297) and
+    ``DillFunction`` (:623): a model registry stores the predictor
+    as BYTES so contracts round-trip through serialization without
+    importing the training code. Deserialized lazily on the driver
+    (once), then served exactly like :class:`CodePredictor` — Spark
+    ships the loaded callable to executors with its own closure
+    serializer. Uses ``dill`` when importable (serializes BY VALUE —
+    full lambda/closure fidelity, the reference's format), stdlib
+    ``pickle`` otherwise (serializes module-level functions BY
+    REFERENCE, so the defining module must also be importable on
+    the executors — builtins, installed-package functions and
+    ``functools.partial`` of them always are)."""
+
+    payload: bytes
+    output_dtype: str = "double"
+
+    @staticmethod
+    def from_callable(fn: Callable) -> "PickledPredictor":
+        try:
+            import dill  # optional — not in every container
+
+            return PickledPredictor(dill.dumps(fn))
+        except ImportError:
+            import pickle
+
+            return PickledPredictor(pickle.dumps(fn))
+
+    def _load(self) -> Callable:
+        try:
+            import dill
+
+            return dill.loads(self.payload)
+        except ImportError:
+            import pickle
+
+            return pickle.loads(self.payload)
+
+    def prediction_column(self, df, feature_cols):
+        return CodePredictor(
+            self._load(), output_dtype=self.output_dtype
+        ).prediction_column(df, feature_cols)
+
+
+@dataclass
 class MLFlowModel(ExposedModel):
     """``mlflow.pyfunc.spark_udf`` wrapper (``exposed_model/mlflow.py``).
 

@@ -476,3 +476,31 @@ def test_predict_when_missing_multi_input_views(spark, tmp_path):
         store2.predict_when_missing().feature_view(
             "bad_pair_predictions"
         ).all().collect()
+
+
+# ------------------------------------- pickled predictor parity
+
+
+def test_pickled_predictor_roundtrip(spark):
+    """Reference DillPredictor/DillFunction parity
+    (exposed_model/interface.py:251,623): a predictor stored as
+    BYTES deserializes lazily and serves like CodePredictor. With
+    stdlib pickle (no dill in this container) the callable pickles
+    BY REFERENCE, so the test uses one importable everywhere
+    (operator.itemgetter) — dill environments get by-value lambdas,
+    as documented on the class."""
+    import operator
+
+    from aligned_spark.models import PickledPredictor
+
+    m = PickledPredictor.from_callable(operator.itemgetter("x"))
+    assert isinstance(m.payload, bytes)
+    # survives a real serialization boundary (e.g. a model registry)
+    import pickle
+
+    m2 = pickle.loads(pickle.dumps(m))
+    df = spark.createDataFrame([(1.5,), (2.5,)], "x double")
+    out = m2.predict(df, ["x"], output_col="p")
+    assert {(r.x, r.p) for r in out.collect()} == {
+        (1.5, 1.5), (2.5, 2.5),
+    }
