@@ -35,6 +35,45 @@ def con():
     c = duckdb.connect()
     for t in TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # The pruned-index oracles read persisted artifacts their paired
+    # spark query writes immediately before the oracle runs; the
+    # root is namespaced PER IMPORT (r13 ADVICE #5), so leftovers
+    # from other runs can never satisfy it — seed schema-exact stubs
+    # (same column names/types the producing queries write) so the
+    # TYPE check can run standalone without a spark pass.
+    import os
+
+    art = entry._ORACLE_ART
+    for sub in (
+        "ivf_probe/centroids",
+        "ivf_probe/assigned",
+        "pq_adc/books",
+        "pq_adc/codes",
+    ):
+        os.makedirs(f"{art}/{sub}", exist_ok=True)
+    stubs = {
+        "ivf_probe/centroids": (
+            "SELECT CAST(0 AS INT) AS cluster,"
+            " CAST([0.0] AS DOUBLE[]) AS cent"
+        ),
+        "ivf_probe/assigned": (
+            "SELECT CAST(0 AS BIGINT) AS vec_id,"
+            " CAST(0 AS INT) AS cluster"
+        ),
+        "pq_adc/books": (
+            "SELECT CAST(0 AS INT) AS m, CAST(0 AS INT) AS j,"
+            " CAST([0.0] AS DOUBLE[]) AS cent"
+        ),
+        "pq_adc/codes": (
+            "SELECT CAST(0 AS BIGINT) AS id,"
+            " CAST([0] AS INT[]) AS __pq_code"
+        ),
+    }
+    for sub, sel in stubs.items():
+        c.execute(
+            f"COPY ({sel}) TO '{art}/{sub}/stub.parquet'"
+            " (FORMAT PARQUET)"
+        )
     return c
 
 
