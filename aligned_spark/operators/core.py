@@ -422,7 +422,12 @@ def with_loaded_at(df: DataFrame, column: str = "loaded_at") -> DataFrame:
 
 
 def encode_dates(df: DataFrame, columns: list[str], fmt: str | None = None) -> DataFrame:
-    """Timestamp columns → formatted strings (``EncodeDatesJob:1622``)."""
+    """Timestamp columns → formatted strings (``EncodeDatesJob:1622``;
+    ``StringDateFormatter.encode_polars``, ``date_formatter.py:121-125``).
+    ``fmt`` accepts either a Spark datetime pattern or the reference's
+    chrono ``%``-style pattern (translated)."""
+    if fmt and "%" in fmt:
+        fmt = chrono_to_spark_format(fmt)
     exprs = {
         c: F.date_format(F.col(c), fmt or "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
         for c in columns
@@ -431,13 +436,102 @@ def encode_dates(df: DataFrame, columns: list[str], fmt: str | None = None) -> D
     return df.withColumns(exprs) if exprs else df
 
 
+#: chrono (Rust / reference ``date_formatter.py``) → JDK datetime tokens.
+#: Ordered longest-first so ``%.f`` wins over ``%f``; unknown tokens raise.
+_CHRONO_TOKENS = [
+    ("%.f", ".SSSSSS"),
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%e", "d"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%f", "SSSSSS"),
+    ("%j", "DDD"),
+    ("%A", "EEEE"),
+    ("%a", "EEE"),
+    ("%B", "MMMM"),
+    ("%b", "MMM"),
+    ("%T", "HH:mm:ss"),
+    ("%Z", "XXX"),
+    ("%z", "XXX"),
+    ("%%", "%"),
+]
+
+
+def chrono_to_spark_format(fmt: str) -> str:
+    """Translate the reference's chrono-style date format (``%Y-%m-%d``,
+    ``StringDateFormatter.date_format``, ``date_formatter.py:107``) into
+    the equivalent JDK/Spark pattern. Literal runs that contain JDK
+    pattern letters are quoted so e.g. the ``T`` in ISO-8601 survives.
+    Unknown ``%`` tokens raise — silent passthrough would parse wrong."""
+    out: list[str] = []
+    i = 0
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            run = "".join(lit)
+            if any(ch.isalpha() for ch in run):
+                run = "'" + run.replace("'", "''") + "'"
+            out.append(run)
+            lit.clear()
+
+    while i < len(fmt):
+        if fmt[i] == "%":
+            for tok, repl in _CHRONO_TOKENS:
+                if fmt.startswith(tok, i):
+                    flush()
+                    out.append(repl)
+                    i += len(tok)
+                    break
+            else:
+                raise ValueError(f"unsupported chrono token at {fmt[i:i+3]!r} in {fmt!r}")
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
+_EPOCH_UNITS = (None, "s", "ms", "us", "micros", "ns")
+
+
+def encode_epoch(df: DataFrame, columns: list[str], unit: str = "us") -> DataFrame:
+    """Timestamp columns → epoch integers (``Timestamp.encode_polars``,
+    ``date_formatter.py:102-104``; units s/ms/us/ns). The ``ns`` encode
+    is ``micros * 1000`` — Spark timestamps carry microsecond
+    precision, same as the reference's polars ``us`` default."""
+    if unit not in _EPOCH_UNITS:
+        raise ValueError(f"unknown epoch unit {unit!r}")
+    def enc(c: Column) -> Column:
+        if unit in (None, "s"):
+            return F.unix_timestamp(c)
+        if unit == "ms":
+            return F.unix_millis(c)
+        if unit in ("us", "micros"):
+            return F.unix_micros(c)
+        return F.unix_micros(c) * F.lit(1000)
+    exprs = {c: enc(F.col(c)) for c in columns if c in df.columns}
+    return df.withColumns(exprs) if exprs else df
+
+
 def decode_timestamps(
     df: DataFrame, columns: Mapping[str, str | None]
 ) -> DataFrame:
     """Decode raw timestamp encodings to TimestampType
-    (reference ``local/job.py:169-214``): unix epoch ints (s/ms/us),
-    ISO strings, or already-timestamps; tz-naive treated as UTC
-    (session tz is pinned UTC)."""
+    (reference ``local/job.py:169-214`` + the ``DateFormatter`` family,
+    ``schemas/date_formatter.py:90-125``): unix epoch ints
+    (s/ms/us/ns — ``Timestamp``), ISO strings (``NoopFormatter`` /
+    default ``to_timestamp``), or an explicit date format per column
+    (``StringDateFormatter``; chrono ``%``-patterns translated via
+    :func:`chrono_to_spark_format`). tz-naive treated as UTC (session
+    tz is pinned UTC; the reference's ``time_zone`` arg).
+
+    ``ns`` decode stays integral — ``DIV 1000`` on the long, never a
+    float divide (epoch nanos exceed a double's 2^53 mantissa)."""
     exprs: dict[str, Column] = {}
     for name, unit in columns.items():
         if name not in df.columns:
@@ -453,10 +547,18 @@ def decode_timestamps(
                 exprs[name] = F.timestamp_millis(c.cast("long"))
             elif unit in ("us", "micros"):
                 exprs[name] = F.timestamp_micros(c.cast("long"))
+            elif unit == "ns":
+                quoted = name.replace("`", "``")
+                exprs[name] = F.timestamp_micros(
+                    F.expr(f"CAST(`{quoted}` AS BIGINT) DIV 1000")
+                )
             else:
                 raise ValueError(f"unknown timestamp unit {unit!r}")
-        else:
+        elif unit in (None, "s", "ms", "us", "micros", "ns"):
             exprs[name] = F.to_timestamp(c)
+        else:
+            fmt = chrono_to_spark_format(unit) if "%" in unit else unit
+            exprs[name] = F.to_timestamp(c, fmt)
     return df.withColumns(exprs) if exprs else df
 
 

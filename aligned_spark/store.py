@@ -343,6 +343,50 @@ class ContractStore:
             compute_view(view, self.spark, store=self).createOrReplaceTempView(name)
 
     # -- ops / metadata -------------------------------------------------------
+    def views_with_source(self, source: Any) -> list[str]:
+        """View names whose batch source shares ``source``'s job group
+        key (reference ``views_with_batch_source``; group key =
+        ``job_group_key``, ``data_source/batch_data_source.py``)."""
+        key = source.job_group_key() if hasattr(source, "job_group_key") else repr(source)
+        out = []
+        for name, view in self.views.items():
+            s = view.source
+            skey = s.job_group_key() if hasattr(s, "job_group_key") else repr(s)
+            if skey == key:
+                out.append(name)
+        return out
+
+    def validate_sources(
+        self, view_names: Iterable[str] | None = None
+    ) -> dict[str, bool]:
+        """Can each view's source fulfil the view's CORE schema?
+        (reference ``validate_sources_in``, ``source_validation.py:4-33``:
+        read one row of the core features per view; exception → False.)
+
+        Core = entities + declared features + the event timestamp —
+        derived/aggregated columns are computed, not served, so they
+        don't gate the source. A present-but-empty source validates
+        True (schema check via ``limit(1)`` job, same as the
+        reference's ``limit=1`` collect)."""
+        names = list(view_names) if view_names is not None else list(self.views)
+        results: dict[str, bool] = {}
+        for name in names:
+            view = self.views[name]
+            core = list(view.entities) + [f.name for f in view.features]
+            if view.event_timestamp is not None:
+                core.append(view.event_timestamp.name)
+            core = list(dict.fromkeys(core))  # entities repeat in features
+            try:
+                df = view.source.read(self.spark)
+                missing = [c for c in core if c not in df.columns]
+                if missing:
+                    raise ValueError(f"missing core columns {missing}")
+                df.select(*core).limit(1).collect()
+                results[name] = True
+            except Exception:
+                results[name] = False
+        return results
+
     def freshness_for(self, view_name: str) -> dt.datetime | None:
         view = self.views[view_name]
         if view.event_timestamp is None:

@@ -504,3 +504,120 @@ def test_pickled_predictor_roundtrip(spark):
     assert {(r.x, r.p) for r in out.collect()} == {
         (1.5, 1.5), (2.5, 2.5),
     }
+
+
+# ------------------------- date-formatter parity (date_formatter.py)
+
+
+def test_chrono_format_translation():
+    """Reference chrono patterns (``StringDateFormatter.date_format``,
+    ``schemas/date_formatter.py:107-125``) translate to JDK patterns;
+    literal runs with pattern letters get quoted; unknown tokens
+    raise instead of silently parsing wrong."""
+    from aligned_spark.operators.core import chrono_to_spark_format
+
+    assert chrono_to_spark_format("%Y-%m-%d") == "yyyy-MM-dd"
+    assert (
+        chrono_to_spark_format("%Y-%m-%dT%H:%M:%S%.f%Z")
+        == "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    )
+    assert chrono_to_spark_format("%d/%b/%Y %T") == "dd/MMM/yyyy HH:mm:ss"
+    assert chrono_to_spark_format("%%Y") == "%'Y'"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chrono token"):
+        chrono_to_spark_format("%Q-%Y")
+
+
+def test_decode_timestamps_ns_and_format(spark):
+    """``ns`` epoch decode (``Timestamp(time_unit='ns')``,
+    ``date_formatter.py:90-104``) is integral — DIV 1000, never a
+    float divide (epoch nanos exceed a double's 2^53 mantissa) — and
+    a per-column explicit format decodes via ``StringDateFormatter``
+    semantics (chrono or Spark pattern both accepted)."""
+    import datetime as dtm
+
+    from aligned_spark.operators.core import decode_timestamps
+
+    ns = 1_700_000_000_123_456_789  # → 1_700_000_000_123_456 us exactly
+    df = spark.createDataFrame(
+        [(ns, "2021-03-04 05:06:07", "04/Mar/2021")],
+        "t_ns long, t_fmt string, t_chrono string",
+    )
+    out = decode_timestamps(
+        df, {"t_ns": "ns", "t_fmt": "yyyy-MM-dd HH:mm:ss", "t_chrono": "%d/%b/%Y"}
+    ).collect()[0]
+    assert out.t_ns == dtm.datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert out.t_fmt == dtm.datetime(2021, 3, 4, 5, 6, 7)
+    assert out.t_chrono == dtm.datetime(2021, 3, 4)
+    assert dict(
+        decode_timestamps(df, {"t_ns": "ns"}).dtypes
+    )["t_ns"].startswith("timestamp")
+
+
+def test_encode_epoch_units_roundtrip(spark):
+    """``Timestamp.encode_polars`` parity (``date_formatter.py:102``):
+    timestamp → epoch integer for every unit, inverse of the decode."""
+    import pytest as _pytest
+
+    from aligned_spark.operators.core import decode_timestamps, encode_epoch
+
+    us = 1_700_000_000_123_456
+    df = decode_timestamps(
+        spark.createDataFrame([(us,)], "t long"), {"t": "us"}
+    )
+    vals = {
+        unit: encode_epoch(df, ["t"], unit).collect()[0].t
+        for unit in ("s", "ms", "us", "ns")
+    }
+    assert vals == {
+        "s": us // 1_000_000,
+        "ms": us // 1_000,
+        "us": us,
+        "ns": us * 1_000,
+    }
+    with _pytest.raises(ValueError, match="epoch unit"):
+        encode_epoch(df, ["t"], "minutes")
+
+
+# ------------------- source validation parity (source_validation.py)
+
+
+def test_validate_sources(spark, tmp_path):
+    """``validate_sources_in`` parity (``source_validation.py:4-33``):
+    per-view bool — True when the source serves the view's CORE
+    columns (one-row probe), False when a core column is missing or
+    the read itself fails; ``views_with_source`` groups views by the
+    source's job group key (``views_with_batch_source``)."""
+    from aligned_spark.contracts import Float64, Int64, feature_view
+    from aligned_spark.sources.file import ParquetSource
+    from aligned_spark.store import ContractStore
+
+    p = str(tmp_path / "ok.parquet")
+    spark.createDataFrame([(1, 2.0)], "uid long, x double").write.parquet(p)
+    ok_src = ParquetSource(p)
+
+    @feature_view(name="served", source=ok_src)
+    class Served:
+        uid = Int64().as_entity()
+        x = Float64()
+
+    @feature_view(name="short", source=ok_src)
+    class Short:  # declares a column the parquet does not carry
+        uid = Int64().as_entity()
+        missing_col = Float64()
+
+    @feature_view(name="gone", source=ParquetSource(str(tmp_path / "absent.parquet")))
+    class Gone:
+        uid = Int64().as_entity()
+
+    store = ContractStore(spark)
+    for v in (Served, Short, Gone):
+        store.add_view(v)
+    assert store.validate_sources() == {
+        "served": True,
+        "short": False,
+        "gone": False,
+    }
+    assert store.validate_sources(["served"]) == {"served": True}
+    assert sorted(store.views_with_source(ok_src)) == ["served", "short"]
