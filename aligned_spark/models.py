@@ -376,6 +376,48 @@ class ABTestModel(ExposedModel):
 
 
 @dataclass
+class MultipleModels(ExposedModel):
+    """Run EVERY model over the same inputs and stack the prediction
+    frames, one row-block per model tagged with its version (reference
+    ``MultipleModels``, ``exposed_model/multiple.py:23-92``: vstacks
+    each arm's predictions with the prediction view's
+    ``model_version_column`` stamped).
+
+    Spark-first shape: each arm scores the SAME cached input plan and
+    the stack is ``unionByName`` — arms score in one job, no
+    per-model driver loop over data. Complements the router models:
+    :class:`ABTestModel` picks ONE arm per row; this one keeps every
+    arm's prediction (champion/challenger backtesting)."""
+
+    models: list  # [(ExposedModel, version_str), ...]
+    version_col: str = "model_version"
+
+    def prediction_column(self, df, feature_cols):
+        raise TypeError(
+            "MultipleModels stacks one frame per arm (frame-level); "
+            "use predict()"
+        )
+
+    def predict(self, df, feature_cols, output_col="prediction"):
+        if not self.models:
+            raise ValueError("MultipleModels has no models")
+        if self.version_col in df.columns:
+            raise ValueError(
+                f"input already has a {self.version_col!r} column"
+            )
+        parts = [
+            m.predict(df, feature_cols, output_col=output_col).withColumn(
+                self.version_col, F.lit(str(version))
+            )
+            for m, version in self.models
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+@dataclass
 class ApiModel(ExposedModel):
     """API-backed generate/embed predictor (reference ollama/openai
     exposed models, ``exposed_model/ollama.py:29,262``,

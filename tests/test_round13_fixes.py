@@ -621,3 +621,36 @@ def test_validate_sources(spark, tmp_path):
     }
     assert store.validate_sources(["served"]) == {"served": True}
     assert sorted(store.views_with_source(ok_src)) == ["served", "short"]
+
+
+# ---------------------- MultipleModels parity (exposed_model/multiple.py)
+
+
+def test_multiple_models_stack(spark):
+    """Reference ``MultipleModels`` (``exposed_model/multiple.py:23-92``):
+    every arm scores the SAME inputs and the outputs stack, one
+    row-block per arm tagged with its version. Distinct from
+    ABTestModel (routes) and ShadowModel (side column)."""
+    import pytest as _pytest
+
+    from aligned_spark.models import CodePredictor, MultipleModels
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "uid long, x double")
+    m = MultipleModels(
+        models=[
+            (CodePredictor(lambda pdf: pdf["x"] * 2), "v1"),
+            (CodePredictor(lambda pdf: pdf["x"] + 100), "v2"),
+        ]
+    )
+    with _pytest.raises(TypeError, match="frame-level"):
+        m.prediction_column(df, ["x"])
+    out = m.predict(df, ["x"], output_col="p")
+    rows = {(r.uid, r.model_version, r.p) for r in out.collect()}
+    assert rows == {
+        (1, "v1", 4.0), (2, "v1", 6.0),
+        (1, "v2", 102.0), (2, "v2", 103.0),
+    }
+    with _pytest.raises(ValueError, match="model_version"):
+        m.predict(out, ["x"])
+    with _pytest.raises(ValueError, match="no models"):
+        MultipleModels(models=[]).predict(df, ["x"])
