@@ -3858,6 +3858,63 @@ def _semantic_dedup_oracle(dim: int = 64) -> str:
 _ORACLES["dedup_semantic"] = _semantic_dedup_oracle()
 
 
+def _leakage_safe_split_oracle(dim: int = 64) -> str:
+    """Same pair graph + component labels as the semantic-dedup
+    oracle; the split replays the exact-int64 multiplicative hash of
+    the GROUP label (seed 7, test >= 0.8), so every member of a
+    near-dup component provably lands on one side."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_lsh_oracle(dim=dim)}),
+    sym AS MATERIALIZED (
+      SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
+      UNION ALL
+      SELECT vec_id_b AS a, vec_id_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym) n(a)
+      UNION
+      SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+    grp AS (
+      SELECT e.vec_id, coalesce(lab.label, e.vec_id) AS group_id
+      FROM embeddings e LEFT JOIN lab ON lab.node = e.vec_id
+    )
+    SELECT vec_id, group_id,
+           CASE WHEN CAST(((7 + group_id) % 1073741824) * 2654435761
+                          % 1073741824 AS DOUBLE) / 1073741824 >= 0.8
+                THEN 'test' ELSE 'train' END AS split
+    FROM grp
+    """
+
+
+@q("splits_leakage_safe", _leakage_safe_split_oracle())
+def _splits_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/test split over the embeddings corpus: the
+    split unit is the near-duplicate COMPONENT (same LSH pair graph +
+    transitive closure dedup_semantic keeps), so no near-dup pair can
+    straddle train and test — the eval-set guarantee row-independent
+    splits (reference ``split_strategy.py``) cannot give. Group join
+    broadcasts (the pair graph holds only colliding ids); the
+    coordinate is the keyed multiplicative hash, stateless on the
+    corpus side."""
+    from aligned_spark.operators.dedup import connected_components
+    from aligned_spark.operators.similarity import lsh_bucketed_pairs
+    from aligned_spark.operators.splits import leakage_safe_split
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    pairs = lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", dim=dim, threshold=0.35,
+        num_planes=6, num_tables=4,
+    )
+    comps = connected_components(pairs, "vec_id_a", "vec_id_b")
+    out = leakage_safe_split(
+        emb.select("vec_id"), "vec_id", comps, test_fraction=0.2, seed=7,
+    )
+    return out.select("vec_id", "group_id", "split")
+
+
 def _embed_fake_oracle(size: int = 16) -> str:
     from aligned_spark.functions import text_poly as tp
 
@@ -9609,25 +9666,28 @@ def _model_ece(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-13 window (VERDICT r12 "Next round" task 1). Slots 1-2 =
+    # Round-13 window (VERDICT r12 "Next round" task 1). Slots 1-3 =
     # the queries with NO full-oracle driver row yet: agg_group_approx
     # (PROMOTED this round from rows-only to a deterministic-BOUND
     # oracle — exact replayed quantities + sketch-within-bound
-    # booleans the oracle pins TRUE) and model_predict_multi_view
+    # booleans the oracle pins TRUE), model_predict_multi_view
     # (NEW this round — read-time serving of a model whose inputs
-    # span two views, exceeding the reference). Slots 3-6 = rows
-    # FORCE-INCLUDED because round 13 touched their code paths: the
-    # pq ADC oracle (pq_topk_int id-dtype derivation + per-run
+    # span two views, exceeding the reference), and
+    # splits_leakage_safe (NEW this round — near-dup-component-aware
+    # train/test split, no group straddles the boundary). Slots 4-7 =
+    # rows FORCE-INCLUDED because round 13 touched their code paths:
+    # the pq ADC oracle (pq_topk_int id-dtype derivation + per-run
     # artifact namespacing), the ivf probe oracle (same namespacing),
     # and the rolling + iceberg-stream IVM rows (single-maintainer
-    # LEASE now taken at refresh/stream start). Slots 7-40 = the 34
+    # LEASE now taken at refresh/stream start). Slots 8-41 = the 34
     # r8-stale rows the judge enumerated (the oldest cohort). Slots
-    # 41-50 = the 10 alphabetically-first r9 rows. After this window
+    # 42-50 = the 9 alphabetically-first r9 rows. After this window
     # no full-oracle query's last green driver row is older than r9
     # — the verdict's criterion; the remaining r9 rows head the r14
     # rotation.
     "agg_group_approx",
     "model_predict_multi_view",
+    "splits_leakage_safe",
     # --- code paths touched in r13 (4) ---
     "vector_index_pq_adc",
     "vector_index_ivf_probe",
@@ -9668,7 +9728,7 @@ _PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # --- r9 cohort: 10 alphabetically-first of the rest ---
+    # --- r9 cohort: 9 alphabetically-first of the rest ---
     "agg_group_stats",
     "agg_percentiles_counting",
     "agg_rolling_window",
@@ -9678,7 +9738,6 @@ _PRIORITY: list[str] = [
     "corpus_pack_wordpiece",
     "corpus_shrunk_domain_means",
     "corpus_strip_markup",
-    "corpus_temperature_sample",
 ]
 
 

@@ -21,7 +21,11 @@ from aligned_spark.operators.aggregate import (
     rolling_aggregate,
     hopping_aggregate,
 )
-from aligned_spark.operators.splits import train_test_split, train_test_validate_split
+from aligned_spark.operators.splits import (
+    leakage_safe_split,
+    train_test_split,
+    train_test_validate_split,
+)
 
 __all__ = [
     "select_columns",
@@ -43,6 +47,7 @@ __all__ = [
     "group_aggregate",
     "rolling_aggregate",
     "hopping_aggregate",
+    "leakage_safe_split",
     "train_test_split",
     "train_test_validate_split",
 ]

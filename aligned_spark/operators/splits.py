@@ -151,3 +151,62 @@ def train_test_validate_split(
     test = ranked.filter((F.col("__pr") >= b1) & (F.col("__pr") < b2)).drop("__pr")
     validate = ranked.filter(F.col("__pr") >= b2).drop("__pr")
     return train, test, validate
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    labels: DataFrame,
+    test_fraction: float,
+    seed: int = 42,
+    label_node_col: str = "node",
+    label_col: str = "label",
+    group_col: str = "group_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate-aware train/test assignment: the split unit is
+    the duplicate GROUP, so no near-dup pair can straddle train and
+    test — the leakage an eval set actually needs to exclude. (The
+    reference splits rows independently, ``split_strategy.py``; this
+    composes its split contract with the dedup pillar's transitive
+    closure.)
+
+    ``labels`` is a ``(node, label)`` frame — the output of
+    :func:`~aligned_spark.operators.dedup.connected_components` over a
+    near-dup pair graph. Ids absent from it are singleton groups
+    (group = own id, via ``coalesce``). The pair graph holds only ids
+    that COLLIDED, orders of magnitude smaller than the corpus, so
+    the group join broadcasts; the coordinate is the same exact-int64
+    multiplicative hash as the ``key_cols`` split path (SQL-
+    replayable, stateless, no shuffle on the corpus side).
+
+    Returns ``df`` + ``group_col`` + ``split_col`` ('train'/'test') —
+    callers filter; keeping one frame preserves the group column for
+    leakage audits."""
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError(f"need 0 < test_fraction < 1, got {test_fraction}")
+    for c in (group_col, split_col):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} already present in df")
+    lab = labels.select(
+        F.col(label_node_col).alias(id_col),
+        F.col(label_col).alias(group_col),
+    )
+    joined = df.join(F.broadcast(lab), on=id_col, how="left").withColumn(
+        group_col, F.coalesce(F.col(group_col), F.col(id_col))
+    )
+    h = F.pmod(
+        F.pmod(
+            F.lit(seed).cast("long") + F.col(group_col).cast("long"),
+            F.lit(_MULT_BUCKETS),
+        )
+        * F.lit(_MULT_A),
+        F.lit(_MULT_BUCKETS),
+    )
+    coord = h.cast("double") / F.lit(float(_MULT_BUCKETS))
+    return joined.withColumn(
+        split_col,
+        F.when(coord >= F.lit(1.0 - test_fraction), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -654,3 +654,60 @@ def test_multiple_models_stack(spark):
         m.predict(out, ["x"])
     with _pytest.raises(ValueError, match="no models"):
         MultipleModels(models=[]).predict(df, ["x"])
+
+
+# ----------------------------- leakage-safe split (new, exceeds ref)
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Every member of a near-dup component lands on ONE side; ids
+    outside the label frame are singletons; occupied output columns
+    and degenerate fractions raise."""
+    import pytest as _pytest
+
+    from aligned_spark.operators.splits import leakage_safe_split
+
+    df = spark.createDataFrame([(i,) for i in range(1, 201)], "doc long")
+    # components: {1..50} label 1, {51..60} label 51; 61+ singletons
+    labels = spark.createDataFrame(
+        [(i, 1) for i in range(1, 51)] + [(i, 51) for i in range(51, 61)],
+        "node long, label long",
+    )
+    out = leakage_safe_split(
+        df, "doc", labels, test_fraction=0.3, seed=7
+    ).collect()
+    assert len(out) == 200
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    # no group straddles the boundary — the operator's whole point
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    assert {r.group_id for r in out if r.doc <= 50} == {1}
+    assert {r.group_id for r in out if 51 <= r.doc <= 60} == {51}
+    singles = {r.doc: r.group_id for r in out if r.doc > 60}
+    assert singles == {i: i for i in range(61, 201)}
+    splits = {r.split for r in out}
+    assert splits == {"train", "test"}  # 140 singleton groups → both sides
+
+    with _pytest.raises(ValueError, match="test_fraction"):
+        leakage_safe_split(df, "doc", labels, test_fraction=0.0)
+    with _pytest.raises(ValueError, match="already present"):
+        leakage_safe_split(
+            df.withColumn("split", F.lit("x")), "doc", labels, 0.3
+        )
+
+
+def test_leakage_safe_split_broadcasts_labels(spark):
+    """The group join is plan-pinned to broadcast — the corpus side
+    never shuffles for the label attach (the label frame holds only
+    colliding ids, tiny at any scale)."""
+    from aligned_spark.operators.splits import leakage_safe_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc")
+    labels = spark.createDataFrame(
+        [(i, 1) for i in range(10)], "node long, label long"
+    )
+    out = leakage_safe_split(df, "doc", labels, test_fraction=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
