@@ -188,6 +188,14 @@ def leakage_safe_split(
     for c in (group_col, split_col):
         if c in df.columns:
             raise ValueError(f"column {c!r} already present in df")
+    id_dtype = dict(df.dtypes).get(id_col)
+    if id_dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # a cast("long") on e.g. string ids would yield NULL → NULL
+        # hash → every row silently lands in 'train'; fail instead
+        raise TypeError(
+            f"leakage_safe_split needs an integer id column; "
+            f"{id_col!r} is {id_dtype!r} (hash a surrogate id first)"
+        )
     lab = labels.select(
         F.col(label_node_col).alias(id_col),
         F.col(label_col).alias(group_col),

@@ -711,3 +711,18 @@ def test_leakage_safe_split_broadcasts_labels(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_leakage_safe_split_rejects_string_ids(spark):
+    """String ids would cast("long") to NULL inside the hash and
+    silently send EVERY row to 'train' — the same silent-narrowing
+    class the r12 advisor flagged on pq_topk_int, so it fails loudly
+    instead."""
+    import pytest as _pytest
+
+    from aligned_spark.operators.splits import leakage_safe_split
+
+    df = spark.createDataFrame([("a",), ("b",)], "doc string")
+    labels = spark.createDataFrame([("a", "a")], "node string, label string")
+    with _pytest.raises(TypeError, match="integer id"):
+        leakage_safe_split(df, "doc", labels, test_fraction=0.2)
