@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 from aligned_spark.operators.splits import _MULT_A, _MULT_BUCKETS
 
 
+def _require_int_keys(df: DataFrame, key_cols: list[str]) -> None:
+    """Non-integer keys cast("long") to NULL inside the hash → NULL
+    coordinate → the row fails every filter and silently vanishes
+    from the sample. Fail loudly at the DataFrame-level entry points
+    (``hash_coordinate`` itself is a Column builder, no schema)."""
+    dtypes = dict(df.dtypes)
+    bad = [
+        c for c in key_cols
+        if dtypes.get(c) not in ("tinyint", "smallint", "int", "bigint", "long")
+    ]
+    if bad:
+        raise TypeError(
+            f"key_cols must be integer columns; got "
+            f"{[(c, dtypes.get(c)) for c in bad]} "
+            f"(hash a surrogate key first)"
+        )
+
+
 def hash_coordinate(key_cols: list[str], seed: int = 0) -> Column:
     """Stable [0, 1) coordinate from integer key columns — exact
     int64 arithmetic (h = ((h + col) mod 2^30) · A mod 2^30), exact
@@ -43,6 +61,7 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash. Stateless and
     shuffle-free (a filter over the scan), reproducible everywhere."""
+    _require_int_keys(df, key_cols)
     return df.filter(hash_coordinate(key_cols, seed) < F.lit(fraction))
 
 
@@ -177,6 +196,7 @@ def weighted_source_sample(
     under its source's weight. Sources absent from ``weights`` keep
     ``default_weight`` (0 = drop). Still a pure filter — no shuffle,
     no state; weights are plan literals so Catalyst folds the CASE."""
+    _require_int_keys(df, key_cols)
     thr: Column = F.lit(float(default_weight))
     for src, w in sorted(weights.items()):
         thr = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(thr)
@@ -203,6 +223,7 @@ def temperature_sample(
     into a literal CASE threshold → the sample is a pure scan filter,
     no shuffle, no join. Fractions are epsilon-rounded to 6 decimals
     so the transcendental ``pow`` cannot flip a row across engines."""
+    _require_int_keys(df, key_cols)
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     counts = {
@@ -259,6 +280,7 @@ def weighted_reservoir_k(
     as :func:`sample_exact_k`'s naive path: rank within each group —
     group by low-cardinality categories; compose with its pre-filter
     trick if groups are corpus-sized."""
+    _require_int_keys(df, key_cols)
     u = hash_coordinate(key_cols, seed) + F.lit(2.0 ** -31)
     w = F.col(weight_col).cast("double")
     key = -F.log(u) / w
@@ -308,6 +330,7 @@ def sample_exact_k(
     The output is identical to the naive full rank: the k smallest
     ``(coordinate, key_cols)`` per group — which is what the SQL
     oracle replays."""
+    _require_int_keys(df, key_cols)
     coord = hash_coordinate(key_cols, seed)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     thr = F.when(

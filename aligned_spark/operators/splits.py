@@ -54,6 +54,20 @@ def _ranked(
         # stable under schema additions (whole-row hashing is not),
         # and the formula is exactly mirrorable in SQL (the driver's
         # DuckDB oracle replays it bit-for-bit).
+        dtypes = dict(df.dtypes)
+        bad = [
+            c for c in key_cols
+            if dtypes.get(c) not in ("tinyint", "smallint", "int", "bigint", "long")
+        ]
+        if bad:
+            # non-integer keys cast("long") to NULL → NULL coordinate
+            # → the row matches NEITHER split filter and silently
+            # vanishes from both sides
+            raise TypeError(
+                f"key_cols must be integer columns; got "
+                f"{[(c, dtypes.get(c)) for c in bad]} "
+                f"(hash a surrogate key first)"
+            )
         h = F.lit(seed).cast("long")
         for c in key_cols:
             h = F.pmod(

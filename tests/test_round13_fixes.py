@@ -726,3 +726,50 @@ def test_leakage_safe_split_rejects_string_ids(spark):
     labels = spark.createDataFrame([("a", "a")], "node string, label string")
     with _pytest.raises(TypeError, match="integer id"):
         leakage_safe_split(df, "doc", labels, test_fraction=0.2)
+
+
+def test_keyed_split_rejects_non_integer_keys(spark):
+    """A string/double key in the key_cols split path would cast to
+    NULL inside the multiplicative hash → NULL coordinate → the row
+    matches NEITHER the train nor the test filter and silently
+    vanishes. Loud TypeError instead (integer keys unchanged)."""
+    import pytest as _pytest
+
+    from aligned_spark.operators.splits import subset_range, train_test_split
+
+    df = spark.createDataFrame([(1, "a", 1.5)], "k long, s string, d double")
+    with _pytest.raises(TypeError, match="integer"):
+        train_test_split(df, 0.2, key_cols=["s"])
+    with _pytest.raises(TypeError, match="integer"):
+        subset_range(df, 0.0, 0.5, key_cols=["k", "d"])
+    train, test = train_test_split(df, 0.2, key_cols=["k"])
+    assert train.count() + test.count() == 1
+
+
+def test_sampling_rejects_non_integer_keys(spark):
+    """Every DataFrame-level sampler that hashes key_cols fails
+    loudly on non-integer keys (the NULL-coordinate silent-drop
+    class), and the integer path is unchanged."""
+    import pytest as _pytest
+
+    from aligned_spark.operators.sampling import (
+        deterministic_sample,
+        sample_exact_k,
+        temperature_sample,
+        weighted_reservoir_k,
+        weighted_source_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", "x", 1.0)], "k long, src string, s string, wt double"
+    )
+    for call in (
+        lambda: deterministic_sample(df, ["s"], 0.5),
+        lambda: weighted_source_sample(df, ["s"], "src", {"web": 1.0}),
+        lambda: temperature_sample(df, "src", ["s"], 0.5, 10),
+        lambda: weighted_reservoir_k(df, "src", ["s"], "wt", 1),
+        lambda: sample_exact_k(df, "src", ["s"], 1),
+    ):
+        with _pytest.raises(TypeError, match="integer"):
+            call()
+    assert deterministic_sample(df, ["k"], 1.0).count() == 1
