@@ -7811,6 +7811,55 @@ def _join_interval_overlap(spark, sf_dir):
     )
 
 
+@q(
+    "join_interval_overlap_count",
+    """WITH l AS (
+         SELECT event_id, event_type, value AS lo, value + 5 AS hi
+         FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+       ),
+       r AS (
+         SELECT event_id AS r_id, event_type AS r_type,
+                value AS r_lo, value + 5 AS r_hi
+         FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+       )
+       SELECT l.event_id, CAST(count(r.r_id) AS BIGINT) AS n_overlaps
+       FROM l LEFT JOIN r ON l.event_type = r.r_type
+         AND l.lo <= r.r_hi AND r.r_lo <= l.hi
+       GROUP BY l.event_id""",
+)
+def _join_interval_overlap_count(spark, sf_dir):
+    """The pair join's COUNTING twin, pair-free: same overlap
+    semantics as `join_interval_overlap` but via the rank
+    decomposition ``#(r_lo <= l_hi) - #(r_hi < l_lo)`` — a dense
+    cumulative bin histogram (keys × bins rows, broadcast) plus
+    one-bin boundary corrections, so nothing the size of the 47M
+    overlapping pairs ever streams through the plan
+    (`operators/joins.py:interval_overlap_count`; ~4x the pair
+    join at sf0.1, and the gap grows with overlap density — the
+    100 TB shape when only counts are needed). Left-preserving:
+    zero-overlap lefts keep count 0, hence the LEFT JOIN oracle."""
+    from aligned_spark.operators.joins import interval_overlap_count
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("lo"),
+        (F.col("value") + 5).alias("hi"),
+    )
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("r_id"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("r_lo"),
+        (F.col("value") + 5).alias("r_hi"),
+    )
+    out = interval_overlap_count(
+        left, right, "lo", "hi", "r_lo", "r_hi",
+        bin_width=1.0, on=["etype"],
+    )
+    return out.select("event_id", "n_overlaps")
+
+
 def _ewma_oracle(alpha: float = 0.2, lookback: int = 64) -> str:
     powers, p = [], 1.0
     for _ in range(lookback + 1):
@@ -9666,7 +9715,7 @@ def _model_ece(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-13 window (VERDICT r12 "Next round" task 1). Slots 1-3 =
+    # Round-13 window (VERDICT r12 "Next round" task 1). Slots 1-4 =
     # the queries with NO full-oracle driver row yet: agg_group_approx
     # (PROMOTED this round from rows-only to a deterministic-BOUND
     # oracle — exact replayed quantities + sketch-within-bound
@@ -9674,20 +9723,23 @@ _PRIORITY: list[str] = [
     # (NEW this round — read-time serving of a model whose inputs
     # span two views, exceeding the reference), and
     # splits_leakage_safe (NEW this round — near-dup-component-aware
-    # train/test split, no group straddles the boundary). Slots 4-7 =
+    # train/test split, no group straddles the boundary) plus
+    # join_interval_overlap_count (NEW — the pair join's pair-free
+    # counting twin). Slots 5-8 =
     # rows FORCE-INCLUDED because round 13 touched their code paths:
     # the pq ADC oracle (pq_topk_int id-dtype derivation + per-run
     # artifact namespacing), the ivf probe oracle (same namespacing),
     # and the rolling + iceberg-stream IVM rows (single-maintainer
-    # LEASE now taken at refresh/stream start). Slots 8-41 = the 34
+    # LEASE now taken at refresh/stream start). Slots 9-42 = the 34
     # r8-stale rows the judge enumerated (the oldest cohort). Slots
-    # 42-50 = the 9 alphabetically-first r9 rows. After this window
+    # 43-50 = the 8 alphabetically-first r9 rows. After this window
     # no full-oracle query's last green driver row is older than r9
     # — the verdict's criterion; the remaining r9 rows head the r14
     # rotation.
     "agg_group_approx",
     "model_predict_multi_view",
     "splits_leakage_safe",
+    "join_interval_overlap_count",
     # --- code paths touched in r13 (4) ---
     "vector_index_pq_adc",
     "vector_index_ivf_probe",
@@ -9728,7 +9780,7 @@ _PRIORITY: list[str] = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # --- r9 cohort: 9 alphabetically-first of the rest ---
+    # --- r9 cohort: 8 alphabetically-first of the rest ---
     "agg_group_stats",
     "agg_percentiles_counting",
     "agg_rolling_window",
@@ -9737,7 +9789,6 @@ _PRIORITY: list[str] = [
     "corpus_jsd_slices",
     "corpus_pack_wordpiece",
     "corpus_shrunk_domain_means",
-    "corpus_strip_markup",
 ]
 
 

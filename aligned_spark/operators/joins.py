@@ -831,3 +831,177 @@ def interval_overlap_join(
         )
     )
     return out.drop("__bin")
+
+
+def interval_overlap_count(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    on: list[str] | None = None,
+    count_col: str = "n_overlaps",
+) -> DataFrame:
+    """Per-left-row COUNT of overlapping right intervals WITHOUT
+    materializing the pairs — :func:`interval_overlap_join`'s counting
+    sibling for coverage/conflict counting, where the pair join's cost
+    is inherently its output cardinality (every overlapping pair
+    streams through the plan even though only a count survives).
+
+    Rank decomposition over closed intervals::
+
+        #overlap(l) = #{r_lo <= l_hi} - #{r_hi < l_lo}
+
+    (the second set is a subset of the first since ``r_lo <= r_hi``).
+    Each term splits at bin granularity into a CUMULATIVE-HISTOGRAM
+    lookup (bins strictly below the boundary bin) plus a boundary-bin
+    correction:
+
+    1. per-(keys, bin) counts of ``r_lo`` and ``r_hi`` → densified per
+       key over [min_bin, max_bin] → running-sum window. Histogram
+       rows only — ``keys × bins``, never data rows — so the window's
+       per-key partitioning is safe at any corpus size; the result
+       broadcasts.
+    2. boundary corrections join left rows to right rows in ONE bin
+       (hash equi-join on (keys, bin)); the shuffled intermediate is
+       ``left_rows × rights-per-bin``, tunable by ``bin_width`` —
+       unlike the pair join, a FINER width always shrinks it.
+    3. counts compute per DISTINCT (keys, lo, hi) and join back, so
+       duplicate spans cost once.
+
+    Left rows with no overlaps keep count 0 (left-preserving).
+    Bins per key are bounded by value-range/width — same binning
+    contract as :func:`range_join`. NaN bounds are the caller's bug."""
+    if not bin_width > 0:  # also rejects NaN
+        raise ValueError(
+            f"bin_width must be > 0, got {bin_width!r}"
+        )
+    keys = on or []
+    w = F.lit(float(bin_width))
+    if not keys:
+        # joins below key on `keys + [...]`; an empty equi-key list is
+        # not a valid join spec, so thread one constant key through
+        keys = ["__k1"]
+        left = left.withColumn("__k1", F.lit(1))
+        right = right.withColumn("__k1", F.lit(1))
+
+    def _bin(c: str) -> Column:
+        return F.floor(F.col(c) / w).cast("long")
+
+    dl = left.select(*keys, left_lo, left_hi).distinct()
+
+    # -- cumulative per-bin histograms of r_lo and r_hi ----------------
+    hist = (
+        right.select(
+            *keys,
+            _bin(right_lo).alias("__blo"),
+            _bin(right_hi).alias("__bhi"),
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.array(
+                    F.struct(F.col("__blo").alias("b"), F.lit(1).alias("is_lo")),
+                    F.struct(F.col("__bhi").alias("b"), F.lit(0).alias("is_lo")),
+                )
+            ).alias("__e"),
+        )
+        .groupBy(*keys, F.col("__e.b").alias("__bin"))
+        .agg(
+            F.sum(F.col("__e.is_lo")).alias("__n_lo"),
+            F.sum(1 - F.col("__e.is_lo")).alias("__n_hi"),
+        )
+    )
+    rng = hist.groupBy(*keys).agg(
+        F.min("__bin").alias("__mn"), F.max("__bin").alias("__mx")
+    )
+    dense = rng.select(
+        *keys, F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("__bin")
+    )
+    cum_w = (
+        W.partitionBy(*keys).orderBy("__bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        dense.join(hist, on=keys + ["__bin"], how="left")
+        .fillna(0, ["__n_lo", "__n_hi"])
+        .withColumn("__cum_lo", F.sum("__n_lo").over(cum_w))
+        .withColumn("__cum_hi", F.sum("__n_hi").over(cum_w))
+        .select(*keys, "__bin", "__cum_lo", "__cum_hi")
+    )
+
+    # -- full-bin terms: cum_lo(bin(l_hi)-1) and cum_hi(bin(l_lo)-1) ---
+    base = (
+        dl.withColumn("__qa", _bin(left_hi) - 1)
+        .withColumn("__qb", _bin(left_lo) - 1)
+        .join(F.broadcast(rng), on=keys, how="left")
+    )
+
+    def _full(q: str, cum_col: str, out: str) -> DataFrame:
+        nonlocal base
+        clamped = F.least(F.greatest(F.col(q), F.col("__mn")), F.col("__mx"))
+        lk = cum.select(
+            *keys,
+            F.col("__bin").alias(f"{out}_bin"),
+            F.col(cum_col).alias(out),
+        )
+        base = (
+            base.withColumn(f"{out}_bin", clamped)
+            .join(F.broadcast(lk), on=keys + [f"{out}_bin"], how="left")
+            .withColumn(
+                out,
+                F.when(
+                    F.col("__mn").isNull() | (F.col(q) < F.col("__mn")),
+                    F.lit(0),
+                ).otherwise(F.col(out)),
+            )
+            .drop(f"{out}_bin")
+        )
+        return base
+
+    _full("__qa", "__cum_lo", "__full_a")
+    _full("__qb", "__cum_hi", "__full_b")
+
+    # -- boundary-bin corrections (one bin per left row per term) ------
+    def _boundary(lbin: Column, rbin: str, pred, out: str) -> DataFrame:
+        rb = right.select(
+            *keys, _bin(rbin).alias("__rb"), F.col(rbin).alias("__rv")
+        )
+        return (
+            dl.withColumn("__rb", lbin)
+            .join(rb, on=keys + ["__rb"], how="inner")
+            .filter(pred(F.col("__rv")))
+            .groupBy(*keys, left_lo, left_hi)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bnd_a = _boundary(
+        _bin(left_hi), right_lo, lambda rv: rv <= F.col(left_hi), "__bnd_a"
+    )
+    bnd_b = _boundary(
+        _bin(left_lo), right_hi, lambda rv: rv < F.col(left_lo), "__bnd_b"
+    )
+
+    cnt = (
+        base.join(bnd_a, on=keys + [left_lo, left_hi], how="left")
+        .join(bnd_b, on=keys + [left_lo, left_hi], how="left")
+        .select(
+            *keys,
+            left_lo,
+            left_hi,
+            (
+                F.coalesce(F.col("__full_a"), F.lit(0))
+                + F.coalesce(F.col("__bnd_a"), F.lit(0))
+                - F.coalesce(F.col("__full_b"), F.lit(0))
+                - F.coalesce(F.col("__bnd_b"), F.lit(0))
+            )
+            .cast("long")
+            .alias(count_col),
+        )
+    )
+    out = left.join(
+        cnt, on=keys + [left_lo, left_hi], how="left"
+    ).withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
+    return out.drop("__k1") if keys == ["__k1"] else out

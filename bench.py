@@ -117,6 +117,7 @@ HEADLINE = [
     "multimodal_audio_windows",
     "events_ewma",
     "join_interval_overlap",
+    "join_interval_overlap_count",
     "sim_prefix_jaccard_pairs_arrow",
     "text_wordpiece_counts",
     "graph_triangles",

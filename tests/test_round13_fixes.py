@@ -773,3 +773,85 @@ def test_sampling_rejects_non_integer_keys(spark):
         with _pytest.raises(TypeError, match="integer"):
             call()
     assert deterministic_sample(df, ["k"], 1.0).count() == 1
+
+
+# --------------------- interval overlap COUNT twin (pair-free)
+
+
+def test_interval_overlap_count_matches_pair_join(spark):
+    """Rank-decomposition counting equals the pair join's groupBy
+    count on a randomized frame, keeps zero-overlap lefts at 0,
+    handles keys with no right rows and bins outside the right
+    range (clamping), and rejects bad bin widths."""
+    import random
+
+    import pytest as _pytest
+
+    from aligned_spark.operators.joins import (
+        interval_overlap_count,
+        interval_overlap_join,
+    )
+
+    rnd = random.Random(7)
+    L = spark.createDataFrame(
+        [
+            (i, rnd.choice("abc"), v, v + rnd.uniform(0, 3))
+            for i in range(250)
+            for v in [rnd.uniform(-20, 20)]
+        ]
+        # far-away spans (guaranteed 0 overlaps) + a key with no rights
+        + [(900, "a", 500.0, 501.0), (901, "z", 0.0, 1.0)],
+        "id long, k string, lo double, hi double",
+    )
+    Rt = spark.createDataFrame(
+        [
+            (i, rnd.choice("abc"), v, v + rnd.uniform(0, 3))
+            for i in range(250)
+            for v in [rnd.uniform(-20, 20)]
+        ],
+        "rid long, k string, r_lo double, r_hi double",
+    )
+    pairs = interval_overlap_join(
+        L, Rt, "lo", "hi", "r_lo", "r_hi", bin_width=2.0, on=["k"]
+    )
+    exp = {
+        r.id: r.n
+        for r in pairs.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r.id: r.n_overlaps
+        for r in interval_overlap_count(
+            L, Rt, "lo", "hi", "r_lo", "r_hi", bin_width=0.7, on=["k"]
+        ).collect()
+    }
+    assert len(got) == 252  # left-preserving
+    for i in got:
+        assert got[i] == exp.get(i, 0), (i, exp.get(i, 0), got[i])
+    assert got[900] == 0 and got[901] == 0
+
+    with _pytest.raises(ValueError, match="bin_width"):
+        interval_overlap_count(L, Rt, "lo", "hi", "r_lo", "r_hi", 0.0)
+    with _pytest.raises(ValueError, match="bin_width"):
+        interval_overlap_count(L, Rt, "lo", "hi", "r_lo", "r_hi", float("nan"))
+
+
+def test_interval_overlap_count_duplicate_spans_and_no_keys(spark):
+    """Duplicate (lo, hi) spans each keep their row with the shared
+    count; the keys-free form works (single histogram)."""
+    from aligned_spark.operators.joins import interval_overlap_count
+
+    L = spark.createDataFrame(
+        [(1, 0.0, 2.0), (2, 0.0, 2.0), (3, 10.0, 11.0)],
+        "id long, lo double, hi double",
+    )
+    Rt = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, -3.0, 0.5), (3, 20.0, 21.0)],
+        "rid long, r_lo double, r_hi double",
+    )
+    got = {
+        r.id: r.n_overlaps
+        for r in interval_overlap_count(
+            L, Rt, "lo", "hi", "r_lo", "r_hi", bin_width=1.0
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 0}
