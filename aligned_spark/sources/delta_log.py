@@ -91,6 +91,17 @@ CHANGE_DATA_BYTES_THRESHOLD = 32 << 20
 #: ``aligned.changeData.thresholdBytesLarge``.
 CHANGE_DATA_BYTES_LARGE_PROP = "aligned.changeData.thresholdBytesLarge"
 CHANGE_DATA_BYTES_LARGE_THRESHOLD = 256 << 20
+#: MERGE/MOR-merge touched-file DISCOVERY skips its dynamic pruning
+#: passes (the source-key MIN/MAX job and the bloom-sidecar probes)
+#: when the live candidate set is at most this many BYTES (log
+#: metadata sum — free): below it the discovery scan reads the whole
+#: candidate set for less than the pruning passes' own fixed job
+#: latency, so pruning can only add time. At warehouse scale the live
+#: set dwarfs this and pruning always engages — a cost-based planner
+#: gate, not a local-mode tune. Override per table with
+#: ``aligned.merge.pruneMinBytes``.
+MERGE_PRUNE_MIN_BYTES_PROP = "aligned.merge.pruneMinBytes"
+MERGE_PRUNE_MIN_BYTES = 256 << 20
 # hive null-partition marker, footer-stat harvesting, and part
 # staging live in aligned_spark.sources.parts (shared with Iceberg)
 
@@ -1833,6 +1844,25 @@ class DeltaLog:
         )
         return {"mergeKeys": mk} if mk else {}
 
+    def _prune_merge_candidates(
+        self, snap: Snapshot, src_keys: DataFrame, keys: list[str]
+    ) -> list[str]:
+        """MERGE discovery candidates, with the pruning passes gated
+        on candidate bytes (:data:`MERGE_PRUNE_MIN_BYTES`): when the
+        whole live set costs less to scan than the pruning jobs'
+        fixed latency, return it unpruned."""
+        paths = sorted(snap.files)
+        cfg = (snap.metadata or {}).get("configuration") or {}
+        floor = self._prop_int(
+            cfg, MERGE_PRUNE_MIN_BYTES_PROP, MERGE_PRUNE_MIN_BYTES
+        )
+        live = sum(
+            int((snap.files[p] or {}).get("size") or 0) for p in paths
+        )
+        if live <= floor:
+            return paths
+        return self._key_range_candidates(snap, src_keys, keys)
+
     def merge_upsert(
         self,
         df: DataFrame,
@@ -1857,6 +1887,33 @@ class DeltaLog:
         if not self.exists():
             return self.write(df, "append", partition_by, txn=txn)
         spark = df.sparkSession
+        # One logical source, three physical consumers (key-range
+        # probe, touched-file discovery semi-join, staging write):
+        # persist so the source plan computes ONCE per MERGE instead
+        # of once per internal job — the dominant cost when the
+        # source is itself an expensive derivation (an IVM span
+        # recompute, a CDC fold). A caller-persisted frame keeps its
+        # own cache untouched.
+        own_cache = not df.is_cached
+        if own_cache:
+            df = df.persist()
+        try:
+            return self._merge_upsert_inner(
+                spark, df, keys, partition_by, txn, merge_schema
+            )
+        finally:
+            if own_cache:
+                df.unpersist()
+
+    def _merge_upsert_inner(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None,
+        txn: tuple[str, int] | None,
+        merge_schema: bool,
+    ) -> int:
         snap = self.snapshot()
         self._enforce_constraints(df, snap)
         table_schema = snap.schema()
@@ -1889,7 +1946,7 @@ class DeltaLog:
             spark,
             snap,
             lambda cur: cur.join(src_keys, keys, "left_semi"),
-            paths=self._key_range_candidates(snap, src_keys, keys),
+            paths=self._prune_merge_candidates(snap, src_keys, keys),
         )
         schema_cols = [
             f.name for f in (evolved or snap.schema()).fields
@@ -2278,11 +2335,34 @@ class DeltaLog:
         spark = df.sparkSession
         snap = self.snapshot()
         self._enforce_constraints(df, snap)
+        # two physical consumers (key probes + staging write) — same
+        # single-computation discipline as the CoW MERGE
+        own_cache = not df.is_cached
+        if own_cache:
+            df = df.persist()
+        try:
+            return self._merge_upsert_mor_inner(
+                spark, df, snap, keys, partition_by, txn
+            )
+        finally:
+            if own_cache:
+                df.unpersist()
+
+    def _merge_upsert_mor_inner(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        snap: Snapshot,
+        keys: list[str],
+        partition_by: list[str] | None,
+        txn: tuple[str, int] | None,
+    ) -> int:
         src_keys = df.select(*keys).distinct()
         schema_cols = [f.name for f in snap.schema().fields]
         # pair discovery scans only key-range-overlapping parts
-        # (same dynamic file pruning as the CoW MERGE)
-        cand = self._key_range_candidates(snap, src_keys, keys)
+        # (same dynamic file pruning as the CoW MERGE, same
+        # candidate-bytes gate)
+        cand = self._prune_merge_candidates(snap, src_keys, keys)
         if not snap.files or not cand:
             return self.write(df, "append", partition_by, txn=txn)
         pairs = (

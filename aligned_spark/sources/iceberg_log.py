@@ -2141,6 +2141,39 @@ class IcebergLog:
         except (TypeError, ValueError):
             return default
 
+    def _prune_merge_candidates(
+        self,
+        md: dict[str, Any],
+        view: IcebergSnapshotView,
+        src_keys: DataFrame,
+        keys: list[str],
+    ) -> list[str]:
+        """MERGE discovery candidates with the pruning passes gated
+        on candidate bytes (mirrors
+        :meth:`DeltaLog._prune_merge_candidates`): when the whole
+        live set costs less to scan than the pruning jobs' fixed
+        latency, return it unpruned."""
+        from aligned_spark.sources.delta_log import (
+            MERGE_PRUNE_MIN_BYTES,
+            MERGE_PRUNE_MIN_BYTES_PROP,
+        )
+
+        paths = sorted(view.files)
+        floor = self._prop_int(
+            md.get("properties") or {},
+            MERGE_PRUNE_MIN_BYTES_PROP,
+            MERGE_PRUNE_MIN_BYTES,
+        )
+        live = sum(
+            int(
+                (view.files[p] or {}).get("file_size_in_bytes") or 0
+            )
+            for p in paths
+        )
+        if live <= floor:
+            return paths
+        return self._key_range_candidates(md, view, src_keys, keys)
+
     def _cdc_materialize(
         self,
         md: dict[str, Any],
@@ -2345,6 +2378,28 @@ class IcebergLog:
         if not self.exists():
             return self.write(df, "append", txn=txn)
         spark = df.sparkSession
+        # one logical source, three physical consumers (key-range
+        # probe, discovery semi-join, staging write) — same
+        # single-computation discipline as the Delta MERGE
+        own_cache = not df.is_cached
+        if own_cache:
+            df = df.persist()
+        try:
+            return self._merge_upsert_inner(
+                spark, df, keys, txn, merge_schema
+            )
+        finally:
+            if own_cache:
+                df.unpersist()
+
+    def _merge_upsert_inner(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None,
+        merge_schema: bool,
+    ) -> int:
         md = self.current_metadata()
         self._enforce_constraints(df, md)
         evolved_md = _evolve_iceberg_schema(md, df.schema)
@@ -2372,7 +2427,7 @@ class IcebergLog:
             spark,
             view,
             lambda cur: cur.join(src_keys, keys, "left_semi"),
-            paths=self._key_range_candidates(
+            paths=self._prune_merge_candidates(
                 md, view, src_keys, keys
             ),
         )
@@ -2574,10 +2629,34 @@ class IcebergLog:
         if view.snapshot_id == -1:  # created but never written
             return self.write(df, "append", txn=txn)
         cols = [f.name for f in view.schema.fields]
+        # two physical consumers (key probes + staging write) — same
+        # single-computation discipline as the CoW MERGE
+        own_cache = not df.is_cached
+        if own_cache:
+            df = df.persist()
+        try:
+            return self._merge_upsert_mor_inner(
+                spark, df, md, view, cols, keys, txn
+            )
+        finally:
+            if own_cache:
+                df.unpersist()
+
+    def _merge_upsert_mor_inner(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        md: dict[str, Any],
+        view: IcebergSnapshotView,
+        cols: list[str],
+        keys: list[str],
+        txn: tuple[str, int] | None,
+    ) -> int:
         src_keys = df.select(*keys).distinct()
         # pair discovery scans only key-range-overlapping parts
-        # (same dynamic file pruning as the CoW MERGE)
-        cand = self._key_range_candidates(md, view, src_keys, keys)
+        # (same dynamic file pruning as the CoW MERGE, same
+        # candidate-bytes gate)
+        cand = self._prune_merge_candidates(md, view, src_keys, keys)
         pairs = (
             self._scan(spark, view, cand, keep_meta=True)
             .join(src_keys, keys, "left_semi")
