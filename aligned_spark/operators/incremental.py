@@ -1821,10 +1821,14 @@ class RollingIncrementalAggregate(_CursorDomain):
                 txn=txns
                 if txns is not None
                 else (self.app_id, int(pin)),
+                # tombstones fold into the MERGE as whenMatchedDelete
+                # (one atomic commit): dead keys' old rows drop from
+                # the touched parts' survivors without ever writing a
+                # __live=False row — the former MERGE-then-DELETE
+                # pair cost a second discovery scan and a rewrite of
+                # the parts the MERGE had just written
+                drop_src=(~F.col(LIVE_COL)) if has_dead else None,
             )
-            if has_dead:
-                # idempotent, safe to lose: read() filters regardless
-                log.delete_where(spark, ~F.col(LIVE_COL))
         finally:
             changes.unpersist()
 

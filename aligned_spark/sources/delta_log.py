@@ -1870,6 +1870,7 @@ class DeltaLog:
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
+        drop_src: Column | None = None,
     ) -> int:
         """MERGE: whenMatchedUpdateAll + whenNotMatchedInsertAll.
 
@@ -1879,12 +1880,23 @@ class DeltaLog:
         rewritten; every untouched part is carried over by doing
         nothing. Callers must pre-dedup the source on ``keys``.
 
+        ``drop_src`` is whenMatchedDelete folded into the same
+        commit: source rows matching it contribute their KEYS (their
+        old rows are dropped from the touched parts' survivors) but
+        are not themselves written — a MERGE-then-DELETE pair as one
+        atomic rewrite, saving the second commit's discovery scan and
+        rewrite of the freshly written parts.
+
         Source columns not in the table schema raise unless
         ``merge_schema=True`` (delta-spark ``schema.autoMerge``),
         which widens the table schema in the same commit — untouched
         parts project NULL for the new columns via the explicit
         reader schema."""
         if not self.exists():
+            if drop_src is not None:
+                df = df.filter(
+                    ~F.coalesce(drop_src, F.lit(False))
+                )
             return self.write(df, "append", partition_by, txn=txn)
         spark = df.sparkSession
         # One logical source, three physical consumers (key-range
@@ -1899,7 +1911,8 @@ class DeltaLog:
             df = df.persist()
         try:
             return self._merge_upsert_inner(
-                spark, df, keys, partition_by, txn, merge_schema
+                spark, df, keys, partition_by, txn, merge_schema,
+                drop_src,
             )
         finally:
             if own_cache:
@@ -1913,6 +1926,7 @@ class DeltaLog:
         partition_by: list[str] | None,
         txn: tuple[str, int] | None,
         merge_schema: bool,
+        drop_src: Column | None = None,
     ) -> int:
         snap = self.snapshot()
         self._enforce_constraints(df, snap)
@@ -1951,7 +1965,13 @@ class DeltaLog:
         schema_cols = [
             f.name for f in (evolved or snap.schema()).fields
         ]
-        out = df.select(*schema_cols)
+        src = df
+        if drop_src is not None:
+            # whenMatchedDelete rows: keys participate in discovery
+            # and survivor filtering above; the rows themselves are
+            # never written
+            src = df.filter(~F.coalesce(drop_src, F.lit(False)))
+        out = src.select(*schema_cols)
         if touched:
             # _scan applies any position deletes on the touched parts
             # — a CoW rewrite must not resurrect MOR-deleted rows;

@@ -112,6 +112,28 @@ def main() -> int:
         if hasattr(IcebergLog, m):
             wrap(IcebergLog, m, f"Ice.{m}")
 
+    from aligned_spark.sources import vector_index as vi
+
+    for cls_name in (
+        "IvfIndexSource",
+        "PqIndexSource",
+        "LshIndexSource",
+        "IvfPqIndexSource",
+    ):
+        cls = getattr(vi, cls_name, None)
+        if cls is None:
+            continue
+        for m in (
+            "overwrite",
+            "apply_changes",
+            "nearest_n",
+            "_fit_centroids",
+            "_assign",
+            "delete",
+        ):
+            if m in cls.__dict__:
+                wrap(cls, m, f"{cls_name}.{m}")
+
     wrap(parts_mod, "stage_parquet_parts", "parts.stage_parquet_parts") if hasattr(
         parts_mod, "stage_parquet_parts"
     ) else None
