@@ -7779,17 +7779,23 @@ def _sim_prefix_jaccard_pairs_arrow(spark, sf_dir):
        GROUP BY l.event_id""",
 )
 def _join_interval_overlap(spark, sf_dir):
-    """Interval×interval overlap join (per-type value spans), binned
-    to a hash equi-join with exactly-once first-shared-bin output —
-    the segment-conflation shape Catalyst would otherwise plan as a
-    nested loop. Aggregated to per-left overlap counts
-    (`operators/joins.py:interval_overlap_join`)."""
-    from aligned_spark.operators.joins import interval_overlap_join
+    """Interval×interval overlap counts (per-type value spans). The
+    query's output is per-left COUNTS, so the r13 optimization round
+    moved it off the pair-materializing binned join (47M pairs
+    streamed through a hash join + hash agg only to be counted —
+    ~7.8 s at sf0.1) onto the pair-free rank decomposition
+    (`operators/joins.py:interval_overlap_count`, cumulative bin
+    histograms + one-bin boundary corrections, ~1.9 s): identical
+    results (oracle-verified at both SFs), inner-join semantics kept
+    by filtering zero-count lefts. The pair-materializing operator
+    itself stays covered by `interval_overlap_join`'s tests and the
+    binned `join_range_binned` headline query."""
+    from aligned_spark.operators.joins import interval_overlap_count
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     left = ev.filter(F.col("event_id") % 2 == 0).select(
         "event_id",
-        "event_type",
+        F.col("event_type").alias("etype"),
         F.col("value").alias("lo"),
         (F.col("value") + 5).alias("hi"),
     )
@@ -7799,15 +7805,12 @@ def _join_interval_overlap(spark, sf_dir):
         F.col("value").alias("r_lo"),
         (F.col("value") + 5).alias("r_hi"),
     )
-    j = interval_overlap_join(
-        left.withColumnRenamed("event_type", "etype"),
-        right,
-        "lo", "hi", "r_lo", "r_hi",
-        bin_width=5.0,
-        on=["etype"],
+    out = interval_overlap_count(
+        left, right, "lo", "hi", "r_lo", "r_hi",
+        bin_width=1.0, on=["etype"],
     )
-    return j.groupBy("event_id").agg(
-        F.count(F.lit(1)).alias("n_overlaps")
+    return out.filter(F.col("n_overlaps") > 0).select(
+        "event_id", "n_overlaps"
     )
 
 

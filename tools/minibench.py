@@ -26,7 +26,8 @@ def main() -> int:
     from aligned_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("minibench")
+    extra = json.loads(os.environ.get("MINIBENCH_EXTRA_CONF", "{}"))
+    spark = get_spark("minibench", extra_conf=extra or None)
     qs = entry.queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
