@@ -990,21 +990,38 @@ def bloom_decontaminate(
     else:
         raise ValueError(f"unknown impl: {impl!r}")
 
-    bench_hashes = [
-        r[0]
-        for r in benchmark.select(
+    import numpy as np
+
+    bench_hashes = (
+        benchmark.select(
             F.explode(sh(F.col(benchmark_text))).alias("__sh")
         )
         .distinct()
-        .collect()
-    ]
-    words = [0] * (m_bits // 32)
-    for h in bench_hashes:
+        .toPandas()["__sh"]
+        .to_numpy(dtype=np.int64)
+    )
+    # vectorized bitset fold (r13): the per-hash Python loop cost
+    # seconds at millions of benchmark shingles. Arithmetic is
+    # identical in int64: reducing h mod 2^30 FIRST keeps every
+    # intermediate < 2^62 (h%M30 < 2^30, A < 2^32), so the numpy fold
+    # reproduces the Python build bit-for-bit — including which false
+    # positives fire.
+    words_np = np.zeros(m_bits // 32, dtype=np.int64)
+    if len(bench_hashes):
+        hm = bench_hashes % np.int64(_BLOOM_M30)
         for j in range(k):
             pos = (
-                (h + j * _BLOOM_STEP) % _BLOOM_M30 * _BLOOM_A % _BLOOM_M30
-            ) % m_bits
-            words[pos // 32] |= 1 << (pos % 32)
+                (hm + np.int64(j * _BLOOM_STEP))
+                % np.int64(_BLOOM_M30)
+                * np.int64(_BLOOM_A)
+                % np.int64(_BLOOM_M30)
+            ) % np.int64(m_bits)
+            np.bitwise_or.at(
+                words_np,
+                pos // np.int64(32),
+                np.int64(1) << (pos % np.int64(32)),
+            )
+    words = [int(w) for w in words_np]
     bits = F.lit(words)  # array<bigint> literal, 32 bits used per word
     pow2 = F.lit([1 << i for i in range(32)])
 
