@@ -642,12 +642,13 @@ class IncrementalAggregate(_CursorDomain):
         if not aux.exists():
             aux.write(rows, "append", txn=txns)
             return
-        aux.merge_upsert(rows, on, txn=txns)
-        if not trans.filter(F.col("__n") <= 0).isEmpty():
-            # vanished values are logically absent; tombstone them
-            # opportunistically (idempotent, safe to lose — the
-            # transition math treats __n<=0 as absent regardless)
-            aux.delete_where(spark, F.col("__n") <= 0)
+        # vanished values (__n <= 0) are logically absent: fold their
+        # removal into the MERGE as whenMatchedDelete (drop_src) —
+        # the former merge-then-tombstone pair cost an extra probe
+        # job, a second discovery scan and a second commit per slice
+        aux.merge_upsert(
+            rows, on, txn=txns, drop_src=F.col("__n") <= 0
+        )
         if self.auto_compact:
             from aligned_spark.sources.delta_log import (
                 ConcurrentCommitError,
