@@ -108,6 +108,71 @@ class StagedPart:
     stats: dict[str, Any]
 
 
+#: Per-table override for the staged-write file-size target.
+TARGET_FILE_BYTES_PROP = "aligned.write.targetFileBytes"
+TARGET_FILE_BYTES = 128 << 20
+
+
+def _has_root_repartition(df: DataFrame) -> bool:
+    """Whether the written frame carries an EXPLICIT repartition at
+    its root (under at most trivial wrappers) — a caller-chosen
+    layout (Z-order range partitioning, an IVF index's
+    cluster-column partitioning, a test's n-file setup) that
+    size-targeting must respect, exactly as AQE respects
+    user-specified repartitioning."""
+    node = df._jdf.queryExecution().analyzed()
+    for _ in range(8):
+        name = node.getClass().getSimpleName()
+        if name in ("Repartition", "RepartitionByExpression"):
+            return True
+        if name not in ("Sort", "Project", "SubqueryAlias"):
+            return False
+        children = node.children()
+        if children.size() != 1:
+            return False
+        node = children.apply(0)
+    return False
+
+
+def _size_targeted(df: DataFrame) -> DataFrame:
+    """Coalesce a SMALL staged write down to its byte-targeted file
+    count. The plan's static size estimate divided by the target
+    file size gives the part count; only writes whose target count is
+    below the cluster's parallelism are touched — a large write
+    already yields reasonably sized per-partition files (and
+    ``maybe_optimize`` owns long-term layout), while an un-coalesced
+    SMALL commit inherits the plan's full shuffle partitioning and
+    litters dozens of KB-sized parts that every later discovery
+    scan, footer harvest and CDF read must enumerate. The default
+    size-only estimators only ever over-estimate (Filter/Aggregate
+    pass through child bytes, joins multiply), so a mis-estimate
+    produces MORE files than optimal, never a parallelism collapse.
+    ``coalesce`` above a shuffle keeps the map side's parallelism;
+    narrow lineages are bounded by ~target bytes of input per task.
+    """
+    try:
+        spark = df.sparkSession
+        target = int(
+            spark.conf.get(
+                TARGET_FILE_BYTES_PROP, str(TARGET_FILE_BYTES)
+            )
+        )
+        if target <= 0 or _has_root_repartition(df):
+            return df
+        est = int(
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()  # py4j converts the scala BigInt to int
+        )
+        n = max(1, -(-est // target))
+        if n < spark.sparkContext.defaultParallelism:
+            return df.coalesce(n)
+    except Exception:
+        pass
+    return df
+
+
 def stage_parquet_parts(
     df: DataFrame,
     table_path: str,
@@ -119,7 +184,7 @@ def stage_parquet_parts(
     dir; returns the staged parts with hive partition values parsed
     from the directory layout."""
     staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
+    writer = _size_targeted(df).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)

@@ -224,6 +224,11 @@ def test_ivm_refresh_compacts_target(spark, tmp_path, monkeypatch):
     from aligned_spark.sources.delta import DeltaSource
 
     monkeypatch.setattr(DeltaLog, "MAX_SMALL_FILES", 3)
+    # disable size-targeted staging: this test NEEDS small files to
+    # pile up so the IVM target's auto-compaction has work to do
+    from aligned_spark.sources import parts as _parts
+
+    monkeypatch.setattr(_parts, "TARGET_FILE_BYTES", 0)
     src = DeltaSource(path=str(tmp_path / "base"))
     src.insert(
         spark.createDataFrame(

@@ -38,7 +38,11 @@ def bloom_table(spark, tmp_path_factory):
     # tight fpp: the MERGE discovery probes each file with the whole
     # source key set, so false survival compounds per key
     log.set_bloom_filter(["k"], fpp=1e-6)
-    log.optimize(spark)  # compaction re-stages -> indexes old parts
+    # explicit rows-per-file target: compaction re-stages -> indexes
+    # old parts, pinned to a MULTI-file layout (size-targeted staging
+    # would otherwise rightly collapse 40k rows into one file, and
+    # one file proves nothing about pruning)
+    log.optimize(spark, target_rows_per_file=5_000)
     return log
 
 
@@ -152,7 +156,9 @@ def test_vacuum_reaps_orphaned_sidecars(spark, tmp_path):
     log = DeltaLog(tbl)
     log.write(_uniform(spark, 0, 2_000, n_files=4))
     log.set_bloom_filter(["k"])
-    log.optimize(spark)
+    # explicit multi-file target (size-targeted staging would
+    # rightly compact 2k rows to one file, leaving no orphan delta)
+    log.optimize(spark, target_rows_per_file=500)
     before = set(glob.glob(os.path.join(tbl, "_bloom", "*.bloom")))
     assert before
     log.write(_uniform(spark, 0, 100, n_files=2), mode="overwrite")

@@ -32,7 +32,10 @@ def ice_bloom(spark, tmp_path_factory):
     log = IcebergLog(tbl)
     log.write(_uniform(spark, 0, 40_000))
     log.set_bloom_filter(["k"], fpp=1e-6)
-    log.optimize(spark)  # re-stages every part -> indexes old data
+    # explicit rows-per-file target: re-stages every part -> indexes
+    # old data, pinned to a MULTI-file layout (size-targeted staging
+    # would otherwise rightly collapse 40k rows into one file)
+    log.optimize(spark, target_rows_per_file=5_000)
     return log
 
 

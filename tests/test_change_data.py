@@ -408,10 +408,18 @@ def test_iceberg_expire_reaps_expired_change_files(spark, tmp_path):
     assert not any(os.path.exists(os.path.join(tbl, p)) for p in rels)
 
 
-def test_bytes_threshold_gates_materialization(spark, tmp_path):
+def test_bytes_threshold_gates_materialization(
+    spark, tmp_path, monkeypatch
+):
     """The dual policy: many touched files of TINY parts do not
     materialize (read-time diff is cheaper than the write
     amplification); dropping the bytes threshold flips it."""
+    # disable size-targeted staging: the scenario needs the FIRST
+    # merge's rewrite to keep the table many-files so the SECOND
+    # merge still crosses the file-count gate
+    from aligned_spark.sources import parts as _parts
+
+    monkeypatch.setattr(_parts, "TARGET_FILE_BYTES", 0)
     tbl = str(tmp_path / "t")
     log = DeltaLog(tbl)
     log.write(
