@@ -58,26 +58,25 @@ def top_k_similar(
 ) -> DataFrame:
     """Exact cosine top-k: for each query row, the ``k`` most similar
     corpus rows. Output: ``query_id, neighbor_id, sim``."""
-    # norms materialize once per row (n + m folds), NOT once per pair
-    # (n·m folds) — same doubles, so oracle parity is unaffected
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vector_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__qn", F.sqrt(dot_double(F.col("__qv"), F.col("__qv"))))
+    )
     cs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vector_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cn", F.sqrt(dot_double(F.col("__cv"), F.col("__cv"))))
+    )
     joined = cs.crossJoin(F.broadcast(qs))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        (
-            dot_double(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn"))
-        ).alias("sim"),
+        # vectorized per-pair cosine, bit-identical to the
+        # interpreted cosine_double fold (norms re-derive per pair
+        # from the same per-dimension IEEE sequence, so the doubles
+        # — and oracle hashes — are unchanged)
+        _pair_cosine_arrow(joined, "__qv", "__cv").alias("sim"),
     )
     return _topk_per_query(scored, k)
 

@@ -22,7 +22,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aligned_spark.operators.similarity import cosine_double, lsh_bucket
+from aligned_spark.operators.similarity import (
+    _lsh_buckets_arrow,
+    _pair_cosine_arrow,
+    cosine_double,
+    lsh_bucket,
+)
 from aligned_spark.sources.file import ParquetSource
 
 
@@ -187,17 +192,27 @@ class VectorIndexSource:
         return [f"__bucket_{t}" for t in range(self.num_tables)]
 
     def _with_buckets(self, df: DataFrame) -> DataFrame:
+        # all tables' bucket ids in ONE Arrow kernel — bit-identical
+        # to the per-table `lsh_bucket` codegen fold (same planes via
+        # seed + t, same per-dimension IEEE accumulation order), but
+        # without `num_tables x num_planes` interpreted HOF folds and
+        # the thousands-of-literal-nodes expression tree they cost
+        # the driver to analyze on every write
+        df = df.withColumn(
+            "__bks",
+            _lsh_buckets_arrow(
+                self.vector_col,
+                self.dim,
+                self.num_planes,
+                self.num_tables,
+                self.seed,
+            ),
+        )
         for t in range(self.num_tables):
             df = df.withColumn(
-                f"__bucket_{t}",
-                lsh_bucket(
-                    F.col(self.vector_col),
-                    self.dim,
-                    self.num_planes,
-                    self.seed + t,
-                ),
+                f"__bucket_{t}", F.element_at("__bks", t + 1)
             )
-        return df
+        return df.drop("__bks")
 
     def _storage(self) -> ParquetSource:
         return ParquetSource(path=self.path)
@@ -259,7 +274,9 @@ class VectorIndexSource:
         scored = joined.select(
             "query_id",
             "neighbor_id",
-            cosine_double(F.col("__qv"), F.col("__cv")).alias("sim"),
+            # bit-identical vectorized twin of the interpreted
+            # cosine_double fold (same IEEE accumulation order)
+            _pair_cosine_arrow(joined, "__qv", "__cv").alias("sim"),
         )
         w = W.partitionBy("query_id").orderBy(
             F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -139,6 +139,7 @@ def main() -> int:
     ) else None
     wrap(parts_mod, "touched_files", "parts.touched_files")
     wrap(parts_mod, "stats_from_footer", "parts.stats_from_footer")
+    wrap(parts_mod, "_size_targeted", "parts._size_targeted")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("profile")
