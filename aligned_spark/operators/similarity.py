@@ -277,26 +277,57 @@ def ivf_assign_to(
     """Assign rows to the nearest of FIXED centroids (no training) —
     the incremental-ingest path: new vectors join an existing IVF
     index without re-running KMeans (FAISS ``add()`` semantics).
-    Pure projection, no join or shuffle: per row an array of C
-    squared distances and an argmin, JVM-side."""
+    Pure projection, no join or shuffle.
+
+    The squared distances run in ONE Arrow kernel, BIT-IDENTICAL to
+    the former per-centroid interpreted HOF folds (each accumulator
+    advances ``acc + (x_d − c_d)²`` in ascending dimension order —
+    measured ~0.06 ms/row at 64×64, seconds per 100k rows, all
+    interpreted lambda dispatch); ties and all-NaN rows pick the
+    FIRST index exactly like ``array_position(array_min)`` under
+    Spark's NaN-equality. Rows whose vector is NULL, has a NULL
+    element or the wrong length yield NULL, as the null-padded
+    ``zip_with`` fold did."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)  # (k, dim)
+    dim = C.shape[1] if C.ndim == 2 else 0
+
+    # no type hints: pandas_udf hint-inference rejects them here
+    def _nearest(col):
+        rows = len(col)
+        if rows == 0:
+            return pd.Series([], dtype="float64")
+        arrs = col.to_numpy()
+        ok = np.fromiter(
+            (a is not None and len(a) == dim for a in arrs),
+            dtype=bool,
+            count=rows,
+        )
+        out = np.full(rows, np.nan)
+        if ok.any():
+            x = np.stack(arrs[ok]).astype(np.float64, copy=False)
+            acc = np.zeros((len(x), len(C)))
+            for d in range(dim):
+                t = x[:, d][:, None] - C[None, :, d]
+                acc = acc + t * t
+            out[ok] = np.argmin(acc, axis=1).astype(np.float64)
+        return pd.Series(out)
+
+    fn = F.pandas_udf(_nearest, "double")
     v = F.col(vector_col).cast("array<double>")
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centers
-        ]
+    # NULL-element vectors lose the null/NaN distinction crossing
+    # Arrow — guard in SQL so they stay NULL (the kernel's value for
+    # them is discarded unevaluated semantics-wise)
+    guard = (F.size(v) == F.lit(dim)) & ~F.exists(
+        v, lambda x: x.isNull()
     )
     return df.withColumn(
         "__ivf_cluster",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        F.when(guard, fn(v).cast("int")).otherwise(
+            F.lit(None).cast("int")
+        ),
     )
 
 
