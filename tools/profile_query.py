@@ -107,6 +107,9 @@ def main() -> int:
         "delete_where",
         "read",
         "read_cdf",
+        "read_changes",
+        "_resolve",
+        "write",
         "commit" if hasattr(IcebergLog, "commit") else "append",
     ):
         if hasattr(IcebergLog, m):
