@@ -743,6 +743,14 @@ class IncrementalAggregate(_CursorDomain):
                 (self._batch_app(), batch_id),
                 (self._stream_app(), txn_version),
             ]
+        # the CDC slice feeds N+1 consumers when distinct columns are
+        # maintained (change_deltas plus one transition plan per
+        # column): persist it for the slice so the CDC read computes
+        # once, not once per consumer (same §5 move as the MERGE
+        # source persist). Caller-owned caches are respected.
+        own_changes_cache = bool(self.distincts) and not changes.is_cached
+        if own_changes_cache:
+            changes = changes.persist()
         deltas = change_deltas(
             changes,
             self.group_keys,
@@ -751,14 +759,17 @@ class IncrementalAggregate(_CursorDomain):
             self.maxs,
             self.approx_distincts,
         ).persist()
-        # distinct transitions read the aux tables' PRE-state;
-        # localCheckpoint EAGERLY materializes them (not just a
-        # persist hint) — a cache eviction after _commit_aux has
-        # merged would otherwise recompute them against POST-commit
-        # aux files and corrupt multiplicities/zero-crossings
+        # distinct transitions read the aux tables' PRE-state. A
+        # scoped persist suffices (the former EAGER localCheckpoint
+        # paid a dedicated job per column) because every use of a
+        # column's transitions happens BEFORE that column's aux table
+        # commits: the merged-probe and the main MERGE materialize
+        # them first, and _commit_aux itself stages from them before
+        # its commit — so even a cache-evicted recompute reads the
+        # aux PRE-state. Do not reorder an aux commit ahead of any
+        # consumer of its own column's transitions.
         trans_by_c = {
-            c: self._aux_transitions(spark, c, changes)
-            .localCheckpoint(eager=True)
+            c: self._aux_transitions(spark, c, changes).persist()
             for c in self.distincts
         }
         try:
@@ -919,7 +930,11 @@ class IncrementalAggregate(_CursorDomain):
                 log.delete_where(spark, F.col(COUNT_COL) == 0)
             merged.unpersist()
         finally:
+            for trans in trans_by_c.values():
+                trans.unpersist()
             deltas.unpersist()
+            if own_changes_cache:
+                changes.unpersist()
         if self.auto_compact:
             from aligned_spark.sources.delta_log import (
                 ConcurrentCommitError,

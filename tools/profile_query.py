@@ -156,7 +156,8 @@ def main() -> int:
         # total jobs submitted so far: the DAGScheduler's monotone
         # job-id counter (works regardless of job groups)
         try:
-            return int(sc._jsc.sc().dagScheduler().nextJobId().get())
+            # py4j unwraps the AtomicInteger to a plain int
+            return int(sc._jsc.sc().dagScheduler().nextJobId())
         except Exception:
             return -1
 
