@@ -2675,10 +2675,15 @@ def _stream_table_rows(spark, sf_dir):
 
 
 def _stream_table_drain(spark, sf_dir, fmt):
-    """Ingest lineitem into a table via 3 append commits, then drain
-    it through ``readStream.format("aligned_table")`` into a parquet
-    sink (exactly-once FileStreamSink manifest) and return the sink's
-    contents."""
+    """Ingest lineitem into a table via 3 append commits and drain it
+    through ``readStream.format("aligned_table")`` into a parquet
+    sink (exactly-once FileStreamSink manifest), returning the sink's
+    contents. The stream OPENS right after the first commit and tails
+    the remaining appends as they land — consumer startup (checkpoint
+    init, the Python planner process, batch-0 planning) overlaps the
+    producer's write jobs instead of serializing after them (guide
+    §2.6); ``processAllAvailable`` after the last commit still drains
+    everything, so the sink holds exactly the 3 commits' rows."""
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
@@ -2695,20 +2700,23 @@ def _stream_table_drain(spark, sf_dir, fmt):
         )
 
         log = DeltaLog(tbl)
-        for k in range(3):
-            log.write(li.filter(F.col("l_orderkey") % 3 == k))
+        log.write(li.filter(F.col("l_orderkey") % 3 == 0))
+        src = TableStreamSource(
+            path=tbl, table_format=fmt, starting_version=0
+        )
     else:
         from aligned_spark.sources.iceberg_log import (  # noqa: PLC0415
             IcebergLog,
         )
 
         log = IcebergLog(tbl)
-        for k in range(3):
-            log.write(
-                li.filter(F.col("l_orderkey") % 3 == k),
-                partition_by=["l_returnflag"],
-            )
-    src = TableStreamSource(path=tbl, table_format=fmt)
+        log.write(
+            li.filter(F.col("l_orderkey") % 3 == 0),
+            partition_by=["l_returnflag"],
+        )
+        src = TableStreamSource(
+            path=tbl, table_format=fmt, after_snapshot_id=0
+        )
     sdf = src.read_stream(spark)
     out = os.path.join(tmp, "sink")
     query = (
@@ -2718,6 +2726,14 @@ def _stream_table_drain(spark, sf_dir, fmt):
         .start()
     )
     try:
+        for k in (1, 2):
+            if fmt == "delta":
+                log.write(li.filter(F.col("l_orderkey") % 3 == k))
+            else:
+                log.write(
+                    li.filter(F.col("l_orderkey") % 3 == k),
+                    partition_by=["l_returnflag"],
+                )
         query.processAllAvailable()
     finally:
         query.stop()
@@ -8240,25 +8256,29 @@ _DELTA_ORDERS_COLS = [
 ]
 
 
-def _delta_orders_table(spark, sf_dir):
-    """Build a REAL Delta table from ``orders`` and run the write
-    path end-to-end: initial partitioned write, a MERGE upsert
-    (matched updates double the price for keys ≡0 mod 3; unmatched
-    inserts shift keys ≡0 mod 7 by 1e8), then a DELETE of customers
-    ≡0 mod 10. Returns the table's DeltaLog. Each call builds a fresh
-    table under a throwaway dir — the ACID log, file-pruned MERGE
-    rewrite, and hive partitionValues are all exercised for real."""
+def _delta_orders_insert(spark, sf_dir):
+    """Initial partitioned write of the orders round-trip table;
+    returns ``(src, base)`` so callers can interleave work (e.g. open
+    a change stream) before :func:`_delta_orders_mutate` lands the
+    MERGE and DELETE commits."""
     import tempfile
 
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     from aligned_spark.sources.delta import DeltaSource
-    from aligned_spark.sources.delta_log import DeltaLog
 
     base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
     path = tempfile.mkdtemp(prefix="aligned_spark_delta_")
     src = DeltaSource(path=path, partition_by=["o_orderpriority"])
     src.insert(base.repartition(4))
+    return src, base
+
+
+def _delta_orders_mutate(spark, src, base):
+    """The orders round-trip mutations: a MERGE upsert (matched
+    updates double the price for keys ≡0 mod 3; unmatched inserts
+    shift keys ≡0 mod 7 by 1e8), then a DELETE of customers ≡0 mod
+    10."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
         "o_custkey",
@@ -8273,7 +8293,21 @@ def _delta_orders_table(spark, sf_dir):
     )
     src.upsert(upd.unionByName(ins), keys=["o_orderkey"])
     src.delete_where(spark, F.col("o_custkey") % 10 == 0)
-    return DeltaLog(path)
+
+
+def _delta_orders_table(spark, sf_dir):
+    """Build a REAL Delta table from ``orders`` and run the write
+    path end-to-end: initial partitioned write, a MERGE upsert
+    (matched updates double the price for keys ≡0 mod 3; unmatched
+    inserts shift keys ≡0 mod 7 by 1e8), then a DELETE of customers
+    ≡0 mod 10. Returns the table's DeltaLog. Each call builds a fresh
+    table under a throwaway dir — the ACID log, file-pruned MERGE
+    rewrite, and hive partitionValues are all exercised for real."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    src, base = _delta_orders_insert(spark, sf_dir)
+    _delta_orders_mutate(spark, src, base)
+    return DeltaLog(src.path)
 
 
 _DELTA_MERGED_SQL = """
@@ -8362,24 +8396,28 @@ def _source_delta_time_travel(spark, sf_dir):
     )
 
 
-def _iceberg_orders_table(spark, sf_dir):
-    """Same write/MERGE/DELETE sequence as ``_delta_orders_table``,
-    through the pure-Python ICEBERG v1 implementation
-    (`sources/iceberg_log.py`): JSON metadata versions + real Avro
-    manifest lists/manifests (`sources/avro_io.py`), HadoopCatalog
-    exclusive-create commits, copy-on-write file-pruned MERGE.
-    Returns the IcebergLog."""
+def _iceberg_orders_insert(spark, sf_dir):
+    """Initial partitioned write of the ICEBERG orders round-trip
+    table; returns ``(src, base)`` so callers can interleave work
+    (e.g. open a change stream) before
+    :func:`_iceberg_orders_mutate` lands the MERGE and DELETE
+    snapshots."""
     import tempfile
 
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     from aligned_spark.sources.iceberg import IcebergSource
-    from aligned_spark.sources.iceberg_log import IcebergLog
 
     base = _t(spark, sf_dir, "orders").select(*_DELTA_ORDERS_COLS)
     path = tempfile.mkdtemp(prefix="aligned_spark_iceberg_")
     src = IcebergSource(path=path, partition_by=["o_orderpriority"])
     src.insert(base.repartition(4))
+    return src, base
+
+
+def _iceberg_orders_mutate(spark, src, base):
+    """The same MERGE upsert + customer DELETE as
+    :func:`_delta_orders_mutate`, against the Iceberg table."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
         "o_custkey",
@@ -8394,7 +8432,20 @@ def _iceberg_orders_table(spark, sf_dir):
     )
     src.upsert(upd.unionByName(ins), keys=["o_orderkey"])
     src.delete_where(spark, F.col("o_custkey") % 10 == 0)
-    return IcebergLog(path)
+
+
+def _iceberg_orders_table(spark, sf_dir):
+    """Same write/MERGE/DELETE sequence as ``_delta_orders_table``,
+    through the pure-Python ICEBERG v1 implementation
+    (`sources/iceberg_log.py`): JSON metadata versions + real Avro
+    manifest lists/manifests (`sources/avro_io.py`), HadoopCatalog
+    exclusive-create commits, copy-on-write file-pruned MERGE.
+    Returns the IcebergLog."""
+    from aligned_spark.sources.iceberg_log import IcebergLog
+
+    src, base = _iceberg_orders_insert(spark, sf_dir)
+    _iceberg_orders_mutate(spark, src, base)
+    return IcebergLog(src.path)
 
 
 @q(
@@ -8774,7 +8825,14 @@ def _stream_table_cdf(spark, sf_dir):
     ``IncrementalAggregate.apply_changes`` in foreachBatch; e2e
     pinned in tests/test_cdf_stream.py). Reference anchor: the
     worker's poll-based maintenance loop (aligned/worker.py:172-209)
-    expressed as Structured Streaming."""
+    expressed as Structured Streaming.
+
+    The stream OPENS right after the initial write
+    (``startingVersion=1`` excludes it) and the MERGE/DELETE commits
+    land while the consumer initializes — stream startup overlaps the
+    producer's jobs (guide §2.6); ``processAllAvailable`` after the
+    last commit drains both, so the sink feed is identical to the
+    drain-after-build formulation."""
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
@@ -8784,11 +8842,11 @@ def _stream_table_cdf(spark, sf_dir):
         register,
     )
 
-    log = _delta_orders_table(spark, sf_dir)
+    src, base = _delta_orders_insert(spark, sf_dir)
     register(spark)
     sdf = (
         spark.readStream.format("aligned_table")
-        .option("path", log.table_path)
+        .option("path", src.path)
         .option("readChangeFeed", "true")
         .option("startingVersion", "1")
         .load()
@@ -8802,6 +8860,7 @@ def _stream_table_cdf(spark, sf_dir):
         .start()
     )
     try:
+        _delta_orders_mutate(spark, src, base)
         query.processAllAvailable()
     finally:
         query.stop()
@@ -8896,25 +8955,37 @@ def _stream_table_cdf_iceberg(spark, sf_dir):
     file set is diffed against its parent exactly like the batch
     ``IcebergLog.read_changes``, so stream ≡ batch-CDC ≡ the same
     relational oracle. Random snapshot ids normalize to their
-    position in the snapshot list for determinism."""
+    position in the snapshot list for determinism.
+
+    The stream OPENS right after the initial write
+    (``afterSnapshotId=<insert snapshot>`` — the EXCLUSIVE start,
+    expressible before the tailed snapshots exist) and the
+    MERGE/DELETE snapshots land while the consumer initializes —
+    stream startup overlaps the producer's jobs (guide §2.6);
+    ``processAllAvailable`` after the last commit drains both, so the
+    sink feed is identical to the drain-after-build formulation."""
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from aligned_spark.sources.iceberg_log import (  # noqa: PLC0415
+        IcebergLog,
+    )
     from aligned_spark.streaming.table_stream import (  # noqa: PLC0415
         register,
     )
 
-    log = _iceberg_orders_table(spark, sf_dir)
-    sids = log.snapshot_ids()
+    src, base = _iceberg_orders_insert(spark, sf_dir)
+    log = IcebergLog(src.path)
+    insert_sid = log.snapshot_ids()[0]
     register(spark)
     sdf = (
         spark.readStream.format("aligned_table")
         .option("path", log.table_path)
         .option("format", "iceberg")
         .option("readChangeFeed", "true")
-        .option("startingSnapshotId", str(sids[1]))
+        .option("afterSnapshotId", str(insert_sid))
         .load()
     )
     tmp = tempfile.mkdtemp(prefix="aligned_cdf_stream_ice_")
@@ -8926,10 +8997,12 @@ def _stream_table_cdf_iceberg(spark, sf_dir):
         .start()
     )
     try:
+        _iceberg_orders_mutate(spark, src, base)
         query.processAllAvailable()
     finally:
         query.stop()
         query.awaitTermination()
+    sids = log.snapshot_ids()
     changes = spark.read.schema(sdf.schema).parquet(out)
     seq = F.col("_snapshot_id")
     for i, sid in enumerate(sids):

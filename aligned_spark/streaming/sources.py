@@ -108,6 +108,11 @@ class TableStreamSource:
     starting_version: int | str | None = None
     #: iceberg: first snapshot id to include, or "latest" to tail
     starting_snapshot_id: int | str | None = None
+    #: iceberg: EXCLUSIVE start — tail only snapshots after this id
+    #: (0 = the whole history). Unlike the inclusive id above it can
+    #: name a point before the tailed snapshots exist, so the stream
+    #: may start concurrently with the producer's commits.
+    after_snapshot_id: int | None = None
     ignore_changes: bool = False
     max_files_per_trigger: int | None = None
     #: delta only: stream row-level changes with public CDF columns
@@ -135,6 +140,10 @@ class TableStreamSource:
         if self.starting_snapshot_id is not None:
             reader = reader.option(
                 "startingSnapshotId", str(self.starting_snapshot_id)
+            )
+        if self.after_snapshot_id is not None:
+            reader = reader.option(
+                "afterSnapshotId", str(self.after_snapshot_id)
             )
         if self.ignore_changes:
             reader = reader.option("ignoreChanges", "true")

@@ -567,6 +567,19 @@ class _IcebergStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self._starting = options.get("startingsnapshotid")
+        #: EXCLUSIVE start: tail only snapshots AFTER this id. The
+        #: inclusive ``startingSnapshotId`` cannot express "everything
+        #: the table commits from now on" before those snapshots exist
+        #: — this can, so a consumer may open the stream concurrently
+        #: with the producer's commits (the stream's startup cost then
+        #: overlaps the producer's jobs instead of serializing after
+        #: them) and drain exactly the post-``afterSnapshotId`` feed.
+        self._after = options.get("aftersnapshotid")
+        if self._starting is not None and self._after is not None:
+            raise ValueError(
+                "startingSnapshotId and afterSnapshotId are mutually "
+                "exclusive"
+            )
         mft = options.get("maxfilespertrigger")
         self._max_files = int(mft) if mft else None
         self._last_end: dict | None = None
@@ -605,6 +618,18 @@ class _IcebergStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         log = _iceberg_log(self._path)
         ids = log.snapshot_ids()
+        if self._after is not None:
+            sid = int(self._after)
+            if sid != 0 and sid not in ids:
+                raise ValueError(
+                    f"unknown afterSnapshotId {sid}"
+                )
+            # the given snapshot IS the consumed watermark: tailing
+            # resumes at the next snapshot (0 = before the first)
+            off = {"snapshot_id": sid, "fmt": self.OFFSET_FMT}
+            if self._last_end is None:
+                self._last_end = dict(off)
+            return off
         if self._starting is None:
             cur = ids[-1] if ids else 0
             off = (
@@ -916,7 +941,10 @@ class TableStreamDataSource(DataSource):
     default | "iceberg"), ``startingVersion`` (delta: int | "latest";
     unset = current snapshot first, then tail), ``startingSnapshotId``
     (iceberg: int, inclusive | "latest"; unset = current snapshot
-    first), ``ignoreChanges``, ``maxFilesPerTrigger`` (both formats:
+    first), ``afterSnapshotId`` (iceberg: int, EXCLUSIVE — tail only
+    snapshots after it; 0 = the whole history; usable before the
+    tailed snapshots exist, so the stream can start concurrently with
+    the producer), ``ignoreChanges``, ``maxFilesPerTrigger`` (both formats:
     slices the initial snapshot across triggers, admits tail commits/
     snapshots by file count, and — delta — splits oversized append
     commits by file index), ``readChangeFeed`` (both formats: stream

@@ -1,0 +1,121 @@
+"""Round-14 optimization-round fixes.
+
+Covers: the EXCLUSIVE ``afterSnapshotId`` iceberg stream start (the
+overlapped-startup enabler — expressible before the tailed snapshots
+exist), its mutual exclusion with ``startingSnapshotId``, and that a
+stream opened with it BEFORE the producer's commits drains exactly
+the post-watermark feed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aligned_spark.sources.iceberg_log import IcebergLog
+from aligned_spark.streaming.sources import TableStreamSource
+
+
+def _drain(sdf, out: str, ckpt: str):
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_iceberg_after_snapshot_id_excludes_watermark(spark, tmp_path):
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id")
+    log.write(mk(0, 10), mode="append")
+    sid0 = log.snapshot_ids()[0]
+    log.write(mk(10, 20), mode="append")
+    log.write(mk(20, 25), mode="append")
+
+    src = TableStreamSource(
+        path=tbl, table_format="iceberg", after_snapshot_id=sid0
+    )
+    sdf = src.read_stream(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(sdf, out, ckpt)
+    got = spark.read.schema(sdf.schema).parquet(out)
+    # strictly AFTER the watermark snapshot: rows 10..24 only
+    assert sorted(r.id for r in got.collect()) == list(range(10, 25))
+
+
+def test_iceberg_after_snapshot_id_opened_before_commits(spark, tmp_path):
+    """The overlapped-startup shape: the stream opens when only the
+    watermark snapshot exists; later appends drain on the running
+    query — exactly once, nothing from the watermark itself."""
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id")
+    log.write(mk(0, 10), mode="append")
+    sid0 = log.snapshot_ids()[0]
+
+    src = TableStreamSource(
+        path=tbl, table_format="iceberg", after_snapshot_id=sid0
+    )
+    sdf = src.read_stream(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        log.write(mk(10, 20), mode="append")
+        log.write(mk(20, 25), mode="append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.read.schema(sdf.schema).parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(10, 25))
+    assert got.count() == got.distinct().count()
+
+
+def test_after_snapshot_id_validation(spark, tmp_path):
+    tbl = str(tmp_path / "i")
+    log = IcebergLog(tbl)
+    log.write(spark.range(0, 5).selectExpr("id"), mode="append")
+    sid0 = log.snapshot_ids()[0]
+
+    # mutually exclusive with the inclusive start
+    src = TableStreamSource(
+        path=tbl,
+        table_format="iceberg",
+        starting_snapshot_id=sid0,
+        after_snapshot_id=sid0,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _drain(src.read_stream(spark), out, ckpt)
+
+    # unknown watermark id fails fast
+    src2 = TableStreamSource(
+        path=tbl, table_format="iceberg", after_snapshot_id=123456789
+    )
+    with pytest.raises(Exception, match="afterSnapshotId"):
+        _drain(
+            src2.read_stream(spark),
+            str(tmp_path / "o2"),
+            str(tmp_path / "c2"),
+        )
+
+    # afterSnapshotId=0 replays the whole history
+    src3 = TableStreamSource(
+        path=tbl, table_format="iceberg", after_snapshot_id=0
+    )
+    sdf3 = src3.read_stream(spark)
+    out3, ckpt3 = str(tmp_path / "o3"), str(tmp_path / "c3")
+    _drain(sdf3, out3, ckpt3)
+    got = spark.read.schema(sdf3.schema).parquet(out3)
+    assert sorted(r.id for r in got.collect()) == list(range(5))
