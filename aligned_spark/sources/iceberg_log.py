@@ -53,6 +53,7 @@ import os
 import re
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -505,6 +506,44 @@ class IcebergSnapshotView:
     )
 
 
+#: Process-wide LRU of PARSED manifest metadata, keyed on
+#: ``(absolute path, size, mtime_ns)``. Manifest lists and manifests
+#: are immutable uniquely-named content files (exclusive create,
+#: never rewritten), so a parse is valid for the file's lifetime; the
+#: stat in the key guards the one way a path can recur with different
+#: bytes (a table directory re-created at the same path). Bounded so
+#: a long-lived session over many tables stays O(1) memory. At
+#: warehouse manifest counts this converts the per-call O(files)
+#: driver-side Avro parse of an immutable snapshot into a dict
+#: lookup — every ``_resolve``/CDF snapshot walk after the first
+#: re-reads nothing (locally the parse is ~10 ms; the cache is for
+#: metadata-heavy tables, guide §6).
+_MANIFEST_CACHE: "OrderedDict[tuple, list]" = OrderedDict()
+_MANIFEST_CACHE_MAX = 512
+
+
+def _read_manifest_cached(path: str) -> list:
+    """Avro records of one manifest/manifest-list file, via the
+    process-wide LRU. Callers must not mutate the returned list or
+    its records."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        # unreadable path: let read_container raise its own error
+        _, records = read_container(path)
+        return records
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        _MANIFEST_CACHE.move_to_end(key)
+        return hit
+    _, records = read_container(path)
+    _MANIFEST_CACHE[key] = records
+    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.popitem(last=False)
+    return records
+
+
 @dataclass
 class IcebergLog:
     """Reader/writer for one Iceberg v1 table directory."""
@@ -821,7 +860,7 @@ class IcebergLog:
             if snapshot_id is not None:
                 raise ValueError(f"unknown snapshot id {snapshot_id}")
             return IcebergSnapshotView(-1, schema, part_cols, {})
-        _, manifests = read_container(
+        manifests = _read_manifest_cached(
             os.path.join(self.table_path, snap["manifest-list"])
         )
         files: dict[str, dict[str, Any]] = {}
@@ -830,7 +869,7 @@ class IcebergLog:
             target = (
                 delete_files if m.get("content", 0) == 1 else files
             )
-            _, entries = read_container(
+            entries = _read_manifest_cached(
                 os.path.join(self.table_path, m["manifest_path"])
             )
             for e in entries:
@@ -843,10 +882,15 @@ class IcebergLog:
         )
 
     def _manifests_of(self, snapshot: dict[str, Any]) -> list[dict]:
-        _, manifests = read_container(
-            os.path.join(self.table_path, snapshot["manifest-list"])
+        # fresh list: callers may extend it; the records stay shared
+        # with the cache and are treated as immutable everywhere
+        return list(
+            _read_manifest_cached(
+                os.path.join(
+                    self.table_path, snapshot["manifest-list"]
+                )
+            )
         )
-        return manifests
 
     # ------------------------------------------- merge-on-read scans
 
@@ -1526,7 +1570,7 @@ class IcebergLog:
             # row — its re-added files are not appends
             if snap.get("summary", {}).get("operation") == "replace":
                 continue
-            _, manifests = read_container(
+            manifests = _read_manifest_cached(
                 os.path.join(self.table_path, snap["manifest-list"])
             )
             for m in manifests:
@@ -1536,7 +1580,7 @@ class IcebergLog:
                     # position-delete manifest — its parquet holds
                     # (file_path, pos) pairs, not table rows
                     continue
-                _, entries = read_container(
+                entries = _read_manifest_cached(
                     os.path.join(self.table_path, m["manifest_path"])
                 )
                 paths += [
@@ -2325,7 +2369,7 @@ class IcebergLog:
                 if s_["snapshot-id"] == view.snapshot_id
             )
             for m in self._manifests_of(prev):
-                _, entries = read_container(
+                entries = _read_manifest_cached(
                     os.path.join(self.table_path, m["manifest_path"])
                 )
                 hit = any(

@@ -119,3 +119,43 @@ def test_after_snapshot_id_validation(spark, tmp_path):
     _drain(sdf3, out3, ckpt3)
     got = spark.read.schema(sdf3.schema).parquet(out3)
     assert sorted(r.id for r in got.collect()) == list(range(5))
+
+
+def test_manifest_cache_parses_once(spark, tmp_path, monkeypatch):
+    """N resolves of an immutable snapshot parse its manifest list +
+    manifests exactly once (process-wide LRU keyed on path+stat);
+    a new commit's fresh files parse fresh."""
+    import aligned_spark.sources.iceberg_log as il
+
+    tbl = str(tmp_path / "i")
+    log = il.IcebergLog(tbl)
+    log.write(spark.range(0, 10).selectExpr("id"), mode="append")
+
+    calls = []
+    real = il.read_container
+
+    def counting(path, *a, **kw):
+        calls.append(path)
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(il, "read_container", counting)
+    il._MANIFEST_CACHE.clear()
+
+    v1 = log._resolve()
+    first = len(calls)
+    assert first >= 2  # manifest list + >=1 manifest actually parsed
+    for _ in range(5):
+        v = log._resolve()
+        assert v.files == v1.files
+    assert len(calls) == first  # all later resolves were cache hits
+
+    # a new snapshot's NEW metadata files are parsed (not served
+    # stale), and the old snapshot stays resolvable from cache
+    log.write(spark.range(10, 20).selectExpr("id"), mode="append")
+    before = len(calls)
+    v2 = log._resolve()
+    assert len(calls) > before
+    assert len(v2.files) > len(v1.files)
+    again = len(calls)
+    log._resolve()
+    assert len(calls) == again
