@@ -421,22 +421,64 @@ def _pair_cosine_arrow(df: DataFrame, va: str, vb: str) -> Column:
     # no type hints: pandas_udf hint-inference rejects them here; the
     # explicit returnType below is authoritative
     def _cos(a, b):
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        va_ = np.stack(a.to_numpy()).astype(np.float64, copy=False)
-        vb_ = np.stack(b.to_numpy()).astype(np.float64, copy=False)
         n = len(a)
-        dot = np.zeros(n)
-        na = np.zeros(n)
-        nb = np.zeros(n)
-        for d in range(va_.shape[1]):
-            dot = dot + va_[:, d] * vb_[:, d]
-            na = na + va_[:, d] * va_[:, d]
-            nb = nb + vb_[:, d] * vb_[:, d]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        aa = a.to_numpy()
+        bb = b.to_numpy()
+        # mask rows np.stack would choke on (NULL vector, pair-length
+        # mismatch) instead of crashing the executor — the codegen
+        # fold returned NULL sim for them. Valid rows group by length
+        # and run the exact per-dimension IEEE sequence as before
+        # (one group in practice), so valid sims stay bit-identical.
+        ok = np.fromiter(
+            (
+                x is not None and y is not None and len(x) == len(y)
+                for x, y in zip(aa, bb)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        out = np.full(n, np.nan)
+        idx = np.flatnonzero(ok)
+        if idx.size:
+            lens = np.fromiter(
+                (len(aa[i]) for i in idx),
+                dtype=np.int64,
+                count=idx.size,
+            )
+            for ln in np.unique(lens):
+                g = idx[lens == ln]
+                va_ = np.stack(aa[g]).astype(np.float64, copy=False)
+                vb_ = np.stack(bb[g]).astype(np.float64, copy=False)
+                m = len(g)
+                dot = np.zeros(m)
+                na = np.zeros(m)
+                nb = np.zeros(m)
+                for d in range(int(ln)):
+                    dot = dot + va_[:, d] * vb_[:, d]
+                    na = na + va_[:, d] * va_[:, d]
+                    nb = nb + vb_[:, d] * vb_[:, d]
+                out[g] = dot / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(out)
 
     fn = F.pandas_udf(_cos, "double")
-    return fn(F.col(va).cast("array<double>"), F.col(vb).cast("array<double>"))
+    a = F.col(va).cast("array<double>")
+    b = F.col(vb).cast("array<double>")
+    # NULL-element vectors lose the null/NaN distinction crossing
+    # Arrow — guard in SQL so they yield NULL exactly like the
+    # codegen fold (same pattern as ivf_assign_to); the kernel's
+    # value for guarded rows is discarded unevaluated semantics-wise
+    guard = (
+        a.isNotNull()
+        & b.isNotNull()
+        & (F.size(a) == F.size(b))
+        & ~F.exists(a, lambda x: x.isNull())
+        & ~F.exists(b, lambda x: x.isNull())
+    )
+    return F.when(guard, fn(a, b)).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 def _lsh_buckets_arrow(
@@ -457,21 +499,47 @@ def _lsh_buckets_arrow(
     ]
 
     def _bk(col):
-        if len(col) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack(col.to_numpy()).astype(np.float64, copy=False)
         n = len(col)
-        out = np.zeros((n, num_tables), dtype=np.int64)
-        for t, planes in enumerate(all_planes):
-            for i, plane in enumerate(planes):
-                dot = np.zeros(n)
-                for d in range(dim):
-                    dot = dot + x[:, d] * plane[d]
-                out[:, t] |= (dot >= 0).astype(np.int64) << i
-        return pd.Series(list(out))
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs = col.to_numpy()
+        # mask rows np.stack would choke on (NULL vector, wrong
+        # length) instead of crashing the executor — the per-table
+        # codegen fold gave NULL buckets for them. Valid rows run the
+        # exact per-dimension IEEE sequence as before.
+        ok = np.fromiter(
+            (a is not None and len(a) == dim for a in arrs),
+            dtype=bool,
+            count=n,
+        )
+        res = [None] * n
+        idx = np.flatnonzero(ok)
+        if idx.size:
+            x = np.stack(arrs[idx]).astype(np.float64, copy=False)
+            m = idx.size
+            out = np.zeros((m, num_tables), dtype=np.int64)
+            for t, planes in enumerate(all_planes):
+                for i, plane in enumerate(planes):
+                    dot = np.zeros(m)
+                    for d in range(dim):
+                        dot = dot + x[:, d] * plane[d]
+                    out[:, t] |= (dot >= 0).astype(np.int64) << i
+            for j, k in enumerate(idx):
+                res[k] = out[j]
+        return pd.Series(res, dtype=object)
 
     fn = F.pandas_udf(_bk, "array<long>")
-    return fn(F.col(vector_col).cast("array<double>"))
+    v = F.col(vector_col).cast("array<double>")
+    # NULL-element vectors lose the null/NaN distinction crossing
+    # Arrow — guard in SQL so every table's bucket is NULL exactly
+    # like the codegen fold (element_at on the NULL array yields the
+    # NULL per-table bucket the old per-table columns carried)
+    guard = (F.size(v) == F.lit(dim)) & ~F.exists(
+        v, lambda x: x.isNull()
+    )
+    return F.when(guard, fn(v)).otherwise(
+        F.lit(None).cast("array<long>")
+    )
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:

@@ -159,3 +159,56 @@ def test_manifest_cache_parses_once(spark, tmp_path, monkeypatch):
     again = len(calls)
     log._resolve()
     assert len(calls) == again
+
+
+def test_arrow_cosine_null_guard(spark):
+    """NULL / null-element / mismatched-length vectors yield NULL sim
+    (the codegen fold's semantics) instead of crashing np.stack in
+    the Arrow kernel (r13 ADVICE)."""
+    from aligned_spark.operators.similarity import top_k_similar
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, None),
+            (4, [1.0, None]),
+            (5, [1.0, 2.0, 3.0]),
+        ],
+        "id long, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "id long, v array<double>"
+    )
+    got = top_k_similar(
+        queries, corpus, "id", "v", k=10, exclude_self=False
+    )
+    sims = {r.neighbor_id: r.sim for r in got.collect()}
+    assert sims[1] is not None and sims[2] is not None
+    assert abs(sims[1] - sims[2]) < 1e-12
+    # invalid rows survive as NULL-sim candidates, never a crash
+    for bad in (3, 4, 5):
+        assert bad not in sims or sims[bad] is None
+
+
+def test_lsh_buckets_null_guard(spark, tmp_path):
+    """Index writes and LSH queries tolerate invalid vectors: NULL
+    bucket codes (old per-table fold semantics), no executor crash."""
+    from aligned_spark.sources.vector_index import VectorIndexSource
+
+    rows = [
+        (1, [float(i) for i in range(16)]),
+        (2, None),
+        (3, [1.0] * 15),
+        (4, [1.0] * 15 + [None]),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    idx = VectorIndexSource(path=str(tmp_path / "vi"), dim=16)
+    idx.overwrite(df)  # must not crash
+    stored = idx.read(spark)
+    good = stored.filter("id = 1").first()
+    assert good["__bucket_0"] is not None
+    for bad in (2, 3, 4):
+        r = stored.filter(f"id = {bad}").first()
+        assert r["__bucket_0"] is None
+        assert r["__bucket_1"] is None
