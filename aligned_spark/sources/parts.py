@@ -108,16 +108,19 @@ class StagedPart:
     stats: dict[str, Any]
 
 
-#: Per-table override for the staged-write file-size target.
+#: SESSION-level override for the staged-write file-size target
+#: (read from the session conf at write time, not from table
+#: metadata — unlike the per-table MERGE pruning props).
 TARGET_FILE_BYTES_PROP = "aligned.write.targetFileBytes"
 TARGET_FILE_BYTES = 128 << 20
 
 
 def _has_root_repartition(df: DataFrame) -> bool:
     """Whether the written frame carries an EXPLICIT repartition at
-    its root (under at most trivial wrappers) — a caller-chosen
-    layout (Z-order range partitioning, an IVF index's
-    cluster-column partitioning, a test's n-file setup) that
+    its root (under at most trivial partitioning-preserving wrappers
+    — Filter included, it drops rows but never redistributes them) —
+    a caller-chosen layout (Z-order range partitioning, an IVF
+    index's cluster-column partitioning, a test's n-file setup) that
     size-targeting must respect, exactly as AQE respects
     user-specified repartitioning."""
     node = df._jdf.queryExecution().analyzed()
@@ -125,13 +128,29 @@ def _has_root_repartition(df: DataFrame) -> bool:
         name = node.getClass().getSimpleName()
         if name in ("Repartition", "RepartitionByExpression"):
             return True
-        if name not in ("Sort", "Project", "SubqueryAlias"):
+        if name not in ("Sort", "Project", "SubqueryAlias", "Filter"):
             return False
         children = node.children()
         if children.size() != 1:
             return False
         node = children.apply(0)
     return False
+
+
+def _has_generate(df: DataFrame) -> bool:
+    """Whether the analyzed plan contains a Generate (explode/
+    posexplode/inline) node. Generate passes its CHILD's size
+    estimate through, so it is the one common operator that can
+    UNDER-estimate output bytes — size-targeting bails out rather
+    than over-coalesce a genuinely large exploded write. Probed via
+    Catalyst's tree-pattern bitset — O(1) per call (a py4j node walk
+    measured ~15 ms on a modest plan; merge staging plans are far
+    bigger and stage several writes per query)."""
+    jvm = df.sparkSession._jvm
+    pat = jvm.org.apache.spark.sql.catalyst.trees.TreePattern.GENERATE()
+    return bool(
+        df._jdf.queryExecution().analyzed().containsPattern(pat)
+    )
 
 
 def _size_targeted(df: DataFrame) -> DataFrame:
@@ -144,11 +163,14 @@ def _size_targeted(df: DataFrame) -> DataFrame:
     SMALL commit inherits the plan's full shuffle partitioning and
     litters dozens of KB-sized parts that every later discovery
     scan, footer harvest and CDF read must enumerate. The default
-    size-only estimators only ever over-estimate (Filter/Aggregate
-    pass through child bytes, joins multiply), so a mis-estimate
-    produces MORE files than optimal, never a parallelism collapse.
-    ``coalesce`` above a shuffle keeps the map side's parallelism;
-    narrow lineages are bounded by ~target bytes of input per task.
+    size-only estimators over-estimate (Filter/Aggregate pass
+    through child bytes, joins multiply) for every common operator
+    EXCEPT Generate — explode also passes child bytes through,
+    UNDER-estimating — so Generate-bearing plans bail out and
+    everything else mis-estimates toward MORE files than optimal,
+    never a parallelism collapse. ``coalesce`` above a shuffle keeps
+    the map side's parallelism; narrow lineages are bounded by
+    ~target bytes of input per task.
     """
     try:
         spark = df.sparkSession
@@ -157,7 +179,11 @@ def _size_targeted(df: DataFrame) -> DataFrame:
                 TARGET_FILE_BYTES_PROP, str(TARGET_FILE_BYTES)
             )
         )
-        if target <= 0 or _has_root_repartition(df):
+        if (
+            target <= 0
+            or _has_root_repartition(df)
+            or _has_generate(df)
+        ):
             return df
         est = int(
             df._jdf.queryExecution()

@@ -212,3 +212,41 @@ def test_lsh_buckets_null_guard(spark, tmp_path):
         r = stored.filter(f"id = {bad}").first()
         assert r["__bucket_0"] is None
         assert r["__bucket_1"] is None
+
+
+def test_size_targeting_respects_filtered_repartition(spark, tmp_path):
+    """An explicit repartition below a Filter is a caller-chosen
+    layout too (Filter preserves partitioning) — size-targeting must
+    not override it (r13 ADVICE)."""
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    tbl = str(tmp_path / "t")
+    log = DeltaLog(tbl)
+    df = (
+        spark.range(0, 1000)
+        .selectExpr("id", "id * 2 as v")
+        .repartition(6)
+        .filter("id % 7 != 3")
+    )
+    log.write(df)
+    assert len(log.snapshot().files) == 6
+
+
+def test_size_targeting_bails_on_generate(spark, tmp_path):
+    """Generate under-estimates output bytes (child sizeInBytes
+    passes through) — explode-heavy writes keep their natural
+    partitioning instead of over-coalescing (r13 ADVICE)."""
+    from aligned_spark.sources import parts as P
+    from aligned_spark.sources.delta_log import DeltaLog
+
+    exploded = (
+        spark.range(0, 64)
+        .selectExpr("id", "sequence(0, 999) as seq")
+        .selectExpr("id", "explode(seq) as x")
+    )
+    assert P._has_generate(exploded)
+    assert not P._has_generate(spark.range(10).selectExpr("id"))
+    # end-to-end: the write goes through unchanged partitioning
+    tbl = str(tmp_path / "g")
+    DeltaLog(tbl).write(exploded)
+    assert len(DeltaLog(tbl).snapshot().files) >= 1
