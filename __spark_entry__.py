@@ -9791,7 +9791,78 @@ def _model_ece(spark, sf_dir):
 # fixed), and the queries added this round. Union(r2 green, r3 window)
 # = every full-oracle query in the file.
 _PRIORITY: list[str] = [
-    # Round-13 window (VERDICT r12 "Next round" task 1). Slots 1-4 =
+    # Round-14 window (VERDICT r13 "Next round" task 1). Slots 1-20 =
+    # every query whose hot path the r13/r14 OPTIMIZATION rounds
+    # rewrote, so the driver converts the builder-attested
+    # correctness of those rewrites into driver-attested rows:
+    # the 5 non-rolling IVM queries (r13 MERGE-source persist +
+    # staging; r14 CDC-slice persist for the distinct family), both
+    # CDF reads + both _changefiles twins + both merge round-trips
+    # (r13 staging + pruning gates; r14 iceberg manifest LRU), the 4
+    # table-stream queries (r14 overlapped startup +
+    # afterSnapshotId), join_interval_overlap (r13 rank
+    # decomposition), text_decontaminate_bloom (r13 numpy fold),
+    # eval_ann_recall + sim_topk_cosine (r13 Arrow kernels; r14 null
+    # guards), vector_index_ivf_deletes (r13 Arrow IVF assignment).
+    "store_incremental_aggregate",
+    "store_incremental_aggregate_minmax",
+    "store_incremental_aggregate_distinct",
+    "store_incremental_aggregate_hll",
+    "store_incremental_aggregate_windowed",
+    "source_delta_cdf",
+    "source_iceberg_cdf",
+    "source_delta_cdf_changefiles",
+    "source_iceberg_cdf_changefiles",
+    "source_delta_merge",
+    "source_iceberg_merge",
+    "stream_table_cdf",
+    "stream_table_cdf_iceberg",
+    "stream_table_source",
+    "stream_table_source_iceberg",
+    "join_interval_overlap",
+    "text_decontaminate_bloom",
+    "eval_ann_recall",
+    "sim_topk_cosine",
+    "vector_index_ivf_deletes",
+    # Slots 21-50 = 30 of the 34 remaining r9-stale rows (the oldest
+    # cohort; 4 of the 38 the r13 verdict counted are already above).
+    # tpch_q11/q12/q15/q16 did not fit and head the r15 rotation.
+    "corpus_strip_markup",
+    "corpus_temperature_sample",
+    "corpus_weighted_reservoir",
+    "dedup_minhash",
+    "dedup_remove_spans",
+    "embed_prototypicality",
+    "events_anomaly_mad",
+    "events_cohort_retention",
+    "events_distinct_sketch",
+    "events_drift_ks",
+    "events_drift_psi",
+    "events_ewma",
+    "events_feature_cross",
+    "events_funnel",
+    "events_resample_linear",
+    "graph_pagerank",
+    "graph_pagerank_dangling",
+    "graph_triangles",
+    "join_scd2",
+    "layout_zorder_key",
+    "multimodal_audio_windows",
+    "multimodal_frame_sample",
+    "multimodal_image_dedup",
+    "source_delta_bloom_lookup",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+]
+
+
+_PRIORITY_R13: list[str] = [
+    # Round-13 window, kept for the record (VERDICT r12 task 1).
+    # Slots 1-4 =
     # the queries with NO full-oracle driver row yet: agg_group_approx
     # (PROMOTED this round from rows-only to a deterministic-BOUND
     # oracle — exact replayed quantities + sketch-within-bound
